@@ -1,13 +1,659 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.bronze.Validation
+import graft.bronze.Validation.{nonNegative, notEmpty, notNull, Rule}
+import graft.core.Tables
+import graft.gold.{DataQuality, DimDate, Scd2, SurrogateKeys}
+import graft.silver.{Dedup, Enrich, Impute}
+
+/** Driver contract: one declared query per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle over the same parquet
+  * tables.
+  *
+  * Oracle-stability rules used throughout (Spark ⟷ DuckDB must hash-match):
+  *  - Money/ratio aggregates go through exact integer cents:
+  *    `sum(round(x*100))::bigint` — double sums of integers are
+  *    order-independent below 2^53, so shuffle/partition order can't change
+  *    the hash. Ratios are a SINGLE division of two exact integers.
+  *  - Timestamps stay TIMESTAMP_NTZ end-to-end (testdata is NTZ; DuckDB is
+  *    naive).
+  *  - Every window/top-K has a total deterministic ordering (explicit
+  *    tiebreak columns).
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String): Tables = Tables(s, dir)
+
+  /** sum of a 2-decimal double column as exact integer cents. */
+  private def sumCents(c: Column): Column = sum(round(c * 100)).cast("long")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qPricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ===========================================================================
+  // A — aggregations
+  // ===========================================================================
+
+  /** A1: multi-aggregate groupBy (TPC-H Q1 shape). */
+  private def qPricingSummary(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sumCents(col("l_extendedprice")).as("sum_base_cents"),
+        sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_cents"),
+        (sum(round(col("l_discount") * 100)) / count(lit(1)) / lit(100)).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2: conditional aggregation (hand-pivot), total = sum of parts. */
+  private def qConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("total_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("fulfilled_orders"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_orders"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("pending_orders"),
+        sumCents(col("o_totalprice")).as("total_cents")
+      )
+      .orderBy("o_orderpriority")
+
+  /** A3: frequency + top-K via TakeOrderedAndProject (no global sort). */
+  private def qTopBrands(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).part
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("p_brand"))
+      .limit(10)
+
+  /** A4: distinct counts. */
+  private def qDistinctCounts(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).customer.agg(
+      countDistinct(col("c_mktsegment")).as("n_segments"),
+      countDistinct(col("c_nationkey")).as("n_nations"),
+      count(lit(1)).as("n_rows")
+    )
+
+  /** A5: whole-table scalar aggregates. */
+  private def qScalarStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem.agg(
+      max(col("l_orderkey")).as("max_orderkey"),
+      min(col("l_shipdate")).as("min_shipdate"),
+      max(col("l_quantity")).as("max_qty"),
+      countDistinct(col("l_suppkey")).as("n_suppliers")
+    )
+
+  /** A6: frequency classification via threshold when-chain (integer math —
+    * `cnt*1000 >= total*N` avoids ratio FP entirely).
+    */
+  private def qEventTypeClasses(s: SparkSession, dir: String): DataFrame = {
+    val counts = T(s, dir).events.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val total  = sum(col("cnt")).over(Window.partitionBy())
+    counts
+      .withColumn(
+        "category",
+        when(col("cnt") * 1000 >= total * 200, "popular")
+          .when(col("cnt") * 1000 >= total * 199, "common")
+          .otherwise("rare")
+      )
+      .orderBy("event_type")
+  }
+
+  // ===========================================================================
+  // W — window functions
+  // ===========================================================================
+
+  /** W1: dedup keep-latest (library: silver.Dedup). */
+  private def qDedupLatest(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .keepLatest(T(s, dir).events, Seq("user_id"), "ts", Seq(col("event_id").desc))
+      .select("user_id", "event_id", "event_type", "value", "ts")
+
+  /** W2: lag change detection (null-safe). */
+  private def qLagChanges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    T(s, dir).events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("changed", !(col("event_type") <=> col("prev_type")))
+      .select("user_id", "event_id", "event_type", "prev_type", "changed")
+  }
+
+  /** W2+W3: SCD2 initial load from a change log (library: gold.Scd2). */
+  private def qScd2Intervals(s: SparkSession, dir: String): DataFrame =
+    Scd2
+      .initialLoad(
+        T(s, dir).events.select("user_id", "ts", "event_type"),
+        nk = Seq("user_id"),
+        orderCol = "ts",
+        attrs = Seq("event_type")
+      )
+      .select("user_id", "event_type", "effective_start_ts", "effective_end_ts", "is_current")
+
+  /** J5-shaped SCD2 incremental merge; oracle = full-history rebuild (merge
+    * of a split change log must equal the SCD2 of the whole log).
+    */
+  private def qScd2Incremental(s: SparkSession, dir: String): DataFrame = {
+    val ev     = T(s, dir).events.select("user_id", "ts", "event_type")
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val existing = Scd2.initialLoad(
+      ev.filter(col("ts") < cutoff), Seq("user_id"), "ts", Seq("event_type"))
+    val merged = Scd2.incrementalMerge(
+      existing, ev.filter(col("ts") >= cutoff), Seq("user_id"), "ts", Seq("event_type"))
+    merged.select("user_id", "event_type", "effective_start_ts", "effective_end_ts", "is_current")
+  }
+
+  /** W4: surrogate keys (reference mode — unpartitioned row_number). */
+  private def qSurrogateKeys(s: SparkSession, dir: String): DataFrame =
+    SurrogateKeys
+      .referenceMode(T(s, dir).customer, Seq(col("c_custkey")), "customer_sk", offset = 1000L)
+      .select("c_custkey", "customer_sk")
+
+  /** W5: YoY growth via lag over yearly totals. */
+  private def qYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val yearly = T(s, dir).orders
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("total_cents"))
+    val w = Window.orderBy(col("yr"))
+    yearly
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .withColumn(
+        "growth_pct",
+        when(col("prev_cnt").isNotNull,
+          (col("cnt") - col("prev_cnt")) * lit(100.0) / col("prev_cnt"))
+      )
+      .orderBy("yr")
+  }
+
+  /** W6: percent-of-total via empty-frame window. */
+  private def qPctOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val byStatus = T(s, dir).orders.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+    byStatus
+      .withColumn("pct", col("cnt") * lit(100.0) / sum(col("cnt")).over(Window.partitionBy()))
+      .orderBy("o_orderstatus")
+  }
+
+  /** W7: trailing frame (6 preceding .. 1 preceding) over daily counts. */
+  private def qTrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("order_date")).rowsBetween(-6, -1)
+    daily
+      .withColumn("trail_sum", sum(col("cnt")).over(w))
+      .withColumn("trail_n", count(col("cnt")).over(w))
+      .withColumn(
+        "trail_avg",
+        when(col("trail_n") > 0, col("trail_sum") * lit(1.0) / col("trail_n")))
+      .orderBy("order_date")
+  }
+
+  // ===========================================================================
+  // J — joins
+  // ===========================================================================
+
+  /** J1: left-outer enrichment with Unknown defaults (library:
+    * silver.Enrich.leftWithDefaults; dim broadcast — zero fact shuffle).
+    */
+  private def qEnrichDefaults(s: SparkSession, dir: String): DataFrame = {
+    val t   = T(s, dir)
+    val dim = t.customer.filter(col("c_custkey") % 7 =!= 0)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    Enrich
+      .leftWithDefaults(
+        t.orders,
+        dim,
+        col("o_custkey") === col("c_custkey"),
+        Map("c_name" -> "Unknown", "c_mktsegment" -> "XX")
+      )
+      .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** J2: filtering join (left_semi — the reference's inner+drop pattern). */
+  private def qFilterExisting(s: SparkSession, dir: String): DataFrame = {
+    val t   = T(s, dir)
+    val dim = t.part.filter(col("p_size") > 25).select(col("p_partkey").as("l_partkey"))
+    Enrich
+      .filterExisting(t.lineitem, dim, Seq("l_partkey"))
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  /** J3: fact→dim SK lookup with SK=0 fallback (broadcast dim). */
+  private def qSkLookup(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val dim = t.customer.filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey").as("o_custkey"), (col("c_custkey") + 1000).as("customer_sk"))
+    Enrich
+      .lookupSk(t.orders, dim, "o_custkey", "customer_sk")
+      .select("o_orderkey", "o_custkey", "customer_sk")
+  }
+
+  /** J4: left-anti FK integrity — dangling SKs (library: gold.DataQuality). */
+  private def qFkIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    DataQuality.danglingSks(
+      t.lineitem.select(col("l_suppkey").as("sk")),
+      t.supplier.filter(col("s_suppkey") <= 8).select(col("s_suppkey").as("sk")),
+      "sk"
+    )
+  }
+
+  /** J7+A8: single-row stats CROSS JOIN + z-score, with exact integer
+    * moments (n, Σx, Σx²) so the FP expression tree is identical on both
+    * engines.
+    */
+  private def qZscoreDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.agg(
+      count(lit(1)).as("n"),
+      sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("ss")
+    )
+    val mean  = col("s").cast("double") / col("n")
+    val varPop = (col("ss") - (col("s") * col("s")).cast("double") / col("n")) / (col("n") - lit(1))
+    daily
+      .crossJoin(stats)
+      .withColumn("zscore", (col("cnt") - mean) / sqrt(varPop))
+      .select("order_date", "cnt", "zscore")
+      .orderBy("order_date")
+  }
+
+  // ===========================================================================
+  // S/P/U — sources, projections/validation, set ops, scalar functions
+  // ===========================================================================
+
+  /** S4: JSON-in-column extraction. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") > 50)
+      .select("event_id", "event_type", "k")
+
+  /** S5+U1: in-memory Unknown row unioned onto a scanned dim. */
+  private def qInmemoryUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val unknown = Seq((-1, "UNKNOWN")).toDF("r_regionkey", "r_name")
+    unknown.unionByName(T(s, dir).region).orderBy("r_regionkey")
+  }
+
+  /** U1/U2: union of two filtered subsets with provenance tag. */
+  private def qUnionSubsets(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"), lit("hot").as("bucket"))
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_orderkey"), col("o_orderpriority"), lit("cold").as("bucket"))
+    urgent.unionByName(low)
+  }
+
+  /** U3: distinct projection. */
+  private def qDistinctPairs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).customer.select("c_nationkey", "c_mktsegment").distinct()
+
+  /** U4: dropDuplicates on a column subset (library: silver.Dedup). */
+  private def qDropDupSubset(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicates(
+      T(s, dir).lineitem.select("l_orderkey", "l_returnflag"),
+      Seq("l_orderkey", "l_returnflag"))
+
+  private def customerRules: Seq[Rule] = Seq(
+    notNull("c_name"),
+    nonNegative("c_acctbal"),
+    notEmpty("c_mktsegment"),
+    Rule("c_acctbal_too_large", col("c_acctbal") > 9000, Seq("c_acctbal"))
+  )
+
+  /** P5: validation rule chain → reject_reason (first match wins). */
+  private def qValidationTagged(s: SparkSession, dir: String): DataFrame =
+    Validation
+      .tagged(T(s, dir).customer, customerRules)
+      .select("c_custkey", "c_acctbal", "reject_reason")
+
+  /** P6: split-by-predicate, rejects side. */
+  private def qValidationRejects(s: SparkSession, dir: String): DataFrame = {
+    val (_, rejects) = Validation.split(T(s, dir).customer, customerRules)
+    rejects.select("c_custkey", "reject_reason")
+  }
+
+  /** P10: impute-with-flag missing-data strategy. */
+  private def qImputeFlag(s: SparkSession, dir: String): DataFrame = {
+    val withNulls = T(s, dir).customer.withColumn(
+      "segment",
+      when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment")))
+    Impute
+      .withFlag(withNulls, "segment", lit("UNKNOWN"))
+      .select("c_custkey", "segment", "segment_imputed")
+  }
+
+  /** P9: TRUE/FALSE/other boolean coercion. */
+  private def qBoolParse(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .withColumn(
+        "flag_str",
+        when(col("value") > 150, "TRUE").when(col("value") < 50, "FALSE").otherwise("maybe"))
+      .withColumn("is_flag", Impute.parseBoolean(col("flag_str")))
+      .select("event_id", "flag_str", "is_flag")
+
+  /** String function family. */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).part.select(
+      col("p_partkey"),
+      lower(col("p_name")).as("name_lower"),
+      regexp_replace(lower(col("p_type")), "[^a-z]", "").as("type_alpha"),
+      trim(upper(col("p_brand"))).as("brand_up"),
+      length(col("p_name")).as("name_len")
+    )
+
+  /** Date/time function family. */
+  private def qDatetimeFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("yr"),
+      quarter(col("o_orderdate")).cast("int").as("qtr"),
+      month(col("o_orderdate")).cast("int").as("mth"),
+      col("o_orderdate").cast("date").as("order_date"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .cast("int").as("days_to_2002"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus_30d")
+    )
+
+  /** Array family: split + explode (the reference's only generator). */
+  private def qExplodeWords(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).part
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+
+  /** Calendar dimension built distributively (library: gold.DimDate). */
+  private def qDimDate(s: SparkSession, dir: String): DataFrame =
+    DimDate.build(s, "2024-01-01", "2024-12-31")
+
+  /** Gold composite: daily fact build + SK lookup + SK=0 fallback — the
+    * reference's fact_dataset_owner_daily shape end-to-end.
+    */
+  private def qGoldFactDaily(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val daily = t.orders
+      .groupBy(col("o_custkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(
+        count(lit(1)).as("orders_count"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open_count"),
+        sumCents(col("o_totalprice")).as("total_cents")
+      )
+    val dim = t.customer.filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey").as("o_custkey"), (col("c_custkey") + 1000).as("customer_sk"))
+    Enrich
+      .lookupSk(daily, dim, "o_custkey", "customer_sk")
+      .select("o_custkey", "customer_sk", "order_date", "orders_count", "open_count", "total_cents")
+  }
+
+  // ===========================================================================
+  // Contract maps
+  // ===========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_a1_pricing_summary"   -> (qPricingSummary _),
+    "q_a2_conditional_agg"   -> (qConditionalAgg _),
+    "q_a3_top_brands"        -> (qTopBrands _),
+    "q_a4_distinct_counts"   -> (qDistinctCounts _),
+    "q_a5_scalar_stats"      -> (qScalarStats _),
+    "q_a6_classify_freq"     -> (qEventTypeClasses _),
+    "q_w1_dedup_latest"      -> (qDedupLatest _),
+    "q_w2_lag_changes"       -> (qLagChanges _),
+    "q_w3_scd2_intervals"    -> (qScd2Intervals _),
+    "q_w4_surrogate_keys"    -> (qSurrogateKeys _),
+    "q_w5_yoy_growth"        -> (qYoyGrowth _),
+    "q_w6_pct_of_total"      -> (qPctOfTotal _),
+    "q_w7_trailing_window"   -> (qTrailingWindow _),
+    "q_j1_enrich_defaults"   -> (qEnrichDefaults _),
+    "q_j2_filter_existing"   -> (qFilterExisting _),
+    "q_j3_sk_lookup"         -> (qSkLookup _),
+    "q_j4_fk_integrity"      -> (qFkIntegrity _),
+    "q_j5_scd2_incremental"  -> (qScd2Incremental _),
+    "q_j7_zscore_daily"      -> (qZscoreDaily _),
+    "q_s4_json_extract"      -> (qJsonExtract _),
+    "q_s5_inmemory_union"    -> (qInmemoryUnion _),
+    "q_u1_union_subsets"     -> (qUnionSubsets _),
+    "q_u3_distinct_pairs"    -> (qDistinctPairs _),
+    "q_u4_dropdup_subset"    -> (qDropDupSubset _),
+    "q_p5_validation_tagged" -> (qValidationTagged _),
+    "q_p6_validation_rejects" -> (qValidationRejects _),
+    "q_p9_bool_parse"        -> (qBoolParse _),
+    "q_p10_impute_flag"      -> (qImputeFlag _),
+    "q_f_string_funcs"       -> (qStringFuncs _),
+    "q_f_datetime_funcs"     -> (qDatetimeFuncs _),
+    "q_f_explode_words"      -> (qExplodeWords _),
+    "q_gold_dim_date"        -> (qDimDate _),
+    "q_gold_fact_daily"      -> (qGoldFactDaily _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(ROUND(l_extendedprice*100)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS sum_disc_cents,
+        |  SUM(ROUND(l_discount*100))/COUNT(*)/100 AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_a2_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS total_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+        |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_orders,
+        |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_a3_top_brands" ->
+      """SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand
+        |ORDER BY cnt DESC, p_brand LIMIT 10""".stripMargin,
+    "q_a4_distinct_counts" ->
+      """SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_rows
+        |FROM customer""".stripMargin,
+    "q_a5_scalar_stats" ->
+      """SELECT MAX(l_orderkey) AS max_orderkey, MIN(l_shipdate) AS min_shipdate,
+        |  MAX(l_quantity) AS max_qty, COUNT(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem""".stripMargin,
+    "q_a6_classify_freq" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type)
+        |SELECT event_type, cnt,
+        |  CASE WHEN cnt*1000 >= CAST(SUM(cnt) OVER () AS BIGINT)*200 THEN 'popular'
+        |       WHEN cnt*1000 >= CAST(SUM(cnt) OVER () AS BIGINT)*199 THEN 'common'
+        |       ELSE 'rare' END AS category
+        |FROM c ORDER BY event_type""".stripMargin,
+    "q_w1_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, value, ts FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "q_w2_lag_changes" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  event_type IS DISTINCT FROM lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS changed
+        |FROM events""".stripMargin,
+    "q_w3_scd2_intervals" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_type FROM w
+        |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS effective_start_ts,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+        |           TIMESTAMP '9999-12-31 00:00:00') AS effective_end_ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM v""".stripMargin,
+    "q_j5_scd2_incremental" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_type FROM w
+        |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, ts AS effective_start_ts,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+        |           TIMESTAMP '9999-12-31 00:00:00') AS effective_end_ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |FROM v""".stripMargin,
+    "q_w4_surrogate_keys" ->
+      """SELECT c_custkey, 1000 + row_number() OVER (ORDER BY c_custkey) AS customer_sk
+        |FROM customer""".stripMargin,
+    "q_w5_yoy_growth" ->
+      """WITH y AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, COUNT(*) AS cnt,
+        |    CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, cnt, total_cents,
+        |  lag(cnt) OVER (ORDER BY yr) AS prev_cnt,
+        |  CASE WHEN lag(cnt) OVER (ORDER BY yr) IS NOT NULL
+        |       THEN (cnt - lag(cnt) OVER (ORDER BY yr)) * 100.0 / lag(cnt) OVER (ORDER BY yr)
+        |  END AS growth_pct
+        |FROM y ORDER BY yr""".stripMargin,
+    "q_w6_pct_of_total" ->
+      """WITH c AS (SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, cnt,
+        |  cnt * 100.0 / CAST(SUM(cnt) OVER () AS BIGINT) AS pct
+        |FROM c ORDER BY o_orderstatus""".stripMargin,
+    "q_w7_trailing_window" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1)
+        |SELECT order_date, cnt,
+        |  SUM(cnt) OVER w AS trail_sum,
+        |  COUNT(cnt) OVER w AS trail_n,
+        |  CASE WHEN COUNT(cnt) OVER w > 0
+        |       THEN SUM(cnt) OVER w * 1.0 / COUNT(cnt) OVER w END AS trail_avg
+        |FROM d
+        |WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |ORDER BY order_date""".stripMargin,
+    "q_j1_enrich_defaults" ->
+      """SELECT o_orderkey, o_custkey,
+        |  COALESCE(c_name, 'Unknown') AS c_name,
+        |  COALESCE(c_mktsegment, 'XX') AS c_mktsegment
+        |FROM orders LEFT JOIN (SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |                       WHERE c_custkey % 7 <> 0) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+    "q_j2_filter_existing" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 25)""".stripMargin,
+    "q_j3_sk_lookup" ->
+      """SELECT o_orderkey, o_custkey, COALESCE(customer_sk, 0) AS customer_sk
+        |FROM orders LEFT JOIN (SELECT c_custkey, c_custkey + 1000 AS customer_sk
+        |                       FROM customer WHERE c_custkey % 10 <> 0) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+    "q_j4_fk_integrity" ->
+      """SELECT DISTINCT l_suppkey AS sk FROM lineitem
+        |WHERE l_suppkey <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_suppkey <= 8)""".stripMargin,
+    "q_j7_zscore_daily" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s,
+        |              CAST(SUM(cnt*cnt) AS BIGINT) AS ss FROM d)
+        |SELECT order_date, cnt,
+        |  (cnt - CAST(s AS DOUBLE)/n) / sqrt((ss - CAST(s*s AS DOUBLE)/n)/(n-1)) AS zscore
+        |FROM d CROSS JOIN st ORDER BY order_date""".stripMargin,
+    "q_s4_json_extract" ->
+      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+    "q_s5_inmemory_union" ->
+      """SELECT CAST(-1 AS INTEGER) AS r_regionkey, 'UNKNOWN' AS r_name
+        |UNION ALL SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin,
+    "q_u1_union_subsets" ->
+      """SELECT o_orderkey, o_orderpriority, 'hot' AS bucket FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, 'cold' AS bucket FROM orders
+        |WHERE o_orderpriority = '5-LOW'""".stripMargin,
+    "q_u3_distinct_pairs" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+    "q_u4_dropdup_subset" ->
+      "SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem",
+    "q_p5_validation_tagged" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CASE WHEN c_name IS NULL THEN 'c_name_is_null'
+        |       WHEN c_acctbal < 0 THEN 'c_acctbal_negative'
+        |       WHEN trim(c_mktsegment) = '' THEN 'c_mktsegment_is_empty'
+        |       WHEN c_acctbal > 9000 THEN 'c_acctbal_too_large'
+        |  END AS reject_reason
+        |FROM customer""".stripMargin,
+    "q_p6_validation_rejects" ->
+      """SELECT c_custkey, reject_reason FROM (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_name IS NULL THEN 'c_name_is_null'
+        |         WHEN c_acctbal < 0 THEN 'c_acctbal_negative'
+        |         WHEN trim(c_mktsegment) = '' THEN 'c_mktsegment_is_empty'
+        |         WHEN c_acctbal > 9000 THEN 'c_acctbal_too_large'
+        |    END AS reject_reason
+        |  FROM customer) WHERE reject_reason IS NOT NULL""".stripMargin,
+    "q_p9_bool_parse" ->
+      """SELECT event_id,
+        |  CASE WHEN value > 150 THEN 'TRUE' WHEN value < 50 THEN 'FALSE'
+        |       ELSE 'maybe' END AS flag_str,
+        |  CASE WHEN upper(CASE WHEN value > 150 THEN 'TRUE' WHEN value < 50 THEN 'FALSE'
+        |                       ELSE 'maybe' END) = 'TRUE' THEN true
+        |       WHEN upper(CASE WHEN value > 150 THEN 'TRUE' WHEN value < 50 THEN 'FALSE'
+        |                       ELSE 'maybe' END) = 'FALSE' THEN false
+        |  END AS is_flag
+        |FROM events""".stripMargin,
+    "q_p10_impute_flag" ->
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment,
+        |  NULLIF(c_mktsegment, 'BUILDING') IS NULL AS segment_imputed
+        |FROM customer""".stripMargin,
+    "q_f_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lower,
+        |  regexp_replace(lower(p_type), '[^a-z]', '', 'g') AS type_alpha,
+        |  trim(upper(p_brand)) AS brand_up,
+        |  CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part""".stripMargin,
+    "q_f_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mth,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30d
+        |FROM orders""".stripMargin,
+    "q_f_explode_words" ->
+      """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part""",
+    "q_gold_dim_date" ->
+      """WITH d AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31',
+        |                                              INTERVAL 1 DAY)) AS DATE) AS date)
+        |SELECT CAST(year(date)*10000 + month(date)*100 + day(date) AS INTEGER) AS date_sk,
+        |  date,
+        |  CAST(year(date) AS INTEGER) AS year,
+        |  CAST(quarter(date) AS INTEGER) AS quarter,
+        |  CAST(month(date) AS INTEGER) AS month,
+        |  CAST(day(date) AS INTEGER) AS day_of_month,
+        |  CAST(weekofyear(date) AS INTEGER) AS week_of_year,
+        |  CAST(dayofweek(date) + 1 AS INTEGER) AS day_of_week,
+        |  CAST(isodow(date) AS INTEGER) AS iso_dow,
+        |  isodow(date) >= 6 AS is_weekend
+        |FROM d""".stripMargin,
+    "q_gold_fact_daily" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |    COUNT(*) AS orders_count,
+        |    CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+        |    CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, COALESCE(customer_sk, 0) AS customer_sk, order_date,
+        |  orders_count, open_count, total_cents
+        |FROM daily LEFT JOIN (SELECT c_custkey, c_custkey + 1000 AS customer_sk
+        |                      FROM customer WHERE c_custkey % 10 <> 0) c
+        |  ON o_custkey = c_custkey""".stripMargin
+  )
 }

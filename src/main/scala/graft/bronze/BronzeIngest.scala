@@ -1,0 +1,83 @@
+package graft.bronze
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Contracts.{TableContract, TsFormat}
+import graft.silver.Impute
+
+/** Bronze ingestion: contract-schema CSV scan, snake_case rename fold,
+  * audit metadata, type coercion.
+  *
+  * Reference: CSV options header/multiLine/escape='"' with explicit
+  * StructType (Meta_Guideline.md:905-910, 1093-1098); rename loop (:916-917,
+  * 1104-1105); metadata columns ingest_ts/run_date/source_file/source_system
+  * (:920-923); `to_timestamp` coercion (:926-927, 1108-1111).
+  *
+  * Determinism (SURVEY §7.4.3): the clock and run id are PARAMETERS, not
+  * inline `current_timestamp()` — tests and idempotent re-runs inject fixed
+  * values; production passes the real clock.
+  *
+  * Spark 4.x note: ANSI mode is on by default, so coercion uses
+  * `try_to_timestamp` to reproduce the reference's null-on-malformed
+  * semantics instead of throwing (SURVEY §7.4.5).
+  */
+object BronzeIngest {
+
+  def readCsv(spark: SparkSession, path: String, contract: TableContract): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(contract.raw)
+      .csv(path)
+
+  def rename(df: DataFrame, contract: TableContract): DataFrame =
+    contract.rename.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** Audit metadata; `ingestTs` injected for determinism. */
+  def withMetadata(
+      df: DataFrame,
+      runDate: String,
+      sourceSystem: String,
+      ingestTs: Option[String] = None
+  ): DataFrame =
+    df.withColumn("ingest_ts",
+        ingestTs.map(t => to_timestamp(lit(t))).getOrElse(current_timestamp()))
+      .withColumn("run_date", lit(runDate))
+      .withColumn("source_file", input_file_name())
+      .withColumn("source_system", lit(sourceSystem))
+
+  def coerceTypes(df: DataFrame, contract: TableContract): DataFrame = {
+    val ts = contract.timestampCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, try_to_timestamp(col(c), lit(TsFormat)))
+    }
+    contract.booleanCols.foldLeft(ts) { (d, c) =>
+      d.withColumn(c, Impute.parseBoolean(col(c)))
+    }
+  }
+
+  /** Full bronze step: read → rename → coerce → metadata → validate-split.
+    * Returns (valid, rejects, summary); the tagged frame is cached once so
+    * both branches and the summary share one scan.
+    */
+  def ingest(
+      spark: SparkSession,
+      path: String,
+      contract: TableContract,
+      runDate: String,
+      sourceSystem: String = "kaggle_meta",
+      ingestTs: Option[String] = None
+  ): (DataFrame, DataFrame, Validation.DqSummary) = {
+    val raw     = readCsv(spark, path, contract)
+    val named   = rename(raw, contract)
+    val typed   = coerceTypes(named, contract)
+    val meta    = withMetadata(typed, runDate, sourceSystem, ingestTs)
+    // Rules referencing post-explode columns (tags) don't apply at this stage.
+    val applicable = contract.rules.filter(_.refs.forall(meta.columns.contains))
+    val tagged = Validation.tagged(meta, applicable).cache()
+    val summary = Validation.summarize(contract.name, tagged)
+    val valid   = tagged.filter(col("reject_reason").isNull).drop("reject_reason")
+    val rejects = tagged.filter(col("reject_reason").isNotNull)
+    (valid, rejects, summary)
+  }
+}

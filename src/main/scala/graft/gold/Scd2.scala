@@ -1,0 +1,108 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-Changing-Dimension type 2 builder.
+  *
+  * Reference semantics (Meta_Guideline.md:2600-2687 initial load,
+  * :2618-2659 incremental merge; requirements/...:79-99, 109):
+  *   - versions keyed by natural key, ordered by a change timestamp;
+  *   - `effective_start_ts` = version's change ts,
+  *     `effective_end_ts` = next version's ts (exclusive) or HIGH_TS,
+  *     `is_current` = end == HIGH_TS;
+  *   - invariants: per NK, intervals are non-overlapping and contiguous,
+  *     exactly one `is_current` row.
+  *
+  * Initial load = lag() change detection + lead() close-out — two window
+  * passes over ONE shuffle (both windows share partitioning on the NK, so
+  * Catalyst reuses the Exchange). Incremental = end-date join + union, the
+  * reference's J5 (no Delta Lake in this environment, so the join-union
+  * formulation is the portable one; on a Delta-enabled cluster `MERGE INTO`
+  * is the drop-in replacement).
+  */
+object Scd2 {
+
+  val HighTs = "9999-12-31 00:00:00"
+
+  /** Build SCD2 history from a raw change log.
+    *
+    * @param changes  one row per observed state (may contain consecutive
+    *                 duplicates — rows where no tracked attribute changed
+    *                 are dropped via lag() comparison)
+    * @param nk       natural-key columns
+    * @param orderCol change-timestamp column name
+    * @param attrs    tracked attribute columns (change in any ⇒ new version)
+    */
+  def initialLoad(
+      changes: DataFrame,
+      nk: Seq[String],
+      orderCol: String,
+      attrs: Seq[String]
+  ): DataFrame = {
+    val w = Window.partitionBy(nk.map(col): _*).orderBy(col(orderCol))
+
+    // W2 — change detection: keep first row per NK + rows where any tracked
+    // attribute differs from its lag. Null-safe equality so null→value and
+    // value→null transitions register as changes.
+    val changed = attrs
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val versions = changes
+      .withColumn("__is_change", lag(col(orderCol), 1).over(w).isNull || changed)
+      .filter(col("__is_change"))
+      .drop("__is_change")
+
+    // W3 — interval close-out: lead() with HIGH_TS default.
+    close(versions, nk, orderCol)
+  }
+
+  /** Recompute end timestamps + is_current for a set of versions whose
+    * `effective_start_ts` is `orderCol`. Type-preserving: works for both
+    * TIMESTAMP and TIMESTAMP_NTZ order columns.
+    */
+  private def close(versions: DataFrame, nk: Seq[String], orderCol: String): DataFrame = {
+    val w    = Window.partitionBy(nk.map(col): _*).orderBy(col(orderCol))
+    val high = lit(HighTs).cast(versions.schema(orderCol).dataType)
+    val next = lead(col(orderCol), 1).over(w)
+    versions
+      .withColumn("effective_start_ts", col(orderCol))
+      .withColumn("effective_end_ts", coalesce(next, high))
+      .withColumn("is_current", next.isNull)
+  }
+
+  /** Incremental merge: fold a new batch of changes into an existing SCD2
+    * table (reference J5, Meta_Guideline.md:2618-2659 — end-date matched
+    * current rows, append new versions).
+    *
+    * Implementation: rebuild per-NK history only for keys present in the
+    * batch (left_semi restriction keeps the recompute proportional to the
+    * batch, not the dimension), union with untouched keys. This sidesteps
+    * the reference's fragile max(effective_start_ts) comparison (SURVEY
+    * §7.4.1) while preserving its observable semantics.
+    */
+  def incrementalMerge(
+      existing: DataFrame,
+      batch: DataFrame,
+      nk: Seq[String],
+      orderCol: String,
+      attrs: Seq[String]
+  ): DataFrame = {
+    val touchedKeys = batch.select(nk.map(col): _*).distinct()
+    val untouched   = existing.join(touchedKeys, nk, "left_anti")
+    val touchedOld = existing
+      .join(touchedKeys, nk, "left_semi")
+      .select((nk :+ orderCol).map(col) ++ attrs.map(col): _*)
+    val combined =
+      touchedOld.unionByName(batch.select((nk :+ orderCol).map(col) ++ attrs.map(col): _*))
+    val rebuilt = initialLoad(combined, nk, orderCol, attrs)
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Append the Unknown member (SK=0 — requirements/...:87, 111; the
+    * copilot doc's -1 is the documented outlier, SURVEY §7.4.7).
+    */
+  def withUnknownRow(dim: DataFrame, unknown: DataFrame): DataFrame =
+    unknown.unionByName(dim, allowMissingColumns = false)
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+dumps against SparkEntry.oracleSql in DuckDB and diff.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for robust total ordering incl. NaN/None/arrays
+    key = df.astype(str)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_glob = f"{outdir}/{name}/*.parquet"
+        try:
+            a = con.sql(f"SELECT * FROM '{res_glob}'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            b = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        a_n, b_n = norm(a), norm(b)
+        if list(a_n.columns) != list(b_n.columns):
+            print(f"FAIL {name}: columns {list(a_n.columns)} vs {list(b_n.columns)}")
+            n_fail += 1
+            continue
+        if len(a_n) != len(b_n):
+            print(f"FAIL {name}: rows {len(a_n)} vs {len(b_n)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(a_n, b_n, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS {name} ({len(a_n)} rows)")
+            n_pass += 1
+        except AssertionError as e:
+            msg = str(e).splitlines()
+            print(f"FAIL {name}: {msg[0] if msg else e}")
+            # show first few differing cells
+            neq = (a_n.astype(str) != b_n.astype(str))
+            cells = neq.stack()
+            diffs = cells[cells].index[:5]
+            for (r, c) in diffs:
+                print(f"   row {r} col {c}: spark={a_n.at[r, c]!r} oracle={b_n.at[r, c]!r}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
