@@ -1,0 +1,310 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.NearDup
+import graft.functions.TextFunctions._
+import graft.multimodal.BinaryMedia
+import graft.similarity.CosineTopK
+
+/** Training-data-pipeline extension queries (dedup / similarity / text /
+  * multimodal) with DuckDB oracles over the `documents` and `embeddings`
+  * tables. Heavier oracles (MinHash-LSH, IVF) are generated from the same
+  * constants as the Scala implementation so both engines run identical
+  * integer arithmetic.
+  */
+object ExtensionQueries {
+
+  private def T(s: SparkSession, dir: String): Tables = Tables(s, dir)
+
+  // DuckDB fragments shared by several oracles.
+  private val DTOKS =
+    "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+  private val DSHINGLES =
+    "list_distinct([substring(lower(text), i, 3) for i in generate_series(1, length(text)-2)])"
+  private def dMarker(words: Seq[String]) =
+    s"len(list_filter(toks, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+
+  // ---------------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------------
+
+  private def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(
+      col("doc_id"),
+      col("lang"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars_obs")
+    )
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = T(s, dir).documents
+      .withColumn("toks", toks)
+      .select(
+        (col("doc_id") +:
+          LangMarkers.map { case (l, ms) => markerScore(col("toks"), ms).as(s"score_$l") }) :+
+          langId(col("toks")).as("predicted"): _*
+      )
+    scored
+  }
+
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val en = LangMarkers.toMap.apply("en")
+    T(s, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", markerScore(col("toks"), en))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .withColumn(
+        "stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop") * lit(100.0) / col("n_tokens")).otherwise(0.0))
+      .withColumn(
+        "quality",
+        col("stop_ratio") + least(col("n_tokens"), lit(100)) * lit(0.5))
+      .select("doc_id", "n_tokens", "n_stop", "alpha_chars", "stop_ratio", "quality")
+  }
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  // ---------------------------------------------------------------------------
+  // Dedup
+  // ---------------------------------------------------------------------------
+
+  private def qExactDedup(s: SparkSession, dir: String): DataFrame =
+    NearDup.exactGroups(
+      T(s, dir).documents,
+      "doc_id",
+      md5(concat_ws(" ", slice(tokens(col("text")), 1, 5)))
+    )
+
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.jaccardPairs(
+      NearDup.withShingles(T(s, dir).documents, "text", 3),
+      idCol = "doc_id",
+      blockCol = "source",
+      minJaccard = 0.65
+    )
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    NearDup.minhashLshPairs(T(s, dir).documents, "doc_id", "text")
+
+  private def qSimhashSigs(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashSignatures(T(s, dir).documents, "doc_id", "text")
+
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(
+      NearDup.simhashSignatures(T(s, dir).documents, "doc_id", "text", Seq("source")),
+      idCol = "doc_id",
+      blockCol = "source",
+      maxHamming = 6
+    )
+
+  // ---------------------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------------------
+
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).embeddings
+    CosineTopK.bruteForce(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      idCol = "vec_id",
+      vecCol = "embedding",
+      k = 5
+    )
+  }
+
+  private def qCosineIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).embeddings
+    CosineTopK.ivf(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      idCol = "vec_id",
+      vecCol = "embedding",
+      k = 5,
+      centroidPred = col("vec_id") % 50 === 0,
+      nprobe = 3
+    )
+  }
+
+  // ---------------------------------------------------------------------------
+  // Multimodal
+  // ---------------------------------------------------------------------------
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media   = BinaryMedia.withMediaMeta(BinaryMedia.attachMedia(T(s, dir).documents, "text"))
+    val decoded = BinaryMedia.decodeBatch(media, "doc_id")
+    media
+      .select("doc_id", "media_bytes", "media_header")
+      .join(decoded.select("doc_id", "width", "height", "channels"), "doc_id")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Contract maps
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_x_token_stats"     -> (qTokenStats _),
+    "q_x_lang_id"         -> (qLangId _),
+    "q_x_quality_score"   -> (qQualityScore _),
+    "q_x_fingerprint"     -> (qFingerprint _),
+    "q_x_exact_dedup"     -> (qExactDedup _),
+    "q_x_jaccard_pairs"   -> (qJaccardPairs _),
+    "q_x_minhash_lsh"     -> (qMinhashLsh _),
+    "q_x_simhash_sigs"    -> (qSimhashSigs _),
+    "q_x_simhash_pairs"   -> (qSimhashPairs _),
+    "q_x_cosine_topk"     -> (qCosineTopK _),
+    "q_x_cosine_ivf"      -> (qCosineIvf _),
+    "q_x_multimodal_meta" -> (qMultimodalMeta _)
+  )
+
+  def oracleSql: Map[String, String] = {
+    val markers   = LangMarkers
+    val scoreSel  = markers.map { case (l, ms) => s"${dMarker(ms)} AS score_$l" }.mkString(",\n  ")
+    val greatest4 = s"greatest(${markers.map { case (l, _) => s"score_$l" }.mkString(", ")})"
+    val predChain = markers.map { case (l, _) => s"WHEN score_$l = g THEN '$l'" }.mkString(" ")
+
+    // MinHash signature expression generated from the SAME constants as
+    // NearDup.HashParams.
+    val sigExprs = NearDup.HashParams.map { case (a, b) =>
+      s"list_min([($a*h + $b) % ${NearDup.P} for h in hv])"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS band_idx, array_to_string(sg[${bnd * 4 + 1}:${bnd * 4 + 4}], '-') AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+    val qv  = "[CAST(round(CAST(x AS DOUBLE)*100000) AS BIGINT) for x in embedding]"
+    val cosExpr = (dot: String, n1: String, n2: String) =>
+      s"CAST($dot AS DOUBLE)/(sqrt(CAST($n1 AS DOUBLE))*sqrt(CAST($n2 AS DOUBLE)))"
+    val prepCte =
+      s"""p AS (SELECT vec_id, $qv AS qv FROM embeddings),
+         |n AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2 FROM p)""".stripMargin
+    val dot64 = (a: String, b: String) =>
+      s"CAST(list_sum([$a[i]*$b[i] for i in generate_series(1,64)]) AS BIGINT)"
+
+    Map(
+      "q_x_token_stats" ->
+        s"""SELECT doc_id, lang, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
+           |  CAST(length(text) AS INTEGER) AS n_chars_obs
+           |FROM documents""".stripMargin,
+      "q_x_lang_id" ->
+        s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+           |sc AS (SELECT doc_id, $scoreSel FROM t)
+           |SELECT doc_id, ${markers.map { case (l, _) => s"CAST(score_$l AS INTEGER) AS score_$l" }.mkString(", ")},
+           |  CASE WHEN g = 0 THEN 'und' $predChain ELSE 'und' END AS predicted
+           |FROM (SELECT *, $greatest4 AS g FROM sc)""".stripMargin,
+      "q_x_quality_score" ->
+        s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(toks) AS INTEGER) AS n_tokens,
+           |  CAST(${dMarker(markers.toMap.apply("en"))} AS INTEGER) AS n_stop,
+           |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS alpha_chars
+           |  FROM t)
+           |SELECT doc_id, n_tokens, n_stop, alpha_chars,
+           |  CASE WHEN n_tokens > 0 THEN n_stop * 100.0 / n_tokens ELSE 0.0 END AS stop_ratio,
+           |  CASE WHEN n_tokens > 0 THEN n_stop * 100.0 / n_tokens ELSE 0.0 END
+           |    + least(n_tokens, 100) * 0.5 AS quality
+           |FROM m""".stripMargin,
+      "q_x_fingerprint" ->
+        """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+          |FROM documents""".stripMargin,
+      "q_x_exact_dedup" ->
+        s"""SELECT md5(array_to_string(($DTOKS)[1:5], ' ')) AS dup_key,
+           |  MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+           |FROM documents GROUP BY 1""".stripMargin,
+      "q_x_jaccard_pairs" ->
+        s"""WITH sh AS (SELECT doc_id, source, $DSHINGLES AS s FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS inter,
+           |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS INTEGER) AS uni,
+           |  len(list_intersect(a.s, b.s)) * 1.0
+           |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE len(list_intersect(a.s, b.s)) * 1.0
+           |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,
+      "q_x_minhash_lsh" ->
+        s"""WITH sh AS (SELECT doc_id, $DSHINGLES AS s FROM documents),
+           |hm AS (SELECT doc_id, s,
+           |  [('0x' || substr(md5(x), 1, 12))::BIGINT % ${NearDup.P} for x in s] AS hv FROM sh),
+           |sig AS (SELECT doc_id, [
+           |    $sigExprs
+           |  ] AS sg FROM hm),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+           |SELECT da AS doc_a, db AS doc_b,
+           |  len(list_intersect(a.s, b.s)) * 1.0
+           |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           |FROM cand JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db
+           |WHERE len(list_intersect(a.s, b.s)) * 1.0
+           |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,
+      "q_x_simhash_sigs" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  [('0x' || substr(md5(x), 1, 8))::BIGINT for x in $DTOKS] AS hv FROM documents)
+           |SELECT doc_id, CAST(list_sum([
+           |  CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hv]) > 0
+           |       THEN (1::BIGINT << j) ELSE 0 END
+           |  for j in generate_series(0, 31)]) AS BIGINT) AS simhash
+           |FROM t""".stripMargin,
+      "q_x_simhash_pairs" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |  [('0x' || substr(md5(x), 1, 8))::BIGINT for x in $DTOKS] AS hv FROM documents),
+           |sg AS (SELECT doc_id, source, CAST(list_sum([
+           |  CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hv]) > 0
+           |       THEN (1::BIGINT << j) ELSE 0 END
+           |  for j in generate_series(0, 31)]) AS BIGINT) AS simhash
+           |FROM t)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sg a JOIN sg b ON a.source = b.source AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+      "q_x_cosine_topk" ->
+        s"""WITH $prepCte,
+           |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, qv AS c_qv, n2 AS c_n2 FROM n WHERE vec_id >= 10),
+           |s AS (SELECT query_id, neighbor_id,
+           |  ${cosExpr(dot64("q_qv", "c_qv"), "q_n2", "c_n2")} AS cosine
+           |  FROM q CROSS JOIN c)
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cosine
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+           |WHERE rn <= 5""".stripMargin,
+      "q_x_cosine_ivf" ->
+        s"""WITH $prepCte,
+           |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, qv AS c_qv, n2 AS c_n2 FROM n WHERE vec_id >= 10),
+           |cents AS (SELECT neighbor_id AS cent_id, c_qv AS cent_qv, c_n2 AS cent_n2
+           |          FROM c WHERE neighbor_id % 50 = 0),
+           |assign AS (SELECT neighbor_id, cent_id AS cluster_id, c_qv, c_n2 FROM (
+           |  SELECT c.*, cents.cent_id,
+           |    row_number() OVER (PARTITION BY neighbor_id ORDER BY
+           |      ${cosExpr(dot64("c_qv", "cent_qv"), "c_n2", "cent_n2")} DESC, cent_id) AS arn
+           |  FROM c CROSS JOIN cents) WHERE arn = 1),
+           |probes AS (SELECT query_id, q_qv, q_n2, cent_id AS cluster_id FROM (
+           |  SELECT q.*, cents.cent_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY
+           |      ${cosExpr(dot64("q_qv", "cent_qv"), "q_n2", "cent_n2")} DESC, cent_id) AS prn
+           |  FROM q CROSS JOIN cents) WHERE prn <= 3),
+           |s AS (SELECT query_id, neighbor_id,
+           |  ${cosExpr(dot64("q_qv", "c_qv"), "q_n2", "c_n2")} AS cosine
+           |  FROM probes JOIN assign USING (cluster_id))
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cosine
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+           |WHERE rn <= 5""".stripMargin,
+      "q_x_multimodal_meta" ->
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+          |  lower(substr(hex(encode(text)), 1, 8)) AS media_header,
+          |  CAST(64 + (doc_id % 577) AS INTEGER) AS width,
+          |  CAST(64 + (octet_length(encode(text)) % 479) AS INTEGER) AS height,
+          |  3 AS channels
+          |FROM documents""".stripMargin
+    )
+  }
+}

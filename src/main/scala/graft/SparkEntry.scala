@@ -398,7 +398,10 @@ object SparkEntry {
   // Contract maps
   // ===========================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ExtensionQueries.queries ++ parityQueries
+
+  private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_a1_pricing_summary"   -> (qPricingSummary _),
     "q_a2_conditional_agg"   -> (qConditionalAgg _),
     "q_a3_top_brands"        -> (qTopBrands _),
@@ -434,7 +437,10 @@ object SparkEntry {
     "q_gold_fact_daily"      -> (qGoldFactDaily _)
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    ExtensionQueries.oracleSql ++ parityOracleSql
+
+  private def parityOracleSql: Map[String, String] = Map(
     "q_a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,

@@ -1,0 +1,185 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection for document corpora — the operators a
+  * training-data pipeline runs at 100 TB.
+  *
+  * Four families, in increasing sophistication:
+  *  - exact:     hash-groupBy on a fingerprint (one shuffle on a 128-bit key)
+  *  - Jaccard:   blocked pairwise n-gram set overlap (quadratic WITHIN a
+  *               block only — callers must block; at scale the block is an
+  *               LSH band, below)
+  *  - MinHash+LSH: k portable hash mins → banded signatures → bucket join.
+  *               Candidate generation is linear + one shuffle on band keys;
+  *               only candidates pay the exact-Jaccard verification.
+  *  - SimHash:   64→32-bit fingerprint; near-dups = small Hamming distance,
+  *               blocked on a signature prefix.
+  *
+  * All hashing is md5-derived (TextFunctions.hexHash*) so every stage is
+  * reproducible in the DuckDB oracle with identical integer arithmetic.
+  */
+object NearDup {
+
+  // ---------------------------------------------------------------------------
+  // Exact
+  // ---------------------------------------------------------------------------
+
+  /** Exact-duplicate groups by an arbitrary key expression: one row per
+    * group with the canonical (minimum) id and the group size.
+    */
+  def exactGroups(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  // ---------------------------------------------------------------------------
+  // n-gram Jaccard
+  // ---------------------------------------------------------------------------
+
+  /** Distinct char-n-gram shingle sets, ready for pairwise comparison. */
+  def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("shingles", charShingles(col(textCol), n))
+
+  /** Pairwise Jaccard similarity within a blocking key. `uni` is computed
+    * as |A|+|B|−|A∩B| (NOT array_union) so both engines do identical exact
+    * integer arithmetic; the ratio is one final division.
+    */
+  def jaccardPairs(
+      shingled: DataFrame,
+      idCol: String,
+      blockCol: String,
+      minJaccard: Double
+  ): DataFrame = {
+    val a = shingled.select(
+      col(blockCol).as("block"), col(idCol).as("doc_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(
+      col(blockCol).as("block"), col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  // ---------------------------------------------------------------------------
+  // MinHash + LSH
+  // ---------------------------------------------------------------------------
+
+  /** Mersenne-31: universal-hash modulus. a*h stays < 2^62 because h is
+    * reduced mod P first and the multipliers are < 2^12.
+    */
+  val P: Long = 2147483647L
+
+  /** k=16 fixed (a,b) parameters of the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod P. Deterministic so oracle and re-runs
+    * agree; any odd constants work.
+    */
+  val HashParams: Seq[(Long, Long)] = Seq(
+    (37L, 7L), (101L, 59L), (193L, 131L), (331L, 223L),
+    (487L, 311L), (661L, 419L), (821L, 521L), (1039L, 641L),
+    (1217L, 743L), (1409L, 863L), (1613L, 971L), (1847L, 1091L),
+    (2053L, 1201L), (2287L, 1321L), (2503L, 1451L), (2749L, 1579L)
+  )
+
+  /** MinHash signature (array of 16 longs) from a shingle array. md5 is
+    * evaluated once per shingle (`hm` materialized), then each of the k
+    * permutations is an integer transform + array_min — all codegen.
+    */
+  def minhashSignature(shingles: Column): Column = {
+    val hm = transform(shingles, s => hexHash48(s) % P)
+    array(HashParams.map { case (a, b) =>
+      array_min(transform(hm, h => (lit(a) * h + lit(b)) % P))
+    }: _*)
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of `rows` each;
+    * docs sharing ANY full band become candidates. (bands=4, rows=4 over
+    * k=16 ⇒ P(candidate) ≈ 1−(1−j⁴)⁴.)
+    */
+  def bandKeys(sig: Column, bands: Int = 4, rows: Int = 4): Column =
+    array((0 until bands).map { b =>
+      concat_ws("-", slice(sig, b * rows + 1, rows).cast("array<string>"))
+    }: _*)
+
+  /** Full pipeline: shingle → signature → banded candidates → exact-Jaccard
+    * verification. Returns confirmed pairs (doc_a < doc_b) with their exact
+    * Jaccard.
+    *
+    * Scale shape: candidates come from a shuffle on (band_idx, band_key) —
+    * linear in corpus size; the quadratic blow-up is confined to hash
+    * buckets. Verification re-joins the (distinct) candidate pairs to the
+    * shingle sets — proportional to candidate count, not corpus².
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.65,
+      bands: Int = 4,
+      rows: Int = 4
+  ): DataFrame = {
+    val shingled = withShingles(df, textCol, n)
+      .select(col(idCol).as("doc_id"), col("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles")))
+    val banded = shingled
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val candidates = banded.as("x")
+      .join(banded.as("y"), Seq("band_idx", "band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------------
+
+  /** Per-document 32-bit SimHash signatures (plus passthrough columns,
+    * e.g. a blocking key for `simhashPairs`).
+    */
+  def simhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepCols: Seq[String] = Nil
+  ): DataFrame =
+    df.withColumn("hv", transform(tokens(col(textCol)), t => hexHash32(t)))
+      .withColumn("simhash", simhash32(col("hv")))
+      .select(((idCol +: keepCols).map(col) :+ col("simhash")): _*)
+
+  /** Near-dup pairs by Hamming distance within a blocking key. */
+  def simhashPairs(
+      signatures: DataFrame,
+      idCol: String,
+      blockCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    val a = signatures.select(col(blockCol).as("block"),
+      col(idCol).as("doc_a"), col("simhash").as("sh_a"))
+    val b = signatures.select(col(blockCol).as("block"),
+      col(idCol).as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

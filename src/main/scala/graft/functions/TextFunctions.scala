@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * language-ID heuristics, quality scoring, fingerprinting, shingling,
+  * portable hashing.
+  *
+  * Everything here is pure Catalyst expression composition — no UDFs — so
+  * whole-stage codegen applies and the operators scale linearly across
+  * executors. Hashes are md5-based (not Spark's Murmur `hash()`) so results
+  * are portable across engines — the DuckDB oracle computes the identical
+  * value with `('0x' || substr(md5(s),1,N))::BIGINT`.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties filtered (split+filter matches DuckDB's
+    * `list_filter(string_split_regex(...))` exactly, including
+    * leading/trailing-space behavior).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Lowercase, strip everything but [a-z0-9 ] — canonical form for
+    * fingerprinting.
+    */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z0-9 ]", "")
+
+  /** Document fingerprint: md5 of the normalized text. Collision-safe exact
+    * dedup key at any scale (128-bit).
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** First 12 hex chars of md5 as a 48-bit non-negative Long — the portable
+    * string hash used by MinHash/SimHash.
+    */
+  def hexHash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** 32-bit variant (8 hex chars). */
+  def hexHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Character n-gram shingles (lowercased), distinct. Empty array for
+    * texts shorter than n (Spark's `sequence(1,0)` would count DOWN, so the
+    * guard is mandatory).
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val lc = lower(c)
+    when(
+      length(lc) >= n,
+      array_distinct(transform(sequence(lit(1), length(lc) - (n - 1)), i => lc.substr(i, lit(n))))
+    ).otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Language marker sets for the n-gram/stopword language-ID heuristic.
+    * Order matters: ties resolve to the earlier entry.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "dans")
+  )
+
+  /** Count of tokens that appear in `markers`. */
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
+
+  /** Predicted language: argmax of marker scores, first-listed wins ties,
+    * "und" (undetermined) when all scores are 0.
+    */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => (l, markerScore(toks, ms)) }
+    val best   = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = scores.foldLeft(when(best === 0, "und")) { case (acc, (l, sc)) =>
+      acc.when(sc === best, lit(l))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** 32-bit SimHash over a pre-hashed token array (use `hexHash32` per
+    * token first so md5 is computed once, not 32×). Bit j of the signature
+    * is 1 iff more tokens have bit j set than clear (ties → 0).
+    */
+  def simhash32(hashedTokens: Column): Column = {
+    val bits = (0 until 32).map { j =>
+      val vote = aggregate(
+        hashedTokens,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+      )
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

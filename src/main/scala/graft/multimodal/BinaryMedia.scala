@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video travel as opaque
+  * `BinaryType` columns with typed metadata, and decode/feature-extract
+  * runs batch-wise per partition.
+  *
+  * The actual codec step is a STUB (this environment ships no image/audio
+  * libraries): `decodeBatch` produces a deterministic fake. Everything
+  * around it — schema, batched partition iteration, metadata extraction —
+  * is the real Spark shape: swap `fakeDecode` for a JNI/FFM codec call and
+  * the pipeline is production-ready. At scale the partition batching is
+  * what matters: one codec context per partition, not per row, and binary
+  * columns never pass through a shuffle unless the plan demands it.
+  */
+object BinaryMedia {
+
+  /** Attach an opaque binary media column (here derived from text — the
+    * testdata has no real media; a production reader would load bytes from
+    * object storage).
+    */
+  def attachMedia(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("media", col(srcCol).cast("binary"))
+
+  /** Cheap metadata that does NOT require decoding: byte length + header
+    * bytes (hex). This is the "sniff the container format" step.
+    */
+  def withMediaMeta(df: DataFrame): DataFrame =
+    df.withColumn("media_bytes", octet_length(col("media")).cast("long"))
+      .withColumn("media_header", lower(substring(hex(col("media")), 1, 8)))
+
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("feature", ArrayType(DoubleType))
+  ))
+
+  /** STUB decode: deterministic fake "image" dimensions + an 8-dim feature
+    * from the byte content. Replace the body marked below with a real
+    * codec (libjpeg/ffmpeg via FFM) — the batching contract stays.
+    */
+  def decodeBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col("media"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      // One "codec context" per partition (stubbed as a no-op); rows are
+      // processed in batches the way a vectorized decoder would.
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          val id    = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // --- STUB: real decode goes here -------------------------------
+          val width    = 64 + (math.abs(id) % 577).toInt
+          val height   = 64 + (bytes.length % 479)
+          val channels = 3
+          val feature = Array.tabulate(8) { i =>
+            if (bytes.isEmpty) 0.0
+            else bytes.iterator.zipWithIndex
+              .filter(_._2 % 8 == i).map(_._1.toInt & 0xff).sum.toDouble
+          }
+          // ----------------------------------------------------------------
+          Row(id, width, height, channels, feature)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, DecodedSchema)
+  }
+}

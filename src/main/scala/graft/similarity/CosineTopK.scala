@@ -1,0 +1,123 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Scores use QUANTIZED integer arithmetic: each component is rounded to a
+  * 1e-5 grid and the dot product / norms are exact BIGINT sums, so the final
+  * `dot / (√na·√nb)` is a deterministic double — identical bit-for-bit
+  * across engines, partition orders, and re-runs (a raw float fold would be
+  * order-dependent and unhashable).
+  *
+  * Scale design:
+  *  - brute force: corpus×queries via broadcast of the (small) query set —
+  *    the corpus never shuffles; per-partition top-k then global top-k via
+  *    TakeOrdered. Right answer ≤ ~10⁵ queries.
+  *  - IVF: deterministic centroid subset, corpus assigned to nearest
+  *    centroid once (linear), queries probe only `nprobe` clusters — turns
+  *    the scan into a cluster-pruned lookup. The coarse quantizer is tiny
+  *    and broadcast everywhere.
+  */
+object CosineTopK {
+
+  val Scale = 100000L
+
+  /** Float vector → exact integer vector on a 1/Scale grid. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine from quantized vectors + precomputed square norms. */
+  def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Attach the quantized vector and its exact square norm. */
+  def prepare(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("qv", quantize(col(vecCol)))
+      .withColumn("norm2", dotQ(col("qv"), col("qv")))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. Queries are broadcast; ties break on corpus id.
+    */
+  def bruteForce(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = prepare(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_n2"))
+    val c = prepare(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qv").as("c_qv"), col("norm2").as("c_n2"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .withColumn("dot", dotQ(col("q_qv"), col("c_qv")))
+      .withColumn("cosine", cosine(col("dot"), col("q_n2"), col("c_n2")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * @param centroidPred deterministic predicate choosing centroid rows from
+    *                     the corpus (stand-in for k-means at this scale; the
+    *                     index structure — coarse quantize, probe, search —
+    *                     is the real thing)
+    * @param nprobe       clusters each query searches
+    */
+  def ivf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidPred: Column,
+      nprobe: Int
+  ): DataFrame = {
+    val cents = prepare(corpus.filter(centroidPred), vecCol)
+      .select(col(idCol).as("cent_id"), col("qv").as("cent_qv"), col("norm2").as("cent_n2"))
+    val c = prepare(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qv").as("c_qv"), col("norm2").as("c_n2"))
+
+    // Assign each corpus vector to its nearest centroid (one linear pass,
+    // centroids broadcast).
+    val wAssign = Window.partitionBy("neighbor_id")
+      .orderBy(col("a_cos").desc, col("cent_id"))
+    val assigned = c
+      .crossJoin(broadcast(cents))
+      .withColumn("a_cos", cosine(dotQ(col("c_qv"), col("cent_qv")), col("c_n2"), col("cent_n2")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("neighbor_id"), col("cent_id").as("cluster_id"), col("c_qv"), col("c_n2"))
+
+    // Each query probes its nprobe nearest centroids.
+    val q = prepare(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_n2"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("p_cos").desc, col("cent_id"))
+    val probes = q
+      .crossJoin(broadcast(cents))
+      .withColumn("p_cos", cosine(dotQ(col("q_qv"), col("cent_qv")), col("q_n2"), col("cent_n2")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("q_qv"), col("q_n2"), col("cent_id").as("cluster_id"))
+
+    // Search only the probed clusters.
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probes
+      .join(assigned, "cluster_id")
+      .withColumn("cosine", cosine(dotQ(col("q_qv"), col("c_qv")), col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}
