@@ -51,8 +51,13 @@ object BronzeIngest {
     val ts = contract.timestampCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, try_to_timestamp(col(c), lit(TsFormat)))
     }
-    contract.booleanCols.foldLeft(ts) { (d, c) =>
+    val bools = contract.booleanCols.foldLeft(ts) { (d, c) =>
       d.withColumn(c, Impute.parseBoolean(col(c)))
+    }
+    // Numeric coercion must be null-on-malformed (try_cast), never an ANSI
+    // throw — a bad "TotalViews" cell is a reject, not a job failure.
+    contract.numericCols.foldLeft(bools) { case (d, (c, t)) =>
+      d.withColumn(c, expr(s"try_cast($c AS $t)"))
     }
   }
 

@@ -1,0 +1,209 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.bronze.{BronzeIngest, Validation}
+import graft.gold.{DataQuality, DimDate, Scd2, SurrogateKeys}
+import graft.schema.Contracts
+import graft.silver.{Dedup, Enrich, Tags}
+
+/** The reference's full Bronze→Silver→Gold medallion pipeline over the five
+  * Kaggle-Meta contracts, re-expressed Spark-first and driven by the DAG
+  * runner with the reference's task ordering
+  * (Meta_Guideline.md:2137-2143, 2276-2297, 3692):
+  * bronze(5) → silver(users → datasets → {competitions, tags} ∥ kernels) →
+  * gold(dims → facts → validate).
+  *
+  * Layers are materialized as parquet under `outDir` with the reference's
+  * path layout (`bronze|silver|gold/<table>/run_date=<d>`); facts are
+  * partitioned by run_date with dynamic overwrite for idempotent re-runs
+  * (requirements/...:40, 143).
+  *
+  * Determinism: `runDate` + `ingestTs` + `pipelineRunId` are injected,
+  * never generated inline (SURVEY §7.4.3).
+  */
+final case class MedallionPipeline(
+    spark: SparkSession,
+    rawDir: String,
+    outDir: String,
+    runDate: String,
+    ingestTs: String,
+    pipelineRunId: String,
+    maxRejectRate: Double = 0.10
+) {
+
+  private def bronzePath(table: String)  = s"$outDir/bronze/$table/run_date=$runDate"
+  private def rejectPath(table: String)  = s"$outDir/_rejects/$table/run_date=$runDate"
+  private def silverPath(table: String)  = s"$outDir/silver/$table/run_date=$runDate"
+  private def goldPath(table: String)    = s"$outDir/gold/$table"
+
+  private def write(df: DataFrame, path: String, coalesceTo: Int = 1): Unit =
+    df.coalesce(coalesceTo).write.mode("overwrite").parquet(path)
+
+  private def readBronze(table: String) = spark.read.parquet(bronzePath(table))
+  private def readSilver(table: String) = spark.read.parquet(silverPath(table))
+
+  // -------------------------------------------------------------------------
+  // Bronze: contract read → validate split → circuit breaker → write both
+  // -------------------------------------------------------------------------
+  private def bronze(contract: Contracts.TableContract): Unit = {
+    val (valid, rejects, summary) = BronzeIngest.ingest(
+      spark, s"$rawDir/${contract.name}.csv", contract, runDate,
+      ingestTs = Some(ingestTs))
+    Validation.circuitBreak(summary, maxRejectRate)
+    write(valid, bronzePath(contract.name))
+    write(rejects, rejectPath(contract.name))
+  }
+
+  // -------------------------------------------------------------------------
+  // Silver
+  // -------------------------------------------------------------------------
+  private def silverUsers(): Unit = {
+    val deduped = Dedup.keepLatest(
+      readBronze("users"), Seq("user_id"), "ingest_ts",
+      Seq(col("signup_ts").desc_nulls_last, col("country_code").desc_nulls_last))
+    val imputed = deduped
+      .withColumn("country_code_imputed", col("country_code").isNull)
+      .withColumn("country_code", coalesce(col("country_code"), lit("XX")))
+      .withColumn("silver_run_date", lit(runDate))
+    write(imputed, silverPath("users"))
+  }
+
+  private def silverDatasets(): Unit = {
+    val deduped = Dedup.keepLatest(
+      readBronze("datasets"), Seq("dataset_id"), "updated_ts",
+      Seq(col("created_ts").desc_nulls_last))
+    val users = readSilver("users").select("user_id", "user_name", "country_code")
+    val enriched = Enrich.leftWithDefaults(
+      deduped, users, col("owner_user_id") === col("user_id"),
+      Map("user_name" -> "Unknown", "country_code" -> "XX"))
+    val derived = enriched
+      .withColumn("views_downloads_ratio",
+        when(col("total_downloads") > 0,
+          col("total_views").cast("double") / col("total_downloads")))
+      .withColumn("silver_run_date", lit(runDate))
+    write(derived, silverPath("datasets"))
+  }
+
+  private def silverCompetitions(): Unit = {
+    val deduped = Dedup.keepLatest(
+      readBronze("competitions"), Seq("competition_id"), "ingest_ts", Nil)
+    write(deduped.withColumn("silver_run_date", lit(runDate)), silverPath("competitions"))
+  }
+
+  private def silverKernels(): Unit = {
+    val deduped = Dedup.keepLatest(
+      readBronze("kernels"), Seq("kernel_id"), "updated_ts",
+      Seq(col("created_ts").desc_nulls_last))
+    write(deduped.withColumn("silver_run_date", lit(runDate)), silverPath("kernels"))
+  }
+
+  private def silverTags(): Unit = {
+    val exploded = Tags.normalized(Tags.explodeTags(readBronze("tags")))
+    val (valid, _) = Validation.split(
+      exploded.withColumn("tag", col("tag_normalized")),
+      Seq(Validation.notEmpty("tag"), Validation.maxLength("tag", 100)))
+    val deduped = Dedup.dropDuplicates(valid, Seq("dataset_id", "tag"))
+    // Filtering join: keep tags whose dataset survived Silver (J2).
+    val kept = Enrich.filterExisting(
+      deduped, readSilver("datasets").select("dataset_id"), Seq("dataset_id"))
+    write(kept.withColumn("silver_run_date", lit(runDate)), silverPath("tags"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Gold
+  // -------------------------------------------------------------------------
+  private def goldDimUser(): Unit = {
+    val hist = Scd2.initialLoad(
+      readSilver("users")
+        .withColumn("change_ts", coalesce(col("signup_ts"), col("ingest_ts")))
+        .select("user_id", "change_ts", "user_name", "country_code"),
+      Seq("user_id"), "change_ts", Seq("user_name", "country_code"))
+    val keyed = SurrogateKeys.referenceMode(
+      hist, Seq(col("effective_start_ts"), col("user_id")), "user_sk")
+    val unknown = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(0L, "-1", null, "Unknown", "XX",
+          java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf(Scd2.HighTs), true)),
+      new org.apache.spark.sql.types.StructType()
+        .add("user_sk", "long", false).add("user_id", "string")
+        .add("change_ts", "timestamp").add("user_name", "string")
+        .add("country_code", "string")
+        .add("effective_start_ts", "timestamp")
+        .add("effective_end_ts", "timestamp").add("is_current", "boolean")
+    )
+    val dim = Scd2.withUnknownRow(
+      keyed.select("user_sk", "user_id", "change_ts", "user_name", "country_code",
+        "effective_start_ts", "effective_end_ts", "is_current")
+        .withColumn("change_ts", col("change_ts").cast("timestamp"))
+        .withColumn("effective_start_ts", col("effective_start_ts").cast("timestamp"))
+        .withColumn("effective_end_ts", col("effective_end_ts").cast("timestamp")),
+      unknown)
+    write(dim.withColumn("etl_run_date", lit(runDate)), goldPath("dim_user"))
+  }
+
+  private def goldDimDate(): Unit =
+    write(DimDate.build(spark, "2015-01-01", "2030-12-31"), goldPath("dim_date"), 4)
+
+  private def goldFactDatasetOwnerDaily(): Unit = {
+    val ds = readSilver("datasets")
+    val daily = ds.groupBy("owner_user_id").agg(
+      count(lit(1)).as("datasets_count"),
+      sum(when(col("is_private"), 1L).otherwise(0L)).as("private_datasets_count"),
+      sum(when(!coalesce(col("is_private"), lit(false)), 1L).otherwise(0L))
+        .as("public_datasets_count"),
+      sum(coalesce(col("total_views"), lit(0L))).as("total_views"),
+      sum(coalesce(col("total_downloads"), lit(0L))).as("total_downloads"))
+    val dim = spark.read.parquet(goldPath("dim_user"))
+      .filter(col("is_current"))
+      .select(col("user_id").as("owner_user_id"), col("user_sk"))
+    val fact = Enrich.lookupSk(daily, dim, "owner_user_id", "user_sk")
+      .withColumn("date_sk", lit(runDate.replace("-", "")).cast("int"))
+      .withColumn("run_date", lit(runDate))
+      .withColumn("pipeline_run_id", lit(pipelineRunId))
+    fact.write.mode("overwrite").partitionBy("run_date")
+      .parquet(goldPath("fact_dataset_owner_daily"))
+  }
+
+  private def goldValidate(): Unit = {
+    val fact = spark.read.parquet(goldPath("fact_dataset_owner_daily"))
+    val dim  = spark.read.parquet(goldPath("dim_user"))
+    DataQuality.gate("total = private + public",
+      DataQuality.violations(fact,
+        col("datasets_count") === col("private_datasets_count") + col("public_datasets_count"))
+        .isEmpty)
+    DataQuality.gate("no dangling user_sk",
+      DataQuality.danglingSks(fact, dim, "user_sk").isEmpty)
+    DataQuality.gate("exactly one current version per user",
+      DataQuality.scd2Violations(dim.filter(col("user_sk") =!= 0), Seq("user_id")).isEmpty)
+  }
+
+  // -------------------------------------------------------------------------
+  // DAG
+  // -------------------------------------------------------------------------
+  def tasks: Seq[Pipeline.Task] = {
+    import Pipeline.Task
+    Seq(
+      Task("bronze_users")(() => bronze(Contracts.users)),
+      Task("bronze_datasets")(() => bronze(Contracts.datasets)),
+      Task("bronze_competitions")(() => bronze(Contracts.competitions)),
+      Task("bronze_tags")(() => bronze(Contracts.tags)),
+      Task("bronze_kernels")(() => bronze(Contracts.kernels)),
+      Task("silver_users", Seq("bronze_users"))(() => silverUsers()),
+      Task("silver_datasets", Seq("silver_users", "bronze_datasets"))(() => silverDatasets()),
+      Task("silver_competitions", Seq("bronze_competitions"))(() => silverCompetitions()),
+      Task("silver_tags", Seq("silver_datasets", "bronze_tags"))(() => silverTags()),
+      Task("silver_kernels", Seq("bronze_kernels"))(() => silverKernels()),
+      Task("gold_dim_user", Seq("silver_users"))(() => goldDimUser()),
+      Task("gold_dim_date", Nil)(() => goldDimDate()),
+      Task("gold_fact_dataset_owner_daily",
+        Seq("gold_dim_user", "silver_datasets"))(() => goldFactDatasetOwnerDaily()),
+      Task("gold_validate",
+        Seq("gold_fact_dataset_owner_daily"))(() => goldValidate())
+    )
+  }
+
+  def run(): Pipeline.Report = Pipeline.run(tasks)
+}

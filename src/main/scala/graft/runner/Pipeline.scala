@@ -1,0 +1,76 @@
+package graft.runner
+
+import scala.collection.mutable
+
+/** Minimal deterministic DAG runner — the engine-level replacement for the
+  * reference's Airflow orchestration (SURVEY §2.10): topological execution,
+  * fail-fast gates, per-task timing report.
+  *
+  * Tasks run sequentially in topological order (dependencies first,
+  * declaration order as tiebreak): Spark parallelizes *within* each task
+  * across the cluster, so task-level concurrency buys little and costs
+  * determinism. A task that throws marks all transitively dependent tasks
+  * SKIPPED — the circuit-breaker / DQ-gate semantics of the reference
+  * (`requirements/...:60, 103-113`).
+  */
+object Pipeline {
+
+  final case class Task(name: String, deps: Seq[String] = Nil)(val body: () => Unit)
+
+  sealed trait Status
+  case object Succeeded extends Status
+  final case class Failed(error: Throwable) extends Status
+  final case class Skipped(because: String) extends Status
+
+  final case class TaskResult(name: String, status: Status, durationMs: Long)
+
+  final case class Report(results: Seq[TaskResult]) {
+    def succeeded: Boolean = results.forall(_.status == Succeeded)
+    def failed: Seq[TaskResult] =
+      results.filter(r => r.status.isInstanceOf[Failed])
+    override def toString: String =
+      results.map(r => f"${r.name}%-40s ${r.status.getClass.getSimpleName}%-12s ${r.durationMs}%6d ms")
+        .mkString("\n")
+  }
+
+  def run(tasks: Seq[Task]): Report = {
+    val byName = tasks.map(t => t.name -> t).toMap
+    require(byName.size == tasks.size, "duplicate task names")
+    tasks.foreach(t => t.deps.foreach(d =>
+      require(byName.contains(d), s"task ${t.name} depends on unknown task $d")))
+
+    // Kahn topological order, declaration order as tiebreak.
+    val order    = mutable.ArrayBuffer.empty[Task]
+    val done     = mutable.Set.empty[String]
+    var frontier = tasks.filter(_.deps.isEmpty)
+    var pending  = tasks.filterNot(_.deps.isEmpty)
+    while (frontier.nonEmpty) {
+      order ++= frontier
+      done ++= frontier.map(_.name)
+      val (ready, rest) = pending.partition(_.deps.forall(done))
+      frontier = ready
+      pending = rest
+    }
+    require(pending.isEmpty, s"dependency cycle involving: ${pending.map(_.name).mkString(", ")}")
+
+    val failedTasks = mutable.Set.empty[String]
+    val results = order.map { t =>
+      val blockedBy = t.deps.filter(failedTasks)
+      if (blockedBy.nonEmpty) {
+        failedTasks += t.name
+        TaskResult(t.name, Skipped(s"upstream failed: ${blockedBy.mkString(",")}"), 0L)
+      } else {
+        val t0 = System.nanoTime()
+        try {
+          t.body()
+          TaskResult(t.name, Succeeded, (System.nanoTime() - t0) / 1000000)
+        } catch {
+          case e: Throwable =>
+            failedTasks += t.name
+            TaskResult(t.name, Failed(e), (System.nanoTime() - t0) / 1000000)
+        }
+      }
+    }
+    Report(results.toSeq)
+  }
+}

@@ -20,7 +20,8 @@ object Contracts {
       rename: Seq[(String, String)],
       timestampCols: Seq[String],
       booleanCols: Seq[String],
-      rules: Seq[Rule]
+      rules: Seq[Rule],
+      numericCols: Seq[(String, String)] = Nil // (column, spark type) via try_cast
   )
 
   val TsFormat = "yyyy-MM-dd HH:mm:ss"
@@ -62,7 +63,8 @@ object Contracts {
       nonNegative("total_views"),
       nonNegative("total_downloads"),
       orderedPair("created_ts", "updated_ts")
-    )
+    ),
+    numericCols = Seq("total_views" -> "bigint", "total_downloads" -> "bigint")
   )
 
   val competitions: TableContract = TableContract(
@@ -79,7 +81,8 @@ object Contracts {
       notNull("title"),
       nonNegative("prize_money"),
       orderedPair("start_ts", "deadline_ts")
-    )
+    ),
+    numericCols = Seq("prize_money" -> "double")
   )
 
   val tags: TableContract = TableContract(

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming extension (the reference lists streaming as future
+  * work, Meta_Guideline.md:4717 — this is the Spark-native answer).
+  *
+  * Patterns covered:
+  *  - watermarked tumbling-window aggregation (the streaming A1/A2)
+  *  - watermark-bounded streaming dedup (the streaming W1)
+  *  - session windows via the built-in `session_window` (codegen'd)
+  *  - custom state via `mapGroupsWithState` (running per-key stats)
+  *
+  * All transforms are source-agnostic: the same code runs on
+  * `readStream.parquet/kafka/...` in production and on a MemoryStream in
+  * tests. At scale the state store shuffles by key once; watermarks bound
+  * state size — no unbounded buffering.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  /** Tumbling-window counts per event type, watermark-bounded. */
+  def windowedTypeCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowDur: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Streaming dedup on event_id — state bounded by the watermark. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user session aggregation with the built-in session_window —
+    * no hand-rolled state for gap-based sessions.
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state: running per-user totals via mapGroupsWithState
+    * (the KeyValueGroupedDataset path for semantics session_window can't
+    * express). Update-mode output: one refreshed row per user per batch.
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0))
+          val evs  = batch.toSeq
+          val next = UserStats(user, prev.n_events + evs.size,
+            prev.total_value + evs.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+    Event(id, ts(t), u, typ, v)
+
+  test("windowed counts with watermark (complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedTypeCounts(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:55:00", 2, "click", 2.0),
+        ev(3, "2024-01-01 11:05:00", 1, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      rows shouldBe Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 3.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupStream(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 10:00:30", 1, "click", 1.0), // duplicate id
+        ev(2, "2024-01-01 10:01:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      spark.table("dedup_out").count() shouldBe 2
+    } finally q.stop()
+  }
+
+  test("session counts via session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionCounts(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "a", 0), // session 1 (user 1)
+        ev(2, "2024-01-01 10:10:00", 1, "a", 0), // same session (gap < 30m)
+        ev(3, "2024-01-01 12:00:00", 1, "a", 0), // new session (gap > 30m)
+        ev(4, "2024-01-01 10:00:00", 2, "a", 0))
+      q.processAllAvailable()
+      val sess = spark.table("sessions")
+        .select("user_id", "n_events").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      sess(1L) shouldBe Seq(1L, 2L)
+      sess(2L) shouldBe Seq(1L)
+    } finally q.stop()
+  }
+
+  test("custom state: running per-user stats accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1, "a", 1.5))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 10:01:00", 1, "a", 2.5))
+      q.processAllAvailable()
+      val last = spark.table("user_stats")
+        .filter($"user_id" === 1L)
+        .orderBy($"n_events".desc).limit(1)
+        .select("n_events", "total_value").as[(Long, Double)].head()
+      last shouldBe ((2L, 4.0))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gold.{DataQuality, DimDate, SurrogateKeys}
+
+class GoldOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dim_date: date_sk layout, weekend flags, full-year coverage") {
+    val d = DimDate.build(spark, "2024-01-01", "2024-12-31").cache()
+    d.count() shouldBe 366 // leap year
+    val jan6 = d.filter($"date_sk" === 20240106).head() // a Saturday
+    jan6.getAs[Boolean]("is_weekend") shouldBe true
+    jan6.getAs[Int]("iso_dow") shouldBe 6
+    d.filter($"is_weekend").count() shouldBe 104
+    d.agg(countDistinct($"date_sk")).head().getLong(0) shouldBe 366
+  }
+
+  test("surrogate keys: reference and scalable modes agree on a total order") {
+    val df = (1 to 100).map(i => (100 - i, s"v$i")).toDF("k", "v")
+    val ref = SurrogateKeys.referenceMode(df, Seq(col("k")), "sk", offset = 10)
+      .select("k", "sk").as[(Int, Long)].collect().toMap
+    val scl = SurrogateKeys.scalableMode(df, Seq(col("k")), "sk", offset = 10)
+      .select("k", "sk").as[(Int, Long)].collect().toMap
+    ref shouldBe scl
+    ref(0) shouldBe 11L  // smallest key gets offset+1
+    ref(99) shouldBe 110L
+  }
+
+  test("maxSk on empty dim is 0") {
+    val empty = Seq.empty[(String, Long)].toDF("id", "sk")
+    SurrogateKeys.maxSk(empty, "sk") shouldBe 0L
+  }
+
+  test("fk integrity: dangling SKs found, unknown member excluded") {
+    val fact = Seq(1L, 2L, 0L, 99L).toDF("sk")
+    val dim  = Seq(1L, 2L, 3L).toDF("sk")
+    DataQuality.danglingSks(fact, dim, "sk").as[Long].collect() shouldBe Array(99L)
+    DataQuality.fkMapRate(fact, "sk") shouldBe 0.75 +- 1e-9
+  }
+
+  test("constraint violations isolate exactly the bad rows (fixture A.2)") {
+    val fact = Seq(
+      (1L, 5L, 3L, 2L),  // ok: 5 = 3+2
+      (2L, 5L, 3L, 1L)   // violation
+    ).toDF("sk", "total", "priv", "pub")
+    val v = DataQuality.violations(fact, $"total" === $"priv" + $"pub")
+    v.select("sk").as[Long].collect() shouldBe Array(2L)
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.runner.{MedallionPipeline, Pipeline}
+
+class MedallionPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def writeFixtures(dir: String): Unit = {
+    def w(name: String, content: String): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$dir/$name"), content.stripMargin)
+
+    // users: U001 duplicated (later ingest wins is trivial here — same file —
+    // so dedup exercises signup/country tiebreaks), bad country, null name,
+    // multiline quoted field
+    w("users.csv",
+      """Id,UserName,RegisterDate,Country
+        |U001,alice,2023-01-01 00:00:00,US
+        |U001,alice,2023-06-01 00:00:00,CA
+        |U002,"bob
+        |the builder",2023-02-02 00:00:00,UK
+        |U003,carol,2023-03-03 00:00:00,USA
+        |U004,,2023-04-04 00:00:00,DE
+        |U005,eve,bad-timestamp,FR
+        |""")
+    w("datasets.csv",
+      """Id,Title,Subtitle,CreatorUserId,TotalViews,TotalDownloads,CreationDate,LastUpdatedDate,Type,IsPrivate
+        |D001,First,,U001,100,10,2023-01-01 00:00:00,2023-02-01 00:00:00,tabular,TRUE
+        |D002,Second,,U002,200,0,2023-01-05 00:00:00,2023-01-06 00:00:00,image,FALSE
+        |D003,Third,,U999,50,5,2023-01-07 00:00:00,2023-01-08 00:00:00,text,maybe
+        |D004,,  ,U001,10,1,2023-01-09 00:00:00,2023-01-10 00:00:00,tabular,FALSE
+        |D005,Fifth,,U001,-3,1,2023-01-11 00:00:00,2023-01-12 00:00:00,tabular,FALSE
+        |D006,Backwards,,U002,5,1,2023-03-01 00:00:00,2023-02-01 00:00:00,tabular,FALSE
+        |""")
+    w("competitions.csv",
+      """Id,Title,Category,StartDate,Deadline,PrizeMoney
+        |C001,Comp A,vision,2023-01-01 00:00:00,2023-06-01 00:00:00,10000
+        |C002,Comp B,nlp,2023-07-01 00:00:00,2023-03-01 00:00:00,5000
+        |""")
+    w("tags.csv",
+      """DatasetId,Tags
+        |D001,"[""Machine Learning"",""nlp""]"
+        |D002,"[""  CV  ""]"
+        |D003,"[""orphan-但-filtered""]"
+        |""")
+    w("kernels.csv",
+      """Id,AuthorUserId,Title,CreationDate,LastUpdatedDate
+        |K001,U001,Starter,2023-01-01 00:00:00,2023-01-02 00:00:00
+        |K002,U002,Advanced,2023-01-03 00:00:00,2023-01-04 00:00:00
+        |""")
+  }
+
+  test("full medallion run: DAG order, rejects, SCD2 dim, fact invariants") {
+    val raw = Files.createTempDirectory("graft_raw").toString
+    val out = Files.createTempDirectory("graft_out").toString
+    writeFixtures(raw)
+
+    val p = MedallionPipeline(spark, raw, out, runDate = "2024-06-01",
+      ingestTs = "2024-06-01 02:00:00", pipelineRunId = "test-run-1",
+      maxRejectRate = 0.7)
+    val report = p.run()
+    withClue(report.toString + "\n") { report.succeeded shouldBe true }
+
+    // bronze rejects carry reasons
+    val rejects = spark.read.parquet(s"$out/_rejects/users/run_date=2024-06-01")
+    rejects.select("reject_reason").as[String].collect().toSet shouldBe
+      Set("country_code_bad_length", "user_name_is_null")
+
+    // multiline quoted field survived CSV parse
+    val bronzeUsers = spark.read.parquet(s"$out/bronze/users/run_date=2024-06-01")
+    bronzeUsers.filter($"user_id" === "U002").select("user_name").as[String].head() should
+      include("\n")
+
+    // silver dedup: one row per user
+    val silverUsers = spark.read.parquet(s"$out/silver/users/run_date=2024-06-01")
+    silverUsers.groupBy("user_id").count().filter($"count" > 1).count() shouldBe 0
+
+    // datasets: enrichment fallback for dangling owner U999
+    val silverDs = spark.read.parquet(s"$out/silver/datasets/run_date=2024-06-01")
+    silverDs.filter($"owner_user_id" === "U999").select("user_name").as[String].head() shouldBe
+      "Unknown"
+
+    // dim_user: unknown member + exactly one current per user
+    val dim = spark.read.parquet(s"$out/gold/dim_user")
+    dim.filter($"user_sk" === 0).count() shouldBe 1
+    dim.filter($"user_sk" =!= 0).groupBy("user_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n"))
+      .filter($"n" =!= 1).count() shouldBe 0
+
+    // fact invariant: total = private + public, all SKs resolve or are 0
+    val fact = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily")
+    fact.filter($"datasets_count" =!= $"private_datasets_count" + $"public_datasets_count")
+      .count() shouldBe 0
+
+    // tags: orphan D003 filtered out by the filtering join iff D003 rejected…
+    val silverTags = spark.read.parquet(s"$out/silver/tags/run_date=2024-06-01")
+    val keptIds = silverTags.select("dataset_id").distinct().as[String].collect().toSet
+    val dsIds = silverDs.select("dataset_id").as[String].collect().toSet
+    keptIds.subsetOf(dsIds) shouldBe true
+  }
+
+  test("idempotent re-run: same run_date produces no duplicates") {
+    val raw = Files.createTempDirectory("graft_raw2").toString
+    val out = Files.createTempDirectory("graft_out2").toString
+    writeFixtures(raw)
+    val p = MedallionPipeline(spark, raw, out, "2024-06-01",
+      "2024-06-01 02:00:00", "run-a", maxRejectRate = 0.7)
+    p.run().succeeded shouldBe true
+    val n1 = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
+    p.run().succeeded shouldBe true
+    val n2 = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
+    n2 shouldBe n1
+  }
+
+  test("DAG runner: failure skips dependents, independent tasks still run") {
+    var ran = Vector.empty[String]
+    val report = Pipeline.run(Seq(
+      Pipeline.Task("a")(() => ran :+= "a"),
+      Pipeline.Task("b", Seq("a"))(() => throw new RuntimeException("boom")),
+      Pipeline.Task("c", Seq("b"))(() => ran :+= "c"),
+      Pipeline.Task("d", Seq("a"))(() => ran :+= "d")
+    ))
+    ran shouldBe Vector("a", "d")
+    report.succeeded shouldBe false
+    report.results.map(r => r.name -> r.status.getClass.getSimpleName).toMap shouldBe Map(
+      "a" -> "Succeeded$", "b" -> "Failed", "c" -> "Skipped", "d" -> "Succeeded$")
+  }
+
+  test("DAG runner rejects cycles and unknown deps") {
+    an[IllegalArgumentException] should be thrownBy Pipeline.run(Seq(
+      Pipeline.Task("a", Seq("b"))(() => ()),
+      Pipeline.Task("b", Seq("a"))(() => ())))
+    an[IllegalArgumentException] should be thrownBy Pipeline.run(Seq(
+      Pipeline.Task("a", Seq("ghost"))(() => ())))
+  }
+}

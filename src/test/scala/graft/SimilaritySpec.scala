@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.CosineTopK
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vec(xs: Float*): Array[Float] = xs.toArray
+
+  test("brute force: identical vector ranks first with cosine ≈ 1") {
+    val queries = Seq((100L, vec(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, vec(1f, 0f, 0f)),   // identical
+      (2L, vec(0.9f, 0.1f, 0f)),
+      (3L, vec(0f, 1f, 0f)),   // orthogonal
+      (4L, vec(-1f, 0f, 0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val out = CosineTopK.bruteForce(queries, corpus, "vec_id", "embedding", 4)
+      .orderBy("rank")
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect()
+    out.map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
+    out(0)._2 shouldBe 1.0 +- 1e-9
+    out(2)._2 shouldBe 0.0 +- 1e-9
+    out(3)._2 shouldBe -1.0 +- 1e-9
+  }
+
+  test("ivf with centroid probing returns the right cluster's neighbors") {
+    // two well-separated clusters around e1 and e2
+    val corpus = Seq(
+      (10L, vec(1f, 0.01f)), (11L, vec(0.99f, 0.02f)), (12L, vec(0.98f, -0.01f)),
+      (20L, vec(0.01f, 1f)), (21L, vec(0.02f, 0.99f)), (22L, vec(-0.01f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(1f, 0f))).toDF("vec_id", "embedding")
+    val out = CosineTopK.ivf(queries, corpus, "vec_id", "embedding",
+      k = 3, centroidPred = col("vec_id").isin(10L, 20L), nprobe = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    out.toSet shouldBe Set(10L, 11L, 12L) // only the e1 cluster searched
+  }
+
+  test("quantized cosine is deterministic across recomputation") {
+    val df = Seq((1L, vec(0.123456f, -0.654321f, 0.5f))).toDF("vec_id", "embedding")
+    val a = CosineTopK.prepare(df, "embedding").select("norm2").as[Long].head()
+    val b = CosineTopK.prepare(df, "embedding").select("norm2").as[Long].head()
+    a shouldBe b
+    a should be > 0L
+  }
+}

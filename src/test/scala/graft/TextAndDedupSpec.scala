@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDup
+import graft.functions.TextFunctions._
+
+class TextAndDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokens/shingles edge cases") {
+    val df = Seq("  hello   world ", "ab", "", "xyz").toDF("t")
+    val out = df.select(
+      tokenCount($"t").as("n"),
+      org.apache.spark.sql.functions.size(charShingles($"t", 3)).as("sh")
+    ).as[(Int, Int)].collect()
+    out(0) shouldBe ((2, 14)) // distinct 3-grams incl. spaces
+    out(1) shouldBe ((1, 0))  // shorter than n → empty, not sequence(1,0)
+    out(2) shouldBe ((0, 0))
+    out(3) shouldBe ((1, 1))
+  }
+
+  test("portable hashes are stable and in range") {
+    val Seq((h48, h32)) = Seq("spark").toDF("t")
+      .select(hexHash48($"t"), hexHash32($"t")).as[(Long, Long)].collect().toSeq
+    h48 should be >= 0L
+    h48 should be < (1L << 48)
+    h32 should be < (1L << 32)
+    // recompute → identical (md5 deterministic)
+    Seq("spark").toDF("t").select(hexHash48($"t")).as[Long].head() shouldBe h48
+  }
+
+  test("langId picks marker-majority language, und for no markers") {
+    val df = Seq(
+      "the cat and the dog of the house", // en
+      "der hund und die katze ist gut",   // de
+      "zzz qqq www"                       // none
+    ).toDF("t")
+    df.select(langId(tokens($"t"))).as[String].collect() shouldBe
+      Array("en", "de", "und")
+  }
+
+  test("simhash: identical texts share signature; disjoint texts differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val sigs = NearDup.simhashSignatures(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sigs(1L) shouldBe sigs(2L)
+    sigs(1L) should not be sigs(3L)
+  }
+
+  test("exact groups find duplicates by fingerprint") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),    // same normalized form
+      (3L, "something else")
+    ).toDF("doc_id", "text")
+    val g = NearDup.exactGroups(df, "doc_id", fingerprint($"text"))
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect().toSet
+    g shouldBe Set((1L, 2L), (3L, 1L))
+  }
+
+  test("minhash LSH surfaces a true near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " today"),                     // near-dup of 1
+      (3L, "entirely unrelated content with distinct vocabulary everywhere")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.minhashLshPairs(df, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+  }
+
+  test("jaccard pairs: identical docs in same block have jaccard 1.0") {
+    val df = Seq(
+      (1L, "s", "abcdefgh"),
+      (2L, "s", "abcdefgh"),
+      (3L, "s", "zzzzzzzz")
+    ).toDF("doc_id", "source", "text")
+    val pairs = NearDup.jaccardPairs(
+      NearDup.withShingles(df, "text"), "doc_id", "source", 0.9)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs.head._3 shouldBe 1.0
+  }
+}
