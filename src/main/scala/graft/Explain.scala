@@ -1,0 +1,19 @@
+package graft
+
+/** Dev tool: dump formatted physical plans for selected queries to check
+  * pushdown / broadcast / codegen shape. Usage: runMain graft.Explain [names...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = core.GraftSession.local(8)
+    val dir   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q_a1_pricing_summary", "q_j1_enrich_defaults", "q_j3_sk_lookup",
+      "q_w1_dedup_latest", "q_x_minhash_lsh", "q_x_cosine_topk")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

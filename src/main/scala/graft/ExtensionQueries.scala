@@ -118,6 +118,20 @@ object ExtensionQueries {
     )
   }
 
+  /** Same semantics as qCosineTopK via the typed top-k Aggregator (map-side
+    * partial top-k — the scale path); shares the brute-force oracle.
+    */
+  private def qCosineTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).embeddings
+    graft.similarity.TopKAggregator.bruteForceAgg(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      idCol = "vec_id",
+      vecCol = "embedding",
+      k = 5
+    )
+  }
+
   private def qCosineIvf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir).embeddings
     CosineTopK.ivf(
@@ -158,6 +172,7 @@ object ExtensionQueries {
     "q_x_simhash_sigs"    -> (qSimhashSigs _),
     "q_x_simhash_pairs"   -> (qSimhashPairs _),
     "q_x_cosine_topk"     -> (qCosineTopK _),
+    "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
     "q_x_multimodal_meta" -> (qMultimodalMeta _)
   )
@@ -186,7 +201,7 @@ object ExtensionQueries {
     val dot64 = (a: String, b: String) =>
       s"CAST(list_sum([$a[i]*$b[i] for i in generate_series(1,64)]) AS BIGINT)"
 
-    Map(
+    val base = Map(
       "q_x_token_stats" ->
         s"""SELECT doc_id, lang, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
            |  CAST(length(text) AS INTEGER) AS n_chars_obs
@@ -306,5 +321,7 @@ object ExtensionQueries {
           |  3 AS channels
           |FROM documents""".stripMargin
     )
+    // the Aggregator-based top-k is semantics-identical to the window one
+    base + ("q_x_cosine_topk_agg" -> base("q_x_cosine_topk"))
   }
 }

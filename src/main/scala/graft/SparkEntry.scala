@@ -394,6 +394,41 @@ object SparkEntry {
       .select("o_custkey", "customer_sk", "order_date", "orders_count", "open_count", "total_cents")
   }
 
+  /** Backward as-of join (operator Spark lacks; composed union+window —
+    * library: operators.AsOfJoin; oracle: DuckDB native ASOF JOIN).
+    */
+  private def qAsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+    graft.operators.AsOfJoin.backward(
+      left = ev.select("event_id", "user_id", "ts", "event_type"),
+      right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("pid"), col("value")),
+      keys = Seq("user_id"),
+      leftTs = "ts",
+      rightTs = "ts",
+      rightVals = Seq("pid" -> "purchase_event_id", "value" -> "last_purchase_value"),
+      rightTiebreak = Seq("purchase_event_id")
+    )
+  }
+
+  /** A9: exact interpolated percentiles. */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem.agg(
+      percentile(col("l_quantity"), lit(0.5)).as("p50"),
+      percentile(col("l_quantity"), lit(0.9)).as("p90"),
+      count(lit(1)).as("n")
+    )
+
+  /** A4 at-scale variant: HLL sketches (no DuckDB oracle — estimates are
+    * engine-specific; the driver's rows-only check applies).
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem.agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      count(lit(1)).as("n")
+    )
+
   // ===========================================================================
   // Contract maps
   // ===========================================================================
@@ -434,7 +469,10 @@ object SparkEntry {
     "q_f_datetime_funcs"     -> (qDatetimeFuncs _),
     "q_f_explode_words"      -> (qExplodeWords _),
     "q_gold_dim_date"        -> (qDimDate _),
-    "q_gold_fact_daily"      -> (qGoldFactDaily _)
+    "q_gold_fact_daily"      -> (qGoldFactDaily _),
+    "q_o_asof_join"          -> (qAsOfJoin _),
+    "q_a9_percentiles"       -> (qPercentiles _),
+    "q_a4b_approx_distinct"  -> (qApproxDistinct _)
   )
 
   def oracleSql: Map[String, String] =
@@ -649,6 +687,17 @@ object SparkEntry {
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
         |  isodow(date) >= 6 AS is_weekend
         |FROM d""".stripMargin,
+    "q_o_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |  p.pid AS purchase_event_id, p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, event_id AS pid, value FROM events
+        |   WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q_a9_percentiles" ->
+      """SELECT quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90, COUNT(*) AS n
+        |FROM lineitem""".stripMargin,
     "q_gold_fact_daily" ->
       """WITH daily AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,

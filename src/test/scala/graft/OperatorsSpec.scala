@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.operators.AsOfJoin
+import graft.similarity.{CosineTopK, TopKAggregator}
+
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join backward: greatest right ts <= left ts, inclusive, per key") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")),
+      (2L, "k1", ts("2024-01-01 12:00:00")),
+      (3L, "k1", ts("2024-01-01 09:00:00")), // before any right row
+      (4L, "k2", ts("2024-01-01 11:00:00"))
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 100.0), // equal ts → inclusive match
+      ("k1", ts("2024-01-01 11:30:00"), 200.0),
+      ("k2", ts("2024-01-01 10:30:00"), 300.0)
+    ).toDF("k", "rt", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+      Seq("v" -> "last_v"))
+      .select("lid", "last_v").as[(Long, Option[Double])].collect().toMap
+    out shouldBe Map(
+      1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> Some(300.0))
+  }
+
+  test("top-k aggregator matches the window formulation exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 4)
+    val c = df.filter($"vec_id" >= 4)
+    val a = CosineTopK.bruteForce(q, c, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = TopKAggregator.bruteForceAgg(q, c, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    a shouldBe b
+    a.size shouldBe 20 // 4 queries × k
+  }
+
+  test("native FloatVecDot matches the functional formulation (interpreted + codegen)") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.5f, -0.5f), Array(2f, 2f))
+    ).toDF("a", "b")
+    val native = df.select(VectorExpressions.float_dot($"a", $"b")).as[Double].collect()
+    val functional = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).as[Double].collect()
+    native shouldBe functional
+    native(0) shouldBe 32.0 +- 1e-9
+    native(1) shouldBe 0.0 +- 1e-9
+
+    // cosine of identical vectors is 1
+    df.select(VectorExpressions.float_cosine($"a", $"a")).as[Double].head() shouldBe
+      1.0 +- 1e-12
+  }
+}
