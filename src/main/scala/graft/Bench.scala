@@ -15,6 +15,11 @@ object Bench {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: pay JVM/classloader/codegen startup once, not inside the
+    // first measured query (it was otherwise charged ~6s of warmup).
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    core.Tables(spark, sfDir).lineitem.limit(1000)
+      .write.format("noop").mode("overwrite").save()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

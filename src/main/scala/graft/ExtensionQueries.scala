@@ -24,6 +24,10 @@ object ExtensionQueries {
     "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
   private val DSHINGLES =
     "list_distinct([substring(lower(text), i, 3) for i in generate_series(1, length(text)-2)])"
+  // hashed-shingle variant (48-bit md5 prefix), mirroring TextFunctions.hashedShingles
+  private val DHSHINGLES =
+    "list_distinct([('0x' || substr(md5(substring(lower(text), i, 3)), 1, 12))::BIGINT " +
+      "for i in generate_series(1, length(text)-2)])"
   private def dMarker(words: Seq[String]) =
     s"len(list_filter(toks, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
 
@@ -83,7 +87,7 @@ object ExtensionQueries {
 
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame =
     NearDup.jaccardPairs(
-      NearDup.withShingles(T(s, dir).documents, "text", 3),
+      NearDup.withHashedShingles(T(s, dir).documents, "text", 3),
       idCol = "doc_id",
       blockCol = "source",
       minJaccard = 0.65
@@ -232,7 +236,7 @@ object ExtensionQueries {
            |  MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
            |FROM documents GROUP BY 1""".stripMargin,
       "q_x_jaccard_pairs" ->
-        s"""WITH sh AS (SELECT doc_id, source, $DSHINGLES AS s FROM documents)
+        s"""WITH sh AS (SELECT doc_id, source, $DHSHINGLES AS s FROM documents)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS inter,
            |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS INTEGER) AS uni,
@@ -242,9 +246,9 @@ object ExtensionQueries {
            |WHERE len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,
       "q_x_minhash_lsh" ->
-        s"""WITH sh AS (SELECT doc_id, $DSHINGLES AS s FROM documents),
+        s"""WITH sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
            |hm AS (SELECT doc_id, s,
-           |  [('0x' || substr(md5(x), 1, 12))::BIGINT % ${NearDup.P} for x in s] AS hv FROM sh),
+           |  [x % ${NearDup.P} for x in s] AS hv FROM sh),
            |sig AS (SELECT doc_id, [
            |    $sigExprs
            |  ] AS sg FROM hm),

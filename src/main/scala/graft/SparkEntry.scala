@@ -472,7 +472,10 @@ object SparkEntry {
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_a9_percentiles"       -> (qPercentiles _),
-    "q_a4b_approx_distinct"  -> (qApproxDistinct _)
+    "q_a4b_approx_distinct"  -> (qApproxDistinct _),
+    "q_sql_dup_keys"         -> (graft.sqlfront.SqlFront.duplicateKeys _),
+    "q_sql_distribution"     -> (graft.sqlfront.SqlFront.distribution _),
+    "q_sql_freshness"        -> (graft.sqlfront.SqlFront.freshness _)
   )
 
   def oracleSql: Map[String, String] =
@@ -687,6 +690,21 @@ object SparkEntry {
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
         |  isodow(date) >= 6 AS is_weekend
         |FROM d""".stripMargin,
+    "q_sql_dup_keys" ->
+      """SELECT user_id, COUNT(*) AS n_rows
+        |FROM events GROUP BY user_id HAVING COUNT(*) > 1""".stripMargin,
+    "q_sql_distribution" ->
+      """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
+        |           GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, cnt,
+        |  ROUND(cnt * 100.0 / CAST(SUM(cnt) OVER () AS BIGINT), 2) AS pct
+        |FROM c ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_freshness" ->
+      """SELECT 'orders' AS table_name, CAST(MAX(o_orderdate) AS DATE) AS latest FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', CAST(MAX(l_shipdate) AS DATE) FROM lineitem
+        |UNION ALL
+        |SELECT 'events', CAST(MAX(ts) AS DATE) FROM events""".stripMargin,
     "q_o_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type,
         |  p.pid AS purchase_event_id, p.value AS last_purchase_value

@@ -43,9 +43,20 @@ object NearDup {
   def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("shingles", charShingles(col(textCol), n))
 
+  /** Hashed (48-bit long) shingle sets — the hot-path representation. */
+  def withHashedShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("shingles", hashedShingles(col(textCol), n))
+
   /** Pairwise Jaccard similarity within a blocking key. `uni` is computed
     * as |A|+|B|−|A∩B| (NOT array_union) so both engines do identical exact
     * integer arithmetic; the ratio is one final division.
+    *
+    * A size-ratio prefilter runs before the intersect: J(A,B) ≥ t implies
+    * |A| ≥ t·|B| and |B| ≥ t·|A| (the intersection is at most the smaller
+    * set; the union at least the larger), so mismatched-size pairs are
+    * discarded on two integer comparisons instead of an O(|A|+|B|) set op.
+    * Results are unchanged — it only skips pairs the final filter would
+    * reject anyway.
     */
   def jaccardPairs(
       shingled: DataFrame,
@@ -59,6 +70,9 @@ object NearDup {
       col(blockCol).as("block"), col(idCol).as("doc_b"), col("shingles").as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
+      .filter(
+        size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
+        size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
@@ -86,12 +100,12 @@ object NearDup {
     (2053L, 1201L), (2287L, 1321L), (2503L, 1451L), (2749L, 1579L)
   )
 
-  /** MinHash signature (array of 16 longs) from a shingle array. md5 is
-    * evaluated once per shingle (`hm` materialized), then each of the k
-    * permutations is an integer transform + array_min — all codegen.
+  /** MinHash signature (array of 16 longs) from a HASHED shingle array
+    * (48-bit longs from `hashedShingles`): each of the k permutations is an
+    * integer transform + array_min — all codegen, no string hashing here.
     */
-  def minhashSignature(shingles: Column): Column = {
-    val hm = transform(shingles, s => hexHash48(s) % P)
+  def minhashSignature(hashedShingles: Column): Column = {
+    val hm = transform(hashedShingles, h => h % P)
     array(HashParams.map { case (a, b) =>
       array_min(transform(hm, h => (lit(a) * h + lit(b)) % P))
     }: _*)
@@ -124,9 +138,13 @@ object NearDup {
       bands: Int = 4,
       rows: Int = 4
   ): DataFrame = {
-    val shingled = withShingles(df, textCol, n)
+    // Cache the shingled+signed frame: it feeds candidate generation once
+    // and verification twice — without persist the whole md5+minhash
+    // pipeline would run three times.
+    val shingled = withHashedShingles(df, textCol, n)
       .select(col(idCol).as("doc_id"), col("shingles"))
       .withColumn("sig", minhashSignature(col("shingles")))
+      .persist()
     val banded = shingled
       .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band_idx")
@@ -141,6 +159,9 @@ object NearDup {
     candidates
       .join(sa, "doc_a")
       .join(sb, "doc_b")
+      .filter(
+        size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
+        size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))

@@ -58,6 +58,21 @@ object TextFunctions {
     ).otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Hashed shingle SET: md5-hash each n-gram to 48 bits, then distinct.
+    * Set operations (intersect/union for Jaccard) on fixed-width longs are
+    * several times cheaper than on strings — this is the representation the
+    * near-dup operators use on the hot path. Distinct-after-hash so an
+    * (astronomically unlikely) collision merges identically in every engine.
+    */
+  def hashedShingles(c: Column, n: Int): Column = {
+    val lc = lower(c)
+    when(
+      length(lc) >= n,
+      array_distinct(transform(sequence(lit(1), length(lc) - (n - 1)),
+        i => hexHash48(lc.substr(i, lit(n)))))
+    ).otherwise(array().cast(ArrayType(org.apache.spark.sql.types.LongType)))
+  }
+
   /** Language marker sets for the n-gram/stopword language-ID heuristic.
     * Order matters: ties resolve to the earlier entry.
     */

@@ -47,13 +47,33 @@ final case class MedallionPipeline(
   // -------------------------------------------------------------------------
   // Bronze: contract read → validate split → circuit breaker → write both
   // -------------------------------------------------------------------------
+  private val summaries =
+    scala.collection.concurrent.TrieMap.empty[String, Validation.DqSummary]
+
   private def bronze(contract: Contracts.TableContract): Unit = {
     val (valid, rejects, summary) = BronzeIngest.ingest(
       spark, s"$rawDir/${contract.name}.csv", contract, runDate,
       ingestTs = Some(ingestTs))
+    summaries(contract.name) = summary
     Validation.circuitBreak(summary, maxRejectRate)
     write(valid, bronzePath(contract.name))
     write(rejects, rejectPath(contract.name))
+  }
+
+  /** Merge per-table summaries → `_reports/.../bronze_summary.json`
+    * (reference report merge, Meta_Guideline.md:1456-1512) and re-check the
+    * overall gate before Silver (layer precondition, :2145-2184).
+    */
+  private def bronzeReport(): Unit = {
+    val all = summaries.values.toSeq.sortBy(_.table)
+    Reports.writeJson(
+      s"$outDir/_reports/run_date=$runDate/bronze_summary.json",
+      Reports.bronzeSummary(runDate, all))
+    val overall = Reports.bronzeSummary(runDate, all)("overall_rejection_rate")
+      .asInstanceOf[Double]
+    if (overall > maxRejectRate)
+      throw new IllegalStateException(
+        f"bronze overall rejection rate $overall%.4f > $maxRejectRate%.2f")
   }
 
   // -------------------------------------------------------------------------
@@ -191,7 +211,9 @@ final case class MedallionPipeline(
       Task("bronze_competitions")(() => bronze(Contracts.competitions)),
       Task("bronze_tags")(() => bronze(Contracts.tags)),
       Task("bronze_kernels")(() => bronze(Contracts.kernels)),
-      Task("silver_users", Seq("bronze_users"))(() => silverUsers()),
+      Task("bronze_report", Seq("bronze_users", "bronze_datasets",
+        "bronze_competitions", "bronze_tags", "bronze_kernels"))(() => bronzeReport()),
+      Task("silver_users", Seq("bronze_users", "bronze_report"))(() => silverUsers()),
       Task("silver_datasets", Seq("silver_users", "bronze_datasets"))(() => silverDatasets()),
       Task("silver_competitions", Seq("bronze_competitions"))(() => silverCompetitions()),
       Task("silver_tags", Seq("silver_datasets", "bronze_tags"))(() => silverTags()),

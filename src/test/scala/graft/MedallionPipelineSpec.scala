@@ -99,6 +99,16 @@ class MedallionPipelineSpec extends SparkSpecBase {
     val keptIds = silverTags.select("dataset_id").distinct().as[String].collect().toSet
     val dsIds = silverDs.select("dataset_id").as[String].collect().toSet
     keptIds.subsetOf(dsIds) shouldBe true
+
+    // bronze_summary.json report: parseable, five tables, sane overall rate
+    val reportDf = spark.read
+      .option("multiLine", "true")
+      .json(s"$out/_reports/run_date=2024-06-01/bronze_summary.json")
+    reportDf.count() shouldBe 1
+    val rep = reportDf.head()
+    rep.getAs[String]("run_date") shouldBe "2024-06-01"
+    rep.getAs[Seq[org.apache.spark.sql.Row]]("tables").size shouldBe 5
+    rep.getAs[Double]("overall_rejection_rate") should (be >= 0.0 and be <= 0.7)
   }
 
   test("idempotent re-run: same run_date produces no duplicates") {

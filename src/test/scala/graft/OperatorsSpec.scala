@@ -46,6 +46,21 @@ class OperatorsSpec extends SparkSpecBase {
     a.size shouldBe 20 // 4 queries × k
   }
 
+  test("salted join returns identical results to the plain join") {
+    val rnd = new scala.util.Random(3)
+    // skewed fact: 80% of rows share key 1
+    val fact = (1 to 500).map(i =>
+      (if (rnd.nextDouble() < 0.8) 1L else rnd.nextInt(20).toLong, s"row$i"))
+      .toDF("k", "payload")
+    val dim = (0L to 20L).map(k => (k, s"dim$k")).toDF("k", "dname")
+    val plain = fact.join(dim, Seq("k")).select("k", "payload", "dname")
+      .collect().toSet
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(fact, dim, "k", saltFrom = Seq("payload"), n = 8)
+      .select("k", "payload", "dname").collect().toSet
+    salted shouldBe plain
+  }
+
   test("native FloatVecDot matches the functional formulation (interpreted + codegen)") {
     val df = Seq(
       (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
