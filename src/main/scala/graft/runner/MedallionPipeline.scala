@@ -167,6 +167,96 @@ final case class MedallionPipeline(
   private def goldDimDate(): Unit =
     write(DimDate.build(spark, "2015-01-01", "2030-12-31"), goldPath("dim_date"), 4)
 
+  /** dim_dataset / dim_competition / dim_tag / bridge / two more facts: the
+    * reference DAG invokes these jobs but their scripts are absent from the
+    * repo (SURVEY §7.4.6) — built from the spec
+    * (requirements/meta/meta_module_06_requirements.md:79-99).
+    */
+  private def goldDimDataset(): Unit = {
+    val hist = Scd2.initialLoad(
+      readSilver("datasets")
+        .withColumn("change_ts", coalesce(col("updated_ts"), col("created_ts"), col("ingest_ts")))
+        .select("dataset_id", "change_ts", "dataset_title", "owner_user_id", "is_private"),
+      Seq("dataset_id"), "change_ts", Seq("dataset_title", "owner_user_id", "is_private"))
+    val keyed = SurrogateKeys.referenceMode(
+      hist, Seq(col("effective_start_ts"), col("dataset_id")), "dataset_sk")
+    write(keyed.withColumn("etl_run_date", lit(runDate)), goldPath("dim_dataset"))
+  }
+
+  private def goldDimCompetition(): Unit = {
+    val hist = Scd2.initialLoad(
+      readSilver("competitions")
+        .withColumn("change_ts", coalesce(col("start_ts"), col("ingest_ts")))
+        .select("competition_id", "change_ts", "title", "category", "prize_money"),
+      Seq("competition_id"), "change_ts", Seq("title", "category", "prize_money"))
+    val keyed = SurrogateKeys.referenceMode(
+      hist, Seq(col("effective_start_ts"), col("competition_id")), "competition_sk")
+    write(keyed.withColumn("etl_run_date", lit(runDate)), goldPath("dim_competition"))
+  }
+
+  /** dim_tag is SCD1 (requirements/...:85): distinct tags + dense SKs. */
+  private def goldDimTag(): Unit = {
+    val tags = readSilver("tags").select("tag").distinct()
+    val keyed = SurrogateKeys.referenceMode(tags, Seq(col("tag")), "tag_sk")
+    write(keyed.withColumn("etl_run_date", lit(runDate)), goldPath("dim_tag"))
+  }
+
+  /** bridge_dataset_tag(dataset_sk, tag_sk, run_date, is_current) —
+    * requirements/...:90. Both dims broadcast onto the (larger) tag table.
+    */
+  private def goldBridgeDatasetTag(): Unit = {
+    val tags = readSilver("tags").select("dataset_id", "tag")
+    val dsDim = spark.read.parquet(goldPath("dim_dataset"))
+      .filter(col("is_current")).select("dataset_id", "dataset_sk")
+    val tagDim = spark.read.parquet(goldPath("dim_tag")).select("tag", "tag_sk")
+    val bridge = tags
+      .join(broadcast(dsDim), Seq("dataset_id"))
+      .join(broadcast(tagDim), Seq("tag"))
+      .select(col("dataset_sk"), col("tag_sk"))
+      .distinct()
+      .withColumn("run_date", lit(runDate))
+      .withColumn("is_current", lit(true))
+    write(bridge, goldPath("bridge_dataset_tag"))
+  }
+
+  /** fact_competitions_yearly: per start-year counts + avg prize; invariant
+    * competitions_count ≥ active_competitions_count (requirements/...:96).
+    * "Active" = deadline on/after the run date.
+    */
+  private def goldFactCompetitionsYearly(): Unit = {
+    val comps = readSilver("competitions").filter(col("start_ts").isNotNull)
+    val fact = comps
+      .groupBy(year(col("start_ts")).cast("int").as("year"))
+      .agg(
+        count(lit(1)).as("competitions_count"),
+        sum(when(col("deadline_ts") >= lit(runDate).cast("timestamp"), 1L).otherwise(0L))
+          .as("active_competitions_count"),
+        avg(col("prize_money")).as("avg_prize"))
+      .withColumn("run_date", lit(runDate))
+      .withColumn("pipeline_run_id", lit(pipelineRunId))
+    fact.write.mode("overwrite").partitionBy("run_date")
+      .parquet(goldPath("fact_competitions_yearly"))
+  }
+
+  /** fact_tag_usage_daily: per tag usage vs newly-created usage; invariant
+    * usage_count ≥ new_usage_count (requirements/...:98-99).
+    */
+  private def goldFactTagUsageDaily(): Unit = {
+    val tags = readSilver("tags")
+    val ds   = readSilver("datasets").select("dataset_id", "created_ts")
+    val fact = tags
+      .join(broadcast(ds), Seq("dataset_id"), "left")
+      .groupBy("tag")
+      .agg(
+        count(lit(1)).as("usage_count"),
+        sum(when(col("created_ts").cast("date") === lit(runDate).cast("date"), 1L)
+          .otherwise(0L)).as("new_usage_count"))
+      .withColumn("run_date", lit(runDate))
+      .withColumn("pipeline_run_id", lit(pipelineRunId))
+    fact.write.mode("overwrite").partitionBy("run_date")
+      .parquet(goldPath("fact_tag_usage_daily"))
+  }
+
   private def goldFactDatasetOwnerDaily(): Unit = {
     val ds = readSilver("datasets")
     val daily = ds.groupBy("owner_user_id").agg(
@@ -198,6 +288,24 @@ final case class MedallionPipeline(
       DataQuality.danglingSks(fact, dim, "user_sk").isEmpty)
     DataQuality.gate("exactly one current version per user",
       DataQuality.scd2Violations(dim.filter(col("user_sk") =!= 0), Seq("user_id")).isEmpty)
+
+    val compYearly = spark.read.parquet(goldPath("fact_competitions_yearly"))
+    DataQuality.gate("competitions_count >= active_competitions_count",
+      DataQuality.violations(compYearly,
+        col("competitions_count") >= col("active_competitions_count")).isEmpty)
+
+    val tagUsage = spark.read.parquet(goldPath("fact_tag_usage_daily"))
+    DataQuality.gate("usage_count >= new_usage_count",
+      DataQuality.violations(tagUsage,
+        col("usage_count") >= col("new_usage_count")).isEmpty)
+
+    val bridge = spark.read.parquet(goldPath("bridge_dataset_tag"))
+    val dsDim  = spark.read.parquet(goldPath("dim_dataset"))
+    val tagDim = spark.read.parquet(goldPath("dim_tag"))
+    DataQuality.gate("bridge dataset_sk integrity",
+      DataQuality.danglingSks(bridge, dsDim, "dataset_sk", unknownSk = -1L).isEmpty)
+    DataQuality.gate("bridge tag_sk integrity",
+      DataQuality.danglingSks(bridge, tagDim, "tag_sk", unknownSk = -1L).isEmpty)
   }
 
   // -------------------------------------------------------------------------
@@ -220,10 +328,20 @@ final case class MedallionPipeline(
       Task("silver_kernels", Seq("bronze_kernels"))(() => silverKernels()),
       Task("gold_dim_user", Seq("silver_users"))(() => goldDimUser()),
       Task("gold_dim_date", Nil)(() => goldDimDate()),
+      Task("gold_dim_dataset", Seq("silver_datasets"))(() => goldDimDataset()),
+      Task("gold_dim_competition", Seq("silver_competitions"))(() => goldDimCompetition()),
+      Task("gold_dim_tag", Seq("silver_tags"))(() => goldDimTag()),
+      Task("gold_bridge_dataset_tag",
+        Seq("gold_dim_dataset", "gold_dim_tag"))(() => goldBridgeDatasetTag()),
       Task("gold_fact_dataset_owner_daily",
         Seq("gold_dim_user", "silver_datasets"))(() => goldFactDatasetOwnerDaily()),
+      Task("gold_fact_competitions_yearly",
+        Seq("silver_competitions"))(() => goldFactCompetitionsYearly()),
+      Task("gold_fact_tag_usage_daily",
+        Seq("silver_tags", "silver_datasets"))(() => goldFactTagUsageDaily()),
       Task("gold_validate",
-        Seq("gold_fact_dataset_owner_daily"))(() => goldValidate())
+        Seq("gold_fact_dataset_owner_daily", "gold_fact_competitions_yearly",
+          "gold_fact_tag_usage_daily", "gold_bridge_dataset_tag"))(() => goldValidate())
     )
   }
 

@@ -100,6 +100,23 @@ class MedallionPipelineSpec extends SparkSpecBase {
     val dsIds = silverDs.select("dataset_id").as[String].collect().toSet
     keptIds.subsetOf(dsIds) shouldBe true
 
+    // full star schema materialized: 4 dims + bridge + 3 facts
+    val dsDim = spark.read.parquet(s"$out/gold/dim_dataset")
+    dsDim.groupBy("dataset_id")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n"))
+      .filter($"n" =!= 1).count() shouldBe 0
+    // C002 (deadline before start) is rejected at bronze → one competition survives
+    spark.read.parquet(s"$out/gold/dim_competition").count() shouldBe 1L
+    val tagDim = spark.read.parquet(s"$out/gold/dim_tag")
+    tagDim.select("tag").distinct().count() shouldBe tagDim.count()
+    val bridge = spark.read.parquet(s"$out/gold/bridge_dataset_tag")
+    bridge.count() should be >= 1L
+    val compYearly = spark.read.parquet(s"$out/gold/fact_competitions_yearly")
+    compYearly.filter($"competitions_count" < $"active_competitions_count")
+      .count() shouldBe 0
+    val tagUsage = spark.read.parquet(s"$out/gold/fact_tag_usage_daily")
+    tagUsage.filter($"usage_count" < $"new_usage_count").count() shouldBe 0
+
     // bronze_summary.json report: parseable, five tables, sane overall rate
     val reportDf = spark.read
       .option("multiLine", "true")
