@@ -74,6 +74,16 @@ object ExtensionQueries {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(
+      col("doc_id"),
+      size(bpeTokens(col("text"))).as("n_bpe_tokens"),
+      tokenCount(col("text")).as("n_ws_tokens"))
+
+  private def qRollingHash(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(
+      col("doc_id"), rollingHash(col("text")).as("rh"))
+
   // ---------------------------------------------------------------------------
   // Dedup
   // ---------------------------------------------------------------------------
@@ -170,6 +180,8 @@ object ExtensionQueries {
     "q_x_lang_id"         -> (qLangId _),
     "q_x_quality_score"   -> (qQualityScore _),
     "q_x_fingerprint"     -> (qFingerprint _),
+    "q_x_bpe_tokens"      -> (qBpeTokens _),
+    "q_x_rolling_hash"    -> (qRollingHash _),
     "q_x_exact_dedup"     -> (qExactDedup _),
     "q_x_jaccard_pairs"   -> (qJaccardPairs _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
@@ -230,6 +242,20 @@ object ExtensionQueries {
            |FROM m""".stripMargin,
       "q_x_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+          |FROM documents""".stripMargin,
+      "q_x_bpe_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+           |  CAST(len($DTOKS) AS INTEGER) AS n_ws_tokens
+           |FROM documents""".stripMargin,
+      "q_x_rolling_hash" ->
+        """SELECT doc_id,
+          |  CASE WHEN length(text) > 0 THEN
+          |    list_reduce(
+          |      list_prepend(0::BIGINT,
+          |        [ord(substring(text, i, 1))::BIGINT for i in generate_series(1, length(text))]),
+          |      (acc, x) -> (acc * 31 + x) % 1000000007)
+          |  ELSE 0 END AS rh
           |FROM documents""".stripMargin,
       "q_x_exact_dedup" ->
         s"""SELECT md5(array_to_string(($DTOKS)[1:5], ' ')) AS dup_key,

@@ -394,6 +394,25 @@ object SparkEntry {
       .select("o_custkey", "customer_sk", "order_date", "orders_count", "open_count", "total_cents")
   }
 
+  /** W8: batch sessionization (gaps-and-islands — library:
+    * operators.Sessionize).
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize
+      .gapSessions(T(s, dir).events, Seq("user_id"), "ts", "30 MINUTE")
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+
+  /** A2 via the native pivot operator (reference hand-pivots with
+    * conditional sums; Spark has the relational operator).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
   /** Backward as-of join (operator Spark lacks; composed union+window —
     * library: operators.AsOfJoin; oracle: DuckDB native ASOF JOIN).
     */
@@ -473,6 +492,8 @@ object SparkEntry {
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
+    "q_w8_sessionize"        -> (qSessionize _),
+    "q_a2b_pivot"            -> (qPivot _),
     "q_sql_dup_keys"         -> (graft.sqlfront.SqlFront.duplicateKeys _),
     "q_sql_distribution"     -> (graft.sqlfront.SqlFront.distribution _),
     "q_sql_freshness"        -> (graft.sqlfront.SqlFront.freshness _)
@@ -690,6 +711,26 @@ object SparkEntry {
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
         |  isodow(date) >= 6 AS is_weekend
         |FROM d""".stripMargin,
+    "q_w8_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM m)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q_a2b_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sql_dup_keys" ->
       """SELECT user_id, COUNT(*) AS n_rows
         |FROM events GROUP BY user_id HAVING COUNT(*) > 1""".stripMargin,

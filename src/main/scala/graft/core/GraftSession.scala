@@ -28,6 +28,7 @@ object GraftSession {
       .builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.plans.GraftExtensions.intersect_count
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /** Near-duplicate detection for document corpora — the operators a
   * training-data pipeline runs at 100 TB.
@@ -58,6 +60,16 @@ object NearDup {
     * Results are unchanged — it only skips pairs the final filter would
     * reject anyway.
     */
+  /** |A∩B| picked by element type: the native sort-merge IntersectCount
+    * for long arrays (hashed shingles — the hot path), the composed form
+    * otherwise.
+    */
+  private def interSize(shingled: DataFrame, a: Column, b: Column): Column =
+    shingled.schema("shingles").dataType match {
+      case ArrayType(LongType, _) => intersect_count(a, b)
+      case _                      => size(array_intersect(a, b))
+    }
+
   def jaccardPairs(
       shingled: DataFrame,
       idCol: String,
@@ -73,7 +85,7 @@ object NearDup {
       .filter(
         size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
         size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", interSize(shingled, col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
       .filter(col("jaccard") >= minJaccard)
@@ -162,7 +174,7 @@ object NearDup {
       .filter(
         size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
         size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", interSize(shingled, col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
       .filter(col("jaccard") >= minJaccard)

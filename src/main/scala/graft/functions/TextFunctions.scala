@@ -99,6 +99,26 @@ object TextFunctions {
     chain.otherwise(lit("und"))
   }
 
+  /** BPE-ish subword tokenization: letter runs, digit runs, and single
+    * punctuation marks — the regex shape of a byte-pair-encoder's
+    * pre-tokenizer (GPT-2 style `\p{L}+|\p{N}+|[^\s\p{L}\p{N}]`).
+    */
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Polynomial rolling hash over the character stream:
+    * fold(acc*31 + codepoint) mod 1e9+7. Portable: DuckDB computes the same
+    * value with `list_reduce(list_prepend(0, codes), ...)`.
+    */
+  def rollingHash(c: Column): Column =
+    when(length(c) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31 + x) % 1000000007L
+      )
+    ).otherwise(0L)
+
   /** 32-bit SimHash over a pre-hashed token array (use `hexHash32` per
     * token first so md5 is computed once, not 32×). Bit j of the signature
     * is 1 iff more tokens have bit j set than clear (ties → 0).

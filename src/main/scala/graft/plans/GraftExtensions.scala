@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{
+  ArrayIntersect, BinaryExpression, Expression, Size
+}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** `|A ∩ B|` for long arrays WITHOUT materializing the intersection.
+  *
+  * `size(array_intersect(a, b))` — the natural composed form — allocates an
+  * intermediate ArrayData per row through the generic (boxed,
+  * null-tolerant) set path, only to take its length. For the near-dup
+  * operators this runs once per candidate pair, i.e. hundreds of millions
+  * of times at corpus scale; profiling the Jaccard stage showed it
+  * dominating. This expression copies both arrays into primitive long[],
+  * sorts, and merge-counts distinct common elements — no boxing, no
+  * intermediate array, cache-linear.
+  *
+  * Same semantics as the composed form for non-null long arrays (distinct
+  * common element count); null elements are ignored (our shingle arrays
+  * never contain them — guarded by the rewrite rule only firing on
+  * `containsNull=false` arrays).
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData].toLongArray()
+    val xb = b.asInstanceOf[ArrayData].toLongArray()
+    java.util.Arrays.sort(xa)
+    java.util.Arrays.sort(xb)
+    var i = 0; var j = 0; var n = 0
+    var last = 0L; var hasLast = false
+    while (i < xa.length && j < xb.length) {
+      val va = xa(i); val vb = xb(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        if (!hasLast || va != last) { n += 1; last = va; hasLast = true }
+        i += 1; j += 1
+      }
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
+    copy(left = l, right = r)
+}
+
+/** Optimizer rule: rewrite `size(array_intersect(a, b))` to IntersectCount
+  * when both sides are non-null long arrays. Purely a physical-cost
+  * rewrite — values are identical, so oracle comparisons are unaffected.
+  */
+object RewriteIntersectSize extends Rule[LogicalPlan] {
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, false) => true
+    case _                          => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Size(ArrayIntersect(a, b), _) if isLongArray(a) && isLongArray(b) =>
+      IntersectCount(a, b)
+  }
+}
+
+/** Session extension wiring (`GraftSession` installs this). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RewriteIntersectSize)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Direct column API for IntersectCount (library hot paths call this;
+    * the optimizer rule covers composed user queries). Precondition:
+    * null-free long arrays.
+    */
+  def intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

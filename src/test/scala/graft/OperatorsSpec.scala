@@ -46,6 +46,52 @@ class OperatorsSpec extends SparkSpecBase {
     a.size shouldBe 20 // 4 queries × k
   }
 
+  test("batch sessionize: 30-minute gap sessions per user") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Sessionize
+      .gapSessions(ev, Seq("user_id"), "ts", "30 MINUTE")
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L))
+  }
+
+  test("optimizer rule rewrites size(array_intersect) on long arrays; values unchanged") {
+    // spark.range: not a LocalRelation, so constant folding can't hide the
+    // rewritten expression from the optimized plan
+    val df = spark.range(2)
+      .withColumn("a", sequence($"id" + 1, $"id" + 4)) // [1..4], [2..5]
+      .withColumn("b", sequence($"id" + 3, $"id" + 5)) // [3..5], [4..6]
+    val composed = df.select(
+      org.apache.spark.sql.functions.size(array_intersect($"a", $"b")).as("n"))
+    composed.queryExecution.optimizedPlan.toString.toLowerCase should
+      include("intersectcount")
+    composed.as[Int].collect().sorted shouldBe Array(2, 2)
+
+    // direct function agrees with the composed form
+    val direct = df.select(
+      graft.plans.GraftExtensions.intersect_count($"a", $"b")).as[Int].collect()
+    direct.sorted shouldBe Array(2, 2)
+  }
+
+  test("rolling hash and BPE tokens are deterministic with expected shapes") {
+    val df = Seq("hello world42!", "").toDF("t")
+    val out = df.select(
+      graft.functions.TextFunctions.rollingHash($"t"),
+      org.apache.spark.sql.functions.size(graft.functions.TextFunctions.bpeTokens($"t")))
+      .as[(Long, Int)].collect()
+    out(0)._1 should be > 0L
+    out(0)._2 shouldBe 4 // hello | world | 42 | !
+    out(1) shouldBe ((0L, 0))
+    // fold check: "hi" = ((0*31+104)*31+105) % 1e9+7 = 3329
+    Seq("hi").toDF("t").select(graft.functions.TextFunctions.rollingHash($"t"))
+      .as[Long].head() shouldBe 3329L
+  }
+
   test("salted join returns identical results to the plain join") {
     val rnd = new scala.util.Random(3)
     // skewed fact: 80% of rows share key 1
