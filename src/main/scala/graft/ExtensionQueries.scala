@@ -159,6 +159,11 @@ object ExtensionQueries {
     )
   }
 
+  /** Embedding-cosine near-dup pairs, blocked by label. */
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    NearDup.embeddingNearDupPairs(
+      T(s, dir).embeddings, "vec_id", "embedding", "label", minCosine = 0.4)
+
   // ---------------------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------------------
@@ -190,6 +195,7 @@ object ExtensionQueries {
     "q_x_cosine_topk"     -> (qCosineTopK _),
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
+    "q_x_embed_neardup"   -> (qEmbedNearDup _),
     "q_x_multimodal_meta" -> (qMultimodalMeta _)
   )
 
@@ -342,6 +348,14 @@ object ExtensionQueries {
            |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
            |WHERE rn <= 5""".stripMargin,
+      "q_x_embed_neardup" ->
+        s"""WITH $prepCte,
+           |l AS (SELECT e.vec_id, e.label, n.qv, n.n2 FROM embeddings e
+           |      JOIN n ON e.vec_id = n.vec_id),
+           |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           |  ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
+           |  FROM l a JOIN l b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, label, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
       "q_x_multimodal_meta" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,

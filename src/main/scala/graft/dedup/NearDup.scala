@@ -182,6 +182,38 @@ object NearDup {
   }
 
   // ---------------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // ---------------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine within a blocking key
+    * (quantized-integer scoring from similarity.CosineTopK — deterministic
+    * and oracle-stable). At corpus scale the blocking key would be an LSH
+    * bucket or IVF cluster id; any coarse partition bounds the quadratic
+    * step.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      minCosine: Double
+  ): DataFrame = {
+    import graft.similarity.CosineTopK
+    val prepped = CosineTopK.prepare(df, vecCol)
+      .select(col(blockCol).as("block"), col(idCol), col("qv"), col("norm2"))
+    val a = prepped.select(col("block"), col(idCol).as("vec_a"),
+      col("qv").as("qa"), col("norm2").as("na"))
+    val b = prepped.select(col("block"), col(idCol).as("vec_b"),
+      col("qv").as("qb"), col("norm2").as("nb"))
+    a.join(b, Seq("block"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        CosineTopK.cosine(CosineTopK.dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("block").as("label"), col("cosine"))
+  }
+
+  // ---------------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------------
 

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan evidence for the scale claims: partition pruning reaches
+  * the scan, bucketed joins run shuffle-free, dim joins broadcast.
+  */
+class ScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("partition pruning: run_date filter prunes the scan to one partition") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    (1 to 300).map(i => (i.toLong, s"2024-06-${"%02d".format(i % 3 + 1)}", i * 1.0))
+      .toDF("id", "run_date", "v")
+      .write.mode("overwrite").partitionBy("run_date").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter($"run_date" === "2024-06-02")
+    val plan = formatted(pruned)
+    // the partition predicate reaches the scan (not a post-scan Filter)
+    plan should include("PartitionFilters")
+    plan should include("= 2024-06-02")
+    pruned.count() shouldBe 100
+  }
+
+  test("filter and projection pushdown reach the parquet scan") {
+    val dir = Files.createTempDirectory("graft_push").toString
+    (1 to 1000).map(i => (i.toLong, s"n$i", i * 2.0, s"pad$i"))
+      .toDF("k", "name", "v", "padding")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"k" > 900).select("k", "v")
+    val plan = formatted(q)
+    plan should include("PushedFilters: [IsNotNull(k), GreaterThan(k,900)]")
+    plan should include("ReadSchema: struct<k:bigint,v:double>") // pruned to 2 cols
+  }
+
+  test("bucketed co-partitioned join plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_fact")
+    spark.sql("DROP TABLE IF EXISTS b_dim")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clear stale locations
+    val wh = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
+    Seq("b_fact", "b_dim").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    }
+    (1 to 1000).map(i => (i.toLong % 50, s"f$i")).toDF("k", "payload")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("b_fact")
+    (0L until 50L).map(k => (k, s"d$k")).toDF("k", "dname")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("b_dim")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_fact").join(spark.table("b_dim"), Seq("k"))
+      val plan = formatted(joined)
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange hashpartitioning"
+      joined.count() shouldBe 1000
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("dim lookup joins broadcast (no fact-side exchange)") {
+    val dir = Files.createTempDirectory("graft_bcast").toString
+    (1 to 5000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim  = (0L until 100L).map(k => (k, s"d$k")).toDF("k", "dname")
+    val plan = formatted(
+      graft.silver.Enrich.leftWithDefaults(fact, dim, fact("k") === dim("k"),
+        Map("dname" -> "Unknown")))
+    plan should include("BroadcastHashJoin")
+    plan should not include "Exchange hashpartitioning"
+  }
+}

@@ -10,7 +10,10 @@ import org.scalatest.matchers.should.Matchers
 trait SparkSpecBase extends AnyFunSuite with Matchers {
   lazy val spark: SparkSession =
     core.GraftSession.builder(master = "local[4]", appName = "graft-test",
-      shufflePartitions = 4).getOrCreate()
+      shufflePartitions = 4)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse")
+      .getOrCreate()
 
   def sc = spark.sparkContext
 }
