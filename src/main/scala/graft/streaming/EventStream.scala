@@ -60,6 +60,30 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming Bronze ingest: watch a directory for contract CSVs and run
+    * the SAME validation rule-chain as the batch bronze layer — the
+    * incremental medallion entry the reference lists as future work. Each
+    * micro-batch carries valid + rejected rows tagged with `reject_reason`;
+    * route with `foreachBatch` (write valid/reject sinks per batch) in
+    * production.
+    */
+  def bronzeCsvStream(
+      spark: org.apache.spark.sql.SparkSession,
+      watchDir: String,
+      contract: graft.schema.Contracts.TableContract,
+      runDate: String
+  ): DataFrame = {
+    val raw = spark.readStream
+      .option("header", "true")
+      .schema(contract.raw)
+      .csv(watchDir)
+    val named = graft.bronze.BronzeIngest.rename(raw, contract)
+    val typed = graft.bronze.BronzeIngest.coerceTypes(named, contract)
+    val applicable = contract.rules.filter(_.refs.forall(typed.columns.contains))
+    graft.bronze.Validation.tagged(typed, applicable)
+      .withColumn("run_date", lit(runDate))
+  }
+
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom streaming state: running per-user totals via mapGroupsWithState

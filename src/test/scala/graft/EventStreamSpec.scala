@@ -71,6 +71,30 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming bronze ingest validates arriving CSV files incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_csv").toString
+    val q = graft.streaming.EventStream
+      .bronzeCsvStream(spark, dir, graft.schema.Contracts.users, "2024-06-01")
+      .writeStream.format("memory").queryName("bronze_stream")
+      .outputMode("append").start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/batch1.csv"),
+        "Id,UserName,RegisterDate,Country\nU001,alice,2023-01-01 00:00:00,US\nU002,,2023-01-01 00:00:00,DE\n")
+      q.processAllAvailable()
+      // second file arrives later — incremental pickup
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/batch2.csv"),
+        "Id,UserName,RegisterDate,Country\nU003,carol,2023-02-02 00:00:00,FRA\n")
+      q.processAllAvailable()
+      val rows = spark.table("bronze_stream")
+        .select("user_id", "reject_reason").as[(String, String)].collect().toMap
+      rows("U001") shouldBe null
+      rows("U002") shouldBe "user_name_is_null"
+      rows("U003") shouldBe "country_code_bad_length"
+    } finally q.stop()
+  }
+
   test("custom state: running per-user stats accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
