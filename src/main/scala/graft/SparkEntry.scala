@@ -448,6 +448,26 @@ object SparkEntry {
       count(lit(1)).as("n")
     )
 
+  /** Beyond-reference: hierarchical subtotals via ROLLUP (the reference
+    * computes per-level aggregates in separate jobs; one rollup pass
+    * replaces them).
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Beyond-reference: EXCEPT / INTERSECT set operators. */
+  private def qExceptIntersect(s: SparkSession, dir: String): DataFrame = {
+    val t       = T(s, dir)
+    val ordered = t.orders.select(col("o_custkey").as("k")).distinct()
+    val big     = t.customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    ordered.intersect(big).withColumn("op", lit("both"))
+      .unionByName(ordered.except(big).withColumn("op", lit("ordered_only")))
+  }
+
   // ===========================================================================
   // Contract maps
   // ===========================================================================
@@ -492,6 +512,8 @@ object SparkEntry {
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
+    "q_a10_rollup"           -> (qRollup _),
+    "q_u5_except_intersect"  -> (qExceptIntersect _),
     "q_w8_sessionize"        -> (qSessionize _),
     "q_a2b_pivot"            -> (qPivot _),
     "q_sql_dup_keys"         -> (graft.sqlfront.SqlFront.duplicateKeys _),
@@ -711,6 +733,17 @@ object SparkEntry {
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
         |  isodow(date) >= 6 AS is_weekend
         |FROM d""".stripMargin,
+    "q_a10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_u5_except_intersect" ->
+      """WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT k, 'both' AS op FROM (SELECT k FROM o INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT k, 'ordered_only' AS op FROM (SELECT k FROM o EXCEPT SELECT k FROM b)""".stripMargin,
     "q_w8_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts,
