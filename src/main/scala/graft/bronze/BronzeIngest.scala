@@ -23,13 +23,17 @@ import graft.silver.Impute
   */
 object BronzeIngest {
 
+  /** One option set for every contract CSV read — batch AND streaming must
+    * parse identically (quoted multi-line fields, `""` escapes).
+    */
+  val CsvOptions: Map[String, String] = Map(
+    "header"    -> "true",
+    "multiLine" -> "true",
+    "escape"    -> "\""
+  )
+
   def readCsv(spark: SparkSession, path: String, contract: TableContract): DataFrame =
-    spark.read
-      .option("header", "true")
-      .option("multiLine", "true")
-      .option("escape", "\"")
-      .schema(contract.raw)
-      .csv(path)
+    spark.read.options(CsvOptions).schema(contract.raw).csv(path)
 
   def rename(df: DataFrame, contract: TableContract): DataFrame =
     contract.rename.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
@@ -61,9 +65,22 @@ object BronzeIngest {
     }
   }
 
+  /** Result of one bronze ingest. `tagged` is the CACHED parent of both
+    * branches — callers must `unpersist()` it once valid/reject outputs are
+    * materialized, or the block stays pinned for the session lifetime.
+    */
+  final case class BronzeResult(
+      valid: DataFrame,
+      rejects: DataFrame,
+      summary: Validation.DqSummary,
+      tagged: DataFrame
+  ) {
+    def unpersist(): Unit = tagged.unpersist()
+  }
+
   /** Full bronze step: read → rename → coerce → metadata → validate-split.
-    * Returns (valid, rejects, summary); the tagged frame is cached once so
-    * both branches and the summary share one scan.
+    * The tagged frame is cached once so both branches and the summary share
+    * one scan.
     */
   def ingest(
       spark: SparkSession,
@@ -72,7 +89,7 @@ object BronzeIngest {
       runDate: String,
       sourceSystem: String = "kaggle_meta",
       ingestTs: Option[String] = None
-  ): (DataFrame, DataFrame, Validation.DqSummary) = {
+  ): BronzeResult = {
     val raw     = readCsv(spark, path, contract)
     val named   = rename(raw, contract)
     val typed   = coerceTypes(named, contract)
@@ -83,6 +100,6 @@ object BronzeIngest {
     val summary = Validation.summarize(contract.name, tagged)
     val valid   = tagged.filter(col("reject_reason").isNull).drop("reject_reason")
     val rejects = tagged.filter(col("reject_reason").isNotNull)
-    (valid, rejects, summary)
+    BronzeResult(valid, rejects, summary, tagged)
   }
 }

@@ -49,11 +49,14 @@ object BinaryMedia {
     val input = df.select(col(idCol).cast("long"), col("media"))
     val rdd = input.rdd.mapPartitions { rows =>
       // One "codec context" per partition (stubbed as a no-op); rows are
-      // processed in batches the way a vectorized decoder would.
-      rows.grouped(64).flatMap { batch =>
+      // processed in batches the way a vectorized decoder would. Null ids
+      // are dropped (nothing to key the decode on); null media decodes as
+      // an empty payload rather than NPE-ing the task.
+      rows.filter(!_.isNullAt(0)).grouped(64).flatMap { batch =>
         batch.map { r =>
           val id    = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+                      else r.getAs[Array[Byte]](1)
           // --- STUB: real decode goes here -------------------------------
           val width    = 64 + (math.abs(id) % 577).toInt
           val height   = 64 + (bytes.length % 479)

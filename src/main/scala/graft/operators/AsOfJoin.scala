@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is COMPOSED from built-ins (preference (a) from the build
   * rules — no custom SparkStrategy needed): tag both sides, union, one
-  * window pass carrying the last non-null right values forward in (ts, tag)
-  * order, keep left rows.
+  * window pass carrying the last right PAYLOAD STRUCT forward in (ts, tag)
+  * order, keep left rows. The payload travels as ONE struct — carrying
+  * columns independently with ignoreNulls would stitch values from
+  * different right rows whenever one attached column is null.
   *
   * Scale shape: ONE shuffle on the key (the window partition) and a linear
   * scan — no pairwise join blow-up, no range-condition nested loop. This is
@@ -26,9 +28,10 @@ object AsOfJoin {
     * @param keys      equi-key columns present on both sides
     * @param leftTs    left timestamp column name
     * @param rightTs   right timestamp column name
-    * @param rightVals right columns to attach (renamed as given)
-    * @param rightTiebreak extra ordering among right rows sharing a ts
-    *                  (latest wins); keeps output deterministic
+    * @param rightVals right columns to attach, as (input name → output name)
+    * @param rightTiebreak ordering among right rows sharing a ts (all
+    *                  columns used, ascending; LAST under this order wins);
+    *                  keeps output deterministic when right timestamps tie
     */
   def backward(
       left: DataFrame,
@@ -40,37 +43,44 @@ object AsOfJoin {
       rightTiebreak: Seq[String] = Nil
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    val ts       = "__asof_ts"
-    val tag      = "__asof_tag"
+    val ts      = "__asof_ts"
+    val tag     = "__asof_tag"
+    val payload = "__asof_payload"
+    val tbCols  = rightTiebreak.zipWithIndex.map { case (_, i) => s"__asof_tb_$i" }
 
-    val l = rightVals.foldLeft(
-      left.withColumn(ts, col(leftTs)).withColumn(tag, lit(1))
-    ) { case (df, (_, out)) => df.withColumn(out, lit(null)) }
-      .withColumn("__tb", lit(null).cast("long"))
+    val l = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(tag, lit(1))
 
-    val rTb = rightTiebreak.headOption.map(col(_).cast("long")).getOrElse(lit(0L))
-    val r = leftCols.foldLeft(
-      right
-        .select((keys.map(col) :+ col(rightTs).as(ts)) ++
-          rightVals.map { case (in, out) => col(in).as(out) }: _*)
-        .withColumn(tag, lit(0))
-        .withColumn("__tb", rTb)
-    ) { case (df, c) =>
-      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).as(ts)) ++
+        rightTiebreak.zip(tbCols).map { case (in, out) => col(in).as(out) } :+
+        struct(rightVals.map { case (in, out) => col(in).as(out) }: _*).as(payload): _*)
+      .withColumn(tag, lit(0))
+
+    // align schemas: left gets a null payload + null tiebreaks; right gets
+    // null left columns
+    val lAligned = tbCols.foldLeft(
+      l.withColumn(payload, lit(null).cast(r.schema(payload).dataType))
+    ) { (df, c) => df.withColumn(c, lit(null).cast(r.schema(c).dataType)) }
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
     }
 
-    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
     // Right rows sort BEFORE left rows at equal ts (tag 0 < 1) → the as-of
-    // match is inclusive (right at ts == left ts is visible).
+    // match is inclusive; tiebreaks order right rows sharing a ts so the
+    // LAST one deterministically wins.
+    val ordering = col(ts).asc +: col(tag).asc +: tbCols.map(col(_).asc_nulls_first)
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(tag).asc, col("__tb").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { case (df, (_, out)) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col(tag) === 1)
-      .select((leftCols ++ rightVals.map(_._2)).map(col): _*)
+    val carried = unioned.withColumn(
+      payload, last(col(payload), ignoreNulls = true).over(w))
+    rightVals.foldLeft(carried.filter(col(tag) === 1)) { case (df, (_, out)) =>
+      df.withColumn(out, col(s"$payload.$out"))
+    }.select((leftCols ++ rightVals.map(_._2)).map(col): _*)
   }
 }

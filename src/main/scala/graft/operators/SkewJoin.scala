@@ -31,6 +31,13 @@ object SkewJoin {
       joinType: String = "inner"
   ): DataFrame = {
     require(n > 0)
+    // Right/full outer would emit every unmatched (replicated) dim row n
+    // times — only fact-preserving join types are equivalent to the
+    // unsalted join.
+    val ok = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(ok.contains(joinType.toLowerCase),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched dim rows")
     val salted = fact.withColumn(
       "__salt", pmod(hash(saltFrom.map(col): _*), lit(n)))
     val replicated = dim

@@ -65,7 +65,9 @@ object RewriteIntersectSize extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Size(ArrayIntersect(a, b), _) if isLongArray(a) && isLongArray(b) =>
+    // legacySizeOfNull=false only: the legacy mode returns -1 for null
+    // inputs, which IntersectCount (NULL) would silently change.
+    case Size(ArrayIntersect(a, b), false) if isLongArray(a) && isLongArray(b) =>
       IntersectCount(a, b)
   }
 }

@@ -51,13 +51,15 @@ final case class MedallionPipeline(
     scala.collection.concurrent.TrieMap.empty[String, Validation.DqSummary]
 
   private def bronze(contract: Contracts.TableContract): Unit = {
-    val (valid, rejects, summary) = BronzeIngest.ingest(
+    val res = BronzeIngest.ingest(
       spark, s"$rawDir/${contract.name}.csv", contract, runDate,
       ingestTs = Some(ingestTs))
-    summaries(contract.name) = summary
-    Validation.circuitBreak(summary, maxRejectRate)
-    write(valid, bronzePath(contract.name))
-    write(rejects, rejectPath(contract.name))
+    try {
+      summaries(contract.name) = res.summary
+      Validation.circuitBreak(res.summary, maxRejectRate)
+      write(res.valid, bronzePath(contract.name))
+      write(res.rejects, rejectPath(contract.name))
+    } finally res.unpersist()
   }
 
   /** Merge per-table summaries → `_reports/.../bronze_summary.json`
@@ -80,9 +82,13 @@ final case class MedallionPipeline(
   // Silver
   // -------------------------------------------------------------------------
   private def silverUsers(): Unit = {
+    // ingest_ts is a per-run constant, so the REAL ordering is the
+    // tiebreaks — they must cover every attribute that can differ between
+    // duplicate rows, or the surviving row is partition-order lottery.
     val deduped = Dedup.keepLatest(
       readBronze("users"), Seq("user_id"), "ingest_ts",
-      Seq(col("signup_ts").desc_nulls_last, col("country_code").desc_nulls_last))
+      Seq(col("signup_ts").desc_nulls_last, col("country_code").desc_nulls_last,
+        col("user_name").desc_nulls_last))
     val imputed = deduped
       .withColumn("country_code_imputed", col("country_code").isNull)
       .withColumn("country_code", coalesce(col("country_code"), lit("XX")))
@@ -108,7 +114,9 @@ final case class MedallionPipeline(
 
   private def silverCompetitions(): Unit = {
     val deduped = Dedup.keepLatest(
-      readBronze("competitions"), Seq("competition_id"), "ingest_ts", Nil)
+      readBronze("competitions"), Seq("competition_id"), "start_ts",
+      Seq(col("title").desc_nulls_last, col("prize_money").desc_nulls_last,
+        col("deadline_ts").desc_nulls_last))
     write(deduped.withColumn("silver_run_date", lit(runDate)), silverPath("competitions"))
   }
 
@@ -323,9 +331,11 @@ final case class MedallionPipeline(
         "bronze_competitions", "bronze_tags", "bronze_kernels"))(() => bronzeReport()),
       Task("silver_users", Seq("bronze_users", "bronze_report"))(() => silverUsers()),
       Task("silver_datasets", Seq("silver_users", "bronze_datasets"))(() => silverDatasets()),
-      Task("silver_competitions", Seq("bronze_competitions"))(() => silverCompetitions()),
+      Task("silver_competitions",
+        Seq("bronze_competitions", "bronze_report"))(() => silverCompetitions()),
       Task("silver_tags", Seq("silver_datasets", "bronze_tags"))(() => silverTags()),
-      Task("silver_kernels", Seq("bronze_kernels"))(() => silverKernels()),
+      Task("silver_kernels",
+        Seq("bronze_kernels", "bronze_report"))(() => silverKernels()),
       Task("gold_dim_user", Seq("silver_users"))(() => goldDimUser()),
       Task("gold_dim_date", Nil)(() => goldDimDate()),
       Task("gold_dim_dataset", Seq("silver_datasets"))(() => goldDimDataset()),

@@ -74,7 +74,7 @@ object EventStream {
       runDate: String
   ): DataFrame = {
     val raw = spark.readStream
-      .option("header", "true")
+      .options(graft.bronze.BronzeIngest.CsvOptions) // parse identically to batch
       .schema(contract.raw)
       .csv(watchDir)
     val named = graft.bronze.BronzeIngest.rename(raw, contract)

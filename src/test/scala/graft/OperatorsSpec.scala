@@ -46,6 +46,20 @@ class OperatorsSpec extends SparkSpecBase {
     a.size shouldBe 20 // 4 queries × k
   }
 
+  test("as-of join carries the matched right row atomically (no value mixing)") {
+    // r2 has a null value column: the left row at ts 12:00 must get
+    // (pid=2, value=null), NOT (pid=2, value=10.0) stitched from r1.
+    val left = Seq((1L, "k", ts("2024-01-01 12:00:00"))).toDF("lid", "k", "t")
+    val right = Seq(
+      ("k", ts("2024-01-01 10:00:00"), 1L, Some(10.0)),
+      ("k", ts("2024-01-01 11:00:00"), 2L, None)
+    ).toDF("k", "rt", "pid", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+      Seq("pid" -> "m_pid", "v" -> "m_v"))
+      .select("m_pid", "m_v").as[(Long, Option[Double])].head()
+    out shouldBe ((2L, None))
+  }
+
   test("batch sessionize: 30-minute gap sessions per user") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
