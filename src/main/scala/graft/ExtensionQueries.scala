@@ -159,6 +159,20 @@ object ExtensionQueries {
     )
   }
 
+  /** Edit-distance near-dup: Levenshtein over part names within brand
+    * blocks (both engines ship the classic DP levenshtein).
+    */
+  private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val p = T(s, dir).part.select("p_brand", "p_partkey", "p_name")
+    val a = p.select(col("p_brand"), col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("part_a") < col("part_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 10)
+      .select("p_brand", "part_a", "part_b", "dist")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label. */
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     NearDup.embeddingNearDupPairs(
@@ -196,6 +210,7 @@ object ExtensionQueries {
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
     "q_x_embed_neardup"   -> (qEmbedNearDup _),
+    "q_x_edit_distance"   -> (qEditDistance _),
     "q_x_multimodal_meta" -> (qMultimodalMeta _)
   )
 
@@ -348,6 +363,12 @@ object ExtensionQueries {
            |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
            |WHERE rn <= 5""".stripMargin,
+      "q_x_edit_distance" ->
+        """SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+          |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+          |FROM part a JOIN part b
+          |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          |WHERE levenshtein(a.p_name, b.p_name) <= 10""".stripMargin,
       "q_x_embed_neardup" ->
         s"""WITH $prepCte,
            |l AS (SELECT e.vec_id, e.label, n.qv, n.n2 FROM embeddings e

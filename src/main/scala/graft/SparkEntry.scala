@@ -402,6 +402,20 @@ object SparkEntry {
       .gapSessions(T(s, dir).events, Seq("user_id"), "ts", "30 MINUTE")
       .select("user_id", "session_id", "n_events", "session_start", "session_end")
 
+  /** W9: RANGE frame over date_sk — calendar-aware trailing window (unlike
+    * ROWS frames, missing days still bound the frame).
+    */
+  private def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir).orders
+      .groupBy((year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+        dayofmonth(col("o_orderdate"))).cast("int").as("date_sk"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("date_sk")).rangeBetween(-6, 0)
+    daily
+      .withColumn("range_sum", sum(col("cnt")).over(w))
+      .orderBy("date_sk")
+  }
+
   /** A2 via the native pivot operator (reference hand-pivots with
     * conditional sums; Spark has the relational operator).
     */
@@ -426,7 +440,7 @@ object SparkEntry {
       leftTs = "ts",
       rightTs = "ts",
       rightVals = Seq("pid" -> "purchase_event_id", "value" -> "last_purchase_value"),
-      rightTiebreak = Seq("purchase_event_id")
+      rightTiebreak = Seq("pid") // input-name resolution
     )
   }
 
@@ -445,6 +459,7 @@ object SparkEntry {
     T(s, dir).lineitem.agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
       count(lit(1)).as("n")
     )
 
@@ -513,6 +528,7 @@ object SparkEntry {
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
+    "q_w9_range_frame"       -> (qRangeFrame _),
     "q_u5_except_intersect"  -> (qExceptIntersect _),
     "q_w8_sessionize"        -> (qSessionize _),
     "q_a2b_pivot"            -> (qPivot _),
@@ -733,6 +749,16 @@ object SparkEntry {
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
         |  isodow(date) >= 6 AS is_weekend
         |FROM d""".stripMargin,
+    "q_w9_range_frame" ->
+      """WITH d AS (
+        |  SELECT CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+        |              + day(o_orderdate) AS INTEGER) AS date_sk,
+        |         COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1)
+        |SELECT date_sk, cnt,
+        |  CAST(SUM(cnt) OVER (ORDER BY date_sk
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum
+        |FROM d ORDER BY date_sk""".stripMargin,
     "q_a10_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents

@@ -12,7 +12,15 @@ object Verify {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Wipe stale outputs: a query that fails this run must NOT leave a
+    // previous run's parquet behind to be compared as if fresh.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val out = new java.io.File(outDir)
+    if (out.exists()) rm(out)
+    out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
