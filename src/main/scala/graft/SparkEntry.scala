@@ -107,6 +107,42 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Multi-join + agg + top-K (TPC-H Q3 shape): shipping-priority revenue.
+    * Three-way join with selective filters on both fact sides — Catalyst
+    * reorders and pushes; revenue in exact cents.
+    */
+  private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val t      = T(s, dir)
+    val cutoff = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders.filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_shipdate") > cutoff),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Five-way join through the region hierarchy (TPC-H Q5 shape): revenue
+    * by nation where supplier and customer share the nation.
+    */
+  private def qLocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
   // ===========================================================================
   // W — window functions
   // ===========================================================================
@@ -529,6 +565,8 @@ object SparkEntry {
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
     "q_w9_range_frame"       -> (qRangeFrame _),
+    "q_tpch_q3_shipping"     -> (qShippingPriority _),
+    "q_tpch_q5_local_volume" -> (qLocalSupplierVolume _),
     "q_u5_except_intersect"  -> (qExceptIntersect _),
     "q_w8_sessionize"        -> (qSessionize _),
     "q_a2b_pivot"            -> (qPivot _),
@@ -749,6 +787,25 @@ object SparkEntry {
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
         |  isodow(date) >= 6 AS is_weekend
         |FROM d""".stripMargin,
+    "q_tpch_q3_shipping" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5_local_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "q_w9_range_frame" ->
       """WITH d AS (
         |  SELECT CAST(year(o_orderdate)*10000 + month(o_orderdate)*100

@@ -84,6 +84,31 @@ object EventStream {
       .withColumn("run_date", lit(runDate))
   }
 
+  /** Streaming medallion sink: route each validated micro-batch to
+    * valid/reject parquet paths with `foreachBatch`. Micro-batch writes are
+    * append-mode; exactly-once comes from the checkpointed batch id — on
+    * restart, a replayed batch id overwrites its own output subdirectory,
+    * the standard idempotent-sink pattern.
+    */
+  def writeValidatedStream(
+      tagged: DataFrame,
+      validPath: String,
+      rejectPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          b.filter(col("reject_reason").isNull).drop("reject_reason")
+            .write.mode("overwrite").parquet(s"$validPath/batch_id=$batchId")
+          b.filter(col("reject_reason").isNotNull)
+            .write.mode("overwrite").parquet(s"$rejectPath/batch_id=$batchId")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom streaming state: running per-user totals via mapGroupsWithState

@@ -95,6 +95,26 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink routes valid/reject rows to parquet per batch") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val outV = s"$dir/valid"; val outR = s"$dir/rejects"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val tagged = graft.streaming.EventStream
+      .bronzeCsvStream(spark, s"$dir/in", graft.schema.Contracts.users, "2024-06-01")
+    val q = graft.streaming.EventStream
+      .writeValidatedStream(tagged, outV, outR, s"$dir/ckpt")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/in/f1.csv"),
+        "Id,UserName,RegisterDate,Country\nU001,alice,2023-01-01 00:00:00,US\nU002,,2023-01-01 00:00:00,DE\n")
+      q.processAllAvailable()
+      spark.read.parquet(outV).select("user_id").as[String].collect() shouldBe
+        Array("U001")
+      spark.read.parquet(outR).select("user_id", "reject_reason")
+        .as[(String, String)].collect() shouldBe Array(("U002", "user_name_is_null"))
+    } finally q.stop()
+  }
+
   test("custom state: running per-user stats accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
