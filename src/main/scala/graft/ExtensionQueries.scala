@@ -160,7 +160,10 @@ object ExtensionQueries {
   }
 
   /** Edit-distance near-dup: Levenshtein over part names within brand
-    * blocks (both engines ship the classic DP levenshtein).
+    * blocks. A length-difference prefilter (edit distance ≥ |len A − len B|)
+    * rejects pairs on an integer compare. (Spark's banded threshold variant
+    * was measured 3× SLOWER than the plain codegen'd DP here — don't "optimize"
+    * back to it.)
     */
   private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
     val p = T(s, dir).part.select("p_brand", "p_partkey", "p_name")
@@ -168,6 +171,7 @@ object ExtensionQueries {
     val b = p.select(col("p_brand"), col("p_partkey").as("part_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand"))
       .filter(col("part_a") < col("part_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 10)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 10)
       .select("p_brand", "part_a", "part_b", "dist")

@@ -60,13 +60,14 @@ object NearDup {
     * Results are unchanged — it only skips pairs the final filter would
     * reject anyway.
     */
-  /** |A∩B| picked by element type: the native sort-merge IntersectCount
-    * for long arrays (hashed shingles — the hot path), the composed form
+  /** |A∩B| picked by element type: the native IntersectCount for long
+    * arrays (hashed shingles are pre-sorted by `hashedShingles`, so the
+    * per-pair sort is skipped — pure linear merge), the composed form
     * otherwise.
     */
   private def interSize(shingled: DataFrame, a: Column, b: Column): Column =
     shingled.schema("shingles").dataType match {
-      case ArrayType(LongType, _) => intersect_count(a, b)
+      case ArrayType(LongType, _) => intersect_count(a, b, assumeSorted = true)
       case _                      => size(array_intersect(a, b))
     }
 

@@ -58,18 +58,22 @@ object TextFunctions {
     ).otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Hashed shingle SET: md5-hash each n-gram to 48 bits, then distinct.
-    * Set operations (intersect/union for Jaccard) on fixed-width longs are
-    * several times cheaper than on strings — this is the representation the
-    * near-dup operators use on the hot path. Distinct-after-hash so an
-    * (astronomically unlikely) collision merges identically in every engine.
+  /** Hashed shingle SET: md5-hash each n-gram to 48 bits, distinct, SORTED
+    * ascending. Set operations (intersect/union for Jaccard) on fixed-width
+    * longs are several times cheaper than on strings — this is the
+    * representation the near-dup operators use on the hot path. Sorting
+    * once here lets pairwise intersection run as a pure linear merge
+    * (IntersectCount assumeSorted) instead of re-sorting per pair.
+    * Distinct-after-hash so an (astronomically unlikely) collision merges
+    * identically in every engine; sorting doesn't change set semantics, so
+    * oracles are unaffected.
     */
   def hashedShingles(c: Column, n: Int): Column = {
     val lc = lower(c)
     when(
       length(lc) >= n,
-      array_distinct(transform(sequence(lit(1), length(lc) - (n - 1)),
-        i => hexHash48(lc.substr(i, lit(n)))))
+      array_sort(array_distinct(transform(sequence(lit(1), length(lc) - (n - 1)),
+        i => hexHash48(lc.substr(i, lit(n))))))
     ).otherwise(array().cast(ArrayType(org.apache.spark.sql.types.LongType)))
   }
 

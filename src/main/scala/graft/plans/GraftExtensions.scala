@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * never contain them — guarded by the rewrite rule only firing on
   * `containsNull=false` arrays).
   */
-case class IntersectCount(left: Expression, right: Expression)
+case class IntersectCount(left: Expression, right: Expression,
+    assumeSorted: Boolean = false)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = IntegerType
@@ -34,8 +35,13 @@ case class IntersectCount(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData].toLongArray()
     val xb = b.asInstanceOf[ArrayData].toLongArray()
-    java.util.Arrays.sort(xa)
-    java.util.Arrays.sort(xb)
+    // When the producer pre-sorts (NearDup sorts each shingle set ONCE),
+    // skip the per-pair sort: a document participating in k candidate
+    // pairs would otherwise be re-sorted k times.
+    if (!assumeSorted) {
+      java.util.Arrays.sort(xa)
+      java.util.Arrays.sort(xb)
+    }
     var i = 0; var j = 0; var n = 0
     var last = 0L; var hasLast = false
     while (i < xa.length && j < xb.length) {
@@ -84,9 +90,10 @@ object GraftExtensions {
 
   /** Direct column API for IntersectCount (library hot paths call this;
     * the optimizer rule covers composed user queries). Precondition:
-    * null-free long arrays.
+    * null-free long arrays; set `assumeSorted` ONLY when the producer
+    * guarantees ascending order (e.g. via array_sort).
     */
-  def intersect_count(a: Column, b: Column): Column =
+  def intersect_count(a: Column, b: Column, assumeSorted: Boolean = false): Column =
     ColumnBridge.column(
-      IntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      IntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b), assumeSorted))
 }
