@@ -50,6 +50,20 @@ final case class MedallionPipeline(
   private val summaries =
     scala.collection.concurrent.TrieMap.empty[String, Validation.DqSummary]
 
+  /** S11 — source-availability precondition (reference
+    * Meta_Guideline.md:1421-1454, 3932-3966): every contract's raw file
+    * must exist before ANY bronze work starts; fail fast with the full
+    * missing list, not on the first table mid-run.
+    */
+  private def checkSourcesAvailable(): Unit = {
+    val missing = Contracts.all
+      .map(c => s"$rawDir/${c.name}.csv")
+      .filterNot(p => new java.io.File(p).exists())
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"source availability check failed; missing: ${missing.mkString(", ")}")
+  }
+
   private def bronze(contract: Contracts.TableContract): Unit = {
     val res = BronzeIngest.ingest(
       spark, s"$rawDir/${contract.name}.csv", contract, runDate,
@@ -322,11 +336,12 @@ final case class MedallionPipeline(
   def tasks: Seq[Pipeline.Task] = {
     import Pipeline.Task
     Seq(
-      Task("bronze_users")(() => bronze(Contracts.users)),
-      Task("bronze_datasets")(() => bronze(Contracts.datasets)),
-      Task("bronze_competitions")(() => bronze(Contracts.competitions)),
-      Task("bronze_tags")(() => bronze(Contracts.tags)),
-      Task("bronze_kernels")(() => bronze(Contracts.kernels)),
+      Task("check_sources")(() => checkSourcesAvailable()),
+      Task("bronze_users", Seq("check_sources"))(() => bronze(Contracts.users)),
+      Task("bronze_datasets", Seq("check_sources"))(() => bronze(Contracts.datasets)),
+      Task("bronze_competitions", Seq("check_sources"))(() => bronze(Contracts.competitions)),
+      Task("bronze_tags", Seq("check_sources"))(() => bronze(Contracts.tags)),
+      Task("bronze_kernels", Seq("check_sources"))(() => bronze(Contracts.kernels)),
       Task("bronze_report", Seq("bronze_users", "bronze_datasets",
         "bronze_competitions", "bronze_tags", "bronze_kernels"))(() => bronzeReport()),
       Task("silver_users", Seq("bronze_users", "bronze_report"))(() => silverUsers()),
@@ -337,7 +352,7 @@ final case class MedallionPipeline(
       Task("silver_kernels",
         Seq("bronze_kernels", "bronze_report"))(() => silverKernels()),
       Task("gold_dim_user", Seq("silver_users"))(() => goldDimUser()),
-      Task("gold_dim_date", Nil)(() => goldDimDate()),
+      Task("gold_dim_date", Seq("check_sources"))(() => goldDimDate()),
       Task("gold_dim_dataset", Seq("silver_datasets"))(() => goldDimDataset()),
       Task("gold_dim_competition", Seq("silver_competitions"))(() => goldDimCompetition()),
       Task("gold_dim_tag", Seq("silver_tags"))(() => goldDimTag()),

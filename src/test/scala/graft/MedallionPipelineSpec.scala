@@ -128,7 +128,7 @@ class MedallionPipelineSpec extends SparkSpecBase {
     rep.getAs[Double]("overall_rejection_rate") should (be >= 0.0 and be <= 0.7)
   }
 
-  test("idempotent re-run: same run_date produces no duplicates") {
+  test("idempotent re-run + backfill: per-run_date partitions are independent") {
     val raw = Files.createTempDirectory("graft_raw2").toString
     val out = Files.createTempDirectory("graft_out2").toString
     writeFixtures(raw)
@@ -139,6 +139,31 @@ class MedallionPipelineSpec extends SparkSpecBase {
     p.run().succeeded shouldBe true
     val n2 = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
     n2 shouldBe n1
+
+    // backfill a second run_date: dynamic overwrite adds a partition
+    // without touching the first
+    val p2 = MedallionPipeline(spark, raw, out, "2024-06-02",
+      "2024-06-02 02:00:00", "run-b", maxRejectRate = 0.7)
+    p2.run().succeeded shouldBe true
+    val fact = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily")
+    fact.select("run_date").distinct().as[String].collect().sorted shouldBe
+      Array("2024-06-01", "2024-06-02")
+    fact.filter($"run_date" === "2024-06-01").count() shouldBe n1
+  }
+
+  test("missing source file fails fast with the full missing list") {
+    val raw = Files.createTempDirectory("graft_raw3").toString
+    val out = Files.createTempDirectory("graft_out3").toString
+    writeFixtures(raw)
+    new java.io.File(s"$raw/kernels.csv").delete()
+    new java.io.File(s"$raw/tags.csv").delete()
+    val report = MedallionPipeline(spark, raw, out, "2024-06-01",
+      "2024-06-01 02:00:00", "run-x", maxRejectRate = 0.7).run()
+    report.succeeded shouldBe false
+    // every task after check_sources is skipped — nothing was written
+    report.results.count(_.status == Pipeline.Succeeded) shouldBe 0
+    val err = report.failed.head.status.asInstanceOf[Pipeline.Failed].error.getMessage
+    err should (include("kernels.csv") and include("tags.csv"))
   }
 
   test("DAG runner: failure skips dependents, independent tasks still run") {
