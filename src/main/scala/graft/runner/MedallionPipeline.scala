@@ -50,15 +50,21 @@ final case class MedallionPipeline(
   private val summaries =
     scala.collection.concurrent.TrieMap.empty[String, Validation.DqSummary]
 
+  private def rawPath(c: Contracts.TableContract): String = s"$rawDir/${c.name}.csv"
+
   /** S11 — source-availability precondition (reference
     * Meta_Guideline.md:1421-1454, 3932-3966): every contract's raw file
     * must exist before ANY bronze work starts; fail fast with the full
-    * missing list, not on the first table mid-run.
+    * missing list, not on the first table mid-run. Existence goes through
+    * the Hadoop FileSystem so the precheck agrees with the actual read
+    * (s3a/hdfs/file URIs, not just local paths).
     */
   private def checkSourcesAvailable(): Unit = {
-    val missing = Contracts.all
-      .map(c => s"$rawDir/${c.name}.csv")
-      .filterNot(p => new java.io.File(p).exists())
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val missing = Contracts.all.map(rawPath).filterNot { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hadoopConf).exists(path)
+    }
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"source availability check failed; missing: ${missing.mkString(", ")}")
@@ -66,7 +72,7 @@ final case class MedallionPipeline(
 
   private def bronze(contract: Contracts.TableContract): Unit = {
     val res = BronzeIngest.ingest(
-      spark, s"$rawDir/${contract.name}.csv", contract, runDate,
+      spark, rawPath(contract), contract, runDate,
       ingestTs = Some(ingestTs))
     try {
       summaries(contract.name) = res.summary
@@ -333,18 +339,22 @@ final case class MedallionPipeline(
   // -------------------------------------------------------------------------
   // DAG
   // -------------------------------------------------------------------------
-  def tasks: Seq[Pipeline.Task] = {
+  /** DAG assembly. `check_sources` is attached as a dependency of every
+    * root task AUTOMATICALLY (see `tasks`), so a future dep-less task can't
+    * silently escape the nothing-written-on-missing-sources invariant.
+    */
+  private def rawTasks: Seq[Pipeline.Task] = {
     import Pipeline.Task
     Seq(
-      Task("check_sources")(() => checkSourcesAvailable()),
-      Task("bronze_users", Seq("check_sources"))(() => bronze(Contracts.users)),
-      Task("bronze_datasets", Seq("check_sources"))(() => bronze(Contracts.datasets)),
-      Task("bronze_competitions", Seq("check_sources"))(() => bronze(Contracts.competitions)),
-      Task("bronze_tags", Seq("check_sources"))(() => bronze(Contracts.tags)),
-      Task("bronze_kernels", Seq("check_sources"))(() => bronze(Contracts.kernels)),
+      Task("bronze_users")(() => bronze(Contracts.users)),
+      Task("bronze_datasets")(() => bronze(Contracts.datasets)),
+      Task("bronze_competitions")(() => bronze(Contracts.competitions)),
+      Task("bronze_tags")(() => bronze(Contracts.tags)),
+      Task("bronze_kernels")(() => bronze(Contracts.kernels)),
       Task("bronze_report", Seq("bronze_users", "bronze_datasets",
         "bronze_competitions", "bronze_tags", "bronze_kernels"))(() => bronzeReport()),
-      Task("silver_users", Seq("bronze_users", "bronze_report"))(() => silverUsers()),
+      Task("silver_users",
+        Seq("bronze_users", "bronze_report"))(() => silverUsers()),
       Task("silver_datasets", Seq("silver_users", "bronze_datasets"))(() => silverDatasets()),
       Task("silver_competitions",
         Seq("bronze_competitions", "bronze_report"))(() => silverCompetitions()),
@@ -352,7 +362,7 @@ final case class MedallionPipeline(
       Task("silver_kernels",
         Seq("bronze_kernels", "bronze_report"))(() => silverKernels()),
       Task("gold_dim_user", Seq("silver_users"))(() => goldDimUser()),
-      Task("gold_dim_date", Seq("check_sources"))(() => goldDimDate()),
+      Task("gold_dim_date")(() => goldDimDate()),
       Task("gold_dim_dataset", Seq("silver_datasets"))(() => goldDimDataset()),
       Task("gold_dim_competition", Seq("silver_competitions"))(() => goldDimCompetition()),
       Task("gold_dim_tag", Seq("silver_tags"))(() => goldDimTag()),
@@ -368,6 +378,14 @@ final case class MedallionPipeline(
         Seq("gold_fact_dataset_owner_daily", "gold_fact_competitions_yearly",
           "gold_fact_tag_usage_daily", "gold_bridge_dataset_tag"))(() => goldValidate())
     )
+  }
+
+  def tasks: Seq[Pipeline.Task] = {
+    import Pipeline.Task
+    val gate = Task("check_sources")(() => checkSourcesAvailable())
+    gate +: rawTasks.map { t =>
+      if (t.deps.isEmpty) Task(t.name, Seq(gate.name))(t.body) else t
+    }
   }
 
   def run(): Pipeline.Report = Pipeline.run(tasks)
