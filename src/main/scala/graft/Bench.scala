@@ -16,10 +16,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: pay JVM/classloader/codegen startup once, not inside the
-    // first measured query (it was otherwise charged ~6s of warmup).
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    core.Tables(spark, sfDir).lineitem.limit(1000)
-      .write.format("noop").mode("overwrite").save()
+    // first measured query (it was otherwise charged ~6s of warmup). A
+    // broken sfDir must degrade to per-query -1.0 results, not abort the
+    // whole bench before any output.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      core.Tables(spark, sfDir).lineitem.limit(1000)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

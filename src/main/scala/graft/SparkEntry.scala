@@ -438,18 +438,22 @@ object SparkEntry {
       .gapSessions(T(s, dir).events, Seq("user_id"), "ts", "30 MINUTE")
       .select("user_id", "session_id", "n_events", "session_start", "session_end")
 
-  /** W9: RANGE frame over date_sk — calendar-aware trailing window (unlike
-    * ROWS frames, missing days still bound the frame).
+  /** W9: RANGE frame over a TRUE day index (days since epoch) — a genuine
+    * trailing-7-calendar-day window even across month/year boundaries and
+    * with missing days. (A yyyymmdd-encoded int would silently break at
+    * month starts: 19980301-6 excludes all of February.)
     */
   private def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
     val daily = T(s, dir).orders
-      .groupBy((year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
-        dayofmonth(col("o_orderdate"))).cast("int").as("date_sk"))
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("date_sk")).rangeBetween(-6, 0)
+      .withColumn("day_idx",
+        datediff(col("order_date"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("day_idx")).rangeBetween(-6, 0)
     daily
       .withColumn("range_sum", sum(col("cnt")).over(w))
-      .orderBy("date_sk")
+      .select("order_date", "day_idx", "cnt", "range_sum")
+      .orderBy("order_date")
   }
 
   /** A2 via the native pivot operator (reference hand-pivots with
@@ -808,14 +812,14 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "q_w9_range_frame" ->
       """WITH d AS (
-        |  SELECT CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
-        |              + day(o_orderdate) AS INTEGER) AS date_sk,
-        |         COUNT(*) AS cnt
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
         |  FROM orders GROUP BY 1)
-        |SELECT date_sk, cnt,
-        |  CAST(SUM(cnt) OVER (ORDER BY date_sk
+        |SELECT order_date,
+        |  CAST(date_diff('day', DATE '1970-01-01', order_date) AS INTEGER) AS day_idx,
+        |  cnt,
+        |  CAST(SUM(cnt) OVER (ORDER BY date_diff('day', DATE '1970-01-01', order_date)
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum
-        |FROM d ORDER BY date_sk""".stripMargin,
+        |FROM d ORDER BY order_date""".stripMargin,
     "q_a10_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
         |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents

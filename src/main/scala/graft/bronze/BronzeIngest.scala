@@ -51,6 +51,14 @@ object BronzeIngest {
       .withColumn("source_file", input_file_name())
       .withColumn("source_system", lit(sourceSystem))
 
+  /** Raw-value copy kept alongside each coerced numeric column so the
+    * validation stage can REJECT cast failures instead of silently nulling
+    * them (timestamps deliberately stay null-on-malformed — the reference's
+    * imputable-missing semantics, SURVEY §7.4.5; a malformed counter is a
+    * data error, not a missing value).
+    */
+  private def rawCopy(c: String) = s"__raw_$c"
+
   def coerceTypes(df: DataFrame, contract: TableContract): DataFrame = {
     val ts = contract.timestampCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, try_to_timestamp(col(c), lit(TsFormat)))
@@ -59,11 +67,22 @@ object BronzeIngest {
       d.withColumn(c, Impute.parseBoolean(col(c)))
     }
     // Numeric coercion must be null-on-malformed (try_cast), never an ANSI
-    // throw — a bad "TotalViews" cell is a reject, not a job failure.
+    // throw; the raw value is preserved for the not-numeric reject rule.
     contract.numericCols.foldLeft(bools) { case (d, (c, t)) =>
-      d.withColumn(c, expr(s"try_cast($c AS $t)"))
+      d.withColumn(rawCopy(c), col(c))
+        .withColumn(c, expr(s"try_cast($c AS $t)"))
     }
   }
+
+  /** Reject rules for numeric cells that failed coercion (raw present,
+    * coerced null).
+    */
+  def castFailureRules(contract: TableContract): Seq[Validation.Rule] =
+    contract.numericCols.map { case (c, _) =>
+      Validation.Rule(s"${c}_not_numeric",
+        col(c).isNull && trim(col(rawCopy(c))) =!= "",
+        Seq(c, rawCopy(c)))
+    }
 
   /** Result of one bronze ingest. `tagged` is the CACHED parent of both
     * branches — callers must `unpersist()` it once valid/reject outputs are
@@ -94,9 +113,13 @@ object BronzeIngest {
     val named   = rename(raw, contract)
     val typed   = coerceTypes(named, contract)
     val meta    = withMetadata(typed, runDate, sourceSystem, ingestTs)
-    // Rules referencing post-explode columns (tags) don't apply at this stage.
-    val applicable = contract.rules.filter(_.refs.forall(meta.columns.contains))
-    val tagged = Validation.tagged(meta, applicable).cache()
+    // Rules referencing post-explode columns (tags) don't apply at this
+    // stage; cast-failure rules are appended after the contract rules so a
+    // row violating both gets the contract reason.
+    val applicable = (contract.rules ++ castFailureRules(contract))
+      .filter(_.refs.forall(meta.columns.contains))
+    val rawCopies = contract.numericCols.map { case (c, _) => rawCopy(c) }
+    val tagged = Validation.tagged(meta, applicable).drop(rawCopies: _*).cache()
     val summary = Validation.summarize(contract.name, tagged)
     val valid   = tagged.filter(col("reject_reason").isNull).drop("reject_reason")
     val rejects = tagged.filter(col("reject_reason").isNotNull)

@@ -61,15 +61,24 @@ object NearDup {
     * reject anyway.
     */
   /** |A∩B| picked by element type: the native IntersectCount for long
-    * arrays (hashed shingles are pre-sorted by `hashedShingles`, so the
-    * per-pair sort is skipped — pure linear merge), the composed form
-    * otherwise.
+    * arrays with assumeSorted (pure linear merge), the composed form
+    * otherwise. Long arrays are defensively `array_sort`ed in the per-ROW
+    * projection first — a no-op-cost pass for `hashedShingles` output
+    * (already sorted) that makes the per-PAIR merge valid for any caller's
+    * long shingle column. Sorting never changes set semantics.
     */
-  private def interSize(shingled: DataFrame, a: Column, b: Column): Column =
+  private def isLongShingles(shingled: DataFrame): Boolean =
     shingled.schema("shingles").dataType match {
-      case ArrayType(LongType, _) => intersect_count(a, b, assumeSorted = true)
-      case _                      => size(array_intersect(a, b))
+      case ArrayType(LongType, _) => true
+      case _                      => false
     }
+
+  private def shingleSide(shingled: DataFrame, c: Column): Column =
+    if (isLongShingles(shingled)) array_sort(c) else c
+
+  private def interSize(shingled: DataFrame, a: Column, b: Column): Column =
+    if (isLongShingles(shingled)) intersect_count(a, b, assumeSorted = true)
+    else size(array_intersect(a, b))
 
   def jaccardPairs(
       shingled: DataFrame,
@@ -77,10 +86,10 @@ object NearDup {
       blockCol: String,
       minJaccard: Double
   ): DataFrame = {
-    val a = shingled.select(
-      col(blockCol).as("block"), col(idCol).as("doc_a"), col("shingles").as("sh_a"))
-    val b = shingled.select(
-      col(blockCol).as("block"), col(idCol).as("doc_b"), col("shingles").as("sh_b"))
+    val a = shingled.select(col(blockCol).as("block"), col(idCol).as("doc_a"),
+      shingleSide(shingled, col("shingles")).as("sh_a"))
+    val b = shingled.select(col(blockCol).as("block"), col(idCol).as("doc_b"),
+      shingleSide(shingled, col("shingles")).as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(
@@ -169,7 +178,7 @@ object NearDup {
       .distinct()
     val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    candidates
+    val pairs = candidates
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .filter(
@@ -180,6 +189,13 @@ object NearDup {
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+    // Materialize the (small) result so the big intermediate cache can be
+    // released — otherwise the shingled+signed blocks stay pinned for the
+    // session lifetime.
+    val out = pairs.cache()
+    out.count()
+    shingled.unpersist()
+    out
   }
 
   // ---------------------------------------------------------------------------

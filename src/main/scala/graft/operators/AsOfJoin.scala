@@ -52,7 +52,10 @@ object AsOfJoin {
       .withColumn(ts, col(leftTs))
       .withColumn(tag, lit(1))
 
-    val r = right.select(
+    // A right row with a null timestamp can never be "the greatest ts ≤
+    // left ts" — drop it (it would otherwise sort first and leak its
+    // payload into unmatched left rows).
+    val r = right.filter(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as(ts)) ++
         rightTiebreak.zip(tbCols).map { case (in, out) => col(in).as(out) } :+
         struct(rightVals.map { case (in, out) => col(in).as(out) }: _*).as(payload): _*)

@@ -87,12 +87,11 @@ final case class MedallionPipeline(
     * overall gate before Silver (layer precondition, :2145-2184).
     */
   private def bronzeReport(): Unit = {
-    val all = summaries.values.toSeq.sortBy(_.table)
+    val all     = summaries.values.toSeq.sortBy(_.table)
+    val summary = Reports.bronzeSummary(runDate, all)
     Reports.writeJson(
-      s"$outDir/_reports/run_date=$runDate/bronze_summary.json",
-      Reports.bronzeSummary(runDate, all))
-    val overall = Reports.bronzeSummary(runDate, all)("overall_rejection_rate")
-      .asInstanceOf[Double]
+      s"$outDir/_reports/run_date=$runDate/bronze_summary.json", summary)
+    val overall = summary("overall_rejection_rate").asInstanceOf[Double]
     if (overall > maxRejectRate)
       throw new IllegalStateException(
         f"bronze overall rejection rate $overall%.4f > $maxRejectRate%.2f")
@@ -119,7 +118,9 @@ final case class MedallionPipeline(
   private def silverDatasets(): Unit = {
     val deduped = Dedup.keepLatest(
       readBronze("datasets"), Seq("dataset_id"), "updated_ts",
-      Seq(col("created_ts").desc_nulls_last))
+      Seq(col("created_ts"), col("dataset_title"), col("owner_user_id"),
+        col("total_views"), col("total_downloads"), col("is_private"),
+        col("dataset_type"), col("dataset_subtitle")).map(_.desc_nulls_last))
     val users = readSilver("users").select("user_id", "user_name", "country_code")
     val enriched = Enrich.leftWithDefaults(
       deduped, users, col("owner_user_id") === col("user_id"),
@@ -135,15 +136,16 @@ final case class MedallionPipeline(
   private def silverCompetitions(): Unit = {
     val deduped = Dedup.keepLatest(
       readBronze("competitions"), Seq("competition_id"), "start_ts",
-      Seq(col("title").desc_nulls_last, col("prize_money").desc_nulls_last,
-        col("deadline_ts").desc_nulls_last))
+      Seq(col("title"), col("prize_money"), col("deadline_ts"), col("category"))
+        .map(_.desc_nulls_last))
     write(deduped.withColumn("silver_run_date", lit(runDate)), silverPath("competitions"))
   }
 
   private def silverKernels(): Unit = {
     val deduped = Dedup.keepLatest(
       readBronze("kernels"), Seq("kernel_id"), "updated_ts",
-      Seq(col("created_ts").desc_nulls_last))
+      Seq(col("created_ts"), col("title"), col("author_user_id"))
+        .map(_.desc_nulls_last))
     write(deduped.withColumn("silver_run_date", lit(runDate)), silverPath("kernels"))
   }
 

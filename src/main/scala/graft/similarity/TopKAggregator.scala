@@ -24,8 +24,16 @@ object TopKAggregator {
 
   def topK(k: Int): Aggregator[Scored, Seq[Scored], Seq[Scored]] =
     new Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-      private def ord: Ordering[Scored] =
-        Ordering.by((s: Scored) => (-s.score, s.id))
+      // Matches Spark's `ORDER BY score DESC, id` exactly, including NaN
+      // placement: Double.compare treats NaN as greater than everything, so
+      // NaN scores rank FIRST in descending order — same as the window
+      // formulation (Ordering.by(-score) would have sorted NaN last).
+      private def ord: Ordering[Scored] = new Ordering[Scored] {
+        override def compare(x: Scored, y: Scored): Int = {
+          val c = java.lang.Double.compare(y.score, x.score)
+          if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+        }
+      }
 
       override def zero: Seq[Scored] = Vector.empty
 

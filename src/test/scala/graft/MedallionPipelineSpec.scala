@@ -33,6 +33,7 @@ class MedallionPipelineSpec extends SparkSpecBase {
         |D004,,  ,U001,10,1,2023-01-09 00:00:00,2023-01-10 00:00:00,tabular,FALSE
         |D005,Fifth,,U001,-3,1,2023-01-11 00:00:00,2023-01-12 00:00:00,tabular,FALSE
         |D006,Backwards,,U002,5,1,2023-03-01 00:00:00,2023-02-01 00:00:00,tabular,FALSE
+        |D007,Corrupt,,U001,N/A,1,2023-01-13 00:00:00,2023-01-14 00:00:00,tabular,FALSE
         |""")
     w("competitions.csv",
       """Id,Title,Category,StartDate,Deadline,PrizeMoney
@@ -67,6 +68,11 @@ class MedallionPipelineSpec extends SparkSpecBase {
     val rejects = spark.read.parquet(s"$out/_rejects/users/run_date=2024-06-01")
     rejects.select("reject_reason").as[String].collect().toSet shouldBe
       Set("country_code_bad_length", "user_name_is_null")
+
+    // malformed numeric cell is REJECTED, not silently nulled to 0
+    val dsRejects = spark.read.parquet(s"$out/_rejects/datasets/run_date=2024-06-01")
+    dsRejects.filter($"dataset_id" === "D007")
+      .select("reject_reason").as[String].head() shouldBe "total_views_not_numeric"
 
     // multiline quoted field survived CSV parse
     val bronzeUsers = spark.read.parquet(s"$out/bronze/users/run_date=2024-06-01")
