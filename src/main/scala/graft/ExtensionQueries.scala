@@ -19,9 +19,12 @@ object ExtensionQueries {
 
   private def T(s: SparkSession, dir: String): Tables = Tables(s, dir)
 
-  // DuckDB fragments shared by several oracles.
+  // DuckDB fragments shared by several oracles. The whitespace class is
+  // spelled out (TextFunctions.WsClass) — Java \s and RE2 \s disagree on
+  // vertical tab.
+  private val DWS = "[ \\t\\n\\x0B\\f\\r]"
   private val DTOKS =
-    "list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)"
+    s"list_filter(string_split_regex(text, '$DWS+'), x -> length(x) > 0)"
   private val DSHINGLES =
     "list_distinct([substring(lower(text), i, 3) for i in generate_series(1, length(text)-2)])"
   // hashed-shingle variant (48-bit md5 prefix), mirroring TextFunctions.hashedShingles
@@ -270,7 +273,7 @@ object ExtensionQueries {
           |FROM documents""".stripMargin,
       "q_x_bpe_tokens" ->
         s"""SELECT doc_id,
-           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS INTEGER) AS n_bpe_tokens,
            |  CAST(len($DTOKS) AS INTEGER) AS n_ws_tokens
            |FROM documents""".stripMargin,
       "q_x_rolling_hash" ->
@@ -294,7 +297,8 @@ object ExtensionQueries {
            |  len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
            |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-           |WHERE len(list_intersect(a.s, b.s)) * 1.0
+           |WHERE len(a.s) + len(b.s) > 0
+           |  AND len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,
       "q_x_minhash_lsh" ->
         s"""WITH sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
@@ -311,7 +315,8 @@ object ExtensionQueries {
            |  len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
            |FROM cand JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db
-           |WHERE len(list_intersect(a.s, b.s)) * 1.0
+           |WHERE len(a.s) + len(b.s) > 0
+           |  AND len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,
       "q_x_simhash_sigs" ->
         s"""WITH t AS (SELECT doc_id,
@@ -335,8 +340,8 @@ object ExtensionQueries {
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
       "q_x_cosine_topk" ->
         s"""WITH $prepCte,
-           |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10),
-           |c AS (SELECT vec_id AS neighbor_id, qv AS c_qv, n2 AS c_n2 FROM n WHERE vec_id >= 10),
+           |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10 AND n2 > 0),
+           |c AS (SELECT vec_id AS neighbor_id, qv AS c_qv, n2 AS c_n2 FROM n WHERE vec_id >= 10 AND n2 > 0),
            |s AS (SELECT query_id, neighbor_id,
            |  ${cosExpr(dot64("q_qv", "c_qv"), "q_n2", "c_n2")} AS cosine
            |  FROM q CROSS JOIN c)
@@ -346,8 +351,8 @@ object ExtensionQueries {
            |WHERE rn <= 5""".stripMargin,
       "q_x_cosine_ivf" ->
         s"""WITH $prepCte,
-           |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10),
-           |c AS (SELECT vec_id AS neighbor_id, qv AS c_qv, n2 AS c_n2 FROM n WHERE vec_id >= 10),
+           |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10 AND n2 > 0),
+           |c AS (SELECT vec_id AS neighbor_id, qv AS c_qv, n2 AS c_n2 FROM n WHERE vec_id >= 10 AND n2 > 0),
            |cents AS (SELECT neighbor_id AS cent_id, c_qv AS cent_qv, c_n2 AS cent_n2
            |          FROM c WHERE neighbor_id % 50 = 0),
            |assign AS (SELECT neighbor_id, cent_id AS cluster_id, c_qv, c_n2 FROM (
@@ -376,7 +381,7 @@ object ExtensionQueries {
       "q_x_embed_neardup" ->
         s"""WITH $prepCte,
            |l AS (SELECT e.vec_id, e.label, n.qv, n.n2 FROM embeddings e
-           |      JOIN n ON e.vec_id = n.vec_id),
+           |      JOIN n ON e.vec_id = n.vec_id WHERE n.n2 > 0),
            |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            |  ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
            |  FROM l a JOIN l b ON a.label = b.label AND a.vec_id < b.vec_id)
@@ -385,8 +390,8 @@ object ExtensionQueries {
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
           |  lower(substr(hex(encode(text)), 1, 8)) AS media_header,
-          |  CAST(64 + (doc_id % 577) AS INTEGER) AS width,
-          |  CAST(64 + (octet_length(encode(text)) % 479) AS INTEGER) AS height,
+          |  CAST(64 + (abs(doc_id) % 577) AS INTEGER) AS width,
+          |  CAST(64 + (COALESCE(octet_length(encode(text)), 0) % 479) AS INTEGER) AS height,
           |  3 AS channels
           |FROM documents""".stripMargin
     )

@@ -162,14 +162,18 @@ object SparkEntry {
       .select("user_id", "event_id", "event_type", "prev_type", "changed")
   }
 
-  /** W2+W3: SCD2 initial load from a change log (library: gold.Scd2). */
+  /** W2+W3: SCD2 initial load from a change log (library: gold.Scd2).
+    * event_type tiebreak makes same-microsecond observations (possible
+    * after ns→µs truncation) order identically in both engines.
+    */
   private def qScd2Intervals(s: SparkSession, dir: String): DataFrame =
     Scd2
       .initialLoad(
         T(s, dir).events.select("user_id", "ts", "event_type"),
         nk = Seq("user_id"),
         orderCol = "ts",
-        attrs = Seq("event_type")
+        attrs = Seq("event_type"),
+        tiebreak = Seq("event_type")
       )
       .select("user_id", "event_type", "effective_start_ts", "effective_end_ts", "is_current")
 
@@ -180,9 +184,11 @@ object SparkEntry {
     val ev     = T(s, dir).events.select("user_id", "ts", "event_type")
     val cutoff = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
     val existing = Scd2.initialLoad(
-      ev.filter(col("ts") < cutoff), Seq("user_id"), "ts", Seq("event_type"))
+      ev.filter(col("ts") < cutoff), Seq("user_id"), "ts", Seq("event_type"),
+      tiebreak = Seq("event_type"))
     val merged = Scd2.incrementalMerge(
-      existing, ev.filter(col("ts") >= cutoff), Seq("user_id"), "ts", Seq("event_type"))
+      existing, ev.filter(col("ts") >= cutoff), Seq("user_id"), "ts",
+      Seq("event_type"), tiebreak = Seq("event_type"))
     merged.select("user_id", "event_type", "effective_start_ts", "effective_end_ts", "is_current")
   }
 
@@ -307,10 +313,15 @@ object SparkEntry {
   // S/P/U — sources, projections/validation, set ops, scalar functions
   // ===========================================================================
 
-  /** S4: JSON-in-column extraction. */
+  /** S4: JSON-in-column extraction. Extraction goes through
+    * floor(try_cast AS DOUBLE) so malformed ("60x") and non-integral (50.5)
+    * values behave identically in both engines (NULL / floor) instead of
+    * engine-specific cast semantics.
+    */
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     T(s, dir).events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k",
+        expr("CAST(floor(try_cast(get_json_object(props, '$.k') AS DOUBLE)) AS BIGINT)"))
       .filter(col("k") > 50)
       .select("event_id", "event_type", "k")
 
@@ -630,28 +641,28 @@ object SparkEntry {
     "q_w3_scd2_intervals" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_ts
         |  FROM events),
         |v AS (SELECT user_id, ts, event_type FROM w
         |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, ts AS effective_start_ts,
-        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
         |           TIMESTAMP '9999-12-31 00:00:00') AS effective_end_ts,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
         |FROM v""".stripMargin,
     "q_j5_scd2_incremental" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_ts
         |  FROM events),
         |v AS (SELECT user_id, ts, event_type FROM w
         |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type, ts AS effective_start_ts,
-        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
         |           TIMESTAMP '9999-12-31 00:00:00') AS effective_end_ts,
-        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
         |FROM v""".stripMargin,
     "q_w4_surrogate_keys" ->
       """SELECT c_custkey, 1000 + row_number() OVER (ORDER BY c_custkey) AS customer_sk
@@ -676,7 +687,7 @@ object SparkEntry {
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
         |           FROM orders GROUP BY 1)
         |SELECT order_date, cnt,
-        |  SUM(cnt) OVER w AS trail_sum,
+        |  CAST(SUM(cnt) OVER w AS BIGINT) AS trail_sum,
         |  COUNT(cnt) OVER w AS trail_n,
         |  CASE WHEN COUNT(cnt) OVER w > 0
         |       THEN SUM(cnt) OVER w * 1.0 / COUNT(cnt) OVER w END AS trail_avg
@@ -712,8 +723,10 @@ object SparkEntry {
         |  (cnt - CAST(s AS DOUBLE)/n) / sqrt((ss - CAST(s*s AS DOUBLE)/n)/(n-1)) AS zscore
         |FROM d CROSS JOIN st ORDER BY order_date""".stripMargin,
     "q_s4_json_extract" ->
-      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+      """SELECT event_id, event_type,
+        |  CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT) > 50""".stripMargin,
     "q_s5_inmemory_union" ->
       """SELECT CAST(-1 AS INTEGER) AS r_regionkey, 'UNKNOWN' AS r_name
         |UNION ALL SELECT r_regionkey, r_name FROM region
@@ -858,7 +871,7 @@ object SparkEntry {
       """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
         |           GROUP BY o_orderpriority)
         |SELECT o_orderpriority, cnt,
-        |  ROUND(cnt * 100.0 / CAST(SUM(cnt) OVER () AS BIGINT), 2) AS pct
+        |  ROUND(cnt * 100e0 / CAST(SUM(cnt) OVER () AS BIGINT), 2) AS pct
         |FROM c ORDER BY o_orderpriority""".stripMargin,
     "q_sql_freshness" ->
       """SELECT 'orders' AS table_name, CAST(MAX(o_orderdate) AS DATE) AS latest FROM orders

@@ -92,6 +92,9 @@ object NearDup {
       shingleSide(shingled, col("shingles")).as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
+      // two empty sets would make jaccard 0/0 = NaN (which Spark's >= keeps
+      // but SQL NULL semantics drop) — exclude them explicitly
+      .filter(size(col("sh_a")) + size(col("sh_b")) > 0)
       .filter(
         size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
         size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
@@ -181,6 +184,7 @@ object NearDup {
     val pairs = candidates
       .join(sa, "doc_a")
       .join(sb, "doc_b")
+      .filter(size(col("sh_a")) + size(col("sh_b")) > 0) // no 0/0 NaN
       .filter(
         size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
         size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
@@ -216,7 +220,7 @@ object NearDup {
       minCosine: Double
   ): DataFrame = {
     import graft.similarity.CosineTopK
-    val prepped = CosineTopK.prepare(df, vecCol)
+    val prepped = CosineTopK.prepareNonZero(df, vecCol)
       .select(col(blockCol).as("block"), col(idCol), col("qv"), col("norm2"))
     val a = prepped.select(col("block"), col(idCol).as("vec_a"),
       col("qv").as("qa"), col("norm2").as("na"))

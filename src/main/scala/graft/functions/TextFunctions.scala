@@ -16,12 +16,18 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object TextFunctions {
 
+  /** Explicit whitespace class shared by every tokenizer: Java's `\s`
+    * includes vertical tab but RE2's (DuckDB) does not — spelling the class
+    * out keeps both engines identical on control characters.
+    */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+
   /** Whitespace tokens, empties filtered (split+filter matches DuckDB's
     * `list_filter(string_split_regex(...))` exactly, including
     * leading/trailing-space behavior).
     */
   def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > 0)
+    filter(split(c, WsClass + "+"), t => length(t) > 0)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -108,7 +114,7 @@ object TextFunctions {
     * pre-tokenizer (GPT-2 style `\p{L}+|\p{N}+|[^\s\p{L}\p{N}]`).
     */
   def bpeTokens(c: Column): Column =
-    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    regexp_extract_all(lower(c), lit(s"[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))
 
   /** Polynomial rolling hash over the character stream:
     * fold(acc*31 + codepoint) mod 1e9+7. Portable: DuckDB computes the same

@@ -35,13 +35,19 @@ object Scd2 {
     * @param orderCol change-timestamp column name
     * @param attrs    tracked attribute columns (change in any ⇒ new version)
     */
+  /** @param tiebreak extra ordering columns for observations sharing a
+    *                  change timestamp — REQUIRED for deterministic version
+    *                  selection whenever (nk, orderCol) isn't unique.
+    */
   def initialLoad(
       changes: DataFrame,
       nk: Seq[String],
       orderCol: String,
-      attrs: Seq[String]
+      attrs: Seq[String],
+      tiebreak: Seq[String] = Nil
   ): DataFrame = {
-    val w = Window.partitionBy(nk.map(col): _*).orderBy(col(orderCol))
+    val ordering = (orderCol +: tiebreak).map(col)
+    val w = Window.partitionBy(nk.map(col): _*).orderBy(ordering: _*)
 
     // W2 — change detection: keep first row per NK + rows where any tracked
     // attribute differs from its lag. Null-safe equality so null→value and
@@ -55,15 +61,17 @@ object Scd2 {
       .drop("__is_change")
 
     // W3 — interval close-out: lead() with HIGH_TS default.
-    close(versions, nk, orderCol)
+    close(versions, nk, orderCol, tiebreak)
   }
 
   /** Recompute end timestamps + is_current for a set of versions whose
     * `effective_start_ts` is `orderCol`. Type-preserving: works for both
     * TIMESTAMP and TIMESTAMP_NTZ order columns.
     */
-  private def close(versions: DataFrame, nk: Seq[String], orderCol: String): DataFrame = {
-    val w    = Window.partitionBy(nk.map(col): _*).orderBy(col(orderCol))
+  private def close(versions: DataFrame, nk: Seq[String], orderCol: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(nk.map(col): _*)
+      .orderBy((orderCol +: tiebreak).map(col): _*)
     val high = lit(HighTs).cast(versions.schema(orderCol).dataType)
     val next = lead(col(orderCol), 1).over(w)
     versions
@@ -87,7 +95,8 @@ object Scd2 {
       batch: DataFrame,
       nk: Seq[String],
       orderCol: String,
-      attrs: Seq[String]
+      attrs: Seq[String],
+      tiebreak: Seq[String] = Nil
   ): DataFrame = {
     val touchedKeys = batch.select(nk.map(col): _*).distinct()
     val untouched   = existing.join(touchedKeys, nk, "left_anti")
@@ -96,7 +105,7 @@ object Scd2 {
       .select((nk :+ orderCol).map(col) ++ attrs.map(col): _*)
     val combined =
       touchedOld.unionByName(batch.select((nk :+ orderCol).map(col) ++ attrs.map(col): _*))
-    val rebuilt = initialLoad(combined, nk, orderCol, attrs)
+    val rebuilt = initialLoad(combined, nk, orderCol, attrs, tiebreak)
     untouched.unionByName(rebuilt)
   }
 

@@ -42,6 +42,13 @@ object CosineTopK {
     df.withColumn("qv", quantize(col(vecCol)))
       .withColumn("norm2", dotQ(col("qv"), col("qv")))
 
+  /** prepare + drop zero-norm vectors: cosine of a zero vector is 0/0 =
+    * NaN, whose ordering differs between Spark (NaN ranks first DESC) and
+    * SQL NULL semantics — every similarity entry point excludes them.
+    */
+  def prepareNonZero(df: DataFrame, vecCol: String): DataFrame =
+    prepare(df, vecCol).filter(col("norm2") > 0)
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows. Queries are broadcast; ties break on corpus id.
     */
@@ -52,9 +59,9 @@ object CosineTopK {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = prepare(queries, vecCol)
+    val q = prepareNonZero(queries, vecCol)
       .select(col(idCol).as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_n2"))
-    val c = prepare(corpus, vecCol)
+    val c = prepareNonZero(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col("qv").as("c_qv"), col("norm2").as("c_n2"))
     val scored = c
       .crossJoin(broadcast(q))
@@ -84,9 +91,9 @@ object CosineTopK {
       centroidPred: Column,
       nprobe: Int
   ): DataFrame = {
-    val cents = prepare(corpus.filter(centroidPred), vecCol)
+    val cents = prepareNonZero(corpus.filter(centroidPred), vecCol)
       .select(col(idCol).as("cent_id"), col("qv").as("cent_qv"), col("norm2").as("cent_n2"))
-    val c = prepare(corpus, vecCol)
+    val c = prepareNonZero(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col("qv").as("c_qv"), col("norm2").as("c_n2"))
 
     // Assign each corpus vector to its nearest centroid (one linear pass,
@@ -101,7 +108,7 @@ object CosineTopK {
       .select(col("neighbor_id"), col("cent_id").as("cluster_id"), col("c_qv"), col("c_n2"))
 
     // Each query probes its nprobe nearest centroids.
-    val q = prepare(queries, vecCol)
+    val q = prepareNonZero(queries, vecCol)
       .select(col(idCol).as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_n2"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("p_cos").desc, col("cent_id"))
     val probes = q

@@ -63,9 +63,9 @@ object TopKAggregator {
   ): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val q = CosineTopK.prepare(queries, vecCol)
+    val q = CosineTopK.prepareNonZero(queries, vecCol)
       .select(col(idCol).as("query_id"), col("qv").as("q_qv"), col("norm2").as("q_n2"))
-    val c = CosineTopK.prepare(corpus, vecCol)
+    val c = CosineTopK.prepareNonZero(corpus, vecCol)
       .select(col(idCol).as("neighbor_id"), col("qv").as("c_qv"), col("norm2").as("c_n2"))
     val scored = c
       .crossJoin(broadcast(q))

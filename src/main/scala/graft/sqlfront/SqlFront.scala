@@ -41,8 +41,11 @@ object SqlFront {
       """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
         |           GROUP BY o_orderpriority)
         |SELECT o_orderpriority, cnt,
-        |  ROUND(cnt * 100.0 / SUM(cnt) OVER (), 2) AS pct
+        |  ROUND(cnt * 100e0 / SUM(cnt) OVER (), 2) AS pct
         |FROM c ORDER BY o_orderpriority""".stripMargin)
+      // 100e0, not 100.0: a decimal literal would type the quotient as
+      // DECIMAL in Spark SQL (scale-6 HALF_UP) while the oracle computes
+      // in DOUBLE — double-rounding divergence at .xx5 boundaries.
   }
 
   /** Multi-table freshness (reference UNION ALL freshness checks
