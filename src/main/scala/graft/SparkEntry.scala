@@ -467,6 +467,34 @@ object SparkEntry {
       .orderBy("order_date")
   }
 
+  /** Time-series gap filling: left join daily counts onto a dense calendar
+    * spine (`sequence` + explode) so missing days appear as zero — the
+    * standard completeness step before any trailing-window analytics.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir).orders
+      .groupBy(col("o_orderdate").cast("date").as("order_date"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily.agg(min("order_date").as("lo"), max("order_date").as("hi"))
+    val spine = bounds.select(
+      explode(sequence(col("lo"), col("hi"))).as("order_date"))
+    spine
+      .join(daily, Seq("order_date"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("is_gap", col("cnt") === 0L)
+      .orderBy("order_date")
+  }
+
+  /** A9b: exact interpolated percentiles PER GROUP. */
+  private def qGroupPercentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** A2 via the native pivot operator (reference hand-pivots with
     * conditional sums; Spark has the relational operator).
     */
@@ -580,6 +608,8 @@ object SparkEntry {
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
     "q_w9_range_frame"       -> (qRangeFrame _),
+    "q_o_gap_fill"           -> (qGapFill _),
+    "q_a9b_group_percentiles" -> (qGroupPercentiles _),
     "q_tpch_q3_shipping"     -> (qShippingPriority _),
     "q_tpch_q5_local_volume" -> (qLocalSupplierVolume _),
     "q_u5_except_intersect"  -> (qExceptIntersect _),
@@ -804,6 +834,22 @@ object SparkEntry {
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
         |  isodow(date) >= 6 AS is_weekend
         |FROM d""".stripMargin,
+    "q_o_gap_fill" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(order_date) AS lo, MAX(order_date) AS hi FROM d),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |            AS order_date FROM b)
+        |SELECT spine.order_date, COALESCE(d.cnt, 0) AS cnt,
+        |  COALESCE(d.cnt, 0) = 0 AS is_gap
+        |FROM spine LEFT JOIN d ON spine.order_date = d.order_date
+        |ORDER BY spine.order_date""".stripMargin,
+    "q_a9b_group_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_tpch_q3_shipping" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents

@@ -109,6 +109,30 @@ object EventStream {
       }
       .start()
 
+  /** Stream–stream interval join: attribute each purchase to the same
+    * user's click within the preceding hour. Both sides are watermarked so
+    * the join state is bounded — Spark drops buffered rows once the
+    * watermark passes the interval bound.
+    */
+  def purchaseAttribution(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "inner")
+      .select("user_id", "purchase_id", "purchase_ts", "value", "click_id", "click_ts")
+  }
+
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom streaming state: running per-user totals via mapGroupsWithState

@@ -95,6 +95,27 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks    = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = graft.streaming.EventStream
+      .purchaseAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 0),
+        ev(2, "2024-01-01 08:00:00", 1, "click", 0), // > 1h before → no match
+        ev(3, "2024-01-01 10:05:00", 2, "click", 0)) // other user
+      purchases.addData(ev(10, "2024-01-01 10:30:00", 1, "purchase", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribution")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect()
+      rows shouldBe Array((10L, 1L))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink routes valid/reject rows to parquet per batch") {
     val dir  = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val outV = s"$dir/valid"; val outR = s"$dir/rejects"
