@@ -189,6 +189,31 @@ object ExtensionQueries {
   // Multimodal
   // ---------------------------------------------------------------------------
 
+  /** Frame sampling (video-style one-to-many media explode). */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    BinaryMedia.sampleFrames(
+      BinaryMedia.attachMedia(T(s, dir).documents, "text"), "doc_id", 4)
+
+  /** TF-IDF-ish top terms per document with INTEGER-safe scoring
+    * (tf·10⁶ div df — no transcendental ln, which isn't bit-identical
+    * across math libraries).
+    */
+  private def qTfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docsTokens = T(s, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = docsTokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = docsTokens.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").as("rank"), col("token"),
+        col("tf"), col("df"), col("score"))
+  }
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val media   = BinaryMedia.withMediaMeta(BinaryMedia.attachMedia(T(s, dir).documents, "text"))
     val decoded = BinaryMedia.decodeBatch(media, "doc_id")
@@ -218,7 +243,9 @@ object ExtensionQueries {
     "q_x_cosine_ivf"      -> (qCosineIvf _),
     "q_x_embed_neardup"   -> (qEmbedNearDup _),
     "q_x_edit_distance"   -> (qEditDistance _),
-    "q_x_multimodal_meta" -> (qMultimodalMeta _)
+    "q_x_multimodal_meta" -> (qMultimodalMeta _),
+    "q_x_frame_sample"    -> (qFrameSample _),
+    "q_x_tfidf_top_terms" -> (qTfidfTopTerms _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -386,6 +413,21 @@ object ExtensionQueries {
            |  ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
            |  FROM l a JOIN l b ON a.label = b.label AND a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, label, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+      "q_x_frame_sample" ->
+        """SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+          |  (COALESCE(octet_length(encode(text)), 0) * 31 + f.i) % 997 AS frame_feature
+          |FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) f""".stripMargin,
+      "q_x_tfidf_top_terms" ->
+        s"""WITH dt AS (SELECT doc_id, unnest($DTOKS) AS token FROM documents),
+           |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+           |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM dt GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           |         (tf.tf * 1000000) // df.df AS score
+           |       FROM tf JOIN df USING (token))
+           |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, token, tf, df, score
+           |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY score DESC, token) AS rnk FROM sc)
+           |WHERE rnk <= 3""".stripMargin,
       "q_x_multimodal_meta" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,

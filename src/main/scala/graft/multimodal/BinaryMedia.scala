@@ -32,6 +32,19 @@ object BinaryMedia {
     df.withColumn("media_bytes", octet_length(col("media")).cast("long"))
       .withColumn("media_header", lower(substring(hex(col("media")), 1, 8)))
 
+  /** Frame sampling for video-like media: explode each media row into
+    * `nFrames` frame rows with a deterministic pseudo-feature (the decode
+    * itself is stubbed like `decodeBatch` — the one-to-many explode shape,
+    * schema, and per-frame keying are the real Spark plumbing).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, nFrames: Int): DataFrame =
+    df.select(col(idCol), col("media"))
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_feature",
+        (coalesce(octet_length(col("media")).cast("long"), lit(0L)) * 31
+          + col("frame_idx")) % 997)
+      .drop("media")
+
   val DecodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
