@@ -162,22 +162,27 @@ object ExtensionQueries {
     )
   }
 
-  /** Edit-distance near-dup: Levenshtein over part names within brand
-    * blocks. A length-difference prefilter (edit distance ≥ |len A − len B|)
-    * rejects pairs on an integer compare. (Spark's banded threshold variant
-    * was measured 3× SLOWER than the plain codegen'd DP here — don't "optimize"
-    * back to it.)
+  /** Edit-distance near-dup: Levenshtein over part names within
+    * (brand, size) blocks at threshold 3 — genuine near-misses on 7-12 char
+    * names, not the near-vacuous dist≤10. Blocking granularity is THE cost
+    * lever for pairwise ops: brand alone gives 8M pairs at sf0.1; adding
+    * size cuts it ~50×. A length-difference prefilter (edit distance ≥
+    * |len A − len B|) rejects pairs on an integer compare. (Spark's banded
+    * threshold levenshtein variant measured 3× SLOWER than the plain
+    * codegen'd DP — don't "optimize" back to it.)
     */
   private def qEditDistance(s: SparkSession, dir: String): DataFrame = {
-    val p = T(s, dir).part.select("p_brand", "p_partkey", "p_name")
-    val a = p.select(col("p_brand"), col("p_partkey").as("part_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand"), col("p_partkey").as("part_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
+    val p = T(s, dir).part.select("p_brand", "p_size", "p_partkey", "p_name")
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
       .filter(col("part_a") < col("part_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 10)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 3)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 10)
-      .select("p_brand", "part_a", "part_b", "dist")
+      .filter(col("dist") <= 3)
+      .select("p_brand", "p_size", "part_a", "part_b", "dist")
   }
 
   /** Embedding-cosine near-dup pairs, blocked by label. */
@@ -400,11 +405,13 @@ object ExtensionQueries {
            |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
            |WHERE rn <= 5""".stripMargin,
       "q_x_edit_distance" ->
-        """SELECT a.p_brand, a.p_partkey AS part_a, b.p_partkey AS part_b,
+        """SELECT a.p_brand, a.p_size, a.p_partkey AS part_a, b.p_partkey AS part_b,
           |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
           |FROM part a JOIN part b
-          |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-          |WHERE levenshtein(a.p_name, b.p_name) <= 10""".stripMargin,
+          |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          | AND a.p_partkey < b.p_partkey
+          |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+          |  AND levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
       "q_x_embed_neardup" ->
         s"""WITH $prepCte,
            |l AS (SELECT e.vec_id, e.label, n.qv, n.n2 FROM embeddings e
