@@ -207,8 +207,9 @@ object ExtensionQueries {
     val docsTokens = T(s, dir).documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = docsTokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = docsTokens.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // tf already has one row per distinct (doc, token): df is a cheap
+    // re-aggregation of it — no second corpus scan/explode/countDistinct.
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
     tf.join(df, "token")

@@ -18,7 +18,6 @@ object PipelineBench {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     val raw = Files.createTempDirectory("graft_pbench_raw").toString
     val out = Files.createTempDirectory("graft_pbench_out").toString
@@ -82,8 +81,19 @@ object PipelineBench {
       pipelineRunId = "pipeline-bench").run()
     val secs = (System.nanoTime() - t0) / 1e9
     println(report.toString)
-    val factRows = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
+    // A failed run leaves no gold output — the metric line must still print
+    // (its `succeeded` field exists exactly for that case).
+    val factRows =
+      if (report.succeeded)
+        spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
+      else -1L
     println(s"""{"metric":"pipeline_e2e","value":$secs,"unit":"sec","users":$nUsers,"datasets":$nDatasets,"fact_rows":$factRows,"succeeded":${report.succeeded}}""")
     spark.stop()
+    // benchmark workspaces would otherwise accumulate gigabytes per run
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    Seq(raw, out).foreach(p => rm(new java.io.File(p)))
   }
 }

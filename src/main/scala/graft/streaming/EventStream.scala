@@ -109,10 +109,13 @@ object EventStream {
       }
       .start()
 
-  /** Stream–stream interval join: attribute each purchase to the same
-    * user's click within the preceding hour. Both sides are watermarked so
-    * the join state is bounded — Spark drops buffered rows once the
-    * watermark passes the interval bound.
+  /** Stream–stream interval join: pair each purchase with EVERY click by
+    * the same user within the preceding hour (one output row per qualifying
+    * click — interval-join semantics, so summing `value` over the output
+    * multi-counts it; last-click attribution needs a downstream
+    * max-by-click_ts aggregation). Both sides are watermarked so the join
+    * state is bounded — Spark drops buffered rows once the watermark passes
+    * the interval bound.
     */
   def purchaseAttribution(
       clicks: DataFrame,
