@@ -191,6 +191,33 @@ object ExtensionQueries {
       T(s, dir).embeddings, "vec_id", "embedding", "label", minCosine = 0.4)
 
   // ---------------------------------------------------------------------------
+  // Deterministic sampling / splitting / mixing
+  // ---------------------------------------------------------------------------
+  import graft.sampling.DeterministicSampling
+
+  private def qDetSample(s: SparkSession, dir: String): DataFrame =
+    DeterministicSampling.sample(T(s, dir).documents, col("doc_id"), rateBp = 2000)
+      .select("doc_id", "lang")
+
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    DeterministicSampling.stratifiedSample(
+      T(s, dir).documents, col("lang"), col("doc_id"),
+      ratesBp = Map("en" -> 1000), defaultBp = 5000)
+      .select("doc_id", "lang")
+
+  private def qTrainValTestSplit(s: SparkSession, dir: String): DataFrame =
+    DeterministicSampling.split(T(s, dir).documents, col("doc_id"),
+      valBp = 1000, testBp = 1000)
+      .select("doc_id", "lang", "split")
+
+  private def qUpsample(s: SparkSession, dir: String): DataFrame = {
+    val weight = when(col("lang") === "de", 3)
+      .when(col("lang") === "zh", 2).otherwise(1)
+    DeterministicSampling.upsample(T(s, dir).documents, weight)
+      .select("doc_id", "lang", "copy_idx")
+  }
+
+  // ---------------------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------------------
 
@@ -251,7 +278,11 @@ object ExtensionQueries {
     "q_x_edit_distance"   -> (qEditDistance _),
     "q_x_multimodal_meta" -> (qMultimodalMeta _),
     "q_x_frame_sample"    -> (qFrameSample _),
-    "q_x_tfidf_top_terms" -> (qTfidfTopTerms _)
+    "q_x_tfidf_top_terms" -> (qTfidfTopTerms _),
+    "q_x_det_sample"      -> (qDetSample _),
+    "q_x_stratified_sample" -> (qStratifiedSample _),
+    "q_x_train_val_test"  -> (qTrainValTestSplit _),
+    "q_x_upsample"        -> (qUpsample _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -436,6 +467,25 @@ object ExtensionQueries {
            |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
            |        ORDER BY score DESC, token) AS rnk FROM sc)
            |WHERE rnk <= 3""".stripMargin,
+      "q_x_det_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's0'), 1, 12))::BIGINT % 10000 < 2000""".stripMargin,
+      "q_x_stratified_sample" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's0'), 1, 12))::BIGINT % 10000
+          |      < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END""".stripMargin,
+      "q_x_train_val_test" ->
+        """SELECT doc_id, lang,
+          |  CASE WHEN b < 1000 THEN 'val'
+          |       WHEN b < 2000 THEN 'test'
+          |       ELSE 'train' END AS split
+          |FROM (SELECT doc_id, lang,
+          |        ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 12))::BIGINT % 10000 AS b
+          |      FROM documents)""".stripMargin,
+      "q_x_upsample" ->
+        """SELECT doc_id, lang, CAST(c.i AS INTEGER) AS copy_idx
+          |FROM documents, LATERAL (SELECT unnest(generate_series(1,
+          |  CASE WHEN lang = 'de' THEN 3 WHEN lang = 'zh' THEN 2 ELSE 1 END)) AS i) c""".stripMargin,
       "q_x_multimodal_meta" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
