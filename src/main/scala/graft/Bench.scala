@@ -50,8 +50,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val total  = results.map(_._2).filter(_ >= 0).sum
+    // `failed` is explicit so a query that starts throwing can never read
+    // as a speedup of the headline total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,8 +5,15 @@ package graft
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = core.GraftSession.local(8)
-    val dir   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // Same session shape as Bench/Verify (SPARK_GRAFT_CPUS) — explained
+    // plans must match the plans the harness actually executes.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = core.GraftSession
+      .builder(master = s"local[$cpus]", appName = "graft-explain",
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_a1_pricing_summary", "q_j1_enrich_defaults", "q_j3_sk_lookup",
       "q_w1_dedup_latest", "q_x_minhash_lsh", "q_x_cosine_topk")

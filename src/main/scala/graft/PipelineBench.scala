@@ -90,10 +90,6 @@ object PipelineBench {
     println(s"""{"metric":"pipeline_e2e","value":$secs,"unit":"sec","users":$nUsers,"datasets":$nDatasets,"fact_rows":$factRows,"succeeded":${report.succeeded}}""")
     spark.stop()
     // benchmark workspaces would otherwise accumulate gigabytes per run
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    Seq(raw, out).foreach(p => rm(new java.io.File(p)))
+    Seq(raw, out).foreach(p => core.Fs.rmTree(new java.io.File(p)))
   }
 }

@@ -14,13 +14,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Wipe stale outputs: a query that fails this run must NOT leave a
     // previous run's parquet behind to be compared as if fresh.
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     val out = new java.io.File(outDir)
-    if (out.exists()) rm(out)
+    if (out.exists()) core.Fs.rmTree(out)
     out.mkdirs()
+    // Write the oracle manifest FIRST: it depends only on SparkEntry, so a
+    // later hung/OOM-killed query costs that one query, not the whole
+    // round (a missing manifest would make the driver's json.load fail and
+    // silently zero every result). Control-char-safe JSON via Reports.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      runner.Reports.toJson(SparkEntry.oracleSql))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -28,11 +30,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Full control-char-safe JSON emission (shared with runner.Reports) —
-    // a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      runner.Reports.toJson(SparkEntry.oracleSql))
     spark.stop()
   }
 }

@@ -21,13 +21,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is Parquet TIMESTAMP(NANOS) → read as Long (see
-    * GraftSession) and truncated to microseconds with integer division
-    * (ns values ~1.7e18 exceed double precision — `div`, not `/`).
+  /** events.ts is Parquet TIMESTAMP(NANOS) → read as Long and truncated to
+    * microseconds with integer division (ns values ~1.7e18 exceed double
+    * precision — `div`, not `/`).
+    *
+    * Robust against sessions NOT built by GraftSession: the nanosAsLong
+    * conf is (re)applied at read time, and the NTZ construction goes
+    * through `timestampadd` on an NTZ epoch literal — timezone-independent,
+    * unlike `timestamp_micros(...).cast(ntz)` which would shift by the
+    * session offset on a non-UTC session.
     */
-  def events: DataFrame =
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

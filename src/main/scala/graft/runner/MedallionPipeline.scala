@@ -174,9 +174,12 @@ final case class MedallionPipeline(
       hist, Seq(col("effective_start_ts"), col("user_id")), "user_sk")
     val unknown = spark.createDataFrame(
       java.util.List.of(
+        // Instant-based construction: Timestamp.valueOf would interpret the
+        // literal in the JVM default zone, diverging from the UTC session
+        // literals on non-UTC hosts.
         org.apache.spark.sql.Row(0L, "-1", null, "Unknown", "XX",
-          java.sql.Timestamp.valueOf("1970-01-01 00:00:00"),
-          java.sql.Timestamp.valueOf(Scd2.HighTs), true)),
+          java.sql.Timestamp.from(java.time.Instant.parse("1970-01-01T00:00:00Z")),
+          java.sql.Timestamp.from(java.time.Instant.parse("9999-12-31T00:00:00Z")), true)),
       new org.apache.spark.sql.types.StructType()
         .add("user_sk", "long", false).add("user_id", "string")
         .add("change_ts", "timestamp").add("user_name", "string")

@@ -28,7 +28,20 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if not oracle:
+        print("FAIL: oracle_sql.json is empty — nothing would be checked")
+        sys.exit(1)
+    # every dumped result must have an oracle entry (rows-only queries are
+    # the explicit exception list) — a dropped/renamed oracle key must not
+    # silently skip verification
+    ROWS_ONLY = {"q_a4b_approx_distinct"}
+    dumped = {d for d in os.listdir(outdir)
+              if os.path.isdir(os.path.join(outdir, d))}
+    unchecked = dumped - set(oracle) - ROWS_ONLY
     n_pass = n_fail = 0
+    if unchecked:
+        print(f"FAIL: result dirs with no oracle entry: {sorted(unchecked)}")
+        n_fail += len(unchecked)
     for name in sorted(oracle):
         res_glob = f"{outdir}/{name}/*.parquet"
         try:
