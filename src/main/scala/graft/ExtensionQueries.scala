@@ -162,6 +162,14 @@ object ExtensionQueries {
     )
   }
 
+  private def qCosineLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).embeddings
+    CosineTopK.lshTopK(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      idCol = "vec_id", vecCol = "embedding", k = 3, nBits = 6)
+  }
+
   /** Edit-distance near-dup: Levenshtein over part names within
     * (brand, size) blocks at threshold 3 — genuine near-misses on 7-12 char
     * names, not the near-vacuous dist≤10. Blocking granularity is THE cost
@@ -274,6 +282,7 @@ object ExtensionQueries {
     "q_x_cosine_topk"     -> (qCosineTopK _),
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
+    "q_x_cosine_lsh"      -> (qCosineLsh _),
     "q_x_embed_neardup"   -> (qEmbedNearDup _),
     "q_x_edit_distance"   -> (qEditDistance _),
     "q_x_multimodal_meta" -> (qMultimodalMeta _),
@@ -444,6 +453,25 @@ object ExtensionQueries {
           | AND a.p_partkey < b.p_partkey
           |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
           |  AND levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+      "q_x_cosine_lsh" ->
+        s"""WITH $prepCte,
+           |bkt AS (SELECT vec_id, qv, n2, CAST(list_sum([
+           |  CASE WHEN list_sum([qv[i] * (CASE WHEN (i*7 + j*13) % 2 = 0 THEN 1 ELSE -1 END)
+           |                      for i in generate_series(1, 64)]) > 0
+           |       THEN (1::BIGINT << j) ELSE 0 END
+           |  for j in generate_series(0, 5)]) AS BIGINT) AS bucket
+           |  FROM n WHERE n2 > 0),
+           |q AS (SELECT vec_id AS query_id, bucket, qv AS q_qv, n2 AS q_n2
+           |      FROM bkt WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, bucket, qv AS c_qv, n2 AS c_n2
+           |      FROM bkt WHERE vec_id >= 10),
+           |s AS (SELECT query_id, neighbor_id, bucket,
+           |  ${cosExpr(dot64("q_qv", "c_qv"), "q_n2", "c_n2")} AS cosine
+           |  FROM q JOIN c USING (bucket))
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cosine, bucket
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+           |WHERE rn <= 3""".stripMargin,
       "q_x_embed_neardup" ->
         s"""WITH $prepCte,
            |l AS (SELECT e.vec_id, e.label, n.qv, n.n2 FROM embeddings e

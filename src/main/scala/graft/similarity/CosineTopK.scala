@@ -74,6 +74,54 @@ object CosineTopK {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Sign-random-hyperplane LSH bucket (SimHash for vectors): bit j is the
+    * sign of the projection onto a deterministic ±1 hyperplane
+    * (s_ij = +1 iff (i·7 + j·13) mod 2 = 0). Cosine-similar vectors land in
+    * the same bucket with high probability; integer arithmetic end-to-end
+    * so the oracle reproduces buckets exactly.
+    */
+  def signLshBucket(qv: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(qv, sequence(lit(1), size(qv)),
+          (x, i) => x * when((i * 7 + lit(j) * 13) % 2 === 0, 1L).otherwise(-1L)),
+        lit(0L), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: corpus hashed once into 2^nBits
+    * buckets, each query searches ONLY its own bucket — the join is an
+    * equi-join on the bucket id (one shuffle of bucket-ids, no cross
+    * product). Recall is tunable via nBits (fewer bits = bigger buckets =
+    * higher recall, more compute); multi-probe (flipping low-confidence
+    * bits) is the standard extension.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int
+  ): DataFrame = {
+    val q = prepareNonZero(queries, vecCol)
+      .withColumn("bucket", signLshBucket(col("qv"), nBits))
+      .select(col(idCol).as("query_id"), col("bucket"),
+        col("qv").as("q_qv"), col("norm2").as("q_n2"))
+    val c = prepareNonZero(corpus, vecCol)
+      .withColumn("bucket", signLshBucket(col("qv"), nBits))
+      .select(col(idCol).as("neighbor_id"), col("bucket"),
+        col("qv").as("c_qv"), col("norm2").as("c_n2"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(c, "bucket")
+      .withColumn("cosine", cosine(dotQ(col("q_qv"), col("c_qv")), col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine", "bucket")
+  }
+
   /** IVF (inverted-file) approximate top-k.
     *
     * @param centroidPred deterministic predicate choosing centroid rows from
