@@ -34,6 +34,38 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("append mode: watermark finalizes windows and drops late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = graft.streaming.EventStream
+      .windowedTypeCounts(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_append")
+      .outputMode("append").start()
+    try {
+      // watermark after this batch: 12:00 - 10min = 11:50 → window
+      // [10:00,11:00) is final
+      input.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // LATE: 10:30 is behind the 11:50 watermark → dropped, must not
+      // reopen or alter the finalized window
+      input.addData(ev(3, "2024-01-01 10:30:00", 1, "click", 5.0))
+      q.processAllAvailable()
+      // advance far enough to finalize the 12:00 window too
+      input.addData(ev(4, "2024-01-01 14:30:00", 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(ev(5, "2024-01-01 16:30:00", 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_append")
+        .select("window_start", "event_type", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      rows should contain((ts("2024-01-01 10:00:00"), "click", 1L)) // late row NOT counted
+      rows should contain((ts("2024-01-01 12:00:00"), "click", 1L))
+      rows.count(_._1 == ts("2024-01-01 10:00:00")) shouldBe 1 // emitted exactly once
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
@@ -43,10 +75,13 @@ class EventStreamSpec extends SparkSpecBase {
     try {
       input.addData(
         ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
-        ev(1, "2024-01-01 10:00:30", 1, "click", 1.0), // duplicate id
+        ev(1, "2024-01-01 10:00:30", 3, "click", 1.0), // duplicate event_id, other user
         ev(2, "2024-01-01 10:01:00", 2, "view", 2.0))
       q.processAllAvailable()
-      spark.table("dedup_out").count() shouldBe 2
+      // survivors identified by id — a count alone couldn't distinguish
+      // deduping on event_id from deduping on user_id
+      spark.table("dedup_out").select("event_id").as[Long].collect().sorted shouldBe
+        Array(1L, 2L)
     } finally q.stop()
   }
 

@@ -96,7 +96,10 @@ class MedallionPipelineSpec extends SparkSpecBase {
       .filter($"n" =!= 1).count() shouldBe 0
 
     // fact invariant: total = private + public, all SKs resolve or are 0
+    // (non-emptiness first — a zero-count invariant is vacuous on an
+    // empty fact)
     val fact = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily")
+    fact.count() should be > 0L
     fact.filter($"datasets_count" =!= $"private_datasets_count" + $"public_datasets_count")
       .count() shouldBe 0
 
@@ -118,9 +121,11 @@ class MedallionPipelineSpec extends SparkSpecBase {
     val bridge = spark.read.parquet(s"$out/gold/bridge_dataset_tag")
     bridge.count() should be >= 1L
     val compYearly = spark.read.parquet(s"$out/gold/fact_competitions_yearly")
+    compYearly.count() should be > 0L
     compYearly.filter($"competitions_count" < $"active_competitions_count")
       .count() shouldBe 0
     val tagUsage = spark.read.parquet(s"$out/gold/fact_tag_usage_daily")
+    tagUsage.count() should be > 0L
     tagUsage.filter($"usage_count" < $"new_usage_count").count() shouldBe 0
 
     // bronze_summary.json report: parseable, five tables, sane overall rate
@@ -142,6 +147,7 @@ class MedallionPipelineSpec extends SparkSpecBase {
       "2024-06-01 02:00:00", "run-a", maxRejectRate = 0.7)
     p.run().succeeded shouldBe true
     val n1 = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
+    n1 should be > 0L // 0==0 idempotency would be vacuous
     p.run().succeeded shouldBe true
     val n2 = spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
     n2 shouldBe n1

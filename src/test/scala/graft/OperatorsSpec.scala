@@ -122,20 +122,24 @@ class OperatorsSpec extends SparkSpecBase {
   }
 
   test("native FloatVecDot matches the functional formulation (interpreted + codegen)") {
-    val df = Seq(
-      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
-      (Array(0.5f, -0.5f), Array(2f, 2f))
-    ).toDF("a", "b")
+    // interpreted path (LocalRelation gets constant-folded with eval())
+    val local = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    local.select(VectorExpressions.float_dot($"a", $"b")).as[Double].head() shouldBe
+      32.0 +- 1e-9
+    local.select(VectorExpressions.float_cosine($"a", $"a")).as[Double].head() shouldBe
+      1.0 +- 1e-12
+
+    // codegen path: spark.range is NOT a LocalRelation, so the optimizer
+    // can't pre-evaluate and doGenCode actually runs
+    val df = spark.range(3)
+      .withColumn("a", transform(sequence(lit(1), lit(4)),
+        i => (i + col("id")).cast("float")))
+      .withColumn("b", transform(sequence(lit(1), lit(4)),
+        i => (i * 2 - col("id")).cast("float")))
     val native = df.select(VectorExpressions.float_dot($"a", $"b")).as[Double].collect()
     val functional = df.select(
       aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v)).as[Double].collect()
     native shouldBe functional
-    native(0) shouldBe 32.0 +- 1e-9
-    native(1) shouldBe 0.0 +- 1e-9
-
-    // cosine of identical vectors is 1
-    df.select(VectorExpressions.float_cosine($"a", $"a")).as[Double].head() shouldBe
-      1.0 +- 1e-12
   }
 }

@@ -30,11 +30,24 @@ class SamplingSpec extends SparkSpecBase {
     big.values.toSet shouldBe Set("train", "val", "test")
   }
 
-  test("stratified rates apply per stratum") {
+  test("stratified rates apply per stratum (including fractional rates)") {
     val out = DeterministicSampling.stratifiedSample(
       corpus, $"lang", $"id", Map("lang0" -> 0), defaultBp = 10000)
     out.filter($"lang" === "lang0").count() shouldBe 0
     out.filter($"lang" =!= "lang0").count() shouldBe 750
+
+    // fractional rate: roughly proportional, and NESTED in a larger rate
+    // (bucket < 1000 implies bucket < 5000 for the same salt) — this is
+    // what catches a rate-scaling bug that 0/10000 can't see
+    val r10 = DeterministicSampling.stratifiedSample(
+      corpus, $"lang", $"id", Map("lang1" -> 1000), defaultBp = 5000)
+    val lang1At10 = r10.filter($"lang" === "lang1").as[(Long, String)].collect().map(_._1).toSet
+    lang1At10.size.toDouble shouldBe 25.0 +- 20.0 // 10% of 250, hash-uniform
+    val r50 = DeterministicSampling.stratifiedSample(
+      corpus, $"lang", $"id", Map("lang1" -> 5000), defaultBp = 5000)
+    val lang1At50 = r50.filter($"lang" === "lang1").as[(Long, String)].collect().map(_._1).toSet
+    lang1At10.subsetOf(lang1At50) shouldBe true
+    lang1At50.size should be > lang1At10.size
   }
 
   test("upsample repeats rows by weight; non-positive drops") {

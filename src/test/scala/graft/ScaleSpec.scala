@@ -61,9 +61,19 @@ class ScaleSpec extends SparkSpecBase {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("b_fact").join(spark.table("b_dim"), Seq("k"))
-      val plan = formatted(joined)
+      // simple-mode plan string renders "Exchange hashpartitioning(...)"
+      // inline; formatted mode splits node name and arguments onto
+      // different lines and would make this assertion vacuous
+      val plan = joined.queryExecution.executedPlan.toString
       plan should include("SortMergeJoin")
       plan should not include "Exchange hashpartitioning"
+      // sanity: the same join WITHOUT bucketing does shuffle — proves the
+      // assertion is capable of failing
+      val unbucketed = spark.table("b_fact").select("k", "payload")
+        .repartition(4)
+        .join(spark.table("b_dim").select("k", "dname").repartition(4), Seq("k"))
+      unbucketed.queryExecution.executedPlan.toString should
+        include("Exchange hashpartitioning")
       joined.count() shouldBe 1000
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
@@ -74,9 +84,9 @@ class ScaleSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(dir)
     val fact = spark.read.parquet(dir)
     val dim  = (0L until 100L).map(k => (k, s"d$k")).toDF("k", "dname")
-    val plan = formatted(
-      graft.silver.Enrich.leftWithDefaults(fact, dim, fact("k") === dim("k"),
-        Map("dname" -> "Unknown")))
+    val plan = graft.silver.Enrich
+      .leftWithDefaults(fact, dim, fact("k") === dim("k"), Map("dname" -> "Unknown"))
+      .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     plan should not include "Exchange hashpartitioning"
   }

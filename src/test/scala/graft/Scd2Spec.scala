@@ -66,10 +66,12 @@ class Scd2Spec extends SparkSpecBase {
           df.filter($"change_ts" < cut), Seq("user_id"), "change_ts", Seq("val"))
         val merged = Scd2.incrementalMerge(
           existing, df.filter($"change_ts" >= cut), Seq("user_id"), "change_ts", Seq("val"))
+        invariants(merged) // merged output must satisfy SCD2 invariants itself
         val cols = Seq("user_id", "val", "effective_start_ts", "effective_end_ts", "is_current")
-        val a = merged.select(cols.map(col): _*).collect().toSet
-        val b = dim.select(cols.map(col): _*).collect().toSet
-        a shouldBe b
+        // multiset compare (toSet would hide duplication bugs in the merge)
+        def rowsOf(d: org.apache.spark.sql.DataFrame) =
+          d.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+        rowsOf(merged) shouldBe rowsOf(dim)
       }
     }
   }

@@ -39,11 +39,18 @@ class SimilaritySpec extends SparkSpecBase {
     out.toSet shouldBe Set(10L, 11L, 12L) // only the e1 cluster searched
   }
 
-  test("quantized cosine is deterministic across recomputation") {
-    val df = Seq((1L, vec(0.123456f, -0.654321f, 0.5f))).toDF("vec_id", "embedding")
-    val a = CosineTopK.prepare(df, "embedding").select("norm2").as[Long].head()
-    val b = CosineTopK.prepare(df, "embedding").select("norm2").as[Long].head()
-    a shouldBe b
-    a should be > 0L
+  test("quantized cosine is invariant under partitioning (the determinism the quantization buys)") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (10L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = (0L until 3L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      CosineTopK.bruteForce(queries, c, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // different physical partitionings → bit-identical ranks AND scores
+    // (a raw float fold would be partition-order dependent)
+    run(corpus.repartition(1)) shouldBe run(corpus.repartition(7))
   }
 }

@@ -44,10 +44,16 @@ class ValidationSpec extends SparkSpecBase {
   }
 
   test("top reject reasons ordered by count with deterministic tiebreak") {
-    val (_, rejects) = Validation.split(df, rules)
+    // distinct counts so the count ordering is actually exercised:
+    // z_reason×3, a_reason×2, m_reason×1
+    val rejects = Seq(
+      "z_reason", "z_reason", "z_reason", "a_reason", "a_reason", "m_reason")
+      .toDF("reject_reason")
     val top = Validation.topRejectReasons(rejects, 2).as[(String, Long)].collect()
-    top.length shouldBe 2
-    // three distinct reasons, each count 1 → lexicographic tiebreak
-    top.map(_._1) shouldBe top.map(_._1).sorted
+    top shouldBe Array(("z_reason", 3L), ("a_reason", 2L))
+    // tiebreak: equal counts resolve lexicographically
+    val tied = Seq("b_r", "a_r").toDF("reject_reason")
+    Validation.topRejectReasons(tied, 2).as[(String, Long)].collect() shouldBe
+      Array(("a_r", 1L), ("b_r", 1L))
   }
 }

@@ -42,6 +42,20 @@ def main():
     if unchecked:
         print(f"FAIL: result dirs with no oracle entry: {sorted(unchecked)}")
         n_fail += len(unchecked)
+    # rows-only queries still get the weaker check the driver applies:
+    # the dump exists and has rows
+    for name in sorted(ROWS_ONLY):
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+            if n > 0:
+                print(f"PASS {name} (rows-only, {n} rows)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: rows-only dump is empty")
+                n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name}: rows-only dump unreadable: {e}")
+            n_fail += 1
     for name in sorted(oracle):
         res_glob = f"{outdir}/{name}/*.parquet"
         try:
