@@ -32,6 +32,19 @@ object BinaryMedia {
     df.withColumn("media_bytes", octet_length(col("media")).cast("long"))
       .withColumn("media_header", lower(substring(hex(col("media")), 1, 8)))
 
+  /** Resize planning: aspect-preserving target dimensions to fit maxDim
+    * (the arithmetic every image-resize pipeline runs before the codec
+    * call; the pixel work itself belongs in the decodeBatch stub).
+    * Pure integer/double expressions — deterministic.
+    */
+  def withResizeDims(decoded: DataFrame, maxDim: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = when(longest > maxDim, lit(maxDim.toDouble) / longest).otherwise(1.0)
+    decoded
+      .withColumn("resize_width", round(col("width") * scale).cast("int"))
+      .withColumn("resize_height", round(col("height") * scale).cast("int"))
+  }
+
   /** Frame sampling for video-like media: explode each media row into
     * `nFrames` frame rows with a deterministic pseudo-feature (the decode
     * itself is stubbed like `decodeBatch` — the one-to-many explode shape,

@@ -104,10 +104,18 @@ object CosineTopK {
       idCol: String,
       vecCol: String,
       k: Int,
-      nBits: Int
+      nBits: Int,
+      multiProbe: Boolean = false
   ): DataFrame = {
+    // multi-probe: each query also searches the nBits buckets at Hamming
+    // distance 1 from its own (flip one bit) — the standard recall boost
+    // that costs probe-count× lookups, NOT a bigger index.
+    val probeBuckets = if (multiProbe) {
+      val b = signLshBucket(col("qv"), nBits)
+      array_distinct(array(b +: (0 until nBits).map(j => b.bitwiseXOR(lit(1L << j))): _*))
+    } else array(signLshBucket(col("qv"), nBits))
     val q = prepareNonZero(queries, vecCol)
-      .withColumn("bucket", signLshBucket(col("qv"), nBits))
+      .withColumn("bucket", explode(probeBuckets))
       .select(col(idCol).as("query_id"), col("bucket"),
         col("qv").as("q_qv"), col("norm2").as("q_n2"))
     val c = prepareNonZero(corpus, vecCol)

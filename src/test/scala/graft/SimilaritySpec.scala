@@ -39,6 +39,37 @@ class SimilaritySpec extends SparkSpecBase {
     out.toSet shouldBe Set(10L, 11L, 12L) // only the e1 cluster searched
   }
 
+  test("multi-probe LSH recall dominates single-probe and both are subsets of brute force") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (10L until 400L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val queries = (0L until 5L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val truth = CosineTopK.bruteForce(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(multiProbe: Boolean): Double = {
+      val got = CosineTopK.lshTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, nBits = 5, multiProbe = multiProbe)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.count(truth) / truth.size.toDouble
+    }
+    val single = recall(multiProbe = false)
+    val multi  = recall(multiProbe = true)
+    multi should be >= single
+    multi should be > 0.0
+  }
+
+  test("resize planning preserves aspect ratio and caps the longest side") {
+    val decoded = Seq((1L, 640, 480, 3), (2L, 100, 50, 3), (3L, 200, 800, 3))
+      .toDF("doc_id", "width", "height", "channels")
+    val out = graft.multimodal.BinaryMedia.withResizeDims(decoded, maxDim = 256)
+      .select("doc_id", "resize_width", "resize_height")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    out(1L) shouldBe ((256, 192)) // 640x480 → fit 256
+    out(2L) shouldBe ((100, 50))  // already fits → untouched
+    out(3L) shouldBe ((64, 256))  // portrait
+  }
+
   test("quantized cosine is invariant under partitioning (the determinism the quantization buys)") {
     val rnd = new scala.util.Random(11)
     val corpus = (10L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))
