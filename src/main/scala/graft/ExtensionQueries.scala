@@ -198,6 +198,29 @@ object ExtensionQueries {
     NearDup.embeddingNearDupPairs(
       T(s, dir).embeddings, "vec_id", "embedding", "label", minCosine = 0.4)
 
+  /** The composite curation pipeline — quality filter → exact dedup (keep
+    * canonical) → deterministic sample — chained as ONE dataflow, the way a
+    * production corpus-curation job runs it. Each stage is a library
+    * operator; the oracle recomputes the identical chain.
+    */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val en = LangMarkers.toMap.apply("en")
+    val scored = T(s, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", markerScore(col("toks"), en))
+      // quality gate: enough tokens and some stopword mass
+      .filter(col("n_tokens") >= 20 && col("n_stop") * 100 >= col("n_tokens") * 5)
+    val canonical = scored
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    graft.sampling.DeterministicSampling
+      .sample(canonical, col("doc_id"), rateBp = 5000, salt = "curate")
+      .select("doc_id", "lang", "n_tokens", "n_stop")
+  }
+
   // ---------------------------------------------------------------------------
   // Deterministic sampling / splitting / mixing
   // ---------------------------------------------------------------------------
@@ -291,7 +314,8 @@ object ExtensionQueries {
     "q_x_det_sample"      -> (qDetSample _),
     "q_x_stratified_sample" -> (qStratifiedSample _),
     "q_x_train_val_test"  -> (qTrainValTestSplit _),
-    "q_x_upsample"        -> (qUpsample _)
+    "q_x_upsample"        -> (qUpsample _),
+    "q_x_curation_pipeline" -> (qCurationPipeline _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -495,6 +519,21 @@ object ExtensionQueries {
            |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
            |        ORDER BY score DESC, token) AS rnk FROM sc)
            |WHERE rnk <= 3""".stripMargin,
+      "q_x_curation_pipeline" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(len($DTOKS) AS INTEGER) AS n_tokens,
+           |    CAST(${dMarker(markers.toMap.apply("en"))
+                 .replace("toks", DTOKS)} AS INTEGER) AS n_stop
+           |  FROM documents),
+           |gated AS (SELECT * FROM scored
+           |          WHERE n_tokens >= 20 AND n_stop * 100 >= n_tokens * 5),
+           |canonical AS (SELECT * FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY
+           |      md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+           |    ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1)
+           |SELECT doc_id, lang, n_tokens, n_stop FROM canonical
+           |WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'curate'), 1, 12))::BIGINT % 10000 < 5000""".stripMargin,
       "q_x_det_sample" ->
         """SELECT doc_id, lang FROM documents
           |WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's0'), 1, 12))::BIGINT % 10000 < 2000""".stripMargin,
