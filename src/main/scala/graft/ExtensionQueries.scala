@@ -480,7 +480,9 @@ object ExtensionQueries {
       "q_x_cosine_lsh" ->
         s"""WITH $prepCte,
            |bkt AS (SELECT vec_id, qv, n2, CAST(list_sum([
-           |  CASE WHEN list_sum([qv[i] * (CASE WHEN (i*7 + j*13) % 2 = 0 THEN 1 ELSE -1 END)
+           |  CASE WHEN list_sum([qv[i] *
+           |      (CASE WHEN ((((64*j + i) * 2654435761) % 4294967296) >> 16) & 1 = 1
+           |            THEN 1 ELSE -1 END)
            |                      for i in generate_series(1, 64)]) > 0
            |       THEN (1::BIGINT << j) ELSE 0 END
            |  for j in generate_series(0, 5)]) AS BIGINT) AS bucket

@@ -75,21 +75,24 @@ object PipelineBench {
       lit("2023-04-02 00:00:00").as("LastUpdatedDate"))
     csv("kernels", kernels)
 
-    val t0 = System.nanoTime()
-    val report = runner.MedallionPipeline(spark, raw, out,
-      runDate = "2024-06-01", ingestTs = "2024-06-01 02:00:00",
-      pipelineRunId = "pipeline-bench").run()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(report.toString)
-    // A failed run leaves no gold output — the metric line must still print
-    // (its `succeeded` field exists exactly for that case).
-    val factRows =
-      if (report.succeeded)
-        spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
-      else -1L
-    println(s"""{"metric":"pipeline_e2e","value":$secs,"unit":"sec","users":$nUsers,"datasets":$nDatasets,"fact_rows":$factRows,"succeeded":${report.succeeded}}""")
-    spark.stop()
-    // benchmark workspaces would otherwise accumulate gigabytes per run
-    Seq(raw, out).foreach(p => core.Fs.rmTree(new java.io.File(p)))
+    try {
+      val t0 = System.nanoTime()
+      val report = runner.MedallionPipeline(spark, raw, out,
+        runDate = "2024-06-01", ingestTs = "2024-06-01 02:00:00",
+        pipelineRunId = "pipeline-bench").run()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(report.toString)
+      // A failed run leaves no gold output — the metric line must still
+      // print (its `succeeded` field exists exactly for that case).
+      val factRows =
+        if (report.succeeded)
+          spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
+        else -1L
+      println(s"""{"metric":"pipeline_e2e","value":$secs,"unit":"sec","users":$nUsers,"datasets":$nDatasets,"fact_rows":$factRows,"succeeded":${report.succeeded}}""")
+    } finally {
+      spark.stop()
+      // gigabytes of benchmark workspace must go even on a thrown run
+      Seq(raw, out).foreach(p => core.Fs.rmTree(new java.io.File(p)))
+    }
   }
 }

@@ -40,9 +40,13 @@ object BinaryMedia {
   def withResizeDims(decoded: DataFrame, maxDim: Int): DataFrame = {
     val longest = greatest(col("width"), col("height"))
     val scale = when(longest > maxDim, lit(maxDim.toDouble) / longest).otherwise(1.0)
+    // floor of 1: an extreme aspect ratio must not round the short side to
+    // a zero-pixel target
     decoded
-      .withColumn("resize_width", round(col("width") * scale).cast("int"))
-      .withColumn("resize_height", round(col("height") * scale).cast("int"))
+      .withColumn("resize_width",
+        greatest(lit(1), round(col("width") * scale).cast("int")))
+      .withColumn("resize_height",
+        greatest(lit(1), round(col("height") * scale).cast("int")))
   }
 
   /** Frame sampling for video-like media: explode each media row into

@@ -75,16 +75,22 @@ object CosineTopK {
   }
 
   /** Sign-random-hyperplane LSH bucket (SimHash for vectors): bit j is the
-    * sign of the projection onto a deterministic ±1 hyperplane
-    * (s_ij = +1 iff (i·7 + j·13) mod 2 = 0). Cosine-similar vectors land in
-    * the same bucket with high probability; integer arithmetic end-to-end
-    * so the oracle reproduces buckets exactly.
+    * sign of the projection onto a deterministic ±1 hyperplane whose signs
+    * come from a multiplicative hash of (j, i):
+    * `(((64j + i) · 2654435761) mod 2³²) >> 16 & 1`. (A naive parity like
+    * `(7i+13j) mod 2` collapses every hyperplane to ± the same one — two
+    * effective buckets regardless of nBits; the Knuth multiplier gives
+    * independent pseudo-random sign patterns, ~58 of 64 buckets populated
+    * on the test embeddings.) Integer arithmetic end-to-end so the oracle
+    * reproduces buckets exactly.
     */
   def signLshBucket(qv: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
         zip_with(qv, sequence(lit(1), size(qv)),
-          (x, i) => x * when((i * 7 + lit(j) * 13) % 2 === 0, 1L).otherwise(-1L)),
+          (x, i) => x * when(
+            shiftright(((lit(64L) * j + i) * lit(2654435761L)) % lit(4294967296L), 16)
+              .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
         lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -109,13 +115,16 @@ object CosineTopK {
   ): DataFrame = {
     // multi-probe: each query also searches the nBits buckets at Hamming
     // distance 1 from its own (flip one bit) — the standard recall boost
-    // that costs probe-count× lookups, NOT a bigger index.
-    val probeBuckets = if (multiProbe) {
-      val b = signLshBucket(col("qv"), nBits)
-      array_distinct(array(b +: (0 until nBits).map(j => b.bitwiseXOR(lit(1L << j))): _*))
-    } else array(signLshBucket(col("qv"), nBits))
+    // that costs probe-count× lookups, NOT a bigger index. The bucket is
+    // computed ONCE into a column; the probes are cheap XORs of it (not
+    // nBits+1 copies of the projection aggregates).
     val q = prepareNonZero(queries, vecCol)
-      .withColumn("bucket", explode(probeBuckets))
+      .withColumn("__b", signLshBucket(col("qv"), nBits))
+      .withColumn("bucket",
+        if (multiProbe)
+          explode(array_distinct(array(
+            col("__b") +: (0 until nBits).map(j => col("__b").bitwiseXOR(lit(1L << j))): _*)))
+        else col("__b"))
       .select(col(idCol).as("query_id"), col("bucket"),
         col("qv").as("q_qv"), col("norm2").as("q_n2"))
     val c = prepareNonZero(corpus, vecCol)

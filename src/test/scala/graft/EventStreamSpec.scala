@@ -57,9 +57,11 @@ class EventStreamSpec extends SparkSpecBase {
       q.processAllAvailable()
       input.addData(ev(5, "2024-01-01 16:30:00", 2, "view", 1.0))
       q.processAllAvailable()
+      // keep duplicates (no toSet): re-emission of a finalized window must
+      // be visible to the exactly-once count
       val rows = spark.table("win_append")
         .select("window_start", "event_type", "cnt")
-        .as[(Timestamp, String, Long)].collect().toSet
+        .as[(Timestamp, String, Long)].collect()
       rows should contain((ts("2024-01-01 10:00:00"), "click", 1L)) // late row NOT counted
       rows should contain((ts("2024-01-01 12:00:00"), "click", 1L))
       rows.count(_._1 == ts("2024-01-01 10:00:00")) shouldBe 1 // emitted exactly once

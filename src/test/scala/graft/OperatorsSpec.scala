@@ -135,7 +135,7 @@ class OperatorsSpec extends SparkSpecBase {
       .withColumn("a", transform(sequence(lit(1), lit(4)),
         i => (i + col("id")).cast("float")))
       .withColumn("b", transform(sequence(lit(1), lit(4)),
-        i => (i * 2 - col("id")).cast("float")))
+        i => (i * 2 - col("id") * 3).cast("float"))) // goes negative for id≥1
     val native = df.select(VectorExpressions.float_dot($"a", $"b")).as[Double].collect()
     val functional = df.select(
       aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),

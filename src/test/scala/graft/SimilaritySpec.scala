@@ -57,6 +57,12 @@ class SimilaritySpec extends SparkSpecBase {
     val multi  = recall(multiProbe = true)
     multi should be >= single
     multi should be > 0.0
+    // the hash must actually spread the corpus — a degenerate hyperplane
+    // family (e.g. parity of i+j) collapses to ≤3 buckets
+    val nBuckets = CosineTopK.prepareNonZero(corpus, "embedding")
+      .select(CosineTopK.signLshBucket(col("qv"), 5).as("b"))
+      .distinct().count()
+    nBuckets should be > 8L
   }
 
   test("resize planning preserves aspect ratio and caps the longest side") {
