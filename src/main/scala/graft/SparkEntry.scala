@@ -325,6 +325,35 @@ object SparkEntry {
       .filter(col("k") > 50)
       .select("event_id", "event_type", "k")
 
+  /** Repo-local CSV fixture exercising every contract-CSV edge the bronze
+    * ingest must survive: quoted multiline field, `""` escape, embedded
+    * comma, malformed timestamp (null-on-malformed, row stays valid),
+    * non-numeric counter (reject), blank/null natural keys, negative
+    * counter, reversed timestamp pair. Reference Meta_Guideline.md:905-910.
+    */
+  val CsvFixturePath = "/root/repo/fixtures/datasets_contract.csv"
+
+  /** S1: full contract-CSV bronze ingest (read → rename → coerce →
+    * metadata → validate-tag) over the edge-case fixture. The one §2 source
+    * operator whose semantics (multiLine, escape, ANSI try_to_timestamp /
+    * try_cast null-on-malformed) parquet scans never exercise.
+    */
+  private def qCsvContract(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.bronze.BronzeIngest.ingest(
+      s, CsvFixturePath, graft.schema.Contracts.datasets,
+      runDate = "2024-06-01", sourceSystem = "contract_csv",
+      ingestTs = Some("2024-06-01 00:00:00"))
+    val out = r.tagged.select(
+      col("dataset_id"), col("dataset_title"), col("dataset_subtitle"),
+      col("owner_user_id"), col("total_views"), col("total_downloads"),
+      col("created_ts").cast("timestamp_ntz").as("created_ts"),
+      col("updated_ts").cast("timestamp_ntz").as("updated_ts"),
+      col("dataset_type"), col("is_private"),
+      col("run_date"), col("source_system"), col("reject_reason"))
+    r.unpersist()
+    out
+  }
+
   /** S5+U1: in-memory Unknown row unioned onto a scanned dim. */
   private def qInmemoryUnion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -589,6 +618,7 @@ object SparkEntry {
     "q_j4_fk_integrity"      -> (qFkIntegrity _),
     "q_j5_scd2_incremental"  -> (qScd2Incremental _),
     "q_j7_zscore_daily"      -> (qZscoreDaily _),
+    "q_s1_csv_contract"      -> (qCsvContract _),
     "q_s4_json_extract"      -> (qJsonExtract _),
     "q_s5_inmemory_union"    -> (qInmemoryUnion _),
     "q_u1_union_subsets"     -> (qUnionSubsets _),
@@ -761,6 +791,42 @@ object SparkEntry {
       """SELECT CAST(-1 AS INTEGER) AS r_regionkey, 'UNKNOWN' AS r_name
         |UNION ALL SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey""".stripMargin,
+    // Same CSV dialect (header, quote='"', escape='"'), same coercions
+    // (try_strptime/TRY_CAST null-on-malformed), same first-match-wins rule
+    // chain as BronzeIngest.ingest over Contracts.datasets.
+    "q_s1_csv_contract" ->
+      s"""WITH raw AS (
+        |  SELECT * FROM read_csv('$CsvFixturePath',
+        |    header=true, quote='"', escape='"',
+        |    columns={'Id':'VARCHAR','Title':'VARCHAR','Subtitle':'VARCHAR',
+        |             'CreatorUserId':'VARCHAR','TotalViews':'VARCHAR',
+        |             'TotalDownloads':'VARCHAR','CreationDate':'VARCHAR',
+        |             'LastUpdatedDate':'VARCHAR','Type':'VARCHAR','IsPrivate':'VARCHAR'})),
+        |typed AS (
+        |  SELECT Id AS dataset_id, Title AS dataset_title, Subtitle AS dataset_subtitle,
+        |    CreatorUserId AS owner_user_id,
+        |    TRY_CAST(TotalViews AS BIGINT) AS total_views, TotalViews AS raw_views,
+        |    TRY_CAST(TotalDownloads AS BIGINT) AS total_downloads, TotalDownloads AS raw_downloads,
+        |    try_strptime(CreationDate, '%Y-%m-%d %H:%M:%S') AS created_ts,
+        |    try_strptime(LastUpdatedDate, '%Y-%m-%d %H:%M:%S') AS updated_ts,
+        |    Type AS dataset_type,
+        |    CASE WHEN upper(IsPrivate) = 'TRUE' THEN true
+        |         WHEN upper(IsPrivate) = 'FALSE' THEN false END AS is_private
+        |  FROM raw)
+        |SELECT dataset_id, dataset_title, dataset_subtitle, owner_user_id,
+        |  total_views, total_downloads, created_ts, updated_ts, dataset_type, is_private,
+        |  '2024-06-01' AS run_date, 'contract_csv' AS source_system,
+        |  CASE WHEN dataset_id IS NULL THEN 'dataset_id_is_null'
+        |       WHEN trim(dataset_id) = '' THEN 'dataset_id_is_empty'
+        |       WHEN dataset_title IS NULL THEN 'dataset_title_is_null'
+        |       WHEN owner_user_id IS NULL THEN 'owner_user_id_is_null'
+        |       WHEN total_views < 0 THEN 'total_views_negative'
+        |       WHEN total_downloads < 0 THEN 'total_downloads_negative'
+        |       WHEN updated_ts < created_ts THEN 'updated_ts_before_created_ts'
+        |       WHEN total_views IS NULL AND trim(raw_views) <> '' THEN 'total_views_not_numeric'
+        |       WHEN total_downloads IS NULL AND trim(raw_downloads) <> '' THEN 'total_downloads_not_numeric'
+        |  END AS reject_reason
+        |FROM typed""".stripMargin,
     "q_u1_union_subsets" ->
       """SELECT o_orderkey, o_orderpriority, 'hot' AS bucket FROM orders
         |WHERE o_orderpriority = '1-URGENT'
