@@ -198,6 +198,15 @@ object SparkEntry {
       .referenceMode(T(s, dir).customer, Seq(col("c_custkey")), "customer_sk", offset = 1000L)
       .select("c_custkey", "customer_sk")
 
+  /** W4b: surrogate keys, scalable mode (range-sort + zipWithIndex — no
+    * single-partition window). The ordering is total, so the assigned SKs
+    * are identical to reference mode and the two queries share one oracle.
+    */
+  private def qSurrogateKeysScalable(s: SparkSession, dir: String): DataFrame =
+    SurrogateKeys
+      .scalableMode(T(s, dir).customer, Seq(col("c_custkey")), "customer_sk", offset = 1000L)
+      .select("c_custkey", "customer_sk")
+
   /** W5: YoY growth via lag over yearly totals. */
   private def qYoyGrowth(s: SparkSession, dir: String): DataFrame = {
     val yearly = T(s, dir).orders
@@ -609,6 +618,7 @@ object SparkEntry {
     "q_w2_lag_changes"       -> (qLagChanges _),
     "q_w3_scd2_intervals"    -> (qScd2Intervals _),
     "q_w4_surrogate_keys"    -> (qSurrogateKeys _),
+    "q_w4b_surrogate_keys_scalable" -> (qSurrogateKeysScalable _),
     "q_w5_yoy_growth"        -> (qYoyGrowth _),
     "q_w6_pct_of_total"      -> (qPctOfTotal _),
     "q_w7_trailing_window"   -> (qTrailingWindow _),
@@ -650,8 +660,12 @@ object SparkEntry {
     "q_sql_freshness"        -> (graft.sqlfront.SqlFront.freshness _)
   )
 
-  def oracleSql: Map[String, String] =
-    ExtensionQueries.oracleSql ++ parityOracleSql
+  def oracleSql: Map[String, String] = {
+    val m = ExtensionQueries.oracleSql ++ parityOracleSql
+    // scalable-mode SKs are value-identical to reference mode under a total
+    // ordering — the whole point; the two queries share one oracle
+    m + ("q_w4b_surrogate_keys_scalable" -> m("q_w4_surrogate_keys"))
+  }
 
   private def parityOracleSql: Map[String, String] = Map(
     "q_a1_pricing_summary" ->

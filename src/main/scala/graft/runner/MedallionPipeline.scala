@@ -30,8 +30,23 @@ final case class MedallionPipeline(
     runDate: String,
     ingestTs: String,
     pipelineRunId: String,
-    maxRejectRate: Double = 0.10
+    maxRejectRate: Double = 0.10,
+    scalableSks: Boolean = true
 ) {
+
+  /** SK assignment mode for all gold dims. Default is the scalable path
+    * (range-sort + zipWithIndex — no single-partition window); the two
+    * modes produce identical keys under the total orderings used here
+    * (oracle-proven by q_w4b vs q_w4), so `scalableSks = false` exists only
+    * for bit-parity debugging against the reference's row_number form.
+    */
+  private def assignSks(
+      df: DataFrame,
+      ordering: Seq[org.apache.spark.sql.Column],
+      skCol: String
+  ): DataFrame =
+    if (scalableSks) SurrogateKeys.scalableMode(df, ordering, skCol)
+    else SurrogateKeys.referenceMode(df, ordering, skCol)
 
   private def bronzePath(table: String)  = s"$outDir/bronze/$table/run_date=$runDate"
   private def rejectPath(table: String)  = s"$outDir/_rejects/$table/run_date=$runDate"
@@ -170,7 +185,7 @@ final case class MedallionPipeline(
         .withColumn("change_ts", coalesce(col("signup_ts"), col("ingest_ts")))
         .select("user_id", "change_ts", "user_name", "country_code"),
       Seq("user_id"), "change_ts", Seq("user_name", "country_code"))
-    val keyed = SurrogateKeys.referenceMode(
+    val keyed = assignSks(
       hist, Seq(col("effective_start_ts"), col("user_id")), "user_sk")
     val unknown = spark.createDataFrame(
       java.util.List.of(
@@ -211,7 +226,7 @@ final case class MedallionPipeline(
         .withColumn("change_ts", coalesce(col("updated_ts"), col("created_ts"), col("ingest_ts")))
         .select("dataset_id", "change_ts", "dataset_title", "owner_user_id", "is_private"),
       Seq("dataset_id"), "change_ts", Seq("dataset_title", "owner_user_id", "is_private"))
-    val keyed = SurrogateKeys.referenceMode(
+    val keyed = assignSks(
       hist, Seq(col("effective_start_ts"), col("dataset_id")), "dataset_sk")
     write(keyed.withColumn("etl_run_date", lit(runDate)), goldPath("dim_dataset"))
   }
@@ -222,7 +237,7 @@ final case class MedallionPipeline(
         .withColumn("change_ts", coalesce(col("start_ts"), col("ingest_ts")))
         .select("competition_id", "change_ts", "title", "category", "prize_money"),
       Seq("competition_id"), "change_ts", Seq("title", "category", "prize_money"))
-    val keyed = SurrogateKeys.referenceMode(
+    val keyed = assignSks(
       hist, Seq(col("effective_start_ts"), col("competition_id")), "competition_sk")
     write(keyed.withColumn("etl_run_date", lit(runDate)), goldPath("dim_competition"))
   }
@@ -230,12 +245,15 @@ final case class MedallionPipeline(
   /** dim_tag is SCD1 (requirements/...:85): distinct tags + dense SKs. */
   private def goldDimTag(): Unit = {
     val tags = readSilver("tags").select("tag").distinct()
-    val keyed = SurrogateKeys.referenceMode(tags, Seq(col("tag")), "tag_sk")
+    val keyed = assignSks(tags, Seq(col("tag")), "tag_sk")
     write(keyed.withColumn("etl_run_date", lit(runDate)), goldPath("dim_tag"))
   }
 
   /** bridge_dataset_tag(dataset_sk, tag_sk, run_date, is_current) —
-    * requirements/...:90. Both dims broadcast onto the (larger) tag table.
+    * requirements/...:90. No explicit broadcast hints: dim_dataset scales
+    * with the dataset corpus and dim_tag with the tag vocabulary, so a
+    * forced broadcast risks driver OOM at 100 TB — the dims are projected
+    * to two columns and AQE picks broadcast vs shuffle from actual sizes.
     */
   private def goldBridgeDatasetTag(): Unit = {
     val tags = readSilver("tags").select("dataset_id", "tag")
@@ -243,8 +261,8 @@ final case class MedallionPipeline(
       .filter(col("is_current")).select("dataset_id", "dataset_sk")
     val tagDim = spark.read.parquet(goldPath("dim_tag")).select("tag", "tag_sk")
     val bridge = tags
-      .join(broadcast(dsDim), Seq("dataset_id"))
-      .join(broadcast(tagDim), Seq("tag"))
+      .join(dsDim, Seq("dataset_id"))
+      .join(tagDim, Seq("tag"))
       .select(col("dataset_sk"), col("tag_sk"))
       .distinct()
       .withColumn("run_date", lit(runDate))
@@ -275,10 +293,12 @@ final case class MedallionPipeline(
     * usage_count ≥ new_usage_count (requirements/...:98-99).
     */
   private def goldFactTagUsageDaily(): Unit = {
+    // datasets is fact-scale — no broadcast hint; the join key side is
+    // projected to two columns and AQE decides the strategy from size.
     val tags = readSilver("tags")
     val ds   = readSilver("datasets").select("dataset_id", "created_ts")
     val fact = tags
-      .join(broadcast(ds), Seq("dataset_id"), "left")
+      .join(ds, Seq("dataset_id"), "left")
       .groupBy("tag")
       .agg(
         count(lit(1)).as("usage_count"),
