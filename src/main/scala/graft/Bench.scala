@@ -52,9 +52,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total  = results.map(_._2).filter(_ >= 0).sum
+    // `*_baseline` queries are deliberately-quadratic ground-truth recall
+    // references (each has a bucketed production twin); report them inside
+    // `queries` but keep the headline figure for the scale-safe engine.
+    val production = results.collect {
+      case (k, v) if v >= 0 && !k.endsWith("_baseline") => v
+    }.sum
     // `failed` is explicit so a query that starts throwing can never read
     // as a speedup of the headline total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","production_sec":$production,"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,6 +120,26 @@ object ExtensionQueries {
       maxHamming = 6
     )
 
+  /** Production simhash near-dup: signature-band blocking, whole corpus (no
+    * metadata block). bands=4 > maxHamming=3 ⇒ EXACT result set — the
+    * oracle is the plain all-pairs definition while the Spark plan is the
+    * banded one.
+    */
+  private def qSimhashBanded(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashBandedPairs(
+      NearDup.simhashSignatures(T(s, dir).documents, "doc_id", "text"),
+      idCol = "doc_id",
+      maxHamming = 3,
+      bands = 4
+    )
+
+  /** Production embedding near-dup: LSH-bucket blocking over the whole
+    * corpus (no metadata block); the oracle recomputes identical buckets.
+    */
+  private def qEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    NearDup.embeddingNearDupLsh(
+      T(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4, nBits = 6)
+
   // ---------------------------------------------------------------------------
   // Similarity search
   // ---------------------------------------------------------------------------
@@ -168,6 +188,18 @@ object ExtensionQueries {
       e.filter(col("vec_id") < 10),
       e.filter(col("vec_id") >= 10),
       idCol = "vec_id", vecCol = "embedding", k = 3, nBits = 6)
+  }
+
+  /** Multi-probe LSH top-k: each query also searches the nBits buckets at
+    * Hamming distance 1 (XOR-flip of one bit) — recall boost at probe-count
+    * cost; the oracle XOR-probes identical buckets.
+    */
+  private def qCosineLshMp(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).embeddings
+    CosineTopK.lshTopK(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      idCol = "vec_id", vecCol = "embedding", k = 3, nBits = 6, multiProbe = true)
   }
 
   /** Edit-distance near-dup: Levenshtein over part names within
@@ -298,15 +330,18 @@ object ExtensionQueries {
     "q_x_bpe_tokens"      -> (qBpeTokens _),
     "q_x_rolling_hash"    -> (qRollingHash _),
     "q_x_exact_dedup"     -> (qExactDedup _),
-    "q_x_jaccard_pairs"   -> (qJaccardPairs _),
+    "q_x_jaccard_pairs_baseline" -> (qJaccardPairs _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
     "q_x_simhash_sigs"    -> (qSimhashSigs _),
-    "q_x_simhash_pairs"   -> (qSimhashPairs _),
+    "q_x_simhash_pairs_baseline" -> (qSimhashPairs _),
+    "q_x_simhash_banded"  -> (qSimhashBanded _),
+    "q_x_embed_neardup_lsh" -> (qEmbedNearDupLsh _),
     "q_x_cosine_topk"     -> (qCosineTopK _),
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
     "q_x_cosine_lsh"      -> (qCosineLsh _),
-    "q_x_embed_neardup"   -> (qEmbedNearDup _),
+    "q_x_cosine_lsh_mp"   -> (qCosineLshMp _),
+    "q_x_embed_neardup_baseline" -> (qEmbedNearDup _),
     "q_x_edit_distance"   -> (qEditDistance _),
     "q_x_multimodal_meta" -> (qMultimodalMeta _),
     "q_x_frame_sample"    -> (qFrameSample _),
@@ -334,13 +369,26 @@ object ExtensionQueries {
     }.mkString("\n  UNION ALL ")
 
     val qv  = "[CAST(round(CAST(x AS DOUBLE)*100000) AS BIGINT) for x in embedding]"
+    // sign-hyperplane LSH bucket over `qv` (6 bits), generated from the SAME
+    // stride constant as CosineTopK.signLshBucket; dim bound from the vector
+    val lshBucket = {
+      val stride = graft.similarity.CosineTopK.HyperplaneStride
+      s"""CAST(list_sum([
+         |  CASE WHEN list_sum([qv[i] *
+         |      (CASE WHEN (((($stride*j + i) * 2654435761) % 4294967296) >> 16) & 1 = 1
+         |            THEN 1 ELSE -1 END)
+         |                      for i in generate_series(1, len(qv))]) > 0
+         |       THEN (1::BIGINT << j) ELSE 0 END
+         |  for j in generate_series(0, 5)]) AS BIGINT)""".stripMargin
+    }
     val cosExpr = (dot: String, n1: String, n2: String) =>
       s"CAST($dot AS DOUBLE)/(sqrt(CAST($n1 AS DOUBLE))*sqrt(CAST($n2 AS DOUBLE)))"
     val prepCte =
       s"""p AS (SELECT vec_id, $qv AS qv FROM embeddings),
          |n AS (SELECT vec_id, qv, CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2 FROM p)""".stripMargin
+    // dim-independent: bounds come from the vectors, not a hardcoded width
     val dot64 = (a: String, b: String) =>
-      s"CAST(list_sum([$a[i]*$b[i] for i in generate_series(1,64)]) AS BIGINT)"
+      s"CAST(list_sum([$a[i]*$b[i] for i in generate_series(1,len($a))]) AS BIGINT)"
 
     val base = Map(
       "q_x_token_stats" ->
@@ -386,7 +434,7 @@ object ExtensionQueries {
         s"""SELECT md5(array_to_string(($DTOKS)[1:5], ' ')) AS dup_key,
            |  MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
            |FROM documents GROUP BY 1""".stripMargin,
-      "q_x_jaccard_pairs" ->
+      "q_x_jaccard_pairs_baseline" ->
         s"""WITH sh AS (SELECT doc_id, source, $DHSHINGLES AS s FROM documents)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS inter,
@@ -405,9 +453,12 @@ object ExtensionQueries {
            |    $sigExprs
            |  ] AS sg FROM hm),
            |bands AS ($bandSelects),
+           |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bcnt
+           |          FROM bands),
            |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-           |  FROM bands x JOIN bands y
-           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id)
+           |  FROM sized x JOIN sized y
+           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           |  WHERE x.bcnt <= ${NearDup.DefaultMaxBucketSize})
            |SELECT da AS doc_a, db AS doc_b,
            |  len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
@@ -423,7 +474,7 @@ object ExtensionQueries {
            |       THEN (1::BIGINT << j) ELSE 0 END
            |  for j in generate_series(0, 31)]) AS BIGINT) AS simhash
            |FROM t""".stripMargin,
-      "q_x_simhash_pairs" ->
+      "q_x_simhash_pairs_baseline" ->
         s"""WITH t AS (SELECT doc_id, source,
            |  [('0x' || substr(md5(x), 1, 8))::BIGINT for x in $DTOKS] AS hv FROM documents),
            |sg AS (SELECT doc_id, source, CAST(list_sum([
@@ -435,6 +486,20 @@ object ExtensionQueries {
            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
            |FROM sg a JOIN sg b ON a.source = b.source AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+      // banding with bands > maxHamming is EXACT (pigeonhole), so the oracle
+      // is the plain corpus-wide all-pairs definition — no banding to mirror
+      "q_x_simhash_banded" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  [('0x' || substr(md5(x), 1, 8))::BIGINT for x in $DTOKS] AS hv FROM documents),
+           |sg AS (SELECT doc_id, CAST(list_sum([
+           |  CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hv]) > 0
+           |       THEN (1::BIGINT << j) ELSE 0 END
+           |  for j in generate_series(0, 31)]) AS BIGINT) AS simhash
+           |FROM t)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
       "q_x_cosine_topk" ->
         s"""WITH $prepCte,
            |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10 AND n2 > 0),
@@ -479,13 +544,7 @@ object ExtensionQueries {
           |  AND levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
       "q_x_cosine_lsh" ->
         s"""WITH $prepCte,
-           |bkt AS (SELECT vec_id, qv, n2, CAST(list_sum([
-           |  CASE WHEN list_sum([qv[i] *
-           |      (CASE WHEN ((((64*j + i) * 2654435761) % 4294967296) >> 16) & 1 = 1
-           |            THEN 1 ELSE -1 END)
-           |                      for i in generate_series(1, 64)]) > 0
-           |       THEN (1::BIGINT << j) ELSE 0 END
-           |  for j in generate_series(0, 5)]) AS BIGINT) AS bucket
+           |bkt AS (SELECT vec_id, qv, n2, $lshBucket AS bucket
            |  FROM n WHERE n2 > 0),
            |q AS (SELECT vec_id AS query_id, bucket, qv AS q_qv, n2 AS q_n2
            |      FROM bkt WHERE vec_id < 10),
@@ -498,7 +557,26 @@ object ExtensionQueries {
            |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
            |WHERE rn <= 3""".stripMargin,
-      "q_x_embed_neardup" ->
+      "q_x_cosine_lsh_mp" ->
+        s"""WITH $prepCte,
+           |bkt AS (SELECT vec_id, qv, n2, $lshBucket AS bucket
+           |  FROM n WHERE n2 > 0),
+           |q AS (SELECT vec_id AS query_id, bucket AS b0, qv AS q_qv, n2 AS q_n2
+           |      FROM bkt WHERE vec_id < 10),
+           |pr AS (SELECT query_id, q_qv, q_n2,
+           |  unnest(list_distinct(list_prepend(b0,
+           |    [xor(b0, (1::BIGINT << j)) for j in generate_series(0, 5)]))) AS bucket
+           |  FROM q),
+           |c AS (SELECT vec_id AS neighbor_id, bucket, qv AS c_qv, n2 AS c_n2
+           |      FROM bkt WHERE vec_id >= 10),
+           |s AS (SELECT query_id, neighbor_id, bucket,
+           |  ${cosExpr(dot64("q_qv", "c_qv"), "q_n2", "c_n2")} AS cosine
+           |  FROM pr JOIN c USING (bucket))
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cosine, bucket
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+           |WHERE rn <= 3""".stripMargin,
+      "q_x_embed_neardup_baseline" ->
         s"""WITH $prepCte,
            |l AS (SELECT e.vec_id, e.label, n.qv, n.n2 FROM embeddings e
            |      JOIN n ON e.vec_id = n.vec_id WHERE n.n2 > 0),
@@ -506,6 +584,14 @@ object ExtensionQueries {
            |  ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
            |  FROM l a JOIN l b ON a.label = b.label AND a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, label, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+      "q_x_embed_neardup_lsh" ->
+        s"""WITH $prepCte,
+           |bkt AS (SELECT vec_id, qv, n2, $lshBucket AS bucket
+           |  FROM n WHERE n2 > 0),
+           |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           |  ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
+           |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, bucket, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
       "q_x_frame_sample" ->
         """SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
           |  (COALESCE(octet_length(encode(text)), 0) * 31 + f.i) % 997 AS frame_feature

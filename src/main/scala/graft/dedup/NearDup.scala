@@ -145,14 +145,34 @@ object NearDup {
       concat_ws("-", slice(sig, b * rows + 1, rows).cast("array<string>"))
     }: _*)
 
+  /** Default hot-bucket cap for `minhashLshPairs`: band buckets holding more
+    * than this many docs are dropped from candidate generation (with a
+    * logged count). A degenerate corpus — millions of empty or boilerplate
+    * docs sharing one signature — would otherwise re-quadratize the bucket
+    * self-join into a single hot task. Shared with the DuckDB oracle so
+    * both engines drop identical buckets.
+    */
+  val DefaultMaxBucketSize = 10000
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Full pipeline: shingle → signature → banded candidates → exact-Jaccard
     * verification. Returns confirmed pairs (doc_a < doc_b) with their exact
     * Jaccard.
     *
     * Scale shape: candidates come from a shuffle on (band_idx, band_key) —
     * linear in corpus size; the quadratic blow-up is confined to hash
-    * buckets. Verification re-joins the (distinct) candidate pairs to the
-    * shingle sets — proportional to candidate count, not corpus².
+    * buckets, and buckets above `maxBucketSize` are dropped entirely (near-
+    * dup detection inside a bucket of ten thousand mutually-similar docs is
+    * better served by exact-dedup on the signature itself).
+    *
+    * EAGERNESS: with `materialize = true` (default) construction runs the
+    * job — the confirmed pairs are computed, cached, and the large
+    * shingle+signature intermediate cache is released before returning; the
+    * oversized-bucket count is logged. Pass `materialize = false` for a
+    * fully lazy plan (composable into larger dataflows); the intermediate
+    * stays persisted and the caller owns unpersisting it via the returned
+    * frame's lineage.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -161,7 +181,9 @@ object NearDup {
       n: Int = 3,
       minJaccard: Double = 0.65,
       bands: Int = 4,
-      rows: Int = 4
+      rows: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      materialize: Boolean = true
   ): DataFrame = {
     // Cache the shingled+signed frame: it feeds candidate generation once
     // and verification twice — without persist the whole md5+minhash
@@ -174,8 +196,16 @@ object NearDup {
       .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
-    val candidates = banded.as("x")
-      .join(banded.as("y"), Seq("band_idx", "band_key"))
+    // Hot-bucket guard: count docs per bucket, keep only sane buckets. The
+    // count and the self-join shuffle on the same key, so the guard adds no
+    // extra shuffle of the corpus — just the (small) per-bucket counts.
+    val bucketCounts = banded.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__bcnt"))
+    val sane = banded.join(bucketCounts, Seq("band_idx", "band_key"))
+      .filter(col("__bcnt") <= maxBucketSize)
+      .select("doc_id", "band_idx", "band_key")
+    val candidates = sane.as("x")
+      .join(sane.as("y"), Seq("band_idx", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -193,13 +223,20 @@ object NearDup {
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-    // Materialize the (small) result so the big intermediate cache can be
-    // released — otherwise the shingled+signed blocks stay pinned for the
-    // session lifetime.
-    val out = pairs.cache()
-    out.count()
-    shingled.unpersist()
-    out
+    if (!materialize) pairs
+    else {
+      // Materialize the (small) result so the big intermediate cache can be
+      // released — otherwise the shingled+signed blocks stay pinned for the
+      // session lifetime.
+      val out = pairs.cache()
+      out.count()
+      val dropped = bucketCounts.filter(col("__bcnt") > maxBucketSize).count()
+      if (dropped > 0)
+        log.warn(s"minhashLshPairs: dropped $dropped band bucket(s) over " +
+          s"$maxBucketSize docs from candidate generation")
+      shingled.unpersist()
+      out
+    }
   }
 
   // ---------------------------------------------------------------------------
@@ -251,7 +288,87 @@ object NearDup {
       .withColumn("simhash", simhash32(col("hv")))
       .select(((idCol +: keepCols).map(col) :+ col("simhash")): _*)
 
-  /** Near-dup pairs by Hamming distance within a blocking key. */
+  /** Near-dup pairs by Hamming distance with SIGNATURE-BAND blocking — the
+    * production form (the metadata-block variant below is the quadratic
+    * ground-truth baseline). The 32-bit signature is split into `bands`
+    * chunks; docs sharing ANY chunk value become candidates (multi-index,
+    * Manku/Jain/Sarma WWW'07 shape), then the full-signature Hamming
+    * distance is verified.
+    *
+    * EXACT, not approximate, when `bands > maxHamming`: ≤ maxHamming
+    * differing bits can touch at most maxHamming chunks, so at least one
+    * chunk is identical (pigeonhole) and every qualifying pair is a
+    * candidate. Scale shape: one shuffle on (band_idx, band_key); quadratic
+    * work confined to equal-chunk buckets.
+    */
+  def simhashBandedPairs(
+      signatures: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      bands: Int = 4
+  ): DataFrame = {
+    require(bands > maxHamming,
+      s"bands ($bands) must exceed maxHamming ($maxHamming) for exact recall")
+    require(32 % bands == 0, s"bands ($bands) must divide the 32-bit signature")
+    val width = 32 / bands
+    val mask  = (1L << width) - 1
+    val banded = signatures.select(
+      col(idCol).as("doc_id"),
+      col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))
+      }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    banded.as("x")
+      .join(banded.as("y"), Seq("band_idx", "band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      // signature rides along (it is functionally determined by doc_id, so
+      // the distinct's cardinality is unchanged) — no join back to sigs
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding near-dup with LSH-bucket blocking — the production form of
+    * `embeddingNearDupPairs` (which blocks on a caller metadata column and
+    * is kept as the recall baseline). The corpus is hashed once into
+    * 2^nBits sign-hyperplane buckets; only same-bucket pairs are scored.
+    * Approximate: pairs straddling a hyperplane are missed — recall rises
+    * as nBits falls (bigger buckets). One shuffle on the bucket id;
+    * quadratic work confined to buckets.
+    */
+  def embeddingNearDupLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nBits: Int = 6
+  ): DataFrame = {
+    import graft.similarity.CosineTopK
+    val prepped = CosineTopK.prepareNonZero(df, vecCol)
+      .withColumn("bucket", CosineTopK.signLshBucket(col("qv"), nBits))
+      .select(col("bucket"), col(idCol), col("qv"), col("norm2"))
+    val a = prepped.select(col("bucket"), col(idCol).as("vec_a"),
+      col("qv").as("qa"), col("norm2").as("na"))
+    val b = prepped.select(col("bucket"), col(idCol).as("vec_b"),
+      col("qv").as("qb"), col("norm2").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        CosineTopK.cosine(CosineTopK.dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+  }
+
+  /** Near-dup pairs by Hamming distance within a metadata blocking key —
+    * the quadratic ground-truth baseline; production near-dup should use
+    * `simhashBandedPairs` (signature-band blocking, exact for
+    * bands > maxHamming, no unbounded-block risk).
+    */
   def simhashPairs(
       signatures: DataFrame,
       idCol: String,

@@ -74,12 +74,21 @@ object CosineTopK {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Hyperplane index stride: hyperplane j draws its component signs from
+    * hash inputs `Stride·j + i`. The stride must be ≥ the max supported
+    * embedding dim or adjacent hyperplanes would share sign windows
+    * (partially identical hyperplanes → correlated bits); 4096 covers every
+    * realistic embedding width. Shared with the DuckDB oracles so both
+    * engines derive identical hyperplanes at ANY dimensionality.
+    */
+  val HyperplaneStride = 4096L
+
   /** Sign-random-hyperplane LSH bucket (SimHash for vectors): bit j is the
     * sign of the projection onto a deterministic ±1 hyperplane whose signs
     * come from a multiplicative hash of (j, i):
-    * `(((64j + i) · 2654435761) mod 2³²) >> 16 & 1`. (A naive parity like
-    * `(7i+13j) mod 2` collapses every hyperplane to ± the same one — two
-    * effective buckets regardless of nBits; the Knuth multiplier gives
+    * `(((Stride·j + i) · 2654435761) mod 2³²) >> 16 & 1`. (A naive parity
+    * like `(7i+13j) mod 2` collapses every hyperplane to ± the same one —
+    * two effective buckets regardless of nBits; the Knuth multiplier gives
     * independent pseudo-random sign patterns, ~58 of 64 buckets populated
     * on the test embeddings.) Integer arithmetic end-to-end so the oracle
     * reproduces buckets exactly.
@@ -89,7 +98,7 @@ object CosineTopK {
       val proj = aggregate(
         zip_with(qv, sequence(lit(1), size(qv)),
           (x, i) => x * when(
-            shiftright(((lit(64L) * j + i) * lit(2654435761L)) % lit(4294967296L), 16)
+            shiftright(((lit(HyperplaneStride) * j + i) * lit(2654435761L)) % lit(4294967296L), 16)
               .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
         lit(0L), (acc, v) => acc + v)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))

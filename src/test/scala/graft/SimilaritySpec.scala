@@ -65,6 +65,29 @@ class SimilaritySpec extends SparkSpecBase {
     nBuckets should be > 8L
   }
 
+  test("LSH-bucketed embedding near-dup is sound (⊆ all-pairs) with high recall on clusters") {
+    import graft.dedup.NearDup
+    val rnd = new scala.util.Random(7)
+    // 8 cluster centers, 10 tightly-perturbed members each
+    val base = Array.fill(8)(Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val vecs = for { c <- 0 until 8; m <- 0 until 10 } yield
+      ((c * 10 + m).toLong, base(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val df = vecs.toDF("vec_id", "embedding")
+    // ground truth: the all-pairs baseline operator with a single block
+    val global = NearDup.embeddingNearDupPairs(
+      df.withColumn("g", lit(1)), "vec_id", "embedding", "g", minCosine = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.embeddingNearDupLsh(df, "vec_id", "embedding",
+      minCosine = 0.9, nBits = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    global.size should be > 100 // fixture produces real near-dup mass
+    // soundness: every LSH pair is a true pair (precision 1.0)
+    lsh.subsetOf(global) shouldBe true
+    // recall: deterministic on this fixture; floor leaves margin for the
+    // clusters that happen to straddle a hyperplane
+    (lsh.size.toDouble / global.size) should be >= 0.8
+  }
+
   test("resize planning preserves aspect ratio and caps the longest side") {
     val decoded = Seq((1L, 640, 480, 3), (2L, 100, 50, 3), (3L, 200, 800, 3))
       .toDF("doc_id", "width", "height", "channels")

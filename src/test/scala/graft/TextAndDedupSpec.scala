@@ -76,6 +76,55 @@ class TextAndDedupSpec extends SparkSpecBase {
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
   }
 
+  test("minhash LSH hot-bucket guard bounds degenerate corpora, keeps honest pairs") {
+    // 50 identical boilerplate docs = one hot bucket in every band; plus one
+    // genuine near-dup pair with its own (tiny) buckets
+    val hot = (1L to 50L).map(i =>
+      (i, "identical boilerplate text shared by every degenerate document"))
+    val near = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val df = (hot ++ near).toDF("doc_id", "text")
+    val capped = NearDup.minhashLshPairs(df, "doc_id", "text",
+      minJaccard = 0.5, maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the 50-doc bucket is dropped entirely; the honest pair survives
+    capped shouldBe Set((100L, 101L))
+    // default cap: the same corpus yields all C(50,2) boilerplate pairs too
+    NearDup.minhashLshPairs(df, "doc_id", "text", minJaccard = 0.5)
+      .count() shouldBe (50L * 49 / 2 + 1)
+  }
+
+  test("simhash banded blocking is exact for maxHamming < bands and ⊇ the blocked baseline") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (1L, "a", base),
+      (2L, "a", base + " tomorrow"),                       // tiny drift
+      (3L, "b", base.replace("lazy", "sleepy")),           // tiny drift, other source
+      (4L, "b", base),                                     // identical, other source
+      (5L, "a", "completely unrelated vocabulary with zero overlapping tokens"),
+      (6L, "b", "another entirely distinct document about databases and engines")
+    ).toDF("doc_id", "source", "text")
+    val sigs = NearDup.simhashSignatures(df, "doc_id", "text", Seq("source"))
+    val banded = NearDup.simhashBandedPairs(sigs, "doc_id", maxHamming = 3, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // ground truth: brute-force all-pairs over the collected signatures
+    val sigMap = sigs.select("doc_id", "simhash").as[(Long, Long)].collect()
+    val truth = (for {
+      (a, sa) <- sigMap; (b, sb) <- sigMap
+      if a < b && java.lang.Long.bitCount((sa ^ sb) & 0xFFFFFFFFL) <= 3
+    } yield (a, b)).toSet
+    truth should not be empty // fixture must actually exercise near-dups
+    banded shouldBe truth
+    // the metadata-blocked baseline at the same threshold is a strict subset
+    // (it cannot see the cross-source pair (1,4))
+    val baseline = NearDup.simhashPairs(sigs, "doc_id", "source", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    baseline.subsetOf(banded) shouldBe true
+    banded should contain((1L, 4L))
+    baseline should not contain ((1L, 4L))
+  }
+
   test("jaccard pairs: identical docs in same block have jaccard 1.0") {
     val df = Seq(
       (1L, "s", "abcdefgh"),
