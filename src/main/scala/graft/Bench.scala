@@ -35,7 +35,11 @@ object Bench {
     // warmup; the second is the steady-state cost a cluster would see.
     // clearCache between runs: operators that persist() internally must not
     // carry their cache from run 1 into run 2 (that would time a no-op).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional name filter (regex) for focused iteration on one hot query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       val t =
         try {
           val t1 = once(fn)

@@ -196,14 +196,17 @@ object NearDup {
       .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
-    // Hot-bucket guard: count docs per bucket, keep only sane buckets. The
-    // count and the self-join shuffle on the same key, so the guard adds no
-    // extra shuffle of the corpus — just the (small) per-bucket counts.
-    val bucketCounts = banded.groupBy("band_idx", "band_key")
+    // Hot-bucket guard: drop band buckets over the cap from candidate
+    // generation. The oversized keys are aggregated to a TINY frame
+    // (bounded by corpus/cap) and removed with a left_anti join that AQE
+    // turns into a broadcast — the corpus-side self-join below keeps its
+    // exchange-reuse (both sides are the same subplan), so the guard adds
+    // per-bucket counters, not a second corpus shuffle.
+    val oversized = banded.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("__bcnt"))
-    val sane = banded.join(bucketCounts, Seq("band_idx", "band_key"))
-      .filter(col("__bcnt") <= maxBucketSize)
-      .select("doc_id", "band_idx", "band_key")
+      .filter(col("__bcnt") > maxBucketSize)
+      .select("band_idx", "band_key")
+    val sane = banded.join(oversized, Seq("band_idx", "band_key"), "left_anti")
     val candidates = sane.as("x")
       .join(sane.as("y"), Seq("band_idx", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -230,7 +233,9 @@ object NearDup {
       // session lifetime.
       val out = pairs.cache()
       out.count()
-      val dropped = bucketCounts.filter(col("__bcnt") > maxBucketSize).count()
+      val dropped = banded.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("__bcnt"))
+        .filter(col("__bcnt") > maxBucketSize).count()
       if (dropped > 0)
         log.warn(s"minhashLshPairs: dropped $dropped band bucket(s) over " +
           s"$maxBucketSize docs from candidate generation")

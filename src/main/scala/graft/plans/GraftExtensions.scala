@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{
   ArrayIntersect, BinaryExpression, Expression, Size
 }
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -28,13 +28,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 case class IntersectCount(left: Expression, right: Expression,
     assumeSorted: Boolean = false)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xa = a.asInstanceOf[ArrayData].toLongArray()
-    val xb = b.asInstanceOf[ArrayData].toLongArray()
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], assumeSorted)
+
+  /** Whole-stage codegen: the hottest expression in the near-dup stage must
+    * not drop the surrounding pipeline out of codegen (CodegenFallback
+    * forces boxed InternalRow evaluation for the whole projection). The
+    * generated code calls the same static merge the interpreted path uses —
+    * one tight primitive loop, no per-row allocation beyond the long[]
+    * copies.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.IntersectCount.merge($a, $b, $assumeSorted);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
+    copy(left = l, right = r)
+}
+
+object IntersectCount {
+  /** Distinct-common-element count of two long arrays; static so generated
+    * Java and the interpreted path share one implementation (the Scala
+    * companion emits a static forwarder on the class).
+    */
+  def merge(a: ArrayData, b: ArrayData, assumeSorted: Boolean): Int = {
+    val xa = a.toLongArray()
+    val xb = b.toLongArray()
     // When the producer pre-sorts (NearDup sorts each shingle set ONCE),
     // skip the per-pair sort: a document participating in k candidate
     // pairs would otherwise be re-sorted k times.
@@ -55,9 +78,6 @@ case class IntersectCount(left: Expression, right: Expression,
     }
     n
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
-    copy(left = l, right = r)
 }
 
 /** Optimizer rule: rewrite `size(array_intersect(a, b))` to IntersectCount

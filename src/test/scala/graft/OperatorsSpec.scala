@@ -90,6 +90,20 @@ class OperatorsSpec extends SparkSpecBase {
     val direct = df.select(
       graft.plans.GraftExtensions.intersect_count($"a", $"b")).as[Int].collect()
     direct.sorted shouldBe Array(2, 2)
+
+    // codegen path must actually COMPILE (a janino failure normally falls
+    // back silently to the interpreted path and would hide a doGenCode bug)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val sortedIn = df.select(
+        graft.plans.GraftExtensions.intersect_count(
+          array_sort($"a"), array_sort($"b"), assumeSorted = true)).as[Int].collect()
+      sortedIn.sorted shouldBe Array(2, 2)
+      // duplicates count once (distinct-set semantics, both eval paths)
+      val dup = df.select(graft.plans.GraftExtensions.intersect_count(
+        concat($"a", $"a"), $"b")).as[Int].collect()
+      dup.sorted shouldBe Array(2, 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
   test("rolling hash and BPE tokens are deterministic with expected shapes") {
