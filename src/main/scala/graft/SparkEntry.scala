@@ -192,6 +192,28 @@ object SparkEntry {
     merged.select("user_id", "event_type", "effective_start_ts", "effective_end_ts", "is_current")
   }
 
+  /** Gold SCD2 dim through the FULL pipeline materialization cycle: build
+    * history (W3 semantics) → assign scalable SKs → write parquet with the
+    * pipeline's layout → read it back. The oracle recomputes the dim
+    * directly, so the gate also covers the write/read round-trip
+    * (timestamp/boolean parquet fidelity), not just in-memory dataflow.
+    */
+  private def qGoldScd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val hist = Scd2.initialLoad(
+      T(s, dir).events.select("user_id", "ts", "event_type"),
+      nk = Seq("user_id"), orderCol = "ts", attrs = Seq("event_type"),
+      tiebreak = Seq("event_type"))
+    // (effective_start_ts, user_id) is unique — a total ordering, so the
+    // SKs are deterministic and oracle-reproducible via row_number
+    val keyed = SurrogateKeys.scalableMode(
+      hist.select("user_id", "event_type",
+        "effective_start_ts", "effective_end_ts", "is_current"),
+      Seq(col("effective_start_ts"), col("user_id")), "dim_sk")
+    val path = "/tmp/graft_roundtrip/dim_event_scd2"
+    keyed.coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** W4: surrogate keys (reference mode — unpartitioned row_number). */
   private def qSurrogateKeys(s: SparkSession, dir: String): DataFrame =
     SurrogateKeys
@@ -643,6 +665,7 @@ object SparkEntry {
     "q_f_explode_words"      -> (qExplodeWords _),
     "q_gold_dim_date"        -> (qDimDate _),
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
+    "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
@@ -725,6 +748,23 @@ object SparkEntry {
         |           TIMESTAMP '9999-12-31 00:00:00') AS effective_end_ts,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
         |FROM v""".stripMargin,
+    "q_gold_scd2_dim" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_ts
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_type FROM w
+        |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+        |dim AS (
+        |  SELECT user_id, event_type, ts AS effective_start_ts,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+        |             TIMESTAMP '9999-12-31 00:00:00') AS effective_end_ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
+        |  FROM v)
+        |SELECT user_id, event_type, effective_start_ts, effective_end_ts, is_current,
+        |  row_number() OVER (ORDER BY effective_start_ts, user_id) AS dim_sk
+        |FROM dim""".stripMargin,
     "q_j5_scd2_incremental" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,
@@ -909,10 +949,24 @@ object SparkEntry {
         |  CAST(quarter(date) AS INTEGER) AS quarter,
         |  CAST(month(date) AS INTEGER) AS month,
         |  CAST(day(date) AS INTEGER) AS day_of_month,
+        |  CAST(dayofyear(date) AS INTEGER) AS day_of_year,
         |  CAST(weekofyear(date) AS INTEGER) AS week_of_year,
         |  CAST(dayofweek(date) + 1 AS INTEGER) AS day_of_week,
         |  CAST(isodow(date) AS INTEGER) AS iso_dow,
-        |  isodow(date) >= 6 AS is_weekend
+        |  isodow(date) >= 6 AS is_weekend,
+        |  isodow(date) < 6 AS is_weekday,
+        |  printf('%d%02d', year(date), month(date)) AS year_month,
+        |  ((month(date) = 1 AND day(date) = 1) OR (month(date) = 4 AND day(date) = 30)
+        |   OR (month(date) = 5 AND day(date) = 1) OR (month(date) = 9 AND day(date) = 2))
+        |    AS is_holiday,
+        |  CAST(CASE WHEN month(date) >= 7 THEN year(date) ELSE year(date) - 1 END
+        |       AS INTEGER) AS fiscal_year,
+        |  CAST(((month(date) + 5) % 12) // 3 + 1 AS INTEGER) AS fiscal_quarter,
+        |  CAST(CASE WHEN month(date) IN (1,3,5,7,8,10,12) THEN 31
+        |            WHEN month(date) IN (4,6,9,11) THEN 30
+        |            WHEN month(date) = 2 AND year(date) % 4 = 0
+        |                 AND (year(date) % 100 != 0 OR year(date) % 400 = 0) THEN 29
+        |            ELSE 28 END AS INTEGER) AS days_in_month
         |FROM d""".stripMargin,
     "q_o_gap_fill" ->
       """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt

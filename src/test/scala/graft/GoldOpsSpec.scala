@@ -15,6 +15,19 @@ class GoldOpsSpec extends SparkSpecBase {
     jan6.getAs[Int]("iso_dow") shouldBe 6
     d.filter($"is_weekend").count() shouldBe 104
     d.agg(countDistinct($"date_sk")).head().getLong(0) shouldBe 366
+    // reference's four fixed-date holidays, fiscal calendar (July start),
+    // leap-aware days_in_month, year_month layout
+    d.filter($"is_holiday").select($"date_sk").as[Int].collect().sorted shouldBe
+      Array(20240101, 20240430, 20240501, 20240902)
+    val jan15 = d.filter($"date_sk" === 20240115).head()
+    jan15.getAs[Int]("fiscal_year") shouldBe 2023
+    jan15.getAs[Int]("fiscal_quarter") shouldBe 3
+    jan15.getAs[String]("year_month") shouldBe "202401"
+    val jul1 = d.filter($"date_sk" === 20240701).head()
+    jul1.getAs[Int]("fiscal_year") shouldBe 2024
+    jul1.getAs[Int]("fiscal_quarter") shouldBe 1
+    d.filter($"month" === 2).head().getAs[Int]("days_in_month") shouldBe 29
+    d.filter($"is_weekday").count() shouldBe (366 - 104)
   }
 
   test("surrogate keys: reference and scalable modes agree on a total order") {
