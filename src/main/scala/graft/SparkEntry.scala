@@ -1059,13 +1059,23 @@ object SparkEntry {
         |SELECT 'lineitem', CAST(MAX(l_shipdate) AS DATE) FROM lineitem
         |UNION ALL
         |SELECT 'events', CAST(MAX(ts) AS DATE) FROM events""".stripMargin,
+    // explicit row_number formulation instead of DuckDB's ASOF: ASOF has no
+    // defined tie-break when several purchases share the greatest ts <= e.ts
+    // (possible after ns->us truncation); (ts DESC, pid DESC) = 1 matches
+    // AsOfJoin's rightTiebreak semantics (largest pid wins) exactly
     "q_o_asof_join" ->
-      """SELECT e.event_id, e.user_id, e.ts, e.event_type,
-        |  p.pid AS purchase_event_id, p.value AS last_purchase_value
-        |FROM events e ASOF LEFT JOIN
-        |  (SELECT user_id, ts, event_id AS pid, value FROM events
-        |   WHERE event_type = 'purchase') p
-        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+      """SELECT event_id, user_id, ts, event_type,
+        |  purchase_event_id, last_purchase_value
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        |    p.pid AS purchase_event_id, p.value AS last_purchase_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY p.ts DESC, p.pid DESC) AS rn
+        |  FROM events e LEFT JOIN
+        |    (SELECT user_id, ts, event_id AS pid, value FROM events
+        |     WHERE event_type = 'purchase') p
+        |    ON e.user_id = p.user_id AND e.ts >= p.ts)
+        |WHERE rn = 1""".stripMargin,
     "q_a9_percentiles" ->
       """SELECT quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90, COUNT(*) AS n

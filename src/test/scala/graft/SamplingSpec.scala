@@ -30,6 +30,24 @@ class SamplingSpec extends SparkSpecBase {
     big.values.toSet shouldBe Set("train", "val", "test")
   }
 
+  test("null keys hash via sentinel: sampled at rate and split consistently, never silently dropped") {
+    val withNulls = Seq((Some(1L), "a"), (None, "b"), (None, "c"))
+      .toDF("id", "payload")
+    // a null key behaves like any other key: kept at rate 100%, dropped at 0%
+    DeterministicSampling.sample(withNulls, $"id", 10000).count() shouldBe 3
+    DeterministicSampling.sample(withNulls, $"id", 0).count() shouldBe 0
+    // all null-key rows land in ONE deterministic split (same hash), and the
+    // assignment matches what sample() decides at the same threshold
+    val splits = DeterministicSampling.split(withNulls, $"id", 3000, 3000)
+      .filter($"id".isNull).select("split").as[String].collect().toSet
+    splits.size shouldBe 1
+    val nullBucket = withNulls.filter($"id".isNull)
+      .select(DeterministicSampling.bucket($"id", "split")).as[Long].head()
+    val expected = if (nullBucket < 3000) "val"
+      else if (nullBucket < 6000) "test" else "train"
+    splits.head shouldBe expected
+  }
+
   test("stratified rates apply per stratum (including fractional rates)") {
     val out = DeterministicSampling.stratifiedSample(
       corpus, $"lang", $"id", Map("lang0" -> 0), defaultBp = 10000)
