@@ -281,6 +281,46 @@ object ExtensionQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // Curation: packing / PII / repetition / decontamination
+  // ---------------------------------------------------------------------------
+  import graft.curation.Curation
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(
+      T(s, dir).documents.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", budgetTokens = 2048, shards = 8)
+      .select("doc_id", "n_tokens", "shard", "start_offset", "pack_id")
+
+  /** PII is injected deterministically (the synthetic corpus has none) so
+    * the scrub actually fires; the oracle augments identically.
+    */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = T(s, dir).documents.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://site"), col("doc_id").cast("string"),
+            lit(".example/path?q=1 ok"))).otherwise(lit(""))))
+    Curation.piiScrub(aug, "text")
+      .select("doc_id", "n_urls", "n_emails", "clean_text")
+  }
+
+  private def qRepetitionScore(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionScore(T(s, dir).documents, "doc_id", "text")
+
+  /** Decontaminate non-src0 docs against src0 as the "benchmark" corpus. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    Curation.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "text")
+      .select("doc_id", "source", "lang")
+  }
+
+  // ---------------------------------------------------------------------------
   // Multimodal
   // ---------------------------------------------------------------------------
 
@@ -350,7 +390,11 @@ object ExtensionQueries {
     "q_x_stratified_sample" -> (qStratifiedSample _),
     "q_x_train_val_test"  -> (qTrainValTestSplit _),
     "q_x_upsample"        -> (qUpsample _),
-    "q_x_curation_pipeline" -> (qCurationPipeline _)
+    "q_x_curation_pipeline" -> (qCurationPipeline _),
+    "q_x_pack_sequences"  -> (qPackSequences _),
+    "q_x_pii_scrub"       -> (qPiiScrub _),
+    "q_x_repetition_score" -> (qRepetitionScore _),
+    "q_x_decontaminate"   -> (qDecontaminate _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -641,6 +685,48 @@ object ExtensionQueries {
         """SELECT doc_id, lang, CAST(c.i AS INTEGER) AS copy_idx
           |FROM documents, LATERAL (SELECT unnest(generate_series(1,
           |  CASE WHEN lang = 'de' THEN 3 WHEN lang = 'zh' THEN 2 ELSE 1 END)) AS i) c""".stripMargin,
+      "q_x_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
+           |  ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 12))::BIGINT % 8 AS shard
+           |  FROM documents),
+           |o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           |      FROM t)
+           |SELECT doc_id, n_tokens, shard, start_offset,
+           |  start_offset // 2048 AS pack_id
+           |FROM o""".stripMargin,
+      "q_x_pii_scrub" ->
+        s"""WITH aug AS (SELECT doc_id, text ||
+           |  CASE WHEN doc_id % 7 = 0
+           |       THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+           |       ELSE '' END ||
+           |  CASE WHEN doc_id % 5 = 0
+           |       THEN ' see https://site' || doc_id::VARCHAR || '.example/path?q=1 ok'
+           |       ELSE '' END AS text FROM documents),
+           |nu AS (SELECT doc_id, text,
+           |         regexp_replace(text, '${Curation.UrlRe}', '<URL>', 'g') AS no_url
+           |       FROM aug)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '${Curation.UrlRe}')) AS INTEGER) AS n_urls,
+           |  CAST(len(regexp_extract_all(no_url, '${Curation.EmailRe}')) AS INTEGER) AS n_emails,
+           |  regexp_replace(no_url, '${Curation.EmailRe}', '<EMAIL>', 'g') AS clean_text
+           |FROM nu""".stripMargin,
+      "q_x_repetition_score" ->
+        s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+           |bg AS (SELECT doc_id,
+           |  unnest([toks[i] || ' ' || toks[i+1]
+           |          for i in generate_series(1, len(toks) - 1)]) AS bigram
+           |  FROM t),
+           |cnt AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+           |SELECT doc_id, MAX(cnt) AS top_bigram_count, SUM(cnt) AS n_bigrams,
+           |  (MAX(cnt) * 1000000) // SUM(cnt) AS rep_ppm
+           |FROM cnt GROUP BY doc_id""".stripMargin,
+      "q_x_decontaminate" ->
+        """SELECT doc_id, source, lang FROM documents
+          |WHERE source != 'src0'
+          |  AND md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) NOT IN
+          |      (SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+          |       FROM documents WHERE source = 'src0')""".stripMargin,
       "q_x_multimodal_meta" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,

@@ -1,0 +1,126 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{fingerprint, hexHash48, tokens, WsChars}
+
+/** Corpus-curation operators a training-data pipeline runs between dedup and
+  * export: sequence packing, PII scrubbing, repetition scoring, and
+  * benchmark decontamination.
+  *
+  * All pure Catalyst composition (codegen'd, no UDFs); every nondeterminism
+  * source is hashed from row content so results are identical across runs,
+  * partitionings, and engines (DuckDB-oracle-verifiable).
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------------
+  // Sequence packing
+  // ---------------------------------------------------------------------------
+
+  /** Contiguous sequence packing: assign each document to a context-window
+    * pack of `budgetTokens`, GPT-pretraining style — documents are laid out
+    * in a deterministic order and a pack boundary falls every
+    * `budgetTokens` tokens; a document belongs to the pack its first token
+    * lands in.
+    *
+    * Scale shape: a global running sum would be one partition, so documents
+    * are first sharded by a content hash (`shards` ≈ cluster parallelism ×
+    * a few) and packed WITHIN shards — each shard is an independent running
+    * sum (one shuffle, bounded partitions), which is how multi-worker
+    * packing runs in production anyway (each data-loader worker packs its
+    * own shard).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      budgetTokens: Int,
+      shards: Int,
+      salt: String = "pack"
+  ): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard",
+        pmod(hexHash48(concat(col(idCol).cast("string"), lit(salt))), lit(shards.toLong)))
+      .withColumn("start_offset",
+        coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .withColumn("pack_id", (col("start_offset") / budgetTokens).cast("long"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // PII scrubbing
+  // ---------------------------------------------------------------------------
+
+  /** Conservative patterns shared with the oracle: both are valid (and
+    * equivalent) under Java regex and RE2. The URL pattern uses the
+    * explicit whitespace class — Java `\s` ≠ RE2 `\s` on vertical tab.
+    */
+  val UrlRe   = s"https?://[^$WsChars]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Replace URLs then emails with placeholder tokens, counting each.
+    * Emails are counted AFTER URL scrubbing so an address embedded in a
+    * URL's userinfo is not double-counted.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val noUrl = regexp_replace(col(textCol), UrlRe, "<URL>")
+    df.withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))))
+      .withColumn("n_emails",
+        size(regexp_extract_all(noUrl, lit(EmailRe), lit(0))))
+      .withColumn("clean_text", regexp_replace(noUrl, EmailRe, "<EMAIL>"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Repetition / boilerplate scoring
+  // ---------------------------------------------------------------------------
+
+  /** Token-bigram repetition score per document: the share of the most
+    * frequent bigram in all bigrams, as integer parts-per-million (no
+    * float ratios — oracle-hashable). High score ⇒ boilerplate/looping
+    * text. Documents with < 2 tokens have no bigrams and are absent from
+    * the output (nothing to score).
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    // size guard is mandatory: Spark's sequence(1, 0) counts DOWN
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+    df.select(col(idCol), explode(bigrams).as("bigram"))
+      .groupBy(idCol, "bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg(max(col("cnt")).as("top_bigram_count"),
+        sum(col("cnt")).as("n_bigrams"))
+      .withColumn("rep_ppm",
+        expr("(top_bigram_count * 1000000) div n_bigrams"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------------------
+
+  /** Remove candidate documents whose normalized fingerprint appears in a
+    * blocklist corpus (benchmark/eval decontamination). One anti-join on a
+    * 128-bit key; the blocklist side is a distinct projection (benchmarks
+    * are small → AQE broadcasts it).
+    */
+  def decontaminate(
+      candidates: DataFrame,
+      blocklist: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    val blocked = blocklist
+      .select(fingerprint(col(textCol)).as("__block_fp")).distinct()
+    candidates
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .join(blocked, col("__fp") === col("__block_fp"), "left_anti")
+      .drop("__fp")
+  }
+}

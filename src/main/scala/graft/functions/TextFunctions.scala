@@ -16,11 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   */
 object TextFunctions {
 
-  /** Explicit whitespace class shared by every tokenizer: Java's `\s`
+  /** Explicit whitespace characters shared by every tokenizer: Java's `\s`
     * includes vertical tab but RE2's (DuckDB) does not — spelling the class
-    * out keeps both engines identical on control characters.
+    * out keeps both engines identical on control characters. `WsChars` is
+    * the bare class body for embedding in other classes (e.g. `[^…]` —
+    * nesting the bracketed form would mean different things to Java and
+    * RE2); `WsClass` is the ready-made positive class.
     */
-  val WsClass = "[ \\t\\n\\x0B\\f\\r]"
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+  val WsClass = s"[$WsChars]"
 
   /** Whitespace tokens, empties filtered (split+filter matches DuckDB's
     * `list_filter(string_split_regex(...))` exactly, including

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.curation.Curation
+
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("packSequences: deterministic contiguous packing within shards") {
+    val df = Seq((1L, 1000L), (2L, 1000L), (3L, 500L), (4L, 2000L))
+      .toDF("doc_id", "n_tokens")
+    // one shard so the layout is a single running sum ordered by doc_id
+    val out = Curation.packSequences(df, "doc_id", "n_tokens",
+      budgetTokens = 2048, shards = 1)
+      .select("doc_id", "start_offset", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    out shouldBe Array(
+      (1L, 0L, 0L),     // [0, 1000)
+      (2L, 1000L, 0L),  // [1000, 2000) — still pack 0
+      (3L, 2000L, 0L),  // starts at 2000 < 2048 → pack 0 (straddles)
+      (4L, 2500L, 1L))  // starts in pack 1
+    // re-run → identical (hash sharding, no rand())
+    Curation.packSequences(df, "doc_id", "n_tokens", 2048, shards = 4)
+      .select("shard").distinct().count() should be >= 1L
+  }
+
+  test("piiScrub: urls then emails replaced and counted, no double-count") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@example.org or see https://x.example/path?q=1 thanks"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScrub(df, "text")
+      .select("doc_id", "n_urls", "n_emails", "clean_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    out(0)._2 shouldBe 1
+    out(0)._3 shouldBe 1
+    out(0)._4 shouldBe "mail me at <EMAIL> or see <URL> thanks"
+    out(1) shouldBe ((2L, 0, 0, "no pii here at all"))
+  }
+
+  test("repetitionScore: looping text scores high; short docs absent") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // bigrams: ab,ba,ab,ba,ab → top 3 of 5
+      (2L, "all distinct words here"),
+      (3L, "single")                // < 2 tokens → no row
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionScore(df, "doc_id", "text")
+      .select("doc_id", "top_bigram_count", "n_bigrams", "rep_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.map(_._1) shouldBe Array(1L, 2L)
+    out(0) shouldBe ((1L, 3L, 5L, 600000L))
+    out(1) shouldBe ((2L, 1L, 3L, 333333L))
+  }
+
+  test("decontaminate removes normalized-fingerprint matches only") {
+    val candidates = Seq(
+      (1L, "The Quick, Brown Fox!"),  // normalizes to a blocked doc
+      (2L, "something else entirely")
+    ).toDF("doc_id", "text")
+    val blocklist = Seq((99L, "the quick brown fox")).toDF("doc_id", "text")
+    val kept = Curation.decontaminate(candidates, blocklist, "text")
+      .select("doc_id").as[Long].collect()
+    kept shouldBe Array(2L)
+    // schema passthrough: no helper columns leak
+    Curation.decontaminate(candidates, blocklist, "text").columns shouldBe
+      Array("doc_id", "text")
+  }
+}
