@@ -45,9 +45,18 @@ object NearDup {
   def withShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("shingles", charShingles(col(textCol), n))
 
-  /** Hashed (48-bit long) shingle sets — the hot-path representation. */
-  def withHashedShingles(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
-    df.withColumn("shingles", hashedShingles(col(textCol), n))
+  /** Hashed (48-bit long) shingle sets — the hot-path representation.
+    * `fast = true` swaps md5 for native xxhash64 (same 48-bit domain):
+    * markedly cheaper shingling for production runs, at the cost of DuckDB
+    * reproducibility. The exact-Jaccard verification is hash-agnostic, so
+    * precision is 1.0 and pair Jaccards are identical in both modes; only
+    * borderline candidate recall differs (banding is probabilistic w.r.t.
+    * the hash family).
+    */
+  def withHashedShingles(df: DataFrame, textCol: String, n: Int = 3,
+      fast: Boolean = false): DataFrame =
+    df.withColumn("shingles",
+      if (fast) hashedShinglesFast(col(textCol), n) else hashedShingles(col(textCol), n))
 
   /** Pairwise Jaccard similarity within a blocking key. `uni` is computed
     * as |A|+|B|−|A∩B| (NOT array_union) so both engines do identical exact
@@ -109,20 +118,29 @@ object NearDup {
   // MinHash + LSH
   // ---------------------------------------------------------------------------
 
-  /** Mersenne-31: universal-hash modulus. a*h stays < 2^62 because h is
-    * reduced mod P first and the multipliers are < 2^12.
+  /** Mersenne-31: universal-hash modulus. a·h stays < 2^62: h is reduced
+    * mod P first (< 2^31) and the multipliers are < 2^31.
     */
   val P: Long = 2147483647L
 
   /** k=16 fixed (a,b) parameters of the universal hash family
     * h_i(x) = (a_i·x + b_i) mod P. Deterministic so oracle and re-runs
-    * agree; any odd constants work.
+    * agree. The multipliers must be LARGE (here spread over [2^28, 2^31)):
+    * a small multiplier barely wraps mod P, so `a·h + b` is monotone in h
+    * over most of the domain and every "permutation" selects the same
+    * argmin-h shingle — the 16 minhashes collapse to correlated copies and
+    * LSH recall becomes an unpredictable artifact of the base hash (this
+    * family is the same shape Spark MLlib's MinHashLSH draws randomly).
     */
   val HashParams: Seq[(Long, Long)] = Seq(
-    (37L, 7L), (101L, 59L), (193L, 131L), (331L, 223L),
-    (487L, 311L), (661L, 419L), (821L, 521L), (1039L, 641L),
-    (1217L, 743L), (1409L, 863L), (1613L, 971L), (1847L, 1091L),
-    (2053L, 1201L), (2287L, 1321L), (2503L, 1451L), (2749L, 1579L)
+    (387414589L, 1093874071L), (700024721L, 490028103L),
+    (900119563L, 1312235197L), (1103227859L, 207880621L),
+    (1299718327L, 756029389L), (1502261519L, 1950276187L),
+    (1700730623L, 328841903L), (1900474051L, 1123940263L),
+    (268456729L, 1734568817L), (477218971L, 864023761L),
+    (671088667L, 1456789213L), (871829243L, 98765431L),
+    (1072693277L, 1678904521L), (1273477139L, 543210917L),
+    (1474260917L, 1987654321L), (1675044701L, 246813579L)
   )
 
   /** MinHash signature (array of 16 longs) from a HASHED shingle array
@@ -183,12 +201,13 @@ object NearDup {
       bands: Int = 4,
       rows: Int = 4,
       maxBucketSize: Int = DefaultMaxBucketSize,
-      materialize: Boolean = true
+      materialize: Boolean = true,
+      fastHashing: Boolean = false
   ): DataFrame = {
     // Cache the shingled+signed frame: it feeds candidate generation once
     // and verification twice — without persist the whole md5+minhash
     // pipeline would run three times.
-    val shingled = withHashedShingles(df, textCol, n)
+    val shingled = withHashedShingles(df, textCol, n, fast = fastHashing)
       .select(col(idCol).as("doc_id"), col("shingles"))
       .withColumn("sig", minhashSignature(col("shingles")))
       .persist()

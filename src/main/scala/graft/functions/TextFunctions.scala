@@ -87,6 +87,25 @@ object TextFunctions {
     ).otherwise(array().cast(ArrayType(org.apache.spark.sql.types.LongType)))
   }
 
+  /** FAST (non-portable) hashed shingle set: xxhash64 truncated to the same
+    * non-negative 48-bit domain as `hashedShingles`, sorted, distinct.
+    * xxhash64 is a codegen'd native expression — several times cheaper than
+    * md5-over-hex on the shingling hot path. Use for PRODUCTION near-dup
+    * runs; use `hashedShingles` when cross-engine verification matters
+    * (DuckDB has no xxhash64). The exact-Jaccard verification stage is
+    * hash-agnostic, so PRECISION is 1.0 in both modes and confirmed pairs
+    * carry identical Jaccard values; only borderline candidate RECALL can
+    * differ (LSH banding is probabilistic w.r.t. the hash family).
+    */
+  def hashedShinglesFast(c: Column, n: Int): Column = {
+    val lc = lower(c)
+    when(
+      length(lc) >= n,
+      array_sort(array_distinct(transform(sequence(lit(1), length(lc) - (n - 1)),
+        i => xxhash64(lc.substr(i, lit(n))).bitwiseAND(lit((1L << 48) - 1)))))
+    ).otherwise(array().cast(ArrayType(org.apache.spark.sql.types.LongType)))
+  }
+
   /** Language marker sets for the n-gram/stopword language-ID heuristic.
     * Order matters: ties resolve to the earlier entry.
     */

@@ -125,6 +125,43 @@ class TextAndDedupSpec extends SparkSpecBase {
     baseline should not contain ((1L, 4L))
   }
 
+  test("fast (xxhash64) minhash: precision 1.0 like the md5 path; high-sim pairs found by both") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " today"),
+      (3L, base.replace("quick", "rapid")),
+      (4L, "entirely unrelated content with distinct vocabulary everywhere"),
+      (5L, "entirely unrelated content with distinct vocabulary everywhere too")
+    ).toDF("doc_id", "text")
+    // hash-independent ground truth: blocked exact Jaccard on RAW shingles
+    val truth = NearDup.jaccardPairs(
+      NearDup.withShingles(df.withColumn("blk", lit(1)), "text"), "doc_id", "blk", 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    def pairs(fast: Boolean) =
+      NearDup.minhashLshPairs(df, "doc_id", "text", minJaccard = 0.5,
+        fastHashing = fast)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map(p => ((p._1, p._2), p._3)).toMap
+    val portable = pairs(fast = false)
+    val fastP    = pairs(fast = true)
+    // precision 1.0 in BOTH modes: every confirmed pair is a true pair with
+    // the exact Jaccard (the verification stage is hash-agnostic; only
+    // borderline candidate RECALL may differ between hash families)
+    for (m <- Seq(portable, fastP)) {
+      m.keySet.subsetOf(truth.keySet) shouldBe true
+      m.foreach { case (k, j) => truth(k) shouldBe j +- 1e-12 }
+    }
+    // near-identical pairs band together under any hash family
+    for (p <- Seq((1L, 2L), (4L, 5L))) {
+      portable.keySet should contain(p)
+      fastP.keySet should contain(p)
+    }
+  }
+
   test("jaccard pairs: identical docs in same block have jaccard 1.0") {
     val df = Seq(
       (1L, "s", "abcdefgh"),
