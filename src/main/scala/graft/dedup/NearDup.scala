@@ -144,10 +144,16 @@ object NearDup {
   )
 
   /** MinHash signature (array of 16 longs) from a HASHED shingle array
-    * (48-bit longs from `hashedShingles`): each of the k permutations is an
-    * integer transform + array_min — all codegen, no string hashing here.
+    * (48-bit longs from `hashedShingles`). Native one-pass expression: 16
+    * running minima over one array walk (the composed form ran k
+    * transform+array_min passes, each allocating an intermediate array).
     */
-  def minhashSignature(hashedShingles: Column): Column = {
+  def minhashSignature(hashedShingles: Column): Column =
+    graft.functions.TextNativeExpressions.minhash_sig_native(
+      hashedShingles, HashParams.map(_._1), HashParams.map(_._2), P)
+
+  /** Composed formulation, equality reference for the native expression. */
+  def minhashSignatureComposed(hashedShingles: Column): Column = {
     val hm = transform(hashedShingles, h => h % P)
     array(HashParams.map { case (a, b) =>
       array_min(transform(hm, h => (lit(a) * h + lit(b)) % P))

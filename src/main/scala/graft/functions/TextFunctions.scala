@@ -141,9 +141,18 @@ object TextFunctions {
 
   /** Polynomial rolling hash over the character stream:
     * fold(acc*31 + codepoint) mod 1e9+7. Portable: DuckDB computes the same
-    * value with `list_reduce(list_prepend(0, codes), ...)`.
+    * value with `list_reduce(list_prepend(0, codes), ...)`. Runs as the
+    * native single-pass expression (the composed fold materialized an
+    * Int array of length(text) per row); the `when` wrapper preserves the
+    * composed form's null→0 behavior exactly.
     */
   def rollingHash(c: Column): Column =
+    when(length(c) > 0, TextNativeExpressions.rolling_hash_native(c)).otherwise(0L)
+
+  /** Composed (pure-builtin) formulation, kept as the equality reference
+    * for the native expression's spec.
+    */
+  def rollingHashComposed(c: Column): Column =
     when(length(c) > 0,
       aggregate(
         transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast("long")),
@@ -154,9 +163,14 @@ object TextFunctions {
 
   /** 32-bit SimHash over a pre-hashed token array (use `hexHash32` per
     * token first so md5 is computed once, not 32×). Bit j of the signature
-    * is 1 iff more tokens have bit j set than clear (ties → 0).
+    * is 1 iff more tokens have bit j set than clear (ties → 0). Native
+    * one-pass expression — the composed form scanned the array 32×.
     */
-  def simhash32(hashedTokens: Column): Column = {
+  def simhash32(hashedTokens: Column): Column =
+    TextNativeExpressions.simhash_native(hashedTokens)
+
+  /** Composed formulation (32 aggregate passes), equality reference. */
+  def simhash32Composed(hashedTokens: Column): Column = {
     val bits = (0 until 32).map { j =>
       val vote = aggregate(
         hashedTokens,

@@ -135,6 +135,36 @@ class OperatorsSpec extends SparkSpecBase {
     salted shouldBe plain
   }
 
+  test("native text-hash expressions match their composed formulations under forced codegen") {
+    import graft.functions.TextFunctions
+    import graft.dedup.NearDup
+    // spark.range base: not a LocalRelation, so doGenCode actually runs;
+    // texts cover empty, single-char, unicode (BMP), and long strings
+    val df = spark.range(6).withColumn("t",
+      element_at(array(lit(""), lit("a"), lit("hello world 42!"),
+        lit("käse straße 日本"), lit("x" * 500),
+        lit("the quick brown fox jumps over the lazy dog")), col("id").cast("int") + 1))
+      .withColumn("toks", transform(TextFunctions.tokens(col("t")),
+        x => TextFunctions.hexHash32(x)))
+      .withColumn("sh", TextFunctions.hashedShingles(col("t"), 3))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = df.select(
+        TextFunctions.rollingHash(col("t")).as("rh_n"),
+        TextFunctions.rollingHashComposed(col("t")).as("rh_c"),
+        TextFunctions.simhash32(col("toks")).as("sim_n"),
+        TextFunctions.simhash32Composed(col("toks")).as("sim_c"),
+        NearDup.minhashSignature(col("sh")).as("mh_n"),
+        NearDup.minhashSignatureComposed(col("sh")).as("mh_c")
+      ).collect()
+      rows.foreach { r =>
+        r.getLong(0) shouldBe r.getLong(1)
+        r.getLong(2) shouldBe r.getLong(3)
+        r.getSeq[Any](4) shouldBe r.getSeq[Any](5)
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("native FloatVecDot matches the functional formulation (interpreted + codegen)") {
     // interpreted path (LocalRelation gets constant-folded with eval())
     val local = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
