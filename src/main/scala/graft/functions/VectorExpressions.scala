@@ -63,12 +63,107 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product of two quantized (array<long>) vectors —
+  * the scoring primitive of every cosine operator. Value-identical to
+  * `aggregate(zip_with(a,b,_*_),0L,_+_)` for equal-length null-free arrays
+  * (the only shape the similarity operators produce): integer addition is
+  * exact and order-free, so the loop sum equals the fold sum bit-for-bit.
+  * Mismatched lengths or null elements → null, matching the composed
+  * form's null-poisoning. One tight loop, no zipped intermediate array.
+  */
+case class LongVecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LongVecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Long $boxed = graft.functions.LongVecDot.dot($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongVecDot =
+    copy(left = l, right = r)
+}
+
+object LongVecDot {
+  /** Boxed return: null signals the composed form's null-poisoning cases. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i   = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Sign-random-hyperplane LSH bucket over a quantized vector — native
+  * one-pass form of `CosineTopK.signLshBucket`'s composed expression
+  * (which ran nBits aggregate+zip_with passes per row). Same hyperplane
+  * hash, bit-identical buckets.
+  */
+case class SignLshBucketNative(child: Expression, nBits: Int, stride: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any): Any =
+    SignLshBucketNative.bucket(a.asInstanceOf[ArrayData], nBits, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SignLshBucketNative.bucket($c, $nBits, ${stride}L)")
+
+  override protected def withNewChildInternal(c: Expression): SignLshBucketNative =
+    copy(child = c)
+}
+
+object SignLshBucketNative {
+  def bucket(qv: ArrayData, nBits: Int, stride: Long): Long = {
+    val n   = qv.numElements()
+    var sig = 0L
+    var j   = 0
+    while (j < nBits) {
+      var proj = 0L
+      var i    = 0
+      while (i < n) {
+        // i is 1-based in the composed form's sequence(1, size)
+        val h = (((stride * j + (i + 1)) * 2654435761L) % 4294967296L) >> 16
+        val sign = if ((h & 1L) == 1L) 1L else -1L
+        proj += qv.getLong(i) * sign
+        i += 1
+      }
+      if (proj > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
 object VectorExpressions {
 
   /** Column-level API for the native dot product. */
   def float_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native exact integer dot of quantized vectors. */
+  def long_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native sign-hyperplane LSH bucket. */
+  def sign_lsh_bucket(qv: Column, nBits: Int, stride: Long): Column =
+    ColumnBridge.column(
+      SignLshBucketNative(ColumnBridge.expression(qv), nBits, stride))
 
   /** Native float cosine: dot / (||a||·||b||). NaN-free for zero vectors is
     * the caller's concern (norm 0 → NaN, filter upstream).

@@ -29,8 +29,15 @@ object CosineTopK {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors. Native one-pass
+    * expression; integer addition is exact and order-free so the value is
+    * bit-identical to the composed fold (spec-asserted).
+    */
   def dotQ(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.long_dot(a, b)
+
+  /** Composed formulation, equality reference for the native expression. */
+  def dotQComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Deterministic cosine from quantized vectors + precomputed square norms. */
@@ -93,7 +100,11 @@ object CosineTopK {
     * on the test embeddings.) Integer arithmetic end-to-end so the oracle
     * reproduces buckets exactly.
     */
-  def signLshBucket(qv: Column, nBits: Int): Column = {
+  def signLshBucket(qv: Column, nBits: Int): Column =
+    graft.functions.VectorExpressions.sign_lsh_bucket(qv, nBits, HyperplaneStride)
+
+  /** Composed formulation, equality reference for the native expression. */
+  def signLshBucketComposed(qv: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
         zip_with(qv, sequence(lit(1), size(qv)),

@@ -165,6 +165,32 @@ class OperatorsSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("native quantized dot and LSH bucket match composed forms under forced codegen") {
+    import graft.similarity.CosineTopK
+    val rnd = new scala.util.Random(41)
+    val df = spark.range(50).withColumn("v",
+      transform(sequence(lit(1), lit(64)),
+        i => ((i * 37 + col("id") * 13) % 2001 - 1000).cast("long")))
+      .withColumn("w",
+        transform(sequence(lit(1), lit(64)),
+          i => ((i * 53 + col("id") * 7) % 2001 - 1000).cast("long")))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = df.select(
+        CosineTopK.dotQ(col("v"), col("w")).as("d_n"),
+        CosineTopK.dotQComposed(col("v"), col("w")).as("d_c"),
+        CosineTopK.signLshBucket(col("v"), 6).as("b_n"),
+        CosineTopK.signLshBucketComposed(col("v"), 6).as("b_c")
+      ).collect()
+      rows.foreach { r =>
+        r.getLong(0) shouldBe r.getLong(1)
+        r.getLong(2) shouldBe r.getLong(3)
+      }
+      // buckets must still spread (guards against a broken hyperplane hash)
+      df.select(CosineTopK.signLshBucket(col("v"), 6)).distinct().count() should be > 4L
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("native FloatVecDot matches the functional formulation (interpreted + codegen)") {
     // interpreted path (LocalRelation gets constant-folded with eval())
     val local = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
