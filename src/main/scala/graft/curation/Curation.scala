@@ -83,24 +83,22 @@ object Curation {
     * float ratios — oracle-hashable). High score ⇒ boilerplate/looping
     * text. Documents with < 2 tokens have no bigrams and are absent from
     * the output (nothing to score).
+    *
+    * Zero shuffles: the mode-count is per-document state, so it is
+    * computed by a native one-pass expression instead of exploding
+    * corpus×len bigram rows through two exchanges (the composed shape
+    * measured 13× slower at sf0.1 and shuffles ~10¹³ rows at 100 TB for
+    * values that never leave their document).
     */
-  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    // size guard is mandatory: Spark's sequence(1, 0) counts DOWN
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType)))
-    df.select(col(idCol), explode(bigrams).as("bigram"))
-      .groupBy(idCol, "bigram")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(idCol)
-      .agg(max(col("cnt")).as("top_bigram_count"),
-        sum(col("cnt")).as("n_bigrams"))
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextNativeExpressions.repetition_stats(tokens(col(textCol))).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol),
+        col("s.top_bigram_count").as("top_bigram_count"),
+        col("s.n_bigrams").as("n_bigrams"))
       .withColumn("rep_ppm",
         expr("(top_bigram_count * 1000000) div n_bigrams"))
-  }
 
   // ---------------------------------------------------------------------------
   // Benchmark decontamination

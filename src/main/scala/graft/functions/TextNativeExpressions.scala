@@ -74,6 +74,54 @@ object TextNative {
     sig
   }
 
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+  private def tokenHash64(s: UTF8String): Long = {
+    val h1 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 41)
+    val h2 = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 43)
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
+
+  /** null for < 2 tokens; otherwise struct(top_bigram_count, n_bigrams). */
+  def repetitionStats(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    if (n < 2) return null
+    val m = n - 1 // bigram count
+    // open-addressed long→count table, power-of-two ≥ 2m
+    var cap = 16
+    while (cap < m * 2) cap <<= 1
+    val keys   = new Array[Long](cap)
+    val counts = new Array[Int](cap)
+    val mask   = cap - 1
+    var top    = 0
+    var prev   = tokenHash64(toks.getUTF8String(0))
+    var i      = 1
+    while (i < n) {
+      val cur = tokenHash64(toks.getUTF8String(i))
+      // 64-bit pair mix; 0 is reserved as the empty slot marker
+      var k = prev * 0xBF58476D1CE4E5B9L + cur * 0x94D049BB133111EBL
+      if (k == 0L) k = 1L
+      var slot = (k ^ (k >>> 32)).toInt & mask
+      var done = false
+      while (!done) {
+        if (counts(slot) == 0) {
+          keys(slot) = k; counts(slot) = 1
+          if (top < 1) top = 1
+          done = true
+        } else if (keys(slot) == k) {
+          counts(slot) += 1
+          if (counts(slot) > top) top = counts(slot)
+          done = true
+        } else slot = (slot + 1) & mask
+      }
+      prev = cur
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](top.toLong, m.toLong))
+  }
+
   /** One pass over the (hashed, non-null) shingle array computing all k
     * universal-hash minima. Empty input → array of P (matches
     * `array_min(transform([]))` = null? No — the composed form yields null
@@ -99,6 +147,40 @@ object TextNative {
     }
     new GenericArrayData(mins.map(Long.box(_): Any))
   }
+}
+
+/** Per-document token-bigram statistics in ONE pass, zero shuffles: the
+  * composed formulation exploded every bigram (corpus×avg-len rows through
+  * two exchanges) to count values that never leave their row. Returns
+  * struct(top_bigram_count, n_bigrams), null for < 2 tokens (nothing to
+  * score — such docs are absent from the operator's output either way).
+  *
+  * Counting keys are 64-bit token hashes (two murmur32 seeds combined)
+  * mixed per pair — distinct bigrams collide with probability ~n²/2⁶⁴ per
+  * document, i.e. never in practice; the DuckDB oracle counts the actual
+  * strings and agrees.
+  */
+case class RepetitionStatsNative(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    new org.apache.spark.sql.types.StructType()
+      .add("top_bigram_count", LongType, nullable = false)
+      .add("n_bigrams", LongType, nullable = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    TextNative.repetitionStats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("repRow")
+      s"""
+         |InternalRow $r = graft.functions.TextNative.repetitionStats($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsNative =
+    copy(child = c)
 }
 
 case class RollingHashNative(child: Expression) extends UnaryExpression {
@@ -139,6 +221,9 @@ case class MinHashSigNative(left: Expression, right: Expression,
 }
 
 object TextNativeExpressions {
+
+  def repetition_stats(tokens: Column): Column =
+    ColumnBridge.column(RepetitionStatsNative(ColumnBridge.expression(tokens)))
   import org.apache.spark.sql.functions.lit
 
   def rolling_hash_native(c: Column): Column =
