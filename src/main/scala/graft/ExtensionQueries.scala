@@ -299,6 +299,16 @@ object ExtensionQueries {
       "doc_id", "n_tokens", budgetTokens = 2048, shards = 8)
       .select("doc_id", "n_tokens", "shard", "start_offset", "pack_id")
 
+  /** Pack assembly: payload is the doc_id string so the oracle's ordered
+    * string_agg proves the in-pack layout order byte-for-byte.
+    */
+  private def qAssemblePacks(s: SparkSession, dir: String): DataFrame =
+    Curation.assemblePacks(
+      Curation.packSequences(
+        T(s, dir).documents.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 2048, shards = 8),
+      "doc_id", "n_tokens", col("doc_id").cast("string"))
+
   /** PII is injected deterministically (the synthetic corpus has none) so
     * the scrub actually fires; the oracle augments identically.
     */
@@ -401,6 +411,7 @@ object ExtensionQueries {
     "q_x_upsample"        -> (qUpsample _),
     "q_x_curation_pipeline" -> (qCurationPipeline _),
     "q_x_pack_sequences"  -> (qPackSequences _),
+    "q_x_assemble_packs"  -> (qAssemblePacks _),
     "q_x_pii_scrub"       -> (qPiiScrub _),
     "q_x_repetition_score" -> (qRepetitionScore _),
     "q_x_decontaminate"   -> (qDecontaminate _)
@@ -704,6 +715,17 @@ object ExtensionQueries {
            |SELECT doc_id, n_tokens, shard, start_offset,
            |  start_offset // 2048 AS pack_id
            |FROM o""".stripMargin,
+      "q_x_assemble_packs" ->
+        s"""WITH t AS (SELECT doc_id, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
+           |  ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 12))::BIGINT % 8 AS shard
+           |  FROM documents),
+           |o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+           |      FROM t)
+           |SELECT shard, start_offset // 2048 AS pack_id,
+           |  COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+           |  string_agg(doc_id::VARCHAR, ' ' ORDER BY start_offset, doc_id) AS pack_payload
+           |FROM o GROUP BY 1, 2""".stripMargin,
       "q_x_pii_scrub" ->
         s"""WITH aug AS (SELECT doc_id, text ||
            |  CASE WHEN doc_id % 7 = 0

@@ -50,6 +50,29 @@ object Curation {
       .withColumn("pack_id", (col("start_offset") / budgetTokens).cast("long"))
   }
 
+  /** Materialize packs from `packSequences` output: one row per
+    * (shard, pack_id) with the member payloads concatenated in layout
+    * order. One aggregation on the pack key; the in-pack ordering is done
+    * with array_sort over collected (offset, id, payload) structs —
+    * deterministic under any partitioning (collect_list order is not,
+    * the sort makes it so).
+    */
+  def assemblePacks(
+      packed: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      payload: Column
+  ): DataFrame = {
+    val member = struct(col("start_offset").as("o"), col(idCol).as("i"), payload.as("p"))
+    packed.groupBy("shard", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nTokensCol)).as("pack_tokens"),
+        array_join(
+          transform(array_sort(collect_list(member)), s => s.getField("p")),
+          " ").as("pack_payload"))
+  }
+
   // ---------------------------------------------------------------------------
   // PII scrubbing
   // ---------------------------------------------------------------------------

@@ -78,6 +78,32 @@ class ScaleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("curation plan shapes: zero-shuffle scoring, one-shuffle packing, broadcast decontamination") {
+    val docs = (1 to 500).map(i => (i.toLong, s"some text body number $i with words"))
+      .toDF("doc_id", "text")
+
+    // repetition score: per-row native expression — NO exchange at all
+    val rep = graft.curation.Curation.repetitionScore(docs, "doc_id", "text")
+    rep.queryExecution.executedPlan.toString should not include "Exchange"
+
+    // packing: exactly one exchange (the shard hash partitioning)
+    val packed = graft.curation.Curation.packSequences(
+      docs.withColumn("n_tokens", lit(7L)), "doc_id", "n_tokens", 2048, 8)
+    val packPlan = packed.queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(packPlan).size shouldBe 1
+
+    // decontamination: blocklist broadcasts; the candidate side never
+    // shuffles (left_anti BroadcastHashJoin). AQE decides from runtime
+    // stats, so execute first and read the FINAL plan.
+    val decon = graft.curation.Curation.decontaminate(docs, docs.limit(10), "text")
+    decon.count()
+    // simple-mode rendering puts the key lists between node name and join
+    // type ("BroadcastHashJoin [..], [..], LeftAnti, BuildRight")
+    val blockedPlan = decon.queryExecution.executedPlan.toString
+    blockedPlan should include("BroadcastHashJoin")
+    blockedPlan should include("LeftAnti")
+  }
+
   test("dim lookup joins broadcast (no fact-side exchange)") {
     val dir = Files.createTempDirectory("graft_bcast").toString
     (1 to 5000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
