@@ -106,6 +106,16 @@ object ExtensionQueries {
       minJaccard = 0.65
     )
 
+  /** EXACT corpus-wide similarity join, no blocking column: AllPairs
+    * prefix filtering. The oracle is the brute-force inverted-index
+    * definition (pairs sharing >= 1 shingle, grouped overlap counts) —
+    * legitimate because prefix filtering is exact, not probabilistic.
+    * Finds cross-source near-dups the `source`-blocked baseline cannot.
+    */
+  private def qAllPairsJaccard(s: SparkSession, dir: String): DataFrame =
+    NearDup.allPairsJaccard(T(s, dir).documents, "doc_id", "text",
+      minJaccard = 0.65)
+
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashLshPairs(T(s, dir).documents, "doc_id", "text")
 
@@ -389,6 +399,7 @@ object ExtensionQueries {
     "q_x_rolling_hash"    -> (qRollingHash _),
     "q_x_exact_dedup"     -> (qExactDedup _),
     "q_x_jaccard_pairs_baseline" -> (qJaccardPairs _),
+    "q_x_allpairs_jaccard" -> (qAllPairsJaccard _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
     "q_x_minhash_lsh_fast" -> (qMinhashLshFast _),
     "q_x_simhash_sigs"    -> (qSimhashSigs _),
@@ -509,6 +520,22 @@ object ExtensionQueries {
            |WHERE len(a.s) + len(b.s) > 0
            |  AND len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,
+      // Exact algorithm ⇒ oracle is the definitional answer computed the
+      // cheap-in-DuckDB way: inverted-index overlap counting (a pair with
+      // J >= 0.65 > 0 shares >= 1 shingle, so the index misses nothing).
+      "q_x_allpairs_jaccard" ->
+        s"""WITH sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
+           |tok AS (SELECT doc_id, len(s) AS sz, unnest(s) AS t FROM sh
+           |        WHERE len(s) > 0),
+           |ov AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           |         a.sz AS sa, b.sz AS sb, count(*) AS inter
+           |       FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2, 3, 4)
+           |SELECT da AS doc_a, db AS doc_b, CAST(inter AS INTEGER) AS inter,
+           |  CAST(sa + sb - inter AS INTEGER) AS uni,
+           |  inter * 1.0 / (sa + sb - inter) AS jaccard
+           |FROM ov
+           |WHERE inter * 1.0 / (sa + sb - inter) >= 0.65""".stripMargin,
       "q_x_minhash_lsh" ->
         s"""WITH sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
            |hm AS (SELECT doc_id, s,

@@ -89,6 +89,21 @@ object NearDup {
     if (isLongShingles(shingled)) intersect_count(a, b, assumeSorted = true)
     else size(array_intersect(a, b))
 
+  /** Size-ratio prefilter in EXACT integer arithmetic. J(A,B) >= t implies
+    * |A| >= t·|B| and |B| >= t·|A|; the float form `sz >= sz * t` can
+    * reject a TRUE boundary pair (|B| = 13, |A| = 20, B ⊂ A, J = 13/20 =
+    * 0.65: `20 * 0.65` is 13.000000000000002 in doubles, so `13 >= ...` is
+    * false). Rationalizing t to num/10000 with num = floor(t·10000) <= t
+    * keeps the filter a strict no-op optimization: every pair the exact
+    * Jaccard filter would accept survives it.
+    */
+  private def sizeRatioOk(szA: Column, szB: Column, minJaccard: Double): Column = {
+    val num = math.floor(minJaccard * 10000).toLong
+    val den = 10000L
+    (szA.cast("long") * den >= szB.cast("long") * num) &&
+      (szB.cast("long") * den >= szA.cast("long") * num)
+  }
+
   def jaccardPairs(
       shingled: DataFrame,
       idCol: String,
@@ -104,14 +119,171 @@ object NearDup {
       // two empty sets would make jaccard 0/0 = NaN (which Spark's >= keeps
       // but SQL NULL semantics drop) — exclude them explicitly
       .filter(size(col("sh_a")) + size(col("sh_b")) > 0)
-      .filter(
-        size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
-        size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
+      .filter(sizeRatioOk(size(col("sh_a")), size(col("sh_b")), minJaccard))
       .withColumn("inter", interSize(shingled, col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  // ---------------------------------------------------------------------------
+  // AllPairs (prefix-filter) exact similarity join
+  // ---------------------------------------------------------------------------
+
+  /** EXACT corpus-wide Jaccard similarity join with NO blocking column and
+    * NO probabilistic recall loss — prefix filtering (Bayardo/Ma/Srikant,
+    * WWW'07 "Scaling Up All Pairs Similarity Search"; Chaudhuri/Ganti/
+    * Kaushik, ICDE'06 SSJoin) plus PPJoin's positional filter and
+    * mid-prefix indexing (Xiao/Wang/Lin/Yu, WWW'08 "Efficient Similarity
+    * Joins for Near Duplicate Detection"), re-expressed as a Spark
+    * dataflow.
+    *
+    * Principle: order the shingle vocabulary globally by ascending document
+    * frequency (rarest first, ties by value). If J(A,B) >= t then
+    * |A∩B| >= ceil(t·|A|), and by the prefix lemma the first
+    * |A| − ceil(t·|A|) + 1 tokens of A (in the global order) must share at
+    * least one token with B's prefix. So only docs co-occurring in some
+    * posting list of a PREFIX token can qualify — and prefix tokens are by
+    * construction the rarest, so those posting lists are the short ones.
+    * Two exact refinements cut the candidate set far below plain prefix
+    * filtering (measured 8.1M → ~0.1M on the sf0.1 documents corpus, where
+    * the dense char-3-gram vocabulary makes plain prefixes nearly useless):
+    *
+    *  - MID-PREFIX INDEXING: for a qualifying pair with |x| <= |y| the
+    *    required overlap is ceil(t/(1+t)·(|x|+|y|)) >= ceil(2t/(1+t)·|x|),
+    *    so the size-SMALLER doc only needs its first
+    *    |x| − ceil(2t/(1+t)·|x|) + 1 tokens indexed; the larger doc probes
+    *    with its full prefix. The join is ordered by (size, doc_id), so
+    *    every unordered pair is generated at most once — no `distinct`.
+    *  - POSITIONAL FILTER: let w be the LAST (max in global order) matched
+    *    token, at 1-based sorted positions (pa, pb). Every shared token
+    *    before w sits inside both joined prefixes (its positions are
+    *    smaller), hence IS one of the `o_p` matches; every shared token
+    *    after w is bounded by the shorter remaining tail. So
+    *    |A∩B| <= o_p + min(|x|−pa, |y|−pb), and a pair survives only if
+    *    that bound reaches ceil(t/(1+t)·(|x|+|y|)) — three integer agg
+    *    columns (count, max, max) per pair, map-side combinable.
+    *
+    * Scale shape (all linear-in-corpus shuffles):
+    *   1. explode shingles → df per token        (one shuffle, vocab-sized agg)
+    *   2. token→df join + per-doc re-sort        (shuffle on token, then doc)
+    *   3. probe×index postings join on token     (shuffle on token; quadratic
+    *      only within a posting list, and prefix postings are rare tokens)
+    *   4. per-pair groupBy → positional filter   (shuffle on pair key)
+    *   5. exact verification on survivors        (same intersect_count path
+    *      as `jaccardPairs`)
+    *
+    * All bounds use EXACT integer arithmetic: the threshold is rationalized
+    * to num/10000 with num = floor(t·10000) ≤ t, so every computed minimum
+    * overlap is ≤ its true-threshold value — a float `ceil(0.65 * 300)` can
+    * land on 196 instead of 195 and silently break exact recall.
+    * Verification uses the caller's full-precision threshold, so results
+    * are exactly the brute-force all-pairs answer (for t > 0; empty-set 0/0
+    * pairs are excluded, as everywhere in this module).
+    *
+    * EAGERNESS: mirrors `minhashLshPairs` — `materialize = true` (default)
+    * computes the result, caches it, and releases the shingle intermediate.
+    */
+  def allPairsJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.65,
+      materialize: Boolean = true,
+      fastHashing: Boolean = false
+  ): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val shingled = withHashedShingles(df, textCol, n, fast = fastHashing)
+      .select(col(idCol).as("doc_id"), col("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .persist()
+    val pairs = allPairsVerify(shingled,
+      allPairsCandidates(shingled, minJaccard), minJaccard)
+    if (!materialize) pairs
+    else {
+      val out = pairs.cache()
+      out.count()
+      shingled.unpersist()
+      out
+    }
+  }
+
+  /** Candidate pairs from prefix postings — exposed for recall/efficiency
+    * specs. Input must be (doc_id, shingles) with non-empty shingle arrays.
+    * Output (doc_a, doc_b) is distinct, doc_a < doc_b (by id), and is a
+    * SUPERSET of all pairs with J >= minJaccard (prefix lemma + PPJoin
+    * positional bound, both exact) already thinned by the size-ratio
+    * filter |A| >= t·|B| ∧ |B| >= t·|A|.
+    */
+  def allPairsCandidates(shingled: DataFrame, minJaccard: Double): DataFrame = {
+    // Rationalized threshold num/den <= minJaccard keeps every integer
+    // min-overlap bound sound (see scaladoc above): num/den <= t makes each
+    // ceil-bound a lower bound of its true-threshold counterpart, so
+    // prefixes only ever get LONGER and pair thresholds only LOWER.
+    val num = math.floor(minJaccard * 10000).toLong
+    val den = 10000L
+    val tok = shingled.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("t"))
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("tdf"))
+    // Per-doc tokens re-sorted by (df asc, token asc) — array_sort on a
+    // struct array orders lexicographically by field position, which is
+    // exactly the global frequency order. Probe prefix from the per-doc
+    // bound ceil(num·sz/den); index ("mid") prefix from the stronger
+    // smaller-side bound ceil(2·num·sz/(den+num)).
+    val prefixed = tok.join(dfreq, "t")
+      .groupBy("doc_id", "sz")
+      .agg(array_sort(collect_list(struct(col("tdf"), col("t")))).as("ordered"))
+      .withColumn("toks", transform(col("ordered"), s => s.getField("t")))
+      .withColumn("probe_len",
+        (col("sz") - floor((lit(num) * col("sz") + lit(den - 1L)) / lit(den)) + lit(1L)).cast("int"))
+      .withColumn("index_len",
+        (col("sz") - floor((lit(2L * num) * col("sz") + lit(den + num - 1L)) / lit(den + num)) + lit(1L)).cast("int"))
+    def postings(lenCol: String): DataFrame = prefixed
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("toks"), lit(1), col(lenCol))))
+      // 1-based sorted position for the tail bound sz − pos
+      .select(col("doc_id"), col("sz"), (col("pos") + lit(1)).as("pos"), col("col").as("pt"))
+    val probe = postings("probe_len")
+    val index = postings("index_len")
+    // Ordered join — the INDEX side is always the (size, id)-smaller doc, so
+    // each unordered pair appears at most once and no distinct is needed.
+    // The size-ratio filter also licenses the mid-prefix bound (it needs
+    // |x| >= t·|y|, which non-qualifying pairs are free to fail).
+    probe.as("y").join(index.as("x"),
+        col("x.pt") === col("y.pt") &&
+          (col("x.sz") < col("y.sz") ||
+            (col("x.sz") === col("y.sz") && col("x.doc_id") < col("y.doc_id"))) &&
+          sizeRatioOk(col("x.sz"), col("y.sz"), minJaccard))
+      .groupBy(col("x.doc_id").as("id_x"), col("y.doc_id").as("id_y"),
+        col("x.sz").as("szx"), col("y.sz").as("szy"))
+      .agg(count(lit(1)).as("o_p"), max(col("x.pos")).as("pax"), max(col("y.pos")).as("pay"))
+      // PPJoin positional filter: |A∩B| <= o_p + min(tail_x, tail_y) must
+      // reach the pair bound ceil(num·(szx+szy)/(den+num)) — all exact ints.
+      .filter(col("o_p") + least(col("szx") - col("pax"), col("szy") - col("pay")) >=
+        floor((lit(num) * (col("szx") + col("szy")) + lit(den + num - 1L)) / lit(den + num)))
+      .select(least(col("id_x"), col("id_y")).as("doc_a"),
+        greatest(col("id_x"), col("id_y")).as("doc_b"))
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the shingled corpus — shared tail of the AllPairs join.
+    */
+  private def allPairsVerify(
+      shingled: DataFrame, candidates: DataFrame, minJaccard: Double): DataFrame = {
+    val sa = shingled.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    candidates.select("doc_a", "doc_b")
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
+      .withColumn("inter", interSize(shingled, col("sh_a"), col("sh_b")))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("int").as("inter"),
+        col("uni").cast("int").as("uni"), col("jaccard"))
   }
 
   // ---------------------------------------------------------------------------
@@ -243,9 +415,7 @@ object NearDup {
       .join(sa, "doc_a")
       .join(sb, "doc_b")
       .filter(size(col("sh_a")) + size(col("sh_b")) > 0) // no 0/0 NaN
-      .filter(
-        size(col("sh_a")) >= size(col("sh_b")) * minJaccard &&
-        size(col("sh_b")) >= size(col("sh_a")) * minJaccard)
+      .filter(sizeRatioOk(size(col("sh_a")), size(col("sh_b")), minJaccard))
       .withColumn("inter", interSize(shingled, col("sh_a"), col("sh_b")))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))

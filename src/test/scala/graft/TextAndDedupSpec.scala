@@ -162,6 +162,60 @@ class TextAndDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("allPairs prefix-filter join equals corpus-wide brute force; candidates are pruned") {
+    // Two near-dup clusters living in DIFFERENT metadata blocks (a
+    // source-blocked join would miss the cross-cluster pairs) plus noise.
+    val base1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val base2 = "completely different content about spark distributed query processing engines"
+    val docs = Seq(
+      (1L, base1), (2L, base1 + " again"), (3L, base1.replace("quick", "rapid")),
+      (10L, base2), (11L, base2 + " at scale"),
+      (20L, "unrelated noise alpha beta gamma delta epsilon zeta"),
+      (21L, "other unrelated words entirely distinct vocabulary set"),
+      (22L, "numbers 123 456 789 mixed with text tokens here")
+    ).toDF("doc_id", "text")
+    val brute = NearDup.jaccardPairs(
+      NearDup.withHashedShingles(docs.withColumn("blk", lit(1)), "text"),
+      "doc_id", "blk", 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    val ap = NearDup.allPairsJaccard(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    ap.keySet shouldBe brute.keySet
+    ap.foreach { case (k, j) => brute(k) shouldBe j +- 1e-12 }
+    ap.keySet should contain((1L, 2L)) // sanity: the cluster is really found
+    // Candidate generation prunes: far fewer than n·(n−1)/2 = 28 pairs
+    val shingled = NearDup.withHashedShingles(docs, "text")
+      .select(col("doc_id"), col("shingles"))
+      .filter(org.apache.spark.sql.functions.size(col("shingles")) > 0)
+    val cands = NearDup.allPairsCandidates(shingled, 0.5)
+      .as[(Long, Long)].collect().toSet
+    cands.size should be < 28
+    ap.keySet.subsetOf(cands) shouldBe true // exact recall: result ⊆ candidates
+  }
+
+  test("exact-boundary pair (J == t, |B| = t·|A|) survives the integer size filter") {
+    // A ⊃ B with |A| = 20, |B| = 13 ⇒ J = 13/20 = 0.65 = t exactly. The
+    // old float prefilter computed 20·0.65 = 13.000000000000002 and dropped
+    // this TRUE pair; the DuckDB oracle (no such filter) keeps it.
+    val shingled = Seq(
+      (1L, (1L to 20L).toArray),
+      (2L, (1L to 13L).toArray)
+    ).toDF("doc_id", "shingles")
+    val pairs = NearDup.jaccardPairs(
+      shingled.withColumn("blk", lit(1)), "doc_id", "blk", 0.65)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    pairs.head._3 shouldBe 0.65 +- 1e-12
+    // and through the AllPairs prefix path: candidate + confirmed
+    val cands = NearDup.allPairsCandidates(shingled, 0.65)
+      .as[(Long, Long)].collect()
+    cands shouldBe Array((1L, 2L))
+  }
+
   test("jaccard pairs: identical docs in same block have jaccard 1.0") {
     val df = Seq(
       (1L, "s", "abcdefgh"),
