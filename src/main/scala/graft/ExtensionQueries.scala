@@ -116,6 +116,15 @@ object ExtensionQueries {
     NearDup.allPairsJaccard(T(s, dir).documents, "doc_id", "text",
       minJaccard = 0.65)
 
+  /** Pairs → groups → canonical doc: connected components over the EXACT
+    * AllPairs join at J >= 0.8, min-id canonical per cluster. The oracle
+    * is a DuckDB recursive transitive closure — legitimate because both
+    * the pair set (exact join) and the closure are deterministic.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    NearDup.dedupClusters(T(s, dir).documents, "doc_id", "text",
+      minJaccard = 0.8)
+
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashLshPairs(T(s, dir).documents, "doc_id", "text")
 
@@ -400,6 +409,7 @@ object ExtensionQueries {
     "q_x_exact_dedup"     -> (qExactDedup _),
     "q_x_jaccard_pairs_baseline" -> (qJaccardPairs _),
     "q_x_allpairs_jaccard" -> (qAllPairsJaccard _),
+    "q_x_dedup_clusters"  -> (qDedupClusters _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
     "q_x_minhash_lsh_fast" -> (qMinhashLshFast _),
     "q_x_simhash_sigs"    -> (qSimhashSigs _),
@@ -536,6 +546,34 @@ object ExtensionQueries {
            |  inter * 1.0 / (sa + sb - inter) AS jaccard
            |FROM ov
            |WHERE inter * 1.0 / (sa + sb - inter) >= 0.65""".stripMargin,
+      // Connected components = recursive transitive closure over the
+      // exact pair set; canonical id = min reachable id. UNION (not ALL)
+      // dedups the reach set so the recursion terminates.
+      "q_x_dedup_clusters" ->
+        s"""WITH RECURSIVE
+           |sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
+           |tok AS (SELECT doc_id, len(s) AS sz, unnest(s) AS t FROM sh
+           |        WHERE len(s) > 0),
+           |ov AS (SELECT a.doc_id AS da, b.doc_id AS db,
+           |         a.sz AS sa, b.sz AS sb, count(*) AS inter
+           |       FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+           |       GROUP BY 1, 2, 3, 4),
+           |pairs AS (SELECT da, db FROM ov
+           |          WHERE inter * 1.0 / (sa + sb - inter) >= 0.8),
+           |edges AS (SELECT da AS a, db AS b FROM pairs
+           |          UNION ALL SELECT db, da FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS r FROM documents
+           |  UNION
+           |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a
+           |),
+           |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+           |sizes AS (SELECT canonical_id, count(*) AS cluster_size
+           |          FROM comp GROUP BY 1)
+           |SELECT comp.id AS doc_id, comp.canonical_id,
+           |  CAST(sizes.cluster_size AS INTEGER) AS cluster_size,
+           |  comp.id = comp.canonical_id AS is_canonical
+           |FROM comp JOIN sizes USING (canonical_id)""".stripMargin,
       "q_x_minhash_lsh" ->
         s"""WITH sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
            |hm AS (SELECT doc_id, s,

@@ -287,6 +287,47 @@ object NearDup {
   }
 
   // ---------------------------------------------------------------------------
+  // Dedup clustering (pairs → groups → canonical representative)
+  // ---------------------------------------------------------------------------
+
+  /** The LAST stage of a dedup pipeline: turn near-dup PAIRS into dedup
+    * GROUPS and pick one canonical representative per group. Similarity is
+    * not transitive, but dedup policy is — if A~B and B~C, keeping both A
+    * and C leaves two documents that each near-duplicate B. The industry-
+    * standard answer (and the reference's dedup semantics) is connected
+    * components over the pair graph, keeping the minimum id per component.
+    *
+    * Built on the EXACT `allPairsJaccard` join, so the clustering is fully
+    * deterministic and oracle-checkable (transitive closure in SQL). Swap
+    * in `minhashLshPairs` upstream for the probabilistic trade at extreme
+    * scale — the clustering stage is identical.
+    *
+    * Output: one row per input document —
+    * (doc_id, canonical_id, cluster_size, is_canonical). Non-duplicated
+    * documents are singleton clusters (canonical_id = doc_id, size 1), so
+    * `filter(col("is_canonical"))` IS the deduplicated corpus.
+    */
+  def dedupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      fastHashing: Boolean = false
+  ): DataFrame = {
+    val pairs = allPairsJaccard(df, idCol, textCol, n, minJaccard,
+      materialize = true, fastHashing = fastHashing)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.operators.ConnectedComponents.labels(
+      pairs, df.select(col(idCol).as("id")))
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("canonical_id"),
+        col("cluster_size").cast("int").as("cluster_size"),
+        (col("id") === col("component")).as("is_canonical"))
+  }
+
+  // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------
 
