@@ -109,6 +109,56 @@ object EventStream {
       }
       .start()
 
+  /** Streaming GOLD upsert: fold each micro-batch of dimension changes
+    * into an SCD2 parquet dimension via `foreachBatch` +
+    * `Scd2.incrementalMerge` — the incremental gold-layer path the batch
+    * pipeline runs nightly, as a continuous stream.
+    *
+    * Exactly-once EFFECT without a transactional table format:
+    * `incrementalMerge` is idempotent for a replayed batch — the re-merged
+    * rows rebuild the same per-NK history (consecutive identical versions
+    * collapse in change detection), so the restart-after-crash redelivery
+    * of the last un-checkpointed batch converges to the identical dim
+    * (spec-proven property). The physical swap is write-new + rename;
+    * production object stores would layer an ACID table format over this,
+    * which the sandbox doesn't ship — the merge semantics are the portable
+    * part.
+    *
+    * Scale: per batch, cost is proportional to the BATCH's touched keys
+    * (left_semi-restricted rebuild), plus the rewrite of untouched rows —
+    * at real dim sizes the rewrite is the motivation for partitioned dims
+    * or an ACID format; the dataflow upstream of the sink is unchanged.
+    */
+  def scd2UpsertStream(
+      changes: DataFrame,
+      dimPath: String,
+      checkpoint: String,
+      nk: Seq[String],
+      orderCol: String,
+      attrs: Seq[String],
+      tiebreak: Seq[String] = Nil
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val session = batch.sparkSession
+          val dir = new java.io.File(dimPath)
+          val merged =
+            if (dir.exists())
+              graft.gold.Scd2.incrementalMerge(
+                session.read.parquet(dimPath), batch, nk, orderCol, attrs, tiebreak)
+            else graft.gold.Scd2.initialLoad(batch, nk, orderCol, attrs, tiebreak)
+          val tmp = new java.io.File(dimPath + s".inprogress-$batchId")
+          merged.write.mode("overwrite").parquet(tmp.getPath)
+          graft.core.Fs.rmTree(dir)
+          if (!tmp.renameTo(dir))
+            throw new IllegalStateException(
+              s"atomic swap failed: ${tmp.getPath} -> $dimPath")
+        }
+      }
+      .start()
+
   /** Stream–stream interval join: pair each purchase with EVERY click by
     * the same user within the preceding hour (one output row per qualifying
     * click — interval-join semantics, so summing `value` over the output
