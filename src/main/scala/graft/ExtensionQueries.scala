@@ -128,6 +128,18 @@ object ExtensionQueries {
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashLshPairs(T(s, dir).documents, "doc_id", "text")
 
+  /** Incremental ingest: docs from source 'src0' are the NEW batch, every
+    * other source is the historical signature store — which new docs
+    * near-dup something already ingested?
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val store = NearDup.minhashSignatureStore(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text")
+    NearDup.dedupAgainstStore(store,
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+  }
+
   /** Production-hash variant (xxhash64 shingles): no DuckDB oracle exists
     * for xxhash64 → rows-only gate; pair-set equality with the portable
     * path is spec-proven instead, and the bench shows the speedup.
@@ -411,6 +423,7 @@ object ExtensionQueries {
     "q_x_allpairs_jaccard" -> (qAllPairsJaccard _),
     "q_x_dedup_clusters"  -> (qDedupClusters _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
+    "q_x_dedup_incremental" -> (qDedupIncremental _),
     "q_x_minhash_lsh_fast" -> (qMinhashLshFast _),
     "q_x_simhash_sigs"    -> (qSimhashSigs _),
     "q_x_simhash_pairs_baseline" -> (qSimhashPairs _),
@@ -449,9 +462,10 @@ object ExtensionQueries {
     val sigExprs = NearDup.HashParams.map { case (a, b) =>
       s"list_min([($a*h + $b) % ${NearDup.P} for h in hv])"
     }.mkString(",\n    ")
-    val bandSelects = (0 until 4).map { bnd =>
-      s"SELECT doc_id, $bnd AS band_idx, array_to_string(sg[${bnd * 4 + 1}:${bnd * 4 + 4}], '-') AS band_key FROM sig"
+    def bandSelectsFrom(sigCte: String) = (0 until 4).map { bnd =>
+      s"SELECT doc_id, $bnd AS band_idx, array_to_string(sg[${bnd * 4 + 1}:${bnd * 4 + 4}], '-') AS band_key FROM $sigCte"
     }.mkString("\n  UNION ALL ")
+    val bandSelects = bandSelectsFrom("sig")
 
     val qv  = "[CAST(round(CAST(x AS DOUBLE)*100000) AS BIGINT) for x in embedding]"
     // sign-hyperplane LSH bucket over `qv` (6 bits), generated from the SAME
@@ -592,6 +606,37 @@ object ExtensionQueries {
            |  len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
            |FROM cand JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db
+           |WHERE len(a.s) + len(b.s) > 0
+           |  AND len(list_intersect(a.s, b.s)) * 1.0
+           |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,
+      // batch (src0) vs store (everything else): same signature/banding
+      // constants, bucket guard counted over the STORE side only
+      "q_x_dedup_incremental" ->
+        s"""WITH shb AS (SELECT doc_id, $DHSHINGLES AS s FROM documents
+           |             WHERE source = 'src0'),
+           |shc AS (SELECT doc_id, $DHSHINGLES AS s FROM documents
+           |        WHERE source <> 'src0'),
+           |hmb AS (SELECT doc_id, s, [x % ${NearDup.P} for x in s] AS hv FROM shb),
+           |hmc AS (SELECT doc_id, s, [x % ${NearDup.P} for x in s] AS hv FROM shc),
+           |sigb AS (SELECT doc_id, [
+           |    $sigExprs
+           |  ] AS sg FROM hmb),
+           |sigc AS (SELECT doc_id, [
+           |    $sigExprs
+           |  ] AS sg FROM hmc),
+           |bb AS (${bandSelectsFrom("sigb")}),
+           |bc AS (${bandSelectsFrom("sigc")}),
+           |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bcnt
+           |          FROM bc),
+           |cand AS (SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+           |  FROM bb x JOIN sized y
+           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+           |   AND x.doc_id <> y.doc_id
+           |  WHERE y.bcnt <= ${NearDup.DefaultMaxBucketSize})
+           |SELECT bid AS batch_id, cid AS corpus_id,
+           |  len(list_intersect(a.s, b.s)) * 1.0
+           |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           |FROM cand JOIN shb a ON a.doc_id = bid JOIN shc b ON b.doc_id = cid
            |WHERE len(a.s) + len(b.s) > 0
            |  AND len(list_intersect(a.s, b.s)) * 1.0
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.65""".stripMargin,

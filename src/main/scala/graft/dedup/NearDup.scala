@@ -481,6 +481,90 @@ object NearDup {
   }
 
   // ---------------------------------------------------------------------------
+  // Incremental dedup: new batch vs historical signature store
+  // ---------------------------------------------------------------------------
+
+  /** Signature-store rows for a corpus: (doc_id, shingles, sig). Write this
+    * to parquet once per corpus load; `dedupAgainstStore` reads it back for
+    * every incoming batch. The store carries the hashed shingle sets (for
+    * exact verification) alongside the MinHash signature (for banding) —
+    * the standard layout of a continuously-maintained dedup index.
+    */
+  def minhashSignatureStore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      fastHashing: Boolean = false
+  ): DataFrame =
+    withHashedShingles(df, textCol, n, fast = fastHashing)
+      .select(col(idCol).as("doc_id"), col("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles")))
+
+  /** Incremental (batch-vs-corpus) near-dup: which NEW documents
+    * near-duplicate something already in the historical store? The
+    * continuous-ingest companion to `minhashLshPairs` — instead of
+    * re-deduping the whole corpus per load, each batch only joins the
+    * store's band index.
+    *
+    * Scale shape: the store is NEVER re-shingled (signatures are
+    * precomputed); its band explosion is a narrow map. The batch side is
+    * small by definition, so AQE broadcasts its band keys — the
+    * corpus-side join runs WITHOUT shuffling the store. The hot-bucket
+    * guard aggregates store-band counts map-side into a tiny oversized-key
+    * list (at a real deployment this list is maintained WITH the store as
+    * metadata); batch-internal duplicates are `minhashLshPairs` on the
+    * batch alone — this operator intentionally reports only cross pairs.
+    *
+    * Output: (batch_id, corpus_id, jaccard) — confirmed exact-Jaccard
+    * matches at `minJaccard`, candidate recall per MinHash banding theory.
+    */
+  def dedupAgainstStore(
+      store: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.65,
+      bands: Int = 4,
+      rows: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      fastHashing: Boolean = false
+  ): DataFrame = {
+    // Not persisted: the batch is small by contract, so re-shingling it for
+    // the verification join is cheaper than pinning cache blocks from a
+    // library call (the round-1 lesson on surprising eager operators).
+    val b = minhashSignatureStore(batch, idCol, textCol, n, fastHashing)
+    def banded(sigs: DataFrame): DataFrame = sigs
+      .select(col("doc_id"), posexplode(bandKeys(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val storeBands = banded(store)
+    val oversized = storeBands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__bcnt"))
+      .filter(col("__bcnt") > maxBucketSize)
+      .select("band_idx", "band_key")
+    val sane = storeBands.join(oversized, Seq("band_idx", "band_key"), "left_anti")
+    val candidates = banded(b).as("x")
+      .join(sane.as("y"), Seq("band_idx", "band_key"))
+      .filter(col("x.doc_id") =!= col("y.doc_id")) // re-ingested known doc
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val sa = b.select(col("doc_id").as("batch_id"), col("shingles").as("sh_a"))
+    val sb = store.select(col("doc_id").as("corpus_id"), col("shingles").as("sh_b"))
+    candidates
+      .join(sa, "batch_id")
+      .join(sb, "corpus_id")
+      .filter(size(col("sh_a")) + size(col("sh_b")) > 0) // no 0/0 NaN
+      .filter(sizeRatioOk(size(col("sh_a")), size(col("sh_b")), minJaccard))
+      .withColumn("inter", interSize(b, col("sh_a"), col("sh_b")))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter") * lit(1.0) / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
+  // ---------------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ---------------------------------------------------------------------------
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.bronze.{BronzeIngest, Validation}
-import graft.gold.{DataQuality, DimDate, Scd2, SurrogateKeys}
+import graft.gold.{BucketedLayout, DataQuality, DimDate, Scd2, SurrogateKeys}
 import graft.schema.Contracts
 import graft.silver.{Dedup, Enrich, Tags}
 
@@ -31,7 +31,9 @@ final case class MedallionPipeline(
     ingestTs: String,
     pipelineRunId: String,
     maxRejectRate: Double = 0.10,
-    scalableSks: Boolean = true
+    scalableSks: Boolean = true,
+    publishBucketedServing: Boolean = false,
+    servingBuckets: Int = 32
 ) {
 
   /** SK assignment mode for all gold dims. Default is the scalable path
@@ -361,6 +363,21 @@ final case class MedallionPipeline(
       DataQuality.danglingSks(bridge, tagDim, "tag_sk", unknownSk = -1L).isEmpty)
   }
 
+  /** Optional serving layout (`publishBucketedServing`): republish the
+    * most-joined gold tables — the user dim and the daily owner fact — as
+    * bucketed+sorted managed tables on `user_sk` (gold.BucketedLayout), so
+    * the repeated dashboard join pays its shuffle once at publish time.
+    * Off by default: the parquet path layout is the pipeline's contract;
+    * this is an additive optimization for repeated-join serving workloads.
+    */
+  private def goldPublishServing(): Unit = {
+    BucketedLayout.publish(spark.read.parquet(goldPath("dim_user")),
+      "serving_dim_user", "user_sk", servingBuckets)
+    BucketedLayout.publish(
+      spark.read.parquet(goldPath("fact_dataset_owner_daily")),
+      "serving_fact_dataset_owner_daily", "user_sk", servingBuckets)
+  }
+
   // -------------------------------------------------------------------------
   // DAG
   // -------------------------------------------------------------------------
@@ -402,7 +419,11 @@ final case class MedallionPipeline(
       Task("gold_validate",
         Seq("gold_fact_dataset_owner_daily", "gold_fact_competitions_yearly",
           "gold_fact_tag_usage_daily", "gold_bridge_dataset_tag"))(() => goldValidate())
-    )
+    ) ++ (if (publishBucketedServing)
+      Seq(Task("gold_publish_serving",
+        Seq("gold_dim_user", "gold_fact_dataset_owner_daily", "gold_validate"))(
+        () => goldPublishServing()))
+    else Nil)
   }
 
   def tasks: Seq[Pipeline.Task] = {

@@ -159,6 +159,63 @@ object EventStream {
       }
       .start()
 
+  /** Streaming continuous-ingest dedup: per micro-batch, split incoming
+    * documents into NOVEL (no near-dup in the historical signature store)
+    * and DUPLICATE (near-dups something already accepted), then append the
+    * novel docs' signatures to the store — so every batch dedups against
+    * everything accepted before it. The streaming face of
+    * `NearDup.dedupAgainstStore`; within-batch duplicates are deliberately
+    * out of scope (run `minhashLshPairs` on the batch if needed).
+    *
+    * Idempotency: all three sinks (accept, duplicate, store-append) write
+    * `batch_id=<id>` subdirectories in overwrite mode — a replayed batch
+    * overwrites its own output and re-derives the same split, because the
+    * store contents it joins against (earlier batch ids) are unaffected by
+    * the replay.
+    *
+    * Scale: per batch, cost ∝ batch size + matched-bucket candidates (the
+    * store is never re-shingled and not shuffled — see SCALING.md).
+    */
+  def dedupIngestStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      acceptPath: String,
+      duplicatePath: String,
+      checkpoint: String,
+      minJaccard: Double = 0.65
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val session = batch.sparkSession
+          val b = batch.persist()
+          try {
+            // A store directory with no parquet yet (fresh pipeline) reads
+            // as "no history": everything in the batch is novel.
+            val dupIds = scala.util.Try(session.read.parquet(storePath))
+              .toOption match {
+              case Some(store) =>
+                graft.dedup.NearDup
+                  .dedupAgainstStore(store, b, idCol, textCol,
+                    minJaccard = minJaccard)
+                  .select(col("batch_id").as(idCol)).distinct()
+              case None => b.select(col(idCol)).limit(0)
+            }
+            val dup   = b.join(dupIds, Seq(idCol), "left_semi")
+            val fresh = b.join(dupIds, Seq(idCol), "left_anti")
+            fresh.write.mode("overwrite").parquet(s"$acceptPath/batch_id=$batchId")
+            dup.write.mode("overwrite").parquet(s"$duplicatePath/batch_id=$batchId")
+            if (!fresh.isEmpty)
+              graft.dedup.NearDup.minhashSignatureStore(fresh, idCol, textCol)
+                .write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Stream–stream interval join: pair each purchase with EVERY click by
     * the same user within the preceding hour (one output row per qualifying
     * click — interval-join semantics, so summing `value` over the output

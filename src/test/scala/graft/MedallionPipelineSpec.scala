@@ -199,4 +199,38 @@ class MedallionPipelineSpec extends SparkSpecBase {
     an[IllegalArgumentException] should be thrownBy Pipeline.run(Seq(
       Pipeline.Task("a", Seq("ghost"))(() => ())))
   }
+
+  test("bucketed serving publish: exchange-free dim⋈fact join, rows match the parquet gold") {
+    val raw = Files.createTempDirectory("graft_raw_srv").toString
+    val out = Files.createTempDirectory("graft_out_srv").toString
+    writeFixtures(raw)
+    Seq("serving_dim_user", "serving_fact_dataset_owner_daily").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse", t)
+      if (d.exists()) graft.core.Fs.rmTree(d)
+    }
+    val p = MedallionPipeline(spark, raw, out, runDate = "2024-06-01",
+      ingestTs = "2024-06-01 02:00:00", pipelineRunId = "test-run-srv",
+      maxRejectRate = 0.7, publishBucketedServing = true, servingBuckets = 4)
+    val report = p.run()
+    withClue(report.toString + "\n") { report.succeeded shouldBe true }
+    report.results.map(_.name) should contain("gold_publish_serving")
+
+    val dim  = spark.table("serving_dim_user")
+    val fact = spark.table("serving_fact_dataset_owner_daily")
+    dim.count() shouldBe spark.read.parquet(s"$out/gold/dim_user").count()
+    fact.count() shouldBe
+      spark.read.parquet(s"$out/gold/fact_dataset_owner_daily").count()
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val served = fact.join(dim, "user_sk")
+      val plan = served.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange hashpartitioning"
+      served.count() shouldBe fact.count() // every fact SK resolves (J4 gate)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -76,6 +76,34 @@ class TextAndDedupSpec extends SparkSpecBase {
     pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
   }
 
+  test("incremental dedup: batch vs store reports cross pairs only, skips re-ingested ids") {
+    val base  = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content about distributed query engines"
+    val store = NearDup.minhashSignatureStore(Seq(
+      (1L, base),
+      (2L, other),
+      (3L, "historical noise alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq(
+      (10L, base + " today"),       // near-dups corpus doc 1
+      (11L, base + " tomorrow"),    // near-dups corpus doc 1 AND batch doc 10
+      (2L,  other),                 // re-ingested known doc (same id) → skipped
+      (12L, "fresh unrelated text with new vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val got = NearDup.dedupAgainstStore(store, batch, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    got should contain((10L, 1L))
+    got should contain((11L, 1L))
+    // batch-internal near-dup (10, 11) is NOT this operator's job
+    got.exists(p => p._1 == 10L && p._2 == 11L) shouldBe false
+    got.exists(p => p._1 == 11L && p._2 == 10L) shouldBe false
+    // identical re-ingested doc with the same id is not a "duplicate"
+    got.exists(p => p._1 == 2L) shouldBe false
+    // fresh doc matches nothing
+    got.exists(p => p._1 == 12L) shouldBe false
+  }
+
   test("minhash LSH hot-bucket guard bounds degenerate corpora, keeps honest pairs") {
     // 50 identical boilerplate docs = one hot bucket in every band; plus one
     // genuine near-dup pair with its own (tiny) buckets
