@@ -134,8 +134,11 @@ object ExtensionQueries {
     */
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir).documents
+    // persist = the materialized store of a real deployment (the operator
+    // reads the store three times: bucket counts, band join, verification;
+    // production reads a parquet signature table, not a live md5 pipeline)
     val store = NearDup.minhashSignatureStore(
-      docs.filter(col("source") =!= "src0"), "doc_id", "text")
+      docs.filter(col("source") =!= "src0"), "doc_id", "text").persist()
     NearDup.dedupAgainstStore(store,
       docs.filter(col("source") === "src0"), "doc_id", "text")
   }
