@@ -317,9 +317,13 @@ object NearDup {
   ): DataFrame = {
     val pairs = allPairsJaccard(df, idCol, textCol, n, minJaccard,
       materialize = true, fastHashing = fastHashing)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comp = graft.operators.ConnectedComponents.labels(
-      pairs, df.select(col(idCol).as("id")))
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      df.select(col(idCol).as("id")))
+    // labels() localCheckpoints its result, so the pair cache (pinned by
+    // allPairsJaccard's materialization) can be released here instead of
+    // living for the rest of the session.
+    pairs.unpersist()
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component").as("canonical_id"),
@@ -500,6 +504,10 @@ object NearDup {
     withHashedShingles(df, textCol, n, fast = fastHashing)
       .select(col(idCol).as("doc_id"), col("shingles"))
       .withColumn("sig", minhashSignature(col("shingles")))
+      // provenance marker: a store hashed one way shares NO values with a
+      // batch hashed the other, so a mode mismatch would silently report
+      // zero duplicates — dedupAgainstStore checks this column when present
+      .withColumn("hash_mode", lit(if (fastHashing) "xxh64" else "md5"))
 
   /** Incremental (batch-vs-corpus) near-dup: which NEW documents
     * near-duplicate something already in the historical store? The
@@ -531,6 +539,18 @@ object NearDup {
       maxBucketSize: Int = DefaultMaxBucketSize,
       fastHashing: Boolean = false
   ): DataFrame = {
+    // Loud guard against the silent-zero-recall trap: a store hashed with
+    // the other mode shares no shingle/signature values with this batch.
+    // take(1) scans one partition — stores are mode-uniform by
+    // construction, so sampling one row is sufficient and cheap.
+    if (store.columns.contains("hash_mode")) {
+      val expected = if (fastHashing) "xxh64" else "md5"
+      store.select("hash_mode").take(1).foreach { r =>
+        require(r.getString(0) == expected,
+          s"store was built with hash_mode=${r.getString(0)} but this batch " +
+            s"uses $expected — pass fastHashing=${!fastHashing} to match")
+      }
+    }
     // Not persisted: the batch is small by contract, so re-shingling it for
     // the verification join is cheaper than pinning cache blocks from a
     // library call (the round-1 lesson on surprising eager operators).

@@ -42,6 +42,15 @@ object ConnectedComponents {
     * @return (id, component) — component is the min id reachable from id
     */
   def labels(edges: DataFrame, vertices: DataFrame, maxIter: Int = 100): DataFrame = {
+    // Loud type guard: casting a string/uuid id to long yields nulls, which
+    // would silently drop every edge and return garbage null-id clusters.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq("id" -> vertices.schema("id"), "src" -> edges.schema("src"),
+      "dst" -> edges.schema("dst")).foreach { case (name, field) =>
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(field.dataType),
+        s"ConnectedComponents requires integral ids; column '$name' is " +
+          s"${field.dataType.simpleString} — map ids to longs (e.g. hash) first")
+    }
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
       .filter(col("src") =!= col("dst"))

@@ -119,10 +119,13 @@ object EventStream {
     * rows rebuild the same per-NK history (consecutive identical versions
     * collapse in change detection), so the restart-after-crash redelivery
     * of the last un-checkpointed batch converges to the identical dim
-    * (spec-proven property). The physical swap is write-new + rename;
-    * production object stores would layer an ACID table format over this,
-    * which the sandbox doesn't ship — the merge semantics are the portable
-    * part.
+    * (spec-proven property). The physical swap is crash-safe without being
+    * atomic: the new dim is written aside, the old dim renamed to a
+    * `.bak`, the new one renamed in, the `.bak` deleted — and every batch
+    * FIRST recovers a dangling `.bak` if a previous swap died between its
+    * two renames. At no point is the only copy of the history deleted.
+    * Production object stores would layer an ACID table format over this;
+    * the merge semantics are the portable part.
     *
     * Scale: per batch, cost is proportional to the BATCH's touched keys
     * (left_semi-restricted rebuild), plus the rewrite of untouched rows —
@@ -141,23 +144,48 @@ object EventStream {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val session = batch.sparkSession
-          val dir = new java.io.File(dimPath)
-          val merged =
-            if (dir.exists())
-              graft.gold.Scd2.incrementalMerge(
-                session.read.parquet(dimPath), batch, nk, orderCol, attrs, tiebreak)
-            else graft.gold.Scd2.initialLoad(batch, nk, orderCol, attrs, tiebreak)
-          val tmp = new java.io.File(dimPath + s".inprogress-$batchId")
-          merged.write.mode("overwrite").parquet(tmp.getPath)
-          graft.core.Fs.rmTree(dir)
-          if (!tmp.renameTo(dir))
-            throw new IllegalStateException(
-              s"atomic swap failed: ${tmp.getPath} -> $dimPath")
-        }
+        scd2UpsertBatch(batch, batchId, dimPath, nk, orderCol, attrs, tiebreak)
       }
       .start()
+
+  /** One micro-batch of the SCD2 upsert — package-visible so crash/replay
+    * scenarios are directly testable. See `scd2UpsertStream`.
+    */
+  private[graft] def scd2UpsertBatch(
+      batch: DataFrame,
+      batchId: Long,
+      dimPath: String,
+      nk: Seq[String],
+      orderCol: String,
+      attrs: Seq[String],
+      tiebreak: Seq[String] = Nil
+  ): Unit = if (!batch.isEmpty) {
+    val session = batch.sparkSession
+    val dir = new java.io.File(dimPath)
+    val bak = new java.io.File(dimPath + ".bak")
+    // Recovery: a previous swap crashed between `dim → .bak` and
+    // `tmp → dim` — the .bak IS the dim; restore it before merging.
+    if (!dir.exists() && bak.exists() && !bak.renameTo(dir))
+      throw new IllegalStateException(
+        s"crash recovery failed: ${bak.getPath} -> $dimPath")
+    val merged =
+      if (dir.exists())
+        graft.gold.Scd2.incrementalMerge(
+          session.read.parquet(dimPath), batch, nk, orderCol, attrs, tiebreak)
+      else graft.gold.Scd2.initialLoad(batch, nk, orderCol, attrs, tiebreak)
+    val tmp = new java.io.File(dimPath + s".inprogress-$batchId")
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    // Swap, never holding zero copies of the history: clear any stale
+    // .bak, step the current dim aside, move the new dim in, drop the old.
+    if (bak.exists()) graft.core.Fs.rmTree(bak)
+    if (dir.exists() && !dir.renameTo(bak))
+      throw new IllegalStateException(
+        s"swap step-aside failed: $dimPath -> ${bak.getPath}")
+    if (!tmp.renameTo(dir))
+      throw new IllegalStateException(
+        s"swap failed: ${tmp.getPath} -> $dimPath (previous dim at ${bak.getPath})")
+    if (bak.exists()) graft.core.Fs.rmTree(bak)
+  }
 
   /** Streaming continuous-ingest dedup: per micro-batch, split incoming
     * documents into NOVEL (no near-dup in the historical signature store)
@@ -168,10 +196,14 @@ object EventStream {
     * out of scope (run `minhashLshPairs` on the batch if needed).
     *
     * Idempotency: all three sinks (accept, duplicate, store-append) write
-    * `batch_id=<id>` subdirectories in overwrite mode — a replayed batch
-    * overwrites its own output and re-derives the same split, because the
-    * store contents it joins against (earlier batch ids) are unaffected by
-    * the replay.
+    * `batch_id=<id>` subdirectories in overwrite mode, and the store read
+    * enumerates ONLY batch ids strictly below the current one — so a
+    * replayed batch neither sees its own prior store contribution (which
+    * would flip its split) nor double-counts anything; it re-derives the
+    * identical split and overwrites its own output. Store enumeration is
+    * explicit directory listing — a fresh pipeline is the empty list, and
+    * any other read failure propagates loudly instead of being mistaken
+    * for "no history".
     *
     * Scale: per batch, cost ∝ batch size + matched-bucket candidates (the
     * store is never re-shingled and not shuffled — see SCALING.md).
@@ -189,32 +221,54 @@ object EventStream {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val session = batch.sparkSession
-          val b = batch.persist()
-          try {
-            // A store directory with no parquet yet (fresh pipeline) reads
-            // as "no history": everything in the batch is novel.
-            val dupIds = scala.util.Try(session.read.parquet(storePath))
-              .toOption match {
-              case Some(store) =>
-                graft.dedup.NearDup
-                  .dedupAgainstStore(store, b, idCol, textCol,
-                    minJaccard = minJaccard)
-                  .select(col("batch_id").as(idCol)).distinct()
-              case None => b.select(col(idCol)).limit(0)
-            }
-            val dup   = b.join(dupIds, Seq(idCol), "left_semi")
-            val fresh = b.join(dupIds, Seq(idCol), "left_anti")
-            fresh.write.mode("overwrite").parquet(s"$acceptPath/batch_id=$batchId")
-            dup.write.mode("overwrite").parquet(s"$duplicatePath/batch_id=$batchId")
-            if (!fresh.isEmpty)
-              graft.dedup.NearDup.minhashSignatureStore(fresh, idCol, textCol)
-                .write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
-          } finally { b.unpersist(); () }
-        }
+        dedupIngestBatch(batch, batchId, idCol, textCol,
+          storePath, acceptPath, duplicatePath, minJaccard)
       }
       .start()
+
+  /** One micro-batch of the ingest dedup — package-visible so replay
+    * scenarios are directly testable. See `dedupIngestStream`.
+    */
+  private[graft] def dedupIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      acceptPath: String,
+      duplicatePath: String,
+      minJaccard: Double = 0.65
+  ): Unit = if (!batch.isEmpty) {
+    val session = batch.sparkSession
+    val b = batch.persist()
+    try {
+      // History = store partitions from STRICTLY EARLIER batches. A replay
+      // must not join its own crashed-attempt contribution: batch-internal
+      // near-dups are out of scope, and seeing them via the store would
+      // flip the whole batch to "duplicate" and drop novel docs.
+      val priorDirs = Option(new java.io.File(storePath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .filter(_.getName.stripPrefix("batch_id=").toLong < batchId)
+        .map(_.getPath)
+      val dupIds =
+        if (priorDirs.isEmpty) b.select(col(idCol)).limit(0)
+        else {
+          val store = session.read
+            .option("basePath", storePath).parquet(priorDirs.toSeq: _*)
+          graft.dedup.NearDup
+            .dedupAgainstStore(store, b, idCol, textCol, minJaccard = minJaccard)
+            .select(col("batch_id").as(idCol)).distinct()
+        }
+      val dup   = b.join(dupIds, Seq(idCol), "left_semi")
+      val fresh = b.join(dupIds, Seq(idCol), "left_anti")
+      fresh.write.mode("overwrite").parquet(s"$acceptPath/batch_id=$batchId")
+      dup.write.mode("overwrite").parquet(s"$duplicatePath/batch_id=$batchId")
+      if (!fresh.isEmpty)
+        graft.dedup.NearDup.minhashSignatureStore(fresh, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+    } finally { b.unpersist(); () }
+  }
 
   /** Stream–stream interval join: pair each purchase with EVERY click by
     * the same user within the preceding hour (one output row per qualifying

@@ -62,6 +62,14 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     }
   }
 
+  test("string ids are rejected loudly (silent cast-to-null would drop every edge)") {
+    val ex = intercept[IllegalArgumentException] {
+      ConnectedComponents.labels(
+        Seq(("a", "b")).toDF("src", "dst"), Seq("a", "b").toDF("id"))
+    }
+    ex.getMessage should include("integral ids")
+  }
+
   test("non-convergence within maxIter fails loudly") {
     val vs = (0L to 30L)
     an[IllegalArgumentException] should be thrownBy

@@ -43,4 +43,45 @@ class DedupIngestStreamSpec extends SparkSpecBase {
     spark.read.parquet(store).select("doc_id").as[Long].collect().toSet shouldBe
       Set(1L, 2L, 11L)
   }
+
+  test("replayed batch ignores its own crashed-attempt store partition — split is stable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val (store, accept, dup) = (s"$root/store", s"$root/accept", s"$root/dup")
+    // Batch 0: two docs that near-dup EACH OTHER but nothing historical —
+    // within-batch dups are out of scope, so both must be accepted.
+    val b0 = Seq(
+      DocIngest(100L, "the quick brown fox jumps over the lazy dog again today"),
+      DocIngest(101L, "the quick brown fox jumps over the lazy dog again tonight")
+    ).toDF()
+    EventStream.dedupIngestBatch(b0, 0L, "doc_id", "text", store, accept, dup,
+      minJaccard = 0.5)
+    // Crash before the checkpoint committed: batch 0 is REDELIVERED. Its
+    // own store partition (batch_id=0) now exists on disk — the replay must
+    // not join against it, or both docs would flip to "duplicate".
+    EventStream.dedupIngestBatch(b0, 0L, "doc_id", "text", store, accept, dup,
+      minJaccard = 0.5)
+    spark.read.parquet(accept).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(100L, 101L)
+    spark.read.parquet(store).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(100L, 101L)
+    spark.read.parquet(s"$dup/batch_id=0").count() shouldBe 0
+    // and a LATER batch does see batch 0's store contribution
+    val b1 = Seq(DocIngest(200L,
+      "the quick brown fox jumps over the lazy dog again tomorrow")).toDF()
+    EventStream.dedupIngestBatch(b1, 1L, "doc_id", "text", store, accept, dup,
+      minJaccard = 0.5)
+    spark.read.parquet(dup).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(200L)
+  }
+
+  test("store/batch hashing-mode mismatch fails loudly instead of silent zero recall") {
+    val store = graft.dedup.NearDup.minhashSignatureStore(
+      Seq((1L, "some historical document text here")).toDF("doc_id", "text"),
+      "doc_id", "text", fastHashing = true)
+    val batch = Seq((2L, "some historical document text here too")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.dedup.NearDup.dedupAgainstStore(store, batch, "doc_id", "text").count()
+    }
+    ex.getMessage should include("hash_mode")
+  }
 }

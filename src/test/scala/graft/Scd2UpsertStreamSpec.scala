@@ -72,4 +72,27 @@ class Scd2UpsertStreamSpec extends SparkSpecBase {
       .collect().toSet
     replayed shouldBe got
   }
+
+  test("crash between swap renames: the .bak is recovered, history is NOT lost") {
+    val dim = java.nio.file.Files.createTempDirectory("graft_dimc").toString + "/dim"
+    val b1 = Seq(
+      DimChange(1L, ts("2024-01-01 00:00:00"), "bronze"),
+      DimChange(2L, ts("2024-01-01 00:00:00"), "silver")).toDF()
+    EventStream.scd2UpsertBatch(b1, 0L, dim, NK, "changed_ts", ATTRS)
+    dimRows(dim).size shouldBe 2
+
+    // Simulate a crash after `dim → .bak` but before `tmp → dim`: the dim
+    // directory is gone and only the .bak holds the history.
+    val dir = new java.io.File(dim)
+    val bak = new java.io.File(dim + ".bak")
+    assert(dir.renameTo(bak))
+    dir.exists() shouldBe false
+
+    // The replayed batch must recover the .bak and MERGE — the naive
+    // rebuild-from-batch would produce a dim with only cust 3.
+    val b2 = Seq(DimChange(3L, ts("2024-02-01 00:00:00"), "gold")).toDF()
+    EventStream.scd2UpsertBatch(b2, 1L, dim, NK, "changed_ts", ATTRS)
+    dimRows(dim).map(_._1) shouldBe Set(1L, 2L, 3L)
+    bak.exists() shouldBe false // swap completed, step-aside cleaned up
+  }
 }
