@@ -62,9 +62,17 @@ object Bench {
     val production = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_baseline") => v
     }.sum
+    // EXACT corpus-wide similarity (AllPairs join + the clustering built on
+    // it) is priced-for-exactness: on a dense corpus its verification count
+    // is information-theoretically bounded below (SCALING.md). Reported as
+    // its own line so the LSH-fast engine's cost reads separately.
+    val exactSim = Set("q_x_allpairs_jaccard", "q_x_dedup_clusters")
+    val exactSimSec = results.collect {
+      case (k, v) if v >= 0 && exactSim(k) => v
+    }.sum
     // `failed` is explicit so a query that starts throwing can never read
     // as a speedup of the headline total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","production_sec":$production,"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","production_sec":$production,"exact_similarity_sec":$exactSimSec,"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
