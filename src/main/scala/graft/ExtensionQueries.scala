@@ -310,6 +310,27 @@ object ExtensionQueries {
       ratesBp = Map("en" -> 1000), defaultBp = 5000)
       .select("doc_id", "lang")
 
+  /** Importance sampling: keep probability ∝ document length (capped at
+    * 2000 chars ⇒ weight 10000 bp), at a 50% base rate. Pure integer
+    * decision — bit-identical across engines.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    DeterministicSampling.weightedSample(
+      T(s, dir).documents, col("doc_id"),
+      weightBp = least(col("n_chars"), lit(2000L)) * 5, rateBp = 5000)
+      .select("doc_id", "lang", "n_chars")
+
+  /** Per-source quota: at most 10 docs per source, hash-priority order —
+    * the "cap per crawl domain" mixture rule. The operator's threshold
+    * pre-prune + fallback is exact, so the oracle is the plain
+    * row_number formulation.
+    */
+  private def qSourceQuota(s: SparkSession, dir: String): DataFrame =
+    DeterministicSampling.quotaCap(
+      T(s, dir).documents.select("doc_id", "source", "lang"),
+      group = Seq("source"), key = col("doc_id"), cap = 10)
+      .select("doc_id", "source", "lang")
+
   private def qTrainValTestSplit(s: SparkSession, dir: String): DataFrame =
     DeterministicSampling.split(T(s, dir).documents, col("doc_id"),
       valBp = 1000, testBp = 1000)
@@ -444,6 +465,8 @@ object ExtensionQueries {
     "q_x_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_x_det_sample"      -> (qDetSample _),
     "q_x_stratified_sample" -> (qStratifiedSample _),
+    "q_x_weighted_sample" -> (qWeightedSample _),
+    "q_x_source_quota"    -> (qSourceQuota _),
     "q_x_train_val_test"  -> (qTrainValTestSplit _),
     "q_x_upsample"        -> (qUpsample _),
     "q_x_curation_pipeline" -> (qCurationPipeline _),
@@ -806,6 +829,18 @@ object ExtensionQueries {
         """SELECT doc_id, lang FROM documents
           |WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's0'), 1, 12))::BIGINT % 10000
           |      < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END""".stripMargin,
+      "q_x_weighted_sample" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'w0'), 1, 12))::BIGINT % 10000 * 10000
+          |      < least(n_chars, 2000) * 5 * 5000""".stripMargin,
+      "q_x_source_quota" ->
+        """SELECT doc_id, source, lang FROM (
+          |  SELECT doc_id, source, lang,
+          |    row_number() OVER (PARTITION BY source ORDER BY
+          |      ('0x' || substr(md5(doc_id::VARCHAR || 'q0'), 1, 12))::BIGINT % 10000,
+          |      doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 10""".stripMargin,
       "q_x_train_val_test" ->
         """SELECT doc_id, lang,
           |  CASE WHEN b < 1000 THEN 'val'

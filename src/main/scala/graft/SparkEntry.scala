@@ -583,6 +583,47 @@ object SparkEntry {
     )
   }
 
+  /** Point-in-time SCD2 lookup (library: gold.Scd2.pointInTimeLookup): for
+    * each purchase event, the user-state version effective one microsecond
+    * BEFORE the purchase — the standard fact-to-historical-dim attribution
+    * read. Purchases that are the user's first-ever event exercise the
+    * left-join NULL path. Equi-join on the NK + interval residual — never a
+    * nested-loop range join (plan-asserted in GoldOpsSpec).
+    */
+  private def qScd2PitLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+    val dim = Scd2.initialLoad(
+      ev.select("user_id", "ts", "event_type"),
+      nk = Seq("user_id"), orderCol = "ts", attrs = Seq("event_type"),
+      tiebreak = Seq("event_type"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("purchase_ts"))
+      .withColumn("lookup_ts", expr("timestampadd(MICROSECOND, -1, purchase_ts)"))
+    Scd2.pointInTimeLookup(
+      facts,
+      dim.select(col("user_id"), col("event_type").as("prior_state"),
+        col("effective_start_ts"), col("effective_end_ts")),
+      nk = Seq("user_id"), factTs = "lookup_ts")
+      .select(col("user_id"), col("event_id"), col("purchase_ts"),
+        col("prior_state"), col("effective_start_ts").as("state_start_ts"))
+  }
+
+  /** Salted skew join (library: operators.SkewJoin) — the manual skew
+    * mitigation for when AQE's runtime skew split can't apply. Results are
+    * identical to the unsalted join, so the oracle IS the plain join.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val fact = t.lineitem.select(
+      col("l_partkey").as("partkey"), col("l_orderkey"), col("l_quantity"))
+    val dim = t.part.select(col("p_partkey").as("partkey"), col("p_brand"))
+    graft.operators.SkewJoin
+      .saltedJoin(fact, dim, "partkey", saltFrom = Seq("l_orderkey"), n = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
   /** A9: exact interpolated percentiles. */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     T(s, dir).lineitem.agg(
@@ -667,6 +708,8 @@ object SparkEntry {
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
+    "q_o_scd2_pit"           -> (qScd2PitLookup _),
+    "q_o_salted_join"        -> (qSaltedJoin _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
@@ -765,6 +808,31 @@ object SparkEntry {
         |SELECT user_id, event_type, effective_start_ts, effective_end_ts, is_current,
         |  row_number() OVER (ORDER BY effective_start_ts, user_id) AS dim_sk
         |FROM dim""".stripMargin,
+    "q_o_scd2_pit" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_ts
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_type FROM w
+        |      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+        |dim AS (
+        |  SELECT user_id, event_type, ts AS s,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+        |             TIMESTAMP '9999-12-31 00:00:00') AS e
+        |  FROM v),
+        |f AS (SELECT user_id, event_id, ts AS purchase_ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.purchase_ts,
+        |  d.event_type AS prior_state, d.s AS state_start_ts
+        |FROM f LEFT JOIN dim d
+        |  ON f.user_id = d.user_id
+        | AND f.purchase_ts - INTERVAL 1 MICROSECOND >= d.s
+        | AND f.purchase_ts - INTERVAL 1 MICROSECOND < d.e""".stripMargin,
+    "q_o_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_j5_scd2_incremental" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,

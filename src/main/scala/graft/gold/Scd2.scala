@@ -114,4 +114,48 @@ object Scd2 {
     */
   def withUnknownRow(dim: DataFrame, unknown: DataFrame): DataFrame =
     unknown.unionByName(dim, allowMissingColumns = false)
+
+  /** Point-in-time lookup: attach to each fact row the dimension version
+    * that was effective at the fact's timestamp — the query-side complement
+    * of the SCD2 builders above (the reference reads its SCD2 dims exactly
+    * this way when attributing facts to historical attribute values).
+    *
+    * Semantics: left join on the natural key with
+    * `startCol <= factTs < endCol`. SCD2 invariants (non-overlapping
+    * intervals per NK) guarantee at most one match per fact row, so the
+    * output is deterministic and row-count-preserving; facts that predate
+    * the first version keep NULL dimension attributes.
+    *
+    * Scale shape: the EQUALITY predicate on the natural key is part of the
+    * join condition, so Catalyst plans a hash/sort-merge join partitioned by
+    * NK (or a broadcast-hash join for a small dim) and evaluates the range
+    * bounds as a residual — never a nested-loop range join. Versions per key
+    * are few (dim-scale), so the per-key match work is O(versions). A spec
+    * asserts the plan contains no BroadcastNestedLoopJoin/CartesianProduct.
+    *
+    * @param facts  fact rows; ALL fact columns are preserved
+    * @param dim    SCD2 dimension (NK + attribute + interval columns)
+    * @param nk     natural-key columns (same names on both sides)
+    * @param factTs fact timestamp column to probe with
+    * @return facts with the dim's non-NK columns appended (NULL if no
+    *         version covers `factTs`)
+    */
+  def pointInTimeLookup(
+      facts: DataFrame,
+      dim: DataFrame,
+      nk: Seq[String],
+      factTs: String,
+      startCol: String = "effective_start_ts",
+      endCol: String = "effective_end_ts"
+  ): DataFrame = {
+    val f = facts.alias("__pit_f")
+    val d = dim.alias("__pit_d")
+    val keyEq = nk.map(k => col(s"__pit_f.$k") === col(s"__pit_d.$k")).reduce(_ && _)
+    val inRange = col(s"__pit_f.$factTs") >= col(s"__pit_d.$startCol") &&
+      col(s"__pit_f.$factTs") < col(s"__pit_d.$endCol")
+    val dimAttrs = dim.columns.filterNot(nk.contains).toSeq
+    f.join(d, keyEq && inRange, "left")
+      .select(facts.columns.toSeq.map(c => col(s"__pit_f.$c")) ++
+        dimAttrs.map(c => col(s"__pit_d.$c")): _*)
+  }
 }

@@ -77,4 +77,49 @@ class SamplingSpec extends SparkSpecBase {
     out.filter($"lang" === "lang0").groupBy("id").count()
       .filter($"count" =!= 3).count() shouldBe 0
   }
+
+  test("weightedSample: full weight equals plain sample; zero weight drops; monotone in weight") {
+    val full = DeterministicSampling
+      .weightedSample(corpus, $"id", lit(10000L), rateBp = 3000, salt = "s0")
+      .as[(Long, String)].collect().toSet
+    val plain = DeterministicSampling.sample(corpus, $"id", 3000, salt = "s0")
+      .as[(Long, String)].collect().toSet
+    full shouldBe plain
+    DeterministicSampling.weightedSample(corpus, $"id", lit(0L), 10000).count() shouldBe 0
+    // monotone: a row kept at weight w is kept at any w' > w (same salt)
+    val half = DeterministicSampling
+      .weightedSample(corpus, $"id", lit(5000L), rateBp = 3000, salt = "s0")
+      .as[(Long, String)].collect().toSet
+    half.subsetOf(full) shouldBe true
+    half.size.toDouble shouldBe (full.size / 2.0) +- 40.0
+    // out-of-range weights clamp instead of misbehaving
+    val over = DeterministicSampling
+      .weightedSample(corpus, $"id", lit(99999L), rateBp = 3000, salt = "s0")
+      .as[(Long, String)].collect().toSet
+    over shouldBe full
+  }
+
+  test("quotaCap: exactly min(cap, |group|) survivors, identical to the row_number formulation") {
+    // skewed groups: lang0 has 850 rows, others 50 each
+    val skewed = (0L until 1000L)
+      .map(i => (i, if (i < 850) "big" else s"small${i % 3}"))
+      .toDF("id", "grp")
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      val prio = DeterministicSampling.bucket($"id", "q0")
+      val w = Window.partitionBy("grp").orderBy(prio, $"id")
+      skewed.withColumn("rn", row_number().over(w)).filter($"rn" <= 20)
+        .select("id", "grp").as[(Long, String)].collect().toSet
+    }
+    for (margin <- Seq(1, 4, 100)) { // margin=1 exercises the exactness fallback
+      val got = DeterministicSampling
+        .quotaCap(skewed, Seq("grp"), $"id", cap = 20, margin = margin)
+        .as[(Long, String)].collect().toSet
+      got shouldBe expected
+    }
+    // under-quota groups pass through untouched (50 < 100)
+    val loose = DeterministicSampling.quotaCap(skewed, Seq("grp"), $"id", cap = 900)
+      .as[(Long, String)].collect().toSet
+    loose shouldBe skewed.as[(Long, String)].collect().toSet
+  }
 }

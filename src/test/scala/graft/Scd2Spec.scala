@@ -86,4 +86,35 @@ class Scd2Spec extends SparkSpecBase {
     out.count() shouldBe dim.count() + 1
     out.filter($"user_id" === "UNKNOWN").count() shouldBe 1
   }
+
+  test("pointInTimeLookup: effective version per fact ts, NULL before history, row-count preserved") {
+    val dim = Scd2.initialLoad(changes, Seq("user_id"), "change_ts", Seq("country"))
+    val facts = Seq(
+      ("F1", "U001", ts("2023-12-31 00:00:00")), // before first version → NULL
+      ("F2", "U001", ts("2024-01-01 00:00:00")), // start is inclusive → US
+      ("F3", "U001", ts("2024-01-20 00:00:00")), // mid-interval → US
+      ("F4", "U001", ts("2024-02-01 00:00:00")), // old end exclusive, new start inclusive → CA
+      ("F5", "U001", ts("2025-06-01 00:00:00")), // open current interval → CA
+      ("F6", "U003", ts("2024-06-01 00:00:00"))  // unknown key → NULL
+    ).toDF("fact_id", "user_id", "fact_ts")
+    val out = Scd2.pointInTimeLookup(facts, dim, Seq("user_id"), "fact_ts",
+      startCol = "effective_start_ts", endCol = "effective_end_ts")
+    out.count() shouldBe facts.count() // at most one version matches
+    val by = out.select("fact_id", "country").as[(String, Option[String])]
+      .collect().toMap
+    by shouldBe Map("F1" -> None, "F2" -> Some("US"), "F3" -> Some("US"),
+      "F4" -> Some("CA"), "F5" -> Some("CA"), "F6" -> None)
+    // all fact columns preserved, dim attrs appended
+    out.columns should contain allOf ("fact_id", "user_id", "fact_ts", "country")
+  }
+
+  test("pointInTimeLookup plans an equi-join on the NK, not a nested-loop range join") {
+    val dim = Scd2.initialLoad(changes, Seq("user_id"), "change_ts", Seq("country"))
+    val facts = Seq(("F1", "U001", ts("2024-01-20 00:00:00")))
+      .toDF("fact_id", "user_id", "fact_ts")
+    val plan = Scd2.pointInTimeLookup(facts, dim, Seq("user_id"), "fact_ts")
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
