@@ -624,6 +624,49 @@ object SparkEntry {
       .orderBy("p_brand")
   }
 
+  /** Snapshot CDC (library: operators.SnapshotDiff): classify keys across
+    * two snapshot extracts as insert/delete/update. The snapshots are
+    * deterministic slices of orders (key mod filters; a +500-cent bump on
+    * keys divisible by 3 creates the updates), so the oracle replays the
+    * same full-outer comparison.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir).orders.select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val before = base.filter(col("o_orderkey") % 5 =!= 0)
+    val after = base.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 3 === 0, col("price_cents") + 500L)
+          .otherwise(col("price_cents")))
+    graft.operators.SnapshotDiff.diff(
+      before, after, keys = Seq("o_orderkey"),
+      attrs = Seq("o_orderstatus", "price_cents"))
+  }
+
+  /** Incremental aggregate maintenance (library: operators.IncrementalAgg):
+    * merge a batch's partial aggregates into a stored aggregate table. The
+    * oracle is the FULL recompute over all orders — the merge invariant
+    * `agg(A) ⊕ agg(B) == agg(A ∪ B)` is exactly what the gate checks.
+    */
+  private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o      = T(s, dir).orders
+    val cutoff = lit("1996-01-01").cast("date")
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sumCents(col("o_totalprice")).as("total_cents"),
+        min(col("o_orderdate").cast("date")).as("first_order"),
+        max(col("o_orderdate").cast("date")).as("last_order"))
+    val stored = aggOf(o.filter(col("o_orderdate").cast("date") < cutoff))
+    val delta  = aggOf(o.filter(col("o_orderdate").cast("date") >= cutoff))
+    graft.operators.IncrementalAgg.mergeAdditive(
+      stored, delta, keys = Seq("o_custkey"),
+      sums = Seq("cnt", "total_cents"),
+      mins = Seq("first_order"), maxs = Seq("last_order"))
+  }
+
   /** A9: exact interpolated percentiles. */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     T(s, dir).lineitem.agg(
@@ -710,6 +753,8 @@ object SparkEntry {
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_o_scd2_pit"           -> (qScd2PitLookup _),
     "q_o_salted_join"        -> (qSaltedJoin _),
+    "q_o_snapshot_diff"      -> (qSnapshotDiff _),
+    "q_o_incr_agg"           -> (qIncrementalAgg _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
@@ -833,6 +878,35 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_o_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+        |a AS (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 500
+        |             ELSE price_cents END AS price_cents
+        |      FROM base WHERE o_orderkey % 7 <> 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderstatus
+        |         ELSE b.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.price_cents
+        |         ELSE b.price_cents END AS price_cents,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |         WHEN a.o_orderkey IS NULL THEN 'delete'
+        |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           OR a.price_cents IS DISTINCT FROM b.price_cents THEN 'update'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |WHERE change_type <> 'unchanged'""".stripMargin,
+    "q_o_incr_agg" ->
+      """SELECT o_custkey, COUNT(*) AS cnt,
+        |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents,
+        |  MIN(CAST(o_orderdate AS DATE)) AS first_order,
+        |  MAX(CAST(o_orderdate AS DATE)) AS last_order
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q_j5_scd2_incremental" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,

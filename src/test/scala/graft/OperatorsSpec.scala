@@ -212,4 +212,49 @@ class OperatorsSpec extends SparkSpecBase {
         lit(0.0), (acc, v) => acc + v)).as[Double].collect()
     native shouldBe functional
   }
+
+  test("SnapshotDiff classifies insert/delete/update incl. null transitions; after-image wins") {
+    val before = Seq(
+      (1L, Some("a"), 10L),  // unchanged
+      (2L, Some("b"), 20L),  // value update
+      (3L, None, 30L),       // null→value update
+      (4L, Some("d"), 40L),  // value→null update
+      (5L, Some("e"), 50L)   // delete
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("B"), 20L),
+      (3L, Some("c"), 30L),
+      (4L, None, 40L),
+      (6L, Some("f"), 60L)   // insert
+    ).toDF("k", "s", "v")
+    val out = graft.operators.SnapshotDiff
+      .diff(before, after, Seq("k"), Seq("s", "v"))
+      .select("k", "s", "change_type")
+      .as[(Long, Option[String], String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out shouldBe Map(
+      2L -> ((Some("B"), "update")),  // after-image survives
+      3L -> ((Some("c"), "update")),
+      4L -> ((None, "update")),
+      5L -> ((Some("e"), "delete")),  // before-image for deletes
+      6L -> ((Some("f"), "insert")))
+    // includeUnchanged restores the full key universe
+    graft.operators.SnapshotDiff.diff(before, after, Seq("k"), Seq("s", "v"),
+      includeUnchanged = true).count() shouldBe 6
+  }
+
+  test("IncrementalAgg merge of split partials equals the full recompute") {
+    val rows = (1 to 500).map(i => (i % 37, i.toLong, i % 13))
+      .toDF("g", "v", "m")
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("g").agg(
+      count(lit(1)).as("cnt"), sum($"v").as("total"),
+      min($"m").as("lo"), max($"m").as("hi"))
+    val full = aggOf(rows).as[(Int, Long, Long, Int, Int)].collect().toSet
+    // split so some groups exist in only one part (disjoint-key path)
+    val merged = graft.operators.IncrementalAgg.mergeAdditive(
+      aggOf(rows.filter($"v" <= 100)), aggOf(rows.filter($"v" > 100)),
+      keys = Seq("g"), sums = Seq("cnt", "total"), mins = Seq("lo"), maxs = Seq("hi"))
+      .as[(Int, Long, Long, Int, Int)].collect().toSet
+    merged shouldBe full
+  }
 }

@@ -104,6 +104,46 @@ class ScaleSpec extends SparkSpecBase {
     blockedPlan should include("LeftAnti")
   }
 
+  test("runtime bloom filter prunes the fact side of a selectively-filtered dim join") {
+    // Spark's InjectRuntimeFilter (on by default) builds a bloom filter from
+    // the filtered dim side and pushes a might_contain predicate into the
+    // fact scan — the automatic semi-join reduction that matters at 100 TB,
+    // where most fact rows join to a filtered-away dim row and should die
+    // at the scan. The application-side threshold is 10 GB so local-scale
+    // data must lower it to observe the injection; production clusters hit
+    // it with the shipped defaults.
+    val fdir = Files.createTempDirectory("graft_bloom_f").toString
+    val ddir = Files.createTempDirectory("graft_bloom_d").toString
+    (1 to 50000).map(i => (i.toLong % 5000, s"payload$i")).toDF("k", "payload")
+      .write.mode("overwrite").parquet(fdir)
+    (0L until 5000L).map(k => (k, if (k % 100 == 0) "hot" else "cold", s"d$k"))
+      .toDF("k", "flag", "dname")
+      .write.mode("overwrite").parquet(ddir)
+    val prevBc  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevThr = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = spark.read.parquet(fdir)
+      val dim  = spark.read.parquet(ddir).filter($"flag" === "hot")
+      val plan = fact.join(dim, Seq("k")).queryExecution.optimizedPlan.toString
+      plan should include("bloom_filter_agg")     // built from the dim side
+      plan should include("might_contain")        // applied to the fact side
+      // control: with injection disabled the markers disappear — proves the
+      // assertion can fail
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val off = fact.join(dim, Seq("k")).queryExecution.optimizedPlan.toString
+      off should not include "bloom_filter_agg"
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevThr)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    }
+  }
+
   test("dim lookup joins broadcast (no fact-side exchange)") {
     val dir = Files.createTempDirectory("graft_bcast").toString
     (1 to 5000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
