@@ -143,6 +143,37 @@ object SparkEntry {
       .orderBy(col("revenue_cents").desc, col("n_name"))
   }
 
+  /** TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    * quarter. Selective filters (date window, returnflag) push below the
+    * joins; nation broadcasts; the top-K compiles to
+    * TakeOrderedAndProject. Explicit c_custkey tiebreak keeps the #20
+    * boundary deterministic.
+    */
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val t  = T(s, dir)
+    val lo = lit("1996-10-01").cast("date")
+    val hi = lit("1997-01-01").cast("date")
+    t.customer
+      .join(t.orders.filter(
+        col("o_orderdate").cast("date") >= lo && col("o_orderdate").cast("date") < hi),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** One-pass column profiler (library: gold.DataQuality.profile) — the
+    * per-column EDA/DQ report in a single scan.
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    DataQuality.profile(
+      T(s, dir).customer,
+      Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+
   // ===========================================================================
   // W — window functions
   // ===========================================================================
@@ -763,6 +794,8 @@ object SparkEntry {
     "q_a9b_group_percentiles" -> (qGroupPercentiles _),
     "q_tpch_q3_shipping"     -> (qShippingPriority _),
     "q_tpch_q5_local_volume" -> (qLocalSupplierVolume _),
+    "q_tpch_q10_returned"    -> (qReturnedItems _),
+    "q_dq_profile"           -> (qProfile _),
     "q_u5_except_intersect"  -> (qExceptIntersect _),
     "q_w8_sessionize"        -> (qSessionize _),
     "q_a2b_pivot"            -> (qPivot _),
@@ -1145,6 +1178,25 @@ object SparkEntry {
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q_tpch_q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_dq_profile" -> Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value,
+           |  CAST(MAX($c) AS VARCHAR) AS max_value FROM customer""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "q_w9_range_frame" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt

@@ -46,6 +46,39 @@ object DataQuality {
   def gate(name: String, ok: Boolean): Unit =
     if (!ok) throw new IllegalStateException(s"DQ gate failed: $name")
 
+  /** One-pass column profiler — per-column row/non-null/distinct counts and
+    * min/max, long format (one output row per column): the EDA step every
+    * DQ report starts with (reference runs per-column COUNT/MIN/MAX probes
+    * as separate Athena queries; this is the single-scan replacement).
+    *
+    * min/max are cast to string so heterogeneous column types share one
+    * output schema.
+    *
+    * Scale: ONE scan; the multi-column distinct agg expands the input
+    * |cols|× before the shuffle (Spark's Expand), which is the exact-count
+    * price — pass `exact = false` to use HLL sketches instead (no Expand,
+    * one combine-able agg; estimates, so rows-only verification).
+    */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = cols.flatMap { c =>
+      val nd =
+        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        nd.as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val branches = cols
+      .map(c => s"'$c', __n, `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.size}, $branches) AS " +
+        "(col_name, n_rows, n_nonnull, n_distinct, min_value, max_value)")
+  }
+
   /** Exactly-one-current / non-overlap invariants for an SCD2 dim —
     * returns violating NKs (empty ⇒ healthy). requirements/...:109.
     */

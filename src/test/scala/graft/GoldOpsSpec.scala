@@ -61,4 +61,21 @@ class GoldOpsSpec extends SparkSpecBase {
     val v = DataQuality.violations(fact, $"total" === $"priv" + $"pub")
     v.select("sk").as[Long].collect() shouldBe Array(2L)
   }
+
+  test("profile: per-column counts/nulls/distinct/min/max in one pass, long format") {
+    val df = Seq(
+      (1L, Some("a"), 10),
+      (2L, None, 10),
+      (3L, Some("b"), 30),
+      (4L, Some("a"), 30)
+    ).toDF("id", "s", "v")
+    val p = DataQuality.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    p("id") shouldBe ((4L, 4L, 4L, "1", "4"))
+    p("s")  shouldBe ((4L, 3L, 2L, "a", "b"))  // null ignored by count/distinct/min
+    p("v")  shouldBe ((4L, 4L, 2L, "10", "30"))
+    // approx mode keeps the schema and row count (estimates, no Expand)
+    DataQuality.profile(df, Seq("id", "s", "v"), exact = false).count() shouldBe 3
+  }
 }
