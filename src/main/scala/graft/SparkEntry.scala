@@ -675,6 +675,27 @@ object SparkEntry {
       attrs = Seq("o_orderstatus", "price_cents"))
   }
 
+  /** CDC round-trip (library: operators.SnapshotDiff.applyDiff): applying
+    * the computed diff to the before-snapshot must reconstruct the
+    * after-snapshot EXACTLY — so the oracle is simply the after-snapshot
+    * itself. Proves diff and apply are inverses through the gate, not just
+    * in a unit fixture.
+    */
+  private def qSnapshotApply(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir).orders.select(
+      col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+    val before = base.filter(col("o_orderkey") % 5 =!= 0)
+    val after = base.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("price_cents",
+        when(col("o_orderkey") % 3 === 0, col("price_cents") + 500L)
+          .otherwise(col("price_cents")))
+    val delta = graft.operators.SnapshotDiff.diff(
+      before, after, keys = Seq("o_orderkey"),
+      attrs = Seq("o_orderstatus", "price_cents"))
+    graft.operators.SnapshotDiff.applyDiff(before, delta, Seq("o_orderkey"))
+  }
+
   /** Incremental aggregate maintenance (library: operators.IncrementalAgg):
     * merge a batch's partial aggregates into a stored aggregate table. The
     * oracle is the FULL recompute over all orders — the merge invariant
@@ -785,6 +806,7 @@ object SparkEntry {
     "q_o_scd2_pit"           -> (qScd2PitLookup _),
     "q_o_salted_join"        -> (qSaltedJoin _),
     "q_o_snapshot_diff"      -> (qSnapshotDiff _),
+    "q_o_snapshot_apply"     -> (qSnapshotApply _),
     "q_o_incr_agg"           -> (qIncrementalAgg _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
@@ -934,6 +956,15 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change_type
         |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
         |WHERE change_type <> 'unchanged'""".stripMargin,
+    "q_o_snapshot_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 500
+        |       ELSE price_cents END AS price_cents
+        |FROM base WHERE o_orderkey % 7 <> 0""".stripMargin,
     "q_o_incr_agg" ->
       """SELECT o_custkey, COUNT(*) AS cnt,
         |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents,

@@ -55,4 +55,21 @@ object SnapshotDiff {
           .otherwise("unchanged").as("change_type"): _*)
     if (includeUnchanged) tagged else tagged.filter(col("change_type") =!= "unchanged")
   }
+
+  /** Apply a diff (as produced by `diff`) to the base snapshot: replace
+    * updated keys, drop deleted keys, add inserts — reconstructing the
+    * after-image. `applyDiff(before, diff(before, after)) == after` is the
+    * round-trip invariant (spec + oracle proven): the mirror-maintenance
+    * merge for targets without MERGE INTO.
+    *
+    * `base` must carry exactly the key + tracked attribute columns the diff
+    * was computed over. One left_anti shuffle on the key + a union — the
+    * same co-partitioned single-pass shape as `diff`.
+    */
+  def applyDiff(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val touched = delta.select(keys.map(col): _*).distinct()
+    base.join(touched, keys, "left_anti")
+      .unionByName(
+        delta.filter(col("change_type") =!= "delete").drop("change_type"))
+  }
 }

@@ -270,6 +270,86 @@ object EventStream {
     } finally { b.unpersist(); () }
   }
 
+  /** Streaming incremental aggregate maintenance: fold each micro-batch's
+    * partial aggregates into a stored additive aggregate table
+    * (`operators.IncrementalAgg.mergeAdditive`) — the streaming face of the
+    * batch gold-table merge. Per batch, cost ∝ batch + |groups|; the raw
+    * history is never re-read.
+    *
+    * Exactly-once EFFECT despite foreachBatch's at-least-once replays: the
+    * additive merge is NOT naturally idempotent (applying a batch twice
+    * double-counts), so the store is EPOCH-VERSIONED — `epoch=<batchId>`
+    * subdirectories, where epoch K holds the state after all batches ≤ K.
+    * Batch N always merges onto the newest epoch STRICTLY BELOW N and
+    * overwrites its own epoch, so a replayed batch re-derives the identical
+    * state instead of double-applying itself. Epochs older than the merge
+    * base are pruned after a successful write (two live copies max).
+    *
+    * @param build maps a raw micro-batch to its partial aggregate
+    *              (groupBy `keys` + the additive measure columns)
+    */
+  def aggMaintainStream(
+      events: DataFrame,
+      aggPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      build: DataFrame => DataFrame,
+      sums: Seq[String],
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        aggMaintainBatch(batch, batchId, aggPath, keys, build, sums, mins, maxs)
+      }
+      .start()
+
+  /** One micro-batch of the aggregate maintenance — package-visible so
+    * replay scenarios are directly testable. See `aggMaintainStream`.
+    */
+  private[graft] def aggMaintainBatch(
+      batch: DataFrame,
+      batchId: Long,
+      aggPath: String,
+      keys: Seq[String],
+      build: DataFrame => DataFrame,
+      sums: Seq[String],
+      mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil
+  ): Unit = if (!batch.isEmpty) {
+    val session = batch.sparkSession
+    val epochs = Option(new java.io.File(aggPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(f => f.getName.stripPrefix("epoch=").toLong)
+    val base = epochs.filter(_ < batchId).sorted.lastOption
+    val partial = build(batch)
+    val merged = base match {
+      case Some(k) =>
+        graft.operators.IncrementalAgg.mergeAdditive(
+          session.read.parquet(s"$aggPath/epoch=$k"), partial,
+          keys, sums, mins, maxs)
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$aggPath/epoch=$batchId")
+    // prune everything below the merge base; the base itself stays as the
+    // recovery point for a replay of THIS batch
+    epochs.filter(e => base.exists(e < _)).foreach { e =>
+      graft.core.Fs.rmTree(new java.io.File(s"$aggPath/epoch=$e"))
+    }
+  }
+
+  /** Read the current (newest-epoch) state of an `aggMaintainStream` store. */
+  def readAggStore(session: org.apache.spark.sql.SparkSession, aggPath: String): DataFrame = {
+    val epochs = Option(new java.io.File(aggPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(f => f.getName.stripPrefix("epoch=").toLong)
+    require(epochs.nonEmpty, s"no epochs under $aggPath")
+    session.read.parquet(s"$aggPath/epoch=${epochs.max}")
+  }
+
   /** Stream–stream interval join: pair each purchase with EVERY click by
     * the same user within the preceding hour (one output row per qualifying
     * click — interval-join semantics, so summing `value` over the output

@@ -243,6 +243,26 @@ class OperatorsSpec extends SparkSpecBase {
       includeUnchanged = true).count() shouldBe 6
   }
 
+  test("applyDiff round-trips: applying diff(before, after) to before reconstructs after") {
+    val before = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, None, 30L),
+      (4L, Some("d"), 40L), (5L, Some("e"), 50L)
+    ).toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Some("a"), 10L), (2L, Some("B"), 20L), (3L, Some("c"), 30L),
+      (4L, None, 40L), (6L, Some("f"), 60L)
+    ).toDF("k", "s", "v")
+    val delta = graft.operators.SnapshotDiff.diff(before, after, Seq("k"), Seq("s", "v"))
+    val rebuilt = graft.operators.SnapshotDiff.applyDiff(before, delta, Seq("k"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    rebuilt shouldBe after.as[(Long, Option[String], Long)].collect().toSet
+    // empty diff is the identity
+    val noop = graft.operators.SnapshotDiff.diff(before, before, Seq("k"), Seq("s", "v"))
+    graft.operators.SnapshotDiff.applyDiff(before, noop, Seq("k"))
+      .as[(Long, Option[String], Long)].collect().toSet shouldBe
+      before.as[(Long, Option[String], Long)].collect().toSet
+  }
+
   test("IncrementalAgg merge of split partials equals the full recompute") {
     val rows = (1 to 500).map(i => (i % 37, i.toLong, i % 13))
       .toDF("g", "v", "m")
