@@ -614,6 +614,32 @@ object SparkEntry {
     )
   }
 
+  /** ORC source/sink round-trip: write a column-pruned supplier extract as
+    * ORC, read it back. DuckDB has no ORC reader, so the oracle recomputes
+    * the same projection from parquet — the gate thus covers ORC write+read
+    * fidelity (types, nulls) end-to-end.
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/supplier_orc"
+    T(s, dir).supplier
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal") * 100).cast("long").as("acctbal_cents"))
+      .coalesce(1).write.mode("overwrite").orc(path)
+    s.read.orc(path)
+  }
+
+  /** JSON-lines sink + schema-first source (the S1 contract pattern over
+    * JSON instead of CSV): write nation as JSON lines, re-ingest with an
+    * explicit schema — no sampling-based inference in a pipeline.
+    */
+  private def qJsonLines(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/nation_json"
+    T(s, dir).nation.select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").json(path)
+    s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+      .json(path)
+  }
+
   /** Point-in-time SCD2 lookup (library: gold.Scd2.pointInTimeLookup): for
     * each purchase event, the user-state version effective one microsecond
     * BEFORE the purchase — the standard fact-to-historical-dim attribution
@@ -787,6 +813,8 @@ object SparkEntry {
     "q_j5_scd2_incremental"  -> (qScd2Incremental _),
     "q_j7_zscore_daily"      -> (qZscoreDaily _),
     "q_s1_csv_contract"      -> (qCsvContract _),
+    "q_s12_orc_roundtrip"    -> (qOrcRoundtrip _),
+    "q_s13_json_lines"       -> (qJsonLines _),
     "q_s4_json_extract"      -> (qJsonExtract _),
     "q_s5_inmemory_union"    -> (qInmemoryUnion _),
     "q_u1_union_subsets"     -> (qUnionSubsets _),
@@ -908,6 +936,12 @@ object SparkEntry {
         |SELECT user_id, event_type, effective_start_ts, effective_end_ts, is_current,
         |  row_number() OVER (ORDER BY effective_start_ts, user_id) AS dim_sk
         |FROM dim""".stripMargin,
+    "q_s12_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_cents
+        |FROM supplier""".stripMargin,
+    "q_s13_json_lines" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
     "q_o_scd2_pit" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,

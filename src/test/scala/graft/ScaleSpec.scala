@@ -144,6 +144,42 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the scale posture leans on AQE for runtime skew handling (salting is
+    // the manual fallback) — prove the mechanism actually fires. Thresholds
+    // shrink so local-scale data crosses them; production keeps defaults.
+    val fdir = Files.createTempDirectory("graft_skew_f").toString
+    val pad  = "x" * 100
+    ((1 to 40000).map(_ => 0L) ++ (1 to 400).map(i => (i % 100 + 1).toLong))
+      .zipWithIndex.map { case (k, i) => (k, s"$pad$i") }.toDF("k", "payload")
+      .write.mode("overwrite").parquet(fdir)
+    val dim = (0L until 101L).map(k => (k, s"d$k")).toDF("k", "dname")
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // thresholds compare COMPRESSED shuffle sizes and the repetitive test
+      // payload compresses ~50×, so they sit far below the defaults
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val joined = spark.read.parquet(fdir)
+        .join(dim.repartition(8), Seq("k"))
+      // collect() executes THIS DataFrame's own query execution — count()
+      // would build a separate one and leave this plan unexecuted
+      joined.collect().length shouldBe 40400 // every fact row matches one dim row
+      // AQE rewrites the plan during execution — read the FINAL plan
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      finalPlan should include("skew=true")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("dim lookup joins broadcast (no fact-side exchange)") {
     val dir = Files.createTempDirectory("graft_bcast").toString
     (1 to 5000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
