@@ -348,6 +348,14 @@ object ExtensionQueries {
   // ---------------------------------------------------------------------------
   import graft.curation.Curation
 
+  /** Overlapping token-window chunking (RAG / pretraining segmentation):
+    * 8-token chunks every 6 tokens (overlap 2). Literal-space tokens keep
+    * both engines' splits identical.
+    */
+  private def qChunkDocuments(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(T(s, dir).documents, "doc_id", "text",
+      chunkSize = 8, overlap = 2)
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     Curation.packSequences(
       T(s, dir).documents.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
@@ -470,6 +478,7 @@ object ExtensionQueries {
     "q_x_train_val_test"  -> (qTrainValTestSplit _),
     "q_x_upsample"        -> (qUpsample _),
     "q_x_curation_pipeline" -> (qCurationPipeline _),
+    "q_x_chunk_documents" -> (qChunkDocuments _),
     "q_x_pack_sequences"  -> (qPackSequences _),
     "q_x_assemble_packs"  -> (qAssemblePacks _),
     "q_x_pii_scrub"       -> (qPiiScrub _),
@@ -853,6 +862,16 @@ object ExtensionQueries {
         """SELECT doc_id, lang, CAST(c.i AS INTEGER) AS copy_idx
           |FROM documents, LATERAL (SELECT unnest(generate_series(1,
           |  CASE WHEN lang = 'de' THEN 3 WHEN lang = 'zh' THEN 2 ELSE 1 END)) AS i) c""".stripMargin,
+      "q_x_chunk_documents" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |FROM documents),
+          |s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+          |SELECT doc_id,
+          |  CAST((g - 1) // 6 AS BIGINT) AS chunk_idx,
+          |  array_to_string(toks[g : g + 7], ' ') AS chunk_text,
+          |  CAST(least(8, n - g + 1) AS BIGINT) AS n_chunk_tokens
+          |FROM s, LATERAL (SELECT unnest(generate_series(1, n, 6)) AS g) gs""".stripMargin,
       "q_x_pack_sequences" ->
         s"""WITH t AS (SELECT doc_id, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
            |  ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 12))::BIGINT % 8 AS shard

@@ -144,4 +144,49 @@ object Curation {
       .join(blocked, col("__fp") === col("__block_fp"), "left_anti")
       .drop("__fp")
   }
+
+  /** Split documents into fixed-size overlapping token windows — the
+    * segmentation step before embedding (RAG chunks) or sequence packing
+    * (pretraining windows). Tokens are literal-space splits (deterministic
+    * and engine-portable; plug a real tokenizer upstream by pre-writing a
+    * token-array column).
+    *
+    * Output: one row per chunk — id, `chunk_idx` (0-based), `chunk_text`,
+    * `n_chunk_tokens`. Chunks start every `chunkSize - overlap` tokens, so
+    * consecutive chunks share `overlap` tokens; the final chunk may be
+    * short. Empty documents emit no chunks.
+    *
+    * Scale: narrow op — split, generate starts, posexplode, slice; no
+    * shuffle, no state. Output rows ≈ input tokens / (chunkSize - overlap),
+    * a predictable blow-up the caller sizes partitions for.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(chunkSize > 0, "chunkDocuments: chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "chunkDocuments: need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    // drop empty tokens: split("", " ") is [""] in Spark AND DuckDB, so an
+    // empty/multi-space doc would otherwise emit phantom chunks
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val n    = size(toks)
+    df.withColumn("__toks", toks)
+      .withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(step)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), col("__n") - col("__start")).cast("long")
+          .as("n_chunk_tokens"))
+  }
 }

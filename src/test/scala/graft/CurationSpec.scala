@@ -66,4 +66,32 @@ class CurationSpec extends SparkSpecBase {
     Curation.decontaminate(candidates, blocklist, "text").columns shouldBe
       Array("doc_id", "text")
   }
+
+  test("chunkDocuments: overlap windows reconstruct the token stream; edge sizes exact") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, "")                                        // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", chunkSize = 8, overlap = 2)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect()
+
+    out.count(_._1 == 3L) shouldBe 0
+    out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)) shouldBe Array((0L, "a b c", 3L))
+
+    // doc 1: starts at 0,6,12,18 → sizes 8,8,8,2; dropping the 2-token
+    // overlap from every chunk after the first reconstructs the document
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    c1.map(_._4) shouldBe Array(8L, 8L, 8L, 2L)
+    val rebuilt = (c1.head._3.split(" ") ++
+      c1.tail.flatMap(_._3.split(" ").drop(2))).mkString(" ")
+    rebuilt shouldBe (1 to 20).map(i => s"t$i").mkString(" ")
+
+    // zero overlap partitions exactly
+    val np = Curation.chunkDocuments(docs, "doc_id", "text", chunkSize = 5)
+      .filter($"doc_id" === 1L)
+      .select("chunk_text").as[String].collect()
+    np.flatMap(_.split(" ")) shouldBe (1 to 20).map(i => s"t$i").toArray
+  }
 }
