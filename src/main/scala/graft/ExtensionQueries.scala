@@ -871,7 +871,7 @@ object ExtensionQueries {
           |  CAST((g - 1) // 6 AS BIGINT) AS chunk_idx,
           |  array_to_string(toks[g : g + 7], ' ') AS chunk_text,
           |  CAST(least(8, n - g + 1) AS BIGINT) AS n_chunk_tokens
-          |FROM s, LATERAL (SELECT unnest(generate_series(1, n, 6)) AS g) gs""".stripMargin,
+          |FROM s, LATERAL (SELECT unnest(generate_series(1, greatest(n - 2, 1), 6)) AS g) gs""".stripMargin,
       "q_x_pack_sequences" ->
         s"""WITH t AS (SELECT doc_id, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
            |  ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 12))::BIGINT % 8 AS shard

@@ -687,7 +687,12 @@ object SparkEntry {
     * keys divisible by 3 creates the updates), so the oracle replays the
     * same full-outer comparison.
     */
-  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+  /** Shared CDC fixture: two deterministic snapshot slices of orders (key
+    * mod filters; a +500-cent bump on keys divisible by 3 creates the
+    * updates). ONE definition so q_o_snapshot_diff and q_o_snapshot_apply
+    * provably exercise the same scenario.
+    */
+  private def snapshotFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = T(s, dir).orders.select(
       col("o_orderkey"), col("o_orderstatus"),
       round(col("o_totalprice") * 100).cast("long").as("price_cents"))
@@ -696,6 +701,11 @@ object SparkEntry {
       .withColumn("price_cents",
         when(col("o_orderkey") % 3 === 0, col("price_cents") + 500L)
           .otherwise(col("price_cents")))
+    (before, after)
+  }
+
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val (before, after) = snapshotFixture(s, dir)
     graft.operators.SnapshotDiff.diff(
       before, after, keys = Seq("o_orderkey"),
       attrs = Seq("o_orderstatus", "price_cents"))
@@ -708,14 +718,7 @@ object SparkEntry {
     * in a unit fixture.
     */
   private def qSnapshotApply(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir).orders.select(
-      col("o_orderkey"), col("o_orderstatus"),
-      round(col("o_totalprice") * 100).cast("long").as("price_cents"))
-    val before = base.filter(col("o_orderkey") % 5 =!= 0)
-    val after = base.filter(col("o_orderkey") % 7 =!= 0)
-      .withColumn("price_cents",
-        when(col("o_orderkey") % 3 === 0, col("price_cents") + 500L)
-          .otherwise(col("price_cents")))
+    val (before, after) = snapshotFixture(s, dir)
     val delta = graft.operators.SnapshotDiff.diff(
       before, after, keys = Seq("o_orderkey"),
       attrs = Seq("o_orderstatus", "price_cents"))

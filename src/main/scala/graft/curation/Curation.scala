@@ -154,7 +154,10 @@ object Curation {
     * Output: one row per chunk — id, `chunk_idx` (0-based), `chunk_text`,
     * `n_chunk_tokens`. Chunks start every `chunkSize - overlap` tokens, so
     * consecutive chunks share `overlap` tokens; the final chunk may be
-    * short. Empty documents emit no chunks.
+    * short but always carries at least one NEW token (a start that would
+    * cover only already-emitted overlap tokens is not generated — it would
+    * be a pure duplicate of the previous chunk's tail). Empty documents
+    * emit no chunks.
     *
     * Scale: narrow op — split, generate starts, posexplode, slice; no
     * shuffle, no state. Output rows ≈ input tokens / (chunkSize - overlap),
@@ -179,7 +182,9 @@ object Curation {
       .withColumn("__n", n)
       .filter(col("__n") > 0)
       .select(col(idCol), col("__toks"), col("__n"),
-        posexplode(sequence(lit(0), col("__n") - 1, lit(step)))
+        // last start: the largest offset still adding tokens beyond the
+        // previous chunk's overlap (start 0 always emits)
+        posexplode(sequence(lit(0), greatest(col("__n") - overlap - 1, lit(0)), lit(step)))
           .as(Seq("chunk_idx", "__start")))
       .select(
         col(idCol),

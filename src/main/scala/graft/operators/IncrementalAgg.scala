@@ -42,8 +42,12 @@ object IncrementalAgg {
     def both(c: String) = (col(s"__ia_s.$c"), col(s"__ia_d.$c"))
     s.join(d, keyEq, "full_outer").select(
       keys.map(k => coalesce(col(s"__ia_d.$k"), col(s"__ia_s.$k")).as(k)) ++
+        // SQL SUM semantics: NULL only when BOTH sides are NULL (a stored
+        // all-NULL-measure group must stay NULL, not become 0 — "no data"
+        // and "zero total" are different facts)
         sums.map { c => val (a, b) = both(c)
-          (coalesce(a, lit(0)) + coalesce(b, lit(0))).as(c) } ++
+          when(a.isNull && b.isNull, lit(null))
+            .otherwise(coalesce(a, lit(0)) + coalesce(b, lit(0))).as(c) } ++
         mins.map { c => val (a, b) = both(c)
           coalesce(least(a, b), a, b).as(c) } ++
         maxs.map { c => val (a, b) = both(c)

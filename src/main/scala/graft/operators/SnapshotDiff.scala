@@ -39,7 +39,10 @@ object SnapshotDiff {
       .withColumn("__b", lit(true)).alias("__sd_b")
     val a = after.select((keys ++ attrs).map(col): _*)
       .withColumn("__a", lit(true)).alias("__sd_a")
-    val keyEq = keys.map(k => col(s"__sd_b.$k") === col(s"__sd_a.$k")).reduce(_ && _)
+    // null-safe: a NULL key value is matched across snapshots (one NULL-key
+    // row max, like any PK value) instead of spuriously reading as
+    // delete+insert — which would then break applyDiff's round-trip
+    val keyEq = keys.map(k => col(s"__sd_b.$k") <=> col(s"__sd_a.$k")).reduce(_ && _)
     val changed = attrs
       .map(c => !(col(s"__sd_b.$c") <=> col(s"__sd_a.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -67,8 +70,12 @@ object SnapshotDiff {
     * same co-partitioned single-pass shape as `diff`.
     */
   def applyDiff(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
-    val touched = delta.select(keys.map(col): _*).distinct()
-    base.join(touched, keys, "left_anti")
+    val touched = delta.select(keys.map(col): _*).distinct().alias("__sd_t")
+    val b = base.alias("__sd_base")
+    // null-safe anti join, matching diff(): a NULL-key base row replaced or
+    // deleted by the delta must actually leave
+    val keyEq = keys.map(k => col(s"__sd_base.$k") <=> col(s"__sd_t.$k")).reduce(_ && _)
+    b.join(touched, keyEq, "left_anti")
       .unionByName(
         delta.filter(col("change_type") =!= "delete").drop("change_type"))
   }

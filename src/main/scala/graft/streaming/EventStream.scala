@@ -319,11 +319,8 @@ object EventStream {
       maxs: Seq[String] = Nil
   ): Unit = if (!batch.isEmpty) {
     val session = batch.sparkSession
-    val epochs = Option(new java.io.File(aggPath).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-      .map(f => f.getName.stripPrefix("epoch=").toLong)
-    val base = epochs.filter(_ < batchId).sorted.lastOption
+    val epochs  = listEpochs(aggPath)
+    val base    = epochs.filter(_ < batchId).sorted.lastOption
     val partial = build(batch)
     val merged = base match {
       case Some(k) =>
@@ -332,7 +329,18 @@ object EventStream {
           keys, sums, mins, maxs)
       case None => partial
     }
-    merged.write.mode("overwrite").parquet(s"$aggPath/epoch=$batchId")
+    // publish atomically: write to a tmp dir (its name does NOT match the
+    // epoch= listing filter) and rename into place, so a crash mid-write
+    // can never leave a half-written epoch that readAggStore would serve
+    // as newest state. Same discipline as scd2UpsertBatch's swap.
+    val tmp = new java.io.File(s"$aggPath/inprogress-$batchId")
+    if (tmp.exists()) graft.core.Fs.rmTree(tmp)
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    val dst = new java.io.File(s"$aggPath/epoch=$batchId")
+    if (dst.exists()) graft.core.Fs.rmTree(dst) // replay overwrites itself
+    if (!tmp.renameTo(dst))
+      throw new IllegalStateException(
+        s"epoch publish failed: ${tmp.getPath} -> ${dst.getPath}")
     // prune everything below the merge base; the base itself stays as the
     // recovery point for a replay of THIS batch
     epochs.filter(e => base.exists(e < _)).foreach { e =>
@@ -340,12 +348,18 @@ object EventStream {
     }
   }
 
-  /** Read the current (newest-epoch) state of an `aggMaintainStream` store. */
-  def readAggStore(session: org.apache.spark.sql.SparkSession, aggPath: String): DataFrame = {
-    val epochs = Option(new java.io.File(aggPath).listFiles())
+  /** Epoch directories of an `aggMaintainStream` store — shared by the
+    * writer (merge base + pruning) and reader so the two can't drift.
+    */
+  private def listEpochs(aggPath: String): Array[Long] =
+    Option(new java.io.File(aggPath).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
       .map(f => f.getName.stripPrefix("epoch=").toLong)
+
+  /** Read the current (newest-epoch) state of an `aggMaintainStream` store. */
+  def readAggStore(session: org.apache.spark.sql.SparkSession, aggPath: String): DataFrame = {
+    val epochs = listEpochs(aggPath)
     require(epochs.nonEmpty, s"no epochs under $aggPath")
     session.read.parquet(s"$aggPath/epoch=${epochs.max}")
   }

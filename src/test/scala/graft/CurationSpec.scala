@@ -71,7 +71,8 @@ class CurationSpec extends SparkSpecBase {
     val docs = Seq(
       (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
       (2L, "a b c"),                                  // shorter than one chunk
-      (3L, "")                                        // empty → no chunks
+      (3L, ""),                                       // empty → no chunks
+      (4L, (1 to 13).map(i => s"t$i").mkString(" "))  // tail lands inside overlap
     ).toDF("doc_id", "text")
     val out = Curation.chunkDocuments(docs, "doc_id", "text", chunkSize = 8, overlap = 2)
       .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
@@ -80,13 +81,22 @@ class CurationSpec extends SparkSpecBase {
     out.count(_._1 == 3L) shouldBe 0
     out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4)) shouldBe Array((0L, "a b c", 3L))
 
-    // doc 1: starts at 0,6,12,18 → sizes 8,8,8,2; dropping the 2-token
-    // overlap from every chunk after the first reconstructs the document
+    // doc 1: starts at 0,6,12 → sizes 8,8,8 (start 18 would add NOTHING
+    // beyond the overlap — a pure-duplicate chunk — and is not emitted);
+    // dropping the 2-token overlap from every chunk after the first
+    // reconstructs the document
     val c1 = out.filter(_._1 == 1L).sortBy(_._2)
-    c1.map(_._4) shouldBe Array(8L, 8L, 8L, 2L)
+    c1.map(_._4) shouldBe Array(8L, 8L, 8L)
     val rebuilt = (c1.head._3.split(" ") ++
       c1.tail.flatMap(_._3.split(" ").drop(2))).mkString(" ")
     rebuilt shouldBe (1 to 20).map(i => s"t$i").mkString(" ")
+
+    // doc 4 (13 tokens): start 12 would cover only token 13, already inside
+    // the chunk starting at 6 → exactly two chunks, all 13 tokens covered
+    val c4 = out.filter(_._1 == 4L).sortBy(_._2)
+    c4.map(_._4) shouldBe Array(8L, 7L)
+    (c4.head._3.split(" ") ++ c4.last._3.split(" ").drop(2)).mkString(" ") shouldBe
+      (1 to 13).map(i => s"t$i").mkString(" ")
 
     // zero overlap partitions exactly
     val np = Curation.chunkDocuments(docs, "doc_id", "text", chunkSize = 5)

@@ -263,6 +263,27 @@ class OperatorsSpec extends SparkSpecBase {
       before.as[(Long, Option[String], Long)].collect().toSet
   }
 
+  test("SnapshotDiff/applyDiff treat a NULL key as a matchable PK value") {
+    val before = Seq((Some(1L), "a"), (None, "x")).toDF("k", "s")
+    val after  = Seq((Some(1L), "a"), (None, "y")).toDF("k", "s")
+    val delta = graft.operators.SnapshotDiff.diff(before, after, Seq("k"), Seq("s"))
+    // NULL-key row reads as ONE update, not a spurious delete+insert pair
+    delta.select("k", "s", "change_type").as[(Option[Long], String, String)]
+      .collect() shouldBe Array((None, "y", "update"))
+    graft.operators.SnapshotDiff.applyDiff(before, delta, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet shouldBe
+      after.as[(Option[Long], String)].collect().toSet
+  }
+
+  test("IncrementalAgg keeps an all-NULL sum NULL: 'no data' stays distinct from 'zero total'") {
+    val stored = Seq(("g1", Some(5L)), ("g2", Option.empty[Long])).toDF("g", "total")
+    val delta  = Seq(("g1", Some(2L))).toDF("g", "total")
+    val merged = graft.operators.IncrementalAgg
+      .mergeAdditive(stored, delta, Seq("g"), sums = Seq("total"))
+      .as[(String, Option[Long])].collect().toMap
+    merged shouldBe Map("g1" -> Some(7L), "g2" -> None)
+  }
+
   test("IncrementalAgg merge of split partials equals the full recompute") {
     val rows = (1 to 500).map(i => (i % 37, i.toLong, i % 13))
       .toDF("g", "v", "m")

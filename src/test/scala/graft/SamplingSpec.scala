@@ -122,4 +122,37 @@ class SamplingSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toSet
     loose shouldBe skewed.as[(Long, String)].collect().toSet
   }
+
+  test("quotaCap: NULL group is a real group; zero-kept prune falls back instead of dropping") {
+    // null-group rows must be capped like any group, not silently dropped
+    // by a null-unsafe counts join
+    val withNull = (0L until 200L)
+      .map(i => (i, if (i % 4 == 0) null else s"g${i % 2}"))
+      .toDF("id", "grp")
+    val sizes = DeterministicSampling.quotaCap(withNull, Seq("grp"), $"id", cap = 5)
+      .groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    sizes shouldBe Map(None -> 5L, Some("g0") -> 5L, Some("g1") -> 5L)
+
+    // adversarial hash clustering: every key's bucket sits far above the
+    // prune threshold (margin=1, cap=2, n=40 → thr=501), so the prune keeps
+    // ZERO rows — the group must fall back to the full window, not vanish
+    val highIds = spark.range(0, 5000)
+      .withColumn("b", DeterministicSampling.bucket($"id", "q0"))
+      .filter($"b" >= 6000).limit(40).select("id").as[Long].collect()
+    highIds.length shouldBe 40
+    val adversarial = highIds.toSeq.map(i => (i, "hot")).toDF("id", "grp")
+    val capped = DeterministicSampling
+      .quotaCap(adversarial, Seq("grp"), $"id", cap = 2, margin = 1)
+      .select("id").as[Long].collect().toSet
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp")
+        .orderBy(DeterministicSampling.bucket($"id", "q0"), $"id")
+      adversarial.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+        .select("id").as[Long].collect().toSet
+    }
+    capped shouldBe expected
+    capped.size shouldBe 2
+  }
 }
