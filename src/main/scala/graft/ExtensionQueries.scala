@@ -356,6 +356,26 @@ object ExtensionQueries {
     Curation.chunkDocuments(T(s, dir).documents, "doc_id", "text",
       chunkSize = 8, overlap = 2)
 
+  /** Frequency-ranked vocabulary over the corpus (tokenizer-artifact
+    * build).
+    */
+  private def qVocabulary(s: SparkSession, dir: String): DataFrame =
+    Curation.buildVocabulary(T(s, dir).documents, "text", maxSize = 500)
+
+  /** Token-id encoding against a deliberately small vocabulary (top-30) so
+    * the OOV path is exercised on real rows. Output ids as a joined string
+    * (engine-portable; the array form is the library return).
+    */
+  private def qEncodeDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs  = T(s, dir).documents
+    val vocab = Curation.buildVocabulary(docs, "text", maxSize = 30)
+    Curation.encodeDocuments(docs, vocab, "doc_id", "text")
+      .select(col("doc_id"),
+        array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+          .as("ids_str"),
+        col("n_tokens"))
+  }
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     Curation.packSequences(
       T(s, dir).documents.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
@@ -479,6 +499,8 @@ object ExtensionQueries {
     "q_x_upsample"        -> (qUpsample _),
     "q_x_curation_pipeline" -> (qCurationPipeline _),
     "q_x_chunk_documents" -> (qChunkDocuments _),
+    "q_x_vocabulary"      -> (qVocabulary _),
+    "q_x_encode_docs"     -> (qEncodeDocs _),
     "q_x_pack_sequences"  -> (qPackSequences _),
     "q_x_assemble_packs"  -> (qAssemblePacks _),
     "q_x_pii_scrub"       -> (qPiiScrub _),
@@ -862,6 +884,31 @@ object ExtensionQueries {
         """SELECT doc_id, lang, CAST(c.i AS INTEGER) AS copy_idx
           |FROM documents, LATERAL (SELECT unnest(generate_series(1,
           |  CASE WHEN lang = 'de' THEN 3 WHEN lang = 'zh' THEN 2 ELSE 1 END)) AS i) c""".stripMargin,
+      "q_x_vocabulary" ->
+        """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          |            FROM documents),
+          |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+          |r AS (SELECT token, n,
+          |        CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+          |      FROM c)
+          |SELECT token, n, token_id FROM r WHERE token_id <= 500""".stripMargin,
+      "q_x_encode_docs" ->
+        """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          |            FROM documents),
+          |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+          |v AS (SELECT token,
+          |        CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+          |      FROM c QUALIFY token_id <= 30),
+          |u AS (SELECT doc_id, toks[i] AS token, i AS pos
+          |      FROM (SELECT doc_id,
+          |              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |            FROM documents) d,
+          |      LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g)
+          |SELECT u.doc_id,
+          |  string_agg(coalesce(v.token_id, -1)::VARCHAR, ' ' ORDER BY u.pos) AS ids_str,
+          |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+          |FROM u LEFT JOIN v ON u.token = v.token
+          |GROUP BY u.doc_id""".stripMargin,
       "q_x_chunk_documents" ->
         """WITH t AS (SELECT doc_id,
           |  list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -145,6 +145,62 @@ object Curation {
       .drop("__fp")
   }
 
+  /** Frequency-ranked vocabulary: the `maxSize` most frequent tokens with
+    * dense ids (1-based; rank by count desc, token asc — fully
+    * deterministic under ties). The tokenizer-artifact build step.
+    *
+    * Scale: token counting is a map-side-combined agg (exchange carries one
+    * row per distinct token per partition); the top-`maxSize` cut compiles
+    * to TakeOrderedAndProject (per-partition top-K before the gather), and
+    * only the ≤ `maxSize`-row RESULT sees the single-partition id window —
+    * bounded by construction, never data-scale.
+    */
+  def buildVocabulary(
+      df: DataFrame,
+      textCol: String,
+      maxSize: Int,
+      minCount: Long = 1L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(filter(split(col(textCol), " "), t => t =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token"))
+      .limit(maxSize)
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("long"))
+  }
+
+  /** Encode documents as token-id sequences against a vocabulary (as built
+    * by `buildVocabulary`): out-of-vocabulary tokens become `oovId`. Order
+    * is preserved via the position index, not collection order.
+    *
+    * Scale: posexplode → broadcast vocab join (vocab ≪ corpus) → one
+    * shuffle on the doc id to reassemble. The reassembly sort is per-doc
+    * (array_sort on ≤ doc-length arrays), not a global order.
+    */
+  def encodeDocuments(
+      df: DataFrame,
+      vocab: DataFrame,
+      idCol: String,
+      textCol: String,
+      oovId: Long = -1L
+  ): DataFrame = {
+    val exploded = df
+      .select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), t => t =!= ""))
+          .as(Seq("__pos", "token")))
+    exploded
+      .join(broadcast(vocab.select(col("token"), col("token_id"))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("token_id")))),
+          s => coalesce(s.getField("token_id"), lit(oovId))
+        ).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Split documents into fixed-size overlapping token windows — the
     * segmentation step before embedding (RAG chunks) or sequence packing
     * (pretraining windows). Tokens are literal-space splits (deterministic

@@ -67,6 +67,22 @@ class CurationSpec extends SparkSpecBase {
       Array("doc_id", "text")
   }
 
+  test("buildVocabulary + encodeDocuments: deterministic ranks, OOV id, order preserved") {
+    val docs = Seq((1L, "b a b c a b"), (2L, "a d b")).toDF("doc_id", "text")
+    // counts: b=4, a=3, c=1, d=1 → ranks by (n desc, token asc)
+    val vocab = Curation.buildVocabulary(docs, "text", maxSize = 3)
+    vocab.select("token", "token_id").as[(String, Long)].collect().toMap shouldBe
+      Map("b" -> 1L, "a" -> 2L, "c" -> 3L)
+    // minCount drops the singleton tail deterministically
+    Curation.buildVocabulary(docs, "text", maxSize = 10, minCount = 2L)
+      .select("token").as[String].collect().toSet shouldBe Set("a", "b")
+    val enc = Curation.encodeDocuments(docs, vocab, "doc_id", "text")
+      .select("doc_id", "token_ids", "n_tokens")
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    enc(1L) shouldBe ((Seq(1L, 2L, 1L, 3L, 2L, 1L), 6L))
+    enc(2L) shouldBe ((Seq(2L, -1L, 1L), 3L)) // 'd' is OOV
+  }
+
   test("chunkDocuments: overlap windows reconstruct the token stream; edge sizes exact") {
     val docs = Seq(
       (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
