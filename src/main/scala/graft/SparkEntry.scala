@@ -174,6 +174,27 @@ object SparkEntry {
       T(s, dir).customer,
       Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
 
+  /** A11: top-3 parts per brand by revenue (library: operators.GroupTopK;
+    * WindowGroupLimit prunes to k rows per group map-side — plan-asserted).
+    */
+  private def qGroupTopK(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val rev = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
+    graft.operators.GroupTopK.topKPerGroup(
+      rev, Seq("p_brand"), Seq(col("revenue_cents").desc, col("p_partkey")), k = 3)
+  }
+
+  /** A12: fixed-range integer histogram over order totals in cents
+    * (library: gold.DataQuality.histogram) — 12 × 5,000,000-cent buckets.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    DataQuality.histogram(
+      T(s, dir).orders.select(round(col("o_totalprice") * 100).cast("long").as("cents")),
+      col("cents"), lo = 0L, hi = 59999999L, bins = 12)
+
   // ===========================================================================
   // W — window functions
   // ===========================================================================
@@ -849,6 +870,8 @@ object SparkEntry {
     "q_tpch_q5_local_volume" -> (qLocalSupplierVolume _),
     "q_tpch_q10_returned"    -> (qReturnedItems _),
     "q_dq_profile"           -> (qProfile _),
+    "q_a11_group_topk"       -> (qGroupTopK _),
+    "q_a12_histogram"        -> (qHistogram _),
     "q_u5_except_intersect"  -> (qExceptIntersect _),
     "q_w8_sessionize"        -> (qSessionize _),
     "q_a2b_pivot"            -> (qPivot _),
@@ -1258,6 +1281,23 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_a11_group_topk" ->
+      """WITH r AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(SUM(ROUND(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue_cents FROM r
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY p_brand ORDER BY revenue_cents DESC, p_partkey) <= 3""".stripMargin,
+    "q_a12_histogram" ->
+      """WITH c AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT cents,
+        |        least(11, greatest(0, CAST(floor(cents * 12 / 60000000) AS BIGINT))) AS bin
+        |      FROM c)
+        |SELECT bin, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total,
+        |  bin * 5000000 AS bin_lo
+        |FROM b GROUP BY bin""".stripMargin,
     "q_dq_profile" -> Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
       .map(c =>
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,

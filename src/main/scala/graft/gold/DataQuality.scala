@@ -79,6 +79,25 @@ object DataQuality {
         "(col_name, n_rows, n_nonnull, n_distinct, min_value, max_value)")
   }
 
+  /** Fixed-range integer histogram: bin counts (and sums) of a LONG column
+    * over [lo, hi] with `bins` equal-width buckets — the distribution probe
+    * behind DQ drift checks, computed over exact integers (cents, counts)
+    * so the bin edges are engine-portable. Values outside [lo, hi] clamp
+    * into the edge bins (a DQ histogram must show outliers, not drop them).
+    *
+    * One map-side-combined groupBy on the bin id — a single exchange of
+    * ≤ `bins` rows per task. Intermediate products stay < 2^53, so the
+    * floor-of-double bin formula is exact in both Spark and DuckDB.
+    */
+  def histogram(df: DataFrame, c: Column, lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "histogram: need bins > 0 and hi > lo")
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((c - lit(lo)) * bins / lit(hi - lo + 1))))
+    df.groupBy(bin.cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(c).as("total"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit((hi - lo + 1) / bins))
+  }
+
   /** Exactly-one-current / non-overlap invariants for an SCD2 dim —
     * returns violating NKs (empty ⇒ healthy). requirements/...:109.
     */

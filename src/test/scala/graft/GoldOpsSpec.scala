@@ -78,4 +78,17 @@ class GoldOpsSpec extends SparkSpecBase {
     // approx mode keeps the schema and row count (estimates, no Expand)
     DataQuality.profile(df, Seq("id", "s", "v"), exact = false).count() shouldBe 3
   }
+
+  test("histogram: exact integer bin edges, outliers clamp to edge bins") {
+    val vals = Seq(-5L, 0L, 9L, 10L, 19L, 55L, 99L, 100L, 1000L).toDF("v")
+    // [0, 99] in 10 buckets of width 10; -5 clamps to bin 0, 100/1000 to bin 9
+    val h = DataQuality.histogram(vals, $"v", lo = 0L, hi = 99L, bins = 10)
+      .select("bin", "n", "total", "bin_lo")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    h(0L) shouldBe ((3L, 4L, 0L))       // -5, 0, 9
+    h(1L) shouldBe ((2L, 29L, 10L))     // 10, 19
+    h(5L) shouldBe ((1L, 55L, 50L))
+    h(9L) shouldBe ((3L, 1199L, 90L))   // 99 + clamped 100, 1000
+    h.keySet shouldBe Set(0L, 1L, 5L, 9L)
+  }
 }

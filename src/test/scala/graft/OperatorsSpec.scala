@@ -263,6 +263,22 @@ class OperatorsSpec extends SparkSpecBase {
       before.as[(Long, Option[String], Long)].collect().toSet
   }
 
+  test("topKPerGroup matches the window formulation and compiles to WindowGroupLimit") {
+    val df = (1 to 300).map(i => (s"g${i % 5}", i.toLong, i * 7 % 97)).toDF("g", "id", "score")
+    val ordering = Seq(col("score").desc, col("id"))
+    val got = graft.operators.GroupTopK.topKPerGroup(df, Seq("g"), ordering, k = 4)
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rn", row_number().over(Window.partitionBy("g").orderBy(ordering: _*)))
+        .filter($"rn" <= 4).drop("rn")
+    }
+    got.as[(String, Long, Int)].collect().toSet shouldBe
+      expected.as[(String, Long, Int)].collect().toSet
+    got.groupBy("g").count().filter($"count" =!= 4).count() shouldBe 0
+    // scale shape: map-side per-group limit BEFORE the shuffle
+    got.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+  }
+
   test("SnapshotDiff/applyDiff treat a NULL key as a matchable PK value") {
     val before = Seq((Some(1L), "a"), (None, "x")).toDF("k", "s")
     val after  = Seq((Some(1L), "a"), (None, "y")).toDF("k", "s")
