@@ -815,7 +815,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtensionQueries.queries ++ parityQueries
 
-  private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // package-visible so ContractSpec can prove the merge with
+  // ExtensionQueries.queries is collision-free
+  private[graft] def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_a1_pricing_summary"   -> (qPricingSummary _),
     "q_a2_conditional_agg"   -> (qConditionalAgg _),
     "q_a3_top_brands"        -> (qTopBrands _),

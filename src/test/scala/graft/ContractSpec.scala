@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Driver-contract invariants that must hold for the correctness gate to
+  * cover what it claims — pure map checks, no SparkSession needed.
+  */
+class ContractSpec extends AnyFunSuite with Matchers {
+
+  test("every query has an oracle, except the two documented rows-only entries") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    // rows-only by nature: HLL estimates and the xxhash64 fast-hash path
+    // are not reproducible in DuckDB; their precision is spec-proven
+    (qs -- os) shouldBe Set("q_a4b_approx_distinct", "q_x_minhash_lsh_fast")
+    withClue("oracle entries without a registered query never run:") {
+      (os -- qs) shouldBe empty
+    }
+  }
+
+  test("extension and parity query names do not collide") {
+    // SparkEntry.queries = ExtensionQueries.queries ++ parityQueries; a
+    // name collision would silently shadow one side's gate coverage
+    val overlap =
+      ExtensionQueries.queries.keySet intersect SparkEntry.parityQueries.keySet
+    overlap shouldBe empty
+  }
+}
