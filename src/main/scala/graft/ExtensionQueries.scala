@@ -376,6 +376,23 @@ object ExtensionQueries {
         col("n_tokens"))
   }
 
+  /** Frequency-floored vocabulary (`minCount > 1`) driving OOV encoding:
+    * every token seen fewer than 5 times is out-of-vocabulary, so the
+    * floor's interaction with `oovId` is oracle-checked end-to-end (the
+    * untested-parameter gap from the round-2 verdict). `n_oov` counts the
+    * floored tokens per document.
+    */
+  private def qVocabMinCount(s: SparkSession, dir: String): DataFrame = {
+    val docs  = T(s, dir).documents
+    val vocab = Curation.buildVocabulary(docs, "text", maxSize = 500, minCount = 5L)
+    Curation.encodeDocuments(docs, vocab, "doc_id", "text")
+      .select(col("doc_id"),
+        array_join(transform(col("token_ids"), i => i.cast("string")), " ")
+          .as("ids_str"),
+        col("n_tokens"),
+        size(filter(col("token_ids"), i => i === lit(-1L))).cast("long").as("n_oov"))
+  }
+
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     Curation.packSequences(
       T(s, dir).documents.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
@@ -500,6 +517,7 @@ object ExtensionQueries {
     "q_x_curation_pipeline" -> (qCurationPipeline _),
     "q_x_chunk_documents" -> (qChunkDocuments _),
     "q_x_vocabulary"      -> (qVocabulary _),
+    "q_x_vocab_mincount"  -> (qVocabMinCount _),
     "q_x_encode_docs"     -> (qEncodeDocs _),
     "q_x_pack_sequences"  -> (qPackSequences _),
     "q_x_assemble_packs"  -> (qAssemblePacks _),
@@ -892,6 +910,24 @@ object ExtensionQueries {
           |        CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
           |      FROM c)
           |SELECT token, n, token_id FROM r WHERE token_id <= 500""".stripMargin,
+      "q_x_vocab_mincount" ->
+        """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+          |            FROM documents),
+          |c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+          |v AS (SELECT token,
+          |        CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+          |      FROM c WHERE n >= 5 QUALIFY token_id <= 500),
+          |u AS (SELECT doc_id, toks[i] AS token, i AS pos
+          |      FROM (SELECT doc_id,
+          |              list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          |            FROM documents) d,
+          |      LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g)
+          |SELECT u.doc_id,
+          |  string_agg(coalesce(v.token_id, -1)::VARCHAR, ' ' ORDER BY u.pos) AS ids_str,
+          |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |  CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          |FROM u LEFT JOIN v ON u.token = v.token
+          |GROUP BY u.doc_id""".stripMargin,
       "q_x_encode_docs" ->
         """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
           |            FROM documents),
@@ -926,8 +962,9 @@ object ExtensionQueries {
            |o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
            |      FROM t)
-           |SELECT doc_id, n_tokens, shard, start_offset,
-           |  start_offset // 2048 AS pack_id
+           |SELECT doc_id, n_tokens, shard,
+           |  CAST(start_offset AS BIGINT) AS start_offset,
+           |  CAST(start_offset // 2048 AS BIGINT) AS pack_id
            |FROM o""".stripMargin,
       "q_x_assemble_packs" ->
         s"""WITH t AS (SELECT doc_id, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
@@ -936,8 +973,9 @@ object ExtensionQueries {
            |o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
            |      FROM t)
-           |SELECT shard, start_offset // 2048 AS pack_id,
-           |  COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+           |SELECT shard, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            |  string_agg(doc_id::VARCHAR, ' ' ORDER BY start_offset, doc_id) AS pack_payload
            |FROM o GROUP BY 1, 2""".stripMargin,
       "q_x_pii_scrub" ->
@@ -963,8 +1001,10 @@ object ExtensionQueries {
            |          for i in generate_series(1, len(toks) - 1)]) AS bigram
            |  FROM t),
            |cnt AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
-           |SELECT doc_id, MAX(cnt) AS top_bigram_count, SUM(cnt) AS n_bigrams,
-           |  (MAX(cnt) * 1000000) // SUM(cnt) AS rep_ppm
+           |SELECT doc_id,
+           |  CAST(MAX(cnt) AS BIGINT) AS top_bigram_count,
+           |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           |  CAST((MAX(cnt) * 1000000) // SUM(cnt) AS BIGINT) AS rep_ppm
            |FROM cnt GROUP BY doc_id""".stripMargin,
       "q_x_decontaminate" ->
         """SELECT doc_id, source, lang FROM documents

@@ -752,21 +752,29 @@ object SparkEntry {
     * `agg(A) ⊕ agg(B) == agg(A ∪ B)` is exactly what the gate checks.
     */
   private def qIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val o      = T(s, dir).orders
+    // `grp` folds every 50th customer into a NULL key: the merge must treat
+    // NULL as a real group (null-safe join), not split it across sides.
+    // `last_urgent` is NULL for groups with no urgent orders on one (or
+    // both) sides — the null-skipping min/max combine the oracle checks.
+    val o = T(s, dir).orders
+      .withColumn("grp",
+        when(col("o_custkey") % 50 === 0, lit(null)).otherwise(col("o_custkey")))
     val cutoff = lit("1996-01-01").cast("date")
     def aggOf(df: DataFrame): DataFrame = df
-      .groupBy(col("o_custkey"))
+      .groupBy(col("grp"))
       .agg(
         count(lit(1)).as("cnt"),
         sumCents(col("o_totalprice")).as("total_cents"),
         min(col("o_orderdate").cast("date")).as("first_order"),
-        max(col("o_orderdate").cast("date")).as("last_order"))
+        max(col("o_orderdate").cast("date")).as("last_order"),
+        max(when(col("o_orderpriority") === "1-URGENT",
+          col("o_orderdate").cast("date"))).as("last_urgent"))
     val stored = aggOf(o.filter(col("o_orderdate").cast("date") < cutoff))
     val delta  = aggOf(o.filter(col("o_orderdate").cast("date") >= cutoff))
     graft.operators.IncrementalAgg.mergeAdditive(
-      stored, delta, keys = Seq("o_custkey"),
+      stored, delta, keys = Seq("grp"),
       sums = Seq("cnt", "total_cents"),
-      mins = Seq("first_order"), maxs = Seq("last_order"))
+      mins = Seq("first_order"), maxs = Seq("last_order", "last_urgent"))
   }
 
   /** A9: exact interpolated percentiles. */
@@ -969,7 +977,8 @@ object SparkEntry {
         |  CAST(ROUND(s_acctbal*100) AS BIGINT) AS acctbal_cents
         |FROM supplier""".stripMargin,
     "q_s13_json_lines" ->
-      """SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     "q_o_scd2_pit" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,
@@ -1028,11 +1037,14 @@ object SparkEntry {
         |       ELSE price_cents END AS price_cents
         |FROM base WHERE o_orderkey % 7 <> 0""".stripMargin,
     "q_o_incr_agg" ->
-      """SELECT o_custkey, COUNT(*) AS cnt,
+      """SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS grp,
+        |  COUNT(*) AS cnt,
         |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents,
         |  MIN(CAST(o_orderdate AS DATE)) AS first_order,
-        |  MAX(CAST(o_orderdate AS DATE)) AS last_order
-        |FROM orders GROUP BY o_custkey""".stripMargin,
+        |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |  MAX(CASE WHEN o_orderpriority = '1-URGENT'
+        |           THEN CAST(o_orderdate AS DATE) END) AS last_urgent
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_j5_scd2_incremental" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,

@@ -61,6 +61,13 @@ object DataQuality {
     */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
+    // column names are spliced into the stack() selectExpr below — reject
+    // quote/backtick characters up front so a hostile name fails loudly
+    // here instead of breaking (or injecting into) the SQL parse
+    val bad = cols.filter(c => c.exists(ch => ch == '\'' || ch == '`'))
+    require(bad.isEmpty,
+      s"profile: column name(s) ${bad.mkString(", ")} contain quote/backtick " +
+        "characters unsupported by the profiler — rename them first")
     val aggs = cols.flatMap { c =>
       val nd =
         if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
@@ -91,11 +98,14 @@ object DataQuality {
     */
   def histogram(df: DataFrame, c: Column, lo: Long, hi: Long, bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "histogram: need bins > 0 and hi > lo")
+    val w = hi - lo + 1
     val bin = least(lit(bins - 1), greatest(lit(0),
-      floor((c - lit(lo)) * bins / lit(hi - lo + 1))))
+      floor((c - lit(lo)) * bins / lit(w))))
+    // bin b covers v with floor((v-lo)*bins/w) = b, so its true lower edge
+    // is lo + ceil(b*w/bins) — exact `div`, correct for non-divisible w too
     df.groupBy(bin.cast("long").as("bin"))
       .agg(count(lit(1)).as("n"), sum(c).as("total"))
-      .withColumn("bin_lo", lit(lo) + col("bin") * lit((hi - lo + 1) / bins))
+      .withColumn("bin_lo", expr(s"$lo + ((bin * $w + ${bins - 1}) div $bins)"))
   }
 
   /** Exactly-one-current / non-overlap invariants for an SCD2 dim —

@@ -154,6 +154,11 @@ object Scd2 {
     val inRange = col(s"__pit_f.$factTs") >= col(s"__pit_d.$startCol") &&
       col(s"__pit_f.$factTs") < col(s"__pit_d.$endCol")
     val dimAttrs = dim.columns.filterNot(nk.contains).toSeq
+    val collisions = facts.columns.toSeq.intersect(dimAttrs)
+    require(collisions.isEmpty,
+      s"pointInTimeLookup: dim attribute column(s) ${collisions.mkString(", ")} " +
+        "collide with fact columns — rename them on one side before the lookup " +
+        "(the appended output would otherwise carry duplicate column names)")
     f.join(d, keyEq && inRange, "left")
       .select(facts.columns.toSeq.map(c => col(s"__pit_f.$c")) ++
         dimAttrs.map(c => col(s"__pit_d.$c")): _*)

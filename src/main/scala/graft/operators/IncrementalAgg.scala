@@ -38,7 +38,9 @@ object IncrementalAgg {
   ): DataFrame = {
     val s = stored.alias("__ia_s")
     val d = delta.alias("__ia_d")
-    val keyEq = keys.map(k => col(s"__ia_s.$k") === col(s"__ia_d.$k")).reduce(_ && _)
+    // null-SAFE key equality: a NULL-keyed group (e.g. the "unknown" member)
+    // is a real group and must merge, not split into two output rows
+    val keyEq = keys.map(k => col(s"__ia_s.$k") <=> col(s"__ia_d.$k")).reduce(_ && _)
     def both(c: String) = (col(s"__ia_s.$c"), col(s"__ia_d.$c"))
     s.join(d, keyEq, "full_outer").select(
       keys.map(k => coalesce(col(s"__ia_d.$k"), col(s"__ia_s.$k")).as(k)) ++

@@ -251,22 +251,28 @@ object EventStream {
         .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
         .filter(_.getName.stripPrefix("batch_id=").toLong < batchId)
         .map(_.getPath)
+      // dupIds is tiny (matched ids only) but expensive to produce (store
+      // scan + band join + exact-Jaccard verify) — persist it so the three
+      // downstream actions (accept write, duplicate write, store write)
+      // don't each re-run the candidate join.
       val dupIds =
-        if (priorDirs.isEmpty) b.select(col(idCol)).limit(0)
-        else {
-          val store = session.read
-            .option("basePath", storePath).parquet(priorDirs.toSeq: _*)
-          graft.dedup.NearDup
-            .dedupAgainstStore(store, b, idCol, textCol, minJaccard = minJaccard)
-            .select(col("batch_id").as(idCol)).distinct()
-        }
-      val dup   = b.join(dupIds, Seq(idCol), "left_semi")
-      val fresh = b.join(dupIds, Seq(idCol), "left_anti")
-      fresh.write.mode("overwrite").parquet(s"$acceptPath/batch_id=$batchId")
-      dup.write.mode("overwrite").parquet(s"$duplicatePath/batch_id=$batchId")
-      if (!fresh.isEmpty)
-        graft.dedup.NearDup.minhashSignatureStore(fresh, idCol, textCol)
-          .write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+        (if (priorDirs.isEmpty) b.select(col(idCol)).limit(0)
+         else {
+           val store = session.read
+             .option("basePath", storePath).parquet(priorDirs.toSeq: _*)
+           graft.dedup.NearDup
+             .dedupAgainstStore(store, b, idCol, textCol, minJaccard = minJaccard)
+             .select(col("batch_id").as(idCol)).distinct()
+         }).persist()
+      try {
+        val dup   = b.join(dupIds, Seq(idCol), "left_semi")
+        val fresh = b.join(dupIds, Seq(idCol), "left_anti")
+        fresh.write.mode("overwrite").parquet(s"$acceptPath/batch_id=$batchId")
+        dup.write.mode("overwrite").parquet(s"$duplicatePath/batch_id=$batchId")
+        if (!fresh.isEmpty)
+          graft.dedup.NearDup.minhashSignatureStore(fresh, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+      } finally { dupIds.unpersist(); () }
     } finally { b.unpersist(); () }
   }
 
@@ -283,10 +289,15 @@ object EventStream {
     * Batch N always merges onto the newest epoch STRICTLY BELOW N and
     * overwrites its own epoch, so a replayed batch re-derives the identical
     * state instead of double-applying itself. Epochs older than the merge
-    * base are pruned after a successful write (two live copies max).
+    * base are pruned after a successful write, but the newest
+    * `retainEpochs` always survive — on shared/object storage set it above
+    * the default 2 so a long-running reader holding an older epoch open
+    * doesn't race the prune.
     *
-    * @param build maps a raw micro-batch to its partial aggregate
-    *              (groupBy `keys` + the additive measure columns)
+    * @param build        maps a raw micro-batch to its partial aggregate
+    *                     (groupBy `keys` + the additive measure columns)
+    * @param retainEpochs how many newest epochs to keep (>= 2; the
+    *                     newest-below-batch epoch is the replay merge base)
     */
   def aggMaintainStream(
       events: DataFrame,
@@ -296,12 +307,14 @@ object EventStream {
       build: DataFrame => DataFrame,
       sums: Seq[String],
       mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil
+      maxs: Seq[String] = Nil,
+      retainEpochs: Int = 2
   ): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        aggMaintainBatch(batch, batchId, aggPath, keys, build, sums, mins, maxs)
+        aggMaintainBatch(batch, batchId, aggPath, keys, build, sums, mins, maxs,
+          retainEpochs)
       }
       .start()
 
@@ -316,8 +329,12 @@ object EventStream {
       build: DataFrame => DataFrame,
       sums: Seq[String],
       mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil
+      maxs: Seq[String] = Nil,
+      retainEpochs: Int = 2
   ): Unit = if (!batch.isEmpty) {
+    require(retainEpochs >= 2,
+      "aggMaintainBatch: retainEpochs must be >= 2 — the newest-below-batch " +
+        "epoch is the merge base a replay of this batch recovers from")
     val session = batch.sparkSession
     val epochs  = listEpochs(aggPath)
     val base    = epochs.filter(_ < batchId).sorted.lastOption
@@ -341,9 +358,15 @@ object EventStream {
     if (!tmp.renameTo(dst))
       throw new IllegalStateException(
         s"epoch publish failed: ${tmp.getPath} -> ${dst.getPath}")
-    // prune everything below the merge base; the base itself stays as the
-    // recovery point for a replay of THIS batch
-    epochs.filter(e => base.exists(e < _)).foreach { e =>
+    // prune epochs that are BOTH strictly below the merge base (so a replay
+    // of this batch — or of any later batch still on disk — keeps its
+    // recovery point) AND outside the newest `retainEpochs` (so slow readers
+    // on shared storage get a grace window: a reader pinned to epoch K
+    // survives until K falls out of the newest N, instead of racing the very
+    // next prune). retainEpochs = 2 reproduces the old minimal footprint.
+    val newestN = (listEpochs(aggPath) :+ batchId).distinct
+      .sorted.reverse.take(retainEpochs).toSet
+    epochs.filter(e => base.exists(e < _) && !newestN.contains(e)).foreach { e =>
       graft.core.Fs.rmTree(new java.io.File(s"$aggPath/epoch=$e"))
     }
   }

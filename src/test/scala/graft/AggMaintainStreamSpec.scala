@@ -50,4 +50,35 @@ class AggMaintainStreamSpec extends SparkSpecBase {
       Seq("g"), build, Seq("cnt", "total"), Seq("lo"), Seq("hi"))
     rows(EventStream.readAggStore(spark, aggPath)) shouldBe expected
   }
+
+  test("retainEpochs keeps a grace window for slow readers pinned to an old epoch") {
+    val aggPath = java.nio.file.Files.createTempDirectory("graft_aggret").toString + "/fact_agg"
+    def epochDirs = Option(new java.io.File(aggPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toLong).sorted.toSeq
+    val batches = (0 to 4).map { b =>
+      (1 to 20).map(i => AggEvent(s"g${i % 3}", (b * 100 + i).toLong))
+    }
+    // retainEpochs = 3: after batch b the store holds epochs {b-2, b-1, b}
+    batches.zipWithIndex.foreach { case (evs, b) =>
+      EventStream.aggMaintainBatch(evs.toDF(), batchId = b.toLong, aggPath,
+        Seq("g"), build, Seq("cnt", "total"), Seq("lo"), Seq("hi"),
+        retainEpochs = 3)
+    }
+    epochDirs shouldBe Seq(2L, 3L, 4L)
+
+    // a reader that pinned epoch 3 BEFORE batch 4 published can still read
+    // its snapshot afterwards (with the default retain=2 it would be pruned)
+    val pinned = spark.read.parquet(s"$aggPath/epoch=3")
+    rows(pinned) shouldBe rows(build(batches.take(4).flatten.toDF()))
+    // newest epoch is still the full fold of everything
+    rows(EventStream.readAggStore(spark, aggPath)) shouldBe
+      rows(build(batches.flatten.toDF()))
+
+    // retainEpochs < 2 would sacrifice the replay merge base — rejected
+    an[IllegalArgumentException] shouldBe thrownBy {
+      EventStream.aggMaintainBatch(batches.head.toDF(), batchId = 9L, aggPath,
+        Seq("g"), build, Seq("cnt", "total"), retainEpochs = 1)
+    }
+  }
 }

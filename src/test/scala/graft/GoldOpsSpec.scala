@@ -91,4 +91,20 @@ class GoldOpsSpec extends SparkSpecBase {
     h(9L) shouldBe ((3L, 1199L, 90L))   // 99 + clamped 100, 1000
     h.keySet shouldBe Set(0L, 1L, 5L, 9L)
   }
+
+  test("histogram: bin_lo labels are exact when the range is NOT divisible by bins") {
+    // [0, 10] in 4 bins: bin(v) = floor(v*4/11) ⇒ bins cover {0..2},{3..5},
+    // {6..8},{9,10}; true lower edges 0,3,6,9 (NOT the naive 0,2,4,6)
+    val vals = (0L to 10L).toDF("v")
+    val h = DataQuality.histogram(vals, $"v", lo = 0L, hi = 10L, bins = 4)
+      .select("bin", "n", "bin_lo")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    h(0L) shouldBe ((3L, 0L))
+    h(1L) shouldBe ((3L, 3L))
+    h(2L) shouldBe ((3L, 6L))
+    h(3L) shouldBe ((2L, 9L))
+    // every value lands in the bin whose [bin_lo, next_bin_lo) covers it —
+    // i.e. the label matches the partition the bin formula actually produces
+    h.keySet shouldBe Set(0L, 1L, 2L, 3L)
+  }
 }

@@ -314,4 +314,13 @@ class OperatorsSpec extends SparkSpecBase {
       .as[(Int, Long, Long, Int, Int)].collect().toSet
     merged shouldBe full
   }
+
+  test("IncrementalAgg merges a NULL-keyed group instead of splitting it") {
+    val stored = Seq((Option(1L), 10L), (Option.empty[Long], 3L)).toDF("g", "total")
+    val delta  = Seq((Option(1L), 5L), (Option.empty[Long], 4L)).toDF("g", "total")
+    val merged = graft.operators.IncrementalAgg
+      .mergeAdditive(stored, delta, Seq("g"), sums = Seq("total"))
+      .as[(Option[Long], Long)].collect().toMap
+    merged shouldBe Map(Option(1L) -> 15L, None -> 7L)
+  }
 }

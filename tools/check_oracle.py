@@ -82,8 +82,18 @@ def main():
             print(f"FAIL {name}: rows {len(a_n)} vs {len(b_n)}")
             n_fail += 1
             continue
+        # dtype-strict: the driver hash-compares TYPED values, so an
+        # untyped DuckDB aggregate (HUGEINT SUM, // division) must fail
+        # here too, not just on the driver (round-2 lesson).
+        if list(map(str, a_n.dtypes)) != list(map(str, b_n.dtypes)):
+            pairs = [(c, str(a_n[c].dtype), str(b_n[c].dtype))
+                     for c in a_n.columns
+                     if str(a_n[c].dtype) != str(b_n[c].dtype)]
+            print(f"FAIL {name}: dtypes differ: {pairs}")
+            n_fail += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(a_n, b_n, check_dtype=False,
+            pd.testing.assert_frame_equal(a_n, b_n, check_dtype=True,
                                           check_exact=True)
             print(f"PASS {name} ({len(a_n)} rows)")
             n_pass += 1
