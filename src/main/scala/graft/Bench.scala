@@ -70,9 +70,25 @@ object Bench {
     val exactSimSec = results.collect {
       case (k, v) if v >= 0 && exactSim(k) => v
     }.sum
+    val baselineSec = results.collect {
+      case (k, v) if v >= 0 && k.endsWith("_baseline") => v
+    }.sum
     // `failed` is explicit so a query that starts throwing can never read
     // as a speedup of the headline total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","production_sec":$production,"exact_similarity_sec":$exactSimSec,"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","production_sec":$production,"baseline_sec":$baselineSec,"exact_similarity_sec":$exactSimSec,"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The harness capturing this output keeps only a bounded stdout TAIL
+    // (~2000 chars), which truncates the FRONT of the full line once the
+    // per-query map outgrows it — so the headline fields vanished from the
+    // parsed record. Persist the full line to a file and re-print a
+    // compact summary (no per-query map) LAST so a complete JSON object
+    // always survives tail truncation.
+    scala.util.Try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","production_sec":$production,"baseline_sec":$baselineSec,"exact_similarity_sec":$exactSimSec,"n_failed":${failed.size},"n_queries":${results.size},"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -121,7 +121,16 @@ object ExtensionQueries {
     * is a DuckDB recursive transitive closure — legitimate because both
     * the pair set (exact join) and the closure are deterministic.
     */
+  /** Exactness reference: clustering over the EXACT AllPairs pair graph. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    NearDup.dedupClusters(T(s, dir).documents, "doc_id", "text",
+      minJaccard = 0.8, pairSource = NearDup.PairSource.Exact)
+
+  /** Production composition: clustering over the banded-LSH pair graph —
+    * the corpus-scale default (`PairSource.MinHashLsh()`); the oracle
+    * mirrors the identical banding + verification, then takes the closure.
+    */
+  private def qDedupClustersLsh(s: SparkSession, dir: String): DataFrame =
     NearDup.dedupClusters(T(s, dir).documents, "doc_id", "text",
       minJaccard = 0.8)
 
@@ -491,6 +500,7 @@ object ExtensionQueries {
     "q_x_jaccard_pairs_baseline" -> (qJaccardPairs _),
     "q_x_allpairs_jaccard" -> (qAllPairsJaccard _),
     "q_x_dedup_clusters"  -> (qDedupClusters _),
+    "q_x_dedup_clusters_lsh" -> (qDedupClustersLsh _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
     "q_x_dedup_incremental" -> (qDedupIncremental _),
     "q_x_minhash_lsh_fast" -> (qMinhashLshFast _),
@@ -649,6 +659,43 @@ object ExtensionQueries {
            |       GROUP BY 1, 2, 3, 4),
            |pairs AS (SELECT da, db FROM ov
            |          WHERE inter * 1.0 / (sa + sb - inter) >= 0.8),
+           |edges AS (SELECT da AS a, db AS b FROM pairs
+           |          UNION ALL SELECT db, da FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS r FROM documents
+           |  UNION
+           |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a
+           |),
+           |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+           |sizes AS (SELECT canonical_id, count(*) AS cluster_size
+           |          FROM comp GROUP BY 1)
+           |SELECT comp.id AS doc_id, comp.canonical_id,
+           |  CAST(sizes.cluster_size AS INTEGER) AS cluster_size,
+           |  comp.id = comp.canonical_id AS is_canonical
+           |FROM comp JOIN sizes USING (canonical_id)""".stripMargin,
+      // Production composition: the SAME banded-LSH candidate pipeline as
+      // q_x_minhash_lsh (identical signature constants + bucket cap), pairs
+      // verified at J >= 0.8, then the recursive transitive closure.
+      "q_x_dedup_clusters_lsh" ->
+        s"""WITH RECURSIVE
+           |sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
+           |hm AS (SELECT doc_id, s,
+           |  [x % ${NearDup.P} for x in s] AS hv FROM sh),
+           |sig AS (SELECT doc_id, [
+           |    $sigExprs
+           |  ] AS sg FROM hm),
+           |bands AS ($bandSelects),
+           |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bcnt
+           |          FROM bands),
+           |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+           |  FROM sized x JOIN sized y
+           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           |  WHERE x.bcnt <= ${NearDup.DefaultMaxBucketSize}),
+           |pairs AS (SELECT da, db
+           |  FROM cand JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db
+           |  WHERE len(a.s) + len(b.s) > 0
+           |    AND len(list_intersect(a.s, b.s)) * 1.0
+           |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
            |edges AS (SELECT da AS a, db AS b FROM pairs
            |          UNION ALL SELECT db, da FROM pairs),
            |reach AS (

@@ -635,6 +635,46 @@ object SparkEntry {
     )
   }
 
+  /** Point-in-interval range join (library: operators.RangeJoin): match
+    * every part to the OVERLAPPING retail-price bands containing it. There
+    * is no equi-key at all, so the naive formulation plans as a
+    * BroadcastNestedLoopJoin; the operator's bucket rewrite turns it into
+    * an ordinary equi-join on the bucket id (plan-asserted in
+    * OperatorsSpec). The oracle is the plain SQL range predicate.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(24).select(
+      col("id").cast("int").as("band_id"),
+      (lit(89000L) + col("id") * lit(500L)).as("lo_cents"),
+      (lit(89000L) + col("id") * lit(500L) + lit(1999L)).as("hi_cents"))
+    val pts = T(s, dir).part.select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    graft.operators.RangeJoin.pointInInterval(
+      pts, bands, "price_cents", "lo_cents", "hi_cents", bucketWidth = 500L)
+      .select("band_id", "p_partkey", "price_cents", "lo_cents", "hi_cents")
+  }
+
+  /** Interval-overlap join (library: operators.RangeJoin): pairs of orders
+    * by the same customer whose 30-day fulfillment windows overlap —
+    * interval × interval, keyed, emitted exactly once per pair via the
+    * overlap-start bucket rule (no post-join distinct).
+    */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1990-01-01").cast("date")).cast("long").as("sd"))
+    val a = o.select(col("o_custkey"), col("o_orderkey").as("key_a"),
+      col("sd").as("lo_a"), (col("sd") + 30L).as("hi_a"))
+    val b = o.select(col("o_custkey"), col("o_orderkey").as("key_b"),
+      col("sd").as("lo_b"), (col("sd") + 30L).as("hi_b"))
+    graft.operators.RangeJoin.intervalOverlap(
+      a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+      bucketWidth = 32L, keys = Seq("o_custkey"))
+      .filter(col("key_a") < col("key_b"))
+      .select("o_custkey", "key_a", "key_b", "lo_a", "hi_a", "lo_b", "hi_b")
+  }
+
   /** ORC source/sink round-trip: write a column-pruned supplier extract as
     * ORC, read it back. DuckDB has no ORC reader, so the oracle recomputes
     * the same projection from parquet — the gate thus covers ORC write+read
@@ -865,6 +905,8 @@ object SparkEntry {
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
+    "q_o_range_join"         -> (qRangeJoin _),
+    "q_o_interval_overlap"   -> (qIntervalOverlap _),
     "q_o_scd2_pit"           -> (qScd2PitLookup _),
     "q_o_salted_join"        -> (qSaltedJoin _),
     "q_o_snapshot_diff"      -> (qSnapshotDiff _),
@@ -1000,6 +1042,25 @@ object SparkEntry {
         |  ON f.user_id = d.user_id
         | AND f.purchase_ts - INTERVAL 1 MICROSECOND >= d.s
         | AND f.purchase_ts - INTERVAL 1 MICROSECOND < d.e""".stripMargin,
+    "q_o_range_join" ->
+      """WITH bands AS (SELECT CAST(i AS INTEGER) AS band_id,
+        |    CAST(89000 + i*500 AS BIGINT) AS lo_cents,
+        |    CAST(89000 + i*500 + 1999 AS BIGINT) AS hi_cents
+        |  FROM range(24) t(i)),
+        |pts AS (SELECT p_partkey,
+        |    CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents FROM part)
+        |SELECT band_id, p_partkey, price_cents, lo_cents, hi_cents
+        |FROM pts JOIN bands
+        |  ON price_cents >= lo_cents AND price_cents <= hi_cents""".stripMargin,
+    "q_o_interval_overlap" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS sd
+        |  FROM orders)
+        |SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+        |  a.sd AS lo_a, a.sd + 30 AS hi_a, b.sd AS lo_b, b.sd + 30 AS hi_b
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.sd <= b.sd + 30 AND b.sd <= a.sd + 30""".stripMargin,
     "q_o_salted_join" ->
       """SELECT p_brand, COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey

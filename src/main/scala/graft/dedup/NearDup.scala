@@ -290,6 +290,29 @@ object NearDup {
   // Dedup clustering (pairs → groups → canonical representative)
   // ---------------------------------------------------------------------------
 
+  /** Pair-generation strategy for `dedupClusters` — which join produces the
+    * near-dup edges the clustering stage consumes.
+    */
+  sealed trait PairSource
+  object PairSource {
+    /** EXACT AllPairs prefix-filter join (`allPairsJaccard`): deterministic
+      * ground truth, but its verification count grows with true-pair
+      * density — the exactness reference, not the corpus-scale default.
+      */
+    case object Exact extends PairSource
+
+    /** Banded MinHash LSH candidates + exact-Jaccard verification
+      * (`minhashLshPairs`): linear candidate generation, hot-bucket guard —
+      * the 100 TB default. Recall is probabilistic at the margin
+      * (P ≈ 1−(1−j^rows)^bands); every emitted pair is exact-verified.
+      */
+    final case class MinHashLsh(
+        bands: Int = 4,
+        rows: Int = 4,
+        maxBucketSize: Int = DefaultMaxBucketSize
+    ) extends PairSource
+  }
+
   /** The LAST stage of a dedup pipeline: turn near-dup PAIRS into dedup
     * GROUPS and pick one canonical representative per group. Similarity is
     * not transitive, but dedup policy is — if A~B and B~C, keeping both A
@@ -297,10 +320,12 @@ object NearDup {
     * standard answer (and the reference's dedup semantics) is connected
     * components over the pair graph, keeping the minimum id per component.
     *
-    * Built on the EXACT `allPairsJaccard` join, so the clustering is fully
-    * deterministic and oracle-checkable (transitive closure in SQL). Swap
-    * in `minhashLshPairs` upstream for the probabilistic trade at extreme
-    * scale — the clustering stage is identical.
+    * The pair graph comes from `pairSource`: `PairSource.MinHashLsh()`
+    * (default) bounds candidate generation for corpus scale;
+    * `PairSource.Exact` is the deterministic AllPairs ground truth for
+    * audits and small corpora. The clustering stage is identical either
+    * way, and BOTH compositions are oracle-checked (transitive closure in
+    * SQL over the identical pair set — the oracle mirrors the banding).
     *
     * Output: one row per input document —
     * (doc_id, canonical_id, cluster_size, is_canonical). Non-duplicated
@@ -313,20 +338,40 @@ object NearDup {
       textCol: String,
       n: Int = 3,
       minJaccard: Double = 0.8,
-      fastHashing: Boolean = false
+      fastHashing: Boolean = false,
+      pairSource: PairSource = PairSource.MinHashLsh()
   ): DataFrame = {
-    val pairs = allPairsJaccard(df, idCol, textCol, n, minJaccard,
-      materialize = true, fastHashing = fastHashing)
-    val comp = graft.operators.ConnectedComponents.labels(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
-      df.select(col(idCol).as("id")))
-    // labels() localCheckpoints its result, so the pair cache (pinned by
-    // allPairsJaccard's materialization) can be released here instead of
-    // living for the rest of the session.
+    val pairs = pairSource match {
+      case PairSource.Exact =>
+        allPairsJaccard(df, idCol, textCol, n, minJaccard,
+          materialize = true, fastHashing = fastHashing)
+      case PairSource.MinHashLsh(bands, rows, cap) =>
+        minhashLshPairs(df, idCol, textCol, n, minJaccard, bands, rows, cap,
+          materialize = true, fastHashing = fastHashing)
+    }
+    val out = clusterPairs(pairs, "doc_a", "doc_b",
+      df.select(col(idCol).as("doc_id")), "doc_id")
+    // clusterPairs' ConnectedComponents.labels localCheckpoints its result,
+    // so the pair cache (pinned by the pair source's materialization) can
+    // be released here instead of living for the rest of the session.
     pairs.unpersist()
+    out
+  }
+
+  /** The clustering stage alone, for ANY pair source (text LSH, exact
+    * AllPairs, embedding LSH, edit-distance blocks…): near-dup PAIRS →
+    * connected components → canonical representative. `ids` must hold one
+    * row per corpus member (column `idCol`, integral); output columns are
+    * (idCol, canonical_id, cluster_size, is_canonical).
+    */
+  def clusterPairs(pairs: DataFrame, aCol: String, bCol: String,
+      ids: DataFrame, idCol: String): DataFrame = {
+    val comp = graft.operators.ConnectedComponents.labels(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")),
+      ids.select(col(idCol).as("id")))
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.join(sizes, "component")
-      .select(col("id").as("doc_id"), col("component").as("canonical_id"),
+      .select(col("id").as(idCol), col("component").as("canonical_id"),
         col("cluster_size").cast("int").as("cluster_size"),
         (col("id") === col("component")).as("is_canonical"))
   }

@@ -91,17 +91,24 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       (20L, "unrelated noise alpha beta gamma delta epsilon zeta"),
       (21L, "short text")
     ).toDF("doc_id", "text")
-    val out = NearDup.dedupClusters(docs, "doc_id", "text", minJaccard = 0.8)
-      .as[(Long, Long, Int, Boolean)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    out(1L) shouldBe ((1L, 3, true))
-    out(2L) shouldBe ((1L, 3, false))
-    out(3L) shouldBe ((1L, 3, false))
-    out(10L) shouldBe ((10L, 2, true))
-    out(11L) shouldBe ((10L, 2, false))
-    out(20L) shouldBe ((20L, 1, true))
-    out(21L) shouldBe ((21L, 1, true))
-    // the deduplicated corpus is exactly the canonical rows
-    out.count(_._2._3) shouldBe 4
+    // both pair sources (exact AllPairs, banded-LSH default) must agree on
+    // this corpus: the near-dups are close enough that LSH recall is total
+    for (src <- Seq(NearDup.PairSource.Exact, NearDup.PairSource.MinHashLsh())) {
+      val out = NearDup.dedupClusters(docs, "doc_id", "text", minJaccard = 0.8,
+        pairSource = src)
+        .as[(Long, Long, Int, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      withClue(s"pairSource=$src: ") {
+        out(1L) shouldBe ((1L, 3, true))
+        out(2L) shouldBe ((1L, 3, false))
+        out(3L) shouldBe ((1L, 3, false))
+        out(10L) shouldBe ((10L, 2, true))
+        out(11L) shouldBe ((10L, 2, false))
+        out(20L) shouldBe ((20L, 1, true))
+        out(21L) shouldBe ((21L, 1, true))
+        // the deduplicated corpus is exactly the canonical rows
+        out.count(_._2._3) shouldBe 4
+      }
+    }
   }
 }

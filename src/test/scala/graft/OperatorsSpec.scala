@@ -323,4 +323,78 @@ class OperatorsSpec extends SparkSpecBase {
       .as[(Option[Long], Long)].collect().toMap
     merged shouldBe Map(Option(1L) -> 15L, None -> 7L)
   }
+
+  test("range join: point-in-interval equals the naive range predicate, once per pair") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextInt(2001) - 1000L))
+      .toDF("pid", "x")
+    val ivs = (0 until 80).map { i =>
+      val lo = rnd.nextInt(2001) - 1050L
+      (i.toLong, lo, lo + rnd.nextInt(120))
+    }.toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin.pointInInterval(
+      pts, ivs, "x", "lo", "hi", bucketWidth = 64L)
+    val gotPairs = got.select("pid", "iid").as[(Long, Long)].collect()
+    val want = pts.join(ivs, $"x" >= $"lo" && $"x" <= $"hi")
+      .select("pid", "iid").as[(Long, Long)].collect()
+    // multiset equality ⇒ identical matches AND exactly-once emission
+    gotPairs.sorted.toSeq shouldBe want.sorted.toSeq
+    want.length should be > 100 // the fixture actually exercises overlap
+    val plan = got.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("range join: exact bucketing at magnitudes beyond double precision") {
+    val big = 1L << 62
+    val pts = Seq((1L, big + 1), (2L, big + 9), (3L, big - 1)).toDF("pid", "x")
+    val ivs = Seq((10L, big, big + 8)).toDF("iid", "lo", "hi")
+    graft.operators.RangeJoin
+      .pointInInterval(pts, ivs, "x", "lo", "hi", bucketWidth = 7L)
+      .select("pid").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  test("interval overlap: equals the naive overlap predicate, keyed, once per pair") {
+    val rnd = new scala.util.Random(23)
+    def mk(tag: String) = (0 until 120).map { i =>
+      val lo = rnd.nextInt(1000) - 500L
+      (i.toLong, s"g${rnd.nextInt(3)}", lo, lo + rnd.nextInt(90))
+    }.toDF(s"id_$tag", "g", s"lo_$tag", s"hi_$tag")
+    val l = mk("l")
+    val r = mk("r")
+    val got = graft.operators.RangeJoin.intervalOverlap(
+      l, r, "lo_l", "hi_l", "lo_r", "hi_r", bucketWidth = 48L, keys = Seq("g"))
+      .select("id_l", "id_r").as[(Long, Long)].collect()
+    val want = l.join(r, Seq("g"))
+      .filter($"lo_l" <= $"hi_r" && $"lo_r" <= $"hi_l")
+      .select("id_l", "id_r").as[(Long, Long)].collect()
+    got.sorted.toSeq shouldBe want.sorted.toSeq
+    want.length should be > 300
+  }
+
+  test("interval overlap: touching endpoints count, keyless side works") {
+    val a = Seq((1L, 0L, 10L)).toDF("ida", "loa", "hia")
+    val b = Seq((2L, 10L, 20L), (3L, 11L, 20L)).toDF("idb", "lob", "hib")
+    graft.operators.RangeJoin
+      .intervalOverlap(a, b, "loa", "hia", "lob", "hib", bucketWidth = 5L)
+      .select("idb").as[Long].collect().toSet shouldBe Set(2L)
+  }
+
+  test("range join: oversized interval fails loudly instead of exploding") {
+    val pts = Seq((1L, 5L)).toDF("pid", "x")
+    val ivs = Seq((1L, 0L, 10000000L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      graft.operators.RangeJoin.pointInInterval(
+        pts, ivs, "x", "lo", "hi", bucketWidth = 10L,
+        maxBucketsPerInterval = 100).collect()
+    }
+    ex.getMessage should include("RangeJoin")
+  }
+
+  test("range join: colliding non-key column names are rejected") {
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.RangeJoin.pointInInterval(
+        Seq((1L, 2L)).toDF("a", "x"),
+        Seq((1L, 0L, 5L)).toDF("a", "lo", "hi"), "x", "lo", "hi", 10L)
+  }
 }
