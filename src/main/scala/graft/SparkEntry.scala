@@ -654,6 +654,26 @@ object SparkEntry {
       .select("band_id", "p_partkey", "price_cents", "lo_cents", "hi_cents")
   }
 
+  /** The SAME range join written NAIVELY (a raw range predicate, which
+    * Spark alone plans as a BroadcastNestedLoopJoin), relying on the
+    * injected `plans.RewriteRangeJoin` optimizer rule to bucketize it —
+    * proves the SparkSessionExtensions path end-to-end through the oracle
+    * gate, not just in a plan spec. The width conf is the rule's opt-in.
+    */
+  private def qRangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.graft.rangeJoin.bucketWidth", "500")
+    val bands = s.range(24).select(
+      col("id").cast("int").as("band_id"),
+      (lit(89000L) + col("id") * lit(500L)).as("lo_cents"),
+      (lit(89000L) + col("id") * lit(500L) + lit(1999L)).as("hi_cents"))
+    val pts = T(s, dir).part.select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    pts.join(bands,
+        col("price_cents") >= col("lo_cents") &&
+          col("price_cents") <= col("hi_cents"))
+      .select("band_id", "p_partkey", "price_cents", "lo_cents", "hi_cents")
+  }
+
   /** Interval-overlap join (library: operators.RangeJoin): pairs of orders
     * by the same customer whose 30-day fulfillment windows overlap —
     * interval × interval, keyed, emitted exactly once per pair via the
@@ -906,6 +926,7 @@ object SparkEntry {
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_o_range_join"         -> (qRangeJoin _),
+    "q_o_range_join_auto"    -> (qRangeJoinAuto _),
     "q_o_interval_overlap"   -> (qIntervalOverlap _),
     "q_o_scd2_pit"           -> (qScd2PitLookup _),
     "q_o_salted_join"        -> (qSaltedJoin _),
@@ -1043,6 +1064,18 @@ object SparkEntry {
         | AND f.purchase_ts - INTERVAL 1 MICROSECOND >= d.s
         | AND f.purchase_ts - INTERVAL 1 MICROSECOND < d.e""".stripMargin,
     "q_o_range_join" ->
+      """WITH bands AS (SELECT CAST(i AS INTEGER) AS band_id,
+        |    CAST(89000 + i*500 AS BIGINT) AS lo_cents,
+        |    CAST(89000 + i*500 + 1999 AS BIGINT) AS hi_cents
+        |  FROM range(24) t(i)),
+        |pts AS (SELECT p_partkey,
+        |    CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents FROM part)
+        |SELECT band_id, p_partkey, price_cents, lo_cents, hi_cents
+        |FROM pts JOIN bands
+        |  ON price_cents >= lo_cents AND price_cents <= hi_cents""".stripMargin,
+    // identical semantics to q_o_range_join — the Spark side differs only
+    // in HOW the plan is produced (optimizer rule vs explicit operator)
+    "q_o_range_join_auto" ->
       """WITH bands AS (SELECT CAST(i AS INTEGER) AS band_id,
         |    CAST(89000 + i*500 AS BIGINT) AS lo_cents,
         |    CAST(89000 + i*500 + 1999 AS BIGINT) AS hi_cents

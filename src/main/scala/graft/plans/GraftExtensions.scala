@@ -98,10 +98,140 @@ object RewriteIntersectSize extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: rewrite a pure range-predicate INNER join — which Spark
+  * can only plan as a BroadcastNestedLoopJoin (quadratic) — into the
+  * bucketized equi-join `operators.RangeJoin` builds by hand: explode the
+  * bounding side to the fixed-width buckets its interval covers, bucket
+  * the bounded side's point, equi-join on the bucket id, and re-apply the
+  * ORIGINAL condition as a residual filter (so any mix of strict and
+  * non-strict bounds keeps exact semantics — the bucket match is only a
+  * candidate superset).
+  *
+  * Fires ONLY when the user sets `spark.graft.rangeJoin.bucketWidth` (> 0):
+  * the width is a data-scale decision (≈ the typical interval span) the
+  * engine cannot guess. Conditions to fire: inner join; no cross-side
+  * equality conjunct (those already hash-join fine); a conjunct pair
+  * bounding one side's integral expression below AND above by integral
+  * expressions from the other side. Intervals spanning ≥
+  * `spark.graft.rangeJoin.maxBucketsPerInterval` (default 4096) buckets
+  * raise a loud per-row error instead of silently re-quadratizing.
+  *
+  * The rewritten join carries a cross-side equality, so the rule cannot
+  * re-fire on its own output (safe under the optimizer's fixed-point).
+  */
+object RewriteRangeJoin extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, Project}
+  import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+
+  private val WidthKey = "spark.graft.rangeJoin.bucketWidth"
+  private val MaxKey   = "spark.graft.rangeJoin.maxBucketsPerInterval"
+
+  private def isIntegral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _                                             => false
+  }
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  /** Exact floor-division bucket id: x − pmod(x, w) is an exact multiple of
+    * w, so integral division is exact for any sign — no double rounding.
+    */
+  private def bucketOf(e: Expression, w: Long): Expression = {
+    val el = asLong(e)
+    IntegralDivide(Subtract(el, Pmod(el, Literal(w))), Literal(w))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(WidthKey, "").trim
+    if (width.isEmpty || width.toLong <= 0) return plan
+    val w   = width.toLong
+    val max = conf.getConfString(MaxKey, "4096").toLong
+    plan.transform {
+      case j @ Join(l, r, Inner, Some(cond), _) =>
+        rewrite(j, l, r, cond, w, max).getOrElse(j)
+    }
+  }
+
+  private def rewrite(
+      j: Join,
+      l: LogicalPlan,
+      r: LogicalPlan,
+      cond: Expression,
+      w: Long,
+      max: Long
+  ): Option[LogicalPlan] = {
+    // Some(true) = references only the left side, Some(false) = only the
+    // right; None = literals-only or mixed (not a join-shaping expression)
+    def sideOf(e: Expression): Option[Boolean] =
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(l.outputSet)) Some(true)
+      else if (e.references.subsetOf(r.outputSet)) Some(false)
+      else None
+
+    val conjuncts = splitConjunctivePredicates(cond)
+    val hasCrossEqui = conjuncts.exists {
+      case EqualTo(a, b)       => sideOf(a).isDefined && sideOf(b).isDefined && sideOf(a) != sideOf(b)
+      case EqualNullSafe(a, b) => sideOf(a).isDefined && sideOf(b).isDefined && sideOf(a) != sideOf(b)
+      case _                   => false
+    }
+    if (hasCrossEqui) return None
+
+    // each comparison read both ways: (bounded expr, bound, isLowerBound)
+    val views = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b)        => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false), (b, a, true))
+      case LessThan(a, b)           => Seq((a, b, false), (b, a, true))
+      case _                        => Nil
+    }
+    val candidates = for {
+      (p, lo, true) <- views
+      if isIntegral(p) && isIntegral(lo)
+      pSide  <- sideOf(p).toSeq
+      loSide <- sideOf(lo).toSeq
+      if pSide != loSide
+      (p2, hi, false) <- views
+      if p2.semanticEquals(p) && isIntegral(hi)
+      hiSide <- sideOf(hi).toSeq
+      if hiSide == loSide
+    } yield (p, pSide, lo, hi)
+
+    candidates.headOption.map { case (point, pointOnLeft, lo, hi) =>
+      val (pointPlan, ivPlan) = if (pointOnLeft) (l, r) else (r, l)
+      val pb = Alias(bucketOf(point, w), "__rj_bucket")()
+      val pointProj = Project(pointPlan.output :+ pb, pointPlan)
+      val blo = bucketOf(lo, w)
+      val bhi = bucketOf(hi, w)
+      // Sequence is TimeZoneAwareExpression: without an explicit zone it
+      // reports unresolved even over longs, failing plan validation
+      val seq = Sequence(blo, bhi, None, Some(conf.sessionLocalTimeZone))
+      val guarded = If(
+        LessThan(Subtract(bhi, blo), Literal(max)),
+        seq,
+        Cast(new RaiseError(Literal(
+          s"RewriteRangeJoin: interval spans >= $max buckets of width $w - " +
+            s"raise $WidthKey or $MaxKey")), seq.dataType))
+      val bAttr = AttributeReference("__rj_bucket_iv", LongType, nullable = false)()
+      val gen = Generate(Explode(guarded), Nil, outer = false, None, Seq(bAttr), ivPlan)
+      val (newL, newR) = if (pointOnLeft) (pointProj, gen) else (gen, pointProj)
+      val rejoined = Join(newL, newR, Inner,
+        Some(EqualTo(pb.toAttribute, bAttr)), JoinHint.NONE)
+      Project(j.output, Filter(cond, rejoined))
+    }
+  }
+}
+
 /** Session extension wiring (`GraftSession` installs this). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIntersectSize)
+    e.injectOptimizerRule(_ => RewriteRangeJoin)
+  }
 }
 
 object GraftExtensions {
