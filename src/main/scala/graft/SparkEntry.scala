@@ -635,6 +635,29 @@ object SparkEntry {
     )
   }
 
+  /** FORWARD as-of join with tolerance (library: operators.AsOfJoin): for
+    * each click, the user's NEXT purchase — but only if it happens within
+    * 7 days (the pandas merge_asof tolerance semantic: a nearest match
+    * beyond tolerance is nulled, not replaced by a farther one). Oracle:
+    * DuckDB native forward ASOF + CASE-wrapped tolerance.
+    */
+  private def qAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+    graft.operators.AsOfJoin.asOf(
+      left = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("pid"), col("value")),
+      keys = Seq("user_id"),
+      leftTs = "ts",
+      rightTs = "ts",
+      rightVals = Seq("pid" -> "next_purchase_id", "value" -> "next_purchase_value"),
+      direction = "forward",
+      tolerance = Some(expr("INTERVAL 7 DAYS")),
+      rightTiebreak = Seq("pid")
+    )
+  }
+
   /** Point-in-interval range join (library: operators.RangeJoin): match
     * every part to the OVERLAPPING retail-price bands containing it. There
     * is no equi-key at all, so the naive formulation plans as a
@@ -925,6 +948,7 @@ object SparkEntry {
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
+    "q_o_asof_forward"       -> (qAsOfForward _),
     "q_o_range_join"         -> (qRangeJoin _),
     "q_o_range_join_auto"    -> (qRangeJoinAuto _),
     "q_o_interval_overlap"   -> (qIntervalOverlap _),
@@ -1073,6 +1097,15 @@ object SparkEntry {
         |SELECT band_id, p_partkey, price_cents, lo_cents, hi_cents
         |FROM pts JOIN bands
         |  ON price_cents >= lo_cents AND price_cents <= hi_cents""".stripMargin,
+    "q_o_asof_forward" ->
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN p.ts <= c.ts + INTERVAL 7 DAY THEN p.event_id END AS next_purchase_id,
+        |  CASE WHEN p.ts <= c.ts + INTERVAL 7 DAY THEN p.value END AS next_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |                WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts""".stripMargin,
     // identical semantics to q_o_range_join — the Spark side differs only
     // in HOW the plan is produced (optimizer rule vs explicit operator)
     "q_o_range_join_auto" ->

@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — an operator Spark lacks natively (DuckDB/Pandas
-  * `ASOF JOIN`): for each left row, attach the right row with the greatest
-  * right-ts ≤ left-ts within the same key.
+/** As-of join — an operator Spark lacks natively (DuckDB/Pandas
+  * `ASOF JOIN` / `merge_asof`): for each left row, attach ONE right row
+  * within the same key — the greatest right-ts ≤ left-ts (`backward`,
+  * default) or the smallest right-ts ≥ left-ts (`forward`), optionally
+  * only when that match lies within a `tolerance` of the left timestamp.
   *
   * Implementation is COMPOSED from built-ins (preference (a) from the build
   * rules — no custom SparkStrategy needed): tag both sides, union, one
@@ -23,16 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left      left (probe) side
-    * @param right     right (reference) side
-    * @param keys      equi-key columns present on both sides
-    * @param leftTs    left timestamp column name
-    * @param rightTs   right timestamp column name
-    * @param rightVals right columns to attach, as (input name → output name)
-    * @param rightTiebreak ordering among right rows sharing a ts (all
-    *                  columns used, ascending; LAST under this order wins);
-    *                  keeps output deterministic when right timestamps tie
-    */
+  /** Backward as-of join (kept as the narrow entry point; see `asOf`). */
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -41,24 +34,59 @@ object AsOfJoin {
       rightTs: String,
       rightVals: Seq[(String, String)],
       rightTiebreak: Seq[String] = Nil
+  ): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, rightVals,
+      direction = "backward", tolerance = None, rightTiebreak = rightTiebreak)
+
+  /** @param left      left (probe) side
+    * @param right     right (reference) side
+    * @param keys      equi-key columns present on both sides
+    * @param leftTs    left timestamp column name
+    * @param rightTs   right timestamp column name
+    * @param rightVals right columns to attach, as (input name → output name)
+    * @param direction "backward" (greatest right-ts ≤ left-ts) or
+    *                  "forward" (smallest right-ts ≥ left-ts); both
+    *                  inclusive at equal timestamps
+    * @param tolerance optional maximum |left-ts − right-ts| as an interval
+    *                  Column (e.g. `expr("INTERVAL 2 HOURS")`); a match
+    *                  further away is nulled out, like pandas merge_asof
+    * @param rightTiebreak ordering among right rows sharing a ts (all
+    *                  columns used, ascending; LAST under this order wins);
+    *                  keeps output deterministic when right timestamps tie
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[(String, String)],
+      direction: String = "backward",
+      tolerance: Option[Column] = None,
+      rightTiebreak: Seq[String] = Nil
   ): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val backward = direction == "backward"
     val leftCols = left.columns.toSeq
     val ts      = "__asof_ts"
     val tag     = "__asof_tag"
     val payload = "__asof_payload"
+    val mts     = "__asof_matched_ts"
     val tbCols  = rightTiebreak.zipWithIndex.map { case (_, i) => s"__asof_tb_$i" }
 
     val l = left
       .withColumn(ts, col(leftTs))
       .withColumn(tag, lit(1))
 
-    // A right row with a null timestamp can never be "the greatest ts ≤
-    // left ts" — drop it (it would otherwise sort first and leak its
-    // payload into unmatched left rows).
+    // A right row with a null timestamp can never be the nearest match —
+    // drop it (it would otherwise sort first and leak its payload into
+    // unmatched left rows).
     val r = right.filter(col(rightTs).isNotNull).select(
       (keys.map(col) :+ col(rightTs).as(ts)) ++
         rightTiebreak.zip(tbCols).map { case (in, out) => col(in).as(out) } :+
-        struct(rightVals.map { case (in, out) => col(in).as(out) }: _*).as(payload): _*)
+        struct((col(rightTs).as(mts) +:
+          rightVals.map { case (in, out) => col(in).as(out) }): _*).as(payload): _*)
       .withColumn(tag, lit(0))
 
     // align schemas: left gets a null payload + null tiebreaks; right gets
@@ -73,16 +101,32 @@ object AsOfJoin {
 
     val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
     // Right rows sort BEFORE left rows at equal ts (tag 0 < 1) → the as-of
-    // match is inclusive; tiebreaks order right rows sharing a ts so the
-    // LAST one deterministically wins.
-    val ordering = col(ts).asc +: col(tag).asc +: tbCols.map(col(_).asc_nulls_first)
+    // match is inclusive in BOTH directions; tiebreaks order right rows
+    // sharing a ts so the LAST one deterministically wins. Backward walks
+    // time ascending; forward walks it descending (so "most recent carried"
+    // = "nearest future"). Null LEFT timestamps must sort before every
+    // right row in either direction — they match nothing.
+    val tsOrder = if (backward) col(ts).asc_nulls_first else col(ts).desc_nulls_first
+    val ordering = tsOrder +: col(tag).asc +: tbCols.map(col(_).asc_nulls_first)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn(
       payload, last(col(payload), ignoreNulls = true).over(w))
-    rightVals.foldLeft(carried.filter(col(tag) === 1)) { case (df, (_, out)) =>
+    // tolerance: the nearest match may still be too far away — null the
+    // whole payload then (not per-column, which would tear the row)
+    val toleranced = tolerance match {
+      case None => carried
+      case Some(tol) =>
+        val matched = col(s"$payload.$mts")
+        val inRange =
+          if (backward) matched >= col(ts) - tol
+          else matched <= col(ts) + tol
+        carried.withColumn(payload,
+          when(inRange, col(payload)).otherwise(lit(null).cast(r.schema(payload).dataType)))
+    }
+    rightVals.foldLeft(toleranced.filter(col(tag) === 1)) { case (df, (_, out)) =>
       df.withColumn(out, col(s"$payload.$out"))
     }.select((leftCols ++ rightVals.map(_._2)).map(col): _*)
   }

@@ -31,6 +31,42 @@ class OperatorsSpec extends SparkSpecBase {
       1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> Some(300.0))
   }
 
+  test("as-of join forward: smallest right ts >= left ts, inclusive; tolerance nulls far matches") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // next right at 10:00 (equal → inclusive)
+      (2L, "k1", ts("2024-01-01 10:30:00")), // next right at 11:30
+      (3L, "k1", ts("2024-01-01 13:00:00")), // no future right row
+      (4L, "k2", ts("2024-01-01 09:00:00"))  // next right 3h away — beyond tolerance
+    ).toDF("lid", "k", "t")
+    val right = Seq(
+      ("k1", ts("2024-01-01 10:00:00"), 100.0),
+      ("k1", ts("2024-01-01 11:30:00"), 200.0),
+      ("k2", ts("2024-01-01 12:00:00"), 300.0)
+    ).toDF("k", "rt", "v")
+    val plain = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt",
+      Seq("v" -> "next_v"), direction = "forward")
+      .select("lid", "next_v").as[(Long, Option[Double])].collect().toMap
+    plain shouldBe Map(
+      1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> Some(300.0))
+    val tol = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt",
+      Seq("v" -> "next_v"), direction = "forward",
+      tolerance = Some(expr("INTERVAL 2 HOURS")))
+      .select("lid", "next_v").as[(Long, Option[Double])].collect().toMap
+    tol shouldBe Map(
+      1L -> Some(100.0), 2L -> Some(200.0), 3L -> None, 4L -> None)
+  }
+
+  test("as-of join backward tolerance: stale matches are nulled, not replaced") {
+    val left = Seq((1L, "k", ts("2024-01-02 10:00:00"))).toDF("lid", "k", "t")
+    val right = Seq(("k", ts("2024-01-01 09:00:00"), 7.0)).toDF("k", "rt", "v")
+    AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v" -> "last_v"),
+      tolerance = Some(expr("INTERVAL 2 HOURS")))
+      .select("last_v").as[Option[Double]].head() shouldBe None
+    AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v" -> "last_v"),
+      tolerance = Some(expr("INTERVAL 2 DAYS")))
+      .select("last_v").as[Option[Double]].head() shouldBe Some(7.0)
+  }
+
   test("top-k aggregator matches the window formulation exactly") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 40L).map(i =>
