@@ -121,6 +121,15 @@ object ExtensionQueries {
     * is a DuckDB recursive transitive closure — legitimate because both
     * the pair set (exact join) and the closure are deterministic.
     */
+  /** Deterministic global training-order shuffle: seeded md5 permutation
+    * key + scalable dense rank (range sort + zipWithIndex, no
+    * single-partition window). The oracle replays the identical hash and
+    * checks the FULL rank assignment.
+    */
+  private def qShuffleRank(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.shuffleDeterministic(
+      T(s, dir).documents.select("doc_id", "source"), "doc_id", seed = 42L)
+
   /** Exactness reference: clustering over the EXACT AllPairs pair graph. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     NearDup.dedupClusters(T(s, dir).documents, "doc_id", "text",
@@ -533,7 +542,8 @@ object ExtensionQueries {
     "q_x_assemble_packs"  -> (qAssemblePacks _),
     "q_x_pii_scrub"       -> (qPiiScrub _),
     "q_x_repetition_score" -> (qRepetitionScore _),
-    "q_x_decontaminate"   -> (qDecontaminate _)
+    "q_x_decontaminate"   -> (qDecontaminate _),
+    "q_x_shuffle_rank"    -> (qShuffleRank _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -1059,6 +1069,12 @@ object ExtensionQueries {
           |  AND md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) NOT IN
           |      (SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
           |       FROM documents WHERE source = 'src0')""".stripMargin,
+      "q_x_shuffle_rank" ->
+        """SELECT doc_id, source,
+          |  CAST(row_number() OVER (ORDER BY
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT,
+          |    doc_id) AS BIGINT) AS shuffle_pos
+          |FROM documents""".stripMargin,
       "q_x_multimodal_meta" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,

@@ -889,6 +889,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"), sumCents(col("o_totalprice")).as("total_cents"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Beyond-reference: CUBE (all grouping-set combinations in one pass);
+    * `grouping()` markers disambiguate subtotal NULLs from data NULLs.
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sumCents(col("o_totalprice")).as("total_cents"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+
   /** Beyond-reference: EXCEPT / INTERSECT set operators. */
   private def qExceptIntersect(s: SparkSession, dir: String): DataFrame = {
     val t       = T(s, dir)
@@ -960,6 +972,7 @@ object SparkEntry {
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
+    "q_a10b_cube"            -> (qCube _),
     "q_w9_range_frame"       -> (qRangeFrame _),
     "q_o_gap_fill"           -> (qGapFill _),
     "q_a9b_group_percentiles" -> (qGroupPercentiles _),
@@ -1461,6 +1474,12 @@ object SparkEntry {
         |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_a10b_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q_u5_except_intersect" ->
       """WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders),
         |b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)

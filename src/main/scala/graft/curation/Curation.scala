@@ -250,4 +250,24 @@ object Curation {
         least(lit(chunkSize), col("__n") - col("__start")).cast("long")
           .as("n_chunk_tokens"))
   }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * dense 1-based `shuffle_pos` drawn from a seeded permutation — the
+    * "shuffle the corpus before packing/sharding" step of a training-data
+    * pipeline, reproducible across runs, engines, and partitionings.
+    *
+    * The permutation key is a portable md5-prefix hash of (id, seed)
+    * (reproducible in the DuckDB oracle); the dense rank comes from
+    * `SurrogateKeys.scalableMode` — a range sort + zipWithIndex, never a
+    * single-partition window, so the operator holds at corpus scale.
+    * Ties (hash collisions) break on the id, keeping the order total.
+    */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val hashed = df.withColumn("__shuffle_h",
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+        1, 15), 16, 10).cast("long"))
+    graft.gold.SurrogateKeys.scalableMode(
+      hashed, Seq(col("__shuffle_h"), col(idCol)), skCol = "shuffle_pos")
+      .drop("__shuffle_h")
+  }
 }
