@@ -166,6 +166,45 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** TPC-H Q8 shape: national market share — the widest join in the suite
+    * (part, lineitem, orders, supplier, customer, nation×2, region).
+    * Selective filters push to the scans; the three dim joins broadcast;
+    * the share is a SINGLE division of exact cent sums per year (the
+    * oracle-stability rule for ratios). Years with zero nation volume get
+    * share 0.0 via coalesce, not NULL.
+    */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val t  = T(s, dir)
+    val lo = lit("1995-01-01").cast("date")
+    val hi = lit("1997-01-01").cast("date")
+    val custNation = t.nation.select(
+      col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val suppNation = t.nation.select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    t.part.filter(col("p_type") === "PROMO")
+      .join(t.lineitem, col("p_partkey") === col("l_partkey"))
+      .join(t.orders.filter(
+        col("o_orderdate").cast("date") >= lo && col("o_orderdate").cast("date") < hi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("cn_region") === col("r_regionkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(col("o_orderdate").cast("date")))
+      .withColumn("vol_cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+      .groupBy("o_year")
+      .agg(
+        coalesce(sum(when(col("supp_nation") === "NATION_2", col("vol_cents"))), lit(0L))
+          .as("nation_cents"),
+        sum(col("vol_cents")).as("total_cents"))
+      .withColumn("mkt_share",
+        col("nation_cents").cast("double") / col("total_cents").cast("double"))
+      .orderBy("o_year")
+  }
+
   /** One-pass column profiler (library: gold.DataQuality.profile) — the
     * per-column EDA/DQ report in a single scan.
     */
@@ -979,6 +1018,7 @@ object SparkEntry {
     "q_tpch_q3_shipping"     -> (qShippingPriority _),
     "q_tpch_q5_local_volume" -> (qLocalSupplierVolume _),
     "q_tpch_q10_returned"    -> (qReturnedItems _),
+    "q_tpch_q8_mktshare"     -> (qMarketShare _),
     "q_dq_profile"           -> (qProfile _),
     "q_a11_group_topk"       -> (qGroupTopK _),
     "q_a12_histogram"        -> (qHistogram _),
@@ -1435,6 +1475,30 @@ object SparkEntry {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q8_mktshare" ->
+      """WITH b AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |    CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS vol_cents,
+        |    n2.n_name AS supp_nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+        |g AS (SELECT o_year,
+        |    CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_2'
+        |                           THEN vol_cents END), 0) AS BIGINT) AS nation_cents,
+        |    CAST(SUM(vol_cents) AS BIGINT) AS total_cents
+        |  FROM b GROUP BY 1)
+        |SELECT o_year, nation_cents, total_cents,
+        |  CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS mkt_share
+        |FROM g ORDER BY o_year""".stripMargin,
     "q_a11_group_topk" ->
       """WITH r AS (
         |  SELECT p_brand, p_partkey,
