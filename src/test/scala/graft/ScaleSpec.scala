@@ -27,6 +27,27 @@ class ScaleSpec extends SparkSpecBase {
     pruned.count() shouldBe 100
   }
 
+  test("TPC-H Q8 shape: dims broadcast, selective filters reach the scans, no nested loop") {
+    assume(new java.io.File("/root/testdata/sf0.001/part.parquet").exists)
+    val q = SparkEntry.queries("q_tpch_q8_mktshare")(spark, "/root/testdata/sf0.001")
+    val plan = formatted(q)
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 3 // nation ×2 + region
+    plan should include("EqualTo(p_type,PROMO)") // pushed to the part scan
+    plan should include("EqualTo(r_name,ASIA)")  // pushed to the region scan
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_o_range_join_auto compiles to an equi-join via the injected rule") {
+    assume(new java.io.File("/root/testdata/sf0.001/part.parquet").exists)
+    try {
+      val q = SparkEntry.queries("q_o_range_join_auto")(spark, "/root/testdata/sf0.001")
+      val plan = formatted(q) // optimizes with the conf the query fn just set
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("filter and projection pushdown reach the parquet scan") {
     val dir = Files.createTempDirectory("graft_push").toString
     (1 to 1000).map(i => (i.toLong, s"n$i", i * 2.0, s"pad$i"))
