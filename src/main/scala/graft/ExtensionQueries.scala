@@ -349,6 +349,17 @@ object ExtensionQueries {
       group = Seq("source"), key = col("doc_id"), cap = 10)
       .select("doc_id", "source", "lang")
 
+  /** Mixture rebalancing to target shares (50/30/20 across three sources):
+    * exact integer math picks the largest achievable total, hash priority
+    * picks the survivors; the oracle replays T = min ⌊n·S/share⌋ and the
+    * per-source row_number cut.
+    */
+  private def qMixToShares(s: SparkSession, dir: String): DataFrame =
+    DeterministicSampling.mixToShares(
+      T(s, dir).documents.select("doc_id", "source", "lang"),
+      "source", Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000),
+      key = col("doc_id"))
+
   private def qTrainValTestSplit(s: SparkSession, dir: String): DataFrame =
     DeterministicSampling.split(T(s, dir).documents, col("doc_id"),
       valBp = 1000, testBp = 1000)
@@ -531,6 +542,7 @@ object ExtensionQueries {
     "q_x_stratified_sample" -> (qStratifiedSample _),
     "q_x_weighted_sample" -> (qWeightedSample _),
     "q_x_source_quota"    -> (qSourceQuota _),
+    "q_x_mix_to_shares"   -> (qMixToShares _),
     "q_x_train_val_test"  -> (qTrainValTestSplit _),
     "q_x_upsample"        -> (qUpsample _),
     "q_x_curation_pipeline" -> (qCurationPipeline _),
@@ -947,6 +959,26 @@ object ExtensionQueries {
           |      doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 10""".stripMargin,
+      // T = min_k floor(n_k·S/share_k), cap_k = floor(T·share_k/S) — the
+      // same integer mixture math as mixToShares, then the identical
+      // hash-priority row_number cut per source
+      "q_x_mix_to_shares" ->
+        """WITH n AS (SELECT source, count(*) AS ns FROM documents
+          |           WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+          |shr AS (SELECT source, CASE source WHEN 'src0' THEN 5000
+          |                       WHEN 'src1' THEN 3000 ELSE 2000 END AS share
+          |        FROM n),
+          |t AS (SELECT min(ns * 10000 // share) AS tt
+          |      FROM n JOIN shr USING (source)),
+          |caps AS (SELECT source, (SELECT tt FROM t) * share // 10000 AS cap
+          |         FROM shr),
+          |r AS (SELECT doc_id, source, lang,
+          |    row_number() OVER (PARTITION BY source ORDER BY
+          |      ('0x' || substr(md5(doc_id::VARCHAR || 'm0'), 1, 12))::BIGINT % 10000,
+          |      doc_id) AS rn
+          |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+          |SELECT doc_id, source, lang FROM r JOIN caps USING (source)
+          |WHERE rn <= cap""".stripMargin,
       "q_x_train_val_test" ->
         """SELECT doc_id, lang,
           |  CASE WHEN b < 1000 THEN 'val'

@@ -137,6 +137,82 @@ object DeterministicSampling {
       margin: Int = 4
   ): DataFrame = {
     require(cap > 0, "quotaCap: cap must be positive")
+    capPerGroup(df, group, key,
+      counts => counts.select(group.map(col) :+ lit(cap.toLong).as("__cap"): _*),
+      salt, margin)
+  }
+
+  /** Rebalance a corpus to a target source mixture WITHOUT upsampling: keep
+    * exactly the largest total the target shares allow given the per-source
+    * supply, choosing survivors deterministically by hash priority — the
+    * "60% web / 30% code / 10% books" rebalancing step of a training-data
+    * pipeline, exact and reproducible (no multinomial `rand()`).
+    *
+    * Math (all integer, engine-portable): with S = Σ shares and n_k rows of
+    * source k, the achievable total is T = min_k ⌊n_k·S / share_k⌋ (the
+    * scarcest source binds the mixture), and source k keeps
+    * cap_k = ⌊T·share_k / S⌋ rows. Sources not named in `sharesBp` are
+    * dropped; every named source must be present (loud require — a missing
+    * source silently zeroing the mixture would be a data bug).
+    *
+    * Scale shape: per-source counts are a map-side-combined agg collected
+    * to the driver — ONE row per configured source (bounded by the mixture
+    * spec, not the data), the same class of tiny-aggregate materialization
+    * as a broadcast. Row selection runs through the shared hash-priority
+    * prune (`quotaCap` machinery), so hot sources never sort whole groups.
+    */
+  def mixToShares(
+      df: DataFrame,
+      sourceCol: String,
+      sharesBp: Map[String, Int],
+      key: Column,
+      salt: String = "m0",
+      margin: Int = 4
+  ): DataFrame = {
+    require(sharesBp.nonEmpty, "mixToShares: empty shares")
+    require(sharesBp.values.forall(_ > 0), "mixToShares: shares must be positive")
+    val s = sharesBp.values.map(_.toLong).sum
+    val scoped = df.filter(col(sourceCol).isin(sharesBp.keys.toSeq: _*))
+    capPerGroup(scoped, Seq(sourceCol), key, counts => {
+      val n = counts.collect()
+        .map(r => r.getAs[String](0) -> r.getAs[Long](1)).toMap
+      sharesBp.keys.foreach(k => require(n.contains(k),
+        s"mixToShares: source '$k' has no rows — mixture unreachable"))
+      val t = sharesBp.map { case (k, shr) => n(k) * s / shr }.min
+      val caps = sharesBp.toSeq.map { case (k, shr) => (k, t * shr / s) }
+      import scoped.sparkSession.implicits._
+      caps.toDF(sourceCol, "__cap")
+    }, salt, margin)
+  }
+
+  /** Shared engine for per-group survivor caps. `capsOf` maps the group
+    * counts frame to (group cols…, `__cap` long); groups WITHOUT a caps row
+    * are dropped entirely. Semantics per group: exactly min(cap, |group|)
+    * survivors — the rows ranked first by (bucket(key), key).
+    *
+    * Scale shape — a naive per-group `row_number` sorts ENTIRE groups, and
+    * at 100 TB a hot group is billions of rows on one reducer. Instead:
+    *   1. count rows per group (map-side-combined agg, one small result);
+    *   2. groups within quota pass through unsorted — zero sort work;
+    *   3. over-quota groups are pre-pruned by a hash-priority threshold
+    *      (`bucket < margin × cap/|group| × 10000`) BEFORE the window, so
+    *      the sort sees ~margin×cap rows per group instead of |group|;
+    *   4. exactness check: a pre-pruned group retaining ≥ cap survivors
+    *      proves the prune kept a superset of the true top-`cap` (any row
+    *      above the bucket threshold ranks after every kept row). Groups
+    *      that fail the check (pathological hash clustering) fall back to
+    *      the full window, so the result is ALWAYS exact.
+    *
+    * The group-count join is broadcast (group cardinality ≪ row count).
+    */
+  private def capPerGroup(
+      df: DataFrame,
+      group: Seq[String],
+      key: Column,
+      capsOf: DataFrame => DataFrame,
+      salt: String,
+      margin: Int
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gcols = group.map(col)
 
@@ -152,37 +228,49 @@ object DeterministicSampling {
     }
 
     val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("__grp_n"))
-    val d      = df.alias("__qc_d")
-    val c      = broadcast(counts.alias("__qc_c"))
-    val eqDC   = group.map(k => col(s"__qc_d.$k") <=> col(s"__qc_c.$k")).reduce(_ && _)
-    val withN = d.join(c, eqDC)
-      .select(df.columns.toSeq.map(n => col(s"__qc_d.$n")) :+ col("__grp_n"): _*)
-    val under = withN.filter(col("__grp_n") <= cap).drop("__grp_n")
+    val caps   = capsOf(counts)
+    // counts ⋈ caps (inner: capless groups are dropped by contract)
+    val ccN = counts.alias("__qc_n")
+    val ccP = caps.alias("__qc_p")
+    val eqNP = group.map(k => col(s"__qc_n.$k") <=> col(s"__qc_p.$k")).reduce(_ && _)
+    val cc = ccN.join(ccP, eqNP)
+      .select(group.map(k => col(s"__qc_n.$k")) :+ col("__grp_n") :+ col("__cap"): _*)
 
-    val over = withN.filter(col("__grp_n") > cap)
+    val d    = df.alias("__qc_d")
+    val c    = broadcast(cc.alias("__qc_c"))
+    val eqDC = group.map(k => col(s"__qc_d.$k") <=> col(s"__qc_c.$k")).reduce(_ && _)
+    val withN = d.join(c, eqDC)
+      .select(df.columns.toSeq.map(n => col(s"__qc_d.$n")) :+
+        col("__grp_n") :+ col("__cap"): _*)
+    val under = withN.filter(col("__grp_n") <= col("__cap"))
+      .drop("__grp_n", "__cap")
+
+    val over = withN.filter(col("__grp_n") > col("__cap"))
     val prio = bucket(key, salt)
     // threshold in bucket units; +1 guards tiny caps rounding to zero
-    val thr    = lit(margin.toLong * Buckets) * cap / col("__grp_n") + 1
+    val thr    = lit(margin.toLong * Buckets) * col("__cap") / col("__grp_n") + 1
     val pruned = over.filter(prio < thr).drop("__grp_n")
-    val kept   = pruned.groupBy(gcols: _*).agg(count(lit(1)).as("__kept_n"))
-    val okGroups = kept.filter(col("__kept_n") >= cap).select(gcols: _*)
+    val kept = pruned.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__kept_n"), first(col("__cap")).as("__kcap"))
+    val okGroups = kept.filter(col("__kept_n") >= col("__kcap")).select(gcols: _*)
     // fallback set derived from COUNTS, not from `kept`: a group whose
     // prune retained zero rows is absent from `kept` entirely and must
     // still fall back, or it would be dropped wholesale
     val badGroups = semiOn(
-      counts.filter(col("__grp_n") > cap).select(gcols: _*), okGroups, anti = true)
+      cc.filter(col("__grp_n") > col("__cap")).select(gcols: _*), okGroups,
+      anti = true)
     val w = Window.partitionBy(gcols: _*).orderBy(prio, key)
     val prunedTop = semiOn(pruned, okGroups)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap)
+      .filter(col("__rn") <= col("__cap"))
     // exactness fallback: re-window the FULL group where the prune kept
     // fewer than `cap` rows (possible only under adversarial hash
     // clustering)
     val fallbackTop = semiOn(over.drop("__grp_n"), badGroups)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap)
+      .filter(col("__rn") <= col("__cap"))
     under.unionByName(
-      prunedTop.drop("__rn").unionByName(fallbackTop.drop("__rn")))
+      prunedTop.drop("__rn", "__cap").unionByName(fallbackTop.drop("__rn", "__cap")))
       .select(df.columns.toSeq.map(col): _*)
   }
 }

@@ -155,4 +155,39 @@ class SamplingSpec extends SparkSpecBase {
     capped shouldBe expected
     capped.size shouldBe 2
   }
+
+  test("mixToShares: integer mixture math, scarcest source binds, others dropped") {
+    // a:60 b:30 c:300 rows at shares 50/30/20% → S=10000;
+    // T = min(60·10000/5000, 30·10000/3000, 300·10000/2000) = 100
+    // caps: a=50, b=30, c=20; source 'other' is not in the mixture
+    val rows = (0L until 60L).map(i => (i, "a")) ++
+      (100L until 130L).map(i => (i, "b")) ++
+      (1000L until 1300L).map(i => (i, "c")) ++
+      (5000L until 5010L).map(i => (i, "other"))
+    val df = rows.toDF("id", "src")
+    val out = DeterministicSampling.mixToShares(df, "src",
+      Map("a" -> 5000, "b" -> 3000, "c" -> 2000), $"id")
+    val sizes = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes shouldBe Map("a" -> 50L, "b" -> 30L, "c" -> 20L)
+    // survivors are exactly the hash-priority top-cap per source
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src")
+        .orderBy(DeterministicSampling.bucket($"id", "m0"), $"id")
+      df.filter($"src".isin("a", "b", "c"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= when($"src" === "a", 50)
+          .when($"src" === "b", 30).otherwise(20))
+        .select("id", "src").as[(Long, String)].collect().toSet
+    }
+    out.as[(Long, String)].collect().toSet shouldBe expected
+  }
+
+  test("mixToShares: a configured source with no rows fails loudly") {
+    val df = Seq((1L, "a"), (2L, "a")).toDF("id", "src")
+    an[IllegalArgumentException] should be thrownBy
+      DeterministicSampling.mixToShares(df, "src",
+        Map("a" -> 5000, "ghost" -> 5000), $"id")
+  }
 }
