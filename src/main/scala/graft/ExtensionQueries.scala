@@ -193,6 +193,20 @@ object ExtensionQueries {
       bands = 4
     )
 
+  /** WIDE (60-bit) simhash banded near-dup — the ≫10⁹-doc configuration
+    * SCALING.md prescribes (wider signature ⇒ wider chunks ⇒ small
+    * equal-chunk buckets). bands=5 > maxHamming=4 ⇒ EXACT (pigeonhole),
+    * so the oracle is the plain all-pairs definition at 60 bits.
+    */
+  private def qSimhashWide(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashBandedPairs(
+      NearDup.simhashSignatures(T(s, dir).documents, "doc_id", "text", bits = 60),
+      idCol = "doc_id",
+      maxHamming = 4,
+      bands = 5,
+      bits = 60
+    )
+
   /** Production embedding near-dup: LSH-bucket blocking over the whole
     * corpus (no metadata block); the oracle recomputes identical buckets.
     */
@@ -527,6 +541,7 @@ object ExtensionQueries {
     "q_x_simhash_sigs"    -> (qSimhashSigs _),
     "q_x_simhash_pairs_baseline" -> (qSimhashPairs _),
     "q_x_simhash_banded"  -> (qSimhashBanded _),
+    "q_x_simhash_wide"    -> (qSimhashWide _),
     "q_x_embed_neardup_lsh" -> (qEmbedNearDupLsh _),
     "q_x_cosine_topk"     -> (qCosineTopK _),
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
@@ -818,6 +833,21 @@ object ExtensionQueries {
            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
            |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+      // 60-bit signatures: 15-hex-char md5 prefix (the widest that stays a
+      // nonnegative BIGINT); bands=5 > maxHamming=4 ⇒ banding is exact and
+      // the oracle is the corpus-wide all-pairs definition
+      "q_x_simhash_wide" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  [('0x' || substr(md5(x), 1, 15))::BIGINT for x in $DTOKS] AS hv FROM documents),
+           |sg AS (SELECT doc_id, CAST(list_sum([
+           |  CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hv]) > 0
+           |       THEN (1::BIGINT << j) ELSE 0 END
+           |  for j in generate_series(0, 59)]) AS BIGINT) AS simhash
+           |FROM t)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin,
       "q_x_cosine_topk" ->
         s"""WITH $prepCte,
            |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM n WHERE vec_id < 10 AND n2 > 0),

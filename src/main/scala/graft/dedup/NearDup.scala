@@ -668,15 +668,24 @@ object NearDup {
   /** Per-document 32-bit SimHash signatures (plus passthrough columns,
     * e.g. a blocking key for `simhashPairs`).
     */
+  /** Token-level SimHash signatures. `bits` picks the signature width:
+    * 32 (default) for ≲10⁹ docs; 60 for larger corpora, where wider
+    * chunks keep equal-chunk candidate buckets small (SCALING.md). 60 is
+    * the widest md5 prefix that stays a nonnegative BIGINT in the oracle.
+    */
   def simhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      keepCols: Seq[String] = Nil
-  ): DataFrame =
-    df.withColumn("hv", transform(tokens(col(textCol)), t => hexHash32(t)))
-      .withColumn("simhash", simhash32(col("hv")))
+      keepCols: Seq[String] = Nil,
+      bits: Int = 32
+  ): DataFrame = {
+    require(bits == 32 || bits == 60, s"bits must be 32 or 60, got $bits")
+    val tokHash: Column => Column = if (bits == 32) hexHash32 else hexHash60
+    df.withColumn("hv", transform(tokens(col(textCol)), t => tokHash(t)))
+      .withColumn("simhash", graft.functions.TextFunctions.simhash(col("hv"), bits))
       .select(((idCol +: keepCols).map(col) :+ col("simhash")): _*)
+  }
 
   /** Near-dup pairs by Hamming distance with SIGNATURE-BAND blocking — the
     * production form (the metadata-block variant below is the quadratic
@@ -695,12 +704,13 @@ object NearDup {
       signatures: DataFrame,
       idCol: String,
       maxHamming: Int,
-      bands: Int = 4
+      bands: Int = 4,
+      bits: Int = 32
   ): DataFrame = {
     require(bands > maxHamming,
       s"bands ($bands) must exceed maxHamming ($maxHamming) for exact recall")
-    require(32 % bands == 0, s"bands ($bands) must divide the 32-bit signature")
-    val width = 32 / bands
+    require(bits % bands == 0, s"bands ($bands) must divide the $bits-bit signature")
+    val width = bits / bands
     val mask  = (1L << width) - 1
     val banded = signatures.select(
       col(idCol).as("doc_id"),

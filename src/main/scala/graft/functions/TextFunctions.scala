@@ -56,6 +56,13 @@ object TextFunctions {
   def hexHash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit variant (15 hex chars — the widest md5 prefix that stays a
+    * nonnegative BIGINT in every engine; 16 chars can overflow the sign
+    * bit in the DuckDB oracle).
+    */
+  def hexHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Character n-gram shingles (lowercased), distinct. Empty array for
     * texts shorter than n (Spark's `sequence(1,0)` would count DOWN, so the
     * guard is mandatory).
@@ -161,17 +168,21 @@ object TextFunctions {
       )
     ).otherwise(0L)
 
-  /** 32-bit SimHash over a pre-hashed token array (use `hexHash32` per
-    * token first so md5 is computed once, not 32×). Bit j of the signature
-    * is 1 iff more tokens have bit j set than clear (ties → 0). Native
-    * one-pass expression — the composed form scanned the array 32×.
+  /** SimHash over a pre-hashed token array (use `hexHash32`/`hexHash60`
+    * per token first so md5 is computed once, not once per bit). Bit j of
+    * the signature is 1 iff more tokens have bit j set than clear
+    * (ties → 0). Native one-pass expression — the composed form scans the
+    * array once per bit.
     */
-  def simhash32(hashedTokens: Column): Column =
-    TextNativeExpressions.simhash_native(hashedTokens)
+  def simhash(hashedTokens: Column, bits: Int): Column =
+    TextNativeExpressions.simhash_native(hashedTokens, bits)
 
-  /** Composed formulation (32 aggregate passes), equality reference. */
-  def simhash32Composed(hashedTokens: Column): Column = {
-    val bits = (0 until 32).map { j =>
+  /** 32-bit SimHash (kept as the narrow entry point). */
+  def simhash32(hashedTokens: Column): Column = simhash(hashedTokens, 32)
+
+  /** Composed formulation (one aggregate pass per bit), equality reference. */
+  def simhashComposed(hashedTokens: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
       val vote = aggregate(
         hashedTokens,
         lit(0L),
@@ -181,4 +192,8 @@ object TextFunctions {
     }
     bits.reduce(_ + _)
   }
+
+  /** Composed 32-bit formulation, equality reference. */
+  def simhash32Composed(hashedTokens: Column): Column =
+    simhashComposed(hashedTokens, 32)
 }

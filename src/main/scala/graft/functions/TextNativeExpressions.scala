@@ -52,14 +52,21 @@ object TextNative {
     acc
   }
 
-  def simhash32(hv: ArrayData): Long = {
+  def simhash32(hv: ArrayData): Long = simhash(hv, 32)
+
+  /** Width-parameterized SimHash (bits ≤ 63 so the signature is a plain
+    * nonnegative long): bit j is 1 iff more token hashes have bit j set
+    * than clear. 32-bit signatures serve ≲10⁹ docs; wider signatures keep
+    * equal-chunk buckets small at larger corpora (SCALING.md).
+    */
+  def simhash(hv: ArrayData, bits: Int): Long = {
     val n     = hv.numElements()
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val h = hv.getLong(i)
       var j = 0
-      while (j < 32) {
+      while (j < bits) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
@@ -67,7 +74,7 @@ object TextNative {
     }
     var sig = 0L
     var j   = 0
-    while (j < 32) {
+    while (j < bits) {
       if (votes(j) > 0) sig |= (1L << j)
       j += 1
     }
@@ -192,13 +199,13 @@ case class RollingHashNative(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHashNative = copy(child = c)
 }
 
-case class Simhash32Native(child: Expression) extends UnaryExpression {
+case class SimhashNative(child: Expression, bits: Int = 32) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any): Any =
-    TextNative.simhash32(a.asInstanceOf[ArrayData])
+    TextNative.simhash(a.asInstanceOf[ArrayData], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simhash32($c)")
-  override protected def withNewChildInternal(c: Expression): Simhash32Native = copy(child = c)
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simhash($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SimhashNative = copy(child = c)
 }
 
 case class MinHashSigNative(left: Expression, right: Expression,
@@ -229,8 +236,8 @@ object TextNativeExpressions {
   def rolling_hash_native(c: Column): Column =
     ColumnBridge.column(RollingHashNative(ColumnBridge.expression(c)))
 
-  def simhash_native(hashedTokens: Column): Column =
-    ColumnBridge.column(Simhash32Native(ColumnBridge.expression(hashedTokens)))
+  def simhash_native(hashedTokens: Column, bits: Int = 32): Column =
+    ColumnBridge.column(SimhashNative(ColumnBridge.expression(hashedTokens), bits))
 
   def minhash_sig_native(hashedShingles: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
     ColumnBridge.column(MinHashSigNative(

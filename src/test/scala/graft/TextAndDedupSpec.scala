@@ -153,6 +153,41 @@ class TextAndDedupSpec extends SparkSpecBase {
     baseline should not contain ((1L, 4L))
   }
 
+  test("wide (60-bit) simhash: banded blocking exact; native equals composed") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tomorrow"),
+      (3L, base.replace("lazy", "sleepy")),
+      (4L, base),
+      (5L, "completely unrelated vocabulary with zero overlapping tokens"),
+      (6L, "another entirely distinct document about databases and engines")
+    ).toDF("doc_id", "text")
+    val sigs = NearDup.simhashSignatures(df, "doc_id", "text", bits = 60)
+    // 60-bit signatures stay nonnegative (15 hex chars < 2^60)
+    sigs.filter($"simhash" < 0).count() shouldBe 0
+    val banded = NearDup
+      .simhashBandedPairs(sigs, "doc_id", maxHamming = 4, bands = 5, bits = 60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sigMap = sigs.select("doc_id", "simhash").as[(Long, Long)].collect()
+    val truth = (for {
+      (a, sa) <- sigMap; (b, sb) <- sigMap
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 4
+    } yield (a, b)).toSet
+    truth should not be empty
+    banded shouldBe truth
+    // native one-pass expression == composed per-bit formulation at 60 bits
+    import graft.functions.TextFunctions
+    val cmp = df
+      .withColumn("hv", transform(TextFunctions.tokens($"text"),
+        t => TextFunctions.hexHash60(t)))
+      .select(
+        TextFunctions.simhash($"hv", 60).as("n"),
+        TextFunctions.simhashComposed($"hv", 60).as("c"))
+      .filter($"n" =!= $"c").count()
+    cmp shouldBe 0
+  }
+
   test("fast (xxhash64) minhash: precision 1.0 like the md5 path; high-sim pairs found by both") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq(
