@@ -121,6 +121,16 @@ object ExtensionQueries {
     * is a DuckDB recursive transitive closure — legitimate because both
     * the pair set (exact join) and the closure are deterministic.
     */
+  /** BPE merge training over the documents corpus (library:
+    * curation.BpeTrainer). Iterative global-argmax training has no
+    * single-query DuckDB oracle → rows-only driver check; the merge
+    * sequence is proven against an independent reference implementation
+    * in BpeSpec.
+    */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.curation.BpeTrainer.trainBpe(
+      T(s, dir).documents, "text", numMerges = 16)
+
   /** Deterministic global training-order shuffle: seeded md5 permutation
     * key + scalable dense rank (range sort + zipWithIndex, no
     * single-partition window). The oracle replays the identical hash and
@@ -570,7 +580,8 @@ object ExtensionQueries {
     "q_x_pii_scrub"       -> (qPiiScrub _),
     "q_x_repetition_score" -> (qRepetitionScore _),
     "q_x_decontaminate"   -> (qDecontaminate _),
-    "q_x_shuffle_rank"    -> (qShuffleRank _)
+    "q_x_shuffle_rank"    -> (qShuffleRank _),
+    "q_x_bpe_merges"      -> (qBpeMerges _)
   )
 
   def oracleSql: Map[String, String] = {

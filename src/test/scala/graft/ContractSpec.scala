@@ -12,8 +12,11 @@ class ContractSpec extends AnyFunSuite with Matchers {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     // rows-only by nature: HLL estimates and the xxhash64 fast-hash path
-    // are not reproducible in DuckDB; their precision is spec-proven
-    (qs -- os) shouldBe Set("q_a4b_approx_distinct", "q_x_minhash_lsh_fast")
+    // are not reproducible in DuckDB (precision spec-proven); BPE training
+    // is iterative global-argmax, proven against a reference impl in
+    // BpeSpec
+    (qs -- os) shouldBe Set("q_a4b_approx_distinct", "q_x_minhash_lsh_fast",
+      "q_x_bpe_merges")
     withClue("oracle entries without a registered query never run:") {
       (os -- qs) shouldBe empty
     }

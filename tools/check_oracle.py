@@ -41,8 +41,11 @@ def main():
     # silently skip verification
     # q_a4b: approximate distinct (no exact oracle). q_x_minhash_lsh_fast:
     # xxhash64 shingles have no DuckDB equivalent; pair-set equality with
-    # the md5 path is asserted in TextAndDedupSpec instead.
-    ROWS_ONLY = {"q_a4b_approx_distinct", "q_x_minhash_lsh_fast"}
+    # the md5 path is asserted in TextAndDedupSpec instead. q_x_bpe_merges:
+    # iterative global-argmax training is not one SQL query; the merge
+    # sequence is proven against a reference implementation in BpeSpec.
+    ROWS_ONLY = {"q_a4b_approx_distinct", "q_x_minhash_lsh_fast",
+                 "q_x_bpe_merges"}
     dumped = {d for d in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, d))}
     unchecked = dumped - set(oracle) - ROWS_ONLY
