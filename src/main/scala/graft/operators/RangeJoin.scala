@@ -47,11 +47,16 @@ object RangeJoin {
       w: Long, maxBuckets: Int): DataFrame = {
     val blo = bucketOf(col(loCol), w)
     val bhi = bucketOf(col(hiCol), w)
+    // Inverted intervals (lo > hi) are EMPTY and must be checked first:
+    // sequence(blo, bhi) would otherwise DESCEND (default step -1), and
+    // the span guard below is negative for them — a grossly inverted
+    // interval would explode a huge garbage sequence straight past it.
     iv.withColumn(B, explode(
-      when(bhi - blo >= maxBuckets, raise_error(concat(
-        lit(s"RangeJoin: interval spans >= $maxBuckets buckets of width $w ["),
-        col(loCol), lit(", "), col(hiCol),
-        lit("] - raise bucketWidth or maxBucketsPerInterval"))))
+      when(col(loCol) > col(hiCol), array().cast("array<long>"))
+        .when(bhi - blo >= maxBuckets, raise_error(concat(
+          lit(s"RangeJoin: interval spans >= $maxBuckets buckets of width $w ["),
+          col(loCol), lit(", "), col(hiCol),
+          lit("] - raise bucketWidth or maxBucketsPerInterval"))))
         .otherwise(sequence(blo, bhi))))
   }
 

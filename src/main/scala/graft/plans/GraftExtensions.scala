@@ -210,12 +210,18 @@ object RewriteRangeJoin extends Rule[LogicalPlan]
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
       // reports unresolved even over longs, failing plan validation
       val seq = Sequence(blo, bhi, None, Some(conf.sessionLocalTimeZone))
-      val guarded = If(
-        LessThan(Subtract(bhi, blo), Literal(max)),
-        seq,
-        Cast(new RaiseError(Literal(
-          s"RewriteRangeJoin: interval spans >= $max buckets of width $w - " +
-            s"raise $WidthKey or $MaxKey")), seq.dataType))
+      // Inverted intervals (lo > hi) are EMPTY and must be checked first:
+      // Sequence would otherwise DESCEND (default step -1) and the span
+      // guard is negative for them — a grossly inverted interval would
+      // explode a huge garbage sequence straight past it.
+      val guarded = CaseWhen(Seq(
+        (GreaterThan(asLong(lo), asLong(hi)),
+          Literal.create(Array.empty[Long], seq.dataType)),
+        (GreaterThanOrEqual(Subtract(bhi, blo), Literal(max)),
+          Cast(new RaiseError(Literal(
+            s"RewriteRangeJoin: interval spans >= $max buckets of width $w - " +
+              s"raise $WidthKey or $MaxKey")), seq.dataType))),
+        seq)
       val bAttr = AttributeReference("__rj_bucket_iv", LongType, nullable = false)()
       val gen = Generate(Explode(guarded), Nil, outer = false, None, Seq(bAttr), ivPlan)
       val (newL, newR) = if (pointOnLeft) (pointProj, gen) else (gen, pointProj)

@@ -416,6 +416,16 @@ class OperatorsSpec extends SparkSpecBase {
       .select("idb").as[Long].collect().toSet shouldBe Set(2L)
   }
 
+  test("range join: inverted intervals (lo > hi) are empty, not descending explosions") {
+    val pts = Seq((1L, 5L)).toDF("pid", "x")
+    // lo > hi by a billion: a descending sequence would blow past the
+    // span guard (negative span) and explode ~10^8 buckets
+    val ivs = Seq((1L, 1000000000L, 0L), (2L, 0L, 10L)).toDF("iid", "lo", "hi")
+    graft.operators.RangeJoin
+      .pointInInterval(pts, ivs, "x", "lo", "hi", bucketWidth = 10L)
+      .select("iid").as[Long].collect().toSeq shouldBe Seq(2L)
+  }
+
   test("range join: oversized interval fails loudly instead of exploding") {
     val pts = Seq((1L, 5L)).toDF("pid", "x")
     val ivs = Seq((1L, 0L, 10000000L)).toDF("iid", "lo", "hi")

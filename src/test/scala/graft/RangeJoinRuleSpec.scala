@@ -83,6 +83,14 @@ class RangeJoinRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("inverted intervals (lo > hi) match nothing instead of exploding descending") {
+    withWidth("10") {
+      val mixed = Seq((1L, 1000000000L, 0L), (2L, 0L, 10L)).toDF("iid", "lo", "hi")
+      pts.join(mixed, $"x" >= $"lo" && $"x" <= $"hi")
+        .select("iid").distinct().as[Long].collect().toSeq shouldBe Seq(2L)
+    }
+  }
+
   test("oversized interval raises loudly instead of exploding") {
     withWidth("2") {
       val bad = Seq((1L, 0L, 1000000L)).toDF("iid", "lo", "hi")
