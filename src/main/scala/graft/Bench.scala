@@ -83,7 +83,9 @@ object Bench {
     // parsed record. Persist the full line to a file and re-print a
     // compact summary (no per-query map) LAST so a complete JSON object
     // always survives tail truncation.
-    scala.util.Try {
+    // only full-suite runs persist the file: a SPARK_GRAFT_ONLY focused
+    // run would otherwise clobber the complete per-query record
+    if (only.isEmpty) scala.util.Try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
