@@ -29,5 +29,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // JVM default tz too: java.sql.Timestamp.valueOf-style literals are
   // interpreted in the JVM zone — must agree with the session zone.
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap explicitly: an inherited too-small heap turns the
+  // 1M-shingle similarity stages into GC thrash (round-3 bench anomaly
+  // suspect). 16g is sized for the sf0.1 heavy tail on a 128 GiB host;
+  // override via SPARK_DRIVER_MEM for constrained machines.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Deterministic collector choice — the anomaly class we are chasing is
+  // "same code, 14x slower"; removing ergonomics-picked GC variance makes
+  // per-query gc_ms in BENCH_FULL.json comparable across hosts.
+  "-XX:+UseG1GC",
 )
