@@ -22,8 +22,25 @@ object Bench {
   private def peakHeapMb: Long =
     poolBeans.map(p => scala.util.Try(p.getPeakUsage.getUsed).getOrElse(0L)).sum / (1024 * 1024)
 
-  /** One measured execution: (seconds, gcDeltaMillis, peakHeapMb). */
-  private case class Run(sec: Double, gcMs: Long, peakMb: Long)
+  /** One measured execution: wall seconds, GC delta, peak heap, and summed
+    * executor-task CPU time. CPU time is CONTENTION-IMMUNE: on a host
+    * where other tenants steal cycles, wall time inflates but on-CPU time
+    * does not — so wall ≫ cpu across reps of identical code attributes a
+    * slow rep to the host, from the artifact alone.
+    */
+  private case class Run(sec: Double, gcMs: Long, peakMb: Long, cpuMs: Long)
+
+  /** Sums executor CPU nanos across all task-end events (async bus —
+    * readers must drain via ListenerBridge before reading).
+    */
+  private class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,12 +61,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
+    val cpu = new CpuListener
+    spark.sparkContext.addSparkListener(cpu)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       resetPeaks()
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      val c0 = cpu.cpuNs.get()
       val g0 = gcMillis
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Run((System.nanoTime() - t0) / 1e9, gcMillis - g0, peakHeapMb)
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      Run(sec, gcMillis - g0, peakHeapMb, (cpu.cpuNs.get() - c0) / 1000000L)
     }
     // min-of-2: the first execution of a query pays codegen + page-cache
     // warmup; the second is the steady-state cost a cluster would see.
@@ -57,25 +80,36 @@ object Bench {
     // carry their cache from run 1 into run 2 (that would time a no-op).
     // optional name filter (regex) for focused iteration on one hot query
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    // optional repeat count (default 2) for isolated-run distributions
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
+    // optional repeat count (default 2) for isolated-run distributions; a
+    // malformed value degrades to the default instead of aborting pre-output
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption match {
+        case None =>
+          System.err.println(s"[bench] ignoring non-numeric SPARK_GRAFT_REPS='$v'")
+          None
+        case ok => ok
+      }).getOrElse(2).max(1)
     val results: Seq[(String, Seq[Run])] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
-      val runs =
+      // per-REP failure isolation: rep k failing must not discard the k-1
+      // completed runs (they ARE the distribution data for flaky queries);
+      // a query is failed only when no rep succeeded
+      val runs = (1 to reps).flatMap { i =>
         try {
-          (1 to reps).map { _ =>
-            val r = once(fn)
-            spark.catalog.clearCache()
-            r
-          }
+          val r = once(fn)
+          spark.catalog.clearCache()
+          Some(r)
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Seq(Run(-1.0, 0L, 0L))
+          System.err.println(s"[bench] $name rep $i failed: ${e.getMessage}")
+          None
         }
-      name -> runs
+      }
+      name -> (if (runs.nonEmpty) runs else Seq(Run(-1.0, 0L, 0L, 0L)))
     }
-    def f(d: Double): String = "%.4f".format(d)
+    // Locale.ROOT: a comma-decimal default locale would emit '1,2345' and
+    // corrupt every JSON artifact this main produces
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val best = results.map { case (k, rs) => k -> rs.map(_.sec).min }
     val qs = best.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -85,6 +119,7 @@ object Bench {
     val runsJson = results.map { case (k, rs) =>
       "\"" + k + "\":{" +
         "\"sec\":[" + rs.map(r => f(r.sec)).mkString(",") + "]," +
+        "\"cpu_ms\":[" + rs.map(_.cpuMs).mkString(",") + "]," +
         "\"gc_ms\":[" + rs.map(_.gcMs).mkString(",") + "]," +
         "\"peak_heap_mb\":[" + rs.map(_.peakMb).mkString(",") + "]}"
     }.mkString("{", ",", "}")
@@ -113,10 +148,14 @@ object Bench {
     val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},$env,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(fullLine)
     val summary = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"n_queries":${best.size},$env,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // persistence failures must be VISIBLE (an unwritable cwd silently
+    // producing no artifacts looked like a bench bug), but still non-fatal
     def persist(path: String, line: String): Unit = scala.util.Try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.recover { case e =>
+      System.err.println(s"[bench] persist $path failed: $e")
     }
     // The harness capturing this output keeps only a bounded stdout TAIL
     // (~2000 chars), which truncates the FRONT of the full line once the

@@ -722,7 +722,16 @@ object SparkEntry {
     * proves the SparkSessionExtensions path end-to-end through the oracle
     * gate, not just in a plan spec. The width conf is the rule's opt-in.
     */
-  private def qRangeJoinAuto(s: SparkSession, dir: String): DataFrame = {
+  private def qRangeJoinAuto(s0: SparkSession, dir: String): DataFrame = {
+    // The width conf is set on an ISOLATED child session (shared
+    // SparkContext, private SQLConf), never on the caller's: writes
+    // re-optimize the logical plan at write time, so the conf must still
+    // be set when Verify/Bench execute the frame — but setting it on the
+    // shared session would leave RewriteRangeJoin armed for every query
+    // built afterwards (order-dependent plan changes + the per-row span
+    // guard). newSession() keeps the injected extensions and builder-time
+    // confs, so the rule still fires — only the opt-in width is scoped.
+    val s = s0.newSession()
     s.conf.set("spark.graft.rangeJoin.bucketWidth", "500")
     val bands = s.range(24).select(
       col("id").cast("int").as("band_id"),
@@ -733,6 +742,32 @@ object SparkEntry {
     pts.join(bands,
         col("price_cents") >= col("lo_cents") &&
           col("price_cents") <= col("hi_cents"))
+      .select("band_id", "p_partkey", "price_cents", "lo_cents", "hi_cents")
+  }
+
+  /** STRICT-bound auto range join over NEGATIVE-spanning data — pins the
+    * two subtlest behaviors of `plans.RewriteRangeJoin` through the oracle
+    * gate: (1) the bucket match is only a candidate superset and the
+    * ORIGINAL strict predicate must be re-applied as a residual (a
+    * boundary-equal point matches the bucket but not the join); (2) the
+    * floor-division bucket id must stay exact below zero (prices are
+    * re-centered so points and band bounds straddle zero — truncating
+    * division would mis-bucket every negative point). Same child-session
+    * conf scoping as `qRangeJoinAuto`.
+    */
+  private def qRangeJoinStrict(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.graft.rangeJoin.bucketWidth", "500")
+    val bands = s.range(24).select(
+      col("id").cast("int").as("band_id"),
+      (lit(-6000L) + col("id") * lit(500L)).as("lo_cents"),
+      (lit(-6000L) + col("id") * lit(500L) + lit(2000L)).as("hi_cents"))
+    val pts = T(s, dir).part.select(col("p_partkey"),
+      (round(col("p_retailprice") * 100).cast("long") - lit(95000L))
+        .as("price_cents")) // cents run 90000–99990 → spans [-5000, 4990]
+    pts.join(bands,
+        col("price_cents") > col("lo_cents") &&
+          col("price_cents") < col("hi_cents"))
       .select("band_id", "p_partkey", "price_cents", "lo_cents", "hi_cents")
   }
 
@@ -1002,6 +1037,7 @@ object SparkEntry {
     "q_o_asof_forward"       -> (qAsOfForward _),
     "q_o_range_join"         -> (qRangeJoin _),
     "q_o_range_join_auto"    -> (qRangeJoinAuto _),
+    "q_o_range_join_strict"  -> (qRangeJoinStrict _),
     "q_o_interval_overlap"   -> (qIntervalOverlap _),
     "q_o_scd2_pit"           -> (qScd2PitLookup _),
     "q_o_salted_join"        -> (qSaltedJoin _),
@@ -1171,6 +1207,19 @@ object SparkEntry {
         |SELECT band_id, p_partkey, price_cents, lo_cents, hi_cents
         |FROM pts JOIN bands
         |  ON price_cents >= lo_cents AND price_cents <= hi_cents""".stripMargin,
+    // strict bounds + zero-straddling values: residual filter + signed
+    // floor-division bucketing are what the oracle pins here
+    "q_o_range_join_strict" ->
+      """WITH bands AS (SELECT CAST(i AS INTEGER) AS band_id,
+        |    CAST(-6000 + i*500 AS BIGINT) AS lo_cents,
+        |    CAST(-6000 + i*500 + 2000 AS BIGINT) AS hi_cents
+        |  FROM range(24) t(i)),
+        |pts AS (SELECT p_partkey,
+        |    CAST(ROUND(p_retailprice*100) AS BIGINT) - 95000 AS price_cents
+        |  FROM part)
+        |SELECT band_id, p_partkey, price_cents, lo_cents, hi_cents
+        |FROM pts JOIN bands
+        |  ON price_cents > lo_cents AND price_cents < hi_cents""".stripMargin,
     "q_o_interval_overlap" ->
       """WITH o AS (SELECT o_orderkey, o_custkey,
         |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS sd

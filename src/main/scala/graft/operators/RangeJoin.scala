@@ -32,11 +32,16 @@ object RangeJoin {
   private val B = "__rj_bucket"
 
   /** Floor-division bucket id, exact for any sign and the full long range:
-    * `x - pmod(x, w)` is an exact multiple of w, and the division is done
-    * in DECIMAL(38,0) so no double rounding occurs at ±2^53.
+    * `x - pmod(x, w)` is an exact multiple of w, and ALL arithmetic runs in
+    * DECIMAL(38,0) — the division so no double rounding occurs at ±2^53,
+    * and the subtraction too, since in LONG it underflows for x within w
+    * of Long.MinValue (ANSI arithmetic error). Twin of
+    * `plans.RewriteRangeJoin.bucketOf` — keep them identical.
     */
-  private[operators] def bucketOf(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))).cast(DecimalType(38, 0)) / lit(w)).cast("long")
+  private[operators] def bucketOf(c: Column, w: Long): Column = {
+    val dec = c.cast(DecimalType(38, 0))
+    ((dec - pmod(dec, lit(w))) / lit(w)).cast("long")
+  }
 
   /** Explode an interval frame to one row per covered bucket. The guard
     * raises (distributed, per-row) if an interval covers more than

@@ -140,17 +140,38 @@ object RewriteRangeJoin extends Rule[LogicalPlan]
 
   /** Exact floor-division bucket id: x − pmod(x, w) is an exact multiple of
     * w, so integral division is exact for any sign — no double rounding.
+    * Subtraction and division run in DECIMAL(38,0) (same as the Column-side
+    * twin in `operators.RangeJoin.bucketOf`): in LONG, x − pmod(x, w)
+    * underflows for x within w of Long.MinValue — an ANSI arithmetic
+    * error where DECIMAL stays exact. Result type is LongType
+    * (IntegralDivide), so bucket ids equi-join as plain longs.
     */
   private def bucketOf(e: Expression, w: Long): Expression = {
-    val el = asLong(e)
-    IntegralDivide(Subtract(el, Pmod(el, Literal(w))), Literal(w))
+    val dec = Cast(asLong(e), org.apache.spark.sql.types.DecimalType(38, 0))
+    val wd  = Cast(Literal(w), org.apache.spark.sql.types.DecimalType(38, 0))
+    IntegralDivide(Subtract(dec, Pmod(dec, wd)), wd)
   }
+
+  /** Parse a rule conf as a long, failing with the CONFIG NAME instead of a
+    * bare NumberFormatException (which would otherwise fail every query in
+    * the session with no hint of which knob is malformed).
+    */
+  private def longConf(key: String, raw: String): Long =
+    try raw.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"RewriteRangeJoin: config $key must be an integer, got '$raw'")
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(WidthKey, "").trim
-    if (width.isEmpty || width.toLong <= 0) return plan
-    val w   = width.toLong
-    val max = conf.getConfString(MaxKey, "4096").toLong
+    if (width.isEmpty) return plan
+    val w = longConf(WidthKey, width)
+    if (w <= 0) return plan // explicit non-positive width = rule off
+    val max = longConf(MaxKey, conf.getConfString(MaxKey, "4096"))
+    if (max <= 0) throw new IllegalArgumentException(
+      s"RewriteRangeJoin: config $MaxKey must be positive, got '$max'")
     plan.transform {
       case j @ Join(l, r, Inner, Some(cond), _) =>
         rewrite(j, l, r, cond, w, max).getOrElse(j)

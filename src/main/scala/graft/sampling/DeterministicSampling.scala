@@ -172,8 +172,14 @@ object DeterministicSampling {
     require(sharesBp.nonEmpty, "mixToShares: empty shares")
     require(sharesBp.values.forall(_ > 0), "mixToShares: shares must be positive")
     val s = sharesBp.values.map(_.toLong).sum
-    val scoped = df.filter(col(sourceCol).isin(sharesBp.keys.toSeq: _*))
-    capPerGroup(scoped, Seq(sourceCol), key, counts => {
+    // group on a canonical STRING copy of the source column: sharesBp keys
+    // are strings, and grouping/joining on the original column would make
+    // the count collection throw (getAs[String]) — or worse, silently
+    // coerce — when the source column is numeric
+    val srcStr = "__mix_src"
+    val base   = df.withColumn(srcStr, col(sourceCol).cast("string"))
+    val scoped = base.filter(col(srcStr).isin(sharesBp.keys.toSeq: _*))
+    capPerGroup(scoped, Seq(srcStr), key, counts => {
       val n = counts.collect()
         .map(r => r.getAs[String](0) -> r.getAs[Long](1)).toMap
       sharesBp.keys.foreach(k => require(n.contains(k),
@@ -181,8 +187,8 @@ object DeterministicSampling {
       val t = sharesBp.map { case (k, shr) => n(k) * s / shr }.min
       val caps = sharesBp.toSeq.map { case (k, shr) => (k, t * shr / s) }
       import scoped.sparkSession.implicits._
-      caps.toDF(sourceCol, "__cap")
-    }, salt, margin)
+      caps.toDF(srcStr, "__cap")
+    }, salt, margin).drop(srcStr)
   }
 
   /** Shared engine for per-group survivor caps. `capsOf` maps the group

@@ -101,6 +101,33 @@ class RangeJoinRuleSpec extends SparkSpecBase {
     }
   }
 
+  test("malformed width conf fails with the config NAME, not a bare NFE") {
+    withWidth("fast") {
+      val ex = intercept[Throwable] {
+        pts.join(ivs, $"x" >= $"lo" && $"x" <= $"hi").collect()
+      }
+      val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      chain should include("spark.graft.rangeJoin.bucketWidth")
+    }
+  }
+
+  test("points adjacent to Long.MinValue bucket exactly (DECIMAL arithmetic)") {
+    withWidth("16") {
+      // x − pmod(x, 16) underflows a LONG for these points; the DECIMAL
+      // path must keep them joining (and not tripping ANSI overflow)
+      val p = Seq((1L, Long.MinValue), (2L, Long.MinValue + 5), (3L, 0L))
+        .toDF("pid", "x")
+      val iv = Seq((10L, Long.MinValue, Long.MinValue + 10), (11L, -5L, 5L))
+        .toDF("iid", "lo", "hi")
+      val q = p.join(iv, $"x" >= $"lo" && $"x" <= $"hi")
+      q.queryExecution.executedPlan.toString should
+        not include "BroadcastNestedLoopJoin"
+      q.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq shouldBe
+        Seq((1L, 10L), (2L, 10L), (3L, 11L))
+    }
+  }
+
   test("rule is off without the width conf") {
     pts.join(ivs, $"x" >= $"lo" && $"x" <= $"hi")
       .queryExecution.executedPlan.toString should

@@ -190,4 +190,18 @@ class SamplingSpec extends SparkSpecBase {
       DeterministicSampling.mixToShares(df, "src",
         Map("a" -> 5000, "ghost" -> 5000), $"id")
   }
+
+  test("mixToShares: non-string source column works and keeps its schema") {
+    // shares keys are strings; an INTEGER source column must be matched via
+    // a canonical string cast, not crash on getAs[String]
+    val rows = (0L until 40L).map(i => (i, 1)) ++ (100L until 120L).map(i => (i, 2))
+    val df   = rows.toDF("id", "src")
+    val out  = DeterministicSampling.mixToShares(df, "src",
+      Map("1" -> 5000, "2" -> 5000), $"id")
+    out.schema("src").dataType.typeName shouldBe "integer" // schema preserved
+    val sizes = out.groupBy("src").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // T = min(40·10000/5000, 20·10000/5000) = 40 → caps 20/20
+    sizes shouldBe Map(1 -> 20L, 2 -> 20L)
+  }
 }

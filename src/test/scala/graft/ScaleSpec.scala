@@ -40,12 +40,38 @@ class ScaleSpec extends SparkSpecBase {
 
   test("q_o_range_join_auto compiles to an equi-join via the injected rule") {
     assume(new java.io.File("/root/testdata/sf0.001/part.parquet").exists)
-    try {
-      val q = SparkEntry.queries("q_o_range_join_auto")(spark, "/root/testdata/sf0.001")
-      val plan = formatted(q) // optimizes with the conf the query fn just set
-      plan should not include "BroadcastNestedLoopJoin"
-      plan should not include "CartesianProduct"
-    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    val q = SparkEntry.queries("q_o_range_join_auto")(spark, "/root/testdata/sf0.001")
+    val plan = formatted(q) // the child session's scoped conf drives the rule
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("q_o_range_join_strict also rewrites (strict bounds, negative data)") {
+    assume(new java.io.File("/root/testdata/sf0.001/part.parquet").exists)
+    val q = SparkEntry.queries("q_o_range_join_strict")(spark, "/root/testdata/sf0.001")
+    val plan = formatted(q)
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // residual re-check: a point EQUAL to a strict bound shares the bound's
+    // bucket but must not join — values prove the residual filter ran
+    q.filter(col("price_cents") <= col("lo_cents") ||
+      col("price_cents") >= col("hi_cents")).count() shouldBe 0L
+    q.filter(col("price_cents") < 0).count() should be > 0L // negative span real
+  }
+
+  test("q_o_range_join_auto does NOT leak the width conf into the caller's session") {
+    assume(new java.io.File("/root/testdata/sf0.001/part.parquet").exists)
+    SparkEntry.queries("q_o_range_join_auto")(spark, "/root/testdata/sf0.001")
+    // the opt-in conf must be scoped to the query's child session…
+    spark.conf.getOption("spark.graft.rangeJoin.bucketWidth") shouldBe None
+    // …so a later eligible range-predicate join in THIS session keeps its
+    // default (nested-loop) plan instead of being silently rewritten —
+    // the order-dependent hazard the isolation exists to prevent.
+    val pts = spark.range(100).selectExpr("id AS x")
+    val ivs = spark.range(10).selectExpr("id*10 AS lo", "id*10+5 AS hi")
+    val later = pts.join(ivs, $"x" >= $"lo" && $"x" <= $"hi")
+    later.queryExecution.executedPlan.toString should
+      include("BroadcastNestedLoopJoin")
   }
 
   test("filter and projection pushdown reach the parquet scan") {
