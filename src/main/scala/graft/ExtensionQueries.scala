@@ -131,6 +131,30 @@ object ExtensionQueries {
     graft.curation.BpeTrainer.trainBpe(
       T(s, dir).documents, "text", numMerges = 16)
 
+  /** The production tokenizer path at REAL merge-table depth: train 1024
+    * merges (driver-local exact trainer over the collected word table —
+    * one distributed corpus scan, zero Spark rounds per merge), then
+    * encode the corpus with the native constant-plan-depth expression
+    * (`BpeEncodeTokens`). Corpus = order prices rendered as text: the only
+    * fixture corpus whose vocabulary sustains ≥1k merges at minCount=2
+    * (documents.text has a 31-word vocabulary). Rows-only gate — the
+    * iterative global argmax has no single-SQL oracle; exactness is pinned
+    * by BpeSpec (trainBpeLocal ≡ sequential reference ≡ distributed
+    * trainer; native encode ≡ rank-order fold at this merge depth).
+    */
+  private def qBpeEncodeTrained(s: SparkSession, dir: String): DataFrame = {
+    val corpus = T(s, dir).orders.select(col("o_orderkey"),
+      col("o_totalprice").cast("decimal(12,2)").cast("string").as("price_text"))
+    val merges = graft.curation.BpeTrainer
+      .trainBpeLocal(corpus, "price_text", numMerges = 1024)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.curation.BpeTrainer.bpeEncodeTrained(corpus, "price_text", merges)
+      .select(col("o_orderkey"),
+        concat_ws(" ", col("bpe_symbols")).as("encoded"),
+        size(col("bpe_symbols")).cast("int").as("n_symbols"))
+  }
+
   /** Deterministic global training-order shuffle: seeded md5 permutation
     * key + scalable dense rank (range sort + zipWithIndex, no
     * single-partition window). The oracle replays the identical hash and
@@ -213,8 +237,9 @@ object ExtensionQueries {
       NearDup.simhashSignatures(T(s, dir).documents, "doc_id", "text", bits = 60),
       idCol = "doc_id",
       maxHamming = 4,
-      bands = 5,
-      bits = 60
+      bands = 5
+      // width derives from the signature frame's metadata stamp (60) — a
+      // caller can no longer band a wide signature at the wrong width
     )
 
   /** Production embedding near-dup: LSH-bucket blocking over the whole
@@ -223,6 +248,22 @@ object ExtensionQueries {
   private def qEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     NearDup.embeddingNearDupLsh(
       T(s, dir).embeddings, "vec_id", "embedding", minCosine = 0.4, nBits = 6)
+
+  /** EMBEDDING-space dedup clustering end-to-end: sign-hyperplane LSH
+    * pairs → connected components → canonical representative — the same
+    * `clusterPairs` stage the text pipeline uses, proving the pair-source
+    * pluggability on a non-text modality through the oracle gate (the
+    * DuckDB oracle replays the hyperplane buckets, scores same-bucket
+    * pairs, then takes the recursive closure). Zero-norm vectors produce
+    * no pairs and come out as singleton clusters.
+    */
+  private def qEmbedDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).embeddings
+    val pairs = NearDup.embeddingNearDupLsh(
+      e, "vec_id", "embedding", minCosine = 0.4, nBits = 6)
+    NearDup.clusterPairs(pairs, "vec_a", "vec_b",
+      e.select(col("vec_id")), "vec_id")
+  }
 
   // ---------------------------------------------------------------------------
   // Similarity search
@@ -553,6 +594,7 @@ object ExtensionQueries {
     "q_x_simhash_banded"  -> (qSimhashBanded _),
     "q_x_simhash_wide"    -> (qSimhashWide _),
     "q_x_embed_neardup_lsh" -> (qEmbedNearDupLsh _),
+    "q_x_embed_dedup_clusters" -> (qEmbedDedupClusters _),
     "q_x_cosine_topk"     -> (qCosineTopK _),
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
@@ -581,7 +623,8 @@ object ExtensionQueries {
     "q_x_repetition_score" -> (qRepetitionScore _),
     "q_x_decontaminate"   -> (qDecontaminate _),
     "q_x_shuffle_rank"    -> (qShuffleRank _),
-    "q_x_bpe_merges"      -> (qBpeMerges _)
+    "q_x_bpe_merges"      -> (qBpeMerges _),
+    "q_x_bpe_encode_trained" -> (qBpeEncodeTrained _)
   )
 
   def oracleSql: Map[String, String] = {
@@ -951,6 +994,30 @@ object ExtensionQueries {
            |  ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} AS cosine
            |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, bucket, cosine FROM s WHERE cosine >= 0.4""".stripMargin,
+      // same hyperplane-bucket candidate pipeline, then the recursive
+      // transitive closure (mirrors q_x_dedup_clusters_lsh's shape)
+      "q_x_embed_dedup_clusters" ->
+        s"""WITH RECURSIVE
+           |$prepCte,
+           |bkt AS (SELECT vec_id, qv, n2, $lshBucket AS bucket
+           |  FROM n WHERE n2 > 0),
+           |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+           |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} >= 0.4),
+           |edges AS (SELECT va AS a, vb AS b FROM prs
+           |          UNION ALL SELECT vb, va FROM prs),
+           |reach AS (
+           |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+           |  UNION
+           |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a
+           |),
+           |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+           |sizes AS (SELECT canonical_id, count(*) AS cluster_size
+           |          FROM comp GROUP BY 1)
+           |SELECT comp.id AS vec_id, comp.canonical_id,
+           |  CAST(sizes.cluster_size AS INTEGER) AS cluster_size,
+           |  comp.id = comp.canonical_id AS is_canonical
+           |FROM comp JOIN sizes USING (canonical_id)""".stripMargin,
       "q_x_frame_sample" ->
         """SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
           |  (COALESCE(octet_length(encode(text)), 0) * 31 + f.i) % 997 AS frame_feature

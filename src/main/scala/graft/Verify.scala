@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: query-name regex for focused big-SF spot-checks
+    // (same contract as tools/check_oracle.py's nameRegex)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, r) => (s, o, Some(r.r))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [nameRegex]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = core.GraftSession
       .builder(master = s"local[$cpus]", appName = "graft-verify",
@@ -23,7 +29,9 @@ object Verify {
     // silently zero every result). Control-char-safe JSON via Reports.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       runner.Reports.toJson(SparkEntry.oracleSql))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -77,14 +77,38 @@ object BpeTrainer {
   /** Train `numMerges` merges. Returns the ordered merge table:
     * (rank, left, right, merged, pair_count). Stops early (fewer rows)
     * when no adjacent pair occurs at least `minCount` times.
+    *
+    * `maxBatch > 1` enables EXACT merge batching: each round collects the
+    * top-(maxBatch+1) pairs and applies the longest prefix that is
+    * provably order-equivalent to one-merge-at-a-time training —
+    *  (1) the prefix is CONSECUTIVE in (count desc, left, right) order
+    *      and pairwise symbol-DISJOINT, so applying any member leaves the
+    *      others' counts untouched;
+    *  (2) STRICT count boundary — count(p_m) > count(p_{m+1}): any pair a
+    *      batch member's application creates or shrinks is an overlap of
+    *      a batch member, hence ranked past the boundary, hence strictly
+    *      below every batch member — sequential training would have
+    *      picked the whole batch, in this order, regardless of ties
+    *      WITHIN the batch;
+    *  (3) no merged symbol (left+right) of the batch occurs anywhere in
+    *      the current pair table (checked with one cheap filter-count) —
+    *      otherwise an existing pair's count could INCREASE past the
+    *      boundary mid-batch. Any violation degrades that round to
+    *      batch size 1, which is plain sequential training.
+    * Exactness over speed: count-plateau regions (long runs of tied
+    * counts, typical near minCount) batch as 1 by rule (2) — for bounded
+    * vocabularies prefer `trainBpeLocal`, which does zero Spark rounds
+    * per merge.
     */
   def trainBpe(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      minCount: Long = 2L
+      minCount: Long = 2L,
+      maxBatch: Int = 1
   ): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = df.sparkSession
     var words = wordTable(df, textCol).select("n", "sym").localCheckpoint()
     val merges =
@@ -94,37 +118,98 @@ object BpeTrainer {
     while (rank < numMerges && !exhausted) {
       // adjacent-pair counts weighted by word frequency; pos p (0-based,
       // over sym[1..len-1]) pairs sym[p+1] with sym[p+2] (1-based indexing)
-      val top = words
+      val pairs = words
         .select(col("n"), col("sym"),
           posexplode(slice(col("sym"), lit(1), size(col("sym")) - 1)))
         .select(col("n"), col("col").as("a"),
           element_at(col("sym"), col("pos") + 2).as("b"))
         .groupBy("a", "b")
         .agg(sum(col("n")).as("pn"))
+      val want = math.min(maxBatch, numMerges - rank)
+      val top = pairs
         .orderBy(col("pn").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(want + 1)
         .collect()
-      if (top.isEmpty || top.head.getAs[Long]("pn") < minCount) exhausted = true
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("pn")))
+        .filter(_._3 >= minCount)
+      if (top.isEmpty) exhausted = true
       else {
-        val a  = top.head.getAs[String]("a")
-        val b  = top.head.getAs[String]("b")
-        val pn = top.head.getAs[Long]("pn")
-        merges += ((rank, a, b, a + b, pn))
+        var batch = {
+          // guard (1): longest consecutive symbol-disjoint prefix
+          val seen = scala.collection.mutable.Set.empty[String]
+          top.takeWhile { case (a, b, _) =>
+            val ok = a != b && !seen(a) && !seen(b)
+            if (ok) { seen += a; seen += b }
+            ok
+          }.take(want).toSeq
+        }
+        // guard (2): strict count boundary against the next sorted pair
+        while (batch.size > 1 && top.length > batch.size &&
+            top(batch.size)._3 >= batch.last._3)
+          batch = batch.dropRight(1)
+        if (batch.size > 1) {
+          // guard (3): no merged symbol occurs in the current pair table
+          val concats = batch.map { case (a, b, _) => a + b }
+          val collisions = pairs
+            .filter(col("a").isin(concats: _*) || col("b").isin(concats: _*))
+            .limit(1).count()
+          if (collisions > 0) batch = batch.take(1)
+        }
+        batch.foreach { case (a, b, pn) =>
+          merges += ((rank, a, b, a + b, pn)); rank += 1
+        }
+        val prev = words
         words = words
-          .withColumn("sym", applyMerge(col("sym"), a, b))
+          .withColumn("sym", batch.foldLeft(col("sym")) {
+            case (sym, (a, b, _)) => applyMerge(sym, a, b)
+          })
           .localCheckpoint()
-        rank += 1
+        // the new checkpoint is eager — the previous round's blocks are
+        // dead now and must not pin numMerges copies of the word table
+        prev.unpersist()
       }
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
+  /** BPE training for vocabularies that fit the driver — the production
+    * path for corpus-scale training. The CORPUS-sized work (tokenize →
+    * explode → count) is one distributed scan; the merge loop then runs on
+    * the collected (word, count) table: ~10⁵–10⁷ rows regardless of corpus
+    * size, the same bounded-aggregate materialization class as a broadcast
+    * (`mixToShares` precedent). Zero Spark jobs per merge — where the
+    * per-round distributed loop pays 2 jobs/merge of driver latency, this
+    * trains 32k merges in seconds via incremental pair-count maintenance
+    * (only words containing the merged pair are touched, max selection by
+    * lazy-deletion heap).
+    *
+    * EXACTLY equal to `trainBpe(…, maxBatch = 1)` and the BpeSpec
+    * reference: same (count desc, left, right) selection, same greedy
+    * single-pass application, same minCount stop.
+    */
+  def trainBpeLocal(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minCount: Long = 2L
+  ): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    val words = wordTable(df, textCol).select("word", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    LocalBpe.train(words, numMerges, minCount)
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** Encode a text column with a trained merge list (applied in rank
     * order — the merge list is a small driver-side artifact, like a
     * broadcast vocabulary). Output column: flattened subword symbols of
-    * all tokens. Expression depth grows with the merge count; intended
-    * for the moderate merge tables this trainer produces.
+    * all tokens. Expression depth grows with the merge count; this is the
+    * REFERENCE formulation for arbitrary merge lists — production encoding
+    * with trained tables goes through `bpeEncodeTrained` (constant plan
+    * depth, codegen'd, table-size-independent per-word cost).
     */
   def bpeEncode(
       df: DataFrame,
@@ -135,5 +220,146 @@ object BpeTrainer {
     val encodeWord = (w: Column) =>
       merges.foldLeft(wordSymbols(w)) { case (sym, (a, b)) => applyMerge(sym, a, b) }
     df.withColumn(outCol, flatten(transform(tokens(col(textCol)), encodeWord)))
+  }
+
+  /** Production encode path: one native codegen'd expression carrying the
+    * merge-rank table (`functions.BpeEncodeTokens`). Requires a TRAINED
+    * (self-consistent) merge table — every merge's operands are base
+    * characters or lower-ranked outputs, which everything `trainBpe` /
+    * `trainBpeLocal` emits satisfies by construction; the result is then
+    * value-identical to `bpeEncode`'s rank-order fold, but plan depth is
+    * constant and per-word cost is independent of the table size, so a
+    * 32k-merge production tokenizer runs inside whole-stage codegen.
+    */
+  def bpeEncodeTrained(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "bpe_symbols"
+  ): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.BpeEncodeTokens(col(textCol), merges))
+}
+
+/** Driver-local exact BPE trainer over a collected (word, count) table —
+  * the merge loop of `trainBpeLocal`. Incremental pair-count maintenance:
+  * a merge touches only the words that contain its pair (tracked by an
+  * inverted index), and the per-round argmax pops from a lazy-deletion
+  * max-heap keyed (count, left, right) — entries are re-pushed whenever a
+  * pair's count changes and validated against the live count on pop.
+  * Complexity ≈ O(total_symbols + Σ touched_word_lengths · log), versus
+  * O(numMerges · total_symbols) for the naive rescan.
+  */
+private[curation] object LocalBpe {
+
+  def train(
+      words: Array[(String, Long)],
+      numMerges: Int,
+      minCount: Long
+  ): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = words.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val c = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + c)
+        i += c
+      }
+      b += BpeTrainer.EndOfWord
+      b
+    }
+    val n = words.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    // inverted index: pair -> word ids that MAY contain it (lazily stale —
+    // a word is re-verified by scan before being touched)
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // max-heap by (count, then lexicographically SMALLEST pair wins ties)
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c
+          else {
+            val a = y._2.compareTo(x._2)
+            if (a != 0) a else y._3.compareTo(x._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    def register(p: (String, String), delta: Long, wi: Int): Unit = {
+      val c = pairCount.getOrElse(p, 0L) + delta
+      if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+      if (delta > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+    }
+
+    var wi = 0
+    while (wi < syms.length) {
+      val s = syms(wi)
+      var i = 0
+      while (i < s.length - 1) { register((s(i), s(i + 1)), n(wi), wi); i += 1 }
+      wi += 1
+    }
+    pairCount.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // pop the live maximum: stale heap entries (count no longer current)
+      // are discarded; every count change re-pushed a fresh entry
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val t = heap.dequeue()
+        if (pairCount.getOrElse((t._2, t._3), 0L) == t._1) top = t
+      }
+      if (top == null || top._1 < minCount) done = true
+      else {
+        val (pn, a, b) = (top._1, top._2, top._3)
+        out += ((rank, a, b, a + b, pn))
+        val ab = a + b
+        val changed = mutable.Set.empty[(String, String)]
+        // snapshot: register() mutates other pairs' bitsets while we walk
+        val members = pairWords.getOrElse((a, b), mutable.BitSet.empty).toArray
+        members.foreach { w =>
+          val s = syms(w)
+          var has = false
+          var i   = 0
+          while (!has && i < s.length - 1) {
+            has = s(i) == a && s(i + 1) == b; i += 1
+          }
+          if (has) {
+            i = 0
+            while (i < s.length - 1) {
+              val p = (s(i), s(i + 1))
+              register(p, -n(w), w); changed += p
+              i += 1
+            }
+            val next = mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                next += ab; i += 2
+              } else { next += s(i); i += 1 }
+            }
+            syms(w) = next
+            i = 0
+            while (i < next.length - 1) {
+              val p = (next(i), next(i + 1))
+              register(p, n(w), w); changed += p
+              i += 1
+            }
+          }
+        }
+        pairWords.remove((a, b))
+        changed.foreach { p =>
+          pairCount.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
   }
 }

@@ -673,6 +673,13 @@ object NearDup {
     * chunks keep equal-chunk candidate buckets small (SCALING.md). 60 is
     * the widest md5 prefix that stays a nonnegative BIGINT in the oracle.
     */
+  /** Column-metadata key carrying a signature's bit width from
+    * `simhashSignatures` to `simhashBandedPairs`, so banding can never
+    * silently assume the wrong width (a 60-bit signature banded as 32
+    * drops the top 28 bits — candidates missed with no error).
+    */
+  val SimhashBitsKey = "graft.simhash.bits"
+
   def simhashSignatures(
       df: DataFrame,
       idCol: String,
@@ -682,9 +689,11 @@ object NearDup {
   ): DataFrame = {
     require(bits == 32 || bits == 60, s"bits must be 32 or 60, got $bits")
     val tokHash: Column => Column = if (bits == 32) hexHash32 else hexHash60
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(SimhashBitsKey, bits.toLong).build()
     df.withColumn("hv", transform(tokens(col(textCol)), t => tokHash(t)))
       .withColumn("simhash", graft.functions.TextFunctions.simhash(col("hv"), bits))
-      .select(((idCol +: keepCols).map(col) :+ col("simhash")): _*)
+      .select(((idCol +: keepCols).map(col) :+ col("simhash").as("simhash", md)): _*)
   }
 
   /** Near-dup pairs by Hamming distance with SIGNATURE-BAND blocking — the
@@ -705,12 +714,32 @@ object NearDup {
       idCol: String,
       maxHamming: Int,
       bands: Int = 4,
-      bits: Int = 32
+      bits: Int = 0
   ): DataFrame = {
+    // width comes FROM the signature frame (simhashSignatures stamps it as
+    // column metadata): banding a 60-bit signature as 32 would silently
+    // ignore the top 28 bits and miss candidates. bits=0 (default) derives
+    // it; an explicit value must agree with the stamp when one is present.
+    val stamped: Option[Long] = {
+      val md = signatures.schema("simhash").metadata
+      if (md.contains(SimhashBitsKey)) Some(md.getLong(SimhashBitsKey)) else None
+    }
+    val width0 = (bits, stamped) match {
+      case (0, Some(w)) => w.toInt
+      case (0, None)    => 32 // unstamped caller-built signatures: legacy default
+      case (b, Some(w)) =>
+        require(b == w.toInt,
+          s"simhashBandedPairs: bits=$b but the signature frame is stamped " +
+            s"$w-bit ($SimhashBitsKey) — banding at the wrong width silently " +
+            "drops candidates")
+        b
+      case (b, None) => b
+    }
+    val bits2 = width0
     require(bands > maxHamming,
       s"bands ($bands) must exceed maxHamming ($maxHamming) for exact recall")
-    require(bits % bands == 0, s"bands ($bands) must divide the $bits-bit signature")
-    val width = bits / bands
+    require(bits2 % bands == 0, s"bands ($bands) must divide the $bits2-bit signature")
+    val width = bits2 / bands
     val mask  = (1L << width) - 1
     val banded = signatures.select(
       col(idCol).as("doc_id"),

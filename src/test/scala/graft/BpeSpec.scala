@@ -77,6 +77,120 @@ class BpeSpec extends SparkSpecBase {
     got shouldBe empty // every pair occurs once
   }
 
+  // in-spec reference ENCODE: replay the merges once each, in rank order
+  private def refEncode(w: String, merges: Seq[(String, String)]): Vector[String] = {
+    var sym = w.map(_.toString).toVector :+ BpeTrainer.EndOfWord
+    for ((a, b) <- merges) {
+      val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          merged += a + b; i += 2
+        } else { merged += sym(i); i += 1 }
+      }
+      sym = merged.toVector
+    }
+    sym
+  }
+
+  /** Digit-string corpus (order prices as text): the fixture corpus whose
+    * vocabulary sustains >= 1k merges at minCount=2. Falls back to a
+    * deterministic synthetic price list when testdata is absent.
+    */
+  private def priceCorpus: Seq[String] = {
+    val f = new java.io.File("/root/testdata/sf0.001/orders.parquet")
+    if (f.exists)
+      spark.read.parquet(f.toString)
+        .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING) AS t")
+        .as[String].collect().toSeq
+    else (0 until 1500).map(i =>
+      f"${(i * 7919 + 13) % 900000 + 100000}.${i % 100}%02d")
+  }
+
+  test("trainBpeLocal matches the reference at >= 1k merges (production depth)") {
+    val corpus = priceCorpus
+    val got = BpeTrainer
+      .trainBpeLocal(corpus.toDF("text"), "text", numMerges = 1024, minCount = 1)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    got.length should be >= 1000 // the corpus genuinely sustains the depth
+    val want = referenceBpe(corpus, numMerges = 1024, minCount = 1)
+    got shouldBe want
+  }
+
+  test("trainBpeLocal and batched trainBpe equal sequential training merge-for-merge") {
+    val df = corpus.toDF("text")
+    val seq = BpeTrainer.trainBpe(df, "text", numMerges = 10, minCount = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val local = BpeTrainer.trainBpeLocal(df, "text", numMerges = 10, minCount = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val batched = BpeTrainer.trainBpe(df, "text", numMerges = 10, minCount = 2,
+      maxBatch = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    local shouldBe seq
+    batched shouldBe seq
+  }
+
+  test("batched trainBpe stays exact on the digit corpus (guards bind)") {
+    // 24 merges over structured digit text: count plateaus + symbol
+    // overlaps force every guard (disjoint prefix, strict boundary,
+    // concat collision) to actually fire. A corpus slice keeps the
+    // distributed per-round latency test-sized; the 1k-merge depth proof
+    // lives on trainBpeLocal above (provably the same algorithm).
+    val df = priceCorpus.take(400).toDF("text")
+    val want = BpeTrainer.trainBpeLocal(df, "text", numMerges = 24, minCount = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val got = BpeTrainer.trainBpe(df, "text", numMerges = 24, minCount = 2,
+      maxBatch = 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    got shouldBe want
+  }
+
+  test("native bpeEncodeTrained equals fold encode and reference at production depth") {
+    val corpus = priceCorpus
+    val df = corpus.toDF("text")
+    val merges = BpeTrainer
+      .trainBpeLocal(df, "text", numMerges = 1024, minCount = 1)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val sample = corpus.distinct.take(50)
+    // repartition: a bare local relation would be constant-folded by
+    // ConvertToLocalRelation via the INTERPRETED path, silently skipping
+    // the doGenCode under test
+    def df50 = sample.toDF("text").repartition(2)
+    // vs the in-spec rank-order replay, at full 1k merge depth (the Column
+    // fold cannot be built at this depth — that's the point of the native
+    // expression)
+    spark.conf.set("spark.sql.codegen.fallback", "false") // doGenCode must compile
+    val enc =
+      try BpeTrainer.bpeEncodeTrained(df50, "text", merges)
+        .select("text", "bpe_symbols").as[(String, Seq[String])].collect().toMap
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    sample.foreach(w => enc(w) shouldBe refEncode(w, merges).toSeq)
+    // vs the Column fold, at a depth the fold can still express
+    val small = merges.take(24)
+    val foldEnc = BpeTrainer.bpeEncode(df50, "text", small)
+      .select("text", "bpe_symbols").as[(String, Seq[String])].collect().toMap
+    val nativeEnc = BpeTrainer.bpeEncodeTrained(df50, "text", small)
+      .select("text", "bpe_symbols").as[(String, Seq[String])].collect().toMap
+    nativeEnc shouldBe foldEnc
+  }
+
+  test("bpeEncodeTrained stays inside whole-stage codegen at 1k merges") {
+    val merges = BpeTrainer
+      .trainBpeLocal(priceCorpus.toDF("text"), "text", numMerges = 1024, minCount = 1)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    merges.length should be >= 1000
+    val df = BpeTrainer
+      .bpeEncodeTrained(Seq("12345.67").toDF("text").repartition(2), "text", merges)
+    df.collect() // AQE: the codegen'd FINAL plan only exists after execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(id)' star prefix marks operators compiled into a
+    // whole-stage-codegen stage; the encode projection must carry it
+    plan.linesIterator.exists(l =>
+      l.contains("bpe_encode") && l.trim.stripPrefix("+- ").startsWith("*")) shouldBe true
+  }
+
   test("bpeEncode applies the trained merges greedily, in rank order") {
     val df = corpus.toDF("text")
     val merges = BpeTrainer.trainBpe(df, "text", numMerges = 8, minCount = 2)

@@ -8,15 +8,15 @@ import org.scalatest.matchers.should.Matchers
   */
 class ContractSpec extends AnyFunSuite with Matchers {
 
-  test("every query has an oracle, except the two documented rows-only entries") {
+  test("every query has an oracle, except the documented rows-only entries") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     // rows-only by nature: HLL estimates and the xxhash64 fast-hash path
     // are not reproducible in DuckDB (precision spec-proven); BPE training
-    // is iterative global-argmax, proven against a reference impl in
-    // BpeSpec
+    // is iterative global-argmax (and trained-table encoding is a loop per
+    // word), proven against a reference impl in BpeSpec
     (qs -- os) shouldBe Set("q_a4b_approx_distinct", "q_x_minhash_lsh_fast",
-      "q_x_bpe_merges")
+      "q_x_bpe_merges", "q_x_bpe_encode_trained")
     withClue("oracle entries without a registered query never run:") {
       (os -- qs) shouldBe empty
     }

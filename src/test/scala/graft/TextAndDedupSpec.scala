@@ -188,6 +188,25 @@ class TextAndDedupSpec extends SparkSpecBase {
     cmp shouldBe 0
   }
 
+  test("banding width derives from the signature frame; a mismatch is loud") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val wide = NearDup.simhashSignatures(df, "doc_id", "text", bits = 60)
+    // derive: no explicit width, 5 bands only divide the STAMPED 60 bits
+    NearDup.simhashBandedPairs(wide, "doc_id", maxHamming = 4, bands = 5)
+      .count() should be >= 0L
+    // a wrong explicit width cannot silently mis-band a stamped frame
+    val ex = intercept[IllegalArgumentException] {
+      NearDup.simhashBandedPairs(wide, "doc_id", maxHamming = 3, bands = 4,
+        bits = 32)
+    }
+    ex.getMessage should include("stamped")
+    // the stamp survives the projections a caller typically inserts
+    val projected = wide.select($"doc_id", $"simhash")
+    NearDup.simhashBandedPairs(projected, "doc_id", maxHamming = 4, bands = 6)
+      .count() should be >= 0L // 6 bands divide 60, not 32 — stamp carried
+  }
+
   test("fast (xxhash64) minhash: precision 1.0 like the md5 path; high-sim pairs found by both") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq(

@@ -45,7 +45,7 @@ def main():
     # iterative global-argmax training is not one SQL query; the merge
     # sequence is proven against a reference implementation in BpeSpec.
     ROWS_ONLY = {"q_a4b_approx_distinct", "q_x_minhash_lsh_fast",
-                 "q_x_bpe_merges"}
+                 "q_x_bpe_merges", "q_x_bpe_encode_trained"}
     dumped = {d for d in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, d))}
     unchecked = dumped - set(oracle) - ROWS_ONLY
