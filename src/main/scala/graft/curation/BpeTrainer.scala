@@ -239,6 +239,42 @@ object BpeTrainer {
   ): DataFrame =
     df.withColumn(outCol,
       graft.functions.BpeEncodeTokens(col(textCol), merges))
+
+  /** Tokenizer vocabulary for a trained merge table over a given corpus:
+    * observed base symbols (distinct code points of the corpus tokens +
+    * `</w>`, lexicographically ordered) take ids 0..B-1, merged symbols
+    * follow in RANK order — the id assignment every BPE tokenizer ships.
+    * One distributed scan for the base alphabet (bounded by the script's
+    * code-point count, so the collect is a tiny set).
+    */
+  def bpeVocabulary(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): Seq[String] = {
+    val base = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .select(explode(wordSymbols(col("word"))).as("sym"))
+      .distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    base ++ merges.map { case (a, b) => a + b }
+  }
+
+  /** Production encode-to-IDS path: the int stream a training pipeline
+    * materializes. Same native kernel and codegen shape as
+    * `bpeEncodeTrained`; ids come from `bpeVocabulary`'s assignment,
+    * out-of-vocabulary symbols map to `oovId`.
+    */
+  def bpeEncodeIds(
+      df: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      vocab: Seq[String],
+      oovId: Int = -1,
+      outCol: String = "bpe_ids"
+  ): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.BpeEncodeIds(col(textCol), merges, vocab, oovId))
 }
 
 /** Driver-local exact BPE trainer over a collected (word, count) table —

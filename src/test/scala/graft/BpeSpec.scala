@@ -191,6 +191,30 @@ class BpeSpec extends SparkSpecBase {
       l.contains("bpe_encode") && l.trim.stripPrefix("+- ").startsWith("*")) shouldBe true
   }
 
+  test("bpeEncodeIds emits the vocabulary-id stream (round-trips to symbols)") {
+    val corpus = priceCorpus
+    val df = corpus.toDF("text")
+    val merges = BpeTrainer.trainBpeLocal(df, "text", numMerges = 256, minCount = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val vocab = BpeTrainer.bpeVocabulary(df, "text", merges)
+    vocab.distinct.length shouldBe vocab.length // id assignment unambiguous
+    val idOf = vocab.zipWithIndex.toMap
+    val sample = corpus.distinct.take(30).toDF("text").repartition(2)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val both =
+      try BpeTrainer.bpeEncodeIds(
+          BpeTrainer.bpeEncodeTrained(sample, "text", merges),
+          "text", merges, vocab)
+        .select("bpe_symbols", "bpe_ids").as[(Seq[String], Seq[Int])].collect()
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    both should not be empty
+    both.foreach { case (syms, ids) =>
+      ids shouldBe syms.map(idOf) // same kernel → id stream mirrors symbols
+      all(ids) should be >= 0     // vocabulary covers its own training corpus
+    }
+  }
+
   test("bpeEncode applies the trained merges greedily, in rank order") {
     val df = corpus.toDF("text")
     val merges = BpeTrainer.trainBpe(df, "text", numMerges = 8, minCount = 2)
