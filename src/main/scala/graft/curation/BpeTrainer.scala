@@ -275,6 +275,29 @@ object BpeTrainer {
   ): DataFrame =
     df.withColumn(outCol,
       graft.functions.BpeEncodeIds(col(textCol), merges, vocab, oovId))
+
+  /** Decode an id stream back to text: ids → vocabulary symbols,
+    * concatenated, `</w>` restored to word boundaries. For any in-vocab
+    * id stream, `bpeDecodeIds(bpeEncodeIds(text)) == text` up to
+    * whitespace normalization (tokenization collapses runs) — the
+    * round-trip BpeSpec proves. Cold path (audits, sampling inspection),
+    * so composed built-ins are fine here; unknown ids decode to "".
+    */
+  def bpeDecodeIds(
+      df: DataFrame,
+      idsCol: String,
+      vocab: Seq[String],
+      outCol: String = "decoded_text"
+  ): DataFrame = {
+    val vocabArr = typedlit(vocab)
+    df.withColumn(outCol,
+      trim(regexp_replace(
+        // get() is 0-based and null-safe (element_at would raise on the
+        // OOV id −1); unknown ids decode to ""
+        concat_ws("", transform(col(idsCol),
+          id => coalesce(get(vocabArr, id), lit("")))),
+        java.util.regex.Pattern.quote(EndOfWord), " ")))
+  }
 }
 
 /** Driver-local exact BPE trainer over a collected (word, count) table —

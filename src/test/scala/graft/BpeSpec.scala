@@ -215,6 +215,28 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("decode inverts encode: ids round-trip to the original text") {
+    val corpus = priceCorpus
+    val df = corpus.toDF("text")
+    val merges = BpeTrainer.trainBpeLocal(df, "text", numMerges = 128, minCount = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val vocab = BpeTrainer.bpeVocabulary(df, "text", merges)
+    val sample = corpus.distinct.take(20)
+      .map(p => s"$p  $p") // multi-token + a run of spaces to normalize
+      .toDF("text").repartition(2)
+    val out = BpeTrainer.bpeDecodeIds(
+      BpeTrainer.bpeEncodeIds(sample, "text", merges, vocab), "bpe_ids", vocab)
+      .select("text", "decoded_text").as[(String, String)].collect()
+    out should not be empty
+    out.foreach { case (orig, dec) =>
+      dec shouldBe orig.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+    // unknown ids decode to nothing instead of raising
+    val weird = Seq(Tuple1(Seq(-1, 0, vocab.length + 5))).toDF("bpe_ids")
+    BpeTrainer.bpeDecodeIds(weird, "bpe_ids", vocab).count() shouldBe 1L
+  }
+
   test("bpeEncode applies the trained merges greedily, in rank order") {
     val df = corpus.toDF("text")
     val merges = BpeTrainer.trainBpe(df, "text", numMerges = 8, minCount = 2)
