@@ -74,6 +74,29 @@ object ExtensionQueries {
       .select("doc_id", "n_tokens", "n_stop", "alpha_chars", "stop_ratio", "quality")
   }
 
+  /** Percentile-gated curation: keep the top 30% of documents by an
+    * INTEGER-exact quality score (stopword-density ppm + capped length
+    * bonus — integer twin of q_x_quality_score's metric, because ranking
+    * on a double invites cross-engine ordering drift). Exact rank
+    * semantics via the scalable zipWithIndex rank; oracle replays
+    * row_number over the same total order and the same ⌊n·0.3⌋ cut.
+    */
+  private def qKeepTopFraction(s: SparkSession, dir: String): DataFrame = {
+    val en = LangMarkers.toMap.apply("en")
+    val scored = T(s, dir).documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop", markerScore(col("toks"), en))
+      .withColumn("q_score",
+        (when(col("n_tokens") > 0,
+          expr("CAST(n_stop AS BIGINT) * 1000000 DIV n_tokens")).otherwise(0L)
+          + least(col("n_tokens"), lit(100)).cast("long") * lit(5000L))
+          .cast("long"))
+      .select("doc_id", "n_tokens", "n_stop", "q_score")
+    graft.curation.Curation.keepTopFraction(
+      scored, col("q_score"), col("doc_id"), fracBp = 3000)
+  }
+
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
@@ -129,7 +152,11 @@ object ExtensionQueries {
     */
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.curation.BpeTrainer.trainBpe(
-      T(s, dir).documents, "text", numMerges = 16)
+      T(s, dir).documents, "text", numMerges = 16,
+      // exercises the exact-batched distributed rounds end-to-end (the
+      // guards provably reduce every batch to the sequential order —
+      // BpeSpec equality); rows-only gate as before
+      maxBatch = 4)
 
   /** The production tokenizer path at REAL merge-table depth: train 1024
     * merges (driver-local exact trainer over the collected word table —
@@ -578,6 +605,7 @@ object ExtensionQueries {
     "q_x_token_stats"     -> (qTokenStats _),
     "q_x_lang_id"         -> (qLangId _),
     "q_x_quality_score"   -> (qQualityScore _),
+    "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_x_bpe_tokens"      -> (qBpeTokens _),
     "q_x_rolling_hash"    -> (qRollingHash _),
@@ -688,6 +716,25 @@ object ExtensionQueries {
            |  CASE WHEN n_tokens > 0 THEN n_stop * 100.0 / n_tokens ELSE 0.0 END
            |    + least(n_tokens, 100) * 0.5 AS quality
            |FROM m""".stripMargin,
+      // same stop-count as q_x_quality_score, integer-exact score, then
+      // the identical rank cut: row_number over (q_score DESC, doc_id),
+      // keep rnk <= (n * 3000) // 10000
+      "q_x_keep_top_fraction" ->
+        s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(toks) AS INTEGER) AS n_tokens,
+           |  CAST(${dMarker(markers.toMap.apply("en"))} AS INTEGER) AS n_stop
+           |  FROM t),
+           |sc AS (SELECT doc_id, n_tokens, n_stop,
+           |  CAST(CASE WHEN n_tokens > 0
+           |       THEN (CAST(n_stop AS BIGINT) * 1000000) // n_tokens
+           |       ELSE 0 END
+           |    + least(n_tokens, 100) * 5000 AS BIGINT) AS q_score FROM m),
+           |r AS (SELECT *,
+           |  row_number() OVER (ORDER BY q_score DESC, doc_id) AS rnk,
+           |  count(*) OVER () AS n FROM sc)
+           |SELECT doc_id, n_tokens, n_stop, q_score
+           |FROM r WHERE rnk <= (n * 3000) // 10000""".stripMargin,
       "q_x_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
           |FROM documents""".stripMargin,

@@ -262,6 +262,33 @@ object Curation {
     * single-partition window, so the operator holds at corpus scale.
     * Ties (hash collisions) break on the id, keeping the order total.
     */
+  /** Keep exactly ⌊n · fracBp/10000⌋ best rows by (score desc, tiebreak
+    * asc) — "keep the top 30% by quality" percentile gating, EXACT by
+    * integer rank rather than an approximate-percentile threshold cut
+    * (engines interpolate quantiles differently; rank arithmetic is
+    * portable, and the tiebreak makes the kept SET a pure function of the
+    * data, per the oracle-stability rules). Pass an integral score for
+    * cross-engine ordering stability.
+    *
+    * Scale shape: one map-side-combined count, then a range sort +
+    * zipWithIndex (`SurrogateKeys.scalableMode`) — no single-partition
+    * window, nothing driver-side beyond the count scalar.
+    */
+  def keepTopFraction(
+      df: DataFrame,
+      score: Column,
+      tiebreak: Column,
+      fracBp: Int
+  ): DataFrame = {
+    require(fracBp >= 0 && fracBp <= 10000,
+      s"fracBp must be in [0, 10000], got $fracBp")
+    val keep = df.count() * fracBp / 10000
+    graft.gold.SurrogateKeys
+      .scalableMode(df, Seq(score.desc, tiebreak.asc), skCol = "__ktf_rank")
+      .filter(col("__ktf_rank") <= keep)
+      .drop("__ktf_rank")
+  }
+
   def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val hashed = df.withColumn("__shuffle_h",
       conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),

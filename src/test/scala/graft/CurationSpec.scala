@@ -120,4 +120,23 @@ class CurationSpec extends SparkSpecBase {
       .select("chunk_text").as[String].collect()
     np.flatMap(_.split(" ")) shouldBe (1 to 20).map(i => s"t$i").toArray
   }
+
+  test("keepTopFraction keeps exactly the floor(n*frac) rank prefix") {
+    // scores with heavy TIES so the tiebreak visibly decides membership
+    val df = (1L to 100L).map(i => (i, (i % 10) * 10L)).toDF("id", "score")
+      .repartition(4)
+    val out = Curation.keepTopFraction(df, $"score", $"id", fracBp = 2500)
+      .as[(Long, Long)].collect().toSet
+    out.size shouldBe 25 // floor(100 * 0.25)
+    // reference: plain window rank over the same total order
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy($"score".desc, $"id")))
+      .filter($"rn" <= 25).select("id", "score").as[(Long, Long)].collect().toSet
+    out shouldBe want
+    // boundary fractions
+    Curation.keepTopFraction(df, $"score", $"id", fracBp = 0).count() shouldBe 0L
+    Curation.keepTopFraction(df, $"score", $"id", fracBp = 10000)
+      .count() shouldBe 100L
+  }
 }
