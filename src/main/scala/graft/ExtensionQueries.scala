@@ -100,6 +100,36 @@ object ExtensionQueries {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** The engine's kernels from PURE SQL, via the function registry that
+    * `GraftExtensions` injects (`plans.SqlFunctions`) — the reference's
+    * Athena-style SQL entry point (SURVEY §3.3) reaching the curation
+    * primitives with no Scala in sight. The builders emit the same
+    * Catalyst expressions as the Column API, so these share oracle shapes
+    * with q_x_fingerprint / q_x_rolling_hash / q_x_simhash_sigs.
+    */
+  private def qSqlGraftText(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir).documents.createOrReplaceTempView("documents")
+    s.sql("""SELECT doc_id,
+      graft_fingerprint(text) AS fp,
+      graft_rolling_hash(text) AS rh,
+      graft_token_count(text) AS n_tokens,
+      graft_simhash(transform(graft_tokens(text), t -> graft_hex_hash32(t))) AS simhash
+      FROM documents""")
+  }
+
+  /** Vector kernels from pure SQL: quantized self-dot (exact integer) and
+    * the sign-hyperplane LSH bucket, matching CosineTopK's constants.
+    */
+  private def qSqlGraftVec(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir).embeddings.createOrReplaceTempView("embeddings")
+    s.sql(s"""WITH p AS (SELECT vec_id,
+        transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS qv
+      FROM embeddings)
+      SELECT vec_id, graft_long_dot(qv, qv) AS n2,
+        graft_sign_lsh_bucket(qv, 6, ${graft.similarity.CosineTopK.HyperplaneStride}) AS lsh_bucket
+      FROM p""")
+  }
+
   private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents.select(
       col("doc_id"),
@@ -607,6 +637,8 @@ object ExtensionQueries {
     "q_x_quality_score"   -> (qQualityScore _),
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_fingerprint"     -> (qFingerprint _),
+    "q_sql_graft_text"    -> (qSqlGraftText _),
+    "q_sql_graft_vec"     -> (qSqlGraftVec _),
     "q_x_bpe_tokens"      -> (qBpeTokens _),
     "q_x_rolling_hash"    -> (qRollingHash _),
     "q_x_exact_dedup"     -> (qExactDedup _),
@@ -738,6 +770,32 @@ object ExtensionQueries {
       "q_x_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
           |FROM documents""".stripMargin,
+      // SQL-registry twins: same kernel semantics as q_x_fingerprint /
+      // q_x_rolling_hash / q_x_simhash_sigs, one combined projection
+      "q_sql_graft_text" ->
+        s"""WITH t AS (SELECT doc_id, text, $DTOKS AS toks FROM documents),
+           |h AS (SELECT doc_id, text, toks,
+           |  [('0x' || substr(md5(x), 1, 8))::BIGINT for x in toks] AS hv FROM t)
+           |SELECT doc_id,
+           |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+           |  CASE WHEN length(text) > 0 THEN
+           |    list_reduce(
+           |      list_prepend(0::BIGINT,
+           |        [ord(substring(text, i, 1))::BIGINT for i in generate_series(1, length(text))]),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007)
+           |  ELSE 0 END AS rh,
+           |  CAST(len(toks) AS INTEGER) AS n_tokens,
+           |  CAST(list_sum([
+           |    CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END for h in hv]) > 0
+           |         THEN (1::BIGINT << j) ELSE 0 END
+           |    for j in generate_series(0, 31)]) AS BIGINT) AS simhash
+           |FROM h""".stripMargin,
+      "q_sql_graft_vec" ->
+        s"""WITH p AS (SELECT vec_id, $qv AS qv FROM embeddings)
+           |SELECT vec_id,
+           |  CAST(list_sum([x*x for x in qv]) AS BIGINT) AS n2,
+           |  $lshBucket AS lsh_bucket
+           |FROM p""".stripMargin,
       "q_x_bpe_tokens" ->
         s"""SELECT doc_id,
            |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS INTEGER) AS n_bpe_tokens,

@@ -258,6 +258,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIntersectSize)
     e.injectOptimizerRule(_ => RewriteRangeJoin)
+    SqlFunctions.install(e)
   }
 }
 

@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode → Catalyst conversion. `expression` returns a lazy
+    * `ColumnNodeExpression` wrapper (dataType = VOID until the analyzer's
+    * own conversion rule runs) — fine in a plain projection, but an
+    * expression a FunctionRegistry builder returns is embedded
+    * mid-analysis, where an enclosing higher-order function type-checks
+    * its arguments BEFORE that rule fires and dies on the VOID. The
+    * converter emits real (if unresolved) Catalyst nodes up front.
+    */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
