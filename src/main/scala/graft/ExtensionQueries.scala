@@ -351,6 +351,17 @@ object ExtensionQueries {
     )
   }
 
+  /** Trained coarse quantizer: quantized-integer Lloyd's k-means (k=8,
+    * 2 iterations, smallest-id seeds) over the embeddings corpus — final
+    * assignment with EXACT integer squared distances. The oracle replays
+    * both iterations (argmin assignment with (dist2, cent_id) tiebreak;
+    * component-wise floor-mean update via the portable
+    * `(s - pmod(s, cnt)) / cnt` identity) in DuckDB CTEs.
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.KMeans.kmeans(
+      T(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
+
   private def qCosineIvf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir).embeddings
     CosineTopK.ivf(
@@ -658,6 +669,7 @@ object ExtensionQueries {
     "q_x_cosine_topk"     -> (qCosineTopK _),
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
+    "q_x_kmeans"          -> (qKmeans _),
     "q_x_cosine_lsh"      -> (qCosineLsh _),
     "q_x_cosine_lsh_mp"   -> (qCosineLshMp _),
     "q_x_embed_neardup_baseline" -> (qEmbedNearDup _),
@@ -1041,6 +1053,38 @@ object ExtensionQueries {
            |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
            |WHERE rn <= 5""".stripMargin,
+      // Lloyd replay: assignment = argmin (dist2, cent_id); update =
+      // component-wise floor mean via the portable exactly-divisible form
+      // (s - floorMod(s, cnt)) / cnt (DuckDB % truncates → floorMod is
+      // ((s % cnt + cnt) % cnt); cnt > 0 always)
+      "q_x_kmeans" -> {
+        val kmAssign = (cents: String) =>
+          s"""SELECT vec_id, qv, n2, cent_id AS cluster_id, dist2 FROM (
+             |  SELECT p.*, c.cent_id,
+             |    p.n2 + c.cent_n2 - 2*${dot64("p.qv", "c.cent_qv")} AS dist2,
+             |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             |      p.n2 + c.cent_n2 - 2*${dot64("p.qv", "c.cent_qv")}, c.cent_id) AS rn
+             |  FROM p CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+        val kmUpdate = (a: String) =>
+          s"""SELECT cent_id, list(m ORDER BY i) AS cent_qv,
+             |  CAST(list_sum([x*x for x in list(m ORDER BY i)]) AS BIGINT) AS cent_n2 FROM (
+             |    SELECT cluster_id AS cent_id, i, (s - ((s % cnt + cnt) % cnt)) // cnt AS m FROM (
+             |      SELECT cluster_id, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS cnt FROM (
+             |        SELECT cluster_id,
+             |          unnest([{'i': i, 'v': qv[i]} for i in generate_series(1, len(qv))],
+             |                 recursive := true)
+             |        FROM $a) GROUP BY 1, 2))
+             |  GROUP BY cent_id""".stripMargin
+        s"""WITH p AS (SELECT vec_id, qv, n2 FROM (SELECT vec_id, $qv AS qv FROM embeddings),
+           |  LATERAL (SELECT ${dot64("qv", "qv")} AS n2)),
+           |c0 AS (SELECT vec_id AS cent_id, qv AS cent_qv, n2 AS cent_n2 FROM p ORDER BY vec_id LIMIT 8),
+           |a1 AS (${kmAssign("c0")}),
+           |c1 AS (${kmUpdate("a1")}),
+           |a2 AS (${kmAssign("c1")}),
+           |c2 AS (${kmUpdate("a2")}),
+           |a3 AS (${kmAssign("c2")})
+           |SELECT vec_id, cluster_id, dist2 FROM a3""".stripMargin
+      },
       "q_x_edit_distance" ->
         """SELECT a.p_brand, a.p_size, a.p_partkey AS part_a, b.p_partkey AS part_b,
           |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
