@@ -100,6 +100,14 @@ object ExtensionQueries {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Corpus-wide trigram novelty (boilerplate detection): per document,
+    * distinct word 3-grams, how many occur in >= 2 documents, and the
+    * exact-integer novelty ppm.
+    */
+  private def qNoveltyScore(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.noveltyScore(
+      T(s, dir).documents, "doc_id", "text", n = 3, minDf = 2)
+
   /** The engine's kernels from PURE SQL, via the function registry that
     * `GraftExtensions` injects (`plans.SqlFunctions`) — the reference's
     * Athena-style SQL entry point (SURVEY §3.3) reaching the curation
@@ -647,6 +655,7 @@ object ExtensionQueries {
     "q_x_lang_id"         -> (qLangId _),
     "q_x_quality_score"   -> (qQualityScore _),
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
+    "q_x_novelty_score"   -> (qNoveltyScore _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_sql_graft_text"    -> (qSqlGraftText _),
     "q_sql_graft_vec"     -> (qSqlGraftVec _),
@@ -782,6 +791,24 @@ object ExtensionQueries {
       "q_x_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
           |FROM documents""".stripMargin,
+      // distinct trigrams per doc -> corpus doc-frequency -> join back;
+      // docs with < 3 tokens have no trigrams: counts 0, ppm NULL
+      "q_x_novelty_score" ->
+        s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(
+           |        [array_to_string(toks[i:i+2], ' ')
+           |         for i in generate_series(1, len(toks)-2)])) AS ng FROM t),
+           |d AS (SELECT ng, count(*) AS df FROM g GROUP BY 1),
+           |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           |        CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+           |      FROM g JOIN d USING (ng) GROUP BY 1)
+           |SELECT t.doc_id,
+           |  CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           |  CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+           |  CASE WHEN coalesce(p.n_ngrams, 0) > 0
+           |       THEN ((p.n_ngrams - p.n_common) * 1000000) // p.n_ngrams
+           |  END AS novelty_ppm
+           |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
       // SQL-registry twins: same kernel semantics as q_x_fingerprint /
       // q_x_rolling_hash / q_x_simhash_sigs, one combined projection
       "q_sql_graft_text" ->

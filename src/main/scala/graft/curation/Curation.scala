@@ -289,6 +289,60 @@ object Curation {
       .drop("__ktf_rank")
   }
 
+  /** Distinct word n-grams of a token array, space-joined. Empty array
+    * below n tokens (`sequence(1, 0)` would count DOWN — same guard as
+    * the char-shingle helpers).
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document n-gram novelty: of a document's DISTINCT word n-grams,
+    * how many also occur in at least `minDf` documents corpus-wide
+    * (boilerplate), and the exact-integer novelty share in ppm —
+    * `(n_ngrams - n_common) * 1e6 div n_ngrams` (single division of exact
+    * ints, per the oracle-stability rules; documents with fewer than n
+    * tokens have no n-grams and get a NULL score). The standard
+    * boilerplate/template-detection signal for pretraining curation.
+    *
+    * Scale shape: distinct (doc, n-gram) pairs → one map-side-combined
+    * document-frequency count keyed on the n-gram, one key-partitioned
+    * join back, one per-doc aggregation. No driver state, no quadratic
+    * step; the n-gram key space is corpus-sized but uniformly
+    * hash-partitioned. (Production runs at 100 TB would key on a 64-bit
+    * n-gram hash instead of the string — same plan shape; strings keep
+    * the operator portably oracle-checkable.)
+    */
+  def noveltyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDf: Int
+  ): DataFrame = {
+    require(minDf >= 1, s"noveltyScore: minDf must be >= 1, got $minDf")
+    val pairs = df.select(col(idCol),
+      explode(wordNgrams(tokens(col(textCol)), n)).as("__ng"))
+    val dfCounts = pairs.groupBy("__ng").agg(count(lit(1)).as("__df"))
+    pairs
+      .join(dfCounts, "__ng")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+      .join(df.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("novelty_ppm",
+        when(col("n_ngrams") > 0,
+          expr("(n_ngrams - n_common) * 1000000 DIV n_ngrams")))
+  }
+
   def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val hashed = df.withColumn("__shuffle_h",
       conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),

@@ -121,6 +121,23 @@ class CurationSpec extends SparkSpecBase {
     np.flatMap(_.split(" ")) shouldBe (1 to 20).map(i => s"t$i").toArray
   }
 
+  test("noveltyScore counts shared n-grams exactly; short docs score NULL") {
+    val df = Seq(
+      (1L, "a b c d"),     // trigrams: "a b c", "b c d"
+      (2L, "a b c x"),     // trigrams: "a b c", "b c x"
+      (3L, "p q"),         // too short for n=3 → no trigrams
+      (4L, "a b c a b c")  // distinct trigrams: "a b c","b c a","c a b"
+    ).toDF("doc_id", "text")
+    val out = Curation.noveltyScore(df, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // "a b c" appears in docs 1,2,4 (df=3); everything else df=1
+    out(1L) shouldBe ((2L, 1L, 500000L))
+    out(2L) shouldBe ((2L, 1L, 500000L))
+    out(3L) shouldBe ((0L, 0L, -1L)) // NULL ppm
+    out(4L) shouldBe ((3L, 1L, 666666L))
+  }
+
   test("keepTopFraction keeps exactly the floor(n*frac) rank prefix") {
     // scores with heavy TIES so the tiebreak visibly decides membership
     val df = (1L to 100L).map(i => (i, (i % 10) * 10L)).toDF("id", "score")
