@@ -370,6 +370,25 @@ object ExtensionQueries {
     graft.similarity.KMeans.kmeans(
       T(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
 
+  /** IVF over TRAINED Lloyd centroids (one training round, Euclidean
+    * nprobe=2 probing, cosine scoring) — the production coarse quantizer;
+    * `q_x_cosine_ivf`'s id-subset centroids remain as the structural
+    * baseline.
+    */
+  private def qCosineIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).embeddings
+    graft.similarity.KMeans.ivfTrained(
+      e.filter(col("vec_id") < 10),
+      e.filter(col("vec_id") >= 10),
+      idCol = "vec_id",
+      vecCol = "embedding",
+      k = 5,
+      kClusters = 8,
+      iters = 1,
+      nprobe = 2
+    )
+  }
+
   private def qCosineIvf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir).embeddings
     CosineTopK.ivf(
@@ -679,6 +698,7 @@ object ExtensionQueries {
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
     "q_x_kmeans"          -> (qKmeans _),
+    "q_x_cosine_ivf_trained" -> (qCosineIvfTrained _),
     "q_x_cosine_lsh"      -> (qCosineLsh _),
     "q_x_cosine_lsh_mp"   -> (qCosineLshMp _),
     "q_x_embed_neardup_baseline" -> (qEmbedNearDup _),
@@ -745,6 +765,26 @@ object ExtensionQueries {
     // dim-independent: bounds come from the vectors, not a hardcoded width
     val dot64 = (a: String, b: String) =>
       s"CAST(list_sum([$a[i]*$b[i] for i in generate_series(1,len($a))]) AS BIGINT)"
+    // Lloyd-replay building blocks (q_x_kmeans, q_x_cosine_ivf_trained):
+    // argmin assignment with (dist2, cent_id) tiebreak over a (vec_id, qv,
+    // n2) source, and the component-wise floor-mean centroid update
+    val kmAssign = (src: String, cents: String) =>
+      s"""SELECT vec_id, qv, n2, cent_id AS cluster_id, dist2 FROM (
+         |  SELECT s.*, c.cent_id,
+         |    s.n2 + c.cent_n2 - 2*${dot64("s.qv", "c.cent_qv")} AS dist2,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |      s.n2 + c.cent_n2 - 2*${dot64("s.qv", "c.cent_qv")}, c.cent_id) AS rn
+         |  FROM $src s CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
+    val kmUpdate = (a: String) =>
+      s"""SELECT cent_id, list(m ORDER BY i) AS cent_qv,
+         |  CAST(list_sum([x*x for x in list(m ORDER BY i)]) AS BIGINT) AS cent_n2 FROM (
+         |    SELECT cluster_id AS cent_id, i, (s - ((s % cnt + cnt) % cnt)) // cnt AS m FROM (
+         |      SELECT cluster_id, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS cnt FROM (
+         |        SELECT cluster_id,
+         |          unnest([{'i': i, 'v': qv[i]} for i in generate_series(1, len(qv))],
+         |                 recursive := true)
+         |        FROM $a) GROUP BY 1, 2))
+         |  GROUP BY cent_id""".stripMargin
 
     val base = Map(
       "q_x_token_stats" ->
@@ -1084,34 +1124,39 @@ object ExtensionQueries {
       // component-wise floor mean via the portable exactly-divisible form
       // (s - floorMod(s, cnt)) / cnt (DuckDB % truncates → floorMod is
       // ((s % cnt + cnt) % cnt); cnt > 0 always)
-      "q_x_kmeans" -> {
-        val kmAssign = (cents: String) =>
-          s"""SELECT vec_id, qv, n2, cent_id AS cluster_id, dist2 FROM (
-             |  SELECT p.*, c.cent_id,
-             |    p.n2 + c.cent_n2 - 2*${dot64("p.qv", "c.cent_qv")} AS dist2,
-             |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
-             |      p.n2 + c.cent_n2 - 2*${dot64("p.qv", "c.cent_qv")}, c.cent_id) AS rn
-             |  FROM p CROSS JOIN $cents c) WHERE rn = 1""".stripMargin
-        val kmUpdate = (a: String) =>
-          s"""SELECT cent_id, list(m ORDER BY i) AS cent_qv,
-             |  CAST(list_sum([x*x for x in list(m ORDER BY i)]) AS BIGINT) AS cent_n2 FROM (
-             |    SELECT cluster_id AS cent_id, i, (s - ((s % cnt + cnt) % cnt)) // cnt AS m FROM (
-             |      SELECT cluster_id, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS cnt FROM (
-             |        SELECT cluster_id,
-             |          unnest([{'i': i, 'v': qv[i]} for i in generate_series(1, len(qv))],
-             |                 recursive := true)
-             |        FROM $a) GROUP BY 1, 2))
-             |  GROUP BY cent_id""".stripMargin
+      "q_x_kmeans" ->
         s"""WITH p AS (SELECT vec_id, qv, n2 FROM (SELECT vec_id, $qv AS qv FROM embeddings),
            |  LATERAL (SELECT ${dot64("qv", "qv")} AS n2)),
            |c0 AS (SELECT vec_id AS cent_id, qv AS cent_qv, n2 AS cent_n2 FROM p ORDER BY vec_id LIMIT 8),
-           |a1 AS (${kmAssign("c0")}),
+           |a1 AS (${kmAssign("p", "c0")}),
            |c1 AS (${kmUpdate("a1")}),
-           |a2 AS (${kmAssign("c1")}),
+           |a2 AS (${kmAssign("p", "c1")}),
            |c2 AS (${kmUpdate("a2")}),
-           |a3 AS (${kmAssign("c2")})
-           |SELECT vec_id, cluster_id, dist2 FROM a3""".stripMargin
-      },
+           |a3 AS (${kmAssign("p", "c2")})
+           |SELECT vec_id, cluster_id, dist2 FROM a3""".stripMargin,
+      // trained-centroid IVF: one Lloyd round on the corpus, Euclidean
+      // nprobe=2 probing, cosine scoring of the probed clusters only
+      "q_x_cosine_ivf_trained" ->
+        s"""WITH pe AS (SELECT vec_id, qv, n2 FROM (SELECT vec_id, $qv AS qv FROM embeddings),
+           |  LATERAL (SELECT ${dot64("qv", "qv")} AS n2)),
+           |p AS (SELECT * FROM pe WHERE vec_id >= 10),
+           |c0 AS (SELECT vec_id AS cent_id, qv AS cent_qv, n2 AS cent_n2 FROM p ORDER BY vec_id LIMIT 8),
+           |a1 AS (${kmAssign("p", "c0")}),
+           |c1 AS (${kmUpdate("a1")}),
+           |ac AS (SELECT vec_id AS neighbor_id, cluster_id, qv AS c_qv, n2 AS c_n2
+           |       FROM (${kmAssign("(SELECT * FROM p WHERE n2 > 0)", "c1")})),
+           |q AS (SELECT vec_id AS query_id, qv AS q_qv, n2 AS q_n2 FROM pe WHERE vec_id < 10 AND n2 > 0),
+           |probes AS (SELECT query_id, q_qv, q_n2, cent_id AS cluster_id FROM (
+           |  SELECT q.*, c.cent_id, row_number() OVER (PARTITION BY query_id ORDER BY
+           |    q_n2 + c.cent_n2 - 2*${dot64("q_qv", "c.cent_qv")}, c.cent_id) AS prn
+           |  FROM q CROSS JOIN c1 c) WHERE prn <= 2),
+           |sr AS (SELECT query_id, neighbor_id,
+           |  ${cosExpr(dot64("q_qv", "c_qv"), "q_n2", "c_n2")} AS cosine
+           |  FROM probes JOIN ac USING (cluster_id))
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cosine
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rn FROM sr)
+           |WHERE rn <= 5""".stripMargin,
       "q_x_edit_distance" ->
         """SELECT a.p_brand, a.p_size, a.p_partkey AS part_a, b.p_partkey AS part_b,
           |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
