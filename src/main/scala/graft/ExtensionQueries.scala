@@ -100,6 +100,17 @@ object ExtensionQueries {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Z-order (Morton) key over (l_partkey, l_suppkey) — the exact
+    * bit-interleaving that drives `ZOrder.writeZOrdered`'s
+    * multi-dimensional file clustering (skipping behavior itself is
+    * spec-asserted; the key mapping is what an oracle can pin).
+    */
+  private def qZorderKey(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      graft.gold.ZOrder.zvalue(
+        Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("z"))
+
   /** Corpus-wide trigram novelty (boilerplate detection): per document,
     * distinct word 3-grams, how many occur in >= 2 documents, and the
     * exact-integer novelty ppm.
@@ -675,6 +686,7 @@ object ExtensionQueries {
     "q_x_quality_score"   -> (qQualityScore _),
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_novelty_score"   -> (qNoveltyScore _),
+    "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_sql_graft_text"    -> (qSqlGraftText _),
     "q_sql_graft_vec"     -> (qSqlGraftVec _),
@@ -831,6 +843,13 @@ object ExtensionQueries {
       "q_x_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
           |FROM documents""".stripMargin,
+      // Morton interleave: bit j of partkey -> 2j, of suppkey -> 2j+1
+      "q_x_zorder_key" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  CAST(list_sum([(((l_partkey >> j) & 1) << (2*j))
+          |                 + (((l_suppkey >> j) & 1) << (2*j + 1))
+          |                 for j in generate_series(0, 15)]) AS BIGINT) AS z
+          |FROM lineitem""".stripMargin,
       // distinct trigrams per doc -> corpus doc-frequency -> join back;
       // docs with < 3 tokens have no trigrams: counts 0, ppm NULL
       "q_x_novelty_score" ->
