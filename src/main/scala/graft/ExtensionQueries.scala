@@ -100,6 +100,21 @@ object ExtensionQueries {
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** N-gram-overlap decontamination (GPT-3-style rule, vs the exact
+    * fingerprint of q_x_decontaminate): a deterministic 1% slice of the
+    * corpus plays the eval set; gate the DROP REPORT (doc id + exact
+    * shared-5-gram count above the threshold) — the counting semantics
+    * are the hard part, the anti-join derives from the report.
+    */
+  private def qDecontaminateNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val (_, dropped) = graft.curation.Curation.decontaminateNgram(
+      docs.filter(col("doc_id") % 100 =!= 7),
+      docs.filter(col("doc_id") % 100 === 7),
+      "doc_id", "text", n = 5, maxShared = 2)
+    dropped
+  }
+
   /** Z-order (Morton) key over (l_partkey, l_suppkey) — the exact
     * bit-interleaving that drives `ZOrder.writeZOrdered`'s
     * multi-dimensional file clustering (skipping behavior itself is
@@ -687,6 +702,7 @@ object ExtensionQueries {
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_novelty_score"   -> (qNoveltyScore _),
     "q_x_zorder_key"      -> (qZorderKey _),
+    "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_sql_graft_text"    -> (qSqlGraftText _),
     "q_sql_graft_vec"     -> (qSqlGraftVec _),
@@ -843,6 +859,20 @@ object ExtensionQueries {
       "q_x_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
           |FROM documents""".stripMargin,
+      // distinct 5-grams per train doc vs the distinct eval 5-gram set;
+      // report = docs whose shared count exceeds the threshold
+      "q_x_decontaminate_ngram" ->
+        s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+           |e AS (SELECT DISTINCT unnest(list_distinct(
+           |        [array_to_string(toks[i:i+4], ' ')
+           |         for i in generate_series(1, len(toks)-4)])) AS ng
+           |      FROM t WHERE doc_id % 100 = 7),
+           |c AS (SELECT doc_id, unnest(list_distinct(
+           |        [array_to_string(toks[i:i+4], ' ')
+           |         for i in generate_series(1, len(toks)-4)])) AS ng
+           |      FROM t WHERE doc_id % 100 <> 7)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+           |FROM c JOIN e USING (ng) GROUP BY doc_id HAVING count(*) > 2""".stripMargin,
       // Morton interleave: bit j of partkey -> 2j, of suppkey -> 2j+1
       "q_x_zorder_key" ->
         """SELECT l_orderkey, l_linenumber,

@@ -145,6 +145,51 @@ object Curation {
       .drop("__fp")
   }
 
+  /** N-gram-overlap decontamination — the GPT-3-style contamination rule
+    * (exact fingerprints miss paraphrased/embedded eval text): drop a
+    * training document when MORE THAN `maxShared` of its distinct word
+    * n-grams appear anywhere in the eval set. `maxShared = 0` drops on any
+    * single shared n-gram.
+    *
+    * Returns (survivors, report) — the report carries every dropped doc id
+    * with its exact shared-n-gram count, because silently vanishing
+    * training docs are un-debuggable at corpus scale.
+    *
+    * Scale shape: the eval n-gram set is DISTINCT + BROADCAST (eval suites
+    * are ≤ millions of n-grams — broadcast-sized by nature, and the build
+    * asserts nothing about train size); the train side is one scan,
+    * explode of distinct n-grams, a broadcast-hash semi match, and one
+    * per-doc count. No shuffle touches the corpus beyond the doc-count
+    * agg keyed on the id.
+    */
+  def decontaminateNgram(
+      candidates: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShared: Long = 0L
+  ): (DataFrame, DataFrame) = {
+    require(maxShared >= 0, s"decontaminateNgram: maxShared must be >= 0, got $maxShared")
+    val evalNgrams = evalSet
+      .select(explode(graft.functions.TextNativeExpressions
+        .word_ngrams_native(col(textCol), n)).as("__ng"))
+      .distinct()
+    val sharedCounts = candidates
+      .select(col(idCol), explode(graft.functions.TextNativeExpressions
+        .word_ngrams_native(col(textCol), n)).as("__ng"))
+      .join(broadcast(evalNgrams), "__ng")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared_ngrams"))
+    val dropped = sharedCounts.filter(col("shared_ngrams") > maxShared)
+    // no broadcast hint on the drop list: it's usually tiny (AQE converts
+    // to broadcast at runtime) but pathologically-contaminated corpora
+    // must degrade to a shuffle join, not a driver OOM
+    val survivors = candidates
+      .join(dropped.select(col(idCol)), Seq(idCol), "left_anti")
+    (survivors, dropped)
+  }
+
   /** Frequency-ranked vocabulary: the `maxSize` most frequent tokens with
     * dense ids (1-based; rank by count desc, token asc — fully
     * deterministic under ties). The tokenizer-artifact build step.
@@ -292,6 +337,11 @@ object Curation {
   /** Distinct word n-grams of a token array, space-joined. Empty array
     * below n tokens (`sequence(1, 0)` would count DOWN — same guard as
     * the char-shingle helpers).
+    *
+    * This is the COMPOSED equality reference: three HOF lambdas =
+    * CodegenFallback = the projection runs interpreted. Production paths
+    * use `TextNativeExpressions.word_ngrams_native` (tokenize + n-gram +
+    * dedup fused in one codegen'd kernel; spec-asserted value-identical).
     */
   def wordNgrams(toks: Column, n: Int): Column = {
     require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
@@ -326,7 +376,8 @@ object Curation {
   ): DataFrame = {
     require(minDf >= 1, s"noveltyScore: minDf must be >= 1, got $minDf")
     val pairs = df.select(col(idCol),
-      explode(wordNgrams(tokens(col(textCol)), n)).as("__ng"))
+      explode(graft.functions.TextNativeExpressions
+        .word_ngrams_native(col(textCol), n)).as("__ng"))
     val dfCounts = pairs.groupBy("__ng").agg(count(lit(1)).as("__df"))
     pairs
       .join(dfCounts, "__ng")

@@ -129,6 +129,47 @@ object TextNative {
     new GenericInternalRow(Array[Any](top.toLong, m.toLong))
   }
 
+  /** Distinct word n-grams of a text in ONE pass: tokenize (same
+    * whitespace class + empty-filter as `TextFunctions.tokens`, which is
+    * why tokenization lives INSIDE the kernel — a `filter` lambda is
+    * CodegenFallback and evicts the whole projection from WSCG), then
+    * space-joined n-grams deduped in first-occurrence order (matching
+    * `array_distinct` over the composed form exactly — spec-asserted).
+    */
+  def wordNgramsDistinct(s: UTF8String, n: Int): ArrayData = {
+    val str  = s.toString
+    val toks = new java.util.ArrayList[String]()
+    val sb   = new java.lang.StringBuilder
+    var i    = 0
+    val len  = str.length
+    while (i < len) {
+      val c = str.charAt(i)
+      // the explicit class [ \t\n\x0B\f\r] — Java \s ≠ RE2 \s, so the
+      // engine never uses \s anywhere (oracle-stability rules)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) toks.add(sb.toString)
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j < m) {
+      val b = new java.lang.StringBuilder(toks.get(j))
+      var k = 1
+      while (k < n) { b.append(' '); b.append(toks.get(j + k)); k += 1 }
+      seen.add(b.toString)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
   /** One pass over the (hashed, non-null) shingle array computing all k
     * universal-hash minima. Empty input → array of P (matches
     * `array_min(transform([]))` = null? No — the composed form yields null
@@ -199,6 +240,23 @@ case class RollingHashNative(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingHashNative = copy(child = c)
 }
 
+/** text → distinct word n-grams, tokenization fused into the kernel (see
+  * `TextNative.wordNgramsDistinct`). Value-identical to
+  * `array_distinct(transform(sequence(...), i => array_join(slice(tokens(
+  * text), i, n), " ")))` — the composed form is three CodegenFallback
+  * lambdas that evict their projection from WSCG and run interpreted.
+  */
+case class WordNgramsNative(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextNative.wordNgramsDistinct(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.wordNgramsDistinct($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramsNative = copy(child = c)
+}
+
 case class SimhashNative(child: Expression, bits: Int = 32) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any): Any =
@@ -235,6 +293,9 @@ object TextNativeExpressions {
 
   def rolling_hash_native(c: Column): Column =
     ColumnBridge.column(RollingHashNative(ColumnBridge.expression(c)))
+
+  def word_ngrams_native(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsNative(ColumnBridge.expression(text), n))
 
   def simhash_native(hashedTokens: Column, bits: Int = 32): Column =
     ColumnBridge.column(SimhashNative(ColumnBridge.expression(hashedTokens), bits))

@@ -108,6 +108,15 @@ object SqlFunctions {
         SimhashNative(args.head, bits)
       }),
 
+    (new FunctionIdentifier("graft_word_ngrams"),
+      info("graft_word_ngrams",
+        "graft_word_ngrams(text, n) - distinct space-joined word n-grams"),
+      (args: Seq[Expression]) => {
+        arity("graft_word_ngrams", 2, args)
+        graft.functions.WordNgramsNative(args.head,
+          litInt("graft_word_ngrams", "n", args(1)))
+      }),
+
     (new FunctionIdentifier("graft_repetition_stats"),
       info("graft_repetition_stats",
         "graft_repetition_stats(tokens) - struct(top_bigram_count, n_bigrams)"),

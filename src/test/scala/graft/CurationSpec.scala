@@ -121,6 +121,40 @@ class CurationSpec extends SparkSpecBase {
     np.flatMap(_.split(" ")) shouldBe (1 to 20).map(i => s"t$i").toArray
   }
 
+  test("native word_ngrams equals the composed form on edge shapes") {
+    import graft.functions.TextFunctions.tokens
+    import graft.functions.TextNativeExpressions.word_ngrams_native
+    val texts = Seq("a b c d", "  leading two  spaces\tand tabs ", "one",
+      "", "x y x y x y", "unicode éè ü tokens here", "ab\fc\rd\ne f")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select($"id",
+        word_ngrams_native($"text", n).as("g")).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val composed = df.select($"id",
+        Curation.wordNgrams(tokens($"text"), n).as("g")).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      withClue(s"n=$n:") { native shouldBe composed }
+    }
+  }
+
+  test("decontaminateNgram drops above-threshold overlap and reports exact counts") {
+    val train = Seq(
+      (1L, "a b c d e f"),   // 3-grams: abc bcd cde def → 2 shared (abc, bcd)
+      (2L, "a b c x y z"),   // 1 shared (abc)
+      (3L, "p q r s t u")    // 0 shared
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "a b c d q")).toDF("doc_id", "text") // 3-grams: abc bcd cdq
+    val (survivors, dropped) = Curation.decontaminateNgram(
+      train, eval, "doc_id", "text", n = 3, maxShared = 1)
+    dropped.select("doc_id", "shared_ngrams").as[(Long, Long)].collect() shouldBe
+      Array((1L, 2L))
+    survivors.select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // maxShared = 0: any single shared n-gram contaminates
+    val (s0, d0) = Curation.decontaminateNgram(
+      train, eval, "doc_id", "text", n = 3, maxShared = 0)
+    d0.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    s0.select("doc_id").as[Long].collect() shouldBe Array(3L)
+  }
+
   test("noveltyScore counts shared n-grams exactly; short docs score NULL") {
     val df = Seq(
       (1L, "a b c d"),     // trigrams: "a b c", "b c d"
