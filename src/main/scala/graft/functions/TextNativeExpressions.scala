@@ -136,6 +136,11 @@ object TextNative {
     * space-joined n-grams deduped in first-occurrence order (matching
     * `array_distinct` over the composed form exactly — spec-asserted).
     */
+  /** Shared empty result (immutable); also referenced from generated code
+    * via the object's static forwarder.
+    */
+  val EmptyStringArray: ArrayData = new GenericArrayData(Array.empty[Any])
+
   def wordNgramsDistinct(s: UTF8String, n: Int): ArrayData = {
     val str  = s.toString
     val toks = new java.util.ArrayList[String]()
@@ -250,10 +255,27 @@ case class WordNgramsNative(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
-  override def nullSafeEval(s: Any): Any =
-    TextNative.wordNgramsDistinct(s.asInstanceOf[UTF8String], n)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.wordNgramsDistinct($c, $n)")
+  // NULL text → EMPTY array, matching the composed form exactly:
+  // size(null) is null (non-legacy), so its when() falls to the
+  // otherwise(empty) branch — never-null output, like array_distinct's
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextNative.EmptyStringArray
+    else TextNative.wordNgramsDistinct(v.asInstanceOf[UTF8String], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        ArrayData ${ev.value} = ${childGen.isNull}
+          ? graft.functions.TextNative.EmptyStringArray()
+          : graft.functions.TextNative.wordNgramsDistinct(${childGen.value}, $n);""",
+      isNull = FalseLiteral)
+  }
   override protected def withNewChildInternal(c: Expression): WordNgramsNative = copy(child = c)
 }
 

@@ -125,7 +125,9 @@ class CurationSpec extends SparkSpecBase {
     import graft.functions.TextFunctions.tokens
     import graft.functions.TextNativeExpressions.word_ngrams_native
     val texts = Seq("a b c d", "  leading two  spaces\tand tabs ", "one",
-      "", "x y x y x y", "unicode éè ü tokens here", "ab\fc\rd\ne f")
+      "", "x y x y x y", "unicode éè ü tokens here", "ab\fc\rd\ne f",
+      null) // null text -> EMPTY array in BOTH forms (composed: size(null)
+            // is null so when() falls through to otherwise([]))
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     for (n <- Seq(1, 2, 3)) {
       val native = df.select($"id",
