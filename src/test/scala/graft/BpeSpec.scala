@@ -261,4 +261,37 @@ class BpeSpec extends SparkSpecBase {
     }
     enc shouldBe (encodeWord("lowest") ++ encodeWord("low"))
   }
+
+  test("encode/ids/decode hold at 4096 trained merges (32k-class table shape)") {
+    // the sf0.01 price corpus sustains > 4000 merges at minCount=2
+    // (corpus fact, CLAUDE.md); plan depth is CONSTANT in the merge count
+    // for the native kernels, so this is the production-depth proof the
+    // 1024-merge tests approximate
+    val f = new java.io.File("/root/testdata/sf0.01/orders.parquet")
+    assume(f.exists)
+    val corpus = spark.read.parquet(f.toString)
+      .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING) AS text")
+    val merges = BpeTrainer
+      .trainBpeLocal(corpus, "text", numMerges = 4096, minCount = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    merges.length should be >= 4000
+    val vocab  = BpeTrainer.bpeVocabulary(corpus, "text", merges)
+    val sample = corpus.distinct().limit(50).repartition(2)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val out =
+      try BpeTrainer.bpeDecodeIds(
+          BpeTrainer.bpeEncodeIds(sample, "text", merges, vocab), "bpe_ids", vocab)
+        .select("text", "decoded_text", "bpe_ids")
+        .as[(String, String, Seq[Int])].collect()
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    out should have length 50
+    out.foreach { case (orig, dec, ids) =>
+      dec shouldBe orig
+      all(ids) should be >= 0 // the vocabulary covers its training corpus
+    }
+    // at this depth most single-price words collapse to very few symbols
+    val avgSyms = out.map(_._3.length).sum.toDouble / out.length
+    avgSyms should be < 4.0
+  }
 }
