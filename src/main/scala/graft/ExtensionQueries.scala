@@ -126,6 +126,22 @@ object ExtensionQueries {
       graft.gold.ZOrder.zvalue(
         Seq(col("l_partkey"), col("l_suppkey")), bits = 16).as("z"))
 
+  /** Z-order layout + file-stats index END-TO-END: write lineitem
+    * z-ordered on (l_partkey, l_suppkey) into 8 range files, then build
+    * the per-file min/max skipping index. The oracle aggregates the SAME
+    * files via DuckDB's read_parquet(filename := true), so the written
+    * layout, the partitioning, and the stats scan are all pinned — and
+    * the tight per-file boxes ARE the multi-dimensional skipping claim.
+    */
+  private def qZorderStats(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/zorder_lineitem"
+    graft.gold.ZOrder.writeZOrdered(
+      T(s, dir).lineitem.select("l_orderkey", "l_partkey", "l_suppkey"),
+      Seq(col("l_partkey"), col("l_suppkey")), bits = 16, numFiles = 8, path)
+    graft.gold.StatsIndex.build(s, path, Seq("l_partkey", "l_suppkey"))
+      .drop("file")
+  }
+
   /** Corpus-wide trigram novelty (boilerplate detection): per document,
     * distinct word 3-grams, how many occur in >= 2 documents, and the
     * exact-integer novelty ppm.
@@ -703,6 +719,7 @@ object ExtensionQueries {
     "q_x_novelty_score"   -> (qNoveltyScore _),
     "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
+    "q_x_zorder_stats"    -> (qZorderStats _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_sql_graft_text"    -> (qSqlGraftText _),
     "q_sql_graft_vec"     -> (qSqlGraftVec _),
@@ -873,6 +890,15 @@ object ExtensionQueries {
            |      FROM t WHERE doc_id % 100 <> 7)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
            |FROM c JOIN e USING (ng) GROUP BY doc_id HAVING count(*) > 2""".stripMargin,
+      // aggregates the exact files the query just wrote (same run, fixed
+      // path): per-file count + min/max per z-ordered dimension
+      "q_x_zorder_stats" ->
+        """SELECT CAST(count(*) AS BIGINT) AS cnt,
+          |  min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,
+          |  min(l_suppkey) AS l_suppkey_min, max(l_suppkey) AS l_suppkey_max
+          |FROM read_parquet('/tmp/graft_roundtrip/zorder_lineitem/*.parquet',
+          |                  filename = true)
+          |GROUP BY filename""".stripMargin,
       // Morton interleave: bit j of partkey -> 2j, of suppkey -> 2j+1
       "q_x_zorder_key" ->
         """SELECT l_orderkey, l_linenumber,

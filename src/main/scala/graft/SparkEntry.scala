@@ -818,6 +818,24 @@ object SparkEntry {
       .json(path)
   }
 
+  /** Schema-evolution source: two parquet generations under one root —
+    * generation 2 adds a column — read back with mergeSchema + partition
+    * discovery (`g` inferred from the directory names). Generation 1's
+    * missing column surfacing as NULL is the evolution contract every
+    * long-lived table depends on.
+    */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/nation_evolve"
+    val n = T(s, dir).nation
+    n.select("n_nationkey", "n_name")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/g=1")
+    n.select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/g=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select(col("g").cast("int").as("g"), col("n_nationkey"),
+        col("n_name"), col("n_regionkey"))
+  }
+
   /** Point-in-time SCD2 lookup (library: gold.Scd2.pointInTimeLookup): for
     * each purchase event, the user-state version effective one microsecond
     * BEFORE the purchase — the standard fact-to-historical-dim attribution
@@ -1018,6 +1036,7 @@ object SparkEntry {
     "q_s1_csv_contract"      -> (qCsvContract _),
     "q_s12_orc_roundtrip"    -> (qOrcRoundtrip _),
     "q_s13_json_lines"       -> (qJsonLines _),
+    "q_s14_schema_evolution" -> (qSchemaEvolution _),
     "q_s4_json_extract"      -> (qJsonExtract _),
     "q_s5_inmemory_union"    -> (qInmemoryUnion _),
     "q_u1_union_subsets"     -> (qUnionSubsets _),
@@ -1155,6 +1174,12 @@ object SparkEntry {
     "q_s13_json_lines" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
+    // generation 1 lacks n_regionkey -> NULL under mergeSchema
+    "q_s14_schema_evolution" ->
+      """SELECT 1 AS g, n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT 2 AS g, n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
     "q_o_scd2_pit" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,

@@ -58,6 +58,38 @@ class ZOrderSpec extends SparkSpecBase {
     }
   }
 
+  test("StatsIndex prunes files soundly: pruned read ≡ filtered full read") {
+    val dir = java.nio.file.Files.createTempDirectory("zstats").toString
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong))))
+    ZOrder.writeZOrdered(rows.toDF("a", "b").repartition(8),
+      Seq($"a", $"b"), bits = 6, numFiles = 16, path = dir)
+
+    val stats = gold.StatsIndex.build(spark, dir, Seq("a", "b"))
+    stats.count() shouldBe 16L // one row per file
+
+    // a narrow predicate on EITHER z-ordered dimension drops most files
+    val keptA = gold.StatsIndex.pruneFiles(stats, "a", 10, 12)
+    keptA.size should be < 16
+    val keptB = gold.StatsIndex.pruneFiles(stats, "b", 50, 55)
+    keptB.size should be < 16
+
+    // soundness: pruning + row filter equals the unpruned filtered read
+    val pruned = gold.StatsIndex.prunedRead(spark, stats, "a", 10, 12)
+      .filter($"a".between(10, 12))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val full = spark.read.parquet(dir)
+      .filter($"a".between(10, 12))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    pruned shouldBe full
+    full.size shouldBe 3 * 64
+
+    // out-of-domain interval: zero files survive, empty result, schema kept
+    val none = gold.StatsIndex.prunedRead(spark, stats, "a", 1000, 2000)
+    none.count() shouldBe 0L
+    none.columns.sorted shouldBe Array("a", "b")
+  }
+
   test("writeZOrdered round-trips the data unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val df = (0 until 100).map(i => (i.toLong % 10, i.toLong / 10, s"v$i"))
