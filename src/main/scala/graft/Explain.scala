@@ -16,7 +16,8 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_a1_pricing_summary", "q_j1_enrich_defaults", "q_j3_sk_lookup",
-      "q_w1_dedup_latest", "q_x_minhash_lsh", "q_x_cosine_topk")
+      "q_w1_dedup_latest", "q_x_minhash_lsh", "q_x_cosine_topk",
+      "q_x_novelty_score", "q_x_kmeans", "q_x_zorder_key")
     names.foreach { n =>
       println(s"\n########## $n ##########")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -1008,7 +1008,7 @@ object SparkEntry {
   // ===========================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ExtensionQueries.queries ++ parityQueries
+    ExtensionQueries.queries ++ TpchQueries.queries ++ parityQueries
 
   // package-visible so ContractSpec can prove the merge with
   // ExtensionQueries.queries is collision-free
@@ -1086,7 +1086,7 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = {
-    val m = ExtensionQueries.oracleSql ++ parityOracleSql
+    val m = ExtensionQueries.oracleSql ++ TpchQueries.oracleSql ++ parityOracleSql
     // scalable-mode SKs are value-identical to reference mode under a total
     // ordering — the whole point; the two queries share one oracle
     m + ("q_w4b_surrogate_keys_scalable" -> m("q_w4_surrogate_keys"))

@@ -22,11 +22,16 @@ class ContractSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("extension and parity query names do not collide") {
-    // SparkEntry.queries = ExtensionQueries.queries ++ parityQueries; a
-    // name collision would silently shadow one side's gate coverage
-    val overlap =
-      ExtensionQueries.queries.keySet intersect SparkEntry.parityQueries.keySet
-    overlap shouldBe empty
+  test("extension, tpch, and parity query names do not collide") {
+    // SparkEntry.queries merges three maps; a name collision would
+    // silently shadow one side's gate coverage
+    val sets = Seq(
+      "extension" -> ExtensionQueries.queries.keySet,
+      "tpch"      -> TpchQueries.queries.keySet,
+      "parity"    -> SparkEntry.parityQueries.keySet)
+    for {
+      (an, a) <- sets
+      (bn, b) <- sets if an < bn
+    } withClue(s"$an vs $bn:") { (a intersect b) shouldBe empty }
   }
 }
