@@ -952,6 +952,48 @@ object SparkEntry {
       mins = Seq("first_order"), maxs = Seq("last_order", "last_urgent"))
   }
 
+  /** Incremental join-view maintenance (library: operators.IncrementalJoin):
+    * maintain a materialized orders⋈customer view under snapshot deltas on
+    * BOTH sides — inserts (keys absent from the old snapshots), updates (a
+    * stale priority / bumped balance in the old image), and deletes
+    * (synthetic old-only keys). The oracle is the FULL re-join of the new
+    * snapshots (= the clean base tables), so the gate checks the
+    * maintenance identity `merge(V, ΔA, ΔB) == A' ⋈ B'` end-to-end.
+    */
+  private def qIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val oNew = t.orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("o_total_cents"))
+    val cNew = t.customer.select(
+      col("c_custkey"), col("c_name"),
+      round(col("c_acctbal") * 100).cast("long").as("c_acct_cents"))
+    // Old snapshots: drop rows that become inserts, mutate rows that become
+    // updates, add synthetic old-only keys that become deletes.
+    val oOld = oNew.filter(col("o_orderkey") % 11 =!= 3)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit("0-STALE"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(oNew.filter(col("o_orderkey") % 19 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+    val cOld = cNew.filter(col("c_custkey") % 5 =!= 2)
+      .withColumn("c_acct_cents",
+        when(col("c_custkey") % 7 === 0, col("c_acct_cents") + 1L)
+          .otherwise(col("c_acct_cents")))
+      .unionByName(cNew.filter(col("c_custkey") % 9 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 100000000L))
+    val dO = graft.operators.SnapshotDiff.diff(oOld, oNew, keys = Seq("o_orderkey"),
+      attrs = Seq("o_custkey", "o_orderpriority", "o_total_cents"))
+    val dC = graft.operators.SnapshotDiff.diff(cOld, cNew, keys = Seq("c_custkey"),
+      attrs = Seq("c_name", "c_acct_cents"))
+    val view = oOld.join(cOld, col("o_custkey") === col("c_custkey"))
+    graft.operators.IncrementalJoin.mergeJoinView(
+      view,
+      oOld, dO, aKeys = Seq("o_orderkey"),
+      cOld, dC, bKeys = Seq("c_custkey"),
+      on = Seq("o_custkey" -> "c_custkey"))
+  }
+
   /** A9: exact interpolated percentiles. */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     T(s, dir).lineitem.agg(
@@ -1063,6 +1105,7 @@ object SparkEntry {
     "q_o_snapshot_diff"      -> (qSnapshotDiff _),
     "q_o_snapshot_apply"     -> (qSnapshotApply _),
     "q_o_incr_agg"           -> (qIncrementalAgg _),
+    "q_o_incr_join"          -> (qIncrementalJoin _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
@@ -1299,6 +1342,12 @@ object SparkEntry {
         |  MAX(CASE WHEN o_orderpriority = '1-URGENT'
         |           THEN CAST(o_orderdate AS DATE) END) AS last_urgent
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_o_incr_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS o_total_cents,
+        |  c_custkey, c_name,
+        |  CAST(ROUND(c_acctbal*100) AS BIGINT) AS c_acct_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_j5_scd2_incremental" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,
