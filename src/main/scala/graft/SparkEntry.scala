@@ -994,6 +994,38 @@ object SparkEntry {
       on = Seq("o_custkey" -> "c_custkey"))
   }
 
+  /** Bloom-prefiltered semi join (library: operators.BloomPrefilter):
+    * lineitem rows whose part is oversized, pruned by a broadcast bitset
+    * before the exact semi join. The composition is exact (no false
+    * negatives; the exact join kills the false positives), so the oracle
+    * is plain EXISTS.
+    */
+  private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    graft.operators.BloomPrefilter.semiJoin(
+      t.lineitem, col("l_partkey"),
+      t.part.filter(col("p_size") >= 48).select("p_partkey"), col("p_partkey"),
+      numBits = 1 << 16, numHashes = 5)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), sumCents(col("l_extendedprice")).as("price_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Bloom-prefiltered anti join: bloom-definite non-members bypass the
+    * join entirely; only might-members reach the exact anti join. Oracle:
+    * NOT EXISTS.
+    */
+  private def qBloomAnti(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    graft.operators.BloomPrefilter.antiJoin(
+      t.lineitem, col("l_partkey"),
+      t.part.filter(col("p_size") >= 48).select("p_partkey"), col("p_partkey"),
+      numBits = 1 << 16, numHashes = 5)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_lines"), sumCents(col("l_extendedprice")).as("price_cents"))
+      .orderBy("l_linestatus")
+  }
+
   /** A9: exact interpolated percentiles. */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     T(s, dir).lineitem.agg(
@@ -1106,6 +1138,8 @@ object SparkEntry {
     "q_o_snapshot_apply"     -> (qSnapshotApply _),
     "q_o_incr_agg"           -> (qIncrementalAgg _),
     "q_o_incr_join"          -> (qIncrementalJoin _),
+    "q_o_bloom_semi"         -> (qBloomSemi _),
+    "q_o_bloom_anti"         -> (qBloomAnti _),
     "q_a9_percentiles"       -> (qPercentiles _),
     "q_a4b_approx_distinct"  -> (qApproxDistinct _),
     "q_a10_rollup"           -> (qRollup _),
@@ -1348,6 +1382,20 @@ object SparkEntry {
         |  c_custkey, c_name,
         |  CAST(ROUND(c_acctbal*100) AS BIGINT) AS c_acct_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_o_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        |  CAST(SUM(ROUND(l_extendedprice*100)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM part
+        |              WHERE p_partkey = l_partkey AND p_size >= 48)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_o_bloom_anti" ->
+      """SELECT l_linestatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(ROUND(l_extendedprice*100)) AS BIGINT) AS price_cents
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM part
+        |                  WHERE p_partkey = l_partkey AND p_size >= 48)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_j5_scd2_incremental" ->
       """WITH w AS (
         |  SELECT user_id, ts, event_type,
