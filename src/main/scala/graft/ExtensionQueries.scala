@@ -431,6 +431,21 @@ object ExtensionQueries {
     )
   }
 
+  /** Product quantization + ADC (library: similarity.ProductQuantizer):
+    * 4 subspaces × 8 codewords over the 64-dim corpus, one Lloyd round per
+    * subspace, exact-integer ADC scoring of queries 0-9 against the
+    * encoded corpus. The oracle replays all four subspace trainings, the
+    * encode, and the table-lookup sum in DuckDB.
+    */
+  private def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e      = T(s, dir).embeddings
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cb = graft.similarity.ProductQuantizer.train(
+      corpus, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+    graft.similarity.ProductQuantizer.adcTopK(
+      e.filter(col("vec_id") < 10), corpus, "vec_id", "embedding", cb, k = 5)
+  }
+
   private def qCosineIvf(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir).embeddings
     CosineTopK.ivf(
@@ -744,6 +759,7 @@ object ExtensionQueries {
     "q_x_cosine_ivf"      -> (qCosineIvf _),
     "q_x_kmeans"          -> (qKmeans _),
     "q_x_cosine_ivf_trained" -> (qCosineIvfTrained _),
+    "q_x_pq_adc"          -> (qPqAdc _),
     "q_x_cosine_lsh"      -> (qCosineLsh _),
     "q_x_cosine_lsh_mp"   -> (qCosineLshMp _),
     "q_x_embed_neardup_baseline" -> (qEmbedNearDup _),
@@ -831,7 +847,44 @@ object ExtensionQueries {
          |        FROM $a) GROUP BY 1, 2))
          |  GROUP BY cent_id""".stripMargin
 
+    // PQ replay (q_x_pq_adc): per subspace i — slice the quantized vector,
+    // seed + one Lloyd round (same kmAssign/kmUpdate blocks), encode the
+    // corpus, build each query's per-codeword distance table, and join the
+    // per-subspace distances; the ADC score is their sum
+    val pqM    = 4
+    val pqDsub = 16
+    val pqCtes = (0 until pqM).map { i =>
+      val lo = i * pqDsub + 1
+      val hi = (i + 1) * pqDsub
+      s"""p$i AS (SELECT vec_id, qv, n2 FROM (SELECT vec_id, qv[$lo:$hi] AS qv FROM pq_all),
+         |  LATERAL (SELECT ${dot64("qv", "qv")} AS n2)),
+         |pc$i AS (SELECT * FROM p$i WHERE vec_id >= 10),
+         |c0_$i AS (SELECT vec_id AS cent_id, qv AS cent_qv, n2 AS cent_n2
+         |          FROM pc$i ORDER BY vec_id LIMIT 8),
+         |a1_$i AS (${kmAssign(s"pc$i", s"c0_$i")}),
+         |cb$i AS (${kmUpdate(s"a1_$i")}),
+         |e$i AS (SELECT vec_id AS neighbor_id, cluster_id AS cent_id
+         |        FROM (${kmAssign(s"pc$i", s"cb$i")})),
+         |qd$i AS (SELECT q.vec_id AS query_id, c.cent_id,
+         |  q.n2 + c.cent_n2 - 2*${dot64("q.qv", "c.cent_qv")} AS d2
+         |  FROM (SELECT * FROM p$i WHERE vec_id < 10) q CROSS JOIN cb$i c),
+         |pr$i AS (SELECT query_id, neighbor_id, d2 FROM e$i JOIN qd$i USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+
     val base = Map(
+      "q_x_pq_adc" ->
+        s"""WITH pq_all AS (SELECT vec_id, $qv AS qv FROM embeddings),
+           |$pqCtes,
+           |tot AS (SELECT pr0.query_id, pr0.neighbor_id,
+           |  CAST(pr0.d2 + pr1.d2 + pr2.d2 + pr3.d2 AS BIGINT) AS adc_d2
+           |  FROM pr0
+           |  JOIN pr1 USING (query_id, neighbor_id)
+           |  JOIN pr2 USING (query_id, neighbor_id)
+           |  JOIN pr3 USING (query_id, neighbor_id))
+           |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adc_d2
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY adc_d2, neighbor_id) AS rn FROM tot)
+           |WHERE rn <= 5""".stripMargin,
       "q_x_token_stats" ->
         s"""SELECT doc_id, lang, CAST(len($DTOKS) AS INTEGER) AS n_tokens,
            |  CAST(length(text) AS INTEGER) AS n_chars_obs
