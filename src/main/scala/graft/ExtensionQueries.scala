@@ -150,6 +150,14 @@ object ExtensionQueries {
     graft.curation.Curation.noveltyScore(
       T(s, dir).documents, "doc_id", "text", n = 3, minDf = 2)
 
+  /** Corpus-trained bigram-LM quality score: mean conditional probability
+    * (ppm, exact integer division) of each document's bigram instances —
+    * the CC-Net-style statistical LM filter. Oracle replays the bigram /
+    * prefix counting and the ppm arithmetic on the raw text.
+    */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.lmScore(T(s, dir).documents, "doc_id", "text")
+
   /** The engine's kernels from PURE SQL, via the function registry that
     * `GraftExtensions` injects (`plans.SqlFunctions`) — the reference's
     * Athena-style SQL entry point (SURVEY §3.3) reaching the curation
@@ -411,6 +419,16 @@ object ExtensionQueries {
   private def qKmeans(s: SparkSession, dir: String): DataFrame =
     graft.similarity.KMeans.kmeans(
       T(s, dir).embeddings, "vec_id", "embedding", k = 8, iters = 2)
+
+  /** SemDeDup: Lloyd clustering (k=8, one round) bounds the pairwise
+    * cosine step per cluster; lowest-id member of each >= 0.4 duplicate
+    * relation survives. Oracle replays the training, the assignment, the
+    * within-cluster pair generation, and the keep/drop verdicts.
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.SemDeDup.semanticDedup(
+      T(s, dir).embeddings, "vec_id", "embedding",
+      kClusters = 8, iters = 1, minCosine = 0.4)
 
   /** IVF over TRAINED Lloyd centroids (one training round, Euclidean
     * nprobe=2 probing, cosine scoring) — the production coarse quantizer;
@@ -732,6 +750,7 @@ object ExtensionQueries {
     "q_x_quality_score"   -> (qQualityScore _),
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_novelty_score"   -> (qNoveltyScore _),
+    "q_x_lm_score"        -> (qLmScore _),
     "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_x_zorder_stats"    -> (qZorderStats _),
@@ -758,6 +777,7 @@ object ExtensionQueries {
     "q_x_cosine_topk_agg" -> (qCosineTopKAgg _),
     "q_x_cosine_ivf"      -> (qCosineIvf _),
     "q_x_kmeans"          -> (qKmeans _),
+    "q_x_semdedup"        -> (qSemDedup _),
     "q_x_cosine_ivf_trained" -> (qCosineIvfTrained _),
     "q_x_pq_adc"          -> (qPqAdc _),
     "q_x_cosine_lsh"      -> (qCosineLsh _),
@@ -976,6 +996,29 @@ object ExtensionQueries {
            |  CASE WHEN coalesce(p.n_ngrams, 0) > 0
            |       THEN ((p.n_ngrams - p.n_common) * 1000000) // p.n_ngrams
            |  END AS novelty_ppm
+           |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
+      // bigram instances (WITH multiplicity) -> bigram counts -> prefix
+      // counts -> per-instance conditional ppm -> per-doc sum + avg;
+      // docs with < 2 tokens have no bigrams: count 0, sums NULL
+      "q_x_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(
+           |        [array_to_string(toks[i:i+1], ' ')
+           |         for i in generate_series(1, len(toks)-1)]) AS bg FROM t),
+           |c2 AS (SELECT bg, count(*) AS c2 FROM g GROUP BY 1),
+           |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+           |       FROM c2 GROUP BY 1),
+           |m AS (SELECT bg, (1000000 * c2) // c1 AS p_ppm
+           |      FROM c2 JOIN c1 ON split_part(bg, ' ', 1) = w1),
+           |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |        CAST(sum(p_ppm) AS BIGINT) AS lm_score_sum
+           |      FROM g JOIN m USING (bg) GROUP BY 1)
+           |SELECT t.doc_id,
+           |  CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  p.lm_score_sum,
+           |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+           |       THEN p.lm_score_sum // p.n_bigrams
+           |  END AS lm_avg_ppm
            |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
       // SQL-registry twins: same kernel semantics as q_x_fingerprint /
       // q_x_rolling_hash / q_x_simhash_sigs, one combined projection
@@ -1262,6 +1305,23 @@ object ExtensionQueries {
            |c2 AS (${kmUpdate("a2")}),
            |a3 AS (${kmAssign("p", "c2")})
            |SELECT vec_id, cluster_id, dist2 FROM a3""".stripMargin,
+      // SemDeDup replay: one Lloyd round (same blocks as q_x_kmeans),
+      // final assignment, within-cluster pairwise cosine, drop = has a
+      // smaller-id >= 0.4 neighbor in the same cluster (zero-norm rows
+      // never pair)
+      "q_x_semdedup" ->
+        s"""WITH p AS (SELECT vec_id, qv, n2 FROM (SELECT vec_id, $qv AS qv FROM embeddings),
+           |  LATERAL (SELECT ${dot64("qv", "qv")} AS n2)),
+           |c0 AS (SELECT vec_id AS cent_id, qv AS cent_qv, n2 AS cent_n2 FROM p ORDER BY vec_id LIMIT 8),
+           |a1 AS (${kmAssign("p", "c0")}),
+           |c1 AS (${kmUpdate("a1")}),
+           |a2 AS (${kmAssign("p", "c1")}),
+           |d AS (SELECT DISTINCT b.vec_id AS vid
+           |      FROM a2 a JOIN a2 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+           |      WHERE a.n2 > 0 AND b.n2 > 0
+           |        AND ${cosExpr(dot64("a.qv", "b.qv"), "a.n2", "b.n2")} >= 0.4)
+           |SELECT a2.vec_id, a2.cluster_id, (d.vid IS NULL) AS kept
+           |FROM a2 LEFT JOIN d ON a2.vec_id = d.vid""".stripMargin,
       // trained-centroid IVF: one Lloyd round on the corpus, Euclidean
       // nprobe=2 probing, cosine scoring of the probed clusters only
       "q_x_cosine_ivf_trained" ->

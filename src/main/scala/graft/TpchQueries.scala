@@ -35,6 +35,42 @@ object TpchQueries {
   private def ntz(lit0: String) = lit(lit0).cast("timestamp_ntz")
 
   // ---------------------------------------------------------------------------
+  // Q2: minimum-cost supplier — the schema has no partsupp, so the
+  // supplier-part offer relation is DERIVED (min observed line price per
+  // (part, supplier) pair); the signature plan shape is intact: a correlated
+  // scalar MIN subquery over the same 4-table join tree, which Catalyst
+  // decorrelates into an aggregate-join (the CTE is referenced twice).
+  // Money in exact cents; total (acctbal, nation, supplier, part) ordering.
+  // ---------------------------------------------------------------------------
+  private def q2(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "part", "supplier", "lineitem", "nation", "region")
+    s.sql("""
+      WITH offer AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS ps_cost_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+      )
+      SELECT CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_cents,
+             s_name, n_name, p_partkey, p_name, ps_cost_cents
+      FROM part
+      JOIN offer ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size BETWEEN 10 AND 20 AND p_type = 'SMALL' AND r_name = 'ASIA'
+        AND ps_cost_cents = (
+          SELECT MIN(o2.ps_cost_cents)
+          FROM offer o2
+          JOIN supplier s2 ON s2.s_suppkey = o2.ps_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE o2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+      ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+      LIMIT 100
+    """)
+  }
+
+  // ---------------------------------------------------------------------------
   // Q4: priority count with EXISTS (left-semi join; returned-line existence
   // stands in for the commit/receipt lateness predicate the schema lacks).
   // ---------------------------------------------------------------------------
@@ -88,6 +124,58 @@ object TpchQueries {
         year(col("l_shipdate").cast("date")).as("l_year"))
       .agg(sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"))
       .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Q9: product-type profit by nation and year — 5-table join with a LIKE
+  // filter on part name; profit = revenue − cost in exact integer cents,
+  // with p_retailprice standing in for the missing ps_supplycost
+  // (quantities are integral doubles → BIGINT-exact multiplication).
+  // ---------------------------------------------------------------------------
+  private def q9(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val amount =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long") -
+        round(col("p_retailprice") * 100).cast("long") * col("l_quantity").cast("long")
+    t.lineitem
+      .join(t.part.filter(col("p_name").like("%widget%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate").cast("date")).as("o_year"))
+      .agg(sum(amount).cast("long").as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Q11: important stock — per-part value within one REGION's suppliers
+  // (a single nation is empty at the smallest SF), kept only when the
+  // part's value strictly exceeds the regional average (two scalar
+  // subqueries — COUNT and SUM over the same CTE). Exact integers:
+  // value·n > total, no floating fraction; classic Q11's fixed fraction
+  // would need SF-dependent tuning (shares shrink ∝ 1/parts), the
+  // above-average form is scale-invariant and provably non-empty.
+  // ---------------------------------------------------------------------------
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "lineitem", "supplier", "nation", "region")
+    s.sql("""
+      WITH natval AS (
+        SELECT l_partkey, CAST(SUM(ROUND(l_extendedprice*100)) AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY l_partkey
+      )
+      SELECT l_partkey AS ps_partkey, value_cents
+      FROM natval
+      WHERE value_cents * (SELECT COUNT(*) FROM natval)
+            > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM natval)
+      ORDER BY value_cents DESC, ps_partkey
+    """)
   }
 
   // ---------------------------------------------------------------------------
@@ -166,6 +254,25 @@ object TpchQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // Q16: supplier counts per part attribute triple — COUNT(DISTINCT) after a
+  // NOT IN subquery, which Spark lowers to a null-aware anti join (a plan
+  // shape none of the other queries exercise; s_suppkey is non-null so the
+  // null-aware path degenerates to a plain anti join at runtime).
+  // ---------------------------------------------------------------------------
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "lineitem", "part", "supplier")
+    s.sql("""
+      SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """)
+  }
+
+  // ---------------------------------------------------------------------------
   // Q17: small-quantity revenue — TRUE correlated scalar subqueries through
   // spark.sql; Catalyst decorrelates both into one aggregate join. The
   // avg-quantity comparison is exact integers: qty < sum/(5n) ⟺ 5·qty·n < sum.
@@ -227,6 +334,36 @@ object TpchQueries {
       .agg(
         sumCents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
         count(lit(1)).as("n_lines"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Q20: potential part promotion — nested IN whose inner query carries a
+  // correlated scalar subquery in HAVING (correlated on the group key, like
+  // Q17's decorrelation but under an aggregate). "Shipped >30% of the
+  // part's 1997 volume" stands in for availqty>½·shipped, exact integers:
+  // 10·sum > 3·total.
+  // ---------------------------------------------------------------------------
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "supplier", "nation", "lineitem", "part")
+    s.sql("""
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+        AND s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+          WHERE p_name LIKE '%widget%'
+            AND l1.l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+            AND l1.l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+          GROUP BY l1.l_suppkey, l1.l_partkey
+          HAVING 10 * SUM(CAST(l1.l_quantity AS BIGINT)) > 3 * (
+            SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+            FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'
+              AND l2.l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'))
+      ORDER BY s_suppkey
+    """)
   }
 
   // ---------------------------------------------------------------------------
@@ -300,11 +437,17 @@ object TpchQueries {
       case n @ "supplier" => t.supplier.createOrReplaceTempView(n)
       case n @ "nation"   => t.nation.createOrReplaceTempView(n)
       case n @ "part"     => t.part.createOrReplaceTempView(n)
+      case n @ "region"   => t.region.createOrReplaceTempView(n)
       case n             => sys.error(s"unknown view: $n")
     }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2_min_cost_supp"   -> (q2 _),
+    "q_tpch_q9_profit"          -> (q9 _),
+    "q_tpch_q11_important_stock" -> (q11 _),
+    "q_tpch_q16_supplier_cnt"   -> (q16 _),
+    "q_tpch_q20_promotion"      -> (q20 _),
     "q_tpch_q4_priority_exists" -> (q4 _),
     "q_tpch_q6_forecast"        -> (q6 _),
     "q_tpch_q7_volume_shipping" -> (q7 _),
@@ -320,6 +463,84 @@ object TpchQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_tpch_q2_min_cost_supp" ->
+      """WITH offer AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS ps_cost_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_cents,
+        |       s_name, n_name, p_partkey, p_name, ps_cost_cents
+        |FROM part
+        |JOIN offer ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'SMALL' AND r_name = 'ASIA'
+        |  AND ps_cost_cents = (
+        |    SELECT MIN(o2.ps_cost_cents)
+        |    FROM offer o2
+        |    JOIN supplier s2 ON s2.s_suppkey = o2.ps_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        |    WHERE o2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |    - CAST(ROUND(p_retailprice*100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |    AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q_tpch_q11_important_stock" ->
+      """WITH natval AS (
+        |  SELECT l_partkey, CAST(SUM(ROUND(l_extendedprice*100)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY l_partkey
+        |)
+        |SELECT l_partkey AS ps_partkey, value_cents
+        |FROM natval
+        |WHERE value_cents * (SELECT COUNT(*) FROM natval)
+        |      > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM natval)
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+    "q_tpch_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20_promotion" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1','NATION_2','NATION_3')
+        |  AND s_suppkey IN (
+        |    SELECT l1.l_suppkey
+        |    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |    WHERE p_name LIKE '%widget%'
+        |      AND l1.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND l1.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    GROUP BY l1.l_suppkey, l1.l_partkey
+        |    HAVING 10 * SUM(CAST(l1.l_quantity AS BIGINT)) > 3 * (
+        |      SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+        |      FROM lineitem l2
+        |      WHERE l2.l_partkey = l1.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |        AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin,
     "q_tpch_q4_priority_exists" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders

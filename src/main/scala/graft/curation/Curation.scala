@@ -394,6 +394,56 @@ object Curation {
           expr("(n_ngrams - n_common) * 1000000 DIV n_ngrams")))
   }
 
+  /** Statistical bigram-LM quality score (CC-Net-style LM filtering with
+    * the corpus itself as the model): train bigram conditional
+    * probabilities on the corpus, then score each document by the mean
+    * conditional probability of its bigram instances. Low scores mark
+    * improbable token sequences (garbled text, wrong-language fragments);
+    * rank/threshold on `lm_avg_ppm` to filter.
+    *
+    * Exact-integer contract: each bigram's conditional probability is
+    * `(1e6 * c(w1 w2)) div c_prefix(w1)` (ppm; `c_prefix` counts w1's
+    * occurrences as a bigram prefix), a doc's `lm_score_sum` is the BIGINT
+    * sum over its instances, and `lm_avg_ppm` one final integer division —
+    * fully DuckDB-replayable (q_x_lm_score).
+    *
+    * Scale shape: the instance stream comes from the fused
+    * `word_ngrams_all_native` kernel (tokenize + n-gram in one codegen'd
+    * pass, multiplicity preserved); the model is two map-side-combined
+    * aggregations (bigram counts, then prefix counts over the MODEL table,
+    * not the corpus); scoring joins the vocab²-bounded model back to the
+    * instance stream — broadcast when it fits (the default; a 31-word toy
+    * vocab here, ≲10⁷ rows for real subword vocabs), hash join otherwise.
+    */
+  def lmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      broadcastModel: Boolean = true
+  ): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(graft.functions.TextNativeExpressions
+        .word_ngrams_all_native(col(textCol), 2)).as("__bg"))
+    val bg = grams.groupBy("__bg").agg(count(lit(1)).as("__c2"))
+    val pref = bg
+      .groupBy(substring_index(col("__bg"), " ", 1).as("__w1"))
+      .agg(sum("__c2").as("__c1"))
+    val model = bg
+      .join(pref, substring_index(col("__bg"), " ", 1) === col("__w1"))
+      .select(col("__bg"), expr("(1000000 * __c2) DIV __c1").as("__p_ppm"))
+    val m = if (broadcastModel) broadcast(model) else model
+    grams
+      .join(m, "__bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__p_ppm").as("lm_score_sum"))
+      .join(df.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score_sum"))
+      .withColumn("lm_avg_ppm",
+        when(col("n_bigrams") > 0, expr("lm_score_sum DIV n_bigrams")))
+  }
+
   def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val hashed = df.withColumn("__shuffle_h",
       conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),

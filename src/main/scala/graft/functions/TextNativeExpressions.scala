@@ -175,6 +175,39 @@ object TextNative {
     new GenericArrayData(out)
   }
 
+  /** All word n-grams WITH multiplicity (no dedup) — the instance stream
+    * LM scoring consumes (every bigram occurrence contributes its
+    * conditional probability once). Same fused tokenize pass as
+    * [[wordNgramsDistinct]].
+    */
+  def wordNgramsAll(s: UTF8String, n: Int): ArrayData = {
+    val str  = s.toString
+    val toks = new java.util.ArrayList[String]()
+    val sb   = new java.lang.StringBuilder
+    var i    = 0
+    val len  = str.length
+    while (i < len) {
+      val c = str.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) toks.add(sb.toString)
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val b = new java.lang.StringBuilder(toks.get(j))
+      var k = 1
+      while (k < n) { b.append(' '); b.append(toks.get(j + k)); k += 1 }
+      out(j) = UTF8String.fromString(b.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One pass over the (hashed, non-null) shingle array computing all k
     * universal-hash minima. Empty input → array of P (matches
     * `array_min(transform([]))` = null? No — the composed form yields null
@@ -279,6 +312,35 @@ case class WordNgramsNative(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordNgramsNative = copy(child = c)
 }
 
+/** text → ALL word n-grams with multiplicity (the LM-scoring instance
+  * stream), tokenization fused like [[WordNgramsNative]]. NULL text →
+  * empty array (never-null output).
+  */
+case class WordNgramsAllNative(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngrams_all: n must be >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) TextNative.EmptyStringArray
+    else TextNative.wordNgramsAll(v.asInstanceOf[UTF8String], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        ArrayData ${ev.value} = ${childGen.isNull}
+          ? graft.functions.TextNative.EmptyStringArray()
+          : graft.functions.TextNative.wordNgramsAll(${childGen.value}, $n);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): WordNgramsAllNative = copy(child = c)
+}
+
 case class SimhashNative(child: Expression, bits: Int = 32) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any): Any =
@@ -318,6 +380,9 @@ object TextNativeExpressions {
 
   def word_ngrams_native(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgramsNative(ColumnBridge.expression(text), n))
+
+  def word_ngrams_all_native(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsAllNative(ColumnBridge.expression(text), n))
 
   def simhash_native(hashedTokens: Column, bits: Int = 32): Column =
     ColumnBridge.column(SimhashNative(ColumnBridge.expression(hashedTokens), bits))

@@ -138,6 +138,46 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("native word_ngrams_all preserves multiplicity and order") {
+    import graft.functions.TextNativeExpressions.word_ngrams_all_native
+    val df = Seq(
+      (1L, "a b a b a"),
+      (2L, "one"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, " x\t y \n x  y ")
+    ).toDF("id", "text")
+    val out = df.select($"id", word_ngrams_all_native($"text", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    out(1L) shouldBe Seq("a b", "b a", "a b", "b a") // repeats KEPT, in order
+    out(2L) shouldBe Seq.empty
+    out(3L) shouldBe Seq.empty
+    out(4L) shouldBe Seq.empty
+    out(5L) shouldBe Seq("x y", "y x", "x y")
+  }
+
+  test("lmScore: exact ppm conditional probabilities, short docs NULL") {
+    val docs = Seq(
+      (1L, "a b"),       // bigrams: "a b"
+      (2L, "a b a c"),   // "a b", "b a", "a c"
+      (3L, "c"),         // no bigrams
+      (4L, "b a")        // "b a"
+    ).toDF("doc_id", "text")
+    // corpus bigram counts: "a b"=2, "b a"=2, "a c"=1
+    // prefix counts: a -> 3 ("a b"x2 + "a c"), b -> 2 ("b a"x2)
+    // ppm: p(b|a) = 2000000/3 = 666666, p(a|b) = 2000000/2 = 1000000,
+    //      p(c|a) = 1000000/3 = 333333
+    val out = Curation.lmScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    out(1L) shouldBe ((1L, Some(666666L), Some(666666L)))
+    out(2L) shouldBe ((3L, Some(666666L + 1000000L + 333333L), Some(1999999L / 3)))
+    out(3L) shouldBe ((0L, None, None))
+    out(4L) shouldBe ((1L, Some(1000000L), Some(1000000L)))
+  }
+
   test("decontaminateNgram drops above-threshold overlap and reports exact counts") {
     val train = Seq(
       (1L, "a b c d e f"),   // 3-grams: abc bcd cde def → 2 shared (abc, bcd)
