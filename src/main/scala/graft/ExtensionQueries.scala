@@ -150,6 +150,15 @@ object ExtensionQueries {
     graft.curation.Curation.noveltyScore(
       T(s, dir).documents, "doc_id", "text", n = 3, minDf = 2)
 
+  /** Span-level exact-substring dedup (Lee et al. masking): tokens covered
+    * by any word 4-gram occurring >= 2 times corpus-wide are removed; the
+    * oracle replays occurrence positions, duplicated-gram detection,
+    * covered-position closure, and text reassembly on the raw text.
+    */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Curation.maskDuplicateSpans(
+      T(s, dir).documents, "doc_id", "text", n = 4, minCount = 2)
+
   /** Corpus-trained bigram-LM quality score: mean conditional probability
     * (ppm, exact integer division) of each document's bigram instances —
     * the CC-Net-style statistical LM filter. Oracle replays the bigram /
@@ -750,6 +759,7 @@ object ExtensionQueries {
     "q_x_quality_score"   -> (qQualityScore _),
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_novelty_score"   -> (qNoveltyScore _),
+    "q_x_span_dedup"      -> (qSpanDedup _),
     "q_x_lm_score"        -> (qLmScore _),
     "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
@@ -997,6 +1007,34 @@ object ExtensionQueries {
            |       THEN ((p.n_ngrams - p.n_common) * 1000000) // p.n_ngrams
            |  END AS novelty_ppm
            |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
+      // 4-gram occurrences WITH position (1-based here, 0-based in Spark —
+      // positions never leave either engine) -> grams seen >= 2 times
+      // corpus-wide -> covered token positions -> reassemble kept tokens;
+      // docs where everything was masked keep a row with clean_text = ''
+      "q_x_span_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $DTOKS AS toks FROM documents),
+           |occ AS (SELECT doc_id, unnest(
+           |          [{'p': i, 'g': array_to_string(toks[i:i+3], ' ')}
+           |           for i in generate_series(1, len(toks)-3)],
+           |          recursive := true) FROM t),
+           |dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+           |cov AS (SELECT DISTINCT doc_id, pos FROM (
+           |          SELECT doc_id, unnest(generate_series(p, p+3)) AS pos
+           |          FROM occ JOIN dup USING (g))),
+           |tok AS (SELECT doc_id, unnest(
+           |          [{'p': i, 'w': toks[i]}
+           |           for i in generate_series(1, len(toks))],
+           |          recursive := true) FROM t),
+           |kept AS (SELECT tok.doc_id, p, w
+           |         FROM tok LEFT JOIN cov
+           |           ON tok.doc_id = cov.doc_id AND tok.p = cov.pos
+           |         WHERE cov.pos IS NULL),
+           |r AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS clean_text,
+           |        count(*) AS n_kept FROM kept GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_masked
+           |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
       // bigram instances (WITH multiplicity) -> bigram counts -> prefix
       // counts -> per-instance conditional ppm -> per-doc sum + avg;
       // docs with < 2 tokens have no bigrams: count 0, sums NULL

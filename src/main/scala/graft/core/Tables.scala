@@ -21,20 +21,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is Parquet TIMESTAMP(NANOS) → read as Long and truncated to
-    * microseconds with integer division (ns values ~1.7e18 exceed double
-    * precision — `div`, not `/`).
+  /** events.ts has shipped as BOTH Parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations — the loader normalizes
+    * either to TIMESTAMP_NTZ by inspecting the read schema:
     *
-    * Robust against sessions NOT built by GraftSession: the nanosAsLong
-    * conf is (re)applied at read time, and the NTZ construction goes
-    * through `timestampadd` on an NTZ epoch literal — timezone-independent,
-    * unlike `timestamp_micros(...).cast(ntz)` which would shift by the
-    * session offset on a non-UTC session.
+    *  - NANOS (surfaces as Long under the nanosAsLong conf, (re)applied at
+    *    read time for sessions NOT built by GraftSession): truncated to
+    *    microseconds with integer division (ns values ~1.7e18 exceed double
+    *    precision — `div`, not `/`) and rebuilt via `timestampadd` on an
+    *    NTZ epoch literal — timezone-independent, unlike
+    *    `timestamp_micros(...).cast(ntz)` which would shift by the session
+    *    offset on a non-UTC session.
+    *  - MICROS without timezone: already read as TIMESTAMP_NTZ
+    *    (inferTimestampNTZ) — passed through; any other surfacing is cast.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      case org.apache.spark.sql.types.TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

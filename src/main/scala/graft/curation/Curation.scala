@@ -444,6 +444,74 @@ object Curation {
         when(col("n_bigrams") > 0, expr("lm_score_sum DIV n_bigrams")))
   }
 
+  /** Span-level exact-substring dedup (the "dedup inside documents" pass of
+    * Lee et al., <i>Deduplicating Training Data Makes Language Models
+    * Better</i>): any word `n`-gram occurring at least `minCount` times
+    * across the corpus (including repeats WITHIN one document) marks every
+    * token it covers, and marked tokens are removed from the document.
+    * Document-level dedup (minhash/simhash/exact fingerprint) misses
+    * boilerplate repeated inside otherwise-unique pages — headers, license
+    * blocks, navigation chrome; this operator removes exactly those spans
+    * while keeping the unique remainder.
+    *
+    * Output: one row per input document — id, `clean_text` (kept tokens
+    * re-joined with single spaces; `''` when everything was masked),
+    * `n_tokens` (pre-mask), `n_masked`. Documents shorter than `n` tokens
+    * have no n-grams and pass through unmasked.
+    *
+    * Scale shape: the occurrence stream is the fused
+    * `word_ngrams_all_native` kernel (tokenize + n-gram in one codegen'd
+    * pass; position = array index, so posexplode carries the span start for
+    * free); duplicated-gram detection is one map-side-combined count keyed
+    * on the gram; the join back is keyed on the gram (hash join — the
+    * duplicated-gram set is corpus-sized in the worst case, so no broadcast
+    * hint); covered positions explode to ≤ n rows per occurrence and
+    * distinct/reassembly shuffles are keyed on the doc id. Nothing is
+    * quadratic and no state touches the driver. (At 100 TB, key the gram
+    * join on a 64-bit gram hash instead of the string — same plan shape;
+    * strings keep the operator DuckDB-replayable here.)
+    */
+  def maskDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minCount: Int = 2
+  ): DataFrame = {
+    require(n >= 1, s"maskDuplicateSpans: n must be >= 1, got $n")
+    require(minCount >= 2, s"maskDuplicateSpans: minCount must be >= 2, got $minCount")
+    val toks = df.select(col(idCol),
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val occ = df.select(col(idCol),
+      posexplode(graft.functions.TextNativeExpressions
+        .word_ngrams_all_native(col(textCol), n)).as(Seq("__gpos", "__ng")))
+    val dupGrams = occ
+      .groupBy("__ng").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select("__ng")
+    val covered = occ
+      .join(dupGrams, "__ng")
+      .select(col(idCol),
+        explode(sequence(col("__gpos"), col("__gpos") + lit(n - 1))).as("__pos"))
+      .distinct()
+    val perDoc = toks
+      .join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok"))).as("clean_text"),
+        count(col("__tok")).as("__n_kept"))
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_masked"))
+  }
+
   def shuffleDeterministic(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val hashed = df.withColumn("__shuffle_h",
       conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))),

@@ -232,4 +232,39 @@ class CurationSpec extends SparkSpecBase {
     Curation.keepTopFraction(df, $"score", $"id", fracBp = 10000)
       .count() shouldBe 100L
   }
+
+  test("maskDuplicateSpans removes corpus-duplicated n-gram spans, keeps unique text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over unique alpha"),
+      (2L, "start pad the quick brown fox jumps elsewhere"),
+      (3L, "totally distinct words nothing shared here at all"),
+      (4L, "tiny doc"), // < n tokens: no n-grams, untouched
+      (5L, "rep rep rep rep rep rep rep rep") // in-doc repetition masks itself
+    ).toDF("doc_id", "text")
+    val out = Curation.maskDuplicateSpans(df, "doc_id", "text", n = 4, minCount = 2)
+      .select("doc_id", "clean_text", "n_tokens", "n_masked")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+
+    // "the quick brown fox jumps" (5 tokens) is the shared run: its two
+    // 4-grams each occur twice corpus-wide, so exactly those 5 tokens are
+    // masked in doc 1 and doc 2; surrounding unique tokens survive.
+    out(0) shouldBe ((1L, "over unique alpha", 8L, 5L))
+    out(1) shouldBe ((2L, "start pad elsewhere", 8L, 5L))
+    out(2) shouldBe ((3L, "totally distinct words nothing shared here at all", 8L, 0L))
+    out(3) shouldBe ((4L, "tiny doc", 2L, 0L))
+    // "rep"x8: every 4-gram is the same gram, 5 occurrences → all covered
+    out(4) shouldBe ((5L, "", 8L, 8L))
+  }
+
+  test("maskDuplicateSpans: clean corpus (no duplicated grams) is identity") {
+    val df = Seq(
+      (1L, "one two three four five"),
+      (2L, "six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Curation.maskDuplicateSpans(df, "doc_id", "text", n = 3, minCount = 2)
+      .select("doc_id", "clean_text", "n_masked")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, "one two three four five", 0L))
+    out(1) shouldBe ((2L, "six seven eight nine ten", 0L))
+  }
 }
