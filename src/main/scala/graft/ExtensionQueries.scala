@@ -150,6 +150,20 @@ object ExtensionQueries {
     graft.curation.Curation.noveltyScore(
       T(s, dir).documents, "doc_id", "text", n = 3, minDf = 2)
 
+  /** EXACT heavy hitters over $1000 price buckets (exact-cents integer
+    * division), k=400: a bounded frequent-items sketch pass proposes
+    * candidates, an exact recount of only the candidates keeps
+    * `cnt * k > n`. The oracle is the plain exact GROUP BY ... HAVING the
+    * operator provably equals — regardless of which extra candidates the
+    * sketch kept.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val buckets = T(s, dir).orders.select(
+      expr("CAST(ROUND(o_totalprice * 100e0) AS BIGINT) DIV 100000")
+        .as("price_bucket"))
+    graft.operators.HeavyHitters.exactHeavyHitters(buckets, "price_bucket", k = 400)
+  }
+
   /** Span-level exact-substring dedup (Lee et al. masking): tokens covered
     * by any word 4-gram occurring >= 2 times corpus-wide are removed; the
     * oracle replays occurrence positions, duplicated-gram detection,
@@ -760,6 +774,7 @@ object ExtensionQueries {
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_novelty_score"   -> (qNoveltyScore _),
     "q_x_span_dedup"      -> (qSpanDedup _),
+    "q_x_heavy_hitters"   -> (qHeavyHitters _),
     "q_x_lm_score"        -> (qLmScore _),
     "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
@@ -1007,6 +1022,14 @@ object ExtensionQueries {
            |       THEN ((p.n_ngrams - p.n_common) * 1000000) // p.n_ngrams
            |  END AS novelty_ppm
            |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
+      // the sketch's false positives die in the exact recount, so the
+      // operator equals this plain exact GROUP BY ... HAVING
+      "q_x_heavy_hitters" ->
+        """SELECT (ROUND(o_totalprice * 100))::BIGINT // 100000 AS price_bucket,
+          |  CAST(count(*) AS BIGINT) AS cnt,
+          |  (SELECT count(*) FROM orders) AS n_total
+          |FROM orders GROUP BY 1
+          |HAVING count(*) * 400 > (SELECT count(*) FROM orders)""".stripMargin,
       // 4-gram occurrences WITH position (1-based here, 0-based in Spark —
       // positions never leave either engine) -> grams seen >= 2 times
       // corpus-wide -> covered token positions -> reassemble kept tokens;

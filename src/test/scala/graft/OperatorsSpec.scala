@@ -443,4 +443,47 @@ class OperatorsSpec extends SparkSpecBase {
         Seq((1L, 2L)).toDF("a", "x"),
         Seq((1L, 0L, 5L)).toDF("a", "lo", "hi"), "x", "lo", "hi", 10L)
   }
+
+  test("exactHeavyHitters equals the exact GROUP BY, independent of partitioning") {
+    import graft.operators.HeavyHitters
+    // 1000 rows: key 1 -> 300, key 2 -> 150, keys 3..552 -> 1 each
+    val rows = Seq.fill(300)(1L) ++ Seq.fill(150)(2L) ++ (3L to 552L)
+    val expected = Map(1L -> 300L, 2L -> 150L) // k = 8: threshold n/k = 125
+    for (parts <- Seq(1, 3, 13)) {
+      val df = spark.createDataset(rows)(org.apache.spark.sql.Encoders.scalaLong)
+        .repartition(parts).toDF("k")
+      val got = HeavyHitters.exactHeavyHitters(df, "k", 8)
+        .select("k", "cnt").as[(Long, Long)].collect().toMap
+      got shouldBe expected
+    }
+  }
+
+  test("exactHeavyHitters: strict threshold and empty result on uniform data") {
+    import graft.operators.HeavyHitters
+    // key exactly AT n/k is NOT a heavy hitter (strict >)
+    val atThreshold = Seq.fill(25)(1L) ++ (100L until 175L) // n=100, k=4 -> n/k=25
+    val df1 = atThreshold.toDF("k")
+    HeavyHitters.exactHeavyHitters(df1, "k", 4).count() shouldBe 0L
+    // uniform data beyond sketch resolution: empty, not an error
+    val uniform = (1L to 500L).toDF("k")
+    HeavyHitters.exactHeavyHitters(uniform, "k", 10).count() shouldBe 0L
+    // n_total rides along
+    val df2 = (Seq.fill(60)(7L) ++ (101L to 140L)).toDF("k")
+    val r = HeavyHitters.exactHeavyHitters(df2, "k", 2)
+      .select("k", "cnt", "n_total").as[(Long, Long, Long)].collect()
+    r shouldBe Array((7L, 60L, 100L))
+  }
+
+  test("heavyHittersPerGroup: dominant key per group with exact group shares") {
+    import graft.operators.HeavyHitters
+    val rows = Seq.fill(80)(("a", 1L)) ++ Seq.fill(20)(("a", 2L)) ++
+      Seq.fill(30)(("b", 2L)) ++ (1L to 10L).map(i => ("b", 100L + i))
+    val df = rows.toDF("g", "k").repartition(5)
+    val got = HeavyHitters.heavyHittersPerGroup(df, "g", "k", 3)
+      .select("g", "k", "cnt", "n_group").as[(String, Long, Long, Long)]
+      .collect().toSet
+    // group a (n=100, n/3=33.3): key 1 (80) qualifies, key 2 (20) does not
+    // group b (n=40, n/3=13.3): key 2 (30) qualifies
+    got shouldBe Set(("a", 1L, 80L, 100L), ("b", 2L, 30L, 40L))
+  }
 }
