@@ -142,6 +142,30 @@ object ExtensionQueries {
       .drop("file")
   }
 
+  /** Bloom-index point lookups END-TO-END: write lineitem hash-bucketed on
+    * l_partkey into 8 files, build the per-file Bloom skipping index, then
+    * answer equality probes (three present keys + one absent) reading ONLY
+    * the files the index admits. The oracle full-scans the SAME written
+    * files, so any false negative (a pruned file that held the key) would
+    * hash-mismatch; the pruning-actually-happens half lives in
+    * BloomIndexSpec.
+    */
+  private def qBloomIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/bloom_lineitem"
+    T(s, dir).lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .repartition(8, col("l_partkey"))
+      .write.mode("overwrite").parquet(path)
+    val idx = graft.gold.BloomIndex.build(s, path, "l_partkey")
+    val probes = Seq(1L, 42L, 137L, 99999999L)
+    probes.map { v =>
+      graft.gold.BloomIndex.prunedRead(s, idx, lit(v))
+        .filter(col("l_partkey") === v)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * 100)).cast("long").as("revenue_cents"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Corpus-wide trigram novelty (boilerplate detection): per document,
     * distinct word 3-grams, how many occur in >= 2 documents, and the
     * exact-integer novelty ppm.
@@ -775,6 +799,7 @@ object ExtensionQueries {
     "q_x_novelty_score"   -> (qNoveltyScore _),
     "q_x_span_dedup"      -> (qSpanDedup _),
     "q_x_heavy_hitters"   -> (qHeavyHitters _),
+    "q_x_bloom_index"     -> (qBloomIndex _),
     "q_x_lm_score"        -> (qLmScore _),
     "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
@@ -1022,6 +1047,17 @@ object ExtensionQueries {
            |       THEN ((p.n_ngrams - p.n_common) * 1000000) // p.n_ngrams
            |  END AS novelty_ppm
            |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
+      // full-scans the files the Spark side just wrote and answered via
+      // Bloom-pruned reads — a false negative in the index would show up
+      // as a count/revenue mismatch; the absent probe yields no group in
+      // either engine
+      "q_x_bloom_index" ->
+        """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum((round(l_extendedprice * 100))::BIGINT) AS BIGINT)
+          |    AS revenue_cents
+          |FROM read_parquet('/tmp/graft_roundtrip/bloom_lineitem/*.parquet')
+          |WHERE l_partkey IN (1, 42, 137, 99999999)
+          |GROUP BY 1""".stripMargin,
       // the sketch's false positives die in the exact recount, so the
       // operator equals this plain exact GROUP BY ... HAVING
       "q_x_heavy_hitters" ->
