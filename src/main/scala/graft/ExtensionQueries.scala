@@ -339,6 +339,15 @@ object ExtensionQueries {
     NearDup.dedupClusters(T(s, dir).documents, "doc_id", "text",
       minJaccard = 0.8)
 
+  /** Leakage-safe split: the hash split is keyed on the LSH dedup
+    * cluster's canonical id, so near-duplicates can never straddle
+    * train/test. Oracle = the cluster closure (same CTEs as
+    * q_x_dedup_clusters_lsh) + the md5 split bucket on canonical_id.
+    */
+  private def qSplitByCluster(s: SparkSession, dir: String): DataFrame =
+    NearDup.leakageSafeSplit(T(s, dir).documents, "doc_id", "text",
+      valBp = 1000, testBp = 1000)
+
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashLshPairs(T(s, dir).documents, "doc_id", "text")
 
@@ -814,6 +823,7 @@ object ExtensionQueries {
     "q_x_allpairs_jaccard" -> (qAllPairsJaccard _),
     "q_x_dedup_clusters"  -> (qDedupClusters _),
     "q_x_dedup_clusters_lsh" -> (qDedupClustersLsh _),
+    "q_x_split_by_cluster" -> (qSplitByCluster _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
     "q_x_dedup_incremental" -> (qDedupIncremental _),
     "q_x_minhash_lsh_fast" -> (qMinhashLshFast _),
@@ -874,6 +884,41 @@ object ExtensionQueries {
       s"SELECT doc_id, $bnd AS band_idx, array_to_string(sg[${bnd * 4 + 1}:${bnd * 4 + 4}], '-') AS band_key FROM $sigCte"
     }.mkString("\n  UNION ALL ")
     val bandSelects = bandSelectsFrom("sig")
+
+    // Banded-LSH candidates -> verified pairs -> recursive transitive
+    // closure -> components + sizes. Shared by every oracle that consumes
+    // the production dedup clustering (q_x_dedup_clusters_lsh,
+    // q_x_split_by_cluster).
+    val lshClusterClosureCtes =
+      s"""WITH RECURSIVE
+         |sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
+         |hm AS (SELECT doc_id, s,
+         |  [x % ${NearDup.P} for x in s] AS hv FROM sh),
+         |sig AS (SELECT doc_id, [
+         |    $sigExprs
+         |  ] AS sg FROM hm),
+         |bands AS ($bandSelects),
+         |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bcnt
+         |          FROM bands),
+         |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         |  FROM sized x JOIN sized y
+         |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |  WHERE x.bcnt <= ${NearDup.DefaultMaxBucketSize}),
+         |pairs AS (SELECT da, db
+         |  FROM cand JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db
+         |  WHERE len(a.s) + len(b.s) > 0
+         |    AND len(list_intersect(a.s, b.s)) * 1.0
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |edges AS (SELECT da AS a, db AS b FROM pairs
+         |          UNION ALL SELECT db, da FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a
+         |),
+         |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+         |sizes AS (SELECT canonical_id, count(*) AS cluster_size
+         |          FROM comp GROUP BY 1)""".stripMargin
 
     val qv  = "[CAST(round(CAST(x AS DOUBLE)*100000) AS BIGINT) for x in embedding]"
     // sign-hyperplane LSH bucket over `qv` (6 bits), generated from the SAME
@@ -1220,39 +1265,25 @@ object ExtensionQueries {
       // q_x_minhash_lsh (identical signature constants + bucket cap), pairs
       // verified at J >= 0.8, then the recursive transitive closure.
       "q_x_dedup_clusters_lsh" ->
-        s"""WITH RECURSIVE
-           |sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
-           |hm AS (SELECT doc_id, s,
-           |  [x % ${NearDup.P} for x in s] AS hv FROM sh),
-           |sig AS (SELECT doc_id, [
-           |    $sigExprs
-           |  ] AS sg FROM hm),
-           |bands AS ($bandSelects),
-           |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bcnt
-           |          FROM bands),
-           |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-           |  FROM sized x JOIN sized y
-           |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-           |  WHERE x.bcnt <= ${NearDup.DefaultMaxBucketSize}),
-           |pairs AS (SELECT da, db
-           |  FROM cand JOIN sh a ON a.doc_id = da JOIN sh b ON b.doc_id = db
-           |  WHERE len(a.s) + len(b.s) > 0
-           |    AND len(list_intersect(a.s, b.s)) * 1.0
-           |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-           |edges AS (SELECT da AS a, db AS b FROM pairs
-           |          UNION ALL SELECT db, da FROM pairs),
-           |reach AS (
-           |  SELECT doc_id AS id, doc_id AS r FROM documents
-           |  UNION
-           |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON reach.id = e.a
-           |),
-           |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
-           |sizes AS (SELECT canonical_id, count(*) AS cluster_size
-           |          FROM comp GROUP BY 1)
+        s"""$lshClusterClosureCtes
            |SELECT comp.id AS doc_id, comp.canonical_id,
            |  CAST(sizes.cluster_size AS INTEGER) AS cluster_size,
            |  comp.id = comp.canonical_id AS is_canonical
            |FROM comp JOIN sizes USING (canonical_id)""".stripMargin,
+      // The SAME cluster closure, with the deterministic md5 split bucket
+      // keyed on canonical_id — near-dups provably share a split.
+      "q_x_split_by_cluster" ->
+        s"""$lshClusterClosureCtes
+           |SELECT comp.id AS doc_id, comp.canonical_id,
+           |  CAST(sizes.cluster_size AS INTEGER) AS cluster_size,
+           |  CASE WHEN b < 1000 THEN 'val'
+           |       WHEN b < 2000 THEN 'test'
+           |       ELSE 'train' END AS split
+           |FROM comp JOIN sizes USING (canonical_id)
+           |JOIN (SELECT id AS bid,
+           |        ('0x' || substr(md5(canonical_id::VARCHAR || 'split'), 1, 12))::BIGINT
+           |          % 10000 AS b
+           |      FROM comp) bk ON comp.id = bk.bid""".stripMargin,
       "q_x_minhash_lsh" ->
         s"""WITH sh AS (SELECT doc_id, $DHSHINGLES AS s FROM documents),
            |hm AS (SELECT doc_id, s,

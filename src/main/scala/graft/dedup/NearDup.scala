@@ -376,6 +376,36 @@ object NearDup {
         (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** Leakage-safe train/val/test split: the split decision is made on the
+    * near-duplicate CLUSTER, not the document — every member of a cluster
+    * lands in the same split, so a template shared by two pages can never
+    * sit in train AND test at once (the benchmark-contamination failure
+    * mode document-keyed splitting invites; Lee et al. measure the
+    * resulting eval inflation). Composition of [[dedupClusters]] (LSH
+    * pairs → connected components → canonical id) with the deterministic
+    * hash split keyed on `canonical_id`.
+    *
+    * Output: (idCol, canonical_id, cluster_size, split). Scale shape: the
+    * clustering dominates (see [[dedupClusters]]); the split itself is a
+    * stateless per-row hash gate.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      valBp: Int,
+      testBp: Int,
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      pairSource: PairSource = PairSource.MinHashLsh()
+  ): DataFrame = {
+    val clusters = dedupClusters(df, idCol, textCol, n, minJaccard,
+      pairSource = pairSource)
+    graft.sampling.DeterministicSampling.split(
+      clusters.select(col(idCol), col("canonical_id"), col("cluster_size")),
+      col("canonical_id"), valBp, testBp)
+  }
+
   // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------

@@ -310,4 +310,33 @@ class TextAndDedupSpec extends SparkSpecBase {
     pairs.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
     pairs.head._3 shouldBe 1.0
   }
+
+  test("leakageSafeSplit: every cluster member shares one split; singletons still split by hash") {
+    val dup = "the exact same boilerplate template text repeated across many mirror pages here"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup + " tail"),
+      (4L, "completely unrelated document about alpha beta gamma delta"),
+      (5L, "another disjoint text with its own private vocabulary entirely")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.NearDup.leakageSafeSplit(
+      docs, "doc_id", "text", valBp = 3000, testBp = 3000)
+      .select("doc_id", "canonical_id", "cluster_size", "split")
+      .as[(Long, Long, Int, String)].collect()
+    out.length shouldBe 5
+    // one split value per cluster — the leakage guarantee
+    out.groupBy(_._2).foreach { case (_, members) =>
+      members.map(_._4).distinct.length shouldBe 1
+    }
+    // docs 1-3 cluster together (identical/near-identical), 4 and 5 are singletons
+    val c1 = out.filter(r => Set(1L, 2L).contains(r._1)).map(_._2).distinct
+    c1.length shouldBe 1
+    out.filter(_._1 == 4L).head._3 shouldBe 1
+    // the split is the canonical-keyed hash, so it equals split() on canonical_id
+    val expected = graft.sampling.DeterministicSampling.split(
+      out.toSeq.toDF("doc_id", "canonical_id", "cluster_size", "split_got")
+        .drop("split_got"),
+      col("canonical_id"), valBp = 3000, testBp = 3000)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.foreach(r => r._4 shouldBe expected(r._1))
+  }
 }
