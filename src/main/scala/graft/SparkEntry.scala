@@ -960,6 +960,23 @@ object SparkEntry {
     * snapshots (= the clean base tables), so the gate checks the
     * maintenance identity `merge(V, ΔA, ΔB) == A' ⋈ B'` end-to-end.
     */
+  /** Exact-integer floor PageRank, 2 iterations, over the customer →
+    * supplier purchase graph (supplier node ids offset by 1e6 to keep the
+    * key spaces disjoint). The oracle replays BOTH iterations in DuckDB
+    * CTEs — same base rank, same floor divisions, same ppm damping — so
+    * the full iterative dataflow is pinned, not just the final shape.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+      .distinct()
+    graft.operators.PageRank.ranks(edges, iterations = 2)
+  }
+
   private def qIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
     val t = T(s, dir)
     val oNew = t.orders.select(
@@ -1138,6 +1155,7 @@ object SparkEntry {
     "q_o_snapshot_apply"     -> (qSnapshotApply _),
     "q_o_incr_agg"           -> (qIncrementalAgg _),
     "q_o_incr_join"          -> (qIncrementalJoin _),
+    "q_o_pagerank"           -> (qPageRank _),
     "q_o_bloom_semi"         -> (qBloomSemi _),
     "q_o_bloom_anti"         -> (qBloomAnti _),
     "q_a9_percentiles"       -> (qPercentiles _),
@@ -1376,6 +1394,30 @@ object SparkEntry {
         |  MAX(CASE WHEN o_orderpriority = '1-URGENT'
         |           THEN CAST(o_orderdate AS DATE) END) AS last_urgent
         |FROM orders GROUP BY 1""".stripMargin,
+    // replays BOTH floor-PageRank iterations: same integer base rank,
+    // same per-edge floor division, same ppm damping update
+    "q_o_pagerank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |outd AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        |b AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+        |r0 AS (SELECT id, (SELECT base FROM b) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS id, sum(r0.r // outd.d) AS s
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN outd ON e.src = outd.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT nodes.id,
+        |         (150000 * (SELECT base FROM b) + 850000 * coalesce(c1.s, 0))
+        |           // 1000000 AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (SELECT e.dst AS id, sum(r1.r // outd.d) AS s
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN outd ON e.src = outd.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT nodes.id,
+        |         (150000 * (SELECT base FROM b) + 850000 * coalesce(c2.s, 0))
+        |           // 1000000 AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.id = c2.id)
+        |SELECT id, CAST(r AS BIGINT) AS r FROM r2""".stripMargin,
     "q_o_incr_join" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority,
         |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS o_total_cents,

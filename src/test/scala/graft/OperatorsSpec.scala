@@ -474,6 +474,24 @@ class OperatorsSpec extends SparkSpecBase {
     r shouldBe Array((7L, 60L, 100L))
   }
 
+  test("floor PageRank matches the hand computation; mass never grows") {
+    import graft.operators.PageRank
+    // nodes {1,2,3}; 1→2, 1→3, 2→3; scale 300 → base 100; damping 0.5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = PageRank.ranks(edges, iterations = 1,
+      dampingPpm = 500000L, scale = 300L)
+      .as[(Long, Long)].collect().toMap
+    // in-sums: 0 / 50 / (50+100); r' = (0.5·100 + 0.5·inSum) floored
+    r1 shouldBe Map(1L -> 50L, 2L -> 75L, 3L -> 125L)
+    val r2 = PageRank.ranks(edges, iterations = 2,
+      dampingPpm = 500000L, scale = 300L)
+      .as[(Long, Long)].collect().toMap
+    // iter2 in-sums: 0 / 25 / (25+75); node2: (50M+12.5M)÷1M floors to 62
+    r2 shouldBe Map(1L -> 50L, 2L -> 62L, 3L -> 100L)
+    // floor divisions only ever DROP mass (dangling node 3 + remainders)
+    r2.values.sum should be <= 300L
+  }
+
   test("heavyHittersPerGroup: dominant key per group with exact group shares") {
     import graft.operators.HeavyHitters
     val rows = Seq.fill(80)(("a", 1L)) ++ Seq.fill(20)(("a", 2L)) ++
