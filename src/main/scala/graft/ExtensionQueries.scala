@@ -142,6 +142,26 @@ object ExtensionQueries {
       .drop("file")
   }
 
+  /** Small-file compaction END-TO-END: write a 64-file fragmentation of
+    * lineitem, compact toward 8 MiB targets (tmp+rename atomic swap), then
+    * fingerprint the COMPACTED directory — file count via
+    * input_file_name ⟷ read_parquet(filename=true), content via exact
+    * cents. Both engines read the same published files, so a lost or
+    * duplicated row, a leftover tmp dir, or a file-count mismatch all
+    * hash-mismatch.
+    */
+  private def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/compact_lineitem"
+    T(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .repartition(64)
+      .write.mode("overwrite").parquet(path)
+    graft.gold.Compaction.compact(s, path, targetBytes = 8L * 1024 * 1024)
+    s.read.parquet(path)
+      .agg(countDistinct(col("_metadata.file_path")).as("n_files"),
+        count(lit(1)).as("cnt"),
+        sum(round(col("l_extendedprice") * 100)).cast("long").as("price_cents"))
+  }
+
   /** Bloom-index point lookups END-TO-END: write lineitem hash-bucketed on
     * l_partkey into 8 files, build the per-file Bloom skipping index, then
     * answer equality probes (three present keys + one absent) reading ONLY
@@ -347,6 +367,17 @@ object ExtensionQueries {
   private def qSplitByCluster(s: SparkSession, dir: String): DataFrame =
     NearDup.leakageSafeSplit(T(s, dir).documents, "doc_id", "text",
       valBp = 1000, testBp = 1000)
+
+  /** "Keep the best duplicate, not the lowest id": clusters from the
+    * production LSH pipeline, canonical re-elected as the max-`n_chars`
+    * member (ties → min id). Oracle = closure CTEs + a windowed argmax.
+    */
+  private def qDedupCanonicalQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val clusters = NearDup.dedupClusters(docs, "doc_id", "text", minJaccard = 0.8)
+    NearDup.electCanonicalBy(clusters, "doc_id",
+      docs.select(col("doc_id"), col("n_chars")), "n_chars")
+  }
 
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     NearDup.minhashLshPairs(T(s, dir).documents, "doc_id", "text")
@@ -809,6 +840,7 @@ object ExtensionQueries {
     "q_x_span_dedup"      -> (qSpanDedup _),
     "q_x_heavy_hitters"   -> (qHeavyHitters _),
     "q_x_bloom_index"     -> (qBloomIndex _),
+    "q_s15_compaction"    -> (qCompaction _),
     "q_x_lm_score"        -> (qLmScore _),
     "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
@@ -824,6 +856,7 @@ object ExtensionQueries {
     "q_x_dedup_clusters"  -> (qDedupClusters _),
     "q_x_dedup_clusters_lsh" -> (qDedupClustersLsh _),
     "q_x_split_by_cluster" -> (qSplitByCluster _),
+    "q_x_dedup_canonical_quality" -> (qDedupCanonicalQuality _),
     "q_x_minhash_lsh"     -> (qMinhashLsh _),
     "q_x_dedup_incremental" -> (qDedupIncremental _),
     "q_x_minhash_lsh_fast" -> (qMinhashLshFast _),
@@ -1092,6 +1125,15 @@ object ExtensionQueries {
            |       THEN ((p.n_ngrams - p.n_common) * 1000000) // p.n_ngrams
            |  END AS novelty_ppm
            |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
+      // reads the directory the compaction just published: file count and
+      // exact-cents content both pinned against the Spark-side read
+      "q_s15_compaction" ->
+        """SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+          |  CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum((round(l_extendedprice * 100))::BIGINT) AS BIGINT)
+          |    AS price_cents
+          |FROM read_parquet('/tmp/graft_roundtrip/compact_lineitem/*.parquet',
+          |                  filename = true)""".stripMargin,
       // full-scans the files the Spark side just wrote and answered via
       // Bloom-pruned reads — a false negative in the index would show up
       // as a count/revenue mismatch; the absent probe yields no group in
@@ -1270,6 +1312,21 @@ object ExtensionQueries {
            |  CAST(sizes.cluster_size AS INTEGER) AS cluster_size,
            |  comp.id = comp.canonical_id AS is_canonical
            |FROM comp JOIN sizes USING (canonical_id)""".stripMargin,
+      // closure CTEs + windowed argmax: canonical re-elected as the
+      // max-n_chars member, ties broken by min id
+      "q_x_dedup_canonical_quality" ->
+        s"""$lshClusterClosureCtes,
+           |e AS (SELECT comp.canonical_id, d.doc_id AS best_id,
+           |        d.n_chars AS best_score,
+           |        row_number() OVER (PARTITION BY comp.canonical_id
+           |          ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+           |      FROM comp JOIN documents d ON comp.id = d.doc_id)
+           |SELECT comp.id AS doc_id, comp.canonical_id AS cluster_id,
+           |  CAST(sizes.cluster_size AS INTEGER) AS cluster_size,
+           |  e.best_id AS canonical_id, e.best_score AS canonical_score,
+           |  comp.id = e.best_id AS is_canonical
+           |FROM comp JOIN sizes USING (canonical_id)
+           |JOIN e ON comp.canonical_id = e.canonical_id AND e.rn = 1""".stripMargin,
       // The SAME cluster closure, with the deterministic md5 split bucket
       // keyed on canonical_id — near-dups provably share a split.
       "q_x_split_by_cluster" ->

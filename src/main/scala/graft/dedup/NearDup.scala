@@ -376,6 +376,42 @@ object NearDup {
         (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** Re-elect each cluster's canonical under a QUALITY policy: "keep the
+    * best duplicate, not the lowest id". `scores` carries one row per
+    * document (`idCol`, `scoreCol`, integral for cross-engine exactness);
+    * within a cluster the canonical becomes the max-score member, ties
+    * broken by min id — totally ordered, so the election is deterministic.
+    *
+    * The cluster IDENTITY (the `canonical_id` the closure produced) is
+    * kept as `cluster_id`; only the representative changes. Scale shape:
+    * one join of the cluster table with the score table on the id, one
+    * map-side-combined `max_by`-style struct-max per cluster, one join
+    * back — all keyed shuffles, no windows.
+    */
+  def electCanonicalBy(
+      clusters: DataFrame,
+      idCol: String,
+      scores: DataFrame,
+      scoreCol: String
+  ): DataFrame = {
+    val scored = clusters.join(scores.select(col(idCol), col(scoreCol)), idCol)
+    // max over (score asc, id desc-by-negation) structs = (max score, min id)
+    val elect = scored
+      .groupBy(col("canonical_id").as("cluster_id"))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("__neg_id")))
+        .as("__best"))
+      .select(col("cluster_id"),
+        (-col("__best.__neg_id")).as("best_id"),
+        col(s"__best.$scoreCol").as("best_score"))
+    scored
+      .withColumnRenamed("canonical_id", "cluster_id")
+      .join(elect, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("best_id").as("canonical_id"),
+        col("best_score").as("canonical_score"),
+        (col(idCol) === col("best_id")).as("is_canonical"))
+  }
+
   /** Leakage-safe train/val/test split: the split decision is made on the
     * near-duplicate CLUSTER, not the document — every member of a cluster
     * lands in the same split, so a template shared by two pages can never

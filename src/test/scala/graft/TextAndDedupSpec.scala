@@ -311,6 +311,29 @@ class TextAndDedupSpec extends SparkSpecBase {
     pairs.head._3 shouldBe 1.0
   }
 
+  test("electCanonicalBy: canonical is the max-score member, ties to min id; singletons elect themselves") {
+    val dup = "identical boilerplate body shared by the mirror pages in this corpus"
+    val docs = Seq(
+      (10L, dup), (11L, dup), (12L, dup),
+      (20L, "a singleton document with entirely different private words")
+    ).toDF("doc_id", "text")
+    val clusters = graft.dedup.NearDup.dedupClusters(docs, "doc_id", "text")
+    // scores favor the HIGHEST id in the cluster, with a tie between 11 and 12
+    val scores = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 1L)).toDF("doc_id", "score")
+    val out = graft.dedup.NearDup.electCanonicalBy(clusters, "doc_id", scores, "score")
+      .select("doc_id", "cluster_id", "canonical_id", "canonical_score", "is_canonical")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // cluster {10,11,12}: max score 9 held by 11 and 12 → min id 11 wins
+    out.filter(_._2 == 10L).map(_._3).distinct shouldBe Array(11L)
+    out.filter(_._1 == 11L).head._5 shouldBe true
+    out.filter(_._1 == 12L).head._5 shouldBe false
+    out.filter(_._1 == 10L).head._4 shouldBe 9L
+    // singleton: canonical is itself with its own score
+    out.filter(_._1 == 20L).head should matchPattern {
+      case (20L, 20L, 20L, 1L, true) =>
+    }
+  }
+
   test("leakageSafeSplit: every cluster member shares one split; singletons still split by hash") {
     val dup = "the exact same boilerplate template text repeated across many mirror pages here"
     val docs = Seq(
