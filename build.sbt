@@ -38,4 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // "same code, 14x slower"; removing ergonomics-picked GC variance makes
   // per-query gc_ms in BENCH_FULL.json comparable across hosts.
   "-XX:+UseG1GC",
+  // A 159-query suite generates thousands of Janino classes; the JVM
+  // default 240m code cache fills, the sweeper starts evicting compiled
+  // methods, and a hot kernel silently reverts to the bytecode
+  // interpreter (the round-5 driver bench showed 25x cpu inflation on
+  // identical code). 512m keeps the whole suite's generated code resident.
+  "-XX:ReservedCodeCacheSize=512m",
 )

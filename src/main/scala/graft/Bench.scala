@@ -63,6 +63,11 @@ object Bench {
     }
     val cpu = new CpuListener
     spark.sparkContext.addSparkListener(cpu)
+    // Interpreted-fallback watchdog: a graft kernel silently dropping out
+    // of codegen is a 10-25x slowdown with no functional signal — exactly
+    // the round-5 driver-bench anomaly. Every executed plan is audited and
+    // error findings are counted into the bench artifact itself.
+    val watchdog = plans.CodegenAudit.attach(spark)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       resetPeaks()
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
@@ -95,6 +100,7 @@ object Bench {
       // per-REP failure isolation: rep k failing must not discard the k-1
       // completed runs (they ARE the distribution data for flaky queries);
       // a query is failed only when no rep succeeded
+      watchdog.current.set(name)
       val runs = (1 to reps).flatMap { i =>
         try {
           val r = once(fn)
@@ -142,7 +148,8 @@ object Bench {
     val baselineSec = best.collect {
       case (k, v) if v >= 0 && k.endsWith("_baseline") => v
     }.sum
-    val env = s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"cpus":$cpus,"reps":$reps"""
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    val env = s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"cpus":$cpus,"reps":$reps,"codegen_errors":${watchdog.errors.get()}"""
     // `failed` is explicit so a query that starts throwing can never read
     // as a speedup of the headline total.
     val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},$env,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""

@@ -29,15 +29,25 @@ object Verify {
     // silently zero every result). Control-char-safe JSON via Reports.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       runner.Reports.toJson(SparkEntry.oracleSql))
+    // Interpreted-fallback watchdog: audits every executed plan (via the
+    // QueryExecutionListener, so the write's own QueryExecution — the one
+    // that actually ran — is the one inspected) and prints a loud
+    // [codegen-audit] line if a graft kernel ran outside codegen.
+    val watchdog = plans.CodegenAudit.attach(spark)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
+      watchdog.current.set(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    if (watchdog.errors.get() > 0)
+      System.err.println(
+        s"[codegen-audit] TOTAL interpreted-kernel findings: ${watchdog.errors.get()}")
     spark.stop()
   }
 }

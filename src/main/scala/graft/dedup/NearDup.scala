@@ -395,14 +395,18 @@ object NearDup {
       scoreCol: String
   ): DataFrame = {
     val scored = clusters.join(scores.select(col(idCol), col(scoreCol)), idCol)
-    // max over (score asc, id desc-by-negation) structs = (max score, min id)
+    // min over (-score, id) structs = (max score, then MIN id) — the id
+    // rides in the struct un-negated, so the tiebreak is exact for ANY
+    // orderable id type (a string id under the old -col(id) negation was
+    // implicitly cast to double/null and misordered silently); only the
+    // score, documented integral, is negated.
     val elect = scored
       .groupBy(col("canonical_id").as("cluster_id"))
-      .agg(max(struct(col(scoreCol), (-col(idCol)).as("__neg_id")))
+      .agg(min(struct((-col(scoreCol)).as("__neg_score"), col(idCol).as("__id")))
         .as("__best"))
       .select(col("cluster_id"),
-        (-col("__best.__neg_id")).as("best_id"),
-        col(s"__best.$scoreCol").as("best_score"))
+        col("__best.__id").as("best_id"),
+        (-col("__best.__neg_score")).as("best_score"))
     scored
       .withColumnRenamed("canonical_id", "cluster_id")
       .join(elect, "cluster_id")

@@ -56,8 +56,13 @@ object BloomIndex {
       bits: Int = 8192,
       kHashes: Int = 5
   ): DataFrame = {
-    require(bits > 0 && (bits & (bits - 1)) == 0,
-      s"BloomIndex.build: bits must be a positive power of two, got $bits")
+    // bits >= 64, not just > 0: bits = 1 would make the double-hashing
+    // step divisor (bits - 1) zero — a pmod-by-zero that under non-ANSI
+    // sessions null-poisons positions and silently breaks the
+    // no-false-negative guarantee. Anything under 64 bits is useless as a
+    // filter anyway.
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"BloomIndex.build: bits must be a power of two >= 64, got $bits")
     require(kHashes >= 1, s"BloomIndex.build: kHashes must be >= 1, got $kHashes")
     spark.read.parquet(path)
       .select(input_file_name().as("file"),
@@ -92,6 +97,12 @@ object BloomIndex {
     val files = pruneFiles(index, value)
     if (files.isEmpty) {
       val all = index.select("file").collect().map(_.getString(0))
+      // An index over zero files carries no schema to return an empty frame
+      // in — and spark.read.parquet() with an empty path list throws an
+      // unrelated "unable to infer schema". Fail with the actual problem.
+      require(all.nonEmpty,
+        "BloomIndex.prunedRead: index is empty (built over a table with no " +
+          "files) - there is no schema to produce an empty read for")
       spark.read.parquet(all.toIndexedSeq: _*).filter(lit(false))
     } else spark.read.parquet(files: _*)
   }

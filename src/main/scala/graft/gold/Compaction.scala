@@ -17,10 +17,22 @@ import org.apache.spark.sql.functions._
   * when the caller wants the compacted files to keep a bucketed layout
   * (so downstream Bloom/stats indexes stay selective per file).
   *
-  * Publish is write-to-temp + atomic rename swap (the same tmp+rename
-  * move as `EventStream.aggMaintainStream`): readers never observe a
-  * half-compacted directory, and a crashed compaction leaves the source
-  * untouched.
+  * Publish is write-to-temp + rename swap (the same tmp+rename move as
+  * `EventStream.aggMaintainStream`). Each RENAME is atomic, but the swap
+  * is two of them, so the publish as a whole is not: compaction requires
+  * a maintenance window — SINGLE WRITER, NO CONCURRENT READERS — like
+  * every directory-swap maintenance pass over plain parquet (table
+  * formats buy concurrent publish with a manifest layer; see SCALING.md
+  * §ACID). Concretely: (a) between rename(dst → bak) and
+  * rename(tmp → dst) the table path briefly does not exist, so a reader
+  * racing the swap fails its file listing; (b) files a concurrent writer
+  * adds after the compaction's read snapshot are dropped by the swap;
+  * (c) on any failure after the first rename the original directory is
+  * restored from `.__compact_old` (best effort — if even the restore
+  * rename fails, the data survives intact at `.__compact_old` and the
+  * thrown error names it). A crash BEFORE the first rename leaves the
+  * source untouched; the stale `.__compact_tmp`/`.__compact_old` staging
+  * dirs are reclaimed by the next run.
   */
 object Compaction {
 
@@ -63,9 +75,23 @@ object Compaction {
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(dst, bak))
       throw new java.io.IOException(s"Compaction: could not stage $path aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-      fs.rename(bak, dst) // roll back: restore the original directory
-      throw new java.io.IOException(s"Compaction: could not publish $tmp")
+    // From here the table path is absent until the publish rename lands —
+    // restore the original on ANY failure (thrown or returned-false), so
+    // a crash in the window cannot strand the table at .__compact_old.
+    try {
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+        throw new java.io.IOException(s"Compaction: could not publish $tmp")
+    } catch {
+      case publishFailure: Throwable =>
+        val restored =
+          try fs.rename(bak, dst)
+          catch { case _: Throwable => false }
+        if (!restored)
+          throw new java.io.IOException(
+            s"Compaction: publish failed AND restore failed - original data " +
+              s"is intact at $bak; rename it back to $path manually",
+            publishFailure)
+        throw publishFailure
     }
     fs.delete(bak, true)
     target

@@ -38,7 +38,11 @@ object HeavyHitters {
     * (`<= k` values); choose `k` = 1/min-interesting-frequency.
     */
   def exactHeavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"exactHeavyHitters: k must be >= 2, got $k")
+    // Spark's freqItems requires support in [1e-4, 1], so 1/k floors k at
+    // 10000 — beyond that the sketch pass itself would throw at runtime.
+    require(k >= 2 && k <= 10000,
+      s"exactHeavyHitters: k must be in [2, 10000] (freqItems support " +
+        s"floor is 1e-4), got $k")
     val keyed = df.select(col(keyCol))
     val total = keyed.count()
     val candidates = keyed.stat.freqItems(Seq(keyCol), 1.0 / k)
@@ -61,14 +65,20 @@ object HeavyHitters {
     * `groupCol` — "dominant template per source" — using one global
     * candidate pass (a value heavy in any group with group share `> 1/k`
     * of that group and group size `>= n/k` is heavy globally at support
-    * `1/k²`; for finer groups raise `k`). Exactness within the candidate
+    * `1/k²` — which caps `k` at 100, since freqItems floors support at
+    * 1e-4; for finer groups run [[exactHeavyHitters]] per group subset
+    * instead). Exactness within the candidate
     * set is preserved by the same recount argument; values outside the
     * candidate set are NOT guaranteed per-group — this is the documented
     * approximation boundary, so the gated query uses the global form.
     */
   def heavyHittersPerGroup(
       df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"heavyHittersPerGroup: k must be >= 2, got $k")
+    // support here is 1/k², and freqItems floors support at 1e-4 → k <= 100
+    // (k = 101 would throw IllegalArgumentException inside Spark).
+    require(k >= 2 && k <= 100,
+      s"heavyHittersPerGroup: k must be in [2, 100] (support is 1/k^2 and " +
+        s"the freqItems floor is 1e-4), got $k")
     val keyed = df.select(col(groupCol), col(keyCol))
     val candidates = keyed.stat.freqItems(Seq(keyCol), 1.0 / (k.toLong * k))
       .head.getSeq[Any](0)

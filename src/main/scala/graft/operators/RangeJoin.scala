@@ -31,16 +31,23 @@ object RangeJoin {
 
   private val B = "__rj_bucket"
 
-  /** Floor-division bucket id, exact for any sign and the full long range:
-    * `x - pmod(x, w)` is an exact multiple of w, and ALL arithmetic runs in
-    * DECIMAL(38,0) — the division so no double rounding occurs at ±2^53,
-    * and the subtraction too, since in LONG it underflows for x within w
-    * of Long.MinValue (ANSI arithmetic error). Twin of
+  /** Floor-division bucket id, exact for any sign and the full long range.
+    * `x - pmod(x, w)` is an exact multiple of w, so integral division of it
+    * is exact — no double rounding at ±2^53. The subtraction, however,
+    * underflows a LONG for x within w of Long.MinValue (ANSI arithmetic
+    * error), so rows in that sliver take a DECIMAL(38,0) path; every other
+    * row (i.e. all of them, in practice) runs pure LONG arithmetic — an
+    * all-DECIMAL version measured ~3x slower on interval-overlap joins.
+    * Inputs must be integral (they are: callers bucket integral range
+    * columns, and bucket ids must fit a long anyway). Twin of
     * `plans.RewriteRangeJoin.bucketOf` — keep them identical.
     */
   private[operators] def bucketOf(c: Column, w: Long): Column = {
-    val dec = c.cast(DecimalType(38, 0))
-    ((dec - pmod(dec, lit(w))) / lit(w)).cast("long")
+    val lng  = c.cast("long")
+    val fast = call_function("div", lng - pmod(lng, lit(w)), lit(w))
+    val dec  = c.cast(DecimalType(38, 0))
+    val slow = ((dec - pmod(dec, lit(w))) / lit(w)).cast("long")
+    when(lng >= lit(Long.MinValue + w), fast).otherwise(slow)
   }
 
   /** Explode an interval frame to one row per covered bucket. The guard

@@ -139,17 +139,25 @@ object RewriteRangeJoin extends Rule[LogicalPlan]
     if (e.dataType == LongType) e else Cast(e, LongType)
 
   /** Exact floor-division bucket id: x − pmod(x, w) is an exact multiple of
-    * w, so integral division is exact for any sign — no double rounding.
-    * Subtraction and division run in DECIMAL(38,0) (same as the Column-side
-    * twin in `operators.RangeJoin.bucketOf`): in LONG, x − pmod(x, w)
-    * underflows for x within w of Long.MinValue — an ANSI arithmetic
-    * error where DECIMAL stays exact. Result type is LongType
-    * (IntegralDivide), so bucket ids equi-join as plain longs.
+    * w, so integral division of it is exact for any sign — no double
+    * rounding. In LONG the subtraction underflows for x within w of
+    * Long.MinValue (an ANSI arithmetic error), so THOSE rows take a
+    * DECIMAL(38,0) branch; all other rows run pure LONG arithmetic — the
+    * earlier all-DECIMAL version put a Decimal pmod+sub+div on every
+    * exploded bucket row, measured ~3x slower on interval-overlap joins.
+    * Both branches are LongType (IntegralDivide), so bucket ids equi-join
+    * as plain longs. Twin of `operators.RangeJoin.bucketOf` — keep them
+    * identical.
     */
   private def bucketOf(e: Expression, w: Long): Expression = {
-    val dec = Cast(asLong(e), org.apache.spark.sql.types.DecimalType(38, 0))
-    val wd  = Cast(Literal(w), org.apache.spark.sql.types.DecimalType(38, 0))
-    IntegralDivide(Subtract(dec, Pmod(dec, wd)), wd)
+    val lng  = asLong(e)
+    val wl   = Literal(w)
+    val fast = IntegralDivide(Subtract(lng, Pmod(lng, wl)), wl)
+    val dec  = Cast(lng, org.apache.spark.sql.types.DecimalType(38, 0))
+    val wd   = Cast(wl, org.apache.spark.sql.types.DecimalType(38, 0))
+    val slow = IntegralDivide(Subtract(dec, Pmod(dec, wd)), wd)
+    CaseWhen(Seq((GreaterThanOrEqual(lng, Literal(Long.MinValue + w)), fast)),
+      Some(slow))
   }
 
   /** Parse a rule conf as a long, failing with the CONFIG NAME instead of a
