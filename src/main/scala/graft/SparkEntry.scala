@@ -1055,12 +1055,29 @@ object SparkEntry {
     * engine-specific; the driver's rows-only check applies).
     */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    // Oracle-checkable approximation contract (was: rows-only): the exact
+    // counts hash-compare against DuckDB, and the HLL/KLL estimates are
+    // gated by error bands computed IN the query — the oracle's side of a
+    // band column is literal `true`, so an estimate drifting out of band
+    // fails the driver compare. Bands: ±15% for approx_count_distinct
+    // (default rsd 5% ⇒ 3σ; worst observed across SFs 6.4%), and the
+    // approx median must land between the exact 45th/55th percentiles.
     T(s, dir).lineitem.agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+      approx_count_distinct(col("l_partkey")).as("__apx_parts"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      approx_count_distinct(col("l_orderkey")).as("__apx_orders"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("__apx_median"),
+      expr("percentile(l_extendedprice, 0.45e0)").as("__p45"),
+      expr("percentile(l_extendedprice, 0.55e0)").as("__p55"),
       count(lit(1)).as("n")
-    )
+    ).select(
+      col("n_parts"), col("n_orders"), col("n"),
+      (col("__apx_parts") * lit(100L)).between(
+        col("n_parts") * lit(85L), col("n_parts") * lit(115L)).as("parts_in_band"),
+      (col("__apx_orders") * lit(100L)).between(
+        col("n_orders") * lit(85L), col("n_orders") * lit(115L)).as("orders_in_band"),
+      col("__apx_median").between(col("__p45"), col("__p55")).as("median_in_band"))
 
   /** Beyond-reference: hierarchical subtotals via ROLLUP (the reference
     * computes per-level aggregates in separate jobs; one rollup pass
@@ -1213,6 +1230,14 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,
         |  COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_rows
         |FROM customer""".stripMargin,
+    // exact counts replicated; the approximation-band columns are computed
+    // Spark-side against Spark-exact references, so the oracle's side of
+    // each band is literal true — an out-of-band estimate hash-mismatches
+    "q_a4b_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n,
+        |  true AS parts_in_band, true AS orders_in_band, true AS median_in_band
+        |FROM lineitem""".stripMargin,
     "q_a5_scalar_stats" ->
       """SELECT MAX(l_orderkey) AS max_orderkey, MIN(l_shipdate) AS min_shipdate,
         |  MAX(l_quantity) AS max_qty, COUNT(DISTINCT l_suppkey) AS n_suppliers

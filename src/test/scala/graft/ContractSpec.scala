@@ -11,12 +11,11 @@ class ContractSpec extends AnyFunSuite with Matchers {
   test("every query has an oracle, except the documented rows-only entries") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
-    // rows-only by nature: HLL estimates and the xxhash64 fast-hash path
-    // are not reproducible in DuckDB (precision spec-proven); BPE training
-    // is iterative global-argmax (and trained-table encoding is a loop per
-    // word), proven against a reference impl in BpeSpec
-    (qs -- os) shouldBe Set("q_a4b_approx_distinct", "q_x_minhash_lsh_fast",
-      "q_x_bpe_merges", "q_x_bpe_encode_trained")
+    // round 6: no rows-only queries remain — the HLL / xxhash64 / BPE
+    // queries that DuckDB cannot replicate directly now emit exact
+    // components (replicated) + Spark-computed bound booleans (oracled as
+    // literal true), so every query is hash-compared by the driver
+    (qs -- os) shouldBe empty
     withClue("oracle entries without a registered query never run:") {
       (os -- qs) shouldBe empty
     }

@@ -38,14 +38,13 @@ def main():
         sys.exit(1)
     # every dumped result must have an oracle entry (rows-only queries are
     # the explicit exception list) — a dropped/renamed oracle key must not
-    # silently skip verification
-    # q_a4b: approximate distinct (no exact oracle). q_x_minhash_lsh_fast:
-    # xxhash64 shingles have no DuckDB equivalent; pair-set equality with
-    # the md5 path is asserted in TextAndDedupSpec instead. q_x_bpe_merges:
-    # iterative global-argmax training is not one SQL query; the merge
-    # sequence is proven against a reference implementation in BpeSpec.
-    ROWS_ONLY = {"q_a4b_approx_distinct", "q_x_minhash_lsh_fast",
-                 "q_x_bpe_merges", "q_x_bpe_encode_trained"}
+    # silently skip verification.
+    # Round 6: the former rows-only queries (q_a4b_approx_distinct,
+    # q_x_minhash_lsh_fast, q_x_bpe_merges, q_x_bpe_encode_trained) now
+    # carry full oracles built from checked bounds: exact components
+    # replicated in DuckDB + Spark-computed band/invariant booleans whose
+    # oracle side is literal true.
+    ROWS_ONLY = set()
     dumped = {d for d in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, d))}
     unchecked = dumped - set(oracle) - ROWS_ONLY
