@@ -37,6 +37,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
+      // drain the async listener bus BEFORE advancing the attribution name:
+      // in-flight QueryExecution events from query K must not be reported
+      // under K+1's name
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       watchdog.current.set(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

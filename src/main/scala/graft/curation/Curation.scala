@@ -114,8 +114,12 @@ object Curation {
     * values that never leave their document).
     */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // tokens_native, not tokens(): the composed filter lambda is
+    // CodegenFallback and evicted RepetitionStatsNative's projection from
+    // whole-stage codegen (round-6 watchdog finding)
     df.select(col(idCol),
-        graft.functions.TextNativeExpressions.repetition_stats(tokens(col(textCol))).as("s"))
+        graft.functions.TextNativeExpressions.repetition_stats(
+          graft.functions.TextNativeExpressions.tokens_native(col(textCol))).as("s"))
       .filter(col("s").isNotNull)
       .select(col(idCol),
         col("s.top_bigram_count").as("top_bigram_count"),

@@ -82,8 +82,14 @@ object NearDup {
       case _                      => false
     }
 
-  private def shingleSide(shingled: DataFrame, c: Column): Column =
-    if (isLongShingles(shingled)) array_sort(c) else c
+  // Long shingle sets are sorted BY CONSTRUCTION (hashedShingles /
+  // hashedShinglesFast sort in the kernel), which is what licenses the
+  // assumeSorted linear-merge intersect below. No defensive array_sort
+  // here: it is an HOF with an implicit comparator lambda
+  // (CodegenFallback), and it evicted the whole shingle projection from
+  // whole-stage codegen (round-6 watchdog finding). The equality specs
+  // (fused-vs-composed shingles, allpairs-vs-brute-force) pin sortedness.
+  private def shingleSide(shingled: DataFrame, c: Column): Column = c
 
   private def interSize(shingled: DataFrame, a: Column, b: Column): Column =
     if (isLongShingles(shingled)) intersect_count(a, b, assumeSorted = true)
@@ -758,10 +764,15 @@ object NearDup {
       bits: Int = 32
   ): DataFrame = {
     require(bits == 32 || bits == 60, s"bits must be 32 or 60, got $bits")
-    val tokHash: Column => Column = if (bits == 32) hexHash32 else hexHash60
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(SimhashBitsKey, bits.toLong).build()
-    df.withColumn("hv", transform(tokens(col(textCol)), t => tokHash(t)))
+    // fused tokenize+md5-hash kernel: the composed transform(tokens(..))
+    // pair of lambdas evicted SimhashNative's projection from whole-stage
+    // codegen (round-6 watchdog finding); values are identical — the
+    // kernel reproduces tokens() + hexHash32/60 nibble-exactly
+    val hexLen = if (bits == 32) 8 else 15
+    df.withColumn("hv",
+        graft.functions.TextNativeExpressions.token_md5_hashes(col(textCol), hexLen))
       .withColumn("simhash", graft.functions.TextFunctions.simhash(col("hv"), bits))
       .select(((idCol +: keepCols).map(col) :+ col("simhash").as("simhash", md)): _*)
   }

@@ -33,7 +33,12 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(c, WsClass + "+"), t => length(t) > 0)
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  // size over the NATIVE tokenizer: the composed tokens() carries a filter
+  // lambda (CodegenFallback) that evicted every projection tokenCount
+  // shared with a kernel (round-6 watchdog); same values — tokenize ≡
+  // tokens is spec-pinned via the fused token-hash equality
+  def tokenCount(c: Column): Column =
+    size(TextNativeExpressions.tokens_native(c))
 
   /** Lowercase, strip everything but [a-z0-9 ] — canonical form for
     * fingerprinting.
@@ -85,7 +90,15 @@ object TextFunctions {
     * identically in every engine; sorting doesn't change set semantics, so
     * oracles are unaffected.
     */
-  def hashedShingles(c: Column, n: Int): Column = {
+  def hashedShingles(c: Column, n: Int): Column =
+    // fused native kernel: the composed transform/array_sort lambdas are
+    // CodegenFallback and evicted every shingle+signature projection from
+    // whole-stage codegen (round-6 watchdog finding); value-identical —
+    // spec-asserted against the composed reference below
+    TextNativeExpressions.char_shingle_hashes(c, n, fast = false)
+
+  /** Composed formulation, equality reference for the native kernel. */
+  def hashedShinglesComposed(c: Column, n: Int): Column = {
     val lc = lower(c)
     when(
       length(lc) >= n,
@@ -104,7 +117,11 @@ object TextFunctions {
     * carry identical Jaccard values; only borderline candidate RECALL can
     * differ (LSH banding is probabilistic w.r.t. the hash family).
     */
-  def hashedShinglesFast(c: Column, n: Int): Column = {
+  def hashedShinglesFast(c: Column, n: Int): Column =
+    TextNativeExpressions.char_shingle_hashes(c, n, fast = true)
+
+  /** Composed formulation, equality reference for the native kernel. */
+  def hashedShinglesFastComposed(c: Column, n: Int): Column = {
     val lc = lower(c)
     when(
       length(lc) >= n,

@@ -141,6 +141,138 @@ object TextNative {
     */
   val EmptyStringArray: ArrayData = new GenericArrayData(Array.empty[Any])
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** md5-prefix token hashes, fused tokenize + hash (see
+    * [[TokenHashesNative]]). Hash = first `hexLen` lowercase-hex chars of
+    * md5(token-utf8) parsed base 16 — nibble-exact twin of
+    * `conv(substring(md5(t), 1, hexLen), 16, 10)`.
+    */
+  def tokenMd5Hashes(s: UTF8String, hexLen: Int): ArrayData = {
+    val str = s.toString
+    val md  = md5Local.get()
+    val out = new java.util.ArrayList[Any]()
+    val sb  = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) {
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var k = 0
+      while (k < hexLen) {
+        val b = digest(k >> 1) & 0xff
+        val nibble = if ((k & 1) == 0) b >> 4 else b & 0xf
+        v = (v << 4) | nibble
+        k += 1
+      }
+      out.add(java.lang.Long.valueOf(v))
+      sb.setLength(0)
+    }
+    var i   = 0
+    val len = str.length
+    while (i < len) {
+      val c = str.charAt(i)
+      // the explicit class [ \t\n\x0B\f\r] — Java \s ≠ RE2 \s, so the
+      // engine never uses \s anywhere (oracle-stability rules)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r')
+        flush()
+      else sb.append(c)
+      i += 1
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Whitespace tokens (same explicit class + empty-filter as
+    * `TextFunctions.tokens`) as an ArrayData of UTF8String — the fused
+    * tokenizer shared by [[TokensNative]].
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    val str  = s.toString
+    val out  = new java.util.ArrayList[Any]()
+    val sb   = new java.lang.StringBuilder
+    var i    = 0
+    val len  = str.length
+    while (i < len) {
+      val c = str.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (sb.length > 0) { out.add(UTF8String.fromString(sb.toString)); sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) out.add(UTF8String.fromString(sb.toString))
+    new GenericArrayData(out.toArray)
+  }
+
+
+  /** Lowercase char n-gram shingle set, hashed, DISTINCT, SORTED ascending —
+    * fused twin of `TextFunctions.hashedShingles` (md5-prefix-12, portable)
+    * and `hashedShinglesFast` (xxhash64 & 2^48−1): UTF8String.toLowerCase
+    * is exactly Spark's `lower`, windows advance by CODE POINTS exactly
+    * like `substr`, and hashing runs over the same UTF-8 bytes the
+    * composed form's substring would carry. Text shorter than n (and NULL
+    * text, via the composed form's null-condition → otherwise branch) →
+    * empty array.
+    */
+  def charShingleHashes(s: UTF8String, n: Int, fast: Boolean): ArrayData = {
+    if (s == null) return EmptyLongArray
+    val lc    = s.toLowerCase
+    val bytes = lc.getBytes
+    // code-point start offsets (valid UTF-8: starts are non-continuation bytes)
+    var chars = 0
+    var i     = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) chars += 1
+      i += 1
+    }
+    val m = chars - n + 1
+    if (m <= 0) return EmptyLongArray
+    val offs = new Array[Int](chars + 1)
+    var ci = 0
+    i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { offs(ci) = i; ci += 1 }
+      i += 1
+    }
+    offs(chars) = bytes.length
+    val hs = new Array[Long](m)
+    val md = if (fast) null else md5Local.get()
+    var j  = 0
+    while (j < m) {
+      val off = offs(j)
+      val len = offs(j + n) - off
+      hs(j) =
+        if (fast)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+            len, 42L) & 0xFFFFFFFFFFFFL
+        else {
+          md.reset()
+          md.update(bytes, off, len)
+          val digest = md.digest()
+          // first 12 hex chars = first 6 bytes, parsed base 16
+          var v = 0L
+          var k = 0
+          while (k < 6) { v = (v << 8) | (digest(k) & 0xffL); k += 1 }
+          v
+        }
+      j += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    j = 0
+    while (j < m) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(w) = hs(j); w += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(hs, w))
+  }
+
+  val EmptyLongArray: ArrayData = new GenericArrayData(Array.empty[Any])
+
   def wordNgramsDistinct(s: UTF8String, n: Int): ArrayData = {
     val str  = s.toString
     val toks = new java.util.ArrayList[String]()
@@ -369,10 +501,92 @@ case class MinHashSigNative(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** text → md5-prefix hashes of its whitespace tokens in ONE pass —
+  * native twin of `transform(tokens(text), t => conv(substring(md5(t), 1,
+  * hexLen), 16, 10).cast("long"))`. Both the `filter` inside `tokens()`
+  * and the outer `transform` are CodegenFallback lambdas, and either one
+  * evicts the whole projection (the round-6 watchdog caught SimhashNative
+  * running interpreted in every simhash query because of exactly this
+  * pair). Tokenization uses the same explicit whitespace class as
+  * `TextFunctions.tokens`; the hash is the same lowercase-hex md5 prefix
+  * parsed base-16, so values are bit-identical and the DuckDB oracles are
+  * untouched. NULL text → NULL (the composed transform's null
+  * propagation); empty text → empty array.
+  */
+/** text → whitespace tokens, fused (see `TextNative.tokenize`) — the
+  * composed `filter(split(...), length > 0)` carries a CodegenFallback
+  * lambda that evicts any projection it shares with a kernel. NULL → NULL
+  * like `split`.
+  */
+case class TokensNative(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextNative.tokenize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.tokenize($c)")
+  override protected def withNewChildInternal(c: Expression): TokensNative =
+    copy(child = c)
+}
+
+/** text → sorted distinct hashed char-shingle set, fused (see
+  * `TextNative.charShingleHashes`). NULL text → EMPTY array, matching the
+  * composed `when(length(lc) >= n, ...).otherwise(empty)` whose null
+  * condition falls to the otherwise branch — hence the WordNgramsNative-
+  * style never-null eval override.
+  */
+case class CharShingleHashesNative(child: Expression, n: Int, fast: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"char_shingle_hashes: n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    TextNative.charShingleHashes(v.asInstanceOf[UTF8String], n, fast)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        ArrayData ${ev.value} = graft.functions.TextNative.charShingleHashes(
+          ${childGen.isNull} ? null : ${childGen.value}, $n, $fast);""",
+      isNull = FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): CharShingleHashesNative =
+    copy(child = c)
+}
+
+case class TokenHashesNative(child: Expression, hexLen: Int)
+    extends UnaryExpression {
+  require(hexLen >= 1 && hexLen <= 15,
+    s"token_md5_hashes: hexLen must be in [1, 15] (sign-safe BIGINT), got $hexLen")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextNative.tokenMd5Hashes(s.asInstanceOf[UTF8String], hexLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextNative.tokenMd5Hashes($c, $hexLen)")
+  override protected def withNewChildInternal(c: Expression): TokenHashesNative =
+    copy(child = c)
+}
+
 object TextNativeExpressions {
 
   def repetition_stats(tokens: Column): Column =
     ColumnBridge.column(RepetitionStatsNative(ColumnBridge.expression(tokens)))
+
+  def token_md5_hashes(text: Column, hexLen: Int): Column =
+    ColumnBridge.column(TokenHashesNative(ColumnBridge.expression(text), hexLen))
+
+  def tokens_native(text: Column): Column =
+    ColumnBridge.column(TokensNative(ColumnBridge.expression(text)))
+
+  def char_shingle_hashes(text: Column, n: Int, fast: Boolean): Column =
+    ColumnBridge.column(
+      CharShingleHashesNative(ColumnBridge.expression(text), n, fast))
   import org.apache.spark.sql.functions.lit
 
   def rolling_hash_native(c: Column): Column =

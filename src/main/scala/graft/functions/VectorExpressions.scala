@@ -148,12 +148,88 @@ object SignLshBucketNative {
   }
 }
 
+/** float/double vector → exact integer vector on a 1/scale grid — native
+  * one-pass form of `transform(vec, x => round(x.cast("double") * scale)
+  * .cast("long"))`. The composed form's lambda is CodegenFallback, which
+  * evicted every kernel-bearing projection in the cosine/ANN family from
+  * whole-stage codegen (the round-6 watchdog caught LongVecDot running
+  * interpreted in all of them — same lesson as WordNgramsNative:
+  * the lambda must not share a node with the hot kernels).
+  *
+  * Bit-identical to the composed form: same double widening, same
+  * HALF_UP rounding via BigDecimal.valueOf (Spark's Round on doubles),
+  * same truncating cast; null elements stay null. Non-finite inputs throw
+  * like the ANSI double→long cast would — quantization is defined on
+  * finite embeddings only.
+  */
+case class QuantizeNative(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(org.apache.spark.sql.types.LongType, n)
+    case _               => ArrayType(org.apache.spark.sql.types.LongType)
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize expects array<float>/array<double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    QuantizeNative.quantize(a.asInstanceOf[ArrayData], scale, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.QuantizeNative.quantize($c, ${scale}L, $isFloat)")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeNative =
+    copy(child = c)
+}
+
+object QuantizeNative {
+  def quantize(a: ArrayData, scale: Long, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val d = (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) *
+          scale.toDouble
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+          throw new ArithmeticException(
+            s"quantize: non-finite value $d cannot cast to BIGINT")
+        // Spark's Round(double): BigDecimal.valueOf + HALF_UP — exact twin
+        val r = java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = java.lang.Long.valueOf(r.toLong)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
 
   /** Column-level API for the native dot product. */
   def float_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native quantizer (round(x*scale) per element, exact twin of the
+    * composed transform).
+    */
+  def quantize_native(vec: Column, scale: Long): Column =
+    ColumnBridge.column(QuantizeNative(ColumnBridge.expression(vec), scale))
 
   /** Native exact integer dot of quantized vectors. */
   def long_dot(a: Column, b: Column): Column =

@@ -108,6 +108,17 @@ object CodegenAudit {
         // pre-collapse form and report false "outside WSCG" positives.
         if (a.isFinalPlan) walk(a.executedPlan, inWscg = false)
       case qs: QueryStageExec       => walk(qs.plan, inWscg = false)
+      // A cached-relation scan is a leaf of THIS plan, but the plan that
+      // BUILDS the cache executes too (once) — a kernel interpreted inside
+      // the cache build was the audit's one blind spot (minhash's
+      // persist()ed shingle+signature projection lives exactly there).
+      case imts: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        walk(imts.relation.cachedPlan, inWscg = false)
+      // Leaf scans LIST pushed-down dataFilters among their expressions but
+      // never row-evaluate them (the residual FilterExec above does) — a
+      // kernel appearing there is display metadata, not an execution path.
+      case leaf: org.apache.spark.sql.execution.LeafExecNode =>
+        leaf.subqueries.foreach(walk(_, inWscg = false))
       case other =>
         if (!inWscg) kernelNames(other).foreach(k =>
           out += Finding(k, other.nodeName,

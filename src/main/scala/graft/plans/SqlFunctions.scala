@@ -94,6 +94,18 @@ object SqlFunctions {
         RollingHashNative(args.head)
       }),
 
+    (new FunctionIdentifier("graft_token_hashes"),
+      info("graft_token_hashes",
+        "graft_token_hashes(text[, hex_len]) - md5-prefix hashes of the " +
+          "whitespace tokens, fused kernel (default hex_len 8 = 32-bit)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_token_hashes expects 1 or 2 arguments, got ${args.length}")
+        val hexLen =
+          if (args.length == 2) litInt("graft_token_hashes", "hex_len", args(1)) else 8
+        graft.functions.TokenHashesNative(args.head, hexLen)
+      }),
+
     (new FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(hashed_tokens[, bits]) - SimHash signature (default 32 bits)"),

@@ -177,10 +177,16 @@ object KMeans {
           - lit(2L) * CosineTopK.dotQ(col("__km_qv"), typedLit(c.qv))).as("dist2"),
         lit(c.centId).as("cent_id"))
     }
+    // two nodes on purpose: the dist2 dot products materialize in their own
+    // codegen'd projection; array_sort (an HOF with an implicit comparator
+    // lambda — CodegenFallback) and the explode live in the next node, so
+    // the lambda's eviction can't take the LongVecDot kernels with it
+    // (round-6 watchdog finding)
     val probes = prep(queries, idCol, vecCol)
       .filter(col("__km_n2") > 0)
+      .withColumn("__km_cands", array(probeCands: _*))
       .withColumn("__km_probe",
-        explode(slice(array_sort(array(probeCands: _*)), 1, nprobe)))
+        explode(slice(array_sort(col("__km_cands")), 1, nprobe)))
       .select(col("__km_id").as("query_id"), col("__km_qv").as("q_qv"),
         col("__km_n2").as("q_n2"), col("__km_probe.cent_id").as("cluster_id"))
 

@@ -99,6 +99,32 @@ class SimilaritySpec extends SparkSpecBase {
     out(3L) shouldBe ((64, 256))  // portrait
   }
 
+  test("native quantizer equals the composed transform, including half-way ties and negatives") {
+    // .5-after-scaling ties exercise HALF_UP vs Math.round divergence
+    // (-0.5 rounds AWAY from zero under HALF_UP, toward it under
+    // floor(x+0.5)); the repartition(2) blocks ConvertToLocalRelation from
+    // folding the expressions away before a physical plan exists
+    val vecs = Seq(
+      (1L, Array(0.0f, -0.000005f, 0.000005f, 1.234567f, -7.89f)),
+      (2L, Array(Float.MinPositiveValue, -1.5e-5f, 99.99999f)),
+      (3L, Array.empty[Float])
+    ).toDF("id", "emb").repartition(2)
+    val both = vecs.select($"id",
+      CosineTopK.quantize($"emb").as("native"),
+      CosineTopK.quantizeComposed($"emb").as("composed"))
+    both.collect().foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") {
+        r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+      }
+    }
+    // the mixed frame above is itself evicted (the composed lambda is
+    // CodegenFallback — the exact failure mode the native kernel removes);
+    // a native-only projection must stay inside codegen
+    val nativeOnly = vecs.select($"id", CosineTopK.quantize($"emb").as("qv"))
+    nativeOnly.collect()
+    graft.plans.CodegenAudit.assertInCodegen(nativeOnly)
+  }
+
   test("quantized cosine is invariant under partitioning (the determinism the quantization buys)") {
     val rnd = new scala.util.Random(11)
     val corpus = (10L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))

@@ -33,6 +33,20 @@ class SqlFunctionsSpec extends SparkSpecBase {
     viaSql.collect().sortBy(_.getLong(0)) shouldBe viaCol.collect().sortBy(_.getLong(0))
   }
 
+  test("graft_token_hashes (fused) equals the SQL lambda composition") {
+    docs.createOrReplaceTempView("sqlfn_docs")
+    val rows = spark.sql(
+      """SELECT id,
+        |  graft_token_hashes(text) AS fused,
+        |  transform(graft_tokens(text), t -> graft_hex_hash32(t)) AS composed
+        |FROM sqlfn_docs""".stripMargin).collect()
+    rows.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") {
+        r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+      }
+    }
+  }
+
   test("SQL vector kernels equal the Column API") {
     val vecs = Seq((1L, Array(0.25f, -1.5f, 3.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("id", "emb")

@@ -40,6 +40,59 @@ class TextAndDedupSpec extends SparkSpecBase {
       Array("en", "de", "und")
   }
 
+  test("fused shingle-hash kernel equals the composed form, md5 and xxhash64 modes") {
+    val docs = Seq(
+      (1L, "The Quick brown fox"),     // lowercase must match Spark lower()
+      (2L, "ab"),                      // shorter than n=3 -> empty
+      (3L, ""),
+      (4L, "unicode éèêë shingles"),   // multi-byte code points
+      (5L, "aaaaaa"),                  // heavy duplicates -> distinct matters
+      (6L, null.asInstanceOf[String])  // composed when() -> empty array
+    ).toDF("doc_id", "text").repartition(2)
+    import graft.functions.TextFunctions
+    for (fast <- Seq(false, true)) {
+      val native =
+        if (fast) TextFunctions.hashedShinglesFast(col("text"), 3)
+        else TextFunctions.hashedShingles(col("text"), 3)
+      val composed =
+        if (fast) TextFunctions.hashedShinglesFastComposed(col("text"), 3)
+        else TextFunctions.hashedShinglesComposed(col("text"), 3)
+      val both = docs.select(col("doc_id"), native.as("native"), composed.as("composed"))
+      both.collect().foreach { r =>
+        withClue(s"fast=$fast doc=${r.getLong(0)}: ") {
+          val expected = if (r.isNullAt(2)) Seq.empty[Long] else r.getSeq[Long](2)
+          r.getSeq[Long](1) shouldBe expected
+        }
+      }
+    }
+  }
+
+  test("fused token-hash kernel equals transform(tokens, hexHash) at both widths") {
+    // repartition(2) blocks ConvertToLocalRelation from folding the
+    // expressions away before a physical plan exists
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  leading and   trailing  "),
+      (3L, ""),
+      (4L, "tab\tand\nnewlinevt\fff\rcr"),
+      (5L, "unicode éè tokens 42"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text").repartition(2)
+    import org.apache.spark.sql.functions.{col, transform}
+    for ((hexLen, hash) <- Seq(8 -> (hexHash32 _), 15 -> (hexHash60 _))) {
+      val both = docs.select(col("id"),
+        graft.functions.TextNativeExpressions.token_md5_hashes(col("text"), hexLen)
+          .as("native"),
+        transform(tokens(col("text")), t => hash(t)).as("composed"))
+      both.collect().foreach { r =>
+        withClue(s"hexLen=$hexLen id=${r.getLong(0)}: ") {
+          if (r.isNullAt(2)) r.isNullAt(1) shouldBe true
+          else r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+        }
+      }
+    }
+  }
+
   test("simhash: identical texts share signature; disjoint texts differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
