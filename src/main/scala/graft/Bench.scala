@@ -11,6 +11,17 @@ import scala.jdk.CollectionConverters._
   * records BOTH run times per query (min-of-2 hid bimodality), plus JVM GC
   * time and peak heap per run, so a "same code, 14x slower" record can be
   * attributed to GC thrash / host contention from the artifact alone.
+  *
+  * JVM SEGMENTATION (round-6, SCALING.md §round-6-re-measure): a full
+  * suite is split into `SPARK_GRAFT_SEGMENTS` (default 3) contiguous
+  * name-ordered chunks, each run in its OWN child JVM — one JVM's JIT
+  * dice-roll (deopt/recompile churn of a hot generated class) can inflate
+  * cpu 5–25x with zero functional signal, and a single long-lived JVM let
+  * that contaminate a whole round's record. Children inherit this JVM's
+  * full argument list and classpath, report per-run TSV fragments, and
+  * the parent merges them into the exact artifacts a single-JVM run
+  * produces. `SPARK_GRAFT_SEGMENTS=1` restores the single-JVM path;
+  * focused `SPARK_GRAFT_ONLY` runs are never segmented.
   */
 object Bench {
 
@@ -42,9 +53,25 @@ object Bench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  // Locale.ROOT: a comma-decimal default locale would emit '1,2345' and
+  // corrupt every JSON/TSV artifact this main produces
+  private def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+
+  private def envInt(key: String, default: Int): Int =
+    sys.env.get(key).flatMap(v => scala.util.Try(v.trim.toInt).toOption match {
+      case None =>
+        System.err.println(s"[bench] ignoring non-numeric $key='${v}'")
+        None
+      case ok => ok
+    }).getOrElse(default)
+
+  /** Measure `selected` queries in THIS JVM: session + warmup + the
+    * per-rep loop. Returns per-query runs plus the watchdog's
+    * interpreted-kernel error count.
+    */
+  private def runQueries(sfDir: String,
+      selected: Seq[String], reps: Int): (Seq[(String, Seq[Run])], Int) = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = core.GraftSession
       .builder(master = s"local[$cpus]", appName = "graft-bench",
         shufflePartitions = cpus.toInt)
@@ -79,28 +106,17 @@ object Bench {
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       Run(sec, gcMillis - g0, peakHeapMb, (cpu.cpuNs.get() - c0) / 1000000L)
     }
-    // min-of-2: the first execution of a query pays codegen + page-cache
-    // warmup; the second is the steady-state cost a cluster would see.
+    // min-of-reps: the first execution of a query pays codegen + page-cache
+    // warmup; later reps are the steady-state cost a cluster would see.
     // clearCache between runs: operators that persist() internally must not
     // carry their cache from run 1 into run 2 (that would time a no-op).
-    // optional name filter (regex) for focused iteration on one hot query
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    // optional repeat count (default 2) for isolated-run distributions; a
-    // malformed value degrades to the default instead of aborting pre-output
-    val reps = sys.env.get("SPARK_GRAFT_REPS")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption match {
-        case None =>
-          System.err.println(s"[bench] ignoring non-numeric SPARK_GRAFT_REPS='$v'")
-          None
-        case ok => ok
-      }).getOrElse(2).max(1)
-    val results: Seq[(String, Seq[Run])] = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected.contains(name) }
       .map { case (name, fn) =>
+      watchdog.current.set(name)
       // per-REP failure isolation: rep k failing must not discard the k-1
       // completed runs (they ARE the distribution data for flaky queries);
       // a query is failed only when no rep succeeded
-      watchdog.current.set(name)
       val runs = (1 to reps).flatMap { i =>
         try {
           val r = once(fn)
@@ -113,9 +129,121 @@ object Bench {
       }
       name -> (if (runs.nonEmpty) runs else Seq(Run(-1.0, 0L, 0L, 0L)))
     }
-    // Locale.ROOT: a comma-decimal default locale would emit '1,2345' and
-    // corrupt every JSON artifact this main produces
-    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+    val errs = watchdog.errors.get()
+    spark.stop()
+    (results, errs)
+  }
+
+  /** Fork one child JVM per segment (same java binary, same JVM args,
+    * same classpath, same environment) and collect its TSV fragment.
+    * Sequential — segments must not contend with each other for cores.
+    */
+  private def runSegmented(names: Seq[String], segments: Int)
+      : (Seq[(String, Seq[Run])], Int) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = System.getProperty("java.class.path")
+    val chunk = math.max(1, (names.size + segments - 1) / segments)
+    val segs = names.grouped(chunk).toSeq
+    var cgErrors = 0
+    val all = segs.zipWithIndex.flatMap { case (seg, i) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-seg")
+      val namesFile = dir.resolve("names.txt")
+      val outFile = dir.resolve("runs.tsv")
+      java.nio.file.Files.write(namesFile,
+        seg.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] segment ${i + 1}/${segs.size}: " +
+        s"${seg.size} queries (${seg.head} .. ${seg.last})")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SEGMENT_OUT", outFile.toString)
+      pb.environment().put("SPARK_GRAFT_NAMES_FILE", namesFile.toString)
+      // keep THIS process's stdout clean for the driver's tail parser:
+      // workers never print the JSON lines, but any stray child stdout
+      // goes to a per-segment log, child stderr passes straight through
+      pb.redirectOutput(dir.resolve("stdout.log").toFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val exit = pb.start().waitFor()
+      val parsed =
+        if (exit == 0 && java.nio.file.Files.exists(outFile))
+          parseFragment(new String(java.nio.file.Files.readAllBytes(outFile),
+            java.nio.charset.StandardCharsets.UTF_8))
+        else {
+          System.err.println(s"[bench] segment ${i + 1} FAILED (exit $exit), " +
+            s"stdout tail at ${dir.resolve("stdout.log")}")
+          (seg.map(_ -> Seq(Run(-1.0, 0L, 0L, 0L))), 0)
+        }
+      cgErrors += parsed._2
+      parsed._1
+    }
+    (all, cgErrors)
+  }
+
+  private def writeFragment(path: String,
+      results: Seq[(String, Seq[Run])], cgErrors: Int): Unit = {
+    val lines = results.map { case (name, rs) =>
+      Seq(name,
+        rs.map(r => f(r.sec)).mkString(","),
+        rs.map(_.cpuMs).mkString(","),
+        rs.map(_.gcMs).mkString(","),
+        rs.map(_.peakMb).mkString(",")).mkString("\t")
+    } :+ s"#codegen_errors\t$cgErrors"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def parseFragment(text: String): (Seq[(String, Seq[Run])], Int) = {
+    var cg = 0
+    val rows = text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+      val parts = line.split("\t", -1)
+      if (parts(0) == "#codegen_errors") { cg += parts(1).toInt; None }
+      else {
+        val secs = parts(1).split(",").map(_.toDouble)
+        val cpus = parts(2).split(",").map(_.toLong)
+        val gcs  = parts(3).split(",").map(_.toLong)
+        val hps  = parts(4).split(",").map(_.toLong)
+        Some(parts(0) -> secs.indices.map(k => Run(secs(k), gcs(k), hps(k), cpus(k))))
+      }
+    }.toSeq
+    (rows, cg)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = envInt("SPARK_GRAFT_REPS", 2).max(1)
+    // optional name filter (regex) for focused iteration on one hot query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    sys.env.get("SPARK_GRAFT_NAMES_FILE") match {
+      case Some(namesFile) =>
+        // ---- segment worker: measure, write fragment, exit ----
+        val sel = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(namesFile)),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator
+          .filter(_.nonEmpty).toSeq
+        val (results, cg) = runQueries(sfDir, sel, reps)
+        writeFragment(sys.env("SPARK_GRAFT_SEGMENT_OUT"), results, cg)
+      case None =>
+        val segments = envInt("SPARK_GRAFT_SEGMENTS", 3).max(1)
+        val selected = allNames
+          .filter(n => only.forall(_.findFirstIn(n).isDefined))
+        val (results, cgErrors) =
+          if (only.isEmpty && segments > 1 && selected.size > segments)
+            runSegmented(selected, segments)
+          else runQueries(sfDir, selected, reps)
+        emit(sfDir, reps, results, cgErrors, persist = only.isEmpty)
+    }
+  }
+
+  /** The artifact emission — identical whether the runs came from one JVM
+    * or from merged segment fragments.
+    */
+  private def emit(sfDir: String, reps: Int, results: Seq[(String, Seq[Run])],
+      cgErrors: Int, persist: Boolean): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val best = results.map { case (k, rs) => k -> rs.map(_.sec).min }
     val qs = best.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -148,8 +276,7 @@ object Bench {
     val baselineSec = best.collect {
       case (k, v) if v >= 0 && k.endsWith("_baseline") => v
     }.sum
-    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
-    val env = s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"cpus":$cpus,"reps":$reps,"codegen_errors":${watchdog.errors.get()}"""
+    val env = s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"cpus":$cpus,"reps":$reps,"codegen_errors":$cgErrors"""
     // `failed` is explicit so a query that starts throwing can never read
     // as a speedup of the headline total.
     val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},$env,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
@@ -157,7 +284,7 @@ object Bench {
     val summary = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"n_queries":${best.size},$env,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}"""
     // persistence failures must be VISIBLE (an unwritable cwd silently
     // producing no artifacts looked like a bench bug), but still non-fatal
-    def persist(path: String, line: String): Unit = scala.util.Try {
+    def persistFile(path: String, line: String): Unit = scala.util.Try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(path),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -175,12 +302,11 @@ object Bench {
     // documented source of truth for headline numbers.
     // only full-suite runs persist the files: a SPARK_GRAFT_ONLY focused
     // run would otherwise clobber the complete per-query record
-    if (only.isEmpty) {
-      persist("BENCH_FULL.json", fullLine)
-      persist("BENCH_SUMMARY.json", summary)
+    if (persist) {
+      persistFile("BENCH_FULL.json", fullLine)
+      persistFile("BENCH_SUMMARY.json", summary)
     }
     System.err.println(summary)
     println(summary)
-    spark.stop()
   }
 }
