@@ -90,6 +90,32 @@ object Scd2 {
     * the reference's fragile max(effective_start_ts) comparison (SURVEY
     * §7.4.1) while preserving its observable semantics.
     */
+  /** The increment in the shape a transactional `MERGE INTO` consumes
+    * (see [[DimStore]]): the COMPLETE rebuilt history for every natural
+    * key the batch touches, plus the touched-key set. Primary key of an
+    * upsert row = (nk, effective_start_ts); rows for untouched keys never
+    * appear, so a merge-capable store modifies O(batch-keys' versions)
+    * rows, not O(dimension).
+    */
+  final case class Scd2Delta(upserts: DataFrame, touchedKeys: DataFrame)
+
+  def incrementalDelta(
+      existing: DataFrame,
+      batch: DataFrame,
+      nk: Seq[String],
+      orderCol: String,
+      attrs: Seq[String],
+      tiebreak: Seq[String] = Nil
+  ): Scd2Delta = {
+    val touchedKeys = batch.select(nk.map(col): _*).distinct()
+    val touchedOld = existing
+      .join(touchedKeys, nk, "left_semi")
+      .select((nk :+ orderCol).map(col) ++ attrs.map(col): _*)
+    val combined =
+      touchedOld.unionByName(batch.select((nk :+ orderCol).map(col) ++ attrs.map(col): _*))
+    Scd2Delta(initialLoad(combined, nk, orderCol, attrs, tiebreak), touchedKeys)
+  }
+
   def incrementalMerge(
       existing: DataFrame,
       batch: DataFrame,
@@ -98,15 +124,8 @@ object Scd2 {
       attrs: Seq[String],
       tiebreak: Seq[String] = Nil
   ): DataFrame = {
-    val touchedKeys = batch.select(nk.map(col): _*).distinct()
-    val untouched   = existing.join(touchedKeys, nk, "left_anti")
-    val touchedOld = existing
-      .join(touchedKeys, nk, "left_semi")
-      .select((nk :+ orderCol).map(col) ++ attrs.map(col): _*)
-    val combined =
-      touchedOld.unionByName(batch.select((nk :+ orderCol).map(col) ++ attrs.map(col): _*))
-    val rebuilt = initialLoad(combined, nk, orderCol, attrs, tiebreak)
-    untouched.unionByName(rebuilt)
+    val delta = incrementalDelta(existing, batch, nk, orderCol, attrs, tiebreak)
+    existing.join(delta.touchedKeys, nk, "left_anti").unionByName(delta.upserts)
   }
 
   /** Append the Unknown member (SK=0 — requirements/...:87, 111; the
