@@ -952,6 +952,49 @@ object SparkEntry {
       mins = Seq("first_order"), maxs = Seq("last_order", "last_urgent"))
   }
 
+  /** Delete-capable aggregate maintenance (library:
+    * operators.RetractableAgg): an insert batch AND a delete batch flow
+    * through the maintained per-group (count, sum, min, max) table;
+    * counts/sums retract as negative deltas, min/max re-aggregate only
+    * the groups whose extremum a delete touched. The oracle is the FULL
+    * RECOMPUTE over base ∪ inserts ∖ deletes — the defining invariant.
+    */
+  private def qRetractableAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RetractableAgg
+    val base = T(s, dir).lineitem.select(
+      col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+    val keys    = Seq("l_returnflag", "l_linestatus")
+    val oldBase = base.filter(col("l_orderkey") % 10 =!= 7)
+    val inserts = base.filter(col("l_orderkey") % 10 === 7)
+    val deletes = base.filter(col("l_orderkey") % 10 === 3)
+    val newBase = base.filter(col("l_orderkey") % 10 =!= 3)
+    val stored = RetractableAgg.buildAgg(oldBase, keys,
+      sums = Seq("price_cents"), mins = Seq("price_cents"),
+      maxs = Seq("price_cents"))
+    RetractableAgg.applyChanges(stored, newBase, inserts, deletes, keys,
+      sums = Seq("price_cents"), mins = Seq("price_cents"),
+      maxs = Seq("price_cents"))
+  }
+
+  /** Exact COUNT(DISTINCT) under deletes via the value-level refcount
+    * store (the delete-capable complement of the HLL sketch store, which
+    * cannot retract). Oracle = full COUNT(DISTINCT) recompute.
+    */
+  private def qRetractableDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RetractableAgg
+    val base = T(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_partkey"))
+    val oldBase = base.filter(col("l_orderkey") % 10 =!= 7)
+    val inserts = base.filter(col("l_orderkey") % 10 === 7)
+    val deletes = base.filter(col("l_orderkey") % 10 === 3)
+    val store = RetractableAgg.buildDistinctStore(oldBase,
+      Seq("l_returnflag"), "l_partkey")
+    val maintained = RetractableAgg.maintainDistinctStore(store, inserts,
+      deletes, Seq("l_returnflag"), "l_partkey")
+    RetractableAgg.distinctCounts(maintained, Seq("l_returnflag"))
+  }
+
   /** Incremental join-view maintenance (library: operators.IncrementalJoin):
     * maintain a materialized orders⋈customer view under snapshot deltas on
     * BOTH sides — inserts (keys absent from the old snapshots), updates (a
@@ -1171,6 +1214,8 @@ object SparkEntry {
     "q_o_snapshot_diff"      -> (qSnapshotDiff _),
     "q_o_snapshot_apply"     -> (qSnapshotApply _),
     "q_o_incr_agg"           -> (qIncrementalAgg _),
+    "q_o_retractable_agg"    -> (qRetractableAgg _),
+    "q_o_retractable_distinct" -> (qRetractableDistinct _),
     "q_o_incr_join"          -> (qIncrementalJoin _),
     "q_o_pagerank"           -> (qPageRank _),
     "q_o_bloom_semi"         -> (qBloomSemi _),
@@ -1419,6 +1464,21 @@ object SparkEntry {
         |  MAX(CASE WHEN o_orderpriority = '1-URGENT'
         |           THEN CAST(o_orderdate AS DATE) END) AS last_urgent
         |FROM orders GROUP BY 1""".stripMargin,
+    // maintained-under-deletes aggregate == full recompute over
+    // base ∪ inserts ∖ deletes — the view-maintenance invariant
+    "q_o_retractable_agg" ->
+      """WITH nb AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents
+        |  FROM lineitem WHERE l_orderkey % 10 <> 3)
+        |SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(price_cents) AS BIGINT) AS price_cents,
+        |  MIN(price_cents) AS min_price_cents,
+        |  MAX(price_cents) AS max_price_cents
+        |FROM nb GROUP BY 1, 2""".stripMargin,
+    "q_o_retractable_distinct" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+        |FROM lineitem WHERE l_orderkey % 10 <> 3
+        |GROUP BY 1""".stripMargin,
     // replays BOTH floor-PageRank iterations: same integer base rank,
     // same per-edge floor division, same ppm damping update
     "q_o_pagerank" ->

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.RetractableAgg
+
+/** Delete-aware maintenance must equal a full recompute on EVERY branch:
+  * extremum-touching deletes (affected-group recompute), extremum-sparing
+  * deletes (pure monoid path), whole-group deletion (group vanishes via
+  * the count support column), NULL group keys (null-safe joins), and the
+  * refcount distinct store's increment/decrement/vanish/raise life cycle.
+  */
+class RetractableAggSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def rows(t: (java.lang.Long, String, Long)*): DataFrame =
+    t.toSeq.toDF("id", "grp", "v")
+
+  private val keys = Seq("grp")
+
+  private def fullRecompute(newBase: DataFrame): Seq[Seq[Any]] =
+    RetractableAgg.buildAgg(newBase, keys, sums = Seq("v"),
+        mins = Seq("v"), maxs = Seq("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  private def maintain(oldBase: DataFrame, inserts: DataFrame,
+      deletes: DataFrame, newBase: DataFrame): Seq[Seq[Any]] =
+    RetractableAgg.applyChanges(
+      RetractableAgg.buildAgg(oldBase, keys, sums = Seq("v"),
+        mins = Seq("v"), maxs = Seq("v")),
+      newBase, inserts, deletes, keys,
+      sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+
+  test("every delete branch equals the full recompute") {
+    val oldBase = rows(
+      (1L, "a", 1L), (2L, "a", 5L), (3L, "a", 9L),   // extremum-touching: min 1 deleted
+      (4L, "b", 10L), (5L, "b", 20L), (6L, "b", 30L), // extremum-sparing: middle deleted
+      (7L, "c", 7L),                                  // whole group deleted
+      (8L, null, 100L), (9L, null, 200L)              // NULL group key
+    )
+    val deletes = rows((1L, "a", 1L), (5L, "b", 20L), (7L, "c", 7L),
+      (9L, null.asInstanceOf[String], 200L))
+    val inserts = rows((10L, "a", 4L), (11L, "d", 40L))
+    val delIds = Set(1L, 5L, 7L, 9L)
+    val newBase = oldBase.filter(!col("id").isin(delIds.toSeq: _*))
+      .unionByName(inserts)
+    maintain(oldBase, inserts, deletes, newBase) shouldBe fullRecompute(newBase)
+    // group c must be GONE, group d born, null group maintained
+    val grps = fullRecompute(newBase).map(_.head)
+    grps should contain allOf ("a", "b", "d", null)
+    grps should not contain "c"
+  }
+
+  test("randomized insert/delete sequences equal full recompute") {
+    val rnd = new scala.util.Random(5)
+    val all = (1L to 400L).map(i =>
+      (java.lang.Long.valueOf(i),
+        if (i % 37 == 0) null else s"g${rnd.nextInt(6)}",
+        rnd.nextInt(50).toLong))
+    val insertIds = all.filter(_ => rnd.nextBoolean()).map(_._1.longValue()).toSet
+    val arrived = all.filterNot(t => insertIds(t._1.longValue()))
+    val deleted = arrived.filter(_ => rnd.nextInt(4) == 0)
+    val oldBase = rows(arrived: _*)
+    val inserts = rows(all.filter(t => insertIds(t._1.longValue())): _*)
+    val deletes = rows(deleted: _*)
+    val deletedIds = deleted.map(_._1.longValue()).toSet
+    val newBase = rows(all.filterNot(t => deletedIds(t._1.longValue())): _*)
+    maintain(oldBase, inserts, deletes, newBase) shouldBe fullRecompute(newBase)
+  }
+
+  test("a delete of a never-present row raises loudly") {
+    // deletes stay strictly inside the stored (min, max) so the group is
+    // NOT affected-recomputed (that path re-derives truth from newBase and
+    // is insensitive to phantom deletes) — the monoid path must catch the
+    // negative count
+    val oldBase = rows((1L, "a", 1L), (2L, "a", 9L))
+    val deletes = rows((3L, "a", 5L), (4L, "a", 5L), (5L, "a", 5L))
+    val e = intercept[Exception] {
+      RetractableAgg.applyChanges(
+        RetractableAgg.buildAgg(oldBase, keys, Seq("v"), Seq("v"), Seq("v")),
+        oldBase, rows(), deletes, keys, Seq("v"), Seq("v"), Seq("v")).collect()
+    }
+    e.getMessage should include("negative")
+  }
+
+  test("distinct refcount store: decrement, vanish at zero, equal full recompute") {
+    val oldBase = rows(
+      (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L), // value 1 twice
+      (4L, "b", 5L))
+    val inserts = rows((5L, "a", 3L), (6L, "b", 5L))
+    val deletes = rows((1L, "a", 1L), (3L, "a", 2L)) // value 2 vanishes, 1 survives
+    val store = RetractableAgg.buildDistinctStore(oldBase, keys, "v")
+    val maintained = RetractableAgg.maintainDistinctStore(store, inserts,
+      deletes, keys, "v")
+    val counts = RetractableAgg.distinctCounts(maintained, keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts shouldBe Map("a" -> 2L, "b" -> 1L) // a: {1, 3}; b: {5}
+    // refcount exactness, not just distinctness
+    val refs = maintained.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    refs(("a", 1L)) shouldBe 1L
+    refs(("b", 5L)) shouldBe 2L
+    refs.get(("a", 2L)) shouldBe None
+    // over-delete raises
+    val e = intercept[Exception] {
+      RetractableAgg.maintainDistinctStore(maintained, rows(),
+        rows((9L, "b", 5L), (10L, "b", 5L), (11L, "b", 5L)), keys, "v").collect()
+    }
+    e.getMessage should include("negative")
+  }
+}
