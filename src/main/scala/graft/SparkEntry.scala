@@ -1239,7 +1239,11 @@ object SparkEntry {
     "q_a2b_pivot"            -> (qPivot _),
     "q_sql_dup_keys"         -> (graft.sqlfront.SqlFront.duplicateKeys _),
     "q_sql_distribution"     -> (graft.sqlfront.SqlFront.distribution _),
-    "q_sql_freshness"        -> (graft.sqlfront.SqlFront.freshness _)
+    "q_sql_freshness"        -> (graft.sqlfront.SqlFront.freshness _),
+    "q_sql_anomaly_zscore"   -> ((s: SparkSession, dir: String) =>
+      graft.sqlfront.SqlFront.recordCountAnomaly(s, dir, "2024-01-30")),
+    "q_sql_dup_rate_spike"   -> ((s: SparkSession, dir: String) =>
+      graft.sqlfront.SqlFront.duplicateRateSpike(s, dir, "2024-01-30"))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1871,6 +1875,41 @@ object SparkEntry {
     "q_sql_dup_keys" ->
       """SELECT user_id, COUNT(*) AS n_rows
         |FROM events GROUP BY user_id HAVING COUNT(*) > 1""".stripMargin,
+    // the reference's record-count z-score CTE chain over daily events,
+    // rounded to 6dp on both engines (derived double stats)
+    "q_sql_anomaly_zscore" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS run_date, COUNT(*) AS record_count
+        |           FROM events
+        |           WHERE CAST(ts AS DATE) >= DATE '2024-01-30' - 7
+        |             AND CAST(ts AS DATE) <= DATE '2024-01-30'
+        |           GROUP BY 1),
+        |s AS (SELECT AVG(record_count) AS avg_count,
+        |        STDDEV(record_count) AS std_count
+        |      FROM d WHERE run_date < DATE '2024-01-30')
+        |SELECT d.run_date, d.record_count,
+        |  round(s.avg_count, 6) AS avg_count,
+        |  round(s.std_count, 6) AS std_count,
+        |  round(ABS(d.record_count - s.avg_count) / s.std_count, 6) AS z_score
+        |FROM d CROSS JOIN s
+        |WHERE d.run_date = DATE '2024-01-30'""".stripMargin,
+    // the reference's duplicate-rate spike check; its outer WHERE runs
+    // before the window, so the trailing frame is empty -> NULL avg rate
+    // (faithfully reproduced by both engines)
+    "q_sql_dup_rate_spike" ->
+      """WITH ds AS (SELECT CAST(ts AS DATE) AS run_date,
+        |    COUNT(*) AS total_records,
+        |    COUNT(DISTINCT user_id) AS unique_users,
+        |    (COUNT(*) - COUNT(DISTINCT user_id)) * 100.0 / COUNT(*) AS duplicate_rate
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-30' - 7
+        |    AND CAST(ts AS DATE) <= DATE '2024-01-30'
+        |  GROUP BY 1)
+        |SELECT run_date,
+        |  CAST(round(duplicate_rate, 6) AS DOUBLE) AS duplicate_rate,
+        |  CAST(round(AVG(duplicate_rate) OVER (ORDER BY run_date
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 6) AS DOUBLE) AS avg_dup_rate
+        |FROM ds
+        |WHERE run_date = DATE '2024-01-30'""".stripMargin,
     "q_sql_distribution" ->
       """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
         |           GROUP BY o_orderpriority)

@@ -48,6 +48,125 @@ object SqlFront {
       // in DOUBLE — double-rounding divergence at .xx5 boundaries.
   }
 
+  /** Register the reference's `meta_bronze` CATALOG views so its
+    * schema-qualified monitoring SQL (`FROM meta_bronze.datasets`,
+    * `FROM meta_bronze.users` — Meta_Guideline.md:4233-4305) executes
+    * VERBATIM through `spark.sql`. Catalog views cannot reference temp
+    * views, so the ts normalization (nanos parquet → TIMESTAMP_NTZ, the
+    * same branch `core.Tables.events` takes) is inlined into the view
+    * text against the parquet path; `run_date` is the reference's daily
+    * partition column, derived from the event timestamp.
+    */
+  def registerMetaBronze(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val tsExpr = spark.read.parquet(path).schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+      case org.apache.spark.sql.types.TimestampNTZType => "ts"
+      case _ => "CAST(ts AS TIMESTAMP_NTZ)"
+    }
+    spark.sql("CREATE DATABASE IF NOT EXISTS meta_bronze")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW meta_bronze.datasets AS
+         |SELECT event_id, $tsExpr AS ts, user_id, event_type,
+         |  CAST($tsExpr AS DATE) AS run_date
+         |FROM parquet.`$path`""".stripMargin)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW meta_bronze.users AS
+         |SELECT user_id, CAST($tsExpr AS DATE) AS run_date
+         |FROM parquet.`$path`""".stripMargin)
+  }
+
+  /** Reference anomaly check 1 VERBATIM (record-count z-score,
+    * Meta_Guideline.md:4233-4258): daily counts over a trailing window,
+    * mean/stddev of the PRIOR days, z-score of the run date. Only the
+    * `{run_date}` parameter is substituted — exactly what the reference's
+    * f-string does. The caller wraps a ROUND for cross-engine
+    * double-stability of the derived stats; the inner text is untouched.
+    */
+  def recordCountAnomalySql(runDate: String): String =
+    s"""
+       |        WITH daily_counts AS (
+       |            SELECT
+       |                run_date,
+       |                COUNT(*) as record_count
+       |            FROM meta_bronze.datasets
+       |            WHERE run_date >= DATE_ADD('$runDate', -7)
+       |              AND run_date <= '$runDate'
+       |            GROUP BY run_date
+       |        ),
+       |        stats AS (
+       |            SELECT
+       |                AVG(record_count) as avg_count,
+       |                STDDEV(record_count) as std_count
+       |            FROM daily_counts
+       |            WHERE run_date < '$runDate'
+       |        )
+       |        SELECT
+       |            d.run_date,
+       |            d.record_count,
+       |            s.avg_count,
+       |            s.std_count,
+       |            ABS(d.record_count - s.avg_count) / s.std_count as z_score
+       |        FROM daily_counts d
+       |        CROSS JOIN stats s
+       |        WHERE d.run_date = '$runDate'
+       |        """.stripMargin
+
+  def recordCountAnomaly(spark: SparkSession, dir: String,
+      runDate: String): DataFrame = {
+    registerMetaBronze(spark, dir)
+    spark.sql(s"""SELECT run_date, record_count,
+      round(avg_count, 6) AS avg_count, round(std_count, 6) AS std_count,
+      round(z_score, 6) AS z_score
+      FROM (${recordCountAnomalySql(runDate)})""")
+  }
+
+  /** Reference anomaly check 2 VERBATIM (duplicate-rate spike,
+    * Meta_Guideline.md:4282-4305). Note the reference's own semantics:
+    * the outer WHERE filters to the run date BEFORE the window function
+    * evaluates (standard SQL ordering), so the trailing-average window
+    * sees a single row and its 6-PRECEDING..1-PRECEDING frame is empty —
+    * `avg_dup_rate` is NULL by the reference's construction, and the
+    * engine reproduces that faithfully (as Athena/Presto would).
+    */
+  def duplicateRateSpikeSql(runDate: String): String =
+    s"""
+       |        WITH dedup_stats AS (
+       |            SELECT
+       |                run_date,
+       |                COUNT(*) as total_records,
+       |                COUNT(DISTINCT user_id) as unique_users,
+       |                (COUNT(*) - COUNT(DISTINCT user_id)) * 100.0 / COUNT(*) as duplicate_rate
+       |            FROM meta_bronze.users
+       |            WHERE run_date >= DATE_ADD('$runDate', -7)
+       |              AND run_date <= '$runDate'
+       |            GROUP BY run_date
+       |        )
+       |        SELECT
+       |            run_date,
+       |            duplicate_rate,
+       |            AVG(duplicate_rate) OVER (
+       |                ORDER BY run_date
+       |                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING
+       |            ) as avg_dup_rate
+       |        FROM dedup_stats
+       |        WHERE run_date = '$runDate'
+       |        """.stripMargin
+
+  def duplicateRateSpike(spark: SparkSession, dir: String,
+      runDate: String): DataFrame = {
+    registerMetaBronze(spark, dir)
+    // Spark types 100.0 as DECIMAL, DuckDB computes the same exact
+    // rational its own way — normalize both to a 6dp DOUBLE for the
+    // hash compare; the inner text stays verbatim
+    spark.sql(s"""SELECT run_date,
+      CAST(round(duplicate_rate, 6) AS DOUBLE) AS duplicate_rate,
+      CAST(round(avg_dup_rate, 6) AS DOUBLE) AS avg_dup_rate
+      FROM (${duplicateRateSpikeSql(runDate)})""")
+  }
+
   /** Multi-table freshness (reference UNION ALL freshness checks
     * :4204-4218): latest data date per table.
     */
