@@ -227,7 +227,12 @@ object Bench {
         val (results, cg) = runQueries(sfDir, sel, reps)
         writeFragment(sys.env("SPARK_GRAFT_SEGMENT_OUT"), results, cg)
       case None =>
-        val segments = envInt("SPARK_GRAFT_SEGMENTS", 3).max(1)
+        // default 5: the kernel-heavy similarity family alone filled a
+        // 3-segment chunk, and one JIT deopt dice-roll inside it still
+        // inflated sibling queries 2-3x (isolated minhash 3.6s vs 13.2s
+        // in-suite); smaller chunks bound the blast radius at ~30s of
+        // extra per-JVM startup for the whole suite
+        val segments = envInt("SPARK_GRAFT_SEGMENTS", 5).max(1)
         val selected = allNames
           .filter(n => only.forall(_.findFirstIn(n).isDefined))
         val (results, cgErrors) =
