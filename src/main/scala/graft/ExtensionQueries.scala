@@ -194,6 +194,20 @@ object ExtensionQueries {
     graft.curation.Curation.noveltyScore(
       T(s, dir).documents, "doc_id", "text", n = 3, minDf = 2)
 
+  /** DSIR-flavored domain weighting: the src0 slice is the target domain,
+    * the whole corpus the source; every bigram instance contributes its
+    * quantized smoothed target/source likelihood ratio. The oracle replays
+    * the exact integer arithmetic (HUGEINT — the numerator overflows a
+    * BIGINT at corpus scale).
+    */
+  private def qImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    graft.curation.Curation.importanceWeights(
+      docs.select(col("doc_id"), col("text")),
+      docs.filter(col("source") === "src0").select(col("text")),
+      "doc_id", "text", n = 2)
+  }
+
   /** EXACT heavy hitters over $1000 price buckets (exact-cents integer
     * division), k=400: a bounded frequent-items sketch pass proposes
     * candidates, an exact recount of only the candidates keeps
@@ -906,6 +920,7 @@ object ExtensionQueries {
     "q_x_quality_score"   -> (qQualityScore _),
     "q_x_keep_top_fraction" -> (qKeepTopFraction _),
     "q_x_novelty_score"   -> (qNoveltyScore _),
+    "q_x_importance_weights" -> (qImportanceWeights _),
     "q_x_span_dedup"      -> (qSpanDedup _),
     "q_x_heavy_hitters"   -> (qHeavyHitters _),
     "q_x_bloom_index"     -> (qBloomIndex _),
@@ -1219,6 +1234,32 @@ object ExtensionQueries {
            |  CASE WHEN coalesce(p.n_ngrams, 0) > 0
            |       THEN ((p.n_ngrams - p.n_common) * 1000000) // p.n_ngrams
            |  END AS novelty_ppm
+           |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
+      // quantized smoothed likelihood ratios replayed in exact integer
+      // arithmetic; bigram stream = consecutive token pairs (inclusive
+      // 1-based DuckDB slicing: toks[i:i+1] is 2 elements)
+      "q_x_importance_weights" ->
+        s"""WITH t AS (SELECT doc_id, source, $DTOKS AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+           |       for i in generate_series(1, len(toks)-1)]) AS ng FROM t),
+           |gt AS (SELECT unnest([array_to_string(toks[i:i+1], ' ')
+           |        for i in generate_series(1, len(toks)-1)]) AS ng FROM t
+           |       WHERE source = 'src0'),
+           |cs AS (SELECT ng, count(*) AS cs FROM g GROUP BY 1),
+           |ctt AS (SELECT ng, count(*) AS ct FROM gt GROUP BY 1),
+           |tot AS (SELECT (SELECT count(*) FROM g) AS ts,
+           |               (SELECT count(*) FROM gt) AS tt),
+           |r AS (SELECT g.doc_id,
+           |       (1000000::HUGEINT * (coalesce(ctt.ct, 0) + 1) * (tot.ts + 1))
+           |         // ((cs.cs + 1)::HUGEINT * (tot.tt + 1)) AS r
+           |      FROM g JOIN cs USING (ng) LEFT JOIN ctt USING (ng) CROSS JOIN tot),
+           |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(r) AS BIGINT) AS importance_sum FROM r GROUP BY 1)
+           |SELECT t.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           |  CAST(coalesce(p.importance_sum, 0) AS BIGINT) AS importance_sum,
+           |  CASE WHEN coalesce(p.n_grams, 0) > 0
+           |       THEN CAST(p.importance_sum // p.n_grams AS BIGINT)
+           |  END AS importance_avg
            |FROM t LEFT JOIN p USING (doc_id)""".stripMargin,
       // reads the directory the compaction just published: file count and
       // exact-cents content both pinned against the Spark-side read

@@ -398,6 +398,70 @@ object Curation {
           expr("(n_ngrams - n_common) * 1000000 DIV n_ngrams")))
   }
 
+  /** Domain-relevance importance weighting (DSIR-flavored, Xie et al.:
+    * data selection by importance resampling over hashed n-gram features):
+    * score each corpus document by how much its n-gram instances look like
+    * a small TARGET domain sample relative to the corpus itself. Each gram
+    * occurrence contributes the add-one-smoothed target/source frequency
+    * ratio
+    *
+    *   r(g) = floor( scale * (ct(g)+1) * (Ts+1)  /  ((cs(g)+1) * (Tt+1)) )
+    *
+    * (ct/cs = gram instance counts in target/corpus, Tt/Ts their totals —
+    * the ratio of smoothed unigram-model probabilities). INTEGER-QUANTIZED
+    * on purpose: a log-likelihood sum of doubles is partition-order
+    * dependent and cross-engine unstable, while floors of exact integer
+    * rationals (DECIMAL arithmetic — the numerator overflows a LONG at
+    * corpus scale) sum order-free and oracle-check exactly. Downstream,
+    * [[DeterministicSampling.weightedSample]] / [[keepTopFraction]]
+    * resample on `importance_avg` — together that IS importance
+    * resampling toward the target domain.
+    *
+    * Scale shape: one gram explode per side, map-side-combined counts,
+    * one equi-join of the corpus gram stream with the (broadcastable)
+    * count tables, one-row totals broadcast via crossJoin; per-doc
+    * aggregation is a keyed shuffle. Nothing driver-side.
+    */
+  def importanceWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(n >= 1, s"importanceWeights: n must be >= 1, got $n")
+    require(scale > 0, s"importanceWeights: scale must be > 0, got $scale")
+    import org.apache.spark.sql.types.DecimalType
+    def gramsOf(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(graft.functions.TextNativeExpressions
+        .word_ngrams_all_native(col(textCol), n)).as("__g"): _*)
+    val grams    = gramsOf(corpus, col(idCol))
+    val tgtGrams = gramsOf(target)
+    val cs = grams.groupBy("__g").agg(count(lit(1)).as("__cs"))
+    val ct = tgtGrams.groupBy("__g").agg(count(lit(1)).as("__ct"))
+    val ts = grams.agg(count(lit(1)).as("__ts"))
+    val tt = tgtGrams.agg(count(lit(1)).as("__tt"))
+    val num = (lit(scale).cast(DecimalType(38, 0)) *
+      (coalesce(col("__ct"), lit(0L)) + lit(1L)) * (col("__ts") + lit(1L)))
+    val den = ((col("__cs") + lit(1L)).cast(DecimalType(38, 0)) *
+      (col("__tt") + lit(1L)))
+    val scored = grams
+      .join(cs, "__g")
+      .join(ct, Seq("__g"), "left")
+      .crossJoin(broadcast(ts))
+      .crossJoin(broadcast(tt))
+      .withColumn("__r", call_function("div", num, den))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__r")).as("importance_sum"))
+    corpus.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("importance_sum"), lit(0L)).as("importance_sum"))
+      .withColumn("importance_avg",
+        when(col("n_grams") > 0, expr("importance_sum DIV n_grams")))
+  }
+
   /** Statistical bigram-LM quality score (CC-Net-style LM filtering with
     * the corpus itself as the model): train bigram conditional
     * probabilities on the corpus, then score each document by the mean

@@ -256,6 +256,36 @@ class CurationSpec extends SparkSpecBase {
     out(4) shouldBe ((5L, "", 8L, 8L))
   }
 
+  test("importanceWeights ranks target-domain text above off-domain; exact quantized ratios") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta"),    // pure target-domain bigrams
+      (2L, "gamma delta gamma delta"),  // pure off-domain
+      (3L, "alpha beta gamma delta"),   // mixed
+      (4L, "solo")                      // no bigrams -> zero row
+    ).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta alpha beta alpha beta")).toDF("text")
+    val out = graft.curation.Curation
+      .importanceWeights(corpus, target, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    // target has 5 bigram instances: "alpha beta" x3, "beta alpha" x2 (Tt=5).
+    // corpus has 9: doc1 (ab, ba, ab), doc2 (gd, dg, gd), doc3 (ab, bg, gd),
+    // so cs: ab=3, ba=1, gd=3, dg=1, bg=1 (Ts=9).
+    // r(ab) = 1e6 * (3+1)*(9+1) / ((3+1)*(5+1)) = 1666666
+    // r(ba) = 1e6 * (2+1)*10 / ((1+1)*6)        = 2500000
+    // r(gd) = 1e6 * (0+1)*10 / ((3+1)*6)        =  416666
+    // r(dg) = r(bg) = 1e6 * 10 / ((1+1)*6)      =  833333
+    out(1L) shouldBe ((3L, 1666666L * 2 + 2500000L, (1666666L * 2 + 2500000L) / 3))
+    out(2L) shouldBe ((3L, 416666L * 2 + 833333L, (416666L * 2 + 833333L) / 3))
+    out(3L) shouldBe ((3L, 1666666L + 833333L + 416666L,
+      (1666666L + 833333L + 416666L) / 3))
+    out(4L) shouldBe ((0L, 0L, -1L))
+    // the resampling property: target-like > mixed > off-domain
+    out(1L)._3 should be > out(3L)._3
+    out(3L)._3 should be > out(2L)._3
+  }
+
   test("maskDuplicateSpans: clean corpus (no duplicated grams) is identity") {
     val df = Seq(
       (1L, "one two three four five"),
