@@ -1111,8 +1111,10 @@ object SparkEntry {
       approx_count_distinct(col("l_orderkey")).as("__apx_orders"),
       countDistinct(col("l_orderkey")).as("n_orders"),
       approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("__apx_median"),
-      expr("percentile(l_extendedprice, 0.45e0)").as("__p45"),
-      expr("percentile(l_extendedprice, 0.55e0)").as("__p55"),
+      // ONE percentile agg evaluating both band edges (the two separate
+      // percentile calls were the #2 bench line — each is its own
+      // sort-accumulating buffer over the full column)
+      expr("percentile(l_extendedprice, array(0.45e0, 0.55e0))").as("__p"),
       count(lit(1)).as("n")
     ).select(
       col("n_parts"), col("n_orders"), col("n"),
@@ -1120,7 +1122,7 @@ object SparkEntry {
         col("n_parts") * lit(85L), col("n_parts") * lit(115L)).as("parts_in_band"),
       (col("__apx_orders") * lit(100L)).between(
         col("n_orders") * lit(85L), col("n_orders") * lit(115L)).as("orders_in_band"),
-      col("__apx_median").between(col("__p45"), col("__p55")).as("median_in_band"))
+      col("__apx_median").between(col("__p")(0), col("__p")(1)).as("median_in_band"))
 
   /** Beyond-reference: hierarchical subtotals via ROLLUP (the reference
     * computes per-level aggregates in separate jobs; one rollup pass

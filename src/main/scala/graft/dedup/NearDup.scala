@@ -401,14 +401,20 @@ object NearDup {
       scoreCol: String
   ): DataFrame = {
     val scored = clusters.join(scores.select(col(idCol), col(scoreCol)), idCol)
-    // min over (-score, id) structs = (max score, then MIN id) — the id
-    // rides in the struct un-negated, so the tiebreak is exact for ANY
-    // orderable id type (a string id under the old -col(id) negation was
-    // implicitly cast to double/null and misordered silently); only the
-    // score, documented integral, is negated.
+    // min over (isNull, -score, id) structs = (non-null scores first, then
+    // max score, then MIN id) — the id rides in the struct un-negated, so
+    // the tiebreak is exact for ANY orderable id type (a string id under
+    // the old -col(id) negation was implicitly cast to double/null and
+    // misordered silently); only the score, documented integral, is
+    // negated. The leading isNull field (false < true) makes NULL-scored
+    // rows LOSE: struct field ordering otherwise sorts NULL first, so a
+    // bare min(struct(-score, id)) would elect a NULL-scored member over
+    // every scored one. An all-NULL cluster still elects (min id,
+    // canonical_score NULL) rather than vanishing.
     val elect = scored
       .groupBy(col("canonical_id").as("cluster_id"))
-      .agg(min(struct((-col(scoreCol)).as("__neg_score"), col(idCol).as("__id")))
+      .agg(min(struct(col(scoreCol).isNull.as("__score_null"),
+        (-col(scoreCol)).as("__neg_score"), col(idCol).as("__id")))
         .as("__best"))
       .select(col("cluster_id"),
         col("__best.__id").as("best_id"),

@@ -210,6 +210,14 @@ object QuantizeNative {
         // Spark's Round(double): BigDecimal.valueOf + HALF_UP — exact twin
         val r = java.math.BigDecimal.valueOf(d)
           .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        // ANSI double→long overflow check, Spark's own LongExactNumeric
+        // condition verbatim (floor/ceil compared against the long bounds
+        // promoted to double) — a finite out-of-range value THROWS like
+        // the cast the doc promises, instead of toLong's silent saturation
+        if (!(Math.floor(r) <= Long.MaxValue.toDouble &&
+            Math.ceil(r) >= Long.MinValue.toDouble))
+          throw new ArithmeticException(
+            s"quantize: value $r out of BIGINT range")
         out(i) = java.lang.Long.valueOf(r.toLong)
       }
       i += 1

@@ -54,8 +54,10 @@ object RetractableAgg {
   /** Fold an insert batch AND a delete batch into `stored`
     * (= buildAgg(oldBase)), given `newBase` = oldBase ∪ inserts ∖ deletes
     * for the affected-group recompute. Deleting rows that were never in
-    * the base is undefined (guarded: a group driven to negative count
-    * raises). Result ≡ buildAgg(newBase).
+    * the base is undefined and GUARDED both ways: a group driven to a
+    * negative count raises, and a delete group with no row in the
+    * maintained aggregate raises (full-outer detection, not a silent
+    * left-join no-op). Result ≡ buildAgg(newBase).
     */
   def applyChanges(
       stored: DataFrame,
@@ -84,14 +86,28 @@ object RetractableAgg {
 
     val g = grown.alias("__ra_g")
     val d = delAgg.alias("__ra_d")
+    // each comparison coalesced to false: a NULL extremum on either side
+    // (delete batch removed only NULL-valued rows, or the stored group is
+    // all-NULL in that measure) must read "does not touch", not SQL NULL —
+    // a NULL would poison the OR-fold and make __affected NULL, failing
+    // BOTH downstream filters and silently dropping a live group
     val touchesExtremum = (
-      mins.map(c => col(s"__ra_d.__d_min_$c") <= col(s"__ra_g.min_$c")) ++
-        maxs.map(c => col(s"__ra_d.__d_max_$c") >= col(s"__ra_g.max_$c"))
+      mins.map(c => coalesce(col(s"__ra_d.__d_min_$c") <= col(s"__ra_g.min_$c"), lit(false))) ++
+        maxs.map(c => coalesce(col(s"__ra_d.__d_max_$c") >= col(s"__ra_g.max_$c"), lit(false)))
     ).foldLeft(lit(false))(_ || _)
-    val joined = g.join(d, nullSafeOn("__ra_g", "__ra_d", keys), "left_outer")
+    // full_outer, not left_outer: a delete group absent from the maintained
+    // aggregate must RAISE (the negative-count guard's never-seen sibling),
+    // not silently no-op
+    val joined = g.join(d, nullSafeOn("__ra_g", "__ra_d", keys), "full_outer")
       .select(
-        keys.map(k => col(s"__ra_g.$k").as(k)) ++ Seq(
-          (col("__ra_g.cnt") - coalesce(col("__ra_d.__d_cnt"), lit(0L))).as("cnt"),
+        keys.map(k => coalesce(col(s"__ra_g.$k"), col(s"__ra_d.$k")).as(k)) ++ Seq(
+          when(col("__ra_g.cnt").isNull && col("__ra_d.__d_cnt").isNotNull,
+            raise_error(lit(
+              "RetractableAgg: delete batch references a group absent from " +
+                "the maintained aggregate - deletes must be rows of the " +
+                "maintained base")))
+            .otherwise(col("__ra_g.cnt") - coalesce(col("__ra_d.__d_cnt"), lit(0L)))
+            .as("cnt"),
           (col("__ra_d.__d_cnt").isNotNull && touchesExtremum).as("__affected")) ++
           sums.map { c =>
             when(col(s"__ra_g.$c").isNull && col(s"__ra_d.__d_$c").isNull, lit(null))
@@ -158,11 +174,18 @@ object RetractableAgg {
           (coalesce(col("__rd_s.ref_cnt"), lit(0L)) +
             coalesce(col("__rd_i.__ins_cnt"), lit(0L))).as("ref_cnt"): _*)
       .alias("__rd_s")
-      .join(d, nullSafeOn("__rd_s", "__rd_d", k), "left_outer")
+      // full_outer, not left_outer: a delete of a (group, value) pair the
+      // store never held must RAISE, not silently vanish from the fold
+      .join(d, nullSafeOn("__rd_s", "__rd_d", k), "full_outer")
       .select(
-        k.map(c => col(s"__rd_s.$c").as(c)) :+
-          (col("__rd_s.ref_cnt") -
-            coalesce(col("__rd_d.__del_cnt"), lit(0L))).as("ref_cnt"): _*)
+        k.map(c => coalesce(col(s"__rd_s.$c"), col(s"__rd_d.$c")).as(c)) :+
+          when(col("__rd_s.ref_cnt").isNull && col("__rd_d.__del_cnt").isNotNull,
+            raise_error(lit(
+              "RetractableAgg: delete batch references a (group, value) pair " +
+                "absent from the distinct store - deletes must be rows of " +
+                "the maintained base")))
+            .otherwise(col("__rd_s.ref_cnt") -
+              coalesce(col("__rd_d.__del_cnt"), lit(0L))).as("ref_cnt"): _*)
       .withColumn("ref_cnt",
         when(col("ref_cnt") < 0, raise_error(lit(
           "RetractableAgg: delete batch drove a value refcount negative - " +

@@ -56,9 +56,24 @@ object SqlFront {
     * same branch `core.Tables.events` takes) is inlined into the view
     * text against the parquet path; `run_date` is the reference's daily
     * partition column, derived from the event timestamp.
+    *
+    * Registers the views and returns the CHILD session they must be queried
+    * through: `nanosAsLong` is set on a `spark.newSession()` clone so the
+    * legacy-parquet conf never leaks into the caller's shared session (the
+    * same conf-scoping fix the round-4 verdict demanded for
+    * qRangeJoinAuto). The views land in the SHARED catalog (SharedState is
+    * common to all sessions of one SparkContext), but only the returned
+    * session is guaranteed to read the nanos-parquet branch of the view
+    * text correctly.
     */
-  def registerMetaBronze(spark: SparkSession, dir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def registerMetaBronze(spark: SparkSession, dir: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    registerMetaBronzeIn(s, dir)
+    s
+  }
+
+  private def registerMetaBronzeIn(spark: SparkSession, dir: String): Unit = {
     val path = s"$dir/events.parquet"
     val tsExpr = spark.read.parquet(path).schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -116,8 +131,8 @@ object SqlFront {
 
   def recordCountAnomaly(spark: SparkSession, dir: String,
       runDate: String): DataFrame = {
-    registerMetaBronze(spark, dir)
-    spark.sql(s"""SELECT run_date, record_count,
+    val s = registerMetaBronze(spark, dir)
+    s.sql(s"""SELECT run_date, record_count,
       round(avg_count, 6) AS avg_count, round(std_count, 6) AS std_count,
       round(z_score, 6) AS z_score
       FROM (${recordCountAnomalySql(runDate)})""")
@@ -157,11 +172,11 @@ object SqlFront {
 
   def duplicateRateSpike(spark: SparkSession, dir: String,
       runDate: String): DataFrame = {
-    registerMetaBronze(spark, dir)
+    val s = registerMetaBronze(spark, dir)
     // Spark types 100.0 as DECIMAL, DuckDB computes the same exact
     // rational its own way — normalize both to a 6dp DOUBLE for the
     // hash compare; the inner text stays verbatim
-    spark.sql(s"""SELECT run_date,
+    s.sql(s"""SELECT run_date,
       CAST(round(duplicate_rate, 6) AS DOUBLE) AS duplicate_rate,
       CAST(round(avg_dup_rate, 6) AS DOUBLE) AS avg_dup_rate
       FROM (${duplicateRateSpikeSql(runDate)})""")

@@ -85,6 +85,48 @@ class RetractableAggSpec extends SparkSpecBase {
     e.getMessage should include("negative")
   }
 
+  private def rowsN(t: (java.lang.Long, String, java.lang.Long)*): DataFrame =
+    t.toSeq.toDF("id", "grp", "v")
+
+  test("NULL-measure deletes keep the group alive (__affected stays boolean)") {
+    // group a mixes NULL and non-NULL measures; the delete batch removes
+    // ONLY NULL-valued rows, so its min/max over v are NULL — an
+    // un-coalesced NULL comparison would poison the __affected OR-fold and
+    // the group would silently vanish despite live rows. Group n has a
+    // NULL stored extremum (all rows NULL in v) — the other NULL side.
+    val oldBase = rowsN(
+      (1L, "a", null), (2L, "a", 5L), (3L, "a", 9L),
+      (4L, "n", null), (5L, "n", null))
+    val deletes = rowsN((1L, "a", null), (4L, "n", null))
+    val newBase = oldBase.filter(!col("id").isin(1L, 4L))
+    val maintained = RetractableAgg.applyChanges(
+      RetractableAgg.buildAgg(oldBase, keys, Seq("v"), Seq("v"), Seq("v")),
+      newBase, rowsN(), deletes, keys, Seq("v"), Seq("v"), Seq("v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    maintained shouldBe fullRecompute(newBase)
+    (maintained.map(_.head) should contain).allOf("a", "n")
+  }
+
+  test("a delete for a group absent from the maintained aggregate raises") {
+    val oldBase = rows((1L, "a", 1L))
+    val deletes = rows((2L, "z", 5L))
+    val e = intercept[Exception] {
+      RetractableAgg.applyChanges(
+        RetractableAgg.buildAgg(oldBase, keys, Seq("v"), Seq("v"), Seq("v")),
+        oldBase, rows(), deletes, keys, Seq("v"), Seq("v"), Seq("v")).collect()
+    }
+    e.getMessage should include("absent")
+  }
+
+  test("a distinct-store delete of a never-held (group, value) pair raises") {
+    val store = RetractableAgg.buildDistinctStore(rows((1L, "a", 1L)), keys, "v")
+    val e = intercept[Exception] {
+      RetractableAgg.maintainDistinctStore(store, rows(),
+        rows((2L, "a", 2L)), keys, "v").collect()
+    }
+    e.getMessage should include("absent")
+  }
+
   test("distinct refcount store: decrement, vanish at zero, equal full recompute") {
     val oldBase = rows(
       (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L), // value 1 twice

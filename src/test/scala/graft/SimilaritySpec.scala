@@ -125,6 +125,20 @@ class SimilaritySpec extends SparkSpecBase {
     graft.plans.CodegenAudit.assertInCodegen(nativeOnly)
   }
 
+  test("quantizer overflow throws like the ANSI cast instead of saturating") {
+    // 1e18 * the quantization scale overflows BIGINT; the native kernel
+    // must throw (LongExactNumeric condition) where a bare toLong would
+    // silently pin at Long.MaxValue
+    val vecs = Seq((1L, Array(1.0e18f))).toDF("id", "emb").repartition(2)
+    val e = intercept[Exception] {
+      vecs.select(CosineTopK.quantize($"emb")).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).toSeq
+    chain.exists(c => c.isInstanceOf[ArithmeticException] &&
+      c.getMessage.contains("BIGINT")) shouldBe true
+  }
+
   test("quantized cosine is invariant under partitioning (the determinism the quantization buys)") {
     val rnd = new scala.util.Random(11)
     val corpus = (10L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() - 0.5f)))

@@ -387,6 +387,27 @@ class TextAndDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("electCanonicalBy: NULL scores lose the election; an all-NULL cluster elects its min id") {
+    val clusters = Seq(
+      (10L, 10L, 3), (11L, 10L, 3), (12L, 10L, 3), // one NULL, two scored
+      (20L, 20L, 2), (21L, 20L, 2)                 // all scores NULL
+    ).toDF("doc_id", "canonical_id", "cluster_size")
+    val scores = Seq[(Long, java.lang.Long)](
+      (10L, null), (11L, 7L), (12L, 9L), (20L, null), (21L, null)
+    ).toDF("doc_id", "score")
+    val out = graft.dedup.NearDup.electCanonicalBy(clusters, "doc_id", scores, "score")
+      .select("doc_id", "canonical_id", "canonical_score", "is_canonical")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    // struct field ordering sorts NULL first, so without the null-rank
+    // field the min-struct election would crown doc 10 (score NULL)
+    out(10L) shouldBe ((12L, Some(9L), false))
+    out(12L) shouldBe ((12L, Some(9L), true))
+    // all-NULL cluster still elects deterministically: min id, NULL score
+    out(20L) shouldBe ((20L, None, true))
+    out(21L) shouldBe ((20L, None, false))
+  }
+
   test("leakageSafeSplit: every cluster member shares one split; singletons still split by hash") {
     val dup = "the exact same boilerplate template text repeated across many mirror pages here"
     val docs = Seq(
