@@ -8,6 +8,9 @@ unmanagedBase := file("/opt/spark/jars")
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
+  // JDBC warehouse used as the publish-leg stand-in (the reference ships
+  // gold to Redshift Serverless); present in the offline cache.
+  "org.duckdb" % "duckdb_jdbc" % "1.0.0",
 )
 Test / fork := true
 run / fork := true

@@ -592,6 +592,29 @@ object SparkEntry {
       .select("o_custkey", "customer_sk", "order_date", "orders_count", "open_count", "total_cents")
   }
 
+  /** Gold publish leg (reference: Redshift Serverless COPY of gold
+    * tables): the daily fact is published into a JDBC warehouse (DuckDB
+    * file — the offline stand-in), published a SECOND time for the same
+    * run dates to exercise the delete-then-insert idempotency in the gate
+    * itself (a duped second publish would double row counts and
+    * hash-mismatch), then read BACK through JDBC. The oracle is the fact
+    * computed directly from parquet — so the gate proves the full
+    * publish→warehouse→read-back loop is lossless AND idempotent.
+    */
+  private def qGoldPublishJdbc(s: SparkSession, dir: String): DataFrame = {
+    val fact = qGoldFactDaily(s, dir)
+    val db = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_publish_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".duckdb")
+    Seq("", ".wal").foreach(sfx => new java.io.File(db.getPath + sfx).delete())
+    val url = "jdbc:duckdb:" + db.getPath
+    graft.gold.JdbcPublish.publishIdempotent(
+      fact, url, "fact_dataset_owner_daily", "order_date")
+    graft.gold.JdbcPublish.publishIdempotent(
+      fact, url, "fact_dataset_owner_daily", "order_date")
+    graft.gold.JdbcPublish.readBack(s, url, "fact_dataset_owner_daily")
+  }
+
   /** W8: batch sessionization (gaps-and-islands — library:
     * operators.Sessionize).
     */
@@ -1204,6 +1227,7 @@ object SparkEntry {
     "q_f_explode_words"      -> (qExplodeWords _),
     "q_gold_dim_date"        -> (qDimDate _),
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
+    "q_gold_publish_jdbc"    -> (qGoldPublishJdbc _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_o_asof_forward"       -> (qAsOfForward _),
@@ -1946,6 +1970,21 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.9) AS p90, COUNT(*) AS n
         |FROM lineitem""".stripMargin,
     "q_gold_fact_daily" ->
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+        |    COUNT(*) AS orders_count,
+        |    CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+        |    CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, COALESCE(customer_sk, 0) AS customer_sk, order_date,
+        |  orders_count, open_count, total_cents
+        |FROM daily LEFT JOIN (SELECT c_custkey, c_custkey + 1000 AS customer_sk
+        |                      FROM customer WHERE c_custkey % 10 <> 0) c
+        |  ON o_custkey = c_custkey""".stripMargin,
+    // the JDBC round-trip must hand back EXACTLY the fact as computed from
+    // parquet — same oracle text as q_gold_fact_daily; a lossy type map,
+    // a duped re-publish, or a dropped row all hash-mismatch
+    "q_gold_publish_jdbc" ->
       """WITH daily AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
         |    COUNT(*) AS orders_count,
