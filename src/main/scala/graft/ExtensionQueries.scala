@@ -891,23 +891,45 @@ object ExtensionQueries {
       .join(decoded.select("doc_id", "width", "height", "channels"), "doc_id")
   }
 
-  /** REAL batched image decode end-to-end: synthetic-but-wellformed
-    * PPM/PGM bytes (P6 for even ids, P5 for odd — the object-storage-read
-    * stand-in) flow through `decodeBatch`'s pure-JVM netpbm codec; the
-    * oracle recomputes the header dimensions AND the per-channel payload
-    * byte sums in closed form, so a parser mis-stride, wrong channel
-    * interleave, or truncated payload hash-mismatches.
+  /** REAL batched image decode end-to-end across FOUR container formats
+    * (id%4: P6 ppm / P5 pgm through the hand-rolled netpbm parser, PNG /
+    * BMP through javax.imageio's pure-JDK plugins — the object-storage
+    * read stand-in): every row flows through `decodeBatch`; the pixel
+    * series is container-invariant and PNG/BMP are lossless, so ONE
+    * closed-form oracle recomputes dimensions AND per-channel pixel sums
+    * for all four paths — a parser mis-stride, wrong channel interleave,
+    * BGR/RGB band swap, or truncated payload hash-mismatches.
     */
   private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
     val ids = T(s, dir).documents.select(col("doc_id"))
     val decoded = BinaryMedia.decodeBatch(
-      BinaryMedia.attachSyntheticPnm(ids, "doc_id"), "doc_id")
+      BinaryMedia.attachSyntheticImages(ids, "doc_id"), "doc_id")
     decoded.select(col("doc_id"), col("width"), col("height"), col("channels"),
       element_at(col("feature"), 1).cast("long").as("sum_c0"),
       when(col("channels") >= 2, element_at(col("feature"), 2))
         .otherwise(lit(null)).cast("long").as("sum_c1"),
       when(col("channels") >= 3, element_at(col("feature"), 3))
         .otherwise(lit(null)).cast("long").as("sum_c2"))
+  }
+
+  /** The LOSSY decode path: uniform-gray JPEGs through javax.imageio.
+    * Dimensions and channel count hash-compare exactly; the per-channel
+    * sums are bounded against the pre-encode value (±8 levels/pixel — a
+    * uniform image only quantizes in the DC coefficient) as band booleans
+    * whose oracle side is literal true, the same contract as
+    * `q_a4b_approx_distinct`.
+    */
+  private def qMultimodalDecodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    val ids = T(s, dir).documents.select(col("doc_id"))
+    val decoded = BinaryMedia.decodeBatch(
+      BinaryMedia.attachSyntheticJpeg(ids, "doc_id"), "doc_id")
+    val px = col("width").cast("long") * col("height")
+    val expected = (col("doc_id") * 31 + 7) % 256 * px
+    def inBand(i: Int) = abs(element_at(col("feature"), i).cast("long") -
+      expected) <= px * 8
+    decoded.select(col("doc_id"), col("width"), col("height"), col("channels"),
+      inBand(1).as("c0_in_band"), inBand(2).as("c1_in_band"),
+      inBand(3).as("c2_in_band"))
   }
 
   // ---------------------------------------------------------------------------
@@ -963,6 +985,7 @@ object ExtensionQueries {
     "q_x_edit_distance"   -> (qEditDistance _),
     "q_x_multimodal_meta" -> (qMultimodalMeta _),
     "q_x_multimodal_decode" -> (qMultimodalDecode _),
+    "q_x_multimodal_decode_jpeg" -> (qMultimodalDecodeJpeg _),
     "q_x_frame_sample"    -> (qFrameSample _),
     "q_x_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_x_det_sample"      -> (qDetSample _),
@@ -1955,14 +1978,17 @@ object ExtensionQueries {
           |  CAST(64 + (COALESCE(octet_length(encode(text)), 0) % 479) AS INTEGER) AS height,
           |  3 AS channels
           |FROM documents""".stripMargin,
-      // closed-form replay of the synthetic netpbm generator: header dims
+      // closed-form replay of the synthetic image generator: header dims
       // from the id arithmetic, channel sums as the exact modular series
-      // the payload bytes follow (byte j = (id*31 + 7 + 7j) mod 256,
-      // channel-interleaved)
+      // the pixel bytes follow (byte j = (id*31 + 7 + 7j) mod 256,
+      // channel-interleaved). The series is container-invariant (id%4:
+      // P6/P5/PNG/BMP) and PNG/BMP are lossless, so the SAME closed form
+      // oracles the netpbm parser and the javax.imageio path; only the
+      // channel count depends on the container class (P5 is grayscale)
       "q_x_multimodal_decode" ->
         """WITH g AS (SELECT doc_id,
           |  4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
-          |  CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+          |  CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END AS ch,
           |  doc_id*31 + 7 AS seed FROM documents)
           |SELECT doc_id, CAST(w AS INTEGER) AS width,
           |  CAST(h AS INTEGER) AS height, CAST(ch AS INTEGER) AS channels,
@@ -1972,7 +1998,15 @@ object ExtensionQueries {
           |    for i in generate_series(1, w*h) ]) END AS BIGINT) AS sum_c1,
           |  CAST(CASE WHEN ch >= 3 THEN list_sum([ (seed + 7*((i-1)*ch + 2)) % 256
           |    for i in generate_series(1, w*h) ]) END AS BIGINT) AS sum_c2
-          |FROM g""".stripMargin
+          |FROM g""".stripMargin,
+      // dims/channels exact; the lossy sums are Spark-side band booleans
+      "q_x_multimodal_decode_jpeg" ->
+        """SELECT doc_id,
+          |  CAST(4 + doc_id % 5 AS INTEGER) AS width,
+          |  CAST(3 + doc_id % 4 AS INTEGER) AS height,
+          |  3 AS channels,
+          |  true AS c0_in_band, true AS c1_in_band, true AS c2_in_band
+          |FROM documents""".stripMargin
     )
     // the Aggregator-based top-k is semantics-identical to the window one
     base + ("q_x_cosine_topk_agg" -> base("q_x_cosine_topk"))

@@ -8,17 +8,19 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with typed metadata, and decode/feature-extract
   * runs batch-wise per partition.
   *
-  * `decodeBatch` decodes PPM/PGM (P6/P5 binary netpbm) images with REAL
-  * pure-JVM pixel work — header parse, dimension extraction, per-channel
-  * byte sums over the raw payload — so the batched-decode contract
-  * executes end-to-end (gated as `q_x_multimodal_decode` with a DuckDB
-  * oracle over the extracted dimensions and channel sums). Formats beyond
-  * netpbm (JPEG/PNG/audio) still produce a deterministic fake: those
-  * codecs need native libraries this environment does not ship; swap the
-  * fallback for a JNI/FFM codec call and the pipeline is
-  * production-ready. At scale the partition batching is what matters: one
-  * codec context per partition, not per row, and binary columns never
-  * pass through a shuffle unless the plan demands it.
+  * `decodeBatch` decodes images with REAL pixel work, two codecs deep:
+  * PPM/PGM (P6/P5 binary netpbm) through the hand-rolled pure-JVM parser,
+  * and JPEG/PNG/BMP/GIF through `javax.imageio`'s pure-JDK headless
+  * plugins (no native libraries) — header parse, dimension extraction,
+  * exact per-channel pixel sums. Gated as `q_x_multimodal_decode` (four
+  * container formats, one closed-form DuckDB oracle over dims + channel
+  * sums) and `q_x_multimodal_decode_jpeg` (lossy path, bound-boolean
+  * oracle). Only audio/unknown containers fall through to the
+  * deterministic pseudo-decode (no JVM codec exists for them); swap that
+  * branch for an FFM call and the pipeline is production-ready. At scale
+  * the partition batching is what matters: one codec context per
+  * partition, not per row, and binary columns never pass through a
+  * shuffle unless the plan demands it.
   */
 object BinaryMedia {
 
@@ -79,6 +81,61 @@ object BinaryMedia {
   private def isPnmWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r'
 
+  // ImageIO's pure-JDK plugins (PNG/JPEG/BMP/GIF/WBMP) need no native
+  // libraries; headless mode avoids any display dependency on executors
+  java.lang.System.setProperty("java.awt.headless", "true")
+
+  /** REAL JPEG/PNG/BMP/GIF decode via `javax.imageio` — pure-JDK plugins,
+    * no native codecs. Magic-sniffed first so non-image bytes never pay a
+    * decoder attempt. Grayscale images report 1 channel (raw band sums);
+    * everything else is normalized to sRGB and reports 3 channels with
+    * exact per-channel pixel sums (alpha, palettes, and exotic color
+    * models all land in the same comparable feature space — the
+    * normalization every vision preprocessing pipeline performs anyway).
+    * Returns null for unreadable/foreign bytes; the caller falls through.
+    */
+  def parseJdkImage(bytes: Array[Byte]): PnmImage = {
+    if (bytes == null || bytes.length < 4) return null
+    val known =
+      ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') ||              // PNG
+      ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) ||    // JPEG
+      (bytes(0) == 'B' && bytes(1) == 'M') ||                        // BMP
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')        // GIF
+    if (!known) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (img.getColorModel.getNumComponents == 1) {
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      PnmImage(w, h, 1, Array(sum))
+    } else {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >>> 16) & 0xff
+          sg += (rgb >>> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      PnmImage(w, h, 3, Array(sr, sg, sb))
+    }
+  }
+
   /** Deterministic synthetic netpbm bytes for an id — the test-data
     * stand-in for the object-storage read a production pipeline does
     * (the testdata ships no media files). Even ids render P6 (3-channel),
@@ -101,17 +158,86 @@ object BinaryMedia {
     out
   }
 
+  /** Deterministic synthetic image bytes spanning FOUR real container
+    * formats, one per id class: id%4 = 0 → P6 ppm, 1 → P5 pgm, 2 → PNG
+    * (RGB), 3 → BMP (RGB). The PIXEL series is identical across
+    * containers — RGB pixel p carries (series(3p), series(3p+1),
+    * series(3p+2)) with series(j) = (id*31 + 7 + 7j) mod 256, exactly the
+    * P6 payload layout — and PNG/BMP are lossless, so ONE closed-form
+    * DuckDB oracle covers all four decode paths.
+    */
+  def syntheticImageBytes(id: Long): Array[Byte] = id % 4 match {
+    case 0 | 1 => syntheticPnmBytes(id) // id%4∈{0,1} ⇒ even→P6 / odd→P5
+    case m =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var p = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def series(j: Long): Int = ((id * 31 + 7 + 7 * j) % 256).toInt
+          img.setRGB(x, y, (series(3L * p) << 16) |
+            (series(3L * p + 1) << 8) | series(3L * p + 2))
+          p += 1
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, if (m == 2) "png" else "bmp", bos)
+      bos.toByteArray
+  }
+
+  /** Uniform-gray JPEG bytes: every pixel of the w×h frame is
+    * (v, v, v) with v = (id*31 + 7) mod 256. JPEG is lossy, but a uniform
+    * image quantizes only in the DC coefficient, so the decoded value
+    * stays within a few levels of v — the decode gate bounds each channel
+    * sum by ±8·w·h instead of demanding exactness.
+    */
+  def syntheticJpegBytes(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val v = ((id * 31 + 7) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (v << 16) | (v << 8) | v
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Attach the synthetic netpbm media column (see [[syntheticPnmBytes]]);
     * a production reader would load the bytes from object storage here.
     */
-  def attachSyntheticPnm(df: DataFrame, idCol: String): DataFrame = {
+  def attachSyntheticPnm(df: DataFrame, idCol: String): DataFrame =
+    attachGenerated(df, idCol, syntheticPnmBytes)
+
+  /** Attach the four-format synthetic media column ([[syntheticImageBytes]]). */
+  def attachSyntheticImages(df: DataFrame, idCol: String): DataFrame =
+    attachGenerated(df, idCol, syntheticImageBytes)
+
+  /** Attach the uniform-gray JPEG media column ([[syntheticJpegBytes]]). */
+  def attachSyntheticJpeg(df: DataFrame, idCol: String): DataFrame =
+    attachGenerated(df, idCol, syntheticJpegBytes)
+
+  private def attachGenerated(df: DataFrame, idCol: String,
+      gen: Long => Array[Byte]): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.columns.indexOf(idCol)
-    require(idIdx >= 0, s"attachSyntheticPnm: no column $idCol")
+    require(idIdx >= 0, s"attachGenerated: no column $idCol")
     val schema = StructType(df.schema.fields :+
       StructField("media", org.apache.spark.sql.types.BinaryType))
     val rdd = df.rdd.map { r =>
-      Row.fromSeq(r.toSeq :+ syntheticPnmBytes(r.getLong(idIdx)))
+      Row.fromSeq(r.toSeq :+ gen(r.getLong(idIdx)))
     }
     spark.createDataFrame(rdd, schema)
   }
@@ -188,12 +314,15 @@ object BinaryMedia {
           val id    = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray
                       else r.getAs[Array[Byte]](1)
-          val pnm = parsePnm(bytes)
+          val netpbm = parsePnm(bytes)
+          val pnm = if (netpbm != null) netpbm else parseJdkImage(bytes)
           if (pnm != null)
             Row(id, pnm.width, pnm.height, pnm.channels,
               pnm.channelSums.map(_.toDouble))
           else {
-            // --- fake fallback: real non-netpbm decode goes here ---------
+            // --- opaque-media fallback (audio/unknown containers — the
+            // only formats left without a JVM codec): deterministic
+            // pseudo-features so downstream plumbing stays exercised -----
             val width    = 64 + (math.abs(id) % 577).toInt
             val height   = 64 + (bytes.length % 479)
             val channels = 3

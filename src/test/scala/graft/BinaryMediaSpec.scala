@@ -55,6 +55,86 @@ class BinaryMediaSpec extends SparkSpecBase {
     BinaryMedia.parsePnm("plain text that is not an image".getBytes("US-ASCII")) shouldBe null
   }
 
+  test("four-format round-trip: ppm/pgm/png/bmp all decode to the same closed-form sums") {
+    val ids = (0L until 16L).toDF("doc_id")
+    val decoded = BinaryMedia.decodeBatch(
+      BinaryMedia.attachSyntheticImages(ids, "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 16L) {
+      val r = decoded(id)
+      val ch = if (id % 4 == 1) 1 else 3
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      withClue(s"id=$id (${id % 4} format class): ") {
+        r.getInt(1) shouldBe w
+        r.getInt(2) shouldBe h
+        r.getInt(3) shouldBe ch
+        val expected = Array.fill(ch)(0L)
+        for (j <- 0 until w * h * ch)
+          expected(j % ch) += ((id * 31 + 7 + 7L * j) % 256)
+        r.getAs[Seq[Double]](4) shouldBe expected.map(_.toDouble).toSeq
+      }
+    }
+  }
+
+  test("jpeg decode: dims exact, uniform-gray sums within the DC-quantization band") {
+    val ids = (0L until 12L).toDF("doc_id")
+    val decoded = BinaryMedia.decodeBatch(
+      BinaryMedia.attachSyntheticJpeg(ids, "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 12L) {
+      val r = decoded(id)
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val v = ((id * 31 + 7) % 256).toInt
+      withClue(s"id=$id: ") {
+        r.getInt(1) shouldBe w
+        r.getInt(2) shouldBe h
+        r.getInt(3) shouldBe 3
+        r.getAs[Seq[Double]](4).foreach { s =>
+          math.abs(s - v.toLong * w * h) should be <= (8.0 * w * h)
+        }
+      }
+    }
+  }
+
+  test("gif decodes losslessly through the palette; hostile image bytes fall back") {
+    // 2x2, two colors in an EXPLICIT palette — the JDK GIF encoder
+    // quantizes truecolor input to a web-safe palette (lossy!), but an
+    // indexed source image carries its palette through verbatim
+    val cmap = Array(0x102030, 0x405060)
+    val icm = new java.awt.image.IndexColorModel(1, 2,
+      cmap.map(c => ((c >> 16) & 0xff).toByte),
+      cmap.map(c => ((c >> 8) & 0xff).toByte),
+      cmap.map(c => (c & 0xff).toByte))
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    img.setRGB(0, 0, 0x102030); img.setRGB(1, 0, 0x405060)
+    img.setRGB(0, 1, 0x102030); img.setRGB(1, 1, 0x405060)
+    // the JDK's DEFAULT gif write emits a broken interlaced stream (rows
+    // land out of order on read-back — verified directly); write
+    // non-progressive, which every mainstream encoder produces anyway
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    val parsed = BinaryMedia.parseJdkImage(bos.toByteArray)
+    parsed.width shouldBe 2
+    parsed.height shouldBe 2
+    parsed.channels shouldBe 3
+    parsed.channelSums.toSeq shouldBe Seq(2L * (0x10 + 0x40),
+      2L * (0x20 + 0x50), 2L * (0x30 + 0x60))
+    // PNG magic with garbage body → null, never a throw; foreign bytes → null
+    BinaryMedia.parseJdkImage(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4)) shouldBe null
+    BinaryMedia.parseJdkImage("not an image at all".getBytes("US-ASCII")) shouldBe null
+    BinaryMedia.parseJdkImage(null) shouldBe null
+  }
+
   test("synthetic netpbm round-trip: generator bytes decode to the closed-form sums") {
     val ids = (0L until 16L).toDF("doc_id")
     val decoded = BinaryMedia.decodeBatch(
