@@ -127,6 +127,66 @@ class RetractableAggSpec extends SparkSpecBase {
     e.getMessage should include("absent")
   }
 
+  test("property fuzz: 100 random insert/delete interleavings, maintained == recompute") {
+    // arbitrary multi-step interleavings over a truth buffer: NULL group
+    // keys, NULL measures (~20%), group births/deaths, extremum-touching
+    // and -sparing deletes all occur by construction. Even seeds fuzz the
+    // group aggregate (count/sum/min/max), odd seeds the distinct store.
+    def run(seed: Int): Unit = {
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      def mk(n: Int): Vector[(java.lang.Long, String, java.lang.Long)] =
+        (0 until n).map { _ =>
+          nextId += 1
+          val grp = if (rnd.nextInt(10) == 0) null else s"g${rnd.nextInt(4)}"
+          val v: java.lang.Long =
+            if (rnd.nextInt(5) == 0) null
+            else java.lang.Long.valueOf(rnd.nextInt(30).toLong)
+          (java.lang.Long.valueOf(nextId), grp, v)
+        }.toVector
+      var truth = mk(5 + rnd.nextInt(8))
+      val steps = 2 + rnd.nextInt(2)
+      if (seed % 2 == 0) {
+        var stored = RetractableAgg.buildAgg(rowsN(truth: _*), keys,
+          Seq("v"), Seq("v"), Seq("v"))
+        for (_ <- 0 until steps) {
+          val ins = mk(rnd.nextInt(8))
+          val delSet = truth.filter(_ => rnd.nextInt(3) == 0)
+          truth = truth.filterNot(delSet.toSet) ++ ins
+          stored = RetractableAgg.applyChanges(stored, rowsN(truth: _*),
+            rowsN(ins: _*), rowsN(delSet: _*), keys,
+            Seq("v"), Seq("v"), Seq("v"))
+        }
+        withClue(s"seed=$seed: ") {
+          stored.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq shouldBe
+            fullRecompute(rowsN(truth: _*))
+        }
+      } else {
+        var store = RetractableAgg.buildDistinctStore(rowsN(truth: _*), keys, "v")
+        for (_ <- 0 until steps) {
+          val ins = mk(rnd.nextInt(8))
+          val delSet = truth.filter(_ => rnd.nextInt(3) == 0)
+          truth = truth.filterNot(delSet.toSet) ++ ins
+          store = RetractableAgg.maintainDistinctStore(store,
+            rowsN(ins: _*), rowsN(delSet: _*), keys, "v")
+        }
+        withClue(s"seed=$seed: ") {
+          // the FULL store (refcounts, not just distinctness) must equal
+          // a from-scratch build over the truth
+          store.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq shouldBe
+            RetractableAgg.buildDistinctStore(rowsN(truth: _*), keys, "v")
+              .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+        }
+      }
+    }
+    // single-row-scale frames: one shuffle partition strips pure task-
+    // scheduling overhead from the ~40 stages each sequence plans
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try (0 until 100).foreach(run)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("distinct refcount store: decrement, vanish at zero, equal full recompute") {
     val oldBase = rows(
       (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L), // value 1 twice
