@@ -142,6 +142,33 @@ object ExtensionQueries {
       .drop("file")
   }
 
+  /** AUTOMATIC data skipping END-TO-END: write lineitem range-clustered on
+    * l_partkey into 8 files, persist the `_graft_stats` min/max index
+    * inside the table dir, then run a PLAIN `read.parquet(...).filter`
+    * with `spark.graft.skipIndex.path` armed on an isolated child session
+    * (the `qRangeJoinAuto` conf-scoping discipline) — the injected
+    * `plans.RewriteSkipIndexScan` rule prunes the scan to the ~2 files
+    * whose boxes intersect the predicate. The oracle full-scans the SAME
+    * written files in DuckDB, so an unsound skip (a pruned file that held
+    * matching rows) hash-mismatches; pruning-actually-happens is
+    * plan-asserted in SkipIndexRuleSpec.
+    */
+  private def qSkipIndexAuto(s0: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/skipindex_lineitem"
+    T(s0, dir).lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      .repartitionByRange(8, col("l_partkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.gold.StatsIndex.write(s0, path, Seq("l_partkey"))
+    val s = s0.newSession()
+    s.conf.set(graft.plans.RewriteSkipIndexScan.PathKey, path)
+    s.read.parquet(path)
+      .filter(col("l_partkey") >= 100L && col("l_partkey") <= 300L)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("l_extendedprice") * 100)).cast("long").as("revenue_cents"))
+  }
+
   /** Small-file compaction END-TO-END: write a 64-file fragmentation of
     * lineitem, compact toward 8 MiB targets (tmp+rename atomic swap), then
     * fingerprint the COMPACTED directory — file count via
@@ -951,6 +978,7 @@ object ExtensionQueries {
     "q_x_zorder_key"      -> (qZorderKey _),
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_x_zorder_stats"    -> (qZorderStats _),
+    "q_x_skip_index_auto" -> (qSkipIndexAuto _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_sql_graft_text"    -> (qSqlGraftText _),
     "q_sql_graft_vec"     -> (qSqlGraftVec _),
@@ -1226,6 +1254,14 @@ object ExtensionQueries {
            |FROM c JOIN e USING (ng) GROUP BY doc_id HAVING count(*) > 2""".stripMargin,
       // aggregates the exact files the query just wrote (same run, fixed
       // path): per-file count + min/max per z-ordered dimension
+      // full-scans the SAME written table the rule pruned (the *.parquet
+      // glob sees only the data files - _graft_stats is a subdirectory)
+      "q_x_skip_index_auto" ->
+        """SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS revenue_cents
+          |FROM read_parquet('/tmp/graft_roundtrip/skipindex_lineitem/*.parquet')
+          |WHERE l_partkey >= 100 AND l_partkey <= 300
+          |GROUP BY l_partkey""".stripMargin,
       "q_x_zorder_stats" ->
         """SELECT CAST(count(*) AS BIGINT) AS cnt,
           |  min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,

@@ -35,6 +35,18 @@ object StatsIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Build the index and persist it INSIDE the table directory as
+    * `_graft_stats` (underscore-prefixed → invisible to ordinary parquet
+    * reads, the lakehouse metadata-co-location convention). This is the
+    * layout `plans.RewriteSkipIndexScan` consumes to prune scans
+    * automatically when `spark.graft.skipIndex.path` is set.
+    */
+  def write(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+    build(spark, path, cols)
+      .coalesce(1) // metadata scale: one row per data file
+      .write.mode("overwrite")
+      .parquet(s"$path/${graft.plans.RewriteSkipIndexScan.StatsDirName}")
+
   /** Files whose [min, max] box intersects the CLOSED interval [lo, hi]
     * on `c`. NULL-stat files (all-null or empty) are kept — skipping may
     * only drop files PROVEN not to match.

@@ -266,6 +266,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIntersectSize)
     e.injectOptimizerRule(_ => RewriteRangeJoin)
+    e.injectOptimizerRule(_ => RewriteSkipIndexScan)
     SqlFunctions.install(e)
   }
 }
