@@ -615,6 +615,15 @@ object SparkEntry {
     graft.gold.JdbcPublish.readBack(s, url, "fact_dataset_owner_daily")
   }
 
+  /** Streaming batch-equivalence: events streamed file-by-file through the
+    * watermark-capable tumbling-window aggregate (library:
+    * streaming.EventStream.replayWindowedAgg); final state must equal the
+    * same windows computed batch-side by the oracle.
+    */
+  private def qStreamWindowReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayWindowedAgg(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_events")
+
   /** W8: batch sessionization (gaps-and-islands — library:
     * operators.Sessionize).
     */
@@ -1228,6 +1237,7 @@ object SparkEntry {
     "q_gold_dim_date"        -> (qDimDate _),
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
     "q_gold_publish_jdbc"    -> (qGoldPublishJdbc _),
+    "q_o_stream_window_replay" -> (qStreamWindowReplay _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_o_asof_forward"       -> (qAsOfForward _),
@@ -1981,6 +1991,15 @@ object SparkEntry {
         |FROM daily LEFT JOIN (SELECT c_custkey, c_custkey + 1000 AS customer_sk
         |                      FROM customer WHERE c_custkey % 10 <> 0) c
         |  ON o_custkey = c_custkey""".stripMargin,
+    // batch twin of the streamed tumbling windows: epoch-aligned 1-day
+    // buckets, exact cents; CASTs pin microsecond TIMESTAMP (the events
+    // view is TIMESTAMP_NS in DuckDB)
+    "q_o_stream_window_replay" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // the JDBC round-trip must hand back EXACTLY the fact as computed from
     // parquet — same oracle text as q_gold_fact_daily; a lossy type map,
     // a duped re-publish, or a dropped row all hash-mismatch

@@ -38,6 +38,59 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Batch-equivalence replay of the tumbling-window aggregate — the
+    * contract every production streaming pipeline owes its batch twin:
+    * stage `events` as `nFiles` time-ranged parquet files, stream them
+    * back ONE FILE PER MICRO-BATCH through the windowed aggregation
+    * (complete mode, so state is maintained incrementally across all
+    * micro-batches and the final table is the full window set), and
+    * return that final state as a static frame. Gated as
+    * `q_o_stream_window_replay`: the DuckDB oracle computes the same
+    * epoch-aligned tumbling windows directly over the events table, so a
+    * state-loss across batches, a window misalignment, or a double-counted
+    * micro-batch all hash-mismatch. Money stays in exact cents
+    * (order-free integer sums — double summation order across state
+    * merges would not be hash-stable). Append-mode watermark semantics
+    * (late-drop, finalize-once) are pinned by EventStreamSpec's
+    * bounded-lateness replay, where arrival order is controlled.
+    */
+  def replayWindowedAgg(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6,
+      windowDur: String = "1 day"
+  ): DataFrame = {
+    val s = events.sparkSession
+    val staged = events.select(col("event_id"), col("ts"),
+      col("event_type"), col("value"))
+    staged.repartitionByRange(nFiles, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(stagePath)
+    val stream = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val agg = stream
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("window.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("cnt"), col("value_cents"))
+    val qn = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val sink = s.table(qn)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      sink.collect().foreach(rows.add) // final state: window-count scale
+      s.createDataFrame(rows, sink.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(qn)
+    }
+  }
+
   /** Streaming dedup on event_id — state bounded by the watermark. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -68,6 +68,48 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bounded-lateness randomized replay: appended final state equals batch replay") {
+    // the batch-equivalence contract under controlled disorder: 180 events
+    // over 3 hours arrive in 6 sorted micro-batches whose INTERNAL order
+    // is shuffled (the watermark only advances between batches, so
+    // intra-batch disorder can never drop a row); one event arrives hours
+    // late (must be DROPPED, not resurrect its finalized window); a final
+    // far-future event flushes every real window out of append mode. The
+    // streamed output must equal the batch run of the SAME operator over
+    // the punctual events only.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val types = Seq("a", "b", "c")
+    val base = (0 until 180).map { i =>
+      ev(i.toLong, f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:00",
+        1L + i % 3, types(rnd.nextInt(3)), (i % 7).toDouble)
+    }
+    val batches = base.grouped(30).map(b => rnd.shuffle(b)).toSeq
+    val late  = ev(999, "2024-01-01 10:00:30", 9, "a", 100.0)
+    val flush = ev(1000, "2024-01-02 12:00:00", 9, "z", 0.0)
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedTypeCounts(input.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("replay_append")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      input.addData(late); q.processAllAvailable() // behind watermark → dropped
+      input.addData(flush); q.processAllAvailable()
+      val streamed = spark.table("replay_append")
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect()
+      // batch twin: the same operator over the punctual events (the late
+      // row is excluded exactly because streaming dropped it; the flush
+      // window is excluded because its window is not yet finalized)
+      val batchTwin = EventStream
+        .windowedTypeCounts(base.toDF(), "30 minutes", "1 hour")
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect()
+      streamed.toSet shouldBe batchTwin.toSet
+      streamed.length shouldBe batchTwin.length // each window emitted ONCE
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
