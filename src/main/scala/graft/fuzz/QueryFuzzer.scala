@@ -1,0 +1,467 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Differential query fuzzer: a seeded generator over the testdata schema
+  * that emits each random query TWICE in lockstep — once as a Spark
+  * DataFrame plan, once as the DuckDB SQL twin — so the two engines can be
+  * diffed mechanically at scale (the machine-generated extension of the
+  * hand-picked oracle gate; the reference's acceptance-test spirit,
+  * multiplied).
+  *
+  * The grammar covers the SURVEY §2 shapes (filter / project / inner+left
+  * join on FK relationships / group-aggregate / window functions) and
+  * applies the oracle-stability house rules MECHANICALLY:
+  *
+  *  - money only as exact integer cents (`round(x*100)` cast BIGINT —
+  *    never raw doubles in any output or aggregate)
+  *  - every integral expression normalized to BIGINT on both sides
+  *    (DuckDB SUM/COUNT would otherwise surface HUGEINT)
+  *  - timestamps only through `CAST(... AS DATE)`
+  *  - every window ORDER BY is a TOTAL order (expression + the table's
+  *    unique tiebreak columns) with EXPLICIT null placement (Spark
+  *    defaults NULLS FIRST on ASC, DuckDB NULLS LAST — rendered
+  *    explicitly so both agree)
+  *  - no division, no doubles, no locale-sensitive case ops on non-ASCII
+  *    columns
+  *
+  * Comparison is row-set equality after canonical string formatting and
+  * sorting (no ORDER BY in the queries themselves).
+  */
+object QueryFuzzer {
+
+  sealed trait Typ
+  case object TInt  extends Typ
+  case object TStr  extends Typ
+  case object TDate extends Typ
+  case object TBool extends Typ
+
+  /** One expression, rendered for both engines in lockstep. */
+  final case class E(spark: Column, sql: String, typ: Typ)
+
+  final case class ColMeta(name: String, typ: Typ,
+      money: Boolean = false, ascii: Boolean = true, values: Seq[String] = Nil)
+
+  final case class TableMeta(name: String, cols: Seq[ColMeta], tie: Seq[String]) {
+    def col(n: String): ColMeta = cols.find(_.name == n).get
+  }
+
+  val tables: Seq[TableMeta] = Seq(
+    TableMeta("lineitem", Seq(
+      ColMeta("l_orderkey", TInt), ColMeta("l_partkey", TInt),
+      ColMeta("l_suppkey", TInt), ColMeta("l_linenumber", TInt),
+      ColMeta("l_quantity", TInt, money = true), // integral-valued double
+      ColMeta("l_extendedprice", TInt, money = true),
+      ColMeta("l_returnflag", TStr, values = Seq("R", "A", "N")),
+      ColMeta("l_linestatus", TStr, values = Seq("F", "O")),
+      ColMeta("l_shipdate", TDate)), Seq("l_orderkey", "l_linenumber")),
+    TableMeta("orders", Seq(
+      ColMeta("o_orderkey", TInt), ColMeta("o_custkey", TInt),
+      ColMeta("o_orderstatus", TStr, values = Seq("F", "P", "O")),
+      ColMeta("o_totalprice", TInt, money = true),
+      ColMeta("o_orderdate", TDate),
+      ColMeta("o_orderpriority", TStr, values = Seq(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))),
+      Seq("o_orderkey")),
+    TableMeta("customer", Seq(
+      ColMeta("c_custkey", TInt), ColMeta("c_nationkey", TInt),
+      ColMeta("c_name", TStr),
+      ColMeta("c_acctbal", TInt, money = true),
+      ColMeta("c_mktsegment", TStr, values = Seq(
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"))),
+      Seq("c_custkey")),
+    TableMeta("part", Seq(
+      ColMeta("p_partkey", TInt), ColMeta("p_size", TInt),
+      ColMeta("p_name", TStr), ColMeta("p_brand", TStr,
+        values = Seq("Brand#1", "Brand#7", "Brand#13", "Brand#22")),
+      ColMeta("p_type", TStr),
+      ColMeta("p_retailprice", TInt, money = true)), Seq("p_partkey")),
+    TableMeta("supplier", Seq(
+      ColMeta("s_suppkey", TInt), ColMeta("s_nationkey", TInt),
+      ColMeta("s_name", TStr),
+      ColMeta("s_acctbal", TInt, money = true)), Seq("s_suppkey")),
+    TableMeta("nation", Seq(
+      ColMeta("n_nationkey", TInt), ColMeta("n_regionkey", TInt),
+      ColMeta("n_name", TStr)), Seq("n_nationkey")),
+    TableMeta("region", Seq(
+      ColMeta("r_regionkey", TInt), ColMeta("r_name", TStr)),
+      Seq("r_regionkey")),
+    TableMeta("documents", Seq(
+      ColMeta("doc_id", TInt), ColMeta("n_chars", TInt),
+      ColMeta("lang", TStr, values = Seq("en", "de", "fr", "es", "zh")),
+      ColMeta("source", TStr, values = Seq("src0", "src3", "src7", "src12")),
+      ColMeta("text", TStr, ascii = false)), Seq("doc_id"))
+  )
+
+  /** FK relationships the join generator draws from: (left table, left
+    * key, right table, right key).
+    */
+  val joins: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey")
+  )
+
+  final case class FuzzQuery(
+      seed: Long,
+      sql: String,
+      build: (SparkSession, String) => DataFrame,
+      desc: String)
+
+  // ---------------------------------------------------------------------
+  // Generation
+  // ---------------------------------------------------------------------
+
+  def generate(seed: Long): FuzzQuery = new Gen(new Random(seed), seed).query()
+
+  private final class Gen(rnd: Random, seed: Long) {
+
+    private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    /** An integral column reference, normalized to BIGINT on both sides;
+      * money doubles enter ONLY through the exact-cents idiom.
+      */
+    private def intCol(t: TableMeta): E = {
+      val c = pick(t.cols.filter(_.typ == TInt))
+      if (c.money)
+        E(round(col(c.name) * 100).cast("long"),
+          s"CAST(round(${c.name} * 100) AS BIGINT)", TInt)
+      else
+        E(col(c.name).cast("long"), s"CAST(${c.name} AS BIGINT)", TInt)
+    }
+
+    private def strCol(t: TableMeta): ColMeta =
+      pick(t.cols.filter(_.typ == TStr))
+
+    private def dateCols(t: TableMeta): Seq[ColMeta] =
+      t.cols.filter(_.typ == TDate)
+
+    /** Integer expression of bounded depth; addition/subtraction, small
+      * multipliers, modulo on a column, CASE — no division, no overflow
+      * reach (cents ≤ 1e7, multipliers ≤ 9, depth ≤ 2).
+      */
+    private def intExpr(t: TableMeta, depth: Int = 0): E = {
+      val leaf = rnd.nextInt(10)
+      if (depth >= 2 || leaf < 4) intCol(t)
+      else leaf match {
+        case 4 | 5 =>
+          val a = intExpr(t, depth + 1); val b = intExpr(t, depth + 1)
+          if (rnd.nextBoolean())
+            E(a.spark + b.spark, s"(${a.sql} + ${b.sql})", TInt)
+          else E(a.spark - b.spark, s"(${a.sql} - ${b.sql})", TInt)
+        case 6 =>
+          val a = intExpr(t, depth + 1); val k = 2 + rnd.nextInt(8)
+          E(a.spark * k, s"(${a.sql} * $k)", TInt)
+        case 7 | 8 =>
+          val a = intCol(t); val m = 2 + rnd.nextInt(11)
+          E(a.spark % m, s"(${a.sql} % $m)", TInt)
+        case _ =>
+          val b = boolExpr(t, depth + 1)
+          val x = intCol(t); val y = intCol(t)
+          E(when(b.spark, x.spark).otherwise(y.spark),
+            s"(CASE WHEN ${b.sql} THEN ${x.sql} ELSE ${y.sql} END)", TInt)
+      }
+    }
+
+    private def strExpr(t: TableMeta): E = {
+      val c = strCol(t)
+      rnd.nextInt(4) match {
+        case 0 if c.ascii =>
+          E(upper(col(c.name)), s"upper(${c.name})", TStr)
+        case 1 if c.ascii =>
+          E(lower(col(c.name)), s"lower(${c.name})", TStr)
+        case 2 =>
+          val k = 1 + rnd.nextInt(6)
+          E(substring(col(c.name), 1, k), s"substr(${c.name}, 1, $k)", TStr)
+        case _ => E(col(c.name), c.name, TStr)
+      }
+    }
+
+    private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+    private def dateLit(): (Column, String) = {
+      val y = 1995 + rnd.nextInt(7); val m = 1 + rnd.nextInt(12)
+      val d = 1 + rnd.nextInt(28)
+      val s = f"$y%04d-$m%02d-$d%02d"
+      (lit(java.sql.Date.valueOf(s)), s"DATE '$s'")
+    }
+
+    private val cmps = Seq(
+      (">=", (a: Column, b: Column) => a >= b),
+      ("<=", (a: Column, b: Column) => a <= b),
+      (">",  (a: Column, b: Column) => a > b),
+      ("<",  (a: Column, b: Column) => a < b),
+      ("=",  (a: Column, b: Column) => a === b),
+      ("<>", (a: Column, b: Column) => a =!= b))
+
+    private def boolExpr(t: TableMeta, depth: Int = 0): E = {
+      def leaf(): E = rnd.nextInt(6) match {
+        case 0 | 1 => // int comparison against a plausible literal
+          val a = intExpr(t, depth + 1)
+          val v = rnd.nextInt(4) match {
+            case 0 => rnd.nextInt(200).toLong        // small keys/sizes
+            case 1 => rnd.nextInt(2000).toLong       // key mid-range
+            case 2 => 100000L + rnd.nextInt(5000000) // cents scale
+            case _ => rnd.nextInt(10).toLong         // modular buckets
+          }
+          val (op, f) = pick(cmps)
+          E(f(a.spark, lit(v)), s"(${a.sql} $op $v)", TBool)
+        case 2 => // string equality / IN over the known domain
+          val c = strCol(t)
+          if (c.values.nonEmpty && rnd.nextBoolean()) {
+            val vs = rnd.shuffle(c.values).take(1 + rnd.nextInt(c.values.length))
+            if (vs.length == 1)
+              E(col(c.name) === vs.head, s"(${c.name} = ${sqlStr(vs.head)})", TBool)
+            else
+              E(col(c.name).isin(vs: _*),
+                s"(${c.name} IN (${vs.map(sqlStr).mkString(", ")}))", TBool)
+          } else {
+            val p = if (c.values.nonEmpty) pick(c.values).take(1 + rnd.nextInt(3))
+                    else pick(Seq("a", "b", "s", "B", "c", "e"))
+            E(col(c.name).like(p + "%"),
+              s"(${c.name} LIKE ${sqlStr(p + "%")})", TBool)
+          }
+        case 3 if dateCols(t).nonEmpty => // date range
+          val c = pick(dateCols(t)); val (dl, ds) = dateLit()
+          val (op, f) = pick(cmps.take(4))
+          E(f(col(c.name).cast("date"), dl),
+            s"(CAST(${c.name} AS DATE) $op $ds)", TBool)
+        case 4 => // int vs int comparison
+          val a = intExpr(t, depth + 1); val b = intExpr(t, depth + 1)
+          val (op, f) = pick(cmps)
+          E(f(a.spark, b.spark), s"(${a.sql} $op ${b.sql})", TBool)
+        case _ => // guaranteed-selective modular predicate on a key column
+          val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+          val m = 2 + rnd.nextInt(9); val r = rnd.nextInt(m)
+          E(col(c.name).cast("long") % m === r,
+            s"(CAST(${c.name} AS BIGINT) % $m = $r)", TBool)
+      }
+      if (depth >= 2 || rnd.nextInt(3) > 0) leaf()
+      else {
+        val a = boolExpr(t, depth + 1); val b = boolExpr(t, depth + 1)
+        if (rnd.nextBoolean()) E(a.spark && b.spark, s"(${a.sql} AND ${b.sql})", TBool)
+        else E(a.spark || b.spark, s"(${a.sql} OR ${b.sql})", TBool)
+      }
+    }
+
+    /** Any scalar expression usable in a projection or as a group key. */
+    private def scalarExpr(t: TableMeta): E = rnd.nextInt(10) match {
+      case 0 | 1 | 2 | 3 => intExpr(t)
+      case 4 | 5         => strExpr(t)
+      case 6 if dateCols(t).nonEmpty =>
+        val c = pick(dateCols(t))
+        E(col(c.name).cast("date"), s"CAST(${c.name} AS DATE)", TDate)
+      case 7 =>
+        val c = strCol(t)
+        E(length(col(c.name)).cast("long"),
+          s"CAST(length(${c.name}) AS BIGINT)", TInt)
+      case _ => intExpr(t)
+    }
+
+    /** Low-cardinality group key. */
+    private def groupKey(t: TableMeta): E = rnd.nextInt(4) match {
+      case 0 | 1 =>
+        val c = strCol(t)
+        E(col(c.name), c.name, TStr)
+      case 2 if dateCols(t).nonEmpty =>
+        val c = pick(dateCols(t))
+        E(col(c.name).cast("date"), s"CAST(${c.name} AS DATE)", TDate)
+      case _ =>
+        val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+        val m = 3 + rnd.nextInt(10)
+        E(col(c.name).cast("long") % m, s"(CAST(${c.name} AS BIGINT) % $m)", TInt)
+    }
+
+    private def aggExpr(t: TableMeta): E = rnd.nextInt(7) match {
+      case 0 =>
+        E(count(lit(1)), "CAST(count(*) AS BIGINT)", TInt)
+      case 1 =>
+        val a = intExpr(t)
+        E(sum(a.spark), s"CAST(sum(${a.sql}) AS BIGINT)", TInt)
+      case 2 =>
+        val a = intExpr(t)
+        E(min(a.spark), s"CAST(min(${a.sql}) AS BIGINT)", TInt)
+      case 3 =>
+        val a = intExpr(t)
+        E(max(a.spark), s"CAST(max(${a.sql}) AS BIGINT)", TInt)
+      case 4 =>
+        val c = strCol(t)
+        if (rnd.nextBoolean()) E(min(col(c.name)), s"min(${c.name})", TStr)
+        else E(max(col(c.name)), s"max(${c.name})", TStr)
+      case 5 =>
+        val c = pick(t.cols.filter(c => c.typ != TDate))
+        E(countDistinct(col(c.name)),
+          s"CAST(count(DISTINCT ${c.name}) AS BIGINT)", TInt)
+      case _ =>
+        // conditional aggregation (the A2 shape): sum of CASE
+        val b = boolExpr(t); val a = intExpr(t)
+        E(sum(when(b.spark, a.spark).otherwise(lit(0L))),
+          s"CAST(sum(CASE WHEN ${b.sql} THEN ${a.sql} ELSE 0 END) AS BIGINT)",
+          TInt)
+    }
+
+    // -------------------------------------------------------------------
+    // Sources: single table or an FK join (inner / left)
+    // -------------------------------------------------------------------
+
+    /** A source: how to build the frame, the FROM clause, the merged
+      * column universe for expression generation, and tiebreak columns.
+      */
+    private final case class Src(
+        build: (SparkSession, String) => DataFrame,
+        from: String,
+        meta: TableMeta,
+        desc: String)
+
+    private def tableDf(name: String)(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"$dir/$name.parquet")
+
+    private def source(): Src = {
+      if (rnd.nextInt(3) == 0) {
+        val (ln, lk, rn, rk) = pick(joins)
+        val lt = tables.find(_.name == ln).get
+        val rt = tables.find(_.name == rn).get
+        val joinType = if (rnd.nextInt(3) == 0) "left" else "inner"
+        // optionally pre-filter the RIGHT side so left joins actually
+        // produce null-extended rows (and inner joins lose rows)
+        val rightFilter =
+          if (rnd.nextInt(2) == 0) Some(boolExpr(rt)) else None
+        val merged = TableMeta(s"${ln}_$rn", lt.cols ++ rt.cols,
+          lt.tie ++ (if (joinType == "inner") rt.tie else Nil))
+        val fromSql = rightFilter match {
+          case Some(f) =>
+            s"$ln ${joinType.toUpperCase} JOIN " +
+              s"(SELECT * FROM $rn WHERE ${f.sql}) AS $rn ON $lk = $rk"
+          case None =>
+            s"$ln ${joinType.toUpperCase} JOIN $rn ON $lk = $rk"
+        }
+        Src(
+          (s, dir) => {
+            val l = tableDf(ln)(s, dir)
+            val r0 = tableDf(rn)(s, dir)
+            val r = rightFilter.map(f => r0.filter(f.spark)).getOrElse(r0)
+            l.join(r, col(lk) === col(rk), joinType)
+          },
+          fromSql, merged, s"$ln-$joinType-$rn")
+      } else {
+        val t = pick(tables)
+        Src(tableDf(t.name), t.name, t, t.name)
+      }
+    }
+
+    // -------------------------------------------------------------------
+    // Query shapes
+    // -------------------------------------------------------------------
+
+    def query(): FuzzQuery = rnd.nextInt(10) match {
+      case 0 | 1 | 2     => filterProject()
+      case 3 | 4 | 5 | 6 => groupAgg()
+      case 7 | 8         => windowed()
+      case _             => aggNoGroup()
+    }
+
+    private def filterProject(): FuzzQuery = {
+      val src = source()
+      val f = boolExpr(src.meta)
+      val es = (0 until (1 + rnd.nextInt(4))).map(_ => scalarExpr(src.meta))
+      val names = es.indices.map(i => s"c$i")
+      val sql = s"SELECT ${es.zip(names).map { case (e, n) => s"${e.sql} AS $n" }
+        .mkString(", ")} FROM ${src.from} WHERE ${f.sql}"
+      FuzzQuery(seed, sql,
+        (s, dir) => src.build(s, dir).filter(f.spark)
+          .select(es.zip(names).map { case (e, n) => e.spark.as(n) }: _*),
+        s"filter-project/${src.desc}")
+    }
+
+    private def groupAgg(): FuzzQuery = {
+      val src = source()
+      val filter = if (rnd.nextBoolean()) Some(boolExpr(src.meta)) else None
+      val keys = (0 until (1 + rnd.nextInt(2))).map(_ => groupKey(src.meta))
+      val aggs = (0 until (1 + rnd.nextInt(3))).map(_ => aggExpr(src.meta))
+      val kn = keys.indices.map(i => s"k$i")
+      val an = aggs.indices.map(i => s"a$i")
+      val where = filter.map(f => s" WHERE ${f.sql}").getOrElse("")
+      val sql = s"SELECT ${(keys.zip(kn) ++ aggs.zip(an))
+        .map { case (e, n) => s"${e.sql} AS $n" }.mkString(", ")} " +
+        s"FROM ${src.from}$where GROUP BY ${keys.map(_.sql).mkString(", ")}"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val base0 = src.build(s, dir)
+          val base = filter.map(f => base0.filter(f.spark)).getOrElse(base0)
+          base.groupBy(keys.zip(kn).map { case (e, n) => e.spark.as(n) }: _*)
+            .agg(aggs.head.spark.as(an.head),
+              aggs.tail.zip(an.tail).map { case (e, n) => e.spark.as(n) }: _*)
+        },
+        s"group-agg/${src.desc}")
+    }
+
+    private def aggNoGroup(): FuzzQuery = {
+      val src = source()
+      val filter = if (rnd.nextBoolean()) Some(boolExpr(src.meta)) else None
+      val aggs = (0 until (1 + rnd.nextInt(3))).map(_ => aggExpr(src.meta))
+      val an = aggs.indices.map(i => s"a$i")
+      val where = filter.map(f => s" WHERE ${f.sql}").getOrElse("")
+      val sql = s"SELECT ${aggs.zip(an)
+        .map { case (e, n) => s"${e.sql} AS $n" }.mkString(", ")} " +
+        s"FROM ${src.from}$where"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val base0 = src.build(s, dir)
+          val base = filter.map(f => base0.filter(f.spark)).getOrElse(base0)
+          base.agg(aggs.head.spark.as(an.head),
+            aggs.tail.zip(an.tail).map { case (e, n) => e.spark.as(n) }: _*)
+        },
+        s"scalar-agg/${src.desc}")
+    }
+
+    private def windowed(): FuzzQuery = {
+      val src = source()
+      val filter = boolExpr(src.meta)
+      val part = groupKey(src.meta)
+      val ord = intExpr(src.meta)
+      val desc = rnd.nextBoolean()
+      // TOTAL order: the ranked expression then the source's unique key
+      // columns, null placement EXPLICIT (Spark and DuckDB defaults differ)
+      val ordSpark = (if (desc) ord.spark.desc_nulls_last
+                      else ord.spark.asc_nulls_first) +:
+        src.meta.tie.map(c => col(c).asc_nulls_first)
+      val ordSql = (s"${ord.sql} ${if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"}" +:
+        src.meta.tie.map(c => s"$c ASC NULLS FIRST")).mkString(", ")
+      val w = Window.partitionBy(part.spark).orderBy(ordSpark: _*)
+      val over = s"OVER (PARTITION BY ${part.sql} ORDER BY $ordSql)"
+      val wfn = rnd.nextInt(5) match {
+        case 0 => E(row_number().over(w).cast("long"),
+          s"CAST(row_number() $over AS BIGINT)", TInt)
+        case 1 => E(rank().over(w).cast("long"),
+          s"CAST(rank() $over AS BIGINT)", TInt)
+        case 2 => E(dense_rank().over(w).cast("long"),
+          s"CAST(dense_rank() $over AS BIGINT)", TInt)
+        case 3 => E(lag(ord.spark, 1).over(w),
+          s"lag(${ord.sql}, 1) $over", TInt)
+        case _ =>
+          val a = intExpr(src.meta)
+          E(sum(a.spark).over(Window.partitionBy(part.spark)),
+            s"CAST(sum(${a.sql}) OVER (PARTITION BY ${part.sql}) AS BIGINT)",
+            TInt)
+      }
+      val keyCols = src.meta.tie.map(c => E(col(c).cast("long"),
+        s"CAST($c AS BIGINT)", TInt))
+      val es = keyCols :+ part :+ ord :+ wfn
+      val names = es.indices.map(i => s"c$i")
+      val sql = s"SELECT ${es.zip(names).map { case (e, n) => s"${e.sql} AS $n" }
+        .mkString(", ")} FROM ${src.from} WHERE ${filter.sql}"
+      FuzzQuery(seed, sql,
+        (s, dir) => src.build(s, dir).filter(filter.spark)
+          .select(es.zip(names).map { case (e, n) => e.spark.as(n) }: _*),
+        s"window/${src.desc}")
+    }
+  }
+}
