@@ -253,7 +253,7 @@ object QueryFuzzer {
     }
 
     /** Any scalar expression usable in a projection or as a group key. */
-    private def scalarExpr(t: TableMeta): E = rnd.nextInt(10) match {
+    private def scalarExpr(t: TableMeta): E = rnd.nextInt(12) match {
       case 0 | 1 | 2 | 3 => intExpr(t)
       case 4 | 5         => strExpr(t)
       case 6 if dateCols(t).nonEmpty =>
@@ -263,6 +263,20 @@ object QueryFuzzer {
         val c = strCol(t)
         E(length(col(c.name)).cast("long"),
           s"CAST(length(${c.name}) AS BIGINT)", TInt)
+      case 8 if dateCols(t).nonEmpty => // calendar extraction
+        val c = pick(dateCols(t))
+        val (f, fs): (Column => Column, String) =
+          pick(Seq(((x: Column) => year(x), "year"),
+            ((x: Column) => month(x), "month"),
+            ((x: Column) => dayofmonth(x), "day")))
+        E(f(col(c.name).cast("date")).cast("long"),
+          s"CAST($fs(CAST(${c.name} AS DATE)) AS BIGINT)", TInt)
+      case 9 => // floor division (both engines: float /, floor, cast —
+        // exact for key magnitudes well under 2^53)
+        val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+        val k = 2 + rnd.nextInt(11)
+        E(floor(col(c.name).cast("long") / k).cast("long"),
+          s"CAST(floor(CAST(${c.name} AS BIGINT) / $k) AS BIGINT)", TInt)
       case _ => intExpr(t)
     }
 
@@ -315,17 +329,79 @@ object QueryFuzzer {
     /** A source: how to build the frame, the FROM clause, the merged
       * column universe for expression generation, and tiebreak columns.
       */
+    /** `preWhere`: a condition already applied in `build` (semi/anti
+      * subquery membership) that the SQL twin must AND into its WHERE.
+      */
     private final case class Src(
         build: (SparkSession, String) => DataFrame,
         from: String,
         meta: TableMeta,
-        desc: String)
+        desc: String,
+        preWhere: Option[String] = None) {
+      def whereSql(extra: Option[String]): String = {
+        val conds = preWhere.toSeq ++ extra.toSeq
+        if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+      }
+    }
 
     private def tableDf(name: String)(s: SparkSession, dir: String): DataFrame =
       s.read.parquet(s"$dir/$name.parquet")
 
+    /** Three-table FK chains for multi-way joins (inner only; the left
+      * table's tiebreak stays unique since every hop lands on a PK side).
+      */
+    private val chains: Seq[Seq[(String, String, String, String)]] = Seq(
+      Seq(("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey")),
+      Seq(("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey")),
+      Seq(("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey")),
+      Seq(("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey")))
+
+    private def chainSource(): Src = {
+      val chain = pick(chains)
+      val lt = tables.find(_.name == chain.head._1).get
+      val rts = chain.map(h => tables.find(_.name == h._3).get)
+      val merged = TableMeta(chain.map(_._1).head + "_chain",
+        lt.cols ++ rts.flatMap(_.cols), lt.tie)
+      val fromSql = chain.foldLeft(lt.name) { case (acc, (_, lk, rn, rk)) =>
+        s"$acc INNER JOIN $rn ON $lk = $rk"
+      }
+      Src(
+        (s, dir) => chain.foldLeft(tableDf(lt.name)(s, dir)) {
+          case (acc, (_, lk, rn, rk)) =>
+            acc.join(tableDf(rn)(s, dir), col(lk) === col(rk), "inner")
+        },
+        fromSql, merged, s"chain-${chain.map(_._3).mkString("-")}")
+    }
+
+    /** Semi/anti join source: the J2/J4 filtering-join shapes — Spark
+      * left_semi/left_anti vs the SQL `IN (subquery)` twin. Key columns
+      * are non-null, so NOT IN has no three-valued surprise.
+      */
+    private def semiSource(): Src = {
+      val (ln, lk, rn, rk) = pick(joins)
+      val lt = tables.find(_.name == ln).get
+      val rt = tables.find(_.name == rn).get
+      val anti = rnd.nextBoolean()
+      val rightFilter = boolExpr(rt)
+      val inOp = if (anti) "NOT IN" else "IN"
+      Src(
+        (s, dir) => tableDf(ln)(s, dir).join(
+          tableDf(rn)(s, dir).filter(rightFilter.spark).select(col(rk)),
+          col(lk) === col(rk), if (anti) "left_anti" else "left_semi"),
+        ln, lt, s"${if (anti) "anti" else "semi"}/$ln-$rn",
+        preWhere = Some(
+          s"$lk $inOp (SELECT $rk FROM $rn WHERE ${rightFilter.sql})"))
+    }
+
     private def source(): Src = {
-      if (rnd.nextInt(3) == 0) {
+      val roll = rnd.nextInt(9)
+      if (roll == 7) return chainSource()
+      if (roll == 8) return semiSource()
+      if (roll <= 2) {
         val (ln, lk, rn, rk) = pick(joins)
         val lt = tables.find(_.name == ln).get
         val rt = tables.find(_.name == rn).get
@@ -361,23 +437,29 @@ object QueryFuzzer {
     // Query shapes
     // -------------------------------------------------------------------
 
-    def query(): FuzzQuery = rnd.nextInt(10) match {
+    def query(): FuzzQuery = rnd.nextInt(12) match {
       case 0 | 1 | 2     => filterProject()
       case 3 | 4 | 5 | 6 => groupAgg()
       case 7 | 8         => windowed()
-      case _             => aggNoGroup()
+      case 9 | 10        => aggNoGroup()
+      case _             => topK()
     }
 
     private def filterProject(): FuzzQuery = {
       val src = source()
       val f = boolExpr(src.meta)
+      val distinct = rnd.nextInt(4) == 0
       val es = (0 until (1 + rnd.nextInt(4))).map(_ => scalarExpr(src.meta))
       val names = es.indices.map(i => s"c$i")
-      val sql = s"SELECT ${es.zip(names).map { case (e, n) => s"${e.sql} AS $n" }
-        .mkString(", ")} FROM ${src.from} WHERE ${f.sql}"
+      val sql = s"SELECT ${if (distinct) "DISTINCT " else ""}" +
+        s"${es.zip(names).map { case (e, n) => s"${e.sql} AS $n" }
+          .mkString(", ")} FROM ${src.from}${src.whereSql(Some(f.sql))}"
       FuzzQuery(seed, sql,
-        (s, dir) => src.build(s, dir).filter(f.spark)
-          .select(es.zip(names).map { case (e, n) => e.spark.as(n) }: _*),
+        (s, dir) => {
+          val sel = src.build(s, dir).filter(f.spark)
+            .select(es.zip(names).map { case (e, n) => e.spark.as(n) }: _*)
+          if (distinct) sel.distinct() else sel
+        },
         s"filter-project/${src.desc}")
     }
 
@@ -388,19 +470,66 @@ object QueryFuzzer {
       val aggs = (0 until (1 + rnd.nextInt(3))).map(_ => aggExpr(src.meta))
       val kn = keys.indices.map(i => s"k$i")
       val an = aggs.indices.map(i => s"a$i")
-      val where = filter.map(f => s" WHERE ${f.sql}").getOrElse("")
+      // HAVING through the post-aggregation filter (the SQL twin renders a
+      // true HAVING; Spark filters the agg output — same semantics)
+      // only over INT aggregates: a long literal against a string/date agg
+      // would ANSI-cast-error on the Spark side (and mean nothing anyway)
+      val intAggIdxs = aggs.indices.filter(i => aggs(i).typ == TInt)
+      val having: Option[(Int, Long)] =
+        if (intAggIdxs.nonEmpty && rnd.nextInt(3) == 0)
+          Some((pick(intAggIdxs), 1L + rnd.nextInt(20)))
+        else None
+      val havingSql = having
+        .map { case (i, v) => s" HAVING ${aggs(i).sql} > $v" }.getOrElse("")
       val sql = s"SELECT ${(keys.zip(kn) ++ aggs.zip(an))
         .map { case (e, n) => s"${e.sql} AS $n" }.mkString(", ")} " +
-        s"FROM ${src.from}$where GROUP BY ${keys.map(_.sql).mkString(", ")}"
+        s"FROM ${src.from}${src.whereSql(filter.map(_.sql))} " +
+        s"GROUP BY ${keys.map(_.sql).mkString(", ")}$havingSql"
       FuzzQuery(seed, sql,
         (s, dir) => {
           val base0 = src.build(s, dir)
           val base = filter.map(f => base0.filter(f.spark)).getOrElse(base0)
-          base.groupBy(keys.zip(kn).map { case (e, n) => e.spark.as(n) }: _*)
+          val agged = base
+            .groupBy(keys.zip(kn).map { case (e, n) => e.spark.as(n) }: _*)
             .agg(aggs.head.spark.as(an.head),
               aggs.tail.zip(an.tail).map { case (e, n) => e.spark.as(n) }: _*)
+          having.map { case (i, v) => agged.filter(col(an(i)) > v) }
+            .getOrElse(agged)
         },
         s"group-agg/${src.desc}")
+    }
+
+    /** Deterministic ordered top-K over a group aggregate: ORDER BY the
+      * first aggregate (explicit nulls) then every group key — the keys
+      * are unique per output row, so the order is total and LIMIT is
+      * well-defined on both engines.
+      */
+    private def topK(): FuzzQuery = {
+      val src = source()
+      val keys = (0 until (1 + rnd.nextInt(2))).map(_ => groupKey(src.meta))
+      val agg = aggExpr(src.meta)
+      val kn = keys.indices.map(i => s"k$i")
+      val k = 3 + rnd.nextInt(12)
+      val desc = rnd.nextBoolean()
+      val dirSql = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+      val sql = s"SELECT ${(keys.zip(kn).map { case (e, n) => s"${e.sql} AS $n" } :+
+        s"${agg.sql} AS a0").mkString(", ")} " +
+        s"FROM ${src.from}${src.whereSql(None)} " +
+        s"GROUP BY ${keys.map(_.sql).mkString(", ")} " +
+        s"ORDER BY a0 $dirSql, ${kn.map(n => s"$n ASC NULLS FIRST").mkString(", ")} " +
+        s"LIMIT $k"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val ordCols = (if (desc) col("a0").desc_nulls_last
+                         else col("a0").asc_nulls_first) +:
+            kn.map(n => col(n).asc_nulls_first)
+          src.build(s, dir)
+            .groupBy(keys.zip(kn).map { case (e, n) => e.spark.as(n) }: _*)
+            .agg(agg.spark.as("a0"))
+            .orderBy(ordCols: _*)
+            .limit(k)
+        },
+        s"top-k/${src.desc}")
     }
 
     private def aggNoGroup(): FuzzQuery = {
@@ -408,10 +537,9 @@ object QueryFuzzer {
       val filter = if (rnd.nextBoolean()) Some(boolExpr(src.meta)) else None
       val aggs = (0 until (1 + rnd.nextInt(3))).map(_ => aggExpr(src.meta))
       val an = aggs.indices.map(i => s"a$i")
-      val where = filter.map(f => s" WHERE ${f.sql}").getOrElse("")
       val sql = s"SELECT ${aggs.zip(an)
         .map { case (e, n) => s"${e.sql} AS $n" }.mkString(", ")} " +
-        s"FROM ${src.from}$where"
+        s"FROM ${src.from}${src.whereSql(filter.map(_.sql))}"
       FuzzQuery(seed, sql,
         (s, dir) => {
           val base0 = src.build(s, dir)
@@ -457,7 +585,7 @@ object QueryFuzzer {
       val es = keyCols :+ part :+ ord :+ wfn
       val names = es.indices.map(i => s"c$i")
       val sql = s"SELECT ${es.zip(names).map { case (e, n) => s"${e.sql} AS $n" }
-        .mkString(", ")} FROM ${src.from} WHERE ${filter.sql}"
+        .mkString(", ")} FROM ${src.from}${src.whereSql(Some(filter.sql))}"
       FuzzQuery(seed, sql,
         (s, dir) => src.build(s, dir).filter(filter.spark)
           .select(es.zip(names).map { case (e, n) => e.spark.as(n) }: _*),
