@@ -169,6 +169,34 @@ object ExtensionQueries {
         sum(round(col("l_extendedprice") * 100)).cast("long").as("revenue_cents"))
   }
 
+  /** Mergeable fixed-edge histogram store + exact quantile bracketing
+    * (library: gold.HistogramStore). The gate runs the FULL maintenance
+    * algebra — a base build, an insert delta, and a delete delta merged
+    * into the store — then serves three quantiles with exact
+    * [lo_bound, hi_bound] bracketing; the oracle recomputes the
+    * histogram and the rank search from the surviving rows directly.
+    * Everything is exact integer arithmetic (ppm fractions, subtract-mod
+    * floor division), so unlike estimator sketches this store gates with
+    * a full oracle.
+    */
+  private def qHistogramQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.HistogramStore
+    val edges = HistogramStore.Edges(0L, 20971519L, 256) // width 81920 exactly
+    val base = T(s, dir).lineitem.select(
+      col("l_returnflag"), col("l_orderkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val keys = Seq("l_returnflag")
+    val b1  = base.filter(col("l_orderkey") % 3 =!= 0)
+    val b2  = base.filter(col("l_orderkey") % 3 === 0)
+    val del = base.filter(col("l_orderkey") % 15 === 0) // subset of b2
+    val store = HistogramStore.merge(
+      HistogramStore.build(b1, keys, "cents", edges),
+      HistogramStore.deltaOf(b2, keys, "cents", edges, 1L),
+      HistogramStore.deltaOf(del, keys, "cents", edges, -1L))
+    HistogramStore.quantileBounds(store, keys,
+      Seq(250000L, 500000L, 900000L), edges)
+  }
+
   /** Small-file compaction END-TO-END: write a 64-file fragmentation of
     * lineitem, compact toward 8 MiB targets (tmp+rename atomic swap), then
     * fingerprint the COMPACTED directory — file count via
@@ -979,6 +1007,7 @@ object ExtensionQueries {
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_x_zorder_stats"    -> (qZorderStats _),
     "q_x_skip_index_auto" -> (qSkipIndexAuto _),
+    "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_sql_graft_text"    -> (qSqlGraftText _),
     "q_sql_graft_vec"     -> (qSqlGraftVec _),
@@ -1262,6 +1291,38 @@ object ExtensionQueries {
           |FROM read_parquet('/tmp/graft_roundtrip/skipindex_lineitem/*.parquet')
           |WHERE l_partkey >= 100 AND l_partkey <= 300
           |GROUP BY l_partkey""".stripMargin,
+      // histogram replica: same fixed edges (width 81920, lo 0), same
+      // lower-interpolation rank idx = floor((n-1)*q/1e6) in exact
+      // integer arithmetic, same running-sum bucket search
+      "q_x_histogram_quantile" ->
+        """WITH base AS (
+          |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          |  FROM lineitem WHERE (l_orderkey % 15) <> 0
+          |),
+          |hist AS (
+          |  SELECT l_returnflag, CAST(floor(v / 81920e0) AS BIGINT) AS bucket,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM base GROUP BY 1, 2
+          |),
+          |cum AS (
+          |  SELECT l_returnflag, bucket, cnt,
+          |         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket ASC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          |         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+          |  FROM hist
+          |),
+          |q AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm
+          |      FROM (VALUES (250000), (500000), (900000)) AS t(q_ppm)),
+          |tgt AS (
+          |  SELECT c.*, q.q_ppm,
+          |         CAST(((c.n - 1) * q.q_ppm - ((c.n - 1) * q.q_ppm) % 1000000)
+          |              / 1000000 AS BIGINT) AS idx
+          |  FROM cum c CROSS JOIN q
+          |)
+          |SELECT l_returnflag, q_ppm, n, idx, bucket,
+          |       bucket * 81920 AS lo_bound,
+          |       least(20971519, (bucket + 1) * 81920 - 1) AS hi_bound
+          |FROM tgt WHERE cum > idx AND cum - cnt <= idx""".stripMargin,
       "q_x_zorder_stats" ->
         """SELECT CAST(count(*) AS BIGINT) AS cnt,
           |  min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,

@@ -13,9 +13,13 @@ import scala.util.Random
   * hand-picked oracle gate; the reference's acceptance-test spirit,
   * multiplied).
   *
-  * The grammar covers the SURVEY §2 shapes (filter / project / inner+left
-  * join on FK relationships / group-aggregate / window functions) and
-  * applies the oracle-stability house rules MECHANICALLY:
+  * The grammar covers the SURVEY §2 shapes (filter / project (+DISTINCT) /
+  * inner+left+FULL OUTER join on FK relationships / 3-4 table join chains /
+  * semi+anti joins vs IN-subqueries / group-aggregate with HAVING /
+  * ROLLUP+CUBE with GROUPING markers / scalar aggregate / window functions
+  * incl. explicit ROWS frames, lead/lag, first_value / ordered top-K /
+  * UNION ALL, UNION, INTERSECT, EXCEPT) and applies the oracle-stability
+  * house rules MECHANICALLY:
   *
   *  - money only as exact integer cents (`round(x*100)` cast BIGINT —
   *    never raw doubles in any output or aggregate)
@@ -120,7 +124,21 @@ object QueryFuzzer {
   // Generation
   // ---------------------------------------------------------------------
 
-  def generate(seed: Long): FuzzQuery = new Gen(new Random(seed), seed).query()
+  /** java.util.Random's first draws are strongly correlated across
+    * sequential seeds (with a power-of-2 bound the first nextInt is nearly
+    * CONSTANT over a seed range — observed: 300 sequential seeds produced
+    * 2 of 16 query shapes). Scramble the seed through a splitmix64
+    * finalizer before it touches Random so the shape draw is uniform.
+    */
+  private def scramble(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def generate(seed: Long): FuzzQuery =
+    new Gen(new Random(scramble(seed)), seed).query()
 
   private final class Gen(rnd: Random, seed: Long) {
 
@@ -203,7 +221,19 @@ object QueryFuzzer {
       ("<>", (a: Column, b: Column) => a =!= b))
 
     private def boolExpr(t: TableMeta, depth: Int = 0): E = {
-      def leaf(): E = rnd.nextInt(6) match {
+      def leaf(): E = rnd.nextInt(8) match {
+        case 6 => // three-valued logic: IS [NOT] NULL on any column
+          // (bites on join-null-extended sides and nullable aggs)
+          val c = pick(t.cols)
+          if (rnd.nextBoolean())
+            E(col(c.name).isNull, s"(${c.name} IS NULL)", TBool)
+          else E(col(c.name).isNotNull, s"(${c.name} IS NOT NULL)", TBool)
+        case 7 if dateCols(t).nonEmpty => // date arithmetic comparison
+          val c = pick(dateCols(t)); val (dl, ds) = dateLit()
+          val k = 1 + rnd.nextInt(90)
+          val (op, f) = pick(cmps.take(4))
+          E(f(date_add(col(c.name).cast("date"), k), dl),
+            s"((CAST(${c.name} AS DATE) + $k) $op $ds)", TBool)
         case 0 | 1 => // int comparison against a plausible literal
           val a = intExpr(t, depth + 1)
           val v = rnd.nextInt(4) match {
@@ -245,10 +275,16 @@ object QueryFuzzer {
             s"(CAST(${c.name} AS BIGINT) % $m = $r)", TBool)
       }
       if (depth >= 2 || rnd.nextInt(3) > 0) leaf()
-      else {
-        val a = boolExpr(t, depth + 1); val b = boolExpr(t, depth + 1)
-        if (rnd.nextBoolean()) E(a.spark && b.spark, s"(${a.sql} AND ${b.sql})", TBool)
-        else E(a.spark || b.spark, s"(${a.sql} OR ${b.sql})", TBool)
+      else rnd.nextInt(5) match {
+        case 0 =>
+          val a = boolExpr(t, depth + 1)
+          E(!a.spark, s"(NOT ${a.sql})", TBool)
+        case 1 | 2 =>
+          val a = boolExpr(t, depth + 1); val b = boolExpr(t, depth + 1)
+          E(a.spark && b.spark, s"(${a.sql} AND ${b.sql})", TBool)
+        case _ =>
+          val a = boolExpr(t, depth + 1); val b = boolExpr(t, depth + 1)
+          E(a.spark || b.spark, s"(${a.sql} OR ${b.sql})", TBool)
       }
     }
 
@@ -277,6 +313,13 @@ object QueryFuzzer {
         val k = 2 + rnd.nextInt(11)
         E(floor(col(c.name).cast("long") / k).cast("long"),
           s"CAST(floor(CAST(${c.name} AS BIGINT) / $k) AS BIGINT)", TInt)
+      case 10 =>
+        val a = intExpr(t)
+        E(abs(a.spark), s"abs(${a.sql})", TInt)
+      case 11 => // string concatenation — NULL-propagating in both engines
+        val a = strExpr(t); val b = strExpr(t)
+        E(concat(a.spark, lit("_"), b.spark),
+          s"(${a.sql} || '_' || ${b.sql})", TStr)
       case _ => intExpr(t)
     }
 
@@ -294,9 +337,16 @@ object QueryFuzzer {
         E(col(c.name).cast("long") % m, s"(CAST(${c.name} AS BIGINT) % $m)", TInt)
     }
 
-    private def aggExpr(t: TableMeta): E = rnd.nextInt(7) match {
+    private def aggExpr(t: TableMeta): E = rnd.nextInt(9) match {
       case 0 =>
         E(count(lit(1)), "CAST(count(*) AS BIGINT)", TInt)
+      case 7 => // non-null count of a plain column
+        val c = pick(t.cols)
+        E(count(col(c.name)), s"CAST(count(${c.name}) AS BIGINT)", TInt)
+      case 8 => // DISTINCT sum over a non-money integral column
+        val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+        E(sum_distinct(col(c.name).cast("long")),
+          s"CAST(sum(DISTINCT CAST(${c.name} AS BIGINT)) AS BIGINT)", TInt)
       case 1 =>
         val a = intExpr(t)
         E(sum(a.spark), s"CAST(sum(${a.sql}) AS BIGINT)", TInt)
@@ -358,7 +408,11 @@ object QueryFuzzer {
       Seq(("lineitem", "l_partkey", "part", "p_partkey"),
         ("lineitem", "l_suppkey", "supplier", "s_suppkey")),
       Seq(("supplier", "s_nationkey", "nation", "n_nationkey"),
-        ("nation", "n_regionkey", "region", "r_regionkey")))
+        ("nation", "n_regionkey", "region", "r_regionkey")),
+      // four-table FK chain — every hop still lands on a PK side
+      Seq(("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey")))
 
     private def chainSource(): Src = {
       val chain = pick(chains)
@@ -397,31 +451,51 @@ object QueryFuzzer {
           s"$lk $inOp (SELECT $rk FROM $rn WHERE ${rightFilter.sql})"))
     }
 
-    private def source(): Src = {
-      val roll = rnd.nextInt(9)
+    /** `requireTie = true` (the windowed shape) excludes FULL OUTER joins:
+      * right-only rows carry all-NULL left tiebreak columns, so the
+      * source's tie would no longer be a total order.
+      */
+    private def source(requireTie: Boolean = false): Src = {
+      val roll = rnd.nextInt(10)
       if (roll == 7) return chainSource()
       if (roll == 8) return semiSource()
-      if (roll <= 2) {
+      if (roll <= 2 || roll == 9) {
         val (ln, lk, rn, rk) = pick(joins)
         val lt = tables.find(_.name == ln).get
         val rt = tables.find(_.name == rn).get
-        val joinType = if (rnd.nextInt(3) == 0) "left" else "inner"
+        val joinType =
+          if (roll == 9 && !requireTie) "full"
+          else if (rnd.nextInt(3) == 0) "left" else "inner"
         // optionally pre-filter the RIGHT side so left joins actually
-        // produce null-extended rows (and inner joins lose rows)
+        // produce null-extended rows (and inner joins lose rows); for a
+        // FULL join also pre-filter the LEFT side so left-null rows exist
         val rightFilter =
-          if (rnd.nextInt(2) == 0) Some(boolExpr(rt)) else None
-        val merged = TableMeta(s"${ln}_$rn", lt.cols ++ rt.cols,
-          lt.tie ++ (if (joinType == "inner") rt.tie else Nil))
+          if (joinType == "full" || rnd.nextInt(2) == 0) Some(boolExpr(rt))
+          else None
+        val leftFilter =
+          if (joinType == "full") Some(boolExpr(lt)) else None
+        val mergedTie = joinType match {
+          case "inner" => lt.tie ++ rt.tie
+          case "left"  => lt.tie
+          case _       => Nil // full outer: no non-null unique tie exists
+        }
+        val merged = TableMeta(s"${ln}_$rn", lt.cols ++ rt.cols, mergedTie)
+        val sqlJoin = if (joinType == "full") "FULL" else joinType.toUpperCase
+        val lhsSql = leftFilter match {
+          case Some(f) => s"(SELECT * FROM $ln WHERE ${f.sql}) AS $ln"
+          case None    => ln
+        }
         val fromSql = rightFilter match {
           case Some(f) =>
-            s"$ln ${joinType.toUpperCase} JOIN " +
+            s"$lhsSql $sqlJoin JOIN " +
               s"(SELECT * FROM $rn WHERE ${f.sql}) AS $rn ON $lk = $rk"
           case None =>
-            s"$ln ${joinType.toUpperCase} JOIN $rn ON $lk = $rk"
+            s"$lhsSql $sqlJoin JOIN $rn ON $lk = $rk"
         }
         Src(
           (s, dir) => {
-            val l = tableDf(ln)(s, dir)
+            val l0 = tableDf(ln)(s, dir)
+            val l = leftFilter.map(f => l0.filter(f.spark)).getOrElse(l0)
             val r0 = tableDf(rn)(s, dir)
             val r = rightFilter.map(f => r0.filter(f.spark)).getOrElse(r0)
             l.join(r, col(lk) === col(rk), joinType)
@@ -437,12 +511,94 @@ object QueryFuzzer {
     // Query shapes
     // -------------------------------------------------------------------
 
-    def query(): FuzzQuery = rnd.nextInt(12) match {
+    def query(): FuzzQuery = rnd.nextInt(16) match {
       case 0 | 1 | 2     => filterProject()
       case 3 | 4 | 5 | 6 => groupAgg()
       case 7 | 8         => windowed()
       case 9 | 10        => aggNoGroup()
-      case _             => topK()
+      case 11            => topK()
+      case 12 | 13       => setOp()
+      case _             => groupingSets()
+    }
+
+    /** Set operations between two filtered projections of the same table:
+      * UNION ALL (multiset), UNION / INTERSECT / EXCEPT (all DISTINCT
+      * semantics in BOTH engines — Spark's intersect/except are the SQL
+      * standard's DISTINCT variants, as are DuckDB's bare keywords). NULL
+      * keys compare EQUAL inside set ops in both engines (set-op grouping
+      * semantics, not predicate semantics), so no guard is needed.
+      */
+    private def setOp(): FuzzQuery = {
+      val t = pick(tables)
+      val es = (0 until (1 + rnd.nextInt(3))).map(_ => scalarExpr(t))
+      val names = es.indices.map(i => s"c$i")
+      val f1 = boolExpr(t); val f2 = boolExpr(t)
+      val (opSql, opDf): (String, (DataFrame, DataFrame) => DataFrame) =
+        rnd.nextInt(4) match {
+          case 0 => ("UNION ALL", (a, b) => a.union(b))
+          case 1 => ("UNION", (a, b) => a.union(b).distinct())
+          case 2 => ("INTERSECT", (a, b) => a.intersect(b))
+          case _ => ("EXCEPT", (a, b) => a.except(b))
+        }
+      def branch(fSql: String): String =
+        s"SELECT ${es.zip(names).map { case (e, n) => s"${e.sql} AS $n" }
+          .mkString(", ")} FROM ${t.name} WHERE $fSql"
+      val sql = s"${branch(f1.sql)} $opSql ${branch(f2.sql)}"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val base = tableDf(t.name)(s, dir)
+          def side(f: E): DataFrame = base.filter(f.spark)
+            .select(es.zip(names).map { case (e, n) => e.spark.as(n) }: _*)
+          opDf(side(f1), side(f2))
+        },
+        s"set-op/${t.name}")
+    }
+
+    /** GROUP BY ROLLUP / CUBE with explicit GROUPING() markers. The keys
+      * are pre-projected into named columns (k0, k1) on both sides so the
+      * grouping markers reference plain columns; the markers disambiguate
+      * rollup-generated NULL subtotal keys from genuine NULL key values.
+      */
+    private def groupingSets(): FuzzQuery = {
+      val src = source()
+      val filter = if (rnd.nextBoolean()) Some(boolExpr(src.meta)) else None
+      val keys = Seq(groupKey(src.meta), groupKey(src.meta))
+      val kn = Seq("k0", "k1")
+      val aggs = (0 until (1 + rnd.nextInt(2))).map(_ => aggExpr(src.meta))
+      val an = aggs.indices.map(i => s"a$i")
+      val cube = rnd.nextBoolean()
+      val mode = if (cube) "CUBE" else "ROLLUP"
+      val innerSql = s"SELECT *, ${keys.zip(kn)
+        .map { case (e, n) => s"${e.sql} AS $n" }.mkString(", ")} " +
+        s"FROM ${src.from}${src.whereSql(filter.map(_.sql))}"
+      // HAVING count(*) > 0 makes the twin faithful to SPARK's deviation
+      // from the standard: on an EMPTY input, ROLLUP/CUBE's () grouping
+      // set emits a grand-total row (count 0) in DuckDB/PostgreSQL, but
+      // Spark's Expand-based implementation replicates input rows per
+      // grouping set — zero rows in, zero groups out. Every real group
+      // has count(*) >= 1, so the filter only ever removes that artifact.
+      val sql = s"SELECT k0, k1, " +
+        s"CAST(GROUPING(k0) AS BIGINT) AS g0, " +
+        s"CAST(GROUPING(k1) AS BIGINT) AS g1, " +
+        s"${aggs.zip(an).map { case (e, n) => s"${e.sql} AS $n" }.mkString(", ")} " +
+        s"FROM ($innerSql) GROUP BY $mode(k0, k1) HAVING count(*) > 0"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val base0 = src.build(s, dir)
+          val base1 = filter.map(f => base0.filter(f.spark)).getOrElse(base0)
+          val base = base1
+            .withColumn("k0", keys(0).spark)
+            .withColumn("k1", keys(1).spark)
+          val grouped =
+            if (cube) base.cube(col("k0"), col("k1"))
+            else base.rollup(col("k0"), col("k1"))
+          grouped.agg(
+            grouping(col("k0")).cast("long").as("g0"),
+            grouping(col("k1")).cast("long").as("g1") +:
+              aggs.zip(an).map { case (e, n) => e.spark.as(n) }: _*)
+            .select((Seq("k0", "k1", "g0", "g1") ++ an).map(col): _*)
+        },
+        s"grouping-sets/${src.desc}")
     }
 
     private def filterProject(): FuzzQuery = {
@@ -551,7 +707,7 @@ object QueryFuzzer {
     }
 
     private def windowed(): FuzzQuery = {
-      val src = source()
+      val src = source(requireTie = true)
       val filter = boolExpr(src.meta)
       val part = groupKey(src.meta)
       val ord = intExpr(src.meta)
@@ -565,7 +721,23 @@ object QueryFuzzer {
         src.meta.tie.map(c => s"$c ASC NULLS FIRST")).mkString(", ")
       val w = Window.partitionBy(part.spark).orderBy(ordSpark: _*)
       val over = s"OVER (PARTITION BY ${part.sql} ORDER BY $ordSql)"
-      val wfn = rnd.nextInt(5) match {
+      // Frames are rendered EXPLICITLY as ROWS on both sides (sidesteps
+      // the engines' differing default-frame conventions). The "total"
+      // order is NOT total on lineitem — the synthetic table has duplicate
+      // (l_orderkey, l_linenumber) pairs — so every frame aggregate also
+      // appends ITS OWN input expression as a final order key: remaining
+      // ties are then identical in every projected column AND the summed
+      // value, making prefix/sliding aggregates permutation-invariant.
+      // (rank/lag/lead/first_value need no such guard: they return the
+      // ordered expression itself, which ties by construction.)
+      def overFrame(a: E, frameSpark: (Long, Long), frameSql: String): (
+          org.apache.spark.sql.expressions.WindowSpec, String) =
+        (Window.partitionBy(part.spark)
+          .orderBy(ordSpark :+ a.spark.asc_nulls_first: _*)
+          .rowsBetween(frameSpark._1, frameSpark._2),
+          s"OVER (PARTITION BY ${part.sql} ORDER BY $ordSql, " +
+            s"${a.sql} ASC NULLS FIRST $frameSql)")
+      val wfn = rnd.nextInt(9) match {
         case 0 => E(row_number().over(w).cast("long"),
           s"CAST(row_number() $over AS BIGINT)", TInt)
         case 1 => E(rank().over(w).cast("long"),
@@ -574,6 +746,24 @@ object QueryFuzzer {
           s"CAST(dense_rank() $over AS BIGINT)", TInt)
         case 3 => E(lag(ord.spark, 1).over(w),
           s"lag(${ord.sql}, 1) $over", TInt)
+        case 4 => E(lead(ord.spark, 1).over(w),
+          s"lead(${ord.sql}, 1) $over", TInt)
+        case 5 => // running sum over an explicit ROWS frame
+          val a = intExpr(src.meta)
+          val (ws, os) = overFrame(a,
+            (Window.unboundedPreceding, Window.currentRow),
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+          E(sum(a.spark).over(ws), s"CAST(sum(${a.sql}) $os AS BIGINT)", TInt)
+        case 6 => // sliding k-row trailing frame
+          val a = intExpr(src.meta); val k = 1 + rnd.nextInt(5)
+          val (ws, os) = overFrame(a, (-k.toLong, Window.currentRow),
+            s"ROWS BETWEEN $k PRECEDING AND CURRENT ROW")
+          E(sum(a.spark).over(ws), s"CAST(sum(${a.sql}) $os AS BIGINT)", TInt)
+        case 7 => // first_value over the running frame (RESPECT NULLS both)
+          val (ws, os) = overFrame(ord,
+            (Window.unboundedPreceding, Window.currentRow),
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+          E(first(ord.spark).over(ws), s"first_value(${ord.sql}) $os", TInt)
         case _ =>
           val a = intExpr(src.meta)
           E(sum(a.spark).over(Window.partitionBy(part.spark)),

@@ -79,6 +79,66 @@ class IncrementalJoinSpec extends SparkSpecBase {
     rows(merged) should have size 2
   }
 
+  test("property fuzz: CHAINED maintenance == model join over 60 random delta sequences") {
+    // RetractableAggSpec's posture for the join view: random evolution
+    // sequences on BOTH sides (keep/update/delete per row + fresh
+    // inserts, NULL join keys included), the view carried FORWARD across
+    // steps (so a step-k bug compounds and cannot hide), compared
+    // against a driver-side model of the inner join after every step.
+    val rnd = new scala.util.Random(20260814L)
+    def randCust(): java.lang.Long =
+      if (rnd.nextInt(10) == 0) null
+      else java.lang.Long.valueOf(1L + rnd.nextInt(6))
+    for (seq <- 0 until 60) {
+      var aRows: Map[Long, (java.lang.Long, String)] =
+        (0 until (2 + rnd.nextInt(6))).map(i =>
+          i.toLong -> (randCust(), s"s$seq-$i")).toMap
+      var bRows: Map[Long, String] =
+        (1 to 6).filter(_ => rnd.nextBoolean())
+          .map(c => c.toLong -> s"c$seq-$c").toMap
+      var nextOid = 100L
+      def aDf(m: Map[Long, (java.lang.Long, String)]): DataFrame =
+        ordersOf(m.toSeq.map { case (k, (c, s)) => (k, c, s) })
+      def bDf(m: Map[Long, String]): DataFrame = custOf(m.toSeq)
+      var view = aDf(aRows).join(bDf(bRows), col("cust") === col("cid"))
+        .localCheckpoint()
+      for (step <- 0 until 2) {
+        val aNewRows = aRows.flatMap { case (k, (c, s)) =>
+          rnd.nextInt(100) match {
+            case x if x < 60 => Some(k -> (c, s))
+            case x if x < 85 => Some(k -> (randCust(), s + "'"))
+            case _           => None
+          }
+        } ++ (0 until rnd.nextInt(3)).map { _ =>
+          nextOid += 1; nextOid -> (randCust(), s"new$nextOid")
+        }
+        val bNewRows = bRows.flatMap { case (k, n) =>
+          rnd.nextInt(100) match {
+            case x if x < 60 => Some(k -> n)
+            case x if x < 85 => Some(k -> (n + "'"))
+            case _           => None
+          }
+        } ++ (1 to 6).filter(c => !bRows.contains(c.toLong))
+          .filter(_ => rnd.nextInt(3) == 0).map(c => c.toLong -> s"b$seq-$step-$c")
+        val aOldDf = aDf(aRows); val bOldDf = bDf(bRows)
+        val dA = SnapshotDiff.diff(aOldDf, aDf(aNewRows), Seq("oid"), Seq("cust", "status"))
+        val dB = SnapshotDiff.diff(bOldDf, bDf(bNewRows), Seq("cid"), Seq("cname"))
+        view = IncrementalJoin.mergeJoinView(
+          view, aOldDf, dA, Seq("oid"), bOldDf, dB, Seq("cid"),
+          on = Seq("cust" -> "cid")).localCheckpoint()
+        val expected = (for {
+          (oid, (c, st)) <- aNewRows.toSeq
+          if c != null && bNewRows.contains(c.longValue())
+        } yield (oid, Option(c.longValue()), st, c.longValue(),
+          bNewRows(c.longValue()))).sorted
+        withClue(s"seq $seq step $step: ") {
+          rows(view) shouldBe expected.toList
+        }
+        aRows = aNewRows; bRows = bNewRows
+      }
+    }
+  }
+
   test("delta terms stay broadcast — no shuffle join anywhere in the merge plan") {
     val aOld = ordersOf(Seq((1L, 10L, "ok"), (2L, 20L, "ok")))
     val aNew = ordersOf(Seq((1L, 10L, "ok"), (2L, 20L, "x"), (3L, 10L, "ok")))
