@@ -197,6 +197,27 @@ object ExtensionQueries {
       Seq(250000L, 500000L, 900000L), edges)
   }
 
+  /** WEIGHTED histogram quantiles: value = document length, weight =
+    * token count (the `tokenCount` native kernel), per language — the
+    * "what doc length covers the p-th percentile of TOKENS" question a
+    * curation pipeline asks before truncation/packing decisions. The
+    * weighted store is the same mergeable (group, bucket, cnt) table with
+    * cnt = total integer weight, so the quantile is exactly the quantile
+    * of the expanded multiset; the oracle replays the weighted rank
+    * search over DuckDB's own tokenization replica.
+    */
+  private def qHistogramWeighted(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.HistogramStore
+    val edges = HistogramStore.Edges(0L, 1023L, 64) // width 16
+    val base = T(s, dir).documents.select(
+      col("lang"), col("n_chars").cast("long").as("v"),
+      tokenCount(col("text")).cast("long").as("w"))
+    val store = HistogramStore.build(base, Seq("lang"), "v", edges,
+      weightCol = Some("w"))
+    HistogramStore.quantileBounds(store, Seq("lang"),
+      Seq(250000L, 500000L, 900000L), edges)
+  }
+
   /** Small-file compaction END-TO-END: write a 64-file fragmentation of
     * lineitem, compact toward 8 MiB targets (tmp+rename atomic swap), then
     * fingerprint the COMPACTED directory — file count via
@@ -1008,6 +1029,7 @@ object ExtensionQueries {
     "q_x_zorder_stats"    -> (qZorderStats _),
     "q_x_skip_index_auto" -> (qSkipIndexAuto _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
+    "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
     "q_sql_graft_text"    -> (qSqlGraftText _),
     "q_sql_graft_vec"     -> (qSqlGraftVec _),
@@ -1291,6 +1313,38 @@ object ExtensionQueries {
           |FROM read_parquet('/tmp/graft_roundtrip/skipindex_lineitem/*.parquet')
           |WHERE l_partkey >= 100 AND l_partkey <= 300
           |GROUP BY l_partkey""".stripMargin,
+      // weighted histogram replica: weight = DuckDB's own tokenization
+      // replica length; same weighted rank search (idx over total weight)
+      "q_x_histogram_weighted" ->
+        s"""WITH base AS (
+           |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+           |         CAST(len($DTOKS) AS BIGINT) AS w
+           |  FROM documents
+           |),
+           |hist AS (
+           |  SELECT lang, CAST(floor(v / 16e0) AS BIGINT) AS bucket,
+           |         CAST(sum(w) AS BIGINT) AS cnt
+           |  FROM base GROUP BY 1, 2
+           |),
+           |cum AS (
+           |  SELECT lang, bucket, cnt,
+           |         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket ASC
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           |         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+           |  FROM hist
+           |),
+           |q AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm
+           |      FROM (VALUES (250000), (500000), (900000)) AS t(q_ppm)),
+           |tgt AS (
+           |  SELECT c.*, q.q_ppm,
+           |         CAST(((c.n - 1) * q.q_ppm - ((c.n - 1) * q.q_ppm) % 1000000)
+           |              / 1000000 AS BIGINT) AS idx
+           |  FROM cum c CROSS JOIN q
+           |)
+           |SELECT lang, q_ppm, n, idx, bucket,
+           |       bucket * 16 AS lo_bound,
+           |       least(1023, (bucket + 1) * 16 - 1) AS hi_bound
+           |FROM tgt WHERE cum > idx AND cum - cnt <= idx""".stripMargin,
       // histogram replica: same fixed edges (width 81920, lo 0), same
       // lower-interpolation rank idx = floor((n-1)*q/1e6) in exact
       // integer arithmetic, same running-sum bucket search

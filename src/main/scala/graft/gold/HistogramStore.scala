@@ -85,17 +85,27 @@ object HistogramStore {
   /** Sparse per-group histogram of `valueCol` (integral; NULLs are not
     * counted, matching what a percentile over the column would see).
     * Output: groupCols…, bucket, cnt.
+    *
+    * `weightCol` makes it a WEIGHTED histogram: `cnt` becomes total
+    * integer weight and every downstream quantile is the quantile of the
+    * EXPANDED multiset (each row repeated weight times) — e.g. value =
+    * document length, weight = token count answers "what doc length
+    * covers the p-th percentile of TOKENS". NULL- or zero-weight rows
+    * contribute nothing; all-zero-weight groups serve no quantile rows
+    * (n = 0 — both engines emit nothing, checked in the spec).
     */
   def build(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      edges: Edges): DataFrame =
+      edges: Edges, weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
     df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col) :+ edges.bucket(col(valueCol)).as("bucket"): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(w.as("cnt"))
+  }
 
-  /** A signed delta: +1 per inserted row, -1 per deleted row. */
+  /** A signed delta: +weight per inserted row, -weight per deleted row. */
   def deltaOf(batch: DataFrame, groupCols: Seq[String], valueCol: String,
-      edges: Edges, weight: Long): DataFrame =
-    build(batch, groupCols, valueCol, edges)
+      edges: Edges, weight: Long, weightCol: Option[String] = None): DataFrame =
+    build(batch, groupCols, valueCol, edges, weightCol)
       .withColumn("cnt", col("cnt") * weight)
 
   /** Fold any number of deltas into the store: one shuffle of store-sized

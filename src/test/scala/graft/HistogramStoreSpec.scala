@@ -104,6 +104,49 @@ class HistogramStoreSpec extends SparkSpecBase {
     b(1000000L)._2 shouldBe None    // q=1 -> overflow bucket, open hi
   }
 
+  test("weighted quantiles == quantiles of the expanded multiset") {
+    val rnd = new Random(29)
+    val rows = (0 until 800).map { _ =>
+      // weights 1..5: the zero-weight path is its own test below (a
+      // zero-total bucket exists in the weighted store but not in the
+      // expanded-multiset build, so this comparison keeps weights > 0)
+      ("g" + rnd.nextInt(3), rnd.nextInt(1000).toLong, 1L + rnd.nextInt(5))
+    }
+    val all = rows.toDF("g", "v", "w")
+    val store = HistogramStore.build(all, Seq("g"), "v", edges,
+      weightCol = Some("w"))
+    val qs = Seq(250000L, 500000L, 900000L)
+    val bounds = HistogramStore.quantileBounds(store, Seq("g"), qs, edges)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r)).toMap
+    val expanded = rows.groupBy(_._1).view.mapValues(
+      _.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted)
+    for ((g, sorted) <- expanded if sorted.nonEmpty; q <- qs) {
+      val idx = ((sorted.length - 1).toLong * q) / 1000000L
+      val truth = sorted(idx.toInt)
+      val r = bounds((g, q))
+      withClue(s"group $g q $q truth $truth: ") {
+        r.getLong(2) shouldBe sorted.length.toLong
+        r.getLong(5) should be <= truth
+        r.getLong(6) should be >= truth
+      }
+    }
+    // weighted build == unweighted build of the expanded multiset
+    val expandedDf = rows.flatMap { case (g, v, w) =>
+      Seq.fill(w.toInt)((g, java.lang.Long.valueOf(v))) }.toDF("g", "v")
+    store.collect().toSet shouldBe
+      HistogramStore.build(expandedDf, Seq("g"), "v", edges).collect().toSet
+  }
+
+  test("an all-zero-weight group serves no quantile rows") {
+    val all = Seq(("z", 5L, 0L), ("z", 7L, 0L), ("a", 5L, 2L))
+      .toDF("g", "v", "w")
+    val store = HistogramStore.build(all, Seq("g"), "v", edges,
+      weightCol = Some("w"))
+    val out = HistogramStore.quantileBounds(store, Seq("g"),
+      Seq(500000L), edges).collect()
+    out.map(_.getString(0)).toSet shouldBe Set("a")
+  }
+
   test("NULL values are not counted (percentile semantics)") {
     val all = df(Seq(("a", java.lang.Long.valueOf(5L)), ("a", null),
       ("a", java.lang.Long.valueOf(7L))))
