@@ -324,13 +324,22 @@ object QueryFuzzer {
     }
 
     /** Low-cardinality group key. */
-    private def groupKey(t: TableMeta): E = rnd.nextInt(4) match {
+    private def groupKey(t: TableMeta): E = rnd.nextInt(5) match {
       case 0 | 1 =>
         val c = strCol(t)
         E(col(c.name), c.name, TStr)
       case 2 if dateCols(t).nonEmpty =>
         val c = pick(dateCols(t))
         E(col(c.name).cast("date"), s"CAST(${c.name} AS DATE)", TDate)
+      case 3 => // NULL-producing key: one modular bucket folded to NULL, so
+        // aggregation/rollup paths see a REAL null group next to the
+        // subtotal nulls the GROUPING markers disambiguate
+        val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+        val m = 3 + rnd.nextInt(8)
+        val e = s"(CAST(${c.name} AS BIGINT) % $m)"
+        E(when(col(c.name).cast("long") % m === 0, lit(null).cast("long"))
+          .otherwise(col(c.name).cast("long") % m),
+          s"(CASE WHEN $e = 0 THEN NULL ELSE $e END)", TInt)
       case _ =>
         val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
         val m = 3 + rnd.nextInt(10)
@@ -511,14 +520,49 @@ object QueryFuzzer {
     // Query shapes
     // -------------------------------------------------------------------
 
-    def query(): FuzzQuery = rnd.nextInt(16) match {
+    def query(): FuzzQuery = rnd.nextInt(18) match {
       case 0 | 1 | 2     => filterProject()
       case 3 | 4 | 5 | 6 => groupAgg()
       case 7 | 8         => windowed()
       case 9 | 10        => aggNoGroup()
       case 11            => topK()
       case 12 | 13       => setOp()
-      case _             => groupingSets()
+      case 14 | 15       => groupingSets()
+      case _             => rankFilter()
+    }
+
+    /** QUALIFY-style top-k per group: aggregate on two keys, rank within
+      * k0-partitions by the aggregate (k1 as the tiebreak — unique within
+      * the partition after grouping, so the rank is total), keep rn <= k.
+      * Exercises the window-over-aggregate + rank-predicate plan class
+      * (Spark's WindowGroupLimit pushdown path).
+      */
+    private def rankFilter(): FuzzQuery = {
+      val src = source()
+      val k0 = groupKey(src.meta); val k1 = groupKey(src.meta)
+      val agg = aggExpr(src.meta)
+      val k = 1 + rnd.nextInt(4)
+      val desc = rnd.nextBoolean()
+      val dirSql = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+      val over = s"OVER (PARTITION BY k0 ORDER BY a0 $dirSql, k1 ASC NULLS FIRST)"
+      val inner = s"SELECT k0, k1, a0, CAST(row_number() $over AS BIGINT) AS rn " +
+        s"FROM (SELECT ${k0.sql} AS k0, ${k1.sql} AS k1, ${agg.sql} AS a0 " +
+        s"FROM ${src.from}${src.whereSql(None)} GROUP BY k0, k1)"
+      val sql = s"SELECT k0, k1, a0, rn FROM ($inner) WHERE rn <= $k"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val grouped = src.build(s, dir)
+            .groupBy(k0.spark.as("k0"), k1.spark.as("k1"))
+            .agg(agg.spark.as("a0"))
+          val ord = (if (desc) col("a0").desc_nulls_last
+                     else col("a0").asc_nulls_first) +: Seq(col("k1").asc_nulls_first)
+          grouped
+            .withColumn("rn",
+              row_number().over(Window.partitionBy(col("k0")).orderBy(ord: _*))
+                .cast("long"))
+            .filter(col("rn") <= k)
+        },
+        s"rank-filter/${src.desc}")
     }
 
     /** Set operations between two filtered projections of the same table:
