@@ -628,6 +628,21 @@ object SparkEntry {
     graft.streaming.EventStream.replayWindowedAgg(
       T(s, dir).events, "/tmp/graft_roundtrip/stream_events")
 
+  /** Stream-stream interval-join batch equivalence: the click→purchase
+    * attribution join replayed file-by-file (library:
+    * streaming.EventStream.replayAttributionJoin); every emitted match
+    * must equal DuckDB's batch interval join — money in exact cents,
+    * timestamps NTZ.
+    */
+  private def qStreamJoinReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayAttributionJoin(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_join_events")
+      .select(col("user_id"), col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        col("click_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+
   /** W8: batch sessionization (gaps-and-islands — library:
     * operators.Sessionize).
     */
@@ -1242,6 +1257,7 @@ object SparkEntry {
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
     "q_gold_publish_jdbc"    -> (qGoldPublishJdbc _),
     "q_o_stream_window_replay" -> (qStreamWindowReplay _),
+    "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_o_asof_forward"       -> (qAsOfForward _),
@@ -2004,6 +2020,16 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // the stream-stream join's final sink vs the batch interval join
+    "q_o_stream_join_replay" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(round(p.value * 100) AS BIGINT) AS value_cents,
+        |  c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     // the JDBC round-trip must hand back EXACTLY the fact as computed from
     // parquet — same oracle text as q_gold_fact_daily; a lossy type map,
     // a duped re-publish, or a dropped row all hash-mismatch

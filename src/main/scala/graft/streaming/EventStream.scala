@@ -91,6 +91,71 @@ object EventStream {
     }
   }
 
+  /** Batch-equivalence replay of the STREAM-STREAM interval join
+    * ([[purchaseAttribution]]): stage `events` as time-ranged files,
+    * stream them back one file per micro-batch, split the SAME source
+    * into a click stream and a purchase stream, and interval-join them
+    * with both sides watermarked. Returns the final joined table as a
+    * static frame — gated as `q_o_stream_join_replay` against DuckDB's
+    * batch interval join over the same events.
+    *
+    * Determinism argument (why the streamed result equals the batch
+    * join EXACTLY): files are range-partitioned by ts, so once the
+    * engine has read past a click's file, every purchase within the
+    * 1-hour interval is in a file already read or the current one; with
+    * a watermark delay (2 h) strictly greater than the join interval
+    * (1 h), no click's state is evicted while a joinable purchase can
+    * still arrive. Inner stream-stream joins emit matches eagerly, so
+    * the final sink holds every batch-join row — a state eviction bug,
+    * a dropped micro-batch, or wrong interval bounds all hash-mismatch.
+    */
+  def replayAttributionJoin(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6
+  ): DataFrame = {
+    val s = events.sparkSession
+    // watermarks demand TIMESTAMP (LTZ) — Tables.events carries NTZ; the
+    // NTZ→LTZ→NTZ round-trip is the identity under any fixed session tz
+    val staged = events.select(col("event_id"),
+      col("ts").cast("timestamp").as("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    staged.repartitionByRange(nFiles, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(stagePath)
+    // FileStreamSource replays files in MODIFICATION-TIME order, and a
+    // parallel write stamps near-identical mod times — observed: ties
+    // broke as 1,0,3,2,…, and a whole file arriving behind the watermark
+    // is dropped as late (files 0 and 2 lost every match). Stamp strictly
+    // increasing mod times in range (= event-time) order so the replay
+    // IS the time-ordered arrival the determinism argument assumes.
+    val parts = new java.io.File(stagePath).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 60000L)
+    }
+    val stream = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val joined = purchaseAttribution(
+      clicks = stream.filter(col("event_type") === "click"),
+      purchases = stream.filter(col("event_type") === "purchase"),
+      watermark = "2 hours")
+    val qn = "graft_join_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val sink = s.table(qn)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      sink.collect().foreach(rows.add)
+      s.createDataFrame(rows, sink.schema)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(qn)
+    }
+  }
+
   /** Streaming dedup on event_id — state bounded by the watermark. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
