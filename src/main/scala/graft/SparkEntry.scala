@@ -1060,6 +1060,24 @@ object SparkEntry {
     * CTEs — same base rank, same floor divisions, same ppm damping — so
     * the full iterative dataflow is pinned, not just the final shape.
     */
+  /** Exact triangle counting (library: operators.TriangleCount,
+    * degree-ordered orientation) over the co-purchase graph: parts are
+    * linked when they appear in the same order. Output is the
+    * triangle-participation histogram (tri_cnt → n_nodes) — small,
+    * deterministic, and sensitive to any miscounted triangle; the
+    * oracle replays orientation, wedge join, and closure check in
+    * DuckDB with the same (degree, id) tiebreaks.
+    */
+  private def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir).lineitem.select("l_orderkey", "l_partkey")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
+    val edges = a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    graft.operators.TriangleCount.perNode(edges)
+      .groupBy("tri_cnt").agg(count(lit(1)).as("n_nodes"))
+  }
+
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val t = T(s, dir)
     val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
@@ -1258,6 +1276,7 @@ object SparkEntry {
     "q_gold_publish_jdbc"    -> (qGoldPublishJdbc _),
     "q_o_stream_window_replay" -> (qStreamWindowReplay _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
+    "q_o_triangle_count"     -> (qTriangleCount _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
     "q_o_asof_forward"       -> (qAsOfForward _),
@@ -2020,6 +2039,33 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // triangle replica: same degree-ordered orientation ((d, id)
+    // tiebreak), same wedge b<c at the source, same undirected closure
+    "q_o_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |),
+        |deg AS (SELECT x, count(*) AS d FROM (
+        |  SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+        |  FROM pairs JOIN deg du ON du.x = pairs.u JOIN deg dv ON dv.x = pairs.v
+        |),
+        |und AS (SELECT s AS b, t AS c FROM ori UNION ALL SELECT t AS b, s AS c FROM ori),
+        |tri AS (
+        |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t
+        |  WHERE EXISTS (SELECT 1 FROM und WHERE und.b = e1.t AND und.c = e2.t)
+        |),
+        |pern AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        |    UNION ALL SELECT c AS node FROM tri) GROUP BY 1)
+        |SELECT tri_cnt, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM pern GROUP BY 1""".stripMargin,
     // the stream-stream join's final sink vs the batch interval join
     "q_o_stream_join_replay" ->
       """SELECT p.user_id, p.event_id AS purchase_id,
