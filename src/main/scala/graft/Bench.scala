@@ -135,19 +135,29 @@ object Bench {
     (results, errs)
   }
 
+  /** Queries that are intrinsically expensive (20+ GB peak heaps, heavy
+    * codegen churn, long stateful streams). Round-7 lesson: letting one of
+    * these share a name-ordered segment inflated its NEIGHBORS' cpu_ms
+    * 6-13x — the committed record stopped being attributable to the
+    * queries it named. Each runs in its OWN child JVM so the per-query
+    * numbers are isolated by construction, not by post-hoc re-runs.
+    */
+  private val heavyQueries = Seq(
+    "q_o_triangle_count", "q_o_stream_join_replay",
+    "q_o_stream_window_replay", "q_gold_publish_jdbc",
+    "q_x_dedup_clusters", "q_x_allpairs_jaccard")
+
   /** Fork one child JVM per segment (same java binary, same JVM args,
     * same classpath, same environment) and collect its TSV fragment.
     * Sequential — segments must not contend with each other for cores.
     */
-  private def runSegmented(names: Seq[String], segments: Int)
+  private def runSegmented(segs: Seq[Seq[String]])
       : (Seq[(String, Seq[Run])], Int) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val cp = System.getProperty("java.class.path")
-    val chunk = math.max(1, (names.size + segments - 1) / segments)
-    val segs = names.grouped(chunk).toSeq
     var cgErrors = 0
     val all = segs.zipWithIndex.flatMap { case (seg, i) =>
       val dir = java.nio.file.Files.createTempDirectory("graft-bench-seg")
@@ -235,11 +245,20 @@ object Bench {
         val segments = envInt("SPARK_GRAFT_SEGMENTS", 5).max(1)
         val selected = allNames
           .filter(n => only.forall(_.findFirstIn(n).isDefined))
+        val segmented = only.isEmpty && segments > 1 && selected.size > segments
+        // heavy queries get one JVM each; the remainder splits into
+        // `segments` contiguous name-ordered chunks as before
+        val segs: Seq[Seq[String]] =
+          if (segmented) {
+            val (heavy, rest) = selected.partition(heavyQueries.contains)
+            val chunk = math.max(1, (rest.size + segments - 1) / segments)
+            rest.grouped(chunk).toSeq ++ heavy.map(Seq(_))
+          } else Seq(selected)
         val (results, cgErrors) =
-          if (only.isEmpty && segments > 1 && selected.size > segments)
-            runSegmented(selected, segments)
+          if (segmented) runSegmented(segs)
           else runQueries(sfDir, selected, reps)
-        emit(sfDir, reps, results, cgErrors, persist = only.isEmpty)
+        emit(sfDir, reps, results, cgErrors, persist = only.isEmpty,
+          segs = if (segmented) segs else Seq(selected))
     }
   }
 
@@ -247,7 +266,7 @@ object Bench {
     * or from merged segment fragments.
     */
   private def emit(sfDir: String, reps: Int, results: Seq[(String, Seq[Run])],
-      cgErrors: Int, persist: Boolean): Unit = {
+      cgErrors: Int, persist: Boolean, segs: Seq[Seq[String]]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val best = results.map { case (k, rs) => k -> rs.map(_.sec).min }
     val qs = best.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -284,7 +303,12 @@ object Bench {
     val env = s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"cpus":$cpus,"reps":$reps,"codegen_errors":$cgErrors"""
     // `failed` is explicit so a query that starts throwing can never read
     // as a speedup of the headline total.
-    val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},$env,"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    // segment composition: which queries shared which JVM — so a
+    // cross-round comparison can attribute cpu inflation to segment
+    // pollution from the artifact alone, without re-runs
+    val segsJson = segs.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"failed":${failed.mkString("[", ",", "]")},$env,"queries":$qs,"runs":$runsJson,"segments":$segsJson,"sf":"$sfDir"}"""
     println(fullLine)
     val summary = s"""{"metric":"total","value":${f(total)},"unit":"sec","production_sec":${f(production)},"baseline_sec":${f(baselineSec)},"exact_similarity_sec":${f(exactSimSec)},"n_failed":${failed.size},"n_queries":${best.size},$env,"queries_file":"BENCH_FULL.json","sf":"$sfDir"}"""
     // persistence failures must be VISIBLE (an unwritable cwd silently

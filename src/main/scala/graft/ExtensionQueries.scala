@@ -169,6 +169,82 @@ object ExtensionQueries {
         sum(round(col("l_extendedprice") * 100)).cast("long").as("revenue_cents"))
   }
 
+  /** Automatic skipping on DATE + STRING stats (the round-7 rule covered
+    * integrals only — Delta/Iceberg prune on dates and strings first):
+    * lineitem is rewritten range-clustered on a DATE ship_date, indexed on
+    * (ship_date, l_returnflag), and a plain filter combining a date range
+    * with a string equality is pruned through the same injected rule.
+    * Oracle full-scans the written files; SkipIndexRuleSpec asserts the
+    * date path actually prunes and stays sound.
+    */
+  private def qSkipIndexDates(s0: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/skipindex_lineitem_dates"
+    T(s0, dir).lineitem
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_extendedprice"))
+      .repartitionByRange(8, col("ship_date"))
+      .write.mode("overwrite").parquet(path)
+    graft.gold.StatsIndex.write(s0, path, Seq("ship_date", "l_returnflag"))
+    val s = s0.newSession()
+    s.conf.set(graft.plans.RewriteSkipIndexScan.PathKey, path)
+    s.read.parquet(path)
+      .filter(col("ship_date") >= lit("1995-01-01").cast("date") &&
+        col("ship_date") < lit("1996-01-01").cast("date") &&
+        col("l_returnflag") === "R")
+      .groupBy("ship_date")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("l_extendedprice") * 100)).cast("long").as("revenue_cents"))
+  }
+
+  /** Build a three-version TxLog table from orders: v0 = a customer
+    * slice, v1 = append a second slice, v2 = file-level DELETE of one
+    * priority class. Shared by the two txlog gates (each rebuilds its own
+    * path — gates stay order-independent).
+    */
+  private def txlogBuild(s: SparkSession, dir: String, path: String): Unit = {
+    import graft.gold.TxLog
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey")), path)
+    TxLog.append(o.filter(col("o_custkey") % 4 === 1), path,
+      expectedVersion = 0L)
+    TxLog.deleteWhere(s, path, col("o_orderpriority") === "5-LOW",
+      expectedVersion = 1L)
+  }
+
+  /** ACID commit-log table END-TO-END (library: gold.TxLog — the own
+    * minimal lakehouse kernel: atomic version files, optimistic
+    * concurrency, snapshot reads, file-level DELETE): init → append →
+    * delete, then aggregate the LATEST snapshot. The oracle recomputes the
+    * final membership straight from orders (slices 0,1 minus the deleted
+    * priority) — a torn commit, a file double-count after the partial
+    * delete rewrite, or a version misresolution all hash-mismatch.
+    */
+  private def qTxlogSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/txlog_orders_snapshot"
+    txlogBuild(s, dir, path)
+    graft.gold.TxLog.read(s, path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+  }
+
+  /** TIME TRAVEL through the same commit log: read `asOf = 1` (before the
+    * delete) — the deleted rows must still be there, pinning version
+    * immutability through the oracle (recomputed as slices 0,1 with no
+    * delete).
+    */
+  private def qTxlogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/txlog_orders_timetravel"
+    txlogBuild(s, dir, path)
+    graft.gold.TxLog.read(s, path, asOf = Some(1L))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1028,6 +1104,9 @@ object ExtensionQueries {
     "q_x_decontaminate_ngram" -> (qDecontaminateNgram _),
     "q_x_zorder_stats"    -> (qZorderStats _),
     "q_x_skip_index_auto" -> (qSkipIndexAuto _),
+    "q_x_skip_index_dates" -> (qSkipIndexDates _),
+    "q_o_txlog_snapshot" -> (qTxlogSnapshot _),
+    "q_o_txlog_time_travel" -> (qTxlogTimeTravel _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -1313,6 +1392,30 @@ object ExtensionQueries {
           |FROM read_parquet('/tmp/graft_roundtrip/skipindex_lineitem/*.parquet')
           |WHERE l_partkey >= 100 AND l_partkey <= 300
           |GROUP BY l_partkey""".stripMargin,
+      // txlog final membership from first principles: slices 0,1 minus
+      // the deleted priority class
+      "q_o_txlog_snapshot" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |GROUP BY o_orderpriority""".stripMargin,
+      // version 1 = both slices, delete not yet applied
+      "q_o_txlog_time_travel" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // date+string pruning twin: full-scans the written date-clustered
+      // files the rule pruned
+      "q_x_skip_index_dates" ->
+        """SELECT ship_date, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS revenue_cents
+          |FROM read_parquet('/tmp/graft_roundtrip/skipindex_lineitem_dates/*.parquet')
+          |WHERE ship_date >= DATE '1995-01-01' AND ship_date < DATE '1996-01-01'
+          |  AND l_returnflag = 'R'
+          |GROUP BY ship_date""".stripMargin,
       // weighted histogram replica: weight = DuckDB's own tokenization
       // replica length; same weighted rank search (idx over total weight)
       "q_x_histogram_weighted" ->

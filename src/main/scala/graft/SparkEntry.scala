@@ -476,6 +476,43 @@ object SparkEntry {
     out
   }
 
+  /** Committed all-valid raw fixtures for the backfill gate (five contract
+    * CSVs, every row passing its rule chain — the backfill proof is about
+    * catchup mechanics, not validation, which `q_s1_csv_contract` owns).
+    */
+  val BackfillFixtureDir = "/root/repo/fixtures/backfill"
+
+  /** Backfill/catchup (library: runner.MedallionPipeline.runFor — the
+    * Airflow `catchup=True` loop): run the FULL medallion pipeline for two
+    * consecutive run dates over the committed fixtures, then read the
+    * multi-`run_date` `fact_competitions_yearly` the backfill produced.
+    * The oracle recomputes the fact per run date straight from the raw
+    * competitions CSV (all rows valid ⇒ bronze/silver are identity mod
+    * typing), so a skipped date, a cross-date partition clobber, or a
+    * wrong active-competition cutoff all hash-mismatch. The fixture's
+    * C001 deadline (2024-06-01 12:00) sits BETWEEN the two run dates —
+    * the active count must differ across partitions, pinning that each
+    * date was computed with its own cutoff. Byte-identical re-backfill is
+    * MedallionPipelineSpec's property.
+    */
+  private def qBackfillFact(s0: SparkSession, dir: String): DataFrame = {
+    // fixture-scale pipeline: 32 shuffle partitions would be pure task
+    // overhead across ~40 tiny jobs — scope a small count to a child
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_backfill_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
+    graft.core.Fs.rmTree(new java.io.File(out))
+    val reports = graft.runner.MedallionPipeline.runFor(
+      s, BackfillFixtureDir, out, Seq("2024-06-01", "2024-06-02"))
+    require(reports.forall(_.succeeded),
+      "backfill failed: " + reports.map(_.toString).mkString("; "))
+    s.read.parquet(s"$out/gold/fact_competitions_yearly")
+      .select(col("run_date").cast("string").as("run_date"), col("year"),
+        col("competitions_count"), col("active_competitions_count"),
+        col("avg_prize"))
+  }
+
   /** S5+U1: in-memory Unknown row unioned onto a scanned dim. */
   private def qInmemoryUnion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -602,11 +639,11 @@ object SparkEntry {
     * publish→warehouse→read-back loop is lossless AND idempotent.
     */
   private def qGoldPublishJdbc(s: SparkSession, dir: String): DataFrame = {
-    // A 1-in-4 customer slice: the publish→delete→re-publish→read-back
+    // A 1-in-16 customer slice: the publish→delete→re-publish→read-back
     // loop proves losslessness + idempotency identically at any size, and
     // the remaining cost is the WAREHOUSE's row-insert throughput (DuckDB
     // JDBC ~4k rows/s), not a Spark-side cost worth benching at full SF.
-    val fact = qGoldFactDaily(s, dir).filter(col("o_custkey") % 4 === 1)
+    val fact = qGoldFactDaily(s, dir).filter(col("o_custkey") % 16 === 1)
     val db = new java.io.File(
       sys.props("java.io.tmpdir"),
       "graft_publish_" + dir.replaceAll("[^A-Za-z0-9]", "_") + ".duckdb")
@@ -642,6 +679,21 @@ object SparkEntry {
         round(col("value") * 100).cast("long").as("value_cents"),
         col("click_id"),
         col("click_ts").cast("timestamp_ntz").as("click_ts"))
+
+  /** Stream-stream LEFT OUTER join batch equivalence (library:
+    * streaming.EventStream.replayOuterJoin): every click paired with its
+    * following-hour purchases or NULL-extended on watermark expiry; final
+    * sink must equal DuckDB's batch LEFT JOIN. The sentinel-flush
+    * mechanics live in the library; the oracle sees only real events.
+    */
+  private def qStreamOuterReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayOuterJoin(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_outer_events")
+      .select(col("user_id"), col("click_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        round(col("value") * 100).cast("long").as("value_cents"))
 
   /** W8: batch sessionization (gaps-and-islands — library:
     * operators.Sessionize).
@@ -1069,7 +1121,14 @@ object SparkEntry {
     * DuckDB with the same (degree, id) tiebreaks.
     */
   private def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    // Gate on a part-range SUBGRAPH (1-in-3 parts): the full co-purchase
+    // graph is ~90 avg degree and wedge count grows with sum(d^2) — the
+    // unbounded gate burned ~10^3 s of CPU at sf0.1 for zero extra oracle
+    // power. The subgraph keeps every semantic branch (orientation ties,
+    // closure, histogram) at ~1/27 the wedge volume; TriangleCountSpec
+    // still proves the operator on dense random graphs.
     val li = T(s, dir).lineitem.select("l_orderkey", "l_partkey")
+      .filter(col("l_partkey") % 3 === 0)
     val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
     val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
     val edges = a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
@@ -1268,6 +1327,7 @@ object SparkEntry {
     "q_p6_validation_rejects" -> (qValidationRejects _),
     "q_p9_bool_parse"        -> (qBoolParse _),
     "q_p10_impute_flag"      -> (qImputeFlag _),
+    "q_p11_backfill_fact"    -> (qBackfillFact _),
     "q_f_string_funcs"       -> (qStringFuncs _),
     "q_f_datetime_funcs"     -> (qDatetimeFuncs _),
     "q_f_explode_words"      -> (qExplodeWords _),
@@ -1276,6 +1336,7 @@ object SparkEntry {
     "q_gold_publish_jdbc"    -> (qGoldPublishJdbc _),
     "q_o_stream_window_replay" -> (qStreamWindowReplay _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
+    "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
     "q_o_triangle_count"     -> (qTriangleCount _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
     "q_o_asof_join"          -> (qAsOfJoin _),
@@ -1760,6 +1821,25 @@ object SparkEntry {
         |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment,
         |  NULLIF(c_mktsegment, 'BUILDING') IS NULL AS segment_imputed
         |FROM customer""".stripMargin,
+    // recompute fact_competitions_yearly per backfilled run date straight
+    // from the raw CSV: every fixture row is valid, so bronze+silver are
+    // typing-only and the fact is an agg over the typed rows × run dates
+    "q_p11_backfill_fact" ->
+      s"""WITH comps AS (
+        |  SELECT try_strptime(StartDate, '%Y-%m-%d %H:%M:%S') AS start_ts,
+        |         try_strptime(Deadline, '%Y-%m-%d %H:%M:%S') AS deadline_ts,
+        |         CAST(PrizeMoney AS DOUBLE) AS prize_money
+        |  FROM read_csv('$BackfillFixtureDir/competitions.csv', header=true,
+        |    columns={'Id':'VARCHAR','Title':'VARCHAR','Category':'VARCHAR',
+        |             'StartDate':'VARCHAR','Deadline':'VARCHAR','PrizeMoney':'VARCHAR'})),
+        |rd AS (SELECT unnest(['2024-06-01','2024-06-02']) AS run_date)
+        |SELECT rd.run_date, CAST(year(start_ts) AS INTEGER) AS year,
+        |  count(*) AS competitions_count,
+        |  CAST(sum(CASE WHEN deadline_ts >= CAST(rd.run_date AS TIMESTAMP)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS active_competitions_count,
+        |  avg(prize_money) AS avg_prize
+        |FROM comps CROSS JOIN rd
+        |GROUP BY 1, 2""".stripMargin,
     "q_f_string_funcs" ->
       """SELECT p_partkey, lower(p_name) AS name_lower,
         |  regexp_replace(lower(p_type), '[^a-z]', '', 'g') AS type_alpha,
@@ -2046,6 +2126,7 @@ object SparkEntry {
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_partkey % 3 = 0 AND b.l_partkey % 3 = 0
         |),
         |deg AS (SELECT x, count(*) AS d FROM (
         |  SELECT u AS x FROM pairs UNION ALL SELECT v AS x FROM pairs) GROUP BY 1),
@@ -2076,6 +2157,18 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    // the streamed LEFT OUTER final sink vs the batch left join: outer
+    // rows carry NULL purchase columns
+    "q_o_stream_outer_replay" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  p.event_id AS purchase_id,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(round(p.value * 100) AS BIGINT) AS value_cents
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
     // the JDBC round-trip must hand back EXACTLY the fact as computed from
     // parquet — same oracle text as q_gold_fact_daily; a lossy type map,
     // a duped re-publish, or a dropped row all hash-mismatch
@@ -2085,7 +2178,7 @@ object SparkEntry {
         |    COUNT(*) AS orders_count,
         |    CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
         |    CAST(SUM(ROUND(o_totalprice*100)) AS BIGINT) AS total_cents
-        |  FROM orders WHERE o_custkey % 4 = 1 GROUP BY 1, 2)
+        |  FROM orders WHERE o_custkey % 16 = 1 GROUP BY 1, 2)
         |SELECT o_custkey, COALESCE(customer_sk, 0) AS customer_sk, order_date,
         |  orders_count, open_count, total_cents
         |FROM daily LEFT JOIN (SELECT c_custkey, c_custkey + 1000 AS customer_sk

@@ -460,14 +460,47 @@ object QueryFuzzer {
           s"$lk $inOp (SELECT $rk FROM $rn WHERE ${rightFilter.sql})"))
     }
 
+    /** CORRELATED EXISTS / NOT EXISTS source: the subquery correlates on
+      * the FK equality AND a non-equi comparison against an OUTER column —
+      * the decorrelation class (rewrite to semi/anti join with a compound
+      * condition) where engines have historically diverged. The Spark twin
+      * IS the decorrelated plan (left_semi/left_anti on the compound
+      * condition); DuckDB plans the textual EXISTS itself — a divergence
+      * in either engine's null/comparison handling surfaces as a row diff.
+      * NULL comparison semantics agree by construction: a NULL-valued
+      * condition row satisfies neither EXISTS nor the semi join, and
+      * NOT EXISTS keeps exactly the rows the anti join keeps.
+      */
+    private def existsSource(): Src = {
+      val (ln, lk, rn, rk) = pick(joins)
+      val lt = tables.find(_.name == ln).get
+      val rt = tables.find(_.name == rn).get
+      val anti = rnd.nextBoolean()
+      val rightFilter = boolExpr(rt)
+      // non-equi correlation: inner int col <op> OUTER int col
+      val ri = intCol(rt); val li = intCol(lt)
+      val (op, f) = pick(cmps)
+      val ex = if (anti) "NOT EXISTS" else "EXISTS"
+      Src(
+        (s, dir) => tableDf(ln)(s, dir).join(
+          tableDf(rn)(s, dir).filter(rightFilter.spark),
+          col(lk) === col(rk) && f(ri.spark, li.spark),
+          if (anti) "left_anti" else "left_semi"),
+        ln, lt, s"${if (anti) "not-exists" else "exists"}/$ln-$rn",
+        preWhere = Some(
+          s"$ex (SELECT 1 FROM $rn WHERE $rk = $lk " +
+            s"AND ${rightFilter.sql} AND (${ri.sql} $op ${li.sql}))"))
+    }
+
     /** `requireTie = true` (the windowed shape) excludes FULL OUTER joins:
       * right-only rows carry all-NULL left tiebreak columns, so the
       * source's tie would no longer be a total order.
       */
     private def source(requireTie: Boolean = false): Src = {
-      val roll = rnd.nextInt(10)
+      val roll = rnd.nextInt(11)
       if (roll == 7) return chainSource()
       if (roll == 8) return semiSource()
+      if (roll == 10) return existsSource()
       if (roll <= 2 || roll == 9) {
         val (ln, lk, rn, rk) = pick(joins)
         val lt = tables.find(_.name == ln).get
@@ -520,7 +553,7 @@ object QueryFuzzer {
     // Query shapes
     // -------------------------------------------------------------------
 
-    def query(): FuzzQuery = rnd.nextInt(18) match {
+    def query(): FuzzQuery = rnd.nextInt(20) match {
       case 0 | 1 | 2     => filterProject()
       case 3 | 4 | 5 | 6 => groupAgg()
       case 7 | 8         => windowed()
@@ -528,7 +561,80 @@ object QueryFuzzer {
       case 11            => topK()
       case 12 | 13       => setOp()
       case 14 | 15       => groupingSets()
-      case _             => rankFilter()
+      case 16 | 17       => rankFilter()
+      case 18            => outerAgg()
+      case _             => scalarSubquery()
+    }
+
+    /** Aggregation over the NULL-EXTENDED side of a LEFT join: group by a
+      * LEFT-table key, aggregate ONLY right-side columns — all-null groups
+      * must yield count(col)=0 next to sum/min/max=NULL, the corner where
+      * "count counts rows" vs "aggregates skip nulls" intuitions collide.
+      * The right side is always pre-filtered so null-extended groups
+      * actually exist.
+      */
+    private def outerAgg(): FuzzQuery = {
+      val (ln, lk, rn, rk) = pick(joins)
+      val lt = tables.find(_.name == ln).get
+      val rt = tables.find(_.name == rn).get
+      val rightFilter = boolExpr(rt)
+      val key = groupKey(lt)
+      val rc = pick(rt.cols)
+      val ra = intExpr(rt)
+      val fromSql = s"$ln LEFT JOIN " +
+        s"(SELECT * FROM $rn WHERE ${rightFilter.sql}) AS $rn ON $lk = $rk"
+      val sql = s"SELECT ${key.sql} AS k0, " +
+        s"CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count(${rc.name}) AS BIGINT) AS n_right, " +
+        s"CAST(sum(${ra.sql}) AS BIGINT) AS sum_right, " +
+        s"CAST(min(${ra.sql}) AS BIGINT) AS min_right " +
+        s"FROM $fromSql GROUP BY k0"
+      FuzzQuery(seed, sql,
+        (s, dir) => tableDf(ln)(s, dir)
+          .join(tableDf(rn)(s, dir).filter(rightFilter.spark),
+            col(lk) === col(rk), "left")
+          .groupBy(key.spark.as("k0"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col(rc.name)).as("n_right"),
+            sum(ra.spark).as("sum_right"),
+            min(ra.spark).as("min_right")),
+        s"outer-agg/$ln-$rn")
+    }
+
+    /** CORRELATED SCALAR SUBQUERY in the projection:
+      * `(SELECT agg(x) FROM r WHERE r.k = l.k AND f)` — empty correlation
+      * groups must surface NULL, not 0. The Spark twin is the decorrelated
+      * plan (left join against the pre-aggregated subquery), the engines'
+      * canonical rewrite; DuckDB executes the textual subquery.
+      */
+    private def scalarSubquery(): FuzzQuery = {
+      val (ln, lk, rn, rk) = pick(joins)
+      val lt = tables.find(_.name == ln).get
+      val rt = tables.find(_.name == rn).get
+      val rightFilter = boolExpr(rt)
+      val ra = intExpr(rt)
+      val (aggSql, aggCol): (String, Column) = rnd.nextInt(3) match {
+        case 0 => (s"CAST(sum(${ra.sql}) AS BIGINT)", sum(ra.spark))
+        case 1 => (s"CAST(max(${ra.sql}) AS BIGINT)", max(ra.spark))
+        case _ => (s"CAST(min(${ra.sql}) AS BIGINT)", min(ra.spark))
+      }
+      val keyCols = lt.tie.map(c => E(col(c).cast("long"),
+        s"CAST($c AS BIGINT)", TInt))
+      val names = keyCols.indices.map(i => s"c$i")
+      val sql = s"SELECT ${keyCols.zip(names)
+        .map { case (e, n) => s"${e.sql} AS $n" }.mkString(", ")}, " +
+        s"(SELECT $aggSql FROM $rn WHERE $rk = $lk AND ${rightFilter.sql}) AS sub " +
+        s"FROM $ln"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val sub = tableDf(rn)(s, dir).filter(rightFilter.spark)
+            .groupBy(col(rk)).agg(aggCol.as("sub"))
+          tableDf(ln)(s, dir)
+            .join(sub, col(lk) === col(rk), "left")
+            .select(keyCols.zip(names)
+              .map { case (e, n) => e.spark.as(n) } :+ col("sub"): _*)
+        },
+        s"scalar-subquery/$ln-$rn")
     }
 
     /** QUALIFY-style top-k per group: aggregate on two keys, rank within

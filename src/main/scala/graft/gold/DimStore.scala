@@ -56,6 +56,7 @@ object DimStore {
   def forPath(spark: SparkSession, path: String): DimStore =
     spark.conf.get(StoreKey, "rewrite") match {
       case "rewrite" => new RewriteDimStore(spark, path)
+      case "merge"   => new ParquetMergeDimStore(spark, path)
       case f @ ("delta" | "iceberg" | "hudi") =>
         throw new IllegalArgumentException(
           s"$StoreKey=$f: transactional MERGE INTO targets are " +
@@ -65,9 +66,67 @@ object DimStore {
             "Delta jar makes this a config change, not surgery.")
       case other =>
         throw new IllegalArgumentException(
-          s"$StoreKey=$other: expected 'rewrite' (or a lakehouse format " +
-            "once the environment ships one)")
+          s"$StoreKey=$other: expected 'rewrite' or 'merge' (or a " +
+            "lakehouse format once the environment ships one)")
     }
+}
+
+/** DISTRIBUTED three-clause merge over parquet-backed state — the
+  * production-shaped counterpart of [[InMemoryMergeDimStore]] for
+  * dimensions that outgrow the driver (`spark.graft.scd2.store=merge`).
+  * State never touches driver memory: every clause is a key-bounded join —
+  *
+  *  - clause 4 (untouched): `state ANTI-JOIN touchedKeys` on nk;
+  *  - WHEN MATCHED / NOT MATCHED: the upserts frame IS the post-merge
+  *    content for every touched key, so the result is
+  *    `untouched UNION upserts` — identical rows to replaying
+  *    UPDATE/INSERT/DELETE one by one (Scd2MergeSeamSpec proves all three
+  *    stores bit-equal on random sequences);
+  *  - `lastTouchedRows` (the O(batch) seam property) is computed
+  *    DISTRIBUTED: updates = touched state rows whose pk matches an upsert
+  *    with any attribute changed, deletes = touched state rows with no pk
+  *    match, inserts = upserts with no pk match — all joins restricted to
+  *    the touched-key slice, so counting costs O(batch), not O(dim).
+  *
+  * The physical publish is still a parquet rewrite (plain parquet has no
+  * sub-file update); what this store changes is WHERE the merge state and
+  * bookkeeping live. A lakehouse format would swap only the final write.
+  */
+final class ParquetMergeDimStore(spark: SparkSession, path: String)
+    extends DimStore {
+
+  /** update + insert + delete row count of the most recent publish. */
+  var lastTouchedRows: Long = 0L
+
+  def init(dim: DataFrame): Unit = {
+    dim.write.mode("overwrite").parquet(path)
+    lastTouchedRows = read().count()
+  }
+
+  override def read(): DataFrame = spark.read.parquet(path)
+
+  override def publish(delta: Scd2.Scd2Delta, nk: Seq[String],
+      startCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, struct}
+    val state = read()
+    val fields = state.columns.toSeq
+    val pk = nk :+ startCol
+    val ups = delta.upserts.select(fields.map(col): _*)
+    val touchedState = state.join(delta.touchedKeys, nk, "left_semi")
+    val attrs = fields.filterNot(pk.contains)
+    // WHEN MATCHED: pk present both sides; count only rows that actually
+    // change (UPDATE SET * on an identical row is a no-op)
+    val updates = touchedState.as("t")
+      .join(ups.as("s"), pk.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _))
+      .filter(!(struct(attrs.map(a => col(s"t.$a")): _*) <=>
+        struct(attrs.map(a => col(s"s.$a")): _*)))
+      .count()
+    val deletes = touchedState.join(ups, pk, "left_anti").count()
+    val inserts = ups.join(state, pk, "left_anti").count()
+    lastTouchedRows = updates + deletes + inserts
+    val next = state.join(delta.touchedKeys, nk, "left_anti").unionByName(ups)
+    RewriteDimStore.atomicSwap(spark, path, next)
+  }
 }
 
 /** Portable production store: plain parquet, full-state publish via the
@@ -86,6 +145,18 @@ final class RewriteDimStore(spark: SparkSession, path: String) extends DimStore 
       startCol: String): Unit = {
     val untouched = read().join(delta.touchedKeys, nk.toSeq, "left_anti")
     val next = untouched.unionByName(delta.upserts)
+    RewriteDimStore.atomicSwap(spark, path, next)
+  }
+}
+
+object RewriteDimStore {
+
+  /** Write `next` to a temp dir and swap it into `path` without ever
+    * holding zero copies of the state (shared by the rewrite and
+    * parquet-merge stores; same contract as Compaction's swap).
+    */
+  private[gold] def atomicSwap(spark: SparkSession, path: String,
+      next: DataFrame): Unit = {
     val tmp = path.stripSuffix("/") + ".__dim_tmp"
     next.write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration

@@ -76,6 +76,10 @@ object HistogramStore {
       */
     def loBound(bucket: Column): Column =
       when(bucket === -1L, lit(null).cast("long"))
+        // overflow bucket holds v > hi, so its true lower bound is hi+1 —
+        // lo + nb*width overshoots it whenever span is not an exact
+        // multiple of width (mirrors hiBound's least(hi, ...) clamp)
+        .when(bucket === nb, lit(hi) + 1L)
         .otherwise(lit(lo) + bucket * width)
     def hiBound(bucket: Column): Column =
       when(bucket === nb, lit(null).cast("long"))
@@ -100,6 +104,10 @@ object HistogramStore {
     df.filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col) :+ edges.bucket(col(valueCol)).as("bucket"): _*)
       .agg(w.as("cnt"))
+      // weighted builds can produce cnt=0 cells (all-zero-weight groups);
+      // merge() filters them, so build() must too or the batch-split
+      // bit-identity claim fails in the zero-sum corner
+      .filter(col("cnt") =!= 0)
   }
 
   /** A signed delta: +weight per inserted row, -weight per deleted row. */

@@ -27,8 +27,11 @@ import org.apache.spark.sql.types._
   * `spark.newSession()` child, the `RewriteRangeJoin` pattern). Eligible
   * shape: a `Filter` DIRECTLY over the table's parquet relation (where
   * predicate pushdown puts it) with at least one conjunct of the form
-  * `col <op> integral-literal` (`=`, `<`, `<=`, `>`, `>=`, both operand
-  * orders) on an indexed column. Pruning uses each conjunct independently
+  * `col <op> literal` (`=`, `<`, `<=`, `>`, `>=`, both operand orders) on
+  * an indexed column of integral, DATE, STRING, or TIMESTAMP_NTZ type —
+  * the stat classes Delta/Iceberg prune on. String bounds compare in
+  * UTF8String BINARY order (Spark's own min/max ordering), never
+  * java.lang.String UTF-16 order. Pruning uses each conjunct independently
   * as a necessary condition, so ANY residual conjuncts are simply kept —
   * the original Filter always re-applies row-level semantics; the index
   * prunes I/O, never meaning. Strict bounds are relaxed to inclusive at
@@ -55,11 +58,31 @@ object RewriteSkipIndexScan extends Rule[LogicalPlan] with PredicateHelper {
 
   private val Checked = TreeNodeTag[Boolean]("graft.skipIndex.checked")
 
-  /** Per-file bounds for every indexed column; None = null/non-integral
+  /** One comparable stat/literal value. Two domains: LONG (integral
+    * columns; DATE as epoch days — Catalyst's own literal representation)
+    * and STRING (compared in UTF8String BINARY order — Spark's min/max on
+    * strings aggregate in UTF-8 byte order, and java.lang.String's UTF-16
+    * order disagrees for supplementary-plane characters, which would make
+    * a skip unsound exactly on emoji-adjacent boundaries). Cross-domain
+    * comparisons never prune.
+    */
+  private sealed trait BV {
+    def lt(o: BV): Boolean = (this, o) match {
+      case (BvLong(x), BvLong(y)) => x < y
+      case (BvStr(x), BvStr(y)) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => false
+    }
+  }
+  private final case class BvLong(v: Long) extends BV
+  private final case class BvStr(v: String) extends BV
+
+  /** Per-file bounds for every indexed column; None = null/unsupported
     * stat (unconstrained — the file is always kept for that column).
     */
   private final case class FileStats(
-      file: String, bounds: Map[String, (Option[Long], Option[Long])])
+      file: String, bounds: Map[String, (Option[BV], Option[BV])])
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[FileStats])]()
@@ -87,9 +110,15 @@ object RewriteSkipIndexScan extends Rule[LogicalPlan] with PredicateHelper {
       .map(_.dropRight(4))
       .filter(c => df.schema.fieldNames.contains(s"${c}_max"))
     val rows = df.collect().map { r =>
-      def stat(n: String): Option[Long] = r.getAs[Any](n) match {
-        case n: Number => Some(n.longValue())
-        case _         => None
+      def stat(n: String): Option[BV] = r.getAs[Any](n) match {
+        case n: Number            => Some(BvLong(n.longValue()))
+        case d: java.sql.Date     => Some(BvLong(d.toLocalDate.toEpochDay))
+        case d: java.time.LocalDate => Some(BvLong(d.toEpochDay))
+        case t: java.time.LocalDateTime => // TIMESTAMP_NTZ → Catalyst micros
+          Some(BvLong(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            t.getNano / 1000L))
+        case s: String            => Some(BvStr(s))
+        case _                    => None
       }
       FileStats(r.getAs[String]("file"),
         indexedCols.map(c => c -> (stat(s"${c}_min"), stat(s"${c}_max"))).toMap)
@@ -98,41 +127,61 @@ object RewriteSkipIndexScan extends Rule[LogicalPlan] with PredicateHelper {
     rows
   }
 
-  /** Intersected [lo, hi] constraint per column from the usable conjuncts. */
-  private def extractBounds(conjuncts: Seq[Expression]): Map[String, (Long, Long)] = {
-    def integral(dt: DataType): Boolean = dt match {
+  /** Intersected [lo, hi] constraint per column from the usable conjuncts
+    * (None = open side). Supported literal/column domains: integrals,
+    * DATE (Catalyst days), STRING (UTF8 binary order) — the same stat
+    * classes Delta/Iceberg prune on.
+    */
+  private def extractBounds(conjuncts: Seq[Expression])
+      : Map[String, (Option[BV], Option[BV])] = {
+    def supported(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
+      case DateType | StringType | TimestampNTZType      => true
+      // TIMESTAMP (LTZ) is deliberately absent: its collect()-side stat
+      // representation is zone-dependent — an unsound-skip trap
       case _                                             => false
     }
     def attrOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference if integral(a.dataType) => Some(a.name)
-      case _                                             => None
+      case a: AttributeReference if supported(a.dataType) => Some(a.name)
+      case _                                              => None
     }
-    def litOf(e: Expression): Option[Long] = e match {
-      case Literal(v, dt) if v != null && integral(dt) =>
-        Some(v.asInstanceOf[Number].longValue())
+    def litOf(e: Expression): Option[BV] = e match {
+      case Literal(v, dt) if v != null => dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(BvLong(v.asInstanceOf[Number].longValue()))
+        case DateType => Some(BvLong(v.asInstanceOf[Number].longValue()))
+        case TimestampNTZType => // Catalyst stores NTZ as Long micros
+          Some(BvLong(v.asInstanceOf[Number].longValue()))
+        case StringType => Some(BvStr(v.toString)) // UTF8String → String
+        case _          => None
+      }
       case _ => None
     }
-    val raw: Seq[(String, Long, Long)] = conjuncts.flatMap {
+    val none: Option[BV] = None
+    val raw: Seq[(String, Option[BV], Option[BV])] = conjuncts.flatMap {
       case EqualTo(a, l) =>
-        (for (c <- attrOf(a); v <- litOf(l)) yield (c, v, v)) orElse
-          (for (c <- attrOf(l); v <- litOf(a)) yield (c, v, v))
+        (for (c <- attrOf(a); v <- litOf(l)) yield (c, Some(v): Option[BV], Some(v): Option[BV])) orElse
+          (for (c <- attrOf(l); v <- litOf(a)) yield (c, Some(v): Option[BV], Some(v): Option[BV]))
       case GreaterThanOrEqual(a, l) =>
-        (for (c <- attrOf(a); v <- litOf(l)) yield (c, v, Long.MaxValue)) orElse
-          (for (c <- attrOf(l); v <- litOf(a)) yield (c, Long.MinValue, v))
+        (for (c <- attrOf(a); v <- litOf(l)) yield (c, Some(v): Option[BV], none)) orElse
+          (for (c <- attrOf(l); v <- litOf(a)) yield (c, none, Some(v): Option[BV]))
       case GreaterThan(a, l) => // relaxed to inclusive: file-level superset
-        (for (c <- attrOf(a); v <- litOf(l)) yield (c, v, Long.MaxValue)) orElse
-          (for (c <- attrOf(l); v <- litOf(a)) yield (c, Long.MinValue, v))
+        (for (c <- attrOf(a); v <- litOf(l)) yield (c, Some(v): Option[BV], none)) orElse
+          (for (c <- attrOf(l); v <- litOf(a)) yield (c, none, Some(v): Option[BV]))
       case LessThanOrEqual(a, l) =>
-        (for (c <- attrOf(a); v <- litOf(l)) yield (c, Long.MinValue, v)) orElse
-          (for (c <- attrOf(l); v <- litOf(a)) yield (c, v, Long.MaxValue))
+        (for (c <- attrOf(a); v <- litOf(l)) yield (c, none, Some(v): Option[BV])) orElse
+          (for (c <- attrOf(l); v <- litOf(a)) yield (c, Some(v): Option[BV], none))
       case LessThan(a, l) =>
-        (for (c <- attrOf(a); v <- litOf(l)) yield (c, Long.MinValue, v)) orElse
-          (for (c <- attrOf(l); v <- litOf(a)) yield (c, v, Long.MaxValue))
+        (for (c <- attrOf(a); v <- litOf(l)) yield (c, none, Some(v): Option[BV])) orElse
+          (for (c <- attrOf(l); v <- litOf(a)) yield (c, Some(v): Option[BV], none))
       case _ => None
     }
     raw.groupBy(_._1).map { case (c, cs) =>
-      c -> (cs.map(_._2).max, cs.map(_._3).min)
+      val los = cs.flatMap(_._2)
+      val his = cs.flatMap(_._3)
+      c -> (
+        if (los.isEmpty) none else Some(los.reduce((a, b) => if (a.lt(b)) b else a)),
+        if (his.isEmpty) none else Some(his.reduce((a, b) => if (a.lt(b)) a else b)))
     }
   }
 
@@ -155,7 +204,8 @@ object RewriteSkipIndexScan extends Rule[LogicalPlan] with PredicateHelper {
           val kept = stats.filter { st =>
             bounds.forall { case (c, (lo, hi)) =>
               st.bounds.get(c) match {
-                case Some((Some(mn), Some(mx))) => !(mx < lo || mn > hi)
+                case Some((Some(mn), Some(mx))) =>
+                  !(lo.exists(l => mx.lt(l)) || hi.exists(h => h.lt(mn)))
                 case _ => true // un-indexed column or null stats: keep
               }
             }

@@ -33,7 +33,8 @@ final case class MedallionPipeline(
     maxRejectRate: Double = 0.10,
     scalableSks: Boolean = true,
     publishBucketedServing: Boolean = false,
-    servingBuckets: Int = 32
+    servingBuckets: Int = 32,
+    catalogDb: Option[String] = None
 ) {
 
   /** SK assignment mode for all gold dims. Default is the scalable path
@@ -379,6 +380,48 @@ final case class MedallionPipeline(
   }
 
   // -------------------------------------------------------------------------
+  // Catalog registration (Glue-crawler equivalent)
+  // -------------------------------------------------------------------------
+  /** Register one layer's outputs as PERSISTENT external parquet tables
+    * (`CREATE TABLE … USING parquet LOCATION`) in `catalogDb` — the
+    * reference crawls each layer into a queryable Glue catalog after the
+    * layer completes (Meta_Guideline.md:1538-1545); this is that crawler
+    * re-expressed as Spark catalog DDL. Tables are registered at the TABLE
+    * ROOT, so bronze/silver `run_date=<d>` directories and partitioned
+    * facts surface as partitions of ONE table across backfills; `MSCK
+    * REPAIR` re-discovers partitions on every run (idempotent,
+    * metadata-scale). Drop+create keeps the location authoritative.
+    */
+  private def registerLayer(tables: Seq[(String, String)]): Unit =
+    catalogDb.foreach { db =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      tables.foreach { case (name, path) =>
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
+        spark.sql(s"CREATE TABLE `$db`.`$name` USING parquet LOCATION '$path'")
+        // Whether `run_date=` dirs become PARTITION columns is decided by
+        // schema inference at create time: bronze/silver files CARRY
+        // run_date as a data column, so their dirs are plain subpaths
+        // (still read recursively); partitionBy-written facts infer a real
+        // partition column and need MSCK to register the partitions.
+        val partitioned = spark.catalog.listColumns(s"`$db`.`$name`")
+          .collect().exists(_.isPartition)
+        if (partitioned) spark.sql(s"MSCK REPAIR TABLE `$db`.`$name`")
+      }
+    }
+
+  private def catalogBronze(): Unit = registerLayer(
+    Contracts.all.map(c => (s"bronze_${c.name}", s"$outDir/bronze/${c.name}")))
+
+  private def catalogSilver(): Unit = registerLayer(
+    Seq("users", "datasets", "competitions", "tags", "kernels")
+      .map(t => (s"silver_$t", s"$outDir/silver/$t")))
+
+  private def catalogGold(): Unit = registerLayer(
+    Seq("dim_user", "dim_date", "dim_dataset", "dim_competition", "dim_tag",
+      "bridge_dataset_tag", "fact_competitions_yearly", "fact_tag_usage_daily",
+      "fact_dataset_owner_daily").map(t => (s"gold_$t", goldPath(t))))
+
+  // -------------------------------------------------------------------------
   // DAG
   // -------------------------------------------------------------------------
   /** DAG assembly. `check_sources` is attached as a dependency of every
@@ -423,6 +466,13 @@ final case class MedallionPipeline(
       Seq(Task("gold_publish_serving",
         Seq("gold_dim_user", "gold_fact_dataset_owner_daily", "gold_validate"))(
         () => goldPublishServing()))
+    else Nil) ++ (if (catalogDb.nonEmpty)
+      Seq(
+        Task("catalog_bronze", Seq("bronze_report"))(() => catalogBronze()),
+        Task("catalog_silver", Seq("silver_users", "silver_datasets",
+          "silver_competitions", "silver_tags", "silver_kernels"))(
+          () => catalogSilver()),
+        Task("catalog_gold", Seq("gold_validate"))(() => catalogGold()))
     else Nil)
   }
 
@@ -435,4 +485,48 @@ final case class MedallionPipeline(
   }
 
   def run(): Pipeline.Report = Pipeline.run(tasks)
+}
+
+object MedallionPipeline {
+
+  /** Backfill / catchup runner — the Airflow `catchup=True` loop the
+    * reference's DAGs rely on (Meta_Guideline.md:1409-1412), as an explicit
+    * driver: one full pipeline run per date, OLDEST FIRST (later dates'
+    * gold dims supersede earlier ones, exactly as a chronological catchup
+    * would), each idempotent per `run_date` (partitioned facts use dynamic
+    * overwrite; bronze/silver land under `run_date=<d>` dirs) — so a
+    * re-backfill of any window, or a crash-resume from the failed date, is
+    * a no-op for already-complete dates (MedallionPipelineSpec proves a
+    * second identical backfill leaves byte-identical layer contents).
+    *
+    * `ingestTs` and `pipelineRunId` are DERIVED from the date
+    * (`<d> 00:00:00` / `backfill-<d>`), keeping every run deterministic —
+    * the injected-clock discipline of the single-run constructor.
+    *
+    * Fail-fast like `depends_on_past`: a failed date stops the loop (its
+    * report is last in the returned seq) so later dates never build gold
+    * state on a half-written predecessor.
+    */
+  def runFor(
+      spark: SparkSession,
+      rawDir: String,
+      outDir: String,
+      dates: Seq[String],
+      maxRejectRate: Double = 0.10,
+      catalogDb: Option[String] = None
+  ): Seq[Pipeline.Report] = {
+    require(dates.nonEmpty, "MedallionPipeline.runFor: empty date list")
+    require(dates == dates.sorted,
+      s"MedallionPipeline.runFor: dates must be ascending (got $dates) - " +
+        "a catchup replays history in order")
+    val reports = scala.collection.mutable.ArrayBuffer.empty[Pipeline.Report]
+    dates.iterator.takeWhile { d =>
+      val r = MedallionPipeline(spark, rawDir, outDir, runDate = d,
+        ingestTs = s"$d 00:00:00", pipelineRunId = s"backfill-$d",
+        maxRejectRate = maxRejectRate, catalogDb = catalogDb).run()
+      reports += r
+      r.succeeded
+    }.foreach(_ => ())
+    reports.toSeq
+  }
 }

@@ -24,20 +24,61 @@ object SqlFront {
     ).foreach { case (n, df) => df.createOrReplaceTempView(n) }
   }
 
+  /** PERSISTENT catalog registration — the Glue-crawler equivalent
+    * (reference crawls layer outputs into a queryable catalog,
+    * Meta_Guideline.md:1538-1545): every testdata table becomes an
+    * EXTERNAL parquet table (`CREATE TABLE … USING parquet LOCATION`) in
+    * database `graft`, except `events`, whose nanos-parquet ts needs the
+    * same normalization branch `core.Tables.events` applies — inlined into
+    * a catalog VIEW over the parquet path (catalog views cannot reference
+    * temp views; the `meta_bronze` lesson).
+    *
+    * Returns a CHILD session with `graft` as the current database, so the
+    * monitoring SQL's unqualified `FROM orders` resolves through the
+    * CATALOG — the q_sql gate family runs against catalog tables, not temp
+    * views. The child also scopes `nanosAsLong` (events view) away from
+    * the caller's session. Tables are dropped + re-created per call:
+    * metadata-only, and the location must track the caller's `dir`.
+    */
+  def registerCatalog(spark: SparkSession, dir: String): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.sql("CREATE DATABASE IF NOT EXISTS graft")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.`$t`")
+      s.sql(s"CREATE TABLE graft.`$t` USING parquet LOCATION '$dir/$t.parquet'")
+    }
+    val evPath = s"$dir/events.parquet"
+    val evSchema = s.read.parquet(evPath).schema
+    val tsExpr = evSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+      case org.apache.spark.sql.types.TimestampNTZType => "ts"
+      case _ => "CAST(ts AS TIMESTAMP_NTZ)"
+    }
+    val evSelect = evSchema.fieldNames
+      .map(c => if (c == "ts") s"$tsExpr AS ts" else s"`$c`").mkString(", ")
+    s.sql(s"""CREATE OR REPLACE VIEW graft.events AS
+             |SELECT $evSelect FROM parquet.`$evPath`""".stripMargin)
+    s.catalog.setCurrentDatabase("graft")
+    s
+  }
+
   /** Duplicate-NK monitoring (reference dup-count checks): keys with more
     * than one row.
     */
   def duplicateKeys(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+    val s = registerCatalog(spark, dir)
+    s.sql(
       """SELECT user_id, COUNT(*) AS n_rows
         |FROM events GROUP BY user_id HAVING COUNT(*) > 1""".stripMargin)
   }
 
   /** Category distribution with percent-of-total (reference :2362-2371). */
   def distribution(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+    val s = registerCatalog(spark, dir)
+    s.sql(
       """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders
         |           GROUP BY o_orderpriority)
         |SELECT o_orderpriority, cnt,
@@ -186,8 +227,8 @@ object SqlFront {
     * :4204-4218): latest data date per table.
     */
   def freshness(spark: SparkSession, dir: String): DataFrame = {
-    registerViews(spark, dir)
-    spark.sql(
+    val s = registerCatalog(spark, dir)
+    s.sql(
       """SELECT 'orders' AS table_name, CAST(MAX(o_orderdate) AS DATE) AS latest FROM orders
         |UNION ALL
         |SELECT 'lineitem', CAST(MAX(l_shipdate) AS DATE) FROM lineitem

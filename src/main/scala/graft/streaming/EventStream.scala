@@ -65,7 +65,17 @@ object EventStream {
       col("event_type"), col("value"))
     staged.repartitionByRange(nFiles, col("ts"), col("event_id"))
       .write.mode("overwrite").parquet(stagePath)
-    val stream = s.readStream.schema(staged.schema)
+    // The stream runs on a CHILD session with few shuffle partitions:
+    // state-store partition count is pinned at query start by
+    // spark.sql.shuffle.partitions, and a default-200-partition stateful
+    // query over 6 micro-batches is thousands of near-empty state tasks —
+    // pure scheduling overhead (round-7 driver record: 10-88 s wall vs
+    // single-digit cpu). The conf is scoped to the child (the
+    // SqlFront.registerMetaBronze pattern), never mutated on the caller's
+    // session.
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagePath)
     val agg = stream
@@ -76,20 +86,39 @@ object EventStream {
         col("window.start").cast("timestamp_ntz").as("window_start"),
         col("window.end").cast("timestamp_ntz").as("window_end"),
         col("event_type"), col("cnt"), col("value_cents"))
-    val qn = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(qn)
-      .outputMode("complete").start()
-    try {
-      q.processAllAvailable()
-      val sink = s.table(qn)
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      sink.collect().foreach(rows.add) // final state: window-count scale
-      s.createDataFrame(rows, sink.schema)
-    } finally {
-      q.stop()
-      s.catalog.dropTempView(qn)
-    }
+    // Materialization stays DISTRIBUTED: complete-mode foreachBatch
+    // overwrites the parquet output with the full current state each
+    // micro-batch (state is window-count scale, so each rewrite is small),
+    // and the final overwrite IS the final state — nothing is ever
+    // collect()ed to the driver.
+    val outPath = stagePath + "_out"
+    val ckpt = stagePath + "_ckpt"
+    Seq(outPath, ckpt).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
+    val q = agg.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readReplayOutput(s, outPath, agg.schema)
   }
+
+  /** Read a replay's parquet output with the KNOWN schema — an all-late /
+    * empty replay must come back as an empty frame, not a schema-inference
+    * failure.
+    */
+  private def readReplayOutput(s: org.apache.spark.sql.SparkSession,
+      outPath: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (new java.io.File(outPath).exists()) s.read.schema(schema).parquet(outPath)
+    else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  /** Shuffle/state partition count for the file-replay harnesses — the
+    * replays run a handful of micro-batches over sf-scale slices, where
+    * per-task scheduling overhead dominates anything above single digits.
+    */
+  private val ReplayShufflePartitions = 8
 
   /** Batch-equivalence replay of the STREAM-STREAM interval join
     * ([[purchaseAttribution]]): stage `events` as time-ranged files,
@@ -115,45 +144,156 @@ object EventStream {
       nFiles: Int = 6
   ): DataFrame = {
     val s = events.sparkSession
-    // watermarks demand TIMESTAMP (LTZ) — Tables.events carries NTZ; the
-    // NTZ→LTZ→NTZ round-trip is the identity under any fixed session tz
-    val staged = events.select(col("event_id"),
-      col("ts").cast("timestamp").as("ts"), col("user_id"),
-      col("event_type"), col("value"))
-    staged.repartitionByRange(nFiles, col("ts"), col("event_id"))
-      .write.mode("overwrite").parquet(stagePath)
-    // FileStreamSource replays files in MODIFICATION-TIME order, and a
-    // parallel write stamps near-identical mod times — observed: ties
-    // broke as 1,0,3,2,…, and a whole file arriving behind the watermark
-    // is dropped as late (files 0 and 2 lost every match). Stamp strictly
-    // increasing mod times in range (= event-time) order so the replay
-    // IS the time-ordered arrival the determinism argument assumes.
-    val parts = new java.io.File(stagePath).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - parts.length * 60000L
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + i * 60000L)
-    }
-    val stream = s.readStream.schema(staged.schema)
+    val staged = stageEvents(events)
+    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    // Child session with few state partitions — see replayWindowedAgg.
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagePath)
     val joined = purchaseAttribution(
       clicks = stream.filter(col("event_type") === "click"),
       purchases = stream.filter(col("event_type") === "purchase"),
       watermark = "2 hours")
-    val qn = "graft_join_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(qn)
-      .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      val sink = s.table(qn)
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      sink.collect().foreach(rows.add)
-      s.createDataFrame(rows, sink.schema)
-    } finally {
-      q.stop()
-      s.catalog.dropTempView(qn)
+    runReplayToParquet(s, joined, stagePath)
+  }
+
+  /** LEFT OUTER stream-stream join replay — the subtlest streaming-join
+    * semantics class: unmatched left rows are NOT emitted when seen (a
+    * match may still arrive); they emit NULL-extended only once the
+    * WATERMARK proves no match can come. Gated as
+    * `q_o_stream_outer_replay` against DuckDB's batch LEFT JOIN: a
+    * premature NULL emission (row appears both matched and NULL-extended),
+    * a never-flushed pending click, or an eviction losing a matched flag
+    * all hash-mismatch.
+    *
+    * The END-OF-STREAM flush is the part batch thinking gets wrong: after
+    * the last real file, the watermark sits 2 h behind max(ts), so clicks
+    * in the final window would hold their outer rows forever and the
+    * replay would MISS them. A final sentinel file carries one far-future
+    * click AND one far-future purchase (both user_id −1, matching
+    * nothing) — BOTH sides must advance, because the global watermark is
+    * the MIN across inputs — pushing the watermark past every real click;
+    * Spark's no-data micro-batches then flush all pending outer rows. The
+    * sentinel's own outer row is filtered from the returned frame.
+    */
+  def replayOuterJoin(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6
+  ): DataFrame = {
+    val s = events.sparkSession
+    val staged = stageEvents(events)
+    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    // sentinel file: strictly newer mod time (appended AFTER the staged
+    // files' stamps), far-future event time, one row per side
+    val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val farFuture = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+    import s.implicits._
+    val sentinel = Seq(
+      (-1L, farFuture, -1L, "click", 0.0),
+      (-2L, farFuture, -1L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+    val sentinelSrc = sentinelDir.toFile.listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val sentinelDst = new java.io.File(stagePath, "zz-sentinel.parquet")
+    java.nio.file.Files.copy(sentinelSrc.toPath, sentinelDst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(sentinelDst.setLastModified(System.currentTimeMillis() + 60000L),
+      s"could not stamp mod time on $sentinelDst")
+
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val joined = clickOutcome(
+      clicks = stream.filter(col("event_type") === "click"),
+      purchases = stream.filter(col("event_type") === "purchase"),
+      watermark = "2 hours")
+    runReplayToParquet(s, joined, stagePath)
+      .filter(col("user_id") >= 0) // drop the sentinel's own outer row
+  }
+
+  /** NTZ→LTZ staging projection (watermarks demand TIMESTAMP; the
+    * round-trip is the identity under any fixed session tz).
+    */
+  private def stageEvents(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      col("ts").cast("timestamp").as("ts"), col("user_id"),
+      col("event_type"), col("value"))
+
+  /** Write `staged` as `nFiles` time-ranged parquet files with STRICTLY
+    * INCREASING mod times in event-time order. FileStreamSource replays
+    * files in MODIFICATION-TIME order, and a parallel write stamps
+    * near-identical mod times — observed: ties broke as 1,0,3,2,…, and a
+    * whole file arriving behind the watermark is dropped as late (files 0
+    * and 2 lost every match). The stamping makes the replay BE the
+    * time-ordered arrival the determinism arguments assume.
+    * NOTE: mod-time stamping is a LOCAL-FILESYSTEM harness device — it
+    * no-ops on object stores; production replays should encode arrival
+    * order in the source itself (e.g. Kafka offsets or per-batch paths).
+    */
+  private def writeTimeOrderedFiles(staged: DataFrame, stagePath: String,
+      nFiles: Int): Unit = {
+    graft.core.Fs.rmTree(new java.io.File(stagePath))
+    staged.repartitionByRange(nFiles, col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(stagePath)
+    val parts = new java.io.File(stagePath).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 60000L),
+        s"could not stamp mod time on $f - replay ordering would be " +
+          "nondeterministic (watermark-late drops)")
     }
+  }
+
+  /** Drive a replay query into an append-mode PARQUET sink and read it
+    * back. The join output is MATCH-count scale (unbounded at 100×), so a
+    * memory sink + collect() would be a driver bomb by construction; the
+    * file sink appends each micro-batch distributed.
+    */
+  private def runReplayToParquet(s: org.apache.spark.sql.SparkSession,
+      joined: DataFrame, stagePath: String): DataFrame = {
+    val outPath = stagePath + "_out"
+    val ckpt = stagePath + "_ckpt"
+    Seq(outPath, ckpt).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
+    val q = joined.writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    readReplayOutput(s, outPath, joined.schema)
+  }
+
+  /** Stream-stream LEFT OUTER interval join: EVERY click emits exactly
+    * once per qualifying purchase in the following hour, or once
+    * NULL-extended if no purchase follows — the click-to-outcome funnel.
+    * Outer rows are emitted by the engine only after the watermark passes
+    * `click_ts + interval + delay` (see [[replayOuterJoin]]).
+    */
+  def clickOutcome(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("user_id", "click_id", "click_ts",
+        "purchase_id", "purchase_ts", "value")
   }
 
   /** Streaming dedup on event_id — state bounded by the watermark. */

@@ -137,6 +137,39 @@ class HistogramStoreSpec extends SparkSpecBase {
       HistogramStore.build(expandedDf, Seq("g"), "v", edges).collect().toSet
   }
 
+  test("uneven-span overflow bucket still brackets the quantile") {
+    // Edges(0,9,4): width 3, nb 4 — regular buckets cover 0..11, so the
+    // overflow lo_bound must clamp to hi+1 = 10 (lo + nb*width = 12 would
+    // exceed the smallest overflow value and break the bracketing claim)
+    val e = Edges(0L, 9L, 4)
+    val all = df(Seq(("a", 10L), ("a", 11L), ("a", 40L))
+      .map { case (g, v) => (g, java.lang.Long.valueOf(v)) })
+    val store = HistogramStore.build(all, Seq("g"), "v", e)
+    store.collect().map(_.getLong(1)).toSet shouldBe Set(4L) // all overflow
+    val r = HistogramStore.quantileBounds(store, Seq("g"), Seq(0L), e)
+      .collect().head
+    r.getLong(5) shouldBe 10L      // lo_bound = hi+1, brackets truth 10
+    Option(r.get(6)) shouldBe None // open hi side
+  }
+
+  test("zero-total-weight cells vanish in build (batch-split identity)") {
+    // a (group,bucket) cell whose weights sum to zero must not survive
+    // build(), or merge-of-splits (which filters cnt=0) would differ from
+    // the one-shot build in the zero-sum corner
+    val all = Seq(("z", 5L, 1L), ("z", 7L, -1L), ("a", 5L, 2L))
+      .toDF("g", "v", "w")
+    val oneShot = HistogramStore.build(all, Seq("g"), "v", edges,
+      weightCol = Some("w"))
+    oneShot.collect().map(_.getString(0)).toSet shouldBe Set("a")
+    val b1 = all.filter(col("w") > 0)
+    val b2 = all.filter(col("w") <= 0)
+    val merged = HistogramStore.merge(
+      HistogramStore.build(b1, Seq("g"), "v", edges, weightCol = Some("w")),
+      HistogramStore.deltaOf(b2, Seq("g"), "v", edges, 1L,
+        weightCol = Some("w")))
+    merged.collect().toSet shouldBe oneShot.collect().toSet
+  }
+
   test("an all-zero-weight group serves no quantile rows") {
     val all = Seq(("z", 5L, 0L), ("z", 7L, 0L), ("a", 5L, 2L))
       .toDF("g", "v", "w")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.gold.{DimStore, InMemoryMergeDimStore, RewriteDimStore, Scd2}
+import graft.gold.{DimStore, InMemoryMergeDimStore, ParquetMergeDimStore, RewriteDimStore, Scd2}
 
 /** The SCD2 storage seam's contract: the portable full-rewrite publish and
   * the `MERGE INTO`-shaped row-operation publish must produce IDENTICAL
@@ -87,6 +87,33 @@ class Scd2MergeSeamSpec extends SparkSpecBase {
     }
   }
 
+  test("parquet-merge store equals rewrite over random sequences, O(batch) bound distributed") {
+    for (seed <- Seq(11L, 57L)) {
+      val dir = java.nio.file.Files.createTempDirectory("dimstore-merge")
+        .toString + "/dim"
+      val batches = randomBatches(seed, 5)
+      val initial = Scd2.initialLoad(batches.head, nk, "ts", attrs,
+        tiebreak = Seq("email", "tier"))
+      val store = new ParquetMergeDimStore(spark, dir)
+      store.init(initial)
+      var rewriteState = initial
+      batches.tail.foreach { batch =>
+        val delta = Scd2.incrementalDelta(rewriteState, batch, nk, "ts",
+          attrs, tiebreak = Seq("email", "tier"))
+        val oldTouchedVersions =
+          rewriteState.join(delta.touchedKeys, nk, "left_semi").count()
+        store.publish(delta, nk, "effective_start_ts")
+        rewriteState = Scd2.incrementalMerge(rewriteState, batch, nk, "ts",
+          attrs, tiebreak = Seq("email", "tier"))
+        withClue(s"seed=$seed: ") {
+          sortedState(store.read()) shouldBe sortedState(rewriteState)
+          val upserts = delta.upserts.count()
+          store.lastTouchedRows should be <= (upserts + oldTouchedVersions)
+        }
+      }
+    }
+  }
+
   test("rewrite store round-trips through parquet with an atomic swap") {
     val dir = java.nio.file.Files.createTempDirectory("dimstore").toString + "/dim"
     val batches = randomBatches(42L, 3)
@@ -107,6 +134,9 @@ class Scd2MergeSeamSpec extends SparkSpecBase {
 
   test("format flag: rewrite resolves, lakehouse formats fail with a named seam error") {
     DimStore.forPath(spark, "/tmp/x") shouldBe a[RewriteDimStore]
+    spark.conf.set(DimStore.StoreKey, "merge")
+    try DimStore.forPath(spark, "/tmp/x") shouldBe a[ParquetMergeDimStore]
+    finally spark.conf.unset(DimStore.StoreKey)
     spark.conf.set(DimStore.StoreKey, "delta")
     try {
       val e = intercept[IllegalArgumentException] {

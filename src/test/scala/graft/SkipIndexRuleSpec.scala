@@ -66,6 +66,43 @@ class SkipIndexRuleSpec extends SparkSpecBase {
     scanFileCounts(none).foreach(_ shouldBe 0)
   }
 
+  test("date, string, and timestamp_ntz predicates prune and stay sound") {
+    val path = java.nio.file.Files.createTempDirectory("skipidx-dt")
+      .toString + "/t"
+    // 400 days from 2020-01-01, clustered by date into 8 files; s runs
+    // s000..s399 (lexicographic == numeric here); ts tracks d at noon
+    (0 until 400).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        f"s$i%03d",
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2020, 1, 1).plusDays(i).atTime(12, 0)),
+        i.toLong)
+    }.toDF("d", "s", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .repartitionByRange(8, col("d"))
+      .write.mode("overwrite").parquet(path)
+    gold.StatsIndex.write(spark, path, Seq("d", "s", "ts"))
+    val s = spark.newSession()
+    s.conf.set(RewriteSkipIndexScan.PathKey, path)
+    val predicates: Seq[DataFrame => DataFrame] = Seq(
+      d => d.filter(col("d") >= lit("2020-02-01").cast("date") &&
+        col("d") < lit("2020-03-01").cast("date")),
+      d => d.filter(col("s") === "s123"),
+      d => d.filter(col("s") >= "s350"),
+      d => d.filter(col("ts") < lit("2020-01-15 00:00:00").cast("timestamp_ntz"))
+    )
+    for ((pred, i) <- predicates.zipWithIndex) {
+      val pruned = pred(s.read.parquet(path))
+      val full = pred(spark.read.parquet(path))
+      withClue(s"predicate #$i: ") {
+        pruned.collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe
+          full.collect().map(_.toSeq).sortBy(_.mkString("|"))
+        scanFileCounts(pruned).foreach(_ should be < 8)
+        scanFileCounts(full).foreach(_ shouldBe 8)
+      }
+    }
+  }
+
   test("a rebuilt index invalidates the stats cache") {
     val path = java.nio.file.Files.createTempDirectory("skipidx2").toString + "/t"
     writeTable(path)

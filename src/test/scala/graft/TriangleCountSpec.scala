@@ -13,8 +13,18 @@ class TriangleCountSpec extends SparkSpecBase {
 
   private def edgesOf(es: Seq[(Long, Long)]): DataFrame = es.toDF("src", "dst")
 
-  private def triCount(df: DataFrame): Long =
-    TriangleCount.triangles(df).count()
+  /** Count via the production Adjacency path, asserting the WedgeJoin
+    * twin returns the IDENTICAL (a,b,c) row set — every test doubles as a
+    * path-equivalence proof.
+    */
+  private def triCount(df: DataFrame): Long = {
+    val adj = TriangleCount.triangles(df, path = TriangleCount.Path.Adjacency)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wj = TriangleCount.triangles(df, path = TriangleCount.Path.WedgeJoin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    adj shouldBe wj
+    adj.size.toLong
+  }
 
   test("known answers: K4 has 4 triangles, C4 has none, K4 per-node = 3 each") {
     val k4 = edgesOf(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
