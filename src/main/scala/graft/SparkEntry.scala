@@ -497,9 +497,12 @@ object SparkEntry {
     */
   private def qBackfillFact(s0: SparkSession, dir: String): DataFrame = {
     // fixture-scale pipeline: 32 shuffle partitions would be pure task
-    // overhead across ~40 tiny jobs — scope a small count to a child
+    // overhead across ~40 tiny jobs — scope a 1-partition conf to a child
+    // (every layer output is coalesce(1) anyway); AQE's per-stage re-plan
+    // is also pure overhead at this size
     val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set("spark.sql.shuffle.partitions", 1)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     val out = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_backfill_" + dir.replaceAll("[^A-Za-z0-9]", "_")).getPath
     graft.core.Fs.rmTree(new java.io.File(out))

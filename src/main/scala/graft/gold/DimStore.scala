@@ -57,6 +57,7 @@ object DimStore {
     spark.conf.get(StoreKey, "rewrite") match {
       case "rewrite" => new RewriteDimStore(spark, path)
       case "merge"   => new ParquetMergeDimStore(spark, path)
+      case "txlog"   => new TxLogDimStore(spark, path)
       case f @ ("delta" | "iceberg" | "hudi") =>
         throw new IllegalArgumentException(
           s"$StoreKey=$f: transactional MERGE INTO targets are " +
@@ -66,9 +67,40 @@ object DimStore {
             "Delta jar makes this a config change, not surgery.")
       case other =>
         throw new IllegalArgumentException(
-          s"$StoreKey=$other: expected 'rewrite' or 'merge' (or a " +
-            "lakehouse format once the environment ships one)")
+          s"$StoreKey=$other: expected 'rewrite', 'merge', or 'txlog' (or " +
+            "a lakehouse format once the environment ships one)")
     }
+}
+
+/** TRANSACTIONAL dimension store over the own commit log
+  * (`spark.graft.scd2.store=txlog`): each publish is ONE atomic
+  * [[TxLog.replaceWhereKeys]] commit — remove every version row of a
+  * touched natural key, add the rebuilt history — so readers see either
+  * the pre-merge or the post-merge dimension, never a state with touched
+  * keys missing; concurrent publishers conflict loudly (optimistic
+  * concurrency); and every historical dimension state stays time-travel
+  * readable. Only files CONTAINING touched keys are rewritten — with a
+  * key-clustered layout that is O(batch) I/O, the bound the MERGE seam
+  * exists to deliver. This closes the seam's loop end-to-end: the
+  * three-clause contract (InMemoryMergeDimStore), the distributed
+  * bookkeeping (ParquetMergeDimStore), and now a commit protocol
+  * underneath it.
+  */
+final class TxLogDimStore(spark: SparkSession, path: String) extends DimStore {
+
+  def init(dim: DataFrame): Unit = { TxLog.init(dim, path); () }
+
+  override def read(): DataFrame = TxLog.read(spark, path)
+
+  override def publish(delta: Scd2.Scd2Delta, nk: Seq[String],
+      startCol: String): Unit = {
+    val v = TxLog.currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"TxLogDimStore: no table at $path - init first"))
+    TxLog.replaceWhereKeys(spark, path, delta.touchedKeys, nk,
+      delta.upserts.select(read().columns.map(org.apache.spark.sql.functions.col): _*),
+      expectedVersion = v)
+    ()
+  }
 }
 
 /** DISTRIBUTED three-clause merge over parquet-backed state — the

@@ -146,6 +146,37 @@ object TxLog {
     Snapshot(expectedVersion + 1, files)
   }
 
+  /** ATOMIC replace-by-key: remove every row whose `nk` appears in `keys`
+    * AND add `newData`, as ONE committed version — the commit shape a
+    * transactional `MERGE INTO` needs (delete-then-append as two versions
+    * would expose an intermediate state with the touched keys missing).
+    * Only files containing touched keys are rewritten; the probe is a
+    * per-file semi-join count (stats-index pre-pruning is the 100-TB
+    * path, same protocol).
+    */
+  def replaceWhereKeys(spark: SparkSession, path: String, keys: DataFrame,
+      nk: Seq[String], newData: DataFrame, expectedVersion: Long): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val k = keys.select(nk.map(col): _*)
+    val touched = base.files.filter { f =>
+      spark.read.parquet(s"$path/$f")
+        .join(k, nk, "left_semi").limit(1).count() > 0
+    }
+    val untouched = base.files.filterNot(touched.contains)
+    val rewritten =
+      if (touched.isEmpty) Nil
+      else {
+        val survivors = spark.read
+          .parquet(touched.map(f => s"$path/$f"): _*)
+          .join(k, nk, "left_anti")
+        if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
+      }
+    val added = writeDataFiles(newData, path)
+    val files = untouched ++ rewritten ++ added
+    publish(path, expectedVersion + 1, files)
+    Snapshot(expectedVersion + 1, files)
+  }
+
   /** Delete matching rows: only files CONTAINING matches are rewritten
     * (survivor rows re-written as new files); clean files carry over by
     * reference. At 100 TB the per-file match probe is served by a stats

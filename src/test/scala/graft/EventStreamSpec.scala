@@ -228,6 +228,38 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer stream join: NULL rows emit only on watermark expiry, never twice") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.clickOutcome(
+        clicks.toDF(), purchases.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("outer_out")
+      .outputMode("append").start()
+    def out() = spark.table("outer_out")
+      .select("click_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    try {
+      // click 1 matched shortly; click 2 never matched
+      clicks.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+        ev(2, "2024-01-01 10:05:00", 2, "click", 0.0))
+      purchases.addData(ev(10, "2024-01-01 10:20:00", 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // the match emits eagerly; click 2's outer row must NOT appear yet —
+      // a purchase could still arrive inside its interval
+      out() shouldBe Set((1L, Some(10L)))
+      // advance BOTH watermarks far past click 2's interval + delay
+      clicks.addData(ev(3, "2024-01-01 14:00:00", 9, "click", 0.0))
+      purchases.addData(ev(11, "2024-01-01 14:00:00", 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val now = out()
+      now should contain((2L, None)) // watermark-emitted NULL row
+      // click 1 appears EXACTLY once, matched — never also null-extended
+      now.count(_._1 == 1L) shouldBe 1
+    } finally q.stop()
+  }
+
   test("foreachBatch sink routes valid/reject rows to parquet per batch") {
     val dir  = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
     val outV = s"$dir/valid"; val outR = s"$dir/rejects"

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.gold.{DimStore, InMemoryMergeDimStore, ParquetMergeDimStore, RewriteDimStore, Scd2}
+import graft.gold.{DimStore, InMemoryMergeDimStore, ParquetMergeDimStore, RewriteDimStore, Scd2, TxLog, TxLogDimStore}
 
 /** The SCD2 storage seam's contract: the portable full-rewrite publish and
   * the `MERGE INTO`-shaped row-operation publish must produce IDENTICAL
@@ -114,6 +114,35 @@ class Scd2MergeSeamSpec extends SparkSpecBase {
     }
   }
 
+  test("txlog store: atomic one-version merge publishes, history time-travels") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstore-tx")
+      .toString + "/dim"
+    val batches = randomBatches(77L, 4)
+    val initial = Scd2.initialLoad(batches.head, nk, "ts", attrs,
+      tiebreak = Seq("email", "tier"))
+    val store = new TxLogDimStore(spark, dir)
+    store.init(initial)
+    var rewriteState = initial
+    val history = scala.collection.mutable.ArrayBuffer(
+      sortedState(rewriteState))
+    batches.tail.foreach { batch =>
+      val delta = Scd2.incrementalDelta(rewriteState, batch, nk, "ts",
+        attrs, tiebreak = Seq("email", "tier"))
+      store.publish(delta, nk, "effective_start_ts")
+      rewriteState = Scd2.incrementalMerge(rewriteState, batch, nk, "ts",
+        attrs, tiebreak = Seq("email", "tier"))
+      history += sortedState(rewriteState)
+      sortedState(store.read()) shouldBe sortedState(rewriteState)
+    }
+    // ONE version per publish — merge is a single atomic commit, not a
+    // delete+append pair
+    TxLog.currentVersion(dir) shouldBe Some(batches.tail.size.toLong)
+    // every historical dimension state is still served exactly
+    history.zipWithIndex.foreach { case (h, v) =>
+      sortedState(TxLog.read(spark, dir, asOf = Some(v.toLong))) shouldBe h
+    }
+  }
+
   test("rewrite store round-trips through parquet with an atomic swap") {
     val dir = java.nio.file.Files.createTempDirectory("dimstore").toString + "/dim"
     val batches = randomBatches(42L, 3)
@@ -136,6 +165,9 @@ class Scd2MergeSeamSpec extends SparkSpecBase {
     DimStore.forPath(spark, "/tmp/x") shouldBe a[RewriteDimStore]
     spark.conf.set(DimStore.StoreKey, "merge")
     try DimStore.forPath(spark, "/tmp/x") shouldBe a[ParquetMergeDimStore]
+    finally spark.conf.unset(DimStore.StoreKey)
+    spark.conf.set(DimStore.StoreKey, "txlog")
+    try DimStore.forPath(spark, "/tmp/x") shouldBe a[TxLogDimStore]
     finally spark.conf.unset(DimStore.StoreKey)
     spark.conf.set(DimStore.StoreKey, "delta")
     try {
