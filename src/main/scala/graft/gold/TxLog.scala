@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   *    pre-prune); untouched files carry over by reference.
   *
   * NOT implemented (documented, not hidden): checkpoint compaction of the
-  * log, VACUUM of orphaned data files, column-level stats in the log,
-  * multi-table transactions. The point is exercising the COMMIT SEMANTICS
+  * log, column-level stats in the log, multi-table transactions.
+  * ([[vacuum]] covers orphan/superseded data-file cleanup under a
+  * retention horizon.) The point is exercising the COMMIT SEMANTICS
   * the MERGE seam (`DimStore`) pins, end-to-end, with a DuckDB oracle over
   * the final states — not re-shipping Delta.
   *
@@ -144,6 +145,38 @@ object TxLog {
     val files = base.files ++ writeDataFiles(df, path)
     publish(path, expectedVersion + 1, files)
     Snapshot(expectedVersion + 1, files)
+  }
+
+  /** VACUUM: physically delete (a) version files older than the newest
+    * `retainVersions` and (b) data files referenced by NO retained version
+    * — both orphans from losing/crashed writers and files superseded by
+    * delete/replace rewrites. Time travel below the retention horizon
+    * becomes an error (the lakehouse trade every format makes). Returns
+    * the deleted file names.
+    *
+    * Single-writer window contract, like every VACUUM: a reader holding a
+    * below-horizon snapshot open races the delete — retain generously on
+    * shared storage.
+    */
+  def vacuum(path: String, retainVersions: Int = 2): Seq[String] = {
+    require(retainVersions >= 1, "TxLog.vacuum: must retain >= 1 version")
+    val all = Option(logDir(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json"))
+      .map(_.getName.stripSuffix(".json").toLong).sorted
+    require(all.nonEmpty, s"TxLog: no table at $path")
+    val kept = all.takeRight(retainVersions)
+    val referenced = kept.flatMap(v => snapshot(path, Some(v)).files).toSet
+    val droppedVersions = all.dropRight(retainVersions).map { v =>
+      val f = versionFile(path, v)
+      java.nio.file.Files.delete(f.toPath)
+      f.getName
+    }
+    val droppedData = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-") &&
+        !referenced.contains(f.getName))
+      .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
+    (droppedVersions ++ droppedData).toSeq
   }
 
   /** ATOMIC replace-by-key: remove every row whose `nk` appears in `keys`

@@ -1,0 +1,50 @@
+package graft.runner
+
+/** Failure alerting — the reference wires Slack webhooks into its DAG
+  * failure callbacks (Meta_Guideline.md:4330-4354;
+  * dags/basic/03_file_processing_v2_dag.py:17-37). The engine keeps the
+  * CONTRACT (structured alert per failed task + a run-level summary,
+  * emitted from the runner's failure path) behind a sink trait; the
+  * hermetic default appends JSON lines to a file — production drops in an
+  * HTTP/webhook sink behind the same trait without touching the runner.
+  */
+object Alerts {
+
+  final case class Alert(
+      severity: String,   // "task_failed" | "run_failed"
+      pipeline: String,
+      task: String,
+      message: String)
+
+  trait Sink {
+    def send(alert: Alert): Unit
+  }
+
+  /** JSON-lines file sink (append; parents created). Alert emission must
+    * never mask the original failure — IO errors surface on stderr only.
+    */
+  final class JsonFileSink(path: String) extends Sink {
+    override def send(a: Alert): Unit = try {
+      val f = new java.io.File(path)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val esc = (s: String) => s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n")
+      val line = s"""{"severity":"${esc(a.severity)}","pipeline":"${
+        esc(a.pipeline)}","task":"${esc(a.task)}","message":"${
+        esc(a.message)}"}"""
+      java.nio.file.Files.write(f.toPath,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[alerts] sink write failed: $e")
+    }
+  }
+
+  /** In-memory sink for specs. */
+  final class CollectingSink extends Sink {
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    override def send(a: Alert): Unit = { alerts += a; () }
+  }
+}

@@ -34,7 +34,8 @@ final case class MedallionPipeline(
     scalableSks: Boolean = true,
     publishBucketedServing: Boolean = false,
     servingBuckets: Int = 32,
-    catalogDb: Option[String] = None
+    catalogDb: Option[String] = None,
+    alertSink: Option[Alerts.Sink] = None
 ) {
 
   /** SK assignment mode for all gold dims. Default is the scalable path
@@ -484,7 +485,8 @@ final case class MedallionPipeline(
     }
   }
 
-  def run(): Pipeline.Report = Pipeline.run(tasks)
+  def run(): Pipeline.Report =
+    Pipeline.run(tasks, alertSink, s"medallion-$runDate")
 }
 
 object MedallionPipeline {

@@ -15,7 +15,14 @@ import scala.collection.mutable
   */
 object Pipeline {
 
-  final case class Task(name: String, deps: Seq[String] = Nil)(val body: () => Unit)
+  /** `retries`: re-run the body up to this many extra times on failure
+    * before marking the task Failed — the Airflow per-task `retries`
+    * parity (reference DAGs set retries=1..2 on flaky IO tasks). Retries
+    * re-run the WHOLE body; pipeline tasks are idempotent by construction
+    * (overwrite writes), so a retry can never double-apply.
+    */
+  final case class Task(name: String, deps: Seq[String] = Nil,
+      retries: Int = 0)(val body: () => Unit)
 
   sealed trait Status
   case object Succeeded extends Status
@@ -33,7 +40,13 @@ object Pipeline {
         .mkString("\n")
   }
 
-  def run(tasks: Seq[Task]): Report = {
+  /** `alerts`: every Failed task fires a `task_failed` alert, and a
+    * non-succeeding run fires one `run_failed` summary — the reference's
+    * Slack failure-callback contract through a pluggable [[Alerts.Sink]].
+    * Alert emission never masks the task's own failure.
+    */
+  def run(tasks: Seq[Task], alerts: Option[Alerts.Sink] = None,
+      pipelineName: String = "medallion"): Report = {
     val byName = tasks.map(t => t.name -> t).toMap
     require(byName.size == tasks.size, "duplicate task names")
     tasks.foreach(t => t.deps.foreach(d =>
@@ -61,16 +74,29 @@ object Pipeline {
         TaskResult(t.name, Skipped(s"upstream failed: ${blockedBy.mkString(",")}"), 0L)
       } else {
         val t0 = System.nanoTime()
-        try {
-          t.body()
-          TaskResult(t.name, Succeeded, (System.nanoTime() - t0) / 1000000)
-        } catch {
-          case e: Throwable =>
+        def attempt(left: Int): Status =
+          try { t.body(); Succeeded }
+          catch {
+            case e: Throwable =>
+              if (left > 0) attempt(left - 1) else Failed(e)
+          }
+        attempt(t.retries) match {
+          case Succeeded =>
+            TaskResult(t.name, Succeeded, (System.nanoTime() - t0) / 1000000)
+          case f @ Failed(e) =>
             failedTasks += t.name
-            TaskResult(t.name, Failed(e), (System.nanoTime() - t0) / 1000000)
+            alerts.foreach(_.send(Alerts.Alert("task_failed", pipelineName,
+              t.name, String.valueOf(e))))
+            TaskResult(t.name, f, (System.nanoTime() - t0) / 1000000)
+          case s => TaskResult(t.name, s, 0L) // unreachable
         }
       }
     }
-    Report(results.toSeq)
+    val report = Report(results.toSeq)
+    if (!report.succeeded)
+      alerts.foreach(_.send(Alerts.Alert("run_failed", pipelineName, "",
+        s"${report.failed.size} failed, " +
+          s"${report.results.count(_.status.isInstanceOf[Skipped])} skipped")))
+    report
   }
 }

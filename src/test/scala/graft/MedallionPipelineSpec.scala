@@ -257,6 +257,43 @@ class MedallionPipelineSpec extends SparkSpecBase {
       "a" -> "Succeeded$", "b" -> "Failed", "c" -> "Skipped", "d" -> "Succeeded$")
   }
 
+  test("retries re-run the body; failure fires task + run alerts through the sink") {
+    var attempts = 0
+    val sink = new graft.runner.Alerts.CollectingSink
+    // succeeds on the 3rd attempt (retries = 2)
+    val ok = Pipeline.run(Seq(
+      Pipeline.Task("flaky", retries = 2)(() => {
+        attempts += 1
+        if (attempts < 3) throw new RuntimeException("transient")
+      })), Some(sink), "p")
+    attempts shouldBe 3
+    ok.succeeded shouldBe true
+    sink.alerts shouldBe empty // success after retry: no alert
+
+    val bad = Pipeline.run(Seq(
+      Pipeline.Task("a")(() => ()),
+      Pipeline.Task("boom", Seq("a"), retries = 1)(() =>
+        throw new RuntimeException("hard")),
+      Pipeline.Task("c", Seq("boom"))(() => ())), Some(sink), "p")
+    bad.succeeded shouldBe false
+    sink.alerts.map(a => (a.severity, a.task)) shouldBe Seq(
+      ("task_failed", "boom"), ("run_failed", ""))
+    sink.alerts.head.message should include("hard")
+  }
+
+  test("json file alert sink appends structured lines") {
+    val path = java.nio.file.Files.createTempDirectory("alerts")
+      .toString + "/alerts.jsonl"
+    val sink = new graft.runner.Alerts.JsonFileSink(path)
+    Pipeline.run(Seq(Pipeline.Task("x")(() =>
+      throw new RuntimeException("with \"quotes\"\nand newline"))),
+      Some(sink), "pipe")
+    val parsed = spark.read.json(path)
+    parsed.count() shouldBe 2
+    parsed.filter($"severity" === "task_failed")
+      .select("task").as[String].head() shouldBe "x"
+  }
+
   test("DAG runner rejects cycles and unknown deps") {
     an[IllegalArgumentException] should be thrownBy Pipeline.run(Seq(
       Pipeline.Task("a", Seq("b"))(() => ()),

@@ -77,6 +77,29 @@ class TxLogSpec extends SparkSpecBase {
     TxLog.read(spark, path).count() shouldBe 50L
   }
 
+  test("vacuum drops orphans and below-horizon files; retained versions still read") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(2), path)
+    TxLog.append(rows(100 until 120), path, 0L)
+    TxLog.deleteWhere(spark, path, col("id") < 50L, 1L) // v2 rewrites files
+    // a losing writer's orphan
+    rows(900 until 910).write.mode("overwrite").parquet(path + "_stage")
+    new java.io.File(path + "_stage").listFiles()
+      .filter(_.getName.startsWith("part-")).take(1).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(path, "part-orphan.parquet").toPath)
+      }
+    val dropped = TxLog.vacuum(path, retainVersions = 2)
+    dropped should not be empty
+    dropped.exists(_.contains("orphan")) shouldBe true
+    // retained versions (1, 2) still read exactly
+    TxLog.read(spark, path, asOf = Some(1L)).count() shouldBe 120L
+    TxLog.read(spark, path).count() shouldBe 70L
+    // below the horizon: version 0 is gone
+    intercept[Exception](TxLog.read(spark, path, asOf = Some(0L)))
+    ()
+  }
+
   test("delete-all publishes an empty version that reads as an error, not garbage") {
     val path = freshPath()
     TxLog.init(rows(0 until 10), path)
