@@ -115,16 +115,18 @@ object TxLog {
     */
   private def writeDataFiles(df: DataFrame, path: String): Seq[String] = {
     val stage = java.nio.file.Files.createTempDirectory("graft_txdata")
-    df.write.mode("overwrite").parquet(stage.toString)
-    val parts = stage.toFile.listFiles().filter(_.getName.startsWith("part-"))
-    parts.map { f =>
-      val name = f.getName
-      // plain move: these files are INVISIBLE until the version file
-      // publishes, so per-file atomicity is not needed (and ATOMIC_MOVE
-      // would fail across filesystems)
-      java.nio.file.Files.move(f.toPath, new java.io.File(path, name).toPath)
-      name
-    }.toSeq
+    try {
+      df.write.mode("overwrite").parquet(stage.toString)
+      val parts = stage.toFile.listFiles().filter(_.getName.startsWith("part-"))
+      parts.map { f =>
+        val name = f.getName
+        // plain move: these files are INVISIBLE until the version file
+        // publishes, so per-file atomicity is not needed (and ATOMIC_MOVE
+        // would fail across filesystems)
+        java.nio.file.Files.move(f.toPath, new java.io.File(path, name).toPath)
+        name
+      }.toSeq
+    } finally graft.core.Fs.rmTree(stage.toFile)
   }
 
   /** Create the table at version 0. */
@@ -158,7 +160,8 @@ object TxLog {
     * below-horizon snapshot open races the delete — retain generously on
     * shared storage.
     */
-  def vacuum(path: String, retainVersions: Int = 2): Seq[String] = {
+  def vacuum(path: String, retainVersions: Int = 2,
+      minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(retainVersions >= 1, "TxLog.vacuum: must retain >= 1 version")
     val all = Option(logDir(path).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".json"))
@@ -171,10 +174,17 @@ object TxLog {
       java.nio.file.Files.delete(f.toPath)
       f.getName
     }
+    // minAgeMs guards the WRITER race (not just readers): an in-flight
+    // commit's freshly-moved data files are referenced by NO version yet —
+    // deleting them would let the commit publish a version pointing at
+    // nothing. Only files older than the threshold can be proven
+    // abandoned (Delta's deletedFileRetentionDuration, same reasoning);
+    // pass 0 only when no writer can be in flight.
+    val horizon = System.currentTimeMillis() - minAgeMs
     val droppedData = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-") &&
-        !referenced.contains(f.getName))
+        !referenced.contains(f.getName) && f.lastModified() < horizon)
       .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
     (droppedVersions ++ droppedData).toSeq
   }
@@ -226,8 +236,13 @@ object TxLog {
     val rewritten =
       if (touched.isEmpty) Nil
       else {
+        // SQL DELETE semantics: a NULL-valued predicate deletes NOTHING —
+        // plain !cond would be NULL too and silently DROP those rows from
+        // the rewritten files (while identical rows in untouched files
+        // survived); coalesce makes survival explicit
         val survivors = spark.read
-          .parquet(touched.map(f => s"$path/$f"): _*).filter(!cond)
+          .parquet(touched.map(f => s"$path/$f"): _*)
+          .filter(!coalesce(cond, lit(false)))
         if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
       }
     publish(path, expectedVersion + 1, untouched ++ rewritten)

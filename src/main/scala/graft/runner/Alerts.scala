@@ -27,8 +27,14 @@ object Alerts {
     override def send(a: Alert): Unit = try {
       val f = new java.io.File(path)
       Option(f.getParentFile).foreach(_.mkdirs())
-      val esc = (s: String) => s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n")
+      // escape every JSON-forbidden control character (< 0x20), not just
+      // \n — exception messages carry \r, \t, and parser context bytes
+      val esc = (s: String) => s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < 0x20 => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      }
       val line = s"""{"severity":"${esc(a.severity)}","pipeline":"${
         esc(a.pipeline)}","task":"${esc(a.task)}","message":"${
         esc(a.message)}"}"""

@@ -89,6 +89,33 @@ final case class MedallionPipeline(
         s"source availability check failed; missing: ${missing.mkString(", ")}")
   }
 
+  /** WAITING sensor variant of the source precheck — the Airflow
+    * FileSensor parity (reference DAGs gate file-processing on sensors,
+    * dags/basic/03_file_processing_v2_dag.py:123-130): poll until every
+    * raw file exists or the timeout elapses; on timeout, fail with the
+    * still-missing list (same loud contract as the fail-fast check).
+    * `checkSourcesAvailable` stays the batch-run default — a scheduled
+    * catchup knows its files are late, an ad-hoc run wants fail-fast.
+    */
+  private[graft] def waitForSources(timeoutMs: Long, pollMs: Long = 500L,
+      clock: () => Long = () => System.nanoTime() / 1000000L): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def missing: Seq[String] = Contracts.all.map(rawPath).filterNot { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hadoopConf).exists(path)
+    }
+    val deadline = clock() + timeoutMs
+    var m = missing
+    while (m.nonEmpty && clock() < deadline) {
+      Thread.sleep(math.min(pollMs, math.max(1L, deadline - clock())))
+      m = missing
+    }
+    if (m.nonEmpty)
+      throw new java.util.concurrent.TimeoutException(
+        s"source sensor timed out after ${timeoutMs}ms; still missing: " +
+          m.mkString(", "))
+  }
+
   private def bronze(contract: Contracts.TableContract): Unit = {
     val res = BronzeIngest.ingest(
       spark, rawPath(contract), contract, runDate,

@@ -85,8 +85,8 @@ object Pipeline {
             TaskResult(t.name, Succeeded, (System.nanoTime() - t0) / 1000000)
           case f @ Failed(e) =>
             failedTasks += t.name
-            alerts.foreach(_.send(Alerts.Alert("task_failed", pipelineName,
-              t.name, String.valueOf(e))))
+            safeSend(alerts, Alerts.Alert("task_failed", pipelineName,
+              t.name, String.valueOf(e)))
             TaskResult(t.name, f, (System.nanoTime() - t0) / 1000000)
           case s => TaskResult(t.name, s, 0L) // unreachable
         }
@@ -94,9 +94,22 @@ object Pipeline {
     }
     val report = Report(results.toSeq)
     if (!report.succeeded)
-      alerts.foreach(_.send(Alerts.Alert("run_failed", pipelineName, "",
+      safeSend(alerts, Alerts.Alert("run_failed", pipelineName, "",
         s"${report.failed.size} failed, " +
-          s"${report.results.count(_.status.isInstanceOf[Skipped])} skipped")))
+          s"${report.results.count(_.status.isInstanceOf[Skipped])} skipped"))
     report
   }
+
+  /** The never-masks contract is enforced HERE, not per sink: a throwing
+    * sink (webhook down, exactly when alerts fire) must not abort the
+    * run loop or eat the original failure.
+    */
+  private def safeSend(alerts: Option[Alerts.Sink], a: Alerts.Alert): Unit =
+    alerts.foreach { s =>
+      try s.send(a)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[alerts] sink failed for ${a.severity}/${a.task}: $e")
+      }
+    }
 }

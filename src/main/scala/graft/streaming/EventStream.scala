@@ -187,23 +187,33 @@ object EventStream {
     val staged = stageEvents(events)
     writeTimeOrderedFiles(staged, stagePath, nFiles)
     // sentinel file: strictly newer mod time (appended AFTER the staged
-    // files' stamps), far-future event time, one row per side
+    // files' stamps), far-future event time, one row per side. The
+    // sentinel ids are Long.MinValue(+1) — a value no generated event_id
+    // uses — so the cleanup filter below touches ONLY sentinel rows (a
+    // predicate on a nullable data column like user_id would silently
+    // drop real NULL-keyed outer rows the batch oracle keeps).
+    // Empty input: nothing staged, no watermark to flush — skip the
+    // sentinel (max(ts) is NULL) and let the sink read back empty.
     val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-    val farFuture = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
-    import s.implicits._
-    val sentinel = Seq(
-      (-1L, farFuture, -1L, "click", 0.0),
-      (-2L, farFuture, -1L, "purchase", 0.0))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sentinel")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-    val sentinelSrc = sentinelDir.toFile.listFiles()
-      .filter(_.getName.startsWith("part-")).head
-    val sentinelDst = new java.io.File(stagePath, "zz-sentinel.parquet")
-    java.nio.file.Files.copy(sentinelSrc.toPath, sentinelDst.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    require(sentinelDst.setLastModified(System.currentTimeMillis() + 60000L),
-      s"could not stamp mod time on $sentinelDst")
+    if (maxTs != null) {
+      val farFuture = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+      import s.implicits._
+      val sentinel = Seq(
+        (SentinelId, farFuture, -1L, "click", 0.0),
+        (SentinelId + 1, farFuture, -1L, "purchase", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sentinel")
+      try {
+        sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+        val sentinelSrc = sentinelDir.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val sentinelDst = new java.io.File(stagePath, "zz-sentinel.parquet")
+        java.nio.file.Files.copy(sentinelSrc.toPath, sentinelDst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        require(sentinelDst.setLastModified(System.currentTimeMillis() + 60000L),
+          s"could not stamp mod time on $sentinelDst")
+      } finally graft.core.Fs.rmTree(sentinelDir.toFile)
+    }
 
     val child = s.newSession()
     child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
@@ -214,9 +224,16 @@ object EventStream {
       clicks = stream.filter(col("event_type") === "click"),
       purchases = stream.filter(col("event_type") === "purchase"),
       watermark = "2 hours")
+    // click_id is never NULL on a left row, so this drops EXACTLY the
+    // sentinel click's watermark-emitted outer row
     runReplayToParquet(s, joined, stagePath)
-      .filter(col("user_id") >= 0) // drop the sentinel's own outer row
+      .filter(col("click_id") =!= SentinelId)
   }
+
+  /** Sentinel event id for replay end-of-stream flushes — outside any
+    * generated event_id domain.
+    */
+  private val SentinelId = Long.MinValue
 
   /** NTZ→LTZ staging projection (watermarks demand TIMESTAMP; the
     * round-trip is the identity under any fixed session tz).

@@ -243,6 +243,30 @@ class MedallionPipelineSpec extends SparkSpecBase {
     err should (include("kernels.csv") and include("tags.csv"))
   }
 
+  test("file sensor waits for late sources and times out loudly") {
+    val raw = Files.createTempDirectory("graft_raw_sensor").toString
+    val out = Files.createTempDirectory("graft_out_sensor").toString
+    writeFixtures(raw)
+    val late = new java.io.File(s"$raw/kernels.csv")
+    val lateBytes = java.nio.file.Files.readAllBytes(late.toPath)
+    late.delete()
+    val p = MedallionPipeline(spark, raw, out, "2024-06-01",
+      "2024-06-01 02:00:00", "sensor-run", maxRejectRate = 0.7)
+    // timeout path: file never appears
+    val e = intercept[java.util.concurrent.TimeoutException] {
+      p.waitForSources(timeoutMs = 300L, pollMs = 50L)
+    }
+    e.getMessage should include("kernels.csv")
+    // wait-then-appear path: restore the file from another thread
+    val writer = new Thread(() => {
+      Thread.sleep(200L)
+      java.nio.file.Files.write(late.toPath, lateBytes)
+    })
+    writer.start()
+    p.waitForSources(timeoutMs = 5000L, pollMs = 50L) // must not throw
+    writer.join()
+  }
+
   test("DAG runner: failure skips dependents, independent tasks still run") {
     var ran = Vector.empty[String]
     val report = Pipeline.run(Seq(

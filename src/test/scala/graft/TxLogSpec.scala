@@ -47,6 +47,22 @@ class TxLogSpec extends SparkSpecBase {
     TxLog.read(spark, path, asOf = Some(0L)).count() shouldBe 400L
   }
 
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics) in rewritten files") {
+    val path = freshPath()
+    // one file holding a true match AND a NULL-evaluating row, one file
+    // holding only a NULL-evaluating row (untouched carry-over)
+    val data = Seq(
+      (1L, java.lang.Long.valueOf(10L)),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "x").repartitionByRange(2, col("id"))
+    TxLog.init(data, path)
+    TxLog.deleteWhere(spark, path, col("x") > 5L, 0L)
+    // only row 1 matched; rows 2 and 3 (x IS NULL → predicate NULL) stay
+    TxLog.read(spark, path).select("id").as[Long].collect().sorted shouldBe
+      Array(2L, 3L)
+  }
+
   test("optimistic concurrency: second writer on the same version raises") {
     val path = freshPath()
     TxLog.init(rows(0 until 10), path)
@@ -82,14 +98,22 @@ class TxLogSpec extends SparkSpecBase {
     TxLog.init(rows(0 until 100).repartition(2), path)
     TxLog.append(rows(100 until 120), path, 0L)
     TxLog.deleteWhere(spark, path, col("id") < 50L, 1L) // v2 rewrites files
-    // a losing writer's orphan
+    // a losing writer's orphan — and a FRESH uncommitted file that the
+    // default age horizon would protect
     rows(900 until 910).write.mode("overwrite").parquet(path + "_stage")
     new java.io.File(path + "_stage").listFiles()
       .filter(_.getName.startsWith("part-")).take(1).foreach { f =>
         java.nio.file.Files.copy(f.toPath,
           new java.io.File(path, "part-orphan.parquet").toPath)
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(path, "part-inflight.parquet").toPath)
       }
-    val dropped = TxLog.vacuum(path, retainVersions = 2)
+    // default horizon: the fresh in-flight file SURVIVES a vacuum
+    TxLog.vacuum(path, retainVersions = 3)
+      .exists(_.contains("inflight")) shouldBe false
+    // minAgeMs=0: this test IS the no-writer-in-flight case; the default
+    // 24h horizon exists to protect racing writers' uncommitted files
+    val dropped = TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
     dropped should not be empty
     dropped.exists(_.contains("orphan")) shouldBe true
     // retained versions (1, 2) still read exactly
