@@ -1064,6 +1064,21 @@ object ExtensionQueries {
         .otherwise(lit(null)).cast("long").as("sum_c2"))
   }
 
+  /** The AUDIO decode path: hand-rolled PCM WAV containers through
+    * javax.sound.sampled — lossless, so stream shape AND exact per-channel
+    * sample sums all hash-compare against the generator's closed form.
+    */
+  private def qMultimodalDecodeWav(s: SparkSession, dir: String): DataFrame = {
+    val ids = T(s, dir).documents.select(col("doc_id"))
+    val decoded = BinaryMedia.decodeAudioBatch(
+      BinaryMedia.attachSyntheticWav(ids, "doc_id"), "doc_id")
+    decoded.select(col("doc_id"), col("channels"), col("sample_rate"),
+      col("n_frames"),
+      element_at(col("channel_sums"), 1).as("sum_c0"),
+      when(col("channels") >= 2, element_at(col("channel_sums"), 2))
+        .otherwise(lit(null)).cast("long").as("sum_c1"))
+  }
+
   /** The LOSSY decode path: uniform-gray JPEGs through javax.imageio.
     * Dimensions and channel count hash-compare exactly; the per-channel
     * sums are bounded against the pre-encode value (±8 levels/pixel — a
@@ -1144,6 +1159,7 @@ object ExtensionQueries {
     "q_x_multimodal_meta" -> (qMultimodalMeta _),
     "q_x_multimodal_decode" -> (qMultimodalDecode _),
     "q_x_multimodal_decode_jpeg" -> (qMultimodalDecodeJpeg _),
+    "q_x_multimodal_decode_wav" -> (qMultimodalDecodeWav _),
     "q_x_frame_sample"    -> (qFrameSample _),
     "q_x_tfidf_top_terms" -> (qTfidfTopTerms _),
     "q_x_det_sample"      -> (qDetSample _),
@@ -2252,6 +2268,23 @@ object ExtensionQueries {
           |    for i in generate_series(1, w*h) ]) END AS BIGINT) AS sum_c1,
           |  CAST(CASE WHEN ch >= 3 THEN list_sum([ (seed + 7*((i-1)*ch + 2)) % 256
           |    for i in generate_series(1, w*h) ]) END AS BIGINT) AS sum_c2
+          |FROM g""".stripMargin,
+      // closed-form replay of the synthetic WAV generator: PCM is
+      // lossless, so shape AND sample sums compare exactly (interleaved
+      // sample k = (id*31 + 7 + 7k) mod 65536 - 32768; channel c takes
+      // k = f*ch + c over frames f)
+      "q_x_multimodal_decode_wav" ->
+        """WITH g AS (SELECT doc_id,
+          |  1 + doc_id % 2 AS ch,
+          |  8000 + 4000*(doc_id % 3) AS sr,
+          |  16 + doc_id % 17 AS nf,
+          |  doc_id*31 + 7 AS seed FROM documents)
+          |SELECT doc_id, CAST(ch AS INTEGER) AS channels,
+          |  CAST(sr AS INTEGER) AS sample_rate, CAST(nf AS BIGINT) AS n_frames,
+          |  CAST(list_sum([ (seed + 7*((f-1)*ch)) % 65536 - 32768
+          |    for f in generate_series(1, nf) ]) AS BIGINT) AS sum_c0,
+          |  CAST(CASE WHEN ch >= 2 THEN list_sum([ (seed + 7*((f-1)*ch + 1)) % 65536 - 32768
+          |    for f in generate_series(1, nf) ]) END AS BIGINT) AS sum_c1
           |FROM g""".stripMargin,
       // dims/channels exact; the lossy sums are Spark-side band booleans
       "q_x_multimodal_decode_jpeg" ->

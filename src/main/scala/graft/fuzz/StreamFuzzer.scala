@@ -1,0 +1,207 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Property fuzzer for the STREAMING REPLAY ≡ BATCH equivalence — the
+  * contract the three replay gates pin for one fixed scenario each
+  * (`q_o_stream_window_replay` / `_join_replay` / `_outer_replay`), here
+  * driven over randomized scenarios: random event/click/purchase streams
+  * (NULL user keys, boundary-exact interval hits, duplicate timestamps),
+  * random file splits (1–8 micro-batches), random join intervals and
+  * watermark lateness, random window widths. Each seed replays one mode
+  * through the REAL streaming harness (`EventStream.replay*` — file
+  * source, watermarks, state store, sentinel flush) and diffs the final
+  * table against a DuckDB batch twin computed over the SAME events in
+  * pure epoch-seconds integer arithmetic (no timestamp-zone surface at
+  * all — the replay output is normalized to epoch seconds + exact cents
+  * before compare).
+  *
+  * Preconditions the generator honors (they are the determinism contract,
+  * not fuzz blind spots — violating them is DOCUMENTED divergence):
+  * watermark delay strictly greater than the join interval, and files
+  * arrive in event-time order (writeTimeOrderedFiles stamps mod times).
+  */
+object StreamFuzzer {
+
+  private def scramble(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** One generated scenario: the events (both framings), the replay
+    * config, and the DuckDB twin SQL over view `ev(event_id, ts_s,
+    * user_id, event_type, cents)`.
+    */
+  final case class Scenario(
+      seed: Long,
+      mode: String, // "windowed" | "inner" | "outer"
+      nFiles: Int,
+      intervalHours: Int,
+      watermarkHours: Int,
+      windowSec: Long,
+      rows: Seq[(Long, Long, java.lang.Long, String, Long)], // id, ts_s, user, type, cents
+      sql: String) {
+    def desc: String = s"$mode/files=$nFiles/I=$intervalHours/W=$watermarkHours/" +
+      s"win=${windowSec}s/n=${rows.size}"
+  }
+
+  def generate(seed: Long): Scenario = {
+    val rnd = new java.util.Random(scramble(seed))
+    val mode = Seq("windowed", "inner", "outer")(rnd.nextInt(3))
+    val nFiles = 1 + rnd.nextInt(8)
+    val intervalHours = 1 + rnd.nextInt(2)          // 1..2
+    val watermarkHours = intervalHours + 1 + rnd.nextInt(3) // I+1 .. I+3
+    val windowSec = Seq(3600L, 6 * 3600L, 24 * 3600L)(rnd.nextInt(3))
+    val nUsers = 1 + rnd.nextInt(8)
+    val n = 20 + rnd.nextInt(180)
+    val base = 1700000000L
+    val spanSec = (6 + rnd.nextInt(72)) * 3600
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, java.lang.Long, String, Long)]
+    var id = 0L
+    def nextId(): Long = { id += 1; id }
+    (0 until n).foreach { _ =>
+      val user: java.lang.Long =
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(1L + rnd.nextInt(nUsers))
+      val typ = Seq("click", "purchase", "view")(rnd.nextInt(3))
+      val ts = base + rnd.nextInt(spanSec)
+      buf += ((nextId(), ts, user, typ, rnd.nextInt(100000).toLong))
+    }
+    // boundary injections: for a few clicks, add purchases exactly AT the
+    // inclusive interval bound and one second PAST it (must not match),
+    // plus a same-timestamp purchase (inclusive lower bound)
+    val clicks = buf.filter(_._4 == "click").take(3).toVector
+    clicks.foreach { case (_, ts, user, _, _) =>
+      if (user != null) {
+        buf += ((nextId(), ts + intervalHours * 3600L, user, "purchase", rnd.nextInt(100000).toLong))
+        buf += ((nextId(), ts + intervalHours * 3600L + 1, user, "purchase", rnd.nextInt(100000).toLong))
+        buf += ((nextId(), ts, user, "purchase", rnd.nextInt(100000).toLong))
+      }
+    }
+
+    val sql = mode match {
+      case "windowed" =>
+        s"""SELECT ts_s - ts_s % $windowSec AS wstart_s, event_type,
+           |  COUNT(*) AS cnt, SUM(cents) AS value_cents
+           |FROM ev GROUP BY 1, 2""".stripMargin
+      case "inner" =>
+        s"""SELECT p.user_id, p.event_id AS purchase_id, p.ts_s AS purchase_ts_s,
+           |  p.cents AS cents, c.event_id AS click_id, c.ts_s AS click_ts_s
+           |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+           |JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+           |  ON c.user_id = p.user_id
+           | AND c.ts_s <= p.ts_s AND c.ts_s >= p.ts_s - ${intervalHours * 3600L}""".stripMargin
+      case "outer" =>
+        s"""SELECT c.user_id, c.event_id AS click_id, c.ts_s AS click_ts_s,
+           |  p.event_id AS purchase_id, p.ts_s AS purchase_ts_s, p.cents AS cents
+           |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+           |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+           |  ON p.user_id = c.user_id
+           | AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + ${intervalHours * 3600L}""".stripMargin
+    }
+    Scenario(seed, mode, nFiles, intervalHours, watermarkHours, windowSec,
+      buf.toSeq, sql)
+  }
+
+  /** Events framed for the streaming harness: LTZ ts (UTC session), money
+    * as the double the staging layer expects (exact cents / 100).
+    */
+  private def eventsFrame(spark: SparkSession, sc: Scenario): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long", false).add("ts_s", "long", false)
+      .add("user_id", "long", true).add("event_type", "string", false)
+      .add("cents", "long", false)
+    val rows = sc.rows.map { case (i, t, u, ty, c) =>
+      org.apache.spark.sql.Row(i, t, u, ty, c)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .select(col("event_id"), timestamp_seconds(col("ts_s")).as("ts"),
+        col("user_id"), col("event_type"),
+        (col("cents").cast("double") / 100.0).as("value"))
+  }
+
+  /** Run one scenario: real streaming replay → epoch/cents normalization →
+    * exact diff against the DuckDB twin over the same rows.
+    */
+  def run(spark: SparkSession, con: java.sql.Connection,
+      tmpRoot: String, seed: Long): DiffRunner.Outcome = {
+    val sc = generate(seed)
+    val dir = new java.io.File(tmpRoot, s"seed_$seed")
+    val stage = new java.io.File(dir, "stage").getPath
+    try {
+      val ev = eventsFrame(spark, sc)
+      val replayed = sc.mode match {
+        case "windowed" =>
+          EventStream.replayWindowedAgg(ev, stage, sc.nFiles,
+            windowDur = s"${sc.windowSec} seconds")
+            .select(
+              unix_timestamp(col("window_start").cast("timestamp")).as("wstart_s"),
+              col("event_type"), col("cnt"), col("value_cents"))
+        case "inner" =>
+          EventStream.replayAttributionJoin(ev, stage, sc.nFiles,
+            sc.intervalHours, sc.watermarkHours)
+            .select(col("user_id"), col("purchase_id"),
+              unix_timestamp(col("purchase_ts")).as("purchase_ts_s"),
+              round(col("value") * 100).cast("long").as("cents"),
+              col("click_id"),
+              unix_timestamp(col("click_ts")).as("click_ts_s"))
+        case "outer" =>
+          EventStream.replayOuterJoin(ev, stage, sc.nFiles,
+            sc.intervalHours, sc.watermarkHours)
+            .select(col("user_id"), col("click_id"),
+              unix_timestamp(col("click_ts")).as("click_ts_s"),
+              col("purchase_id"),
+              unix_timestamp(col("purchase_ts")).as("purchase_ts_s"),
+              round(col("value") * 100).cast("long").as("cents"))
+      }
+      val sparkRows = replayed.collect()
+        .map(r => (0 until r.length).map(i => DiffRunner.fmt(r.get(i))).toSeq).toSeq
+
+      // oracle: load the SAME rows into a DuckDB temp table, run the twin
+      val st = con.createStatement()
+      val oracleRows =
+        try {
+          st.execute("DROP TABLE IF EXISTS ev")
+          st.execute("CREATE TABLE ev (event_id BIGINT, ts_s BIGINT, " +
+            "user_id BIGINT, event_type VARCHAR, cents BIGINT)")
+          val ins = con.prepareStatement("INSERT INTO ev VALUES (?, ?, ?, ?, ?)")
+          try {
+            sc.rows.foreach { case (i, t, u, ty, c) =>
+              ins.setLong(1, i); ins.setLong(2, t)
+              if (u == null) ins.setNull(3, java.sql.Types.BIGINT)
+              else ins.setLong(3, u.longValue())
+              ins.setString(4, ty); ins.setLong(5, c)
+              ins.addBatch()
+            }
+            ins.executeBatch()
+          } finally ins.close()
+          val rs = st.executeQuery(sc.sql)
+          val ncol = rs.getMetaData.getColumnCount
+          val b = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+          while (rs.next()) b += (1 to ncol).map(i => DiffRunner.fmt(rs.getObject(i)))
+          b.toSeq
+        } finally st.close()
+
+      val a = sparkRows.sortBy(_.mkString("|"))
+      val b = oracleRows.sortBy(_.mkString("|"))
+      if (a == b) DiffRunner.Outcome(seed, sc.desc, ok = true, a.size, b.size, None)
+      else {
+        val firstDiff = a.zipAll(b, Seq("<missing>"), Seq("<missing>"))
+          .find { case (x, y) => x != y }
+          .map { case (x, y) => s"spark=${x.mkString("|")} oracle=${y.mkString("|")}" }
+          .getOrElse(s"row counts ${a.size} vs ${b.size}")
+        DiffRunner.Outcome(seed, sc.desc, ok = false, a.size, b.size, Some(firstDiff))
+      }
+    } catch {
+      case e: Throwable =>
+        DiffRunner.Outcome(seed, sc.desc, ok = false, -1, -1,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    } finally graft.core.Fs.rmTree(dir)
+  }
+}

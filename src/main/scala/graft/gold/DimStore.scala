@@ -88,18 +88,40 @@ object DimStore {
   */
 final class TxLogDimStore(spark: SparkSession, path: String) extends DimStore {
 
-  def init(dim: DataFrame): Unit = { TxLog.init(dim, path); () }
+  /** The version the LAST `read()` served — the optimistic-concurrency
+    * token a subsequent `publish` must carry. Capturing it at read time
+    * (not at publish time) is what makes the token meaningful: the delta
+    * was computed against THIS snapshot, so any commit interleaved between
+    * read and publish raises ConflictException instead of silently
+    * clobbering state the publisher never saw (the lost update the commit
+    * log exists to prevent).
+    */
+  @volatile private var readVersion: Option[Long] = None
 
-  override def read(): DataFrame = TxLog.read(spark, path)
+  def init(dim: DataFrame): Unit = {
+    val s = TxLog.init(dim, path)
+    readVersion = Some(s.version)
+  }
+
+  override def read(): DataFrame = {
+    val snap = TxLog.snapshot(path)
+    readVersion = Some(snap.version)
+    TxLog.read(spark, path, asOf = Some(snap.version))
+  }
 
   override def publish(delta: Scd2.Scd2Delta, nk: Seq[String],
       startCol: String): Unit = {
-    val v = TxLog.currentVersion(path).getOrElse(
-      throw new IllegalStateException(s"TxLogDimStore: no table at $path - init first"))
+    val v = readVersion.getOrElse(
+      throw new IllegalStateException(
+        s"TxLogDimStore: no snapshot version captured for $path - call " +
+          "read() (or init) before computing the delta you publish"))
+    val cols = TxLog.read(spark, path, asOf = Some(v)).columns
     TxLog.replaceWhereKeys(spark, path, delta.touchedKeys, nk,
-      delta.upserts.select(read().columns.map(org.apache.spark.sql.functions.col): _*),
+      delta.upserts.select(cols.map(org.apache.spark.sql.functions.col): _*),
       expectedVersion = v)
-    ()
+    // a second publish from the SAME read would build on state it never
+    // saw — require a fresh read() (whose snapshot includes this commit)
+    readVersion = None
   }
 }
 
@@ -146,15 +168,24 @@ final class ParquetMergeDimStore(spark: SparkSession, path: String)
     val ups = delta.upserts.select(fields.map(col): _*)
     val touchedState = state.join(delta.touchedKeys, nk, "left_semi")
     val attrs = fields.filterNot(pk.contains)
+    // all bookkeeping joins are <=> (null-safe): a NULL-valued pk
+    // component must match itself, or the row is double-counted as
+    // delete+insert instead of update/no-op
+    val pkEq = (l: String, r: String) =>
+      pk.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
     // WHEN MATCHED: pk present both sides; count only rows that actually
     // change (UPDATE SET * on an identical row is a no-op)
     val updates = touchedState.as("t")
-      .join(ups.as("s"), pk.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _))
+      .join(ups.as("s"), pkEq("t", "s"))
       .filter(!(struct(attrs.map(a => col(s"t.$a")): _*) <=>
         struct(attrs.map(a => col(s"s.$a")): _*)))
       .count()
-    val deletes = touchedState.join(ups, pk, "left_anti").count()
-    val inserts = ups.join(state, pk, "left_anti").count()
+    val deletes = touchedState.as("t")
+      .join(ups.as("s"), pkEq("t", "s"), "left_anti").count()
+    // upsert pks lie within the touched-key slice, so probing touchedState
+    // (not the full state) keeps the count O(batch) as documented
+    val inserts = ups.as("s")
+      .join(touchedState.as("t"), pkEq("s", "t"), "left_anti").count()
     lastTouchedRows = updates + deletes + inserts
     val next = state.join(delta.touchedKeys, nk, "left_anti").unionByName(ups)
     RewriteDimStore.atomicSwap(spark, path, next)

@@ -1,11 +1,11 @@
 package graft.gold
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal OWN commit log — the transactional kernel of a lakehouse table
   * format (Delta's `_delta_log`, Iceberg's snapshots), re-expressed over
-  * plain parquet in ~200 lines. The real formats are environment-blocked
+  * plain parquet in ~300 lines. The real formats are environment-blocked
   * (SCALING.md §ACID: the offline cache ships no lakehouse artifacts), and
   * a full spec-compatible implementation would be out of scope — but the
   * SEMANTICS a user actually relies on are small and testable end-to-end:
@@ -13,36 +13,63 @@ import org.apache.spark.sql.functions._
   *  - **Atomic commits / readers never see partial writes**: data files are
   *    written FIRST (immutable, never mutated in place), then a version
   *    file `_graft_txlog/<v>.json` listing the table's COMPLETE file set is
-  *    published with an atomic create — readers resolve the newest version
-  *    file and read exactly its list, so an interrupted writer leaves only
-  *    invisible orphan data files, never a torn table.
-  *  - **Optimistic concurrency**: the version file is created with
-  *    `Files.createFile` (atomic fail-if-exists); two writers racing the
-  *    same version → exactly one wins, the loser gets a named
-  *    `ConcurrentModificationException` and must re-read + retry (the
-  *    Delta/Iceberg commit protocol).
+  *    published ATOMICALLY WITH ITS CONTENT — the JSON is staged to a temp
+  *    file and linked into place with an atomic fail-if-exists primitive,
+  *    so a version file either does not exist or is complete; readers
+  *    resolve the newest version file and read exactly its list, and an
+  *    interrupted writer leaves only invisible orphans (never a torn or
+  *    empty version file).
+  *  - **Optimistic concurrency**: the atomic link fails if the version
+  *    already exists; two writers racing the same version → exactly one
+  *    wins, the loser gets a named `ConcurrentModificationException` and
+  *    must re-read + retry (the Delta/Iceberg commit protocol —
+  *    [[commitWithRetry]] packages the loop, with structured conflict
+  *    alerts so operators see contention).
   *  - **Snapshot isolation + time travel**: `read(asOf = v)` serves any
   *    retained version — versions are immutable once written.
   *  - **DELETE without eager rewrite of everything**: `deleteWhere` rewrites
-  *    ONLY the files that contain matching rows (file-level pruning by
-  *    scanning each file's match count — at scale a stats index would
-  *    pre-prune); untouched files carry over by reference.
+  *    ONLY the files that contain matching rows. Touched-file discovery is
+  *    ONE distributed job over all candidate files (`input_file_name()`
+  *    distinct — never a per-file driver loop, which at 10⁵–10⁶ files
+  *    would serialize job-launch latency), optionally pre-pruned by the
+  *    table's [[StatsIndex]] min/max when a `_graft_stats` dir exists.
+  *  - **Bounded log discovery**: every [[CheckpointInterval]] commits the
+  *    newest version number is checkpointed to `_last_checkpoint`
+  *    (Delta's same-named hint file); `currentVersion` probes forward from
+  *    the hint instead of listing the whole log dir, so resolution cost
+  *    stays O(commits since checkpoint) between vacuums. The hint is
+  *    advisory only — torn, stale, or missing hints fall back to a full
+  *    listing, so correctness never depends on it.
   *
-  * NOT implemented (documented, not hidden): checkpoint compaction of the
-  * log, column-level stats in the log, multi-table transactions.
-  * ([[vacuum]] covers orphan/superseded data-file cleanup under a
-  * retention horizon.) The point is exercising the COMMIT SEMANTICS
-  * the MERGE seam (`DimStore`) pins, end-to-end, with a DuckDB oracle over
-  * the final states — not re-shipping Delta.
+  * NOT implemented (documented, not hidden): column-level stats IN the log
+  * (the sibling `_graft_stats` dir serves that role), schema evolution
+  * through the log, multi-table transactions. ([[vacuum]] covers
+  * orphan/superseded data-file cleanup under a retention horizon.) The
+  * point is exercising the COMMIT SEMANTICS the MERGE seam (`DimStore`)
+  * pins, end-to-end, with a DuckDB oracle over the final states — not
+  * re-shipping Delta.
   *
-  * Atomic-create caveat: `Files.createFile` is atomic on local/HDFS
-  * semantics; on eventual-consistency object stores the real formats use a
+  * Atomicity caveat: `Files.createLink` is atomic on local/HDFS semantics;
+  * on eventual-consistency object stores the real formats use a
   * coordination service (DynamoDB for S3 Delta) — same seam, swapped
-  * primitive.
+  * primitive. On filesystems without hard links the publish falls back to
+  * create-then-write, which narrows (but does not close) the torn-write
+  * window; [[snapshot]] additionally treats an unreadable newest version
+  * as retry-able rather than table-bricking.
   */
 object TxLog {
 
   val LogDirName = "_graft_txlog"
+
+  /** Checkpoint the version hint every this-many commits. */
+  val CheckpointInterval = 10L
+
+  private val CheckpointName = "_last_checkpoint"
+
+  /** Exactly the names [[publish]] writes — editor droppings, temp files,
+    * and the checkpoint hint in the log dir are ignored, never parsed.
+    */
+  private val VersionRe = "^(\\d{20})\\.json$".r
 
   final case class Snapshot(version: Long, files: Seq[String])
 
@@ -56,13 +83,61 @@ object TxLog {
   private def versionFile(path: String, v: Long) =
     new java.io.File(logDir(path), f"$v%020d.json")
 
-  /** Newest committed version, or None for a non-table. */
-  def currentVersion(path: String): Option[Long] = {
-    val files = Option(logDir(path).listFiles()).getOrElse(Array.empty)
-    val vs = files.filter(_.getName.endsWith(".json"))
-      .map(_.getName.stripSuffix(".json").toLong)
-    if (vs.isEmpty) None else Some(vs.max)
+  private def listVersionNumbers(path: String): Seq[Long] =
+    Option(logDir(path).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => VersionRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .toSeq.sorted
+
+  private def checkpointFile(path: String) =
+    new java.io.File(logDir(path), CheckpointName)
+
+  /** Advisory newest-version hint; any unreadable/garbage content → None
+    * (the caller falls back to listing — the hint can speed discovery,
+    * never change its result).
+    */
+  private def checkpointHint(path: String): Option[Long] =
+    try {
+      val f = checkpointFile(path)
+      if (!f.exists()) None
+      else {
+        val v = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        if (v >= 0) Some(v) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Atomically overwrite the hint (tmp + ATOMIC_MOVE with replace — a
+    * plain overwrite could be read torn; the hint may be STALE but must
+    * never be garbage from a half-write).
+    */
+  private def writeCheckpointHint(path: String, v: Long): Unit = {
+    val dir = logDir(path).toPath
+    val tmp = java.nio.file.Files.createTempFile(dir, ".ckpt", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, checkpointFile(path).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
   }
+
+  /** Newest committed version, or None for a non-table. With a valid
+    * checkpoint hint this probes forward from the hint (versions are dense
+    * by construction — every commit is expectedVersion + 1), costing
+    * O(commits since checkpoint) instead of a full log-dir listing; a
+    * missing/stale/torn hint falls back to listing.
+    */
+  def currentVersion(path: String): Option[Long] =
+    checkpointHint(path) match {
+      case Some(h) if versionFile(path, h).exists() =>
+        var v = h
+        while (versionFile(path, v + 1).exists()) v += 1
+        Some(v)
+      case _ =>
+        val vs = listVersionNumbers(path)
+        if (vs.isEmpty) None else Some(vs.max)
+    }
 
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
     val v = asOf.orElse(currentVersion(path)).getOrElse(
@@ -74,7 +149,13 @@ object TxLog {
       java.nio.charset.StandardCharsets.UTF_8)
     // one-line JSON of the shape {"version":N,"files":["name",...]}
     val files = "\"files\"\\s*:\\s*\\[(.*?)\\]".r
-      .findFirstMatchIn(text).get.group(1)
+      .findFirstMatchIn(text).getOrElse(
+        // publish is atomic (content linked into place complete), so this
+        // is corruption, not a race — name the file instead of a bare
+        // NoSuchElementException
+        throw new IllegalStateException(
+          s"TxLog: version file ${f.getPath} is not a valid version record"))
+      .group(1)
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
     Snapshot(v, files)
@@ -92,21 +173,67 @@ object TxLog {
     spark.read.parquet(snap.files.map(f => s"$path/$f"): _*)
   }
 
-  /** Publish `files` as version `v` — atomic create, loser raises. */
+  /** Publish `files` as version `v` — the content is staged to a temp file
+    * and LINKED into place, so the version file appears atomically with
+    * its complete content and the create fails if the version exists
+    * (loser raises [[ConflictException]]). A reader can never observe an
+    * empty/torn version file, and a writer crash leaves only an invisible
+    * `.tmp` (reaped by [[vacuum]]).
+    */
   private def publish(path: String, v: Long, files: Seq[String]): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
     val json = s"""{"version":$v,"files":[${
       files.map("\"" + _ + "\"").mkString(",")}]}"""
-    val target = versionFile(path, v)
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val target = versionFile(path, v).toPath
+    val tmp = java.nio.file.Files.createTempFile(dir.toPath, ".v", ".tmp")
     try {
-      val p = java.nio.file.Files.createFile(target.toPath) // atomic
-      java.nio.file.Files.write(p,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new ConflictException(v)
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.createLink(target, tmp) // atomic fail-if-exists
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new ConflictException(v)
+        case _: UnsupportedOperationException =>
+          // no hard links on this filesystem: degraded create-then-write
+          // (original protocol; window documented in the scaladoc)
+          try {
+            val p = java.nio.file.Files.createFile(target)
+            java.nio.file.Files.write(p, bytes)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              throw new ConflictException(v)
+          }
+      }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    if (v % CheckpointInterval == 0) writeCheckpointHint(path, v)
+  }
+
+  /** Retry loop around an optimistic commit: re-reads the current version
+    * and re-runs `attempt` (which must RE-DERIVE its writes from the
+    * version it is handed — retrying a stale delta would reintroduce the
+    * lost update the conflict prevented) until it commits or retries are
+    * exhausted. Each conflict emits a structured `txlog_conflict` alert so
+    * operators see contention.
+    */
+  def commitWithRetry(path: String, maxRetries: Int = 5,
+      alerts: Option[graft.runner.Alerts.Sink] = None)(
+      attempt: Long => Snapshot): Snapshot = {
+    var tries = 0
+    while (true) {
+      val v = currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      try return attempt(v)
+      catch {
+        case e: ConflictException =>
+          tries += 1
+          alerts.foreach(_.send(graft.runner.Alerts.Alert(
+            "txlog_conflict", path, "commit",
+            s"optimistic commit conflict (attempt $tries of ${maxRetries + 1}): ${e.getMessage}")))
+          if (tries > maxRetries) throw e
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write `df`'s rows as new immutable data files under `path`, WITHOUT
@@ -150,22 +277,29 @@ object TxLog {
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
-    * `retainVersions` and (b) data files referenced by NO retained version
+    * `retainVersions`, (b) data files referenced by NO retained version
     * — both orphans from losing/crashed writers and files superseded by
-    * delete/replace rewrites. Time travel below the retention horizon
-    * becomes an error (the lakehouse trade every format makes). Returns
-    * the deleted file names.
+    * delete/replace rewrites — and (c) abandoned staging `.tmp` files in
+    * the log dir. Time travel below the retention horizon becomes an
+    * error (the lakehouse trade every format makes). Refreshes the
+    * `_last_checkpoint` hint to the newest retained version. Returns the
+    * deleted file names.
     *
     * Single-writer window contract, like every VACUUM: a reader holding a
     * below-horizon snapshot open races the delete — retain generously on
     * shared storage.
+    *
+    * Clock-skew caveat: the `minAgeMs` horizon compares this process's
+    * wall clock against `lastModified` stamps written by OTHER writers'
+    * clocks (Delta's deletedFileRetentionDuration has the same exposure).
+    * On shared storage with skewed clocks a fast-forward vacuum clock can
+    * under-protect an in-flight writer's files — size the horizon to
+    * dominate worst-case skew + write duration, not just write duration.
     */
   def vacuum(path: String, retainVersions: Int = 2,
       minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(retainVersions >= 1, "TxLog.vacuum: must retain >= 1 version")
-    val all = Option(logDir(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".json"))
-      .map(_.getName.stripSuffix(".json").toLong).sorted
+    val all = listVersionNumbers(path)
     require(all.nonEmpty, s"TxLog: no table at $path")
     val kept = all.takeRight(retainVersions)
     val referenced = kept.flatMap(v => snapshot(path, Some(v)).files).toSet
@@ -186,31 +320,104 @@ object TxLog {
       .filter(f => f.isFile && f.getName.startsWith("part-") &&
         !referenced.contains(f.getName) && f.lastModified() < horizon)
       .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
-    (droppedVersions ++ droppedData).toSeq
+    // abandoned publish stages (writer crashed between stage and link)
+    val droppedTmp = Option(logDir(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".tmp") &&
+        f.lastModified() < horizon)
+      .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
+    writeCheckpointHint(path, kept.max)
+    (droppedVersions ++ droppedData ++ droppedTmp).toSeq
+  }
+
+  /** Basename of an `input_file_name()` URI. */
+  private def fileName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** The names of `candidates` containing at least one row surviving
+    * `probe` — ONE distributed job over all candidate files at once
+    * (`input_file_name()` distinct), never a per-file driver loop: at
+    * 10⁵–10⁶ files sequential job-launch latency alone would make every
+    * DELETE/MERGE commit minutes-to-hours regardless of data volume.
+    */
+  private def touchedFileNames(spark: SparkSession, path: String,
+      candidates: Seq[String], probe: DataFrame => DataFrame): Set[String] =
+    if (candidates.isEmpty) Set.empty
+    else probe(spark.read.parquet(candidates.map(f => s"$path/$f"): _*)
+        .withColumn("__graft_file", input_file_name()))
+      .select(col("__graft_file")).distinct()
+      .collect().map(r => fileName(r.getString(0))).toSet
+
+  /** Drop candidates a `_graft_stats` index PROVES disjoint from
+    * [lo, hi] on `c` (the [[StatsIndex]] pre-pruning the lakehouse
+    * planners do before touching data). Sound by construction: only files
+    * PRESENT in the stats index with non-null bounds strictly outside the
+    * interval are dropped; anything the index does not cover stays a
+    * candidate (the index may predate newer files).
+    */
+  private def statsPruneCandidates(spark: SparkSession, path: String,
+      candidates: Seq[String], c: String, lo: Long, hi: Long): Seq[String] = {
+    val statsDir =
+      new java.io.File(path, graft.plans.RewriteSkipIndexScan.StatsDirName)
+    if (!statsDir.isDirectory) candidates
+    else {
+      val stats = spark.read.parquet(statsDir.toString)
+      if (!stats.columns.contains(s"${c}_min") ||
+          !stats.columns.contains(s"${c}_max")) candidates
+      else {
+        val disjoint = stats
+          .filter(col(s"${c}_min").isNotNull && col(s"${c}_max").isNotNull &&
+            (col(s"${c}_max") < lit(lo) || col(s"${c}_min") > lit(hi)))
+          .select(col("file")).collect().map(r => fileName(r.getString(0))).toSet
+        candidates.filterNot(disjoint.contains)
+      }
+    }
+  }
+
+  /** [lo, hi] of integral column `c` over the (batch-scale) `keys` frame,
+    * for stats pre-pruning; None when the type is non-integral or the
+    * batch has no non-null keys.
+    */
+  private def integralBounds(keys: DataFrame, c: String): Option[(Long, Long)] = {
+    import org.apache.spark.sql.types._
+    keys.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val r = keys.agg(min(col(c)).cast("long"), max(col(c)).cast("long")).head()
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      case _ => None
+    }
   }
 
   /** ATOMIC replace-by-key: remove every row whose `nk` appears in `keys`
     * AND add `newData`, as ONE committed version — the commit shape a
     * transactional `MERGE INTO` needs (delete-then-append as two versions
     * would expose an intermediate state with the touched keys missing).
-    * Only files containing touched keys are rewritten; the probe is a
-    * per-file semi-join count (stats-index pre-pruning is the 100-TB
-    * path, same protocol).
+    * Only files containing touched keys are rewritten; discovery is one
+    * distributed semi-join probe over all candidates, pre-pruned by the
+    * table's stats index (first integral key column) when one exists.
     */
   def replaceWhereKeys(spark: SparkSession, path: String, keys: DataFrame,
       nk: Seq[String], newData: DataFrame, expectedVersion: Long): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
     val k = keys.select(nk.map(col): _*)
-    val touched = base.files.filter { f =>
-      spark.read.parquet(s"$path/$f")
-        .join(k, nk, "left_semi").limit(1).count() > 0
-    }
+    val hasStats = new java.io.File(path,
+      graft.plans.RewriteSkipIndexScan.StatsDirName).isDirectory
+    // key-bounds job only when an index exists to consume them
+    val candidates =
+      if (!hasStats) base.files
+      else integralBounds(k, nk.head) match {
+        case Some((lo, hi)) =>
+          statsPruneCandidates(spark, path, base.files, nk.head, lo, hi)
+        case None => base.files
+      }
+    val touched = touchedFileNames(spark, path, candidates,
+      _.join(k, nk, "left_semi"))
     val untouched = base.files.filterNot(touched.contains)
     val rewritten =
       if (touched.isEmpty) Nil
       else {
         val survivors = spark.read
-          .parquet(touched.map(f => s"$path/$f"): _*)
+          .parquet(touched.toSeq.map(f => s"$path/$f"): _*)
           .join(k, nk, "left_anti")
         if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
       }
@@ -222,16 +429,22 @@ object TxLog {
 
   /** Delete matching rows: only files CONTAINING matches are rewritten
     * (survivor rows re-written as new files); clean files carry over by
-    * reference. At 100 TB the per-file match probe is served by a stats
-    * index ([[StatsIndex]]) instead of a scan — the commit protocol is
-    * identical.
+    * reference. Discovery is one distributed job; `statsHint = Some((col,
+    * lo, hi))` additionally pre-prunes candidates through the table's
+    * `_graft_stats` index when the caller knows a bounding interval
+    * implied by `cond` (the predicate itself is arbitrary, so the bound
+    * cannot be derived automatically — sound either way, the row-level
+    * filter still applies).
     */
   def deleteWhere(spark: SparkSession, path: String,
-      cond: org.apache.spark.sql.Column, expectedVersion: Long): Snapshot = {
+      cond: Column, expectedVersion: Long,
+      statsHint: Option[(String, Long, Long)] = None): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
-    val touched = base.files.filter { f =>
-      spark.read.parquet(s"$path/$f").filter(cond).limit(1).count() > 0
+    val candidates = statsHint match {
+      case Some((c, lo, hi)) => statsPruneCandidates(spark, path, base.files, c, lo, hi)
+      case None              => base.files
     }
+    val touched = touchedFileNames(spark, path, candidates, _.filter(cond))
     val untouched = base.files.filterNot(touched.contains)
     val rewritten =
       if (touched.isEmpty) Nil
@@ -241,7 +454,7 @@ object TxLog {
         // the rewritten files (while identical rows in untouched files
         // survived); coalesce makes survival explicit
         val survivors = spark.read
-          .parquet(touched.map(f => s"$path/$f"): _*)
+          .parquet(touched.toSeq.map(f => s"$path/$f"): _*)
           .filter(!coalesce(cond, lit(false)))
         if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
       }

@@ -136,6 +136,120 @@ object BinaryMedia {
     }
   }
 
+  /** Parsed PCM WAV audio: stream shape + exact per-channel sample sums
+    * (the feature every loudness/normalization step starts from).
+    */
+  final case class WavAudio(channels: Int, sampleRate: Int, frames: Long,
+      channelSums: Array[Long])
+
+  /** REAL WAV/PCM decode via `javax.sound.sampled` — pure-JDK, headless,
+    * no native codecs (the same story as imageio for images; the round-6
+    * "audio needs native codecs" claim was wrong for the RIFF/PCM
+    * container too). RIFF magic-sniffed first; 16-bit signed PCM only
+    * (the interchange format); returns null for anything else — callers
+    * fall through, never throw.
+    */
+  def parseWav(bytes: Array[Byte]): WavAudio = {
+    if (bytes == null || bytes.length < 44 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return null
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return null
+      val ch = fmt.getChannels
+      val frameSize = fmt.getFrameSize // ch * 2 bytes
+      val data = in.readAllBytes()
+      if (frameSize <= 0 || data.length % frameSize != 0) return null
+      val frames = data.length / frameSize
+      val sums = new Array[Long](ch)
+      val bigEndian = fmt.isBigEndian
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < ch) {
+          val off = f * frameSize + c * 2
+          val v =
+            if (bigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+            else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+          sums(c) += v
+          c += 1
+        }
+        f += 1
+      }
+      WavAudio(ch, fmt.getSampleRate.toInt, frames.toLong, sums)
+    } finally in.close()
+  }
+
+  /** Deterministic synthetic 16-bit PCM WAV bytes for an id — hand-rolled
+    * RIFF container so the DuckDB oracle can recompute every sample in
+    * closed form: channels = 1 + id%2, sample rate = 8000 + 4000·(id%3),
+    * frames = 16 + id%17, interleaved sample k =
+    * ((id·31 + 7 + 7k) mod 65536) − 32768 (the image series' audio twin).
+    */
+  def syntheticWavBytes(id: Long): Array[Byte] = {
+    val ch = (1 + id % 2).toInt
+    val sr = (8000 + 4000 * (id % 3)).toInt
+    val frames = (16 + id % 17).toInt
+    val nSamples = frames * ch
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(ch.toShort).putInt(sr).putInt(sr * ch * 2)
+      .putShort((ch * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < nSamples) {
+      bb.putShort((((id * 31 + 7 + 7L * k) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Attach the synthetic WAV media column ([[syntheticWavBytes]]). */
+  def attachSyntheticWav(df: DataFrame, idCol: String): DataFrame =
+    attachGenerated(df, idCol, syntheticWavBytes)
+
+  val DecodedAudioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("channel_sums", ArrayType(LongType))
+  ))
+
+  /** Batched AUDIO decode — the audio twin of [[decodeBatch]]: WAV/PCM
+    * media decodes for REAL (container parse, stream shape, exact
+    * per-channel sample sums); non-WAV bytes yield a null-shaped row (the
+    * caller filters or routes). Same scale contract: one codec context
+    * per partition, binary column never shuffled.
+    */
+  def decodeAudioBatch(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col("media"))
+    val rdd = input.rdd.mapPartitions { rows =>
+      rows.filter(!_.isNullAt(0)).map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+                    else r.getAs[Array[Byte]](1)
+        val wav = parseWav(bytes)
+        if (wav != null)
+          Row(id, wav.channels, wav.sampleRate, wav.frames, wav.channelSums.toSeq)
+        else Row(id, null, null, null, null)
+      }
+    }
+    spark.createDataFrame(rdd, DecodedAudioSchema)
+  }
+
   /** Deterministic synthetic netpbm bytes for an id — the test-data
     * stand-in for the object-storage read a production pipeline does
     * (the testdata ships no media files). Even ids render P6 (3-channel),

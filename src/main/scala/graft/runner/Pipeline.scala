@@ -6,11 +6,19 @@ import scala.collection.mutable
   * reference's Airflow orchestration (SURVEY §2.10): topological execution,
   * fail-fast gates, per-task timing report.
   *
-  * Tasks run sequentially in topological order (dependencies first,
-  * declaration order as tiebreak): Spark parallelizes *within* each task
-  * across the cluster, so task-level concurrency buys little and costs
-  * determinism. A task that throws marks all transitively dependent tasks
-  * SKIPPED — the circuit-breaker / DQ-gate semantics of the reference
+  * `parallelism = 1` (default) runs tasks sequentially in topological
+  * order (dependencies first, declaration order as tiebreak).
+  * `parallelism > 1` runs INDEPENDENT tasks concurrently on a fixed pool —
+  * the Airflow executor-pool parity the reference DAGs rely on (their
+  * bronze tasks fan out). Output is deterministic either way: each task
+  * owns its output paths, the report lists results in topological
+  * declaration order regardless of completion order, and Spark schedules
+  * concurrent jobs from multiple driver threads natively. Concurrency
+  * overlaps the per-task fixed costs (driver planning, file listing,
+  * commit protocol) that dominate small runs and remain real at 100 TB —
+  * data-level parallelism *within* a task is Spark's job either way.
+  * A task that throws marks all transitively dependent tasks SKIPPED —
+  * the circuit-breaker / DQ-gate semantics of the reference
   * (`requirements/...:60, 103-113`).
   */
 object Pipeline {
@@ -46,7 +54,8 @@ object Pipeline {
     * Alert emission never masks the task's own failure.
     */
   def run(tasks: Seq[Task], alerts: Option[Alerts.Sink] = None,
-      pipelineName: String = "medallion"): Report = {
+      pipelineName: String = "medallion", parallelism: Int = 1): Report = {
+    require(parallelism >= 1, "Pipeline.run: parallelism must be >= 1")
     val byName = tasks.map(t => t.name -> t).toMap
     require(byName.size == tasks.size, "duplicate task names")
     tasks.foreach(t => t.deps.foreach(d =>
@@ -66,6 +75,41 @@ object Pipeline {
     }
     require(pending.isEmpty, s"dependency cycle involving: ${pending.map(_.name).mkString(", ")}")
 
+    val report =
+      if (parallelism == 1) runSequential(order.toSeq, alerts, pipelineName)
+      else runParallel(order.toSeq, alerts, pipelineName, parallelism)
+    if (!report.succeeded)
+      safeSend(alerts, Alerts.Alert("run_failed", pipelineName, "",
+        s"${report.failed.size} failed, " +
+          s"${report.results.count(_.status.isInstanceOf[Skipped])} skipped"))
+    report
+  }
+
+  /** Run `t`'s body with its retry budget; returns the result + fires the
+    * task_failed alert on final failure (shared by both executors).
+    */
+  private def execute(t: Task, alerts: Option[Alerts.Sink],
+      pipelineName: String): TaskResult = {
+    val t0 = System.nanoTime()
+    def attempt(left: Int): Status =
+      try { t.body(); Succeeded }
+      catch {
+        case e: Throwable =>
+          if (left > 0) attempt(left - 1) else Failed(e)
+      }
+    attempt(t.retries) match {
+      case Succeeded =>
+        TaskResult(t.name, Succeeded, (System.nanoTime() - t0) / 1000000)
+      case f @ Failed(e) =>
+        safeSend(alerts, Alerts.Alert("task_failed", pipelineName,
+          t.name, String.valueOf(e)))
+        TaskResult(t.name, f, (System.nanoTime() - t0) / 1000000)
+      case s => TaskResult(t.name, s, 0L) // unreachable
+    }
+  }
+
+  private def runSequential(order: Seq[Task], alerts: Option[Alerts.Sink],
+      pipelineName: String): Report = {
     val failedTasks = mutable.Set.empty[String]
     val results = order.map { t =>
       val blockedBy = t.deps.filter(failedTasks)
@@ -73,31 +117,69 @@ object Pipeline {
         failedTasks += t.name
         TaskResult(t.name, Skipped(s"upstream failed: ${blockedBy.mkString(",")}"), 0L)
       } else {
-        val t0 = System.nanoTime()
-        def attempt(left: Int): Status =
-          try { t.body(); Succeeded }
-          catch {
-            case e: Throwable =>
-              if (left > 0) attempt(left - 1) else Failed(e)
-          }
-        attempt(t.retries) match {
-          case Succeeded =>
-            TaskResult(t.name, Succeeded, (System.nanoTime() - t0) / 1000000)
-          case f @ Failed(e) =>
-            failedTasks += t.name
-            safeSend(alerts, Alerts.Alert("task_failed", pipelineName,
-              t.name, String.valueOf(e)))
-            TaskResult(t.name, f, (System.nanoTime() - t0) / 1000000)
-          case s => TaskResult(t.name, s, 0L) // unreachable
-        }
+        val r = execute(t, alerts, pipelineName)
+        if (r.status.isInstanceOf[Failed]) failedTasks += t.name
+        r
       }
     }
-    val report = Report(results.toSeq)
-    if (!report.succeeded)
-      safeSend(alerts, Alerts.Alert("run_failed", pipelineName, "",
-        s"${report.failed.size} failed, " +
-          s"${report.results.count(_.status.isInstanceOf[Skipped])} skipped"))
-    report
+    Report(results.toSeq)
+  }
+
+  /** Dataflow executor: every task whose dependencies all SUCCEEDED is
+    * eligible as soon as the last of them completes; a fixed pool of
+    * `parallelism` threads drains the ready set. Failure semantics are
+    * identical to the sequential path (transitive SKIP), and the report
+    * preserves topological declaration order, so the only observable
+    * difference is wall-clock.
+    */
+  private def runParallel(order: Seq[Task], alerts: Option[Alerts.Sink],
+      pipelineName: String, parallelism: Int): Report = {
+    import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, Executors}
+    import java.util.concurrent.atomic.AtomicInteger
+    val results = new ConcurrentHashMap[String, TaskResult]()
+    val dependents: Map[String, Seq[Task]] =
+      order.flatMap(t => t.deps.map(_ -> t)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+    val remainingDeps = new ConcurrentHashMap[String, AtomicInteger]()
+    order.foreach(t => remainingDeps.put(t.name, new AtomicInteger(t.deps.size)))
+    val pool = Executors.newFixedThreadPool(parallelism)
+    val latch = new CountDownLatch(order.size)
+
+    def complete(t: Task, r: TaskResult): Unit = {
+      results.put(t.name, r)
+      latch.countDown()
+      dependents.getOrElse(t.name, Nil).foreach { d =>
+        if (remainingDeps.get(d.name).decrementAndGet() == 0) schedule(d)
+      }
+    }
+
+    def schedule(t: Task): Unit = {
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            // deps are all COMPLETE here (scheduling fires on the last
+            // decrement); blocked = any dep that did not succeed
+            val blockedBy = t.deps.filter(d =>
+              results.get(d).status != Succeeded)
+            if (blockedBy.nonEmpty)
+              complete(t, TaskResult(t.name,
+                Skipped(s"upstream failed: ${blockedBy.mkString(",")}"), 0L))
+            else complete(t, execute(t, alerts, pipelineName))
+          } catch {
+            // execute() never throws; this guards the bookkeeping itself
+            // so a bug here can never hang the latch
+            case e: Throwable =>
+              if (!results.containsKey(t.name))
+                complete(t, TaskResult(t.name, Failed(e), 0L))
+          }
+      })
+      ()
+    }
+
+    order.filter(_.deps.isEmpty).foreach(schedule)
+    latch.await()
+    pool.shutdown()
+    Report(order.map(t => results.get(t.name)))
   }
 
   /** The never-masks contract is enforced HERE, not per sink: a throwing

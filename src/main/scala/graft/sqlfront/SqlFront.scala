@@ -49,30 +49,53 @@ object SqlFront {
     // footer read each (the cache key includes the context so a fresh
     // test context re-registers)
     // keyed by the CURRENT dir, not a seen-set: alternating dirs must
-    // re-register (the catalog holds exactly one dir's tables at a time)
+    // re-register (the catalog holds exactly one dir's tables at a time).
+    // compute() both serializes concurrent first callers on the key and
+    // records the dir ONLY after the DDL block completes — a throw inside
+    // the remapping function leaves the previous mapping in place, so the
+    // next caller retries registration instead of querying a half-built
+    // catalog
     val ctx = System.identityHashCode(spark.sparkContext)
-    if (registeredDirs.put(ctx, dir) != dir) {
-      s.sql("CREATE DATABASE IF NOT EXISTS graft")
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS graft.`$t`")
-        s.sql(s"CREATE TABLE graft.`$t` USING parquet LOCATION '$dir/$t.parquet'")
-      }
-      val evPath = s"$dir/events.parquet"
-      val evSchema = s.read.parquet(evPath).schema
-      val tsExpr = evSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        case org.apache.spark.sql.types.TimestampNTZType => "ts"
-        case _ => "CAST(ts AS TIMESTAMP_NTZ)"
-      }
-      val evSelect = evSchema.fieldNames
-        .map(c => if (c == "ts") s"$tsExpr AS ts" else s"`$c`").mkString(", ")
-      s.sql(s"""CREATE OR REPLACE VIEW graft.events AS
-               |SELECT $evSelect FROM parquet.`$evPath`""".stripMargin)
-    }
+    registeredDirs.compute(ctx, (_, prev) => {
+      if (prev != dir) registerCatalogTables(s, dir)
+      dir
+    })
     s.catalog.setCurrentDatabase("graft")
     s
+  }
+
+  /** Drop the registration cache for this context and re-run the DDL —
+    * the Glue-crawler re-crawl equivalent: a layer output whose SCHEMA
+    * evolved after registration (new columns via mergeSchema, the
+    * q_s14_schema_evolution shape) serves stale columns until the external
+    * table is re-created, because `CREATE TABLE ... USING parquet
+    * LOCATION` pins the schema inferred at creation time. Call after any
+    * publish that may have widened a registered table.
+    */
+  def refreshCatalog(spark: SparkSession, dir: String): SparkSession = {
+    registeredDirs.remove(System.identityHashCode(spark.sparkContext))
+    registerCatalog(spark, dir)
+  }
+
+  private def registerCatalogTables(s: SparkSession, dir: String): Unit = {
+    s.sql("CREATE DATABASE IF NOT EXISTS graft")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.`$t`")
+      s.sql(s"CREATE TABLE graft.`$t` USING parquet LOCATION '$dir/$t.parquet'")
+    }
+    val evPath = s"$dir/events.parquet"
+    val evSchema = s.read.parquet(evPath).schema
+    val tsExpr = evSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+      case org.apache.spark.sql.types.TimestampNTZType => "ts"
+      case _ => "CAST(ts AS TIMESTAMP_NTZ)"
+    }
+    val evSelect = evSchema.fieldNames
+      .map(c => if (c == "ts") s"$tsExpr AS ts" else s"`$c`").mkString(", ")
+    s.sql(s"""CREATE OR REPLACE VIEW graft.events AS
+             |SELECT $evSelect FROM parquet.`$evPath`""".stripMargin)
   }
 
   private val registeredDirs =

@@ -141,8 +141,13 @@ object EventStream {
   def replayAttributionJoin(
       events: DataFrame,
       stagePath: String,
-      nFiles: Int = 6
+      nFiles: Int = 6,
+      intervalHours: Int = 1,
+      watermarkHours: Int = 2
   ): DataFrame = {
+    require(watermarkHours > intervalHours,
+      "replayAttributionJoin: the determinism argument needs watermark " +
+        s"delay > join interval (got $watermarkHours h <= $intervalHours h)")
     val s = events.sparkSession
     val staged = stageEvents(events)
     writeTimeOrderedFiles(staged, stagePath, nFiles)
@@ -155,7 +160,8 @@ object EventStream {
     val joined = purchaseAttribution(
       clicks = stream.filter(col("event_type") === "click"),
       purchases = stream.filter(col("event_type") === "purchase"),
-      watermark = "2 hours")
+      watermark = s"$watermarkHours hours",
+      intervalHours = intervalHours)
     runReplayToParquet(s, joined, stagePath)
   }
 
@@ -181,8 +187,13 @@ object EventStream {
   def replayOuterJoin(
       events: DataFrame,
       stagePath: String,
-      nFiles: Int = 6
+      nFiles: Int = 6,
+      intervalHours: Int = 1,
+      watermarkHours: Int = 2
   ): DataFrame = {
+    require(watermarkHours > intervalHours,
+      "replayOuterJoin: the determinism argument needs watermark " +
+        s"delay > join interval (got $watermarkHours h <= $intervalHours h)")
     val s = events.sparkSession
     val staged = stageEvents(events)
     writeTimeOrderedFiles(staged, stagePath, nFiles)
@@ -196,7 +207,10 @@ object EventStream {
     // sentinel (max(ts) is NULL) and let the sink read back empty.
     val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     if (maxTs != null) {
-      val farFuture = new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000)
+      // far enough that (farFuture − watermark) clears every real click's
+      // flush bound (click_ts + interval), for ANY allowed (I, W) pair
+      val farFuture = new java.sql.Timestamp(maxTs.getTime +
+        (intervalHours + watermarkHours + 8L) * 3600 * 1000)
       import s.implicits._
       val sentinel = Seq(
         (SentinelId, farFuture, -1L, "click", 0.0),
@@ -223,7 +237,8 @@ object EventStream {
     val joined = clickOutcome(
       clicks = stream.filter(col("event_type") === "click"),
       purchases = stream.filter(col("event_type") === "purchase"),
-      watermark = "2 hours")
+      watermark = s"$watermarkHours hours",
+      intervalHours = intervalHours)
     // click_id is never NULL on a left row, so this drops EXACTLY the
     // sentinel click's watermark-emitted outer row
     runReplayToParquet(s, joined, stagePath)
@@ -296,7 +311,8 @@ object EventStream {
   def clickOutcome(
       clicks: DataFrame,
       purchases: DataFrame,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      intervalHours: Int = 1
   ): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts").as("click_ts"),
@@ -307,7 +323,7 @@ object EventStream {
     c.join(p,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $intervalHours HOUR"),
       "left_outer")
       .select("user_id", "click_id", "click_ts",
         "purchase_id", "purchase_ts", "value")
@@ -673,7 +689,8 @@ object EventStream {
   def purchaseAttribution(
       clicks: DataFrame,
       purchases: DataFrame,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      intervalHours: Int = 1
   ): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
@@ -684,7 +701,7 @@ object EventStream {
     p.join(c,
       col("user_id") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $intervalHours HOUR"),
       "inner")
       .select("user_id", "purchase_id", "purchase_ts", "value", "click_id", "click_ts")
   }

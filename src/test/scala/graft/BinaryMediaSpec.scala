@@ -156,4 +156,43 @@ class BinaryMediaSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("wav decode: synthetic PCM round-trips to closed-form sample sums; non-wav is null-shaped") {
+    import spark.implicits._
+    // direct parser round-trip over both channel classes and all rates
+    for (id <- 0L until 24L) {
+      val wav = BinaryMedia.parseWav(BinaryMedia.syntheticWavBytes(id))
+      val ch = (1 + id % 2).toInt
+      val frames = 16 + id % 17
+      withClue(s"id=$id: ") {
+        wav should not be null
+        wav.channels shouldBe ch
+        wav.sampleRate shouldBe (8000 + 4000 * (id % 3)).toInt
+        wav.frames shouldBe frames
+        val expected = Array.fill(ch)(0L)
+        for (k <- 0 until (frames * ch).toInt)
+          expected(k % ch) += ((id * 31 + 7 + 7L * k) % 65536) - 32768
+        wav.channelSums.toSeq shouldBe expected.toSeq
+      }
+    }
+    // hostile inputs: truncated header, image bytes, empty
+    BinaryMedia.parseWav(Array[Byte]('R', 'I', 'F', 'F')) shouldBe null
+    BinaryMedia.parseWav(BinaryMedia.syntheticPnmBytes(3L)) shouldBe null
+    BinaryMedia.parseWav(Array.emptyByteArray) shouldBe null
+    // a truncated wav (header promises more data than present) must not throw
+    val whole = BinaryMedia.syntheticWavBytes(5L)
+    BinaryMedia.parseWav(java.util.Arrays.copyOf(whole, whole.length - 3))
+    // distributed batch path: decode through decodeAudioBatch
+    val ids = (0L until 8L).toDF("doc_id")
+    val rows = BinaryMedia.decodeAudioBatch(
+      BinaryMedia.attachSyntheticWav(ids, "doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows(2L).getInt(1) shouldBe 1
+    rows(3L).getInt(1) shouldBe 2
+    rows(3L).getAs[Seq[Long]](4).length shouldBe 2
+    // non-wav media yields a null-shaped row, not an exception
+    val bad = BinaryMedia.decodeAudioBatch(
+      BinaryMedia.attachSyntheticPnm(ids, "doc_id"), "doc_id").collect()
+    bad.foreach(r => r.isNullAt(1) shouldBe true)
+  }
 }

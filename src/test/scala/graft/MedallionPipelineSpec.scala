@@ -281,6 +281,36 @@ class MedallionPipelineSpec extends SparkSpecBase {
       "a" -> "Succeeded$", "b" -> "Failed", "c" -> "Skipped", "d" -> "Succeeded$")
   }
 
+  test("parallel DAG runner: same skip semantics, topo-ordered report, deps precede dependents") {
+    // failure semantics identical to sequential, report in declaration order
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val report = Pipeline.run(Seq(
+      Pipeline.Task("a")(() => { ran.add("a"); () }),
+      Pipeline.Task("b", Seq("a"))(() => throw new RuntimeException("boom")),
+      Pipeline.Task("c", Seq("b"))(() => { ran.add("c"); () }),
+      Pipeline.Task("d", Seq("a"))(() => { ran.add("d"); () })
+    ), parallelism = 4)
+    ran.toArray.toSet shouldBe Set("a", "d")
+    report.succeeded shouldBe false
+    // Kahn level order with declaration tiebreak: {a}, {b, d}, {c}
+    report.results.map(_.name) shouldBe Seq("a", "b", "d", "c")
+    report.results.map(r => r.name -> r.status.getClass.getSimpleName).toMap shouldBe Map(
+      "a" -> "Succeeded$", "b" -> "Failed", "c" -> "Skipped", "d" -> "Succeeded$")
+    // a dependency COMPLETES before its dependent STARTS (happens-before
+    // through the scheduler), proven over a diamond with recorded times
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val ok = Pipeline.run(Seq(
+      Pipeline.Task("src")(() => { order.add("src.end"); () }),
+      Pipeline.Task("l", Seq("src"))(() => { order.add("l.start"); Thread.sleep(30); () }),
+      Pipeline.Task("r", Seq("src"))(() => { order.add("r.start"); Thread.sleep(5); () }),
+      Pipeline.Task("join", Seq("l", "r"))(() => { order.add("join.start"); () })
+    ), parallelism = 4)
+    ok.succeeded shouldBe true
+    val seq = order.toArray.map(_.toString).toSeq
+    seq.head shouldBe "src.end"
+    seq.indexOf("join.start") shouldBe (seq.size - 1)
+  }
+
   test("retries re-run the body; failure fires task + run alerts through the sink") {
     var attempts = 0
     val sink = new graft.runner.Alerts.CollectingSink

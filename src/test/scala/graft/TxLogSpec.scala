@@ -124,6 +124,158 @@ class TxLogSpec extends SparkSpecBase {
     ()
   }
 
+  /** Jobs launched while `body` runs (listener-counted, bus drained). */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(l)
+    try {
+      body
+      org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+    } finally sc.removeSparkListener(l)
+    n.get()
+  }
+
+  test("touched-file discovery is one distributed probe, not a per-file job loop") {
+    val path = freshPath()
+    // 40 data files: the old per-file probe would launch >= 40 sequential
+    // jobs; the distributed input_file_name() probe is O(1) jobs in the
+    // file count (a small constant — probe + survivor write + publish)
+    TxLog.init(rows(0 until 4000).repartition(40), path)
+    TxLog.snapshot(path).files.size should be >= 40
+    val deleteJobs = countJobs {
+      TxLog.deleteWhere(spark, path, col("id") < 100L, 0L); ()
+    }
+    deleteJobs should be < 15
+    TxLog.read(spark, path).count() shouldBe 3900L
+    val replaceJobs = countJobs {
+      TxLog.replaceWhereKeys(spark, path,
+        rows(200 until 210).select("id"), Seq("id"),
+        rows(200 until 210), expectedVersion = 1L); ()
+    }
+    replaceJobs should be < 15
+    TxLog.read(spark, path).count() shouldBe 3900L
+  }
+
+  test("stats-index pre-pruning: correct with a fresh AND a stale _graft_stats dir") {
+    val path = freshPath()
+    // range-clustered so per-file id ranges are disjoint and the index can
+    // prove most files untouched
+    TxLog.init(rows(0 until 400).repartitionByRange(8, col("id")), path)
+    graft.gold.StatsIndex.write(spark, path, Seq("id"))
+    val before = TxLog.snapshot(path)
+    val s1 = TxLog.replaceWhereKeys(spark, path,
+      rows(0 until 20).select("id"), Seq("id"),
+      rows(0 until 20).withColumn("payload", lit("NEW")),
+      expectedVersion = 0L)
+    // untouched files carried by reference (pruning did not force rewrites)
+    before.files.toSet.intersect(s1.files.toSet) should not be empty
+    val st = TxLog.read(spark, path)
+    st.count() shouldBe 400L
+    st.filter(col("id") < 20L && col("payload") === "NEW").count() shouldBe 20L
+    // STALE index: the appended files are unknown to _graft_stats — they
+    // must remain candidates (missing-from-stats files are never pruned)
+    TxLog.append(rows(1000 until 1020), path, expectedVersion = 1L)
+    TxLog.replaceWhereKeys(spark, path,
+      rows(1000 until 1010).select("id"), Seq("id"),
+      rows(1000 until 1010).withColumn("payload", lit("NEW2")),
+      expectedVersion = 2L)
+    val st2 = TxLog.read(spark, path)
+    st2.filter(col("payload") === "NEW2").count() shouldBe 10L
+    st2.count() shouldBe 420L
+    // deleteWhere with an explicit hint interval prunes soundly too
+    TxLog.deleteWhere(spark, path, col("id") >= 1000L, 3L,
+      statsHint = Some(("id", 1000L, Long.MaxValue)))
+    TxLog.read(spark, path).count() shouldBe 400L
+  }
+
+  test("two interleaved writers with commitWithRetry: no lost updates, conflicts alerted") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path)
+    val sink = new graft.runner.Alerts.CollectingSink
+    // deterministic interleave first: an interloper commits between the
+    // read and the publish — the stale attempt must conflict, alert, and
+    // the retry must re-derive from the NEW version
+    var interloped = false
+    TxLog.commitWithRetry(path, alerts = Some(sink)) { v =>
+      if (!interloped) {
+        interloped = true
+        TxLog.append(rows(100 until 110), path, v) // interloper wins v+1
+      }
+      TxLog.append(rows(200 until 210), path, v)
+    }
+    sink.alerts.map(_.severity) should contain("txlog_conflict")
+    TxLog.read(spark, path).count() shouldBe 30L // both appends landed
+    // now genuinely concurrent writers: every batch must survive
+    val base = TxLog.currentVersion(path).get
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until 5).foreach { i =>
+          TxLog.commitWithRetry(path, maxRetries = 20) { v =>
+            TxLog.append(rows(10000 + w * 1000 + i * 100 until
+              10000 + w * 1000 + i * 100 + 10), path, v)
+          }
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    errs shouldBe empty
+    // serializable history: one version per commit, all rows present
+    TxLog.currentVersion(path).get shouldBe (base + 10)
+    TxLog.read(spark, path).count() shouldBe (30L + 10 * 10)
+  }
+
+  test("checkpoint hint bounds discovery and never changes its result") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 5), path)
+    (0 until 12).foreach { i =>
+      TxLog.append(rows(100 + i * 10 until 100 + i * 10 + 5), path, i.toLong)
+    }
+    TxLog.currentVersion(path) shouldBe Some(12L)
+    val log = new java.io.File(path, TxLog.LogDirName)
+    val ckpt = new java.io.File(log, "_last_checkpoint")
+    ckpt.exists() shouldBe true // written at version 10
+    // garbage hint -> ignored, listing fallback
+    java.nio.file.Files.write(ckpt.toPath, "not a number".getBytes)
+    TxLog.currentVersion(path) shouldBe Some(12L)
+    // stale-but-valid hint -> forward probe finds the newest dense version
+    java.nio.file.Files.write(ckpt.toPath, "3".getBytes)
+    TxLog.currentVersion(path) shouldBe Some(12L)
+    // missing hint -> listing fallback
+    java.nio.file.Files.delete(ckpt.toPath)
+    TxLog.currentVersion(path) shouldBe Some(12L)
+    // a non-version json in the log dir is ignored, never parsed
+    java.nio.file.Files.write(
+      new java.io.File(log, "notes.json").toPath, "{}".getBytes)
+    TxLog.currentVersion(path) shouldBe Some(12L)
+    TxLog.read(spark, path).count() shouldBe (5L + 12 * 5)
+    // vacuum refreshes the hint to the newest retained version and the
+    // hint pointing below the horizon falls back cleanly
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    new String(java.nio.file.Files.readAllBytes(ckpt.toPath)).trim shouldBe "12"
+    java.nio.file.Files.write(ckpt.toPath, "5".getBytes) // vacuumed version
+    TxLog.currentVersion(path) shouldBe Some(12L)
+    TxLog.read(spark, path, asOf = Some(11L)).count() shouldBe (5L + 11 * 5)
+  }
+
+  test("a torn version file (external corruption) raises a named error, not NoSuchElement") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 5), path)
+    // publish links complete content atomically, so our writers cannot
+    // produce this; simulate external corruption of the newest version
+    val log = new java.io.File(path, TxLog.LogDirName)
+    java.nio.file.Files.write(
+      new java.io.File(log, f"${1L}%020d.json").toPath, Array.empty[Byte])
+    val e = intercept[IllegalStateException](TxLog.snapshot(path))
+    e.getMessage should include("not a valid version record")
+  }
+
   test("delete-all publishes an empty version that reads as an error, not garbage") {
     val path = freshPath()
     TxLog.init(rows(0 until 10), path)
