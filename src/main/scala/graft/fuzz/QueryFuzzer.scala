@@ -220,8 +220,35 @@ object QueryFuzzer {
       ("=",  (a: Column, b: Column) => a === b),
       ("<>", (a: Column, b: Column) => a =!= b))
 
+    /** NULL-folding integral expression: one modular bucket becomes NULL,
+      * the rest a SMALL modular range so two independent draws collide
+      * often — the value space where null-safe equality actually matters.
+      */
+    private def nullableInt(t: TableMeta): E = {
+      val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+      val m = 2 + rnd.nextInt(7)
+      val k = 2 + rnd.nextInt(5)
+      val base = s"CAST(${c.name} AS BIGINT)"
+      E(when(col(c.name).cast("long") % m === 0, lit(null).cast("long"))
+        .otherwise(col(c.name).cast("long") % k),
+        s"(CASE WHEN $base % $m = 0 THEN NULL ELSE $base % $k END)", TInt)
+    }
+
     private def boolExpr(t: TableMeta, depth: Int = 0): E = {
-      def leaf(): E = rnd.nextInt(8) match {
+      def leaf(): E = rnd.nextInt(9) match {
+        case 8 => // NULL-safe equality: Spark <=> vs IS [NOT] DISTINCT FROM
+          // (NULL <=> NULL is TRUE, NULL <=> x is FALSE — never UNKNOWN,
+          // unlike =; the one comparison that is total over nulls)
+          val a = nullableInt(t)
+          val b = if (rnd.nextInt(4) == 0)
+            E(lit(null).cast("long"), "NULL", TInt)
+          else nullableInt(t)
+          if (rnd.nextBoolean())
+            E(a.spark <=> b.spark,
+              s"(${a.sql} IS NOT DISTINCT FROM ${b.sql})", TBool)
+          else
+            E(!(a.spark <=> b.spark),
+              s"(${a.sql} IS DISTINCT FROM ${b.sql})", TBool)
         case 6 => // three-valued logic: IS [NOT] NULL on any column
           // (bites on join-null-extended sides and nullable aggs)
           val c = pick(t.cols)
@@ -553,7 +580,7 @@ object QueryFuzzer {
     // Query shapes
     // -------------------------------------------------------------------
 
-    def query(): FuzzQuery = rnd.nextInt(20) match {
+    def query(): FuzzQuery = rnd.nextInt(23) match {
       case 0 | 1 | 2     => filterProject()
       case 3 | 4 | 5 | 6 => groupAgg()
       case 7 | 8         => windowed()
@@ -563,7 +590,105 @@ object QueryFuzzer {
       case 14 | 15       => groupingSets()
       case 16 | 17       => rankFilter()
       case 18            => outerAgg()
-      case _             => scalarSubquery()
+      case 19            => scalarSubquery()
+      case 20 | 21       => decimalAgg()
+      case _             => reusedComputed()
+    }
+
+    /** DECIMAL-typed expression built EXACTLY (from an integral column —
+      * never by casting a double, whose .xx5 rounding direction differs
+      * between engines): base DECIMAL(18,3), optionally scaled by an exact
+      * 3-dp literal or summed with a second decimal. Result precisions
+      * differ between engines (Spark caps at 38 with its own growth rules,
+      * DuckDB widens differently) but the VALUES are exact rationals —
+      * fmt's trailing-zero normalization makes them comparable.
+      */
+    private def decimalExpr(t: TableMeta): E = {
+      val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+      val base = E(col(c.name).cast("long").cast("decimal(18,3)"),
+        s"CAST(CAST(${c.name} AS BIGINT) AS DECIMAL(18,3))", TInt)
+      rnd.nextInt(3) match {
+        case 0 => base
+        case 1 =>
+          val m = new java.math.BigDecimal(
+            s"${rnd.nextInt(9)}.${100 + rnd.nextInt(900)}")
+          E(base.spark * lit(m), s"(${base.sql} * ${m.toPlainString})", TInt)
+        case _ =>
+          val c2 = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+          E(base.spark + col(c2.name).cast("long").cast("decimal(18,3)"),
+            s"(${base.sql} + CAST(CAST(${c2.name} AS BIGINT) AS DECIMAL(18,3)))",
+            TInt)
+      }
+    }
+
+    /** Grouped DECIMAL aggregates — the one type family the grammar
+      * previously avoided: sum/min/max over exact decimals, where the
+      * engines' decimal-precision growth rules diverge hardest (values
+      * must still agree exactly).
+      */
+    private def decimalAgg(): FuzzQuery = {
+      val src = source()
+      val filter = if (rnd.nextBoolean()) Some(boolExpr(src.meta)) else None
+      val key = groupKey(src.meta)
+      val ds = (0 until (1 + rnd.nextInt(2))).map(_ => decimalExpr(src.meta))
+      val names = ds.indices.map(i => s"d$i")
+      val aggs = ds.map { d =>
+        rnd.nextInt(3) match {
+          case 0 => (sum(d.spark), s"sum(${d.sql})")
+          case 1 => (min(d.spark), s"min(${d.sql})")
+          case _ => (max(d.spark), s"max(${d.sql})")
+        }
+      }
+      val sql = s"SELECT ${key.sql} AS k0, " +
+        aggs.zip(names).map { case ((_, a), n) => s"$a AS $n" }.mkString(", ") +
+        s" FROM ${src.from}${src.whereSql(filter.map(_.sql))} GROUP BY k0"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val base = filter.foldLeft(src.build(s, dir))((d, f) => d.filter(f.spark))
+          base.groupBy(key.spark.as("k0"))
+            .agg(aggs.head._1.as(names.head),
+              aggs.tail.zip(names.tail).map { case ((a, _), n) => a.as(n) }: _*)
+        },
+        s"decimal-agg/${src.desc}")
+    }
+
+    /** Reused computed column (the LATERAL-alias shape): a derived value
+      * is named ONCE in an inner projection and consumed several times —
+      * including inside CASE and modular arithmetic — by the outer one.
+      * Exercises common-subexpression/projection-collapse paths; DuckDB
+      * executes the textual nested SELECT.
+      */
+    private def reusedComputed(): FuzzQuery = {
+      val src = source()
+      val filter = if (rnd.nextBoolean()) Some(boolExpr(src.meta)) else None
+      val v = intExpr(src.meta)
+      val ids = src.meta.tie.map(c =>
+        (col(c).cast("long"), s"CAST($c AS BIGINT)"))
+      val idNames = ids.indices.map(i => s"id$i")
+      val thr = rnd.nextInt(2000).toLong
+      val m = 2 + rnd.nextInt(9)
+      // full-outer sources carry no unique tie (ids empty): the projection
+      // is then just the computed column — duplicates are fine, the
+      // compare is multiset equality
+      val idSelect = ids.zip(idNames)
+        .map { case ((_, s0), n) => s"$s0 AS $n" } :+ s"${v.sql} AS v"
+      val innerSql = s"SELECT ${idSelect.mkString(", ")}" +
+        s" FROM ${src.from}${src.whereSql(filter.map(_.sql))}"
+      val outSelect = idNames ++ Seq("v",
+        s"(v + v) AS v2", s"(abs(v) % $m) AS v3",
+        s"(CASE WHEN v > $thr THEN v ELSE -v END) AS v4")
+      val sql = s"SELECT ${outSelect.mkString(", ")} FROM ($innerSql)"
+      FuzzQuery(seed, sql,
+        (s, dir) => {
+          val base = filter.foldLeft(src.build(s, dir))((d, f) => d.filter(f.spark))
+          val inner = base.select(ids.zip(idNames)
+            .map { case ((c0, _), n) => c0.as(n) } :+ v.spark.as("v"): _*)
+          inner.select(idNames.map(col) ++ Seq(col("v"),
+            (col("v") + col("v")).as("v2"),
+            (abs(col("v")) % m).as("v3"),
+            when(col("v") > thr, col("v")).otherwise(-col("v")).as("v4")): _*)
+        },
+        s"reused-computed/${src.desc}")
     }
 
     /** Aggregation over the NULL-EXTENDED side of a LEFT join: group by a

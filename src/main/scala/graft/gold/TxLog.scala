@@ -161,7 +161,15 @@ object TxLog {
     Snapshot(v, files)
   }
 
-  /** Read a snapshot as a DataFrame (file names resolve under `path`). */
+  /** Read a snapshot as a DataFrame (file names resolve under `path`).
+    * Reads with schema merging: a version whose APPENDS carried new
+    * columns (schema evolution through the log — commits are whole-file,
+    * so an append with a wider schema is already a legal version) serves
+    * the UNION schema, older files' missing columns as NULL — the
+    * `q_s14_schema_evolution` contract, now available under ACID commits.
+    * Single-schema tables pay one extra footer pass at planning time
+    * (metadata-scale; the data read is unchanged).
+    */
   def read(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
@@ -170,7 +178,8 @@ object TxLog {
       // table with no history has no schema — callers handle init
       throw new IllegalArgumentException(
         s"TxLog: version ${snap.version} of $path has no files")
-    spark.read.parquet(snap.files.map(f => s"$path/$f"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => s"$path/$f"): _*)
   }
 
   /** Publish `files` as version `v` — the content is staged to a temp file
@@ -206,7 +215,15 @@ object TxLog {
           }
       }
     } finally { java.nio.file.Files.deleteIfExists(tmp); () }
-    if (v % CheckpointInterval == 0) writeCheckpointHint(path, v)
+    // the commit IS the version file; the hint is advisory — a hint-write
+    // failure (disk pressure, races on exotic filesystems) must never make
+    // a SUCCEEDED commit look failed to the caller
+    if (v % CheckpointInterval == 0)
+      try writeCheckpointHint(path, v)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[txlog] checkpoint hint write failed at $path v$v: $e")
+      }
   }
 
   /** Retry loop around an optimistic commit: re-reads the current version

@@ -1,0 +1,42 @@
+package graft
+
+import graft.fuzz.StreamFuzzer
+
+/** A streaming-replay fuzz slice inside the unit suite: a handful of
+  * seeded random scenarios through the REAL replay harnesses (file
+  * source, watermarks, state store, sentinel flush) against in-process
+  * DuckDB batch twins. The full 250-per-round sweep runs via
+  * `runMain graft.StreamFuzz` (committed results in FUZZ_r09.json); this
+  * slice keeps the generator + harness pair honest on every `sbt test`
+  * at ~5 s/seed.
+  */
+class StreamFuzzSpec extends SparkSpecBase {
+
+  test("seeded random streaming replays equal their DuckDB batch twins") {
+    val tmpRoot =
+      java.nio.file.Files.createTempDirectory("graft_streamfuzz_spec").toString
+    val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      // seeds 0..5 cover all three modes (inner:1, outer:3, windowed:2)
+      val outcomes = (0L until 6L).map(StreamFuzzer.run(spark, con, tmpRoot, _))
+      val failures = outcomes.filterNot(_.ok)
+      withClue(failures.map(o =>
+        s"seed=${o.seed} ${o.desc}: ${o.error.getOrElse("")}\n").mkString) {
+        failures shouldBe empty
+      }
+      outcomes.count(_.sparkRows > 0) should be > 3
+      outcomes.map(_.desc.takeWhile(_ != '/')).toSet shouldBe
+        Set("inner", "outer", "windowed")
+    } finally {
+      con.close()
+      graft.core.Fs.rmTree(new java.io.File(tmpRoot))
+    }
+  }
+
+  test("scenario generation is deterministic per seed") {
+    (0L until 20L).foreach { seed =>
+      StreamFuzzer.generate(seed).sql shouldBe StreamFuzzer.generate(seed).sql
+      StreamFuzzer.generate(seed).rows shouldBe StreamFuzzer.generate(seed).rows
+    }
+  }
+}

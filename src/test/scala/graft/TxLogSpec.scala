@@ -142,24 +142,35 @@ class TxLogSpec extends SparkSpecBase {
   }
 
   test("touched-file discovery is one distributed probe, not a per-file job loop") {
-    val path = freshPath()
-    // 40 data files: the old per-file probe would launch >= 40 sequential
-    // jobs; the distributed input_file_name() probe is O(1) jobs in the
-    // file count (a small constant — probe + survivor write + publish)
-    TxLog.init(rows(0 until 4000).repartition(40), path)
-    TxLog.snapshot(path).files.size should be >= 40
-    val deleteJobs = countJobs {
-      TxLog.deleteWhere(spark, path, col("id") < 100L, 0L); ()
+    // the old per-file probe launched >= #files sequential jobs; the
+    // distributed input_file_name() probe is O(1) jobs in the file count
+    // (a small constant — probe + survivor write + publish). Proven as a
+    // CURVE: the job count must not grow with the file count.
+    val counts = Seq(8, 40, 120).map { nFiles =>
+      val path = freshPath()
+      TxLog.init(rows(0 until nFiles * 100).repartition(nFiles), path)
+      TxLog.snapshot(path).files.size should be >= nFiles
+      val deleteJobs = countJobs {
+        TxLog.deleteWhere(spark, path, col("id") < 100L, 0L); ()
+      }
+      TxLog.read(spark, path).count() shouldBe (nFiles * 100L - 100L)
+      val replaceJobs = countJobs {
+        TxLog.replaceWhereKeys(spark, path,
+          rows(200 until 210).select("id"), Seq("id"),
+          rows(200 until 210), expectedVersion = 1L); ()
+      }
+      TxLog.read(spark, path).count() shouldBe (nFiles * 100L - 100L)
+      withClue(s"nFiles=$nFiles: ") {
+        deleteJobs should be < 15
+        replaceJobs should be < 15
+      }
+      (nFiles, deleteJobs, replaceJobs)
     }
-    deleteJobs should be < 15
-    TxLog.read(spark, path).count() shouldBe 3900L
-    val replaceJobs = countJobs {
-      TxLog.replaceWhereKeys(spark, path,
-        rows(200 until 210).select("id"), Seq("id"),
-        rows(200 until 210), expectedVersion = 1L); ()
-    }
-    replaceJobs should be < 15
-    TxLog.read(spark, path).count() shouldBe 3900L
+    info("probe job counts (files, deleteJobs, replaceJobs): " +
+      counts.mkString(", "))
+    // flat curve: 15x the files must not even double the job count
+    val deleteCurve = counts.map(_._2)
+    deleteCurve.max should be <= (deleteCurve.min * 2)
   }
 
   test("stats-index pre-pruning: correct with a fresh AND a stale _graft_stats dir") {
@@ -262,6 +273,22 @@ class TxLogSpec extends SparkSpecBase {
     java.nio.file.Files.write(ckpt.toPath, "5".getBytes) // vacuumed version
     TxLog.currentVersion(path) shouldBe Some(12L)
     TxLog.read(spark, path, asOf = Some(11L)).count() shouldBe (5L + 11 * 5)
+  }
+
+  test("schema evolution through the log: widened appends serve the union schema") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path)
+    // append with a NEW column — a legal whole-file commit
+    val widened = rows(10 until 20).withColumn("score", col("id") * 2)
+    TxLog.append(widened, path, expectedVersion = 0L)
+    val cur = TxLog.read(spark, path)
+    cur.columns should contain("score")
+    cur.count() shouldBe 20L
+    // old files' missing column is NULL; new files carry values
+    cur.filter(col("score").isNull).count() shouldBe 10L
+    cur.agg(sum("score")).as[Long].head() shouldBe (10L until 20L).map(_ * 2).sum
+    // time travel below the evolution still serves the ORIGINAL schema
+    TxLog.read(spark, path, asOf = Some(0L)).columns should not contain "score"
   }
 
   test("a torn version file (external corruption) raises a named error, not NoSuchElement") {
