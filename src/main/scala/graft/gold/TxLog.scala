@@ -1,25 +1,36 @@
 package graft.gold
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal OWN commit log — the transactional kernel of a lakehouse table
   * format (Delta's `_delta_log`, Iceberg's snapshots), re-expressed over
-  * plain parquet in ~300 lines. The real formats are environment-blocked
-  * (SCALING.md §ACID: the offline cache ships no lakehouse artifacts), and
-  * a full spec-compatible implementation would be out of scope — but the
+  * plain parquet. The real formats are environment-blocked (SCALING.md
+  * §ACID: the offline cache ships no lakehouse artifacts), and a full
+  * spec-compatible implementation would be out of scope — but the
   * SEMANTICS a user actually relies on are small and testable end-to-end:
   *
   *  - **Atomic commits / readers never see partial writes**: data files are
   *    written FIRST (immutable, never mutated in place), then a version
-  *    file `_graft_txlog/<v>.json` listing the table's COMPLETE file set is
-  *    published ATOMICALLY WITH ITS CONTENT — the JSON is staged to a temp
-  *    file and linked into place with an atomic fail-if-exists primitive,
-  *    so a version file either does not exist or is complete; readers
-  *    resolve the newest version file and read exactly its list, and an
-  *    interrupted writer leaves only invisible orphans (never a torn or
-  *    empty version file).
-  *  - **Optimistic concurrency**: the atomic link fails if the version
+  *    file `_graft_txlog/<v>.json` is published ATOMICALLY WITH ITS
+  *    CONTENT through a [[CommitPrimitive]] — a version file either does
+  *    not exist or is complete; readers resolve the newest version and
+  *    replay the log to its file list, and an interrupted writer leaves
+  *    only invisible orphans (never a torn or empty version file).
+  *  - **Delta-encoded commits**: each version file records only the ADD and
+  *    REMOVE actions of its commit (Delta's add/remove actions), so commit
+  *    metadata is O(changed files), not O(table files) — at 10⁵–10⁶ files
+  *    a 1-row append must not write tens of MB of metadata. Every
+  *    [[CheckpointInterval]] commits a full-file-list CHECKPOINT file
+  *    (`<v>.checkpoint.json`) is written alongside; [[snapshot]] resolves
+  *    newest-checkpoint-≤-v and replays only the tail, so read-side log
+  *    cost is O(commits since checkpoint) too. Checkpoints written at
+  *    commit time are advisory (corrupt/missing → longer replay, same
+  *    answer); the one [[vacuum]] writes at the oldest retained version is
+  *    LOAD-BEARING (it replaces the history vacuum deletes) and is written
+  *    atomically BEFORE anything is dropped.
+  *  - **Optimistic concurrency**: the atomic publish fails if the version
   *    already exists; two writers racing the same version → exactly one
   *    wins, the loser gets a named `ConcurrentModificationException` and
   *    must re-read + retry (the Delta/Iceberg commit protocol —
@@ -27,6 +38,15 @@ import org.apache.spark.sql.functions._
   *    alerts so operators see contention).
   *  - **Snapshot isolation + time travel**: `read(asOf = v)` serves any
   *    retained version — versions are immutable once written.
+  *  - **Schema in the log**: every version record carries the table schema
+  *    known at that commit (base schema widened by the written data's
+  *    schema — Delta stores table metadata in the log for the same
+  *    reason), so a version whose file list is EMPTY (delete-all — a legal
+  *    SQL state) reads as a schema-correct empty DataFrame instead of
+  *    erroring. When files exist, the schema authority for the read stays
+  *    parquet footer merging (`mergeSchema`) — time travel below a
+  *    widening append serves the files' own narrower schema; the recorded
+  *    schema is the authority ONLY for file-less versions.
   *  - **DELETE without eager rewrite of everything**: `deleteWhere` rewrites
   *    ONLY the files that contain matching rows. Touched-file discovery is
   *    ONE distributed job over all candidate files (`input_file_name()`
@@ -36,56 +56,136 @@ import org.apache.spark.sql.functions._
   *  - **Bounded log discovery**: every [[CheckpointInterval]] commits the
   *    newest version number is checkpointed to `_last_checkpoint`
   *    (Delta's same-named hint file); `currentVersion` probes forward from
-  *    the hint instead of listing the whole log dir, so resolution cost
-  *    stays O(commits since checkpoint) between vacuums. The hint is
-  *    advisory only — torn, stale, or missing hints fall back to a full
-  *    listing, so correctness never depends on it.
+  *    the hint instead of listing the whole log dir. The hint is advisory
+  *    only — torn, stale, or missing hints fall back to a full listing, so
+  *    correctness never depends on it.
   *
   * NOT implemented (documented, not hidden): column-level stats IN the log
-  * (the sibling `_graft_stats` dir serves that role), schema evolution
-  * through the log, multi-table transactions. ([[vacuum]] covers
-  * orphan/superseded data-file cleanup under a retention horizon.) The
-  * point is exercising the COMMIT SEMANTICS the MERGE seam (`DimStore`)
-  * pins, end-to-end, with a DuckDB oracle over the final states — not
-  * re-shipping Delta.
+  * (the sibling `_graft_stats` dir serves that role), multi-table
+  * transactions. ([[vacuum]] covers orphan/superseded data-file cleanup
+  * under a retention horizon.) The point is exercising the COMMIT
+  * SEMANTICS the MERGE seam (`DimStore`) pins, end-to-end, with a DuckDB
+  * oracle over the final states — not re-shipping Delta.
   *
-  * Atomicity caveat: `Files.createLink` is atomic on local/HDFS semantics;
-  * on eventual-consistency object stores the real formats use a
-  * coordination service (DynamoDB for S3 Delta) — same seam, swapped
-  * primitive. On filesystems without hard links the publish falls back to
-  * create-then-write, which narrows (but does not close) the torn-write
-  * window; [[snapshot]] additionally treats an unreadable newest version
-  * as retry-able rather than table-bricking.
+  * Atomicity is pluggable via [[CommitPrimitive]]: the default
+  * [[CommitPrimitive.HardLink]] stages content and hard-links it into
+  * place (atomic with content on local/HDFS semantics), degrading
+  * automatically to [[CommitPrimitive.CreateWrite]] (atomic existence,
+  * narrow torn-content window) on filesystems without links. On
+  * eventual-consistency object stores the real formats use a coordination
+  * service (DynamoDB for S3 Delta) — same seam, swapped primitive.
+  * [[snapshot]] additionally treats an unreadable newest version as
+  * retry-able rather than table-bricking.
   */
 object TxLog {
 
   val LogDirName = "_graft_txlog"
 
-  /** Checkpoint the version hint every this-many commits. */
+  /** Checkpoint the version hint + full-file-list checkpoint every
+    * this-many commits.
+    */
   val CheckpointInterval = 10L
 
   private val CheckpointName = "_last_checkpoint"
 
   /** Exactly the names [[publish]] writes — editor droppings, temp files,
-    * and the checkpoint hint in the log dir are ignored, never parsed.
+    * checkpoint files, and the checkpoint hint in the log dir are ignored,
+    * never parsed as version records.
     */
   private val VersionRe = "^(\\d{20})\\.json$".r
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  private val CheckpointFileRe = "^(\\d{20})\\.checkpoint\\.json$".r
+
+  final case class Snapshot(version: Long, files: Seq[String],
+      schema: Option[StructType] = None)
 
   final class ConflictException(version: Long)
     extends java.util.ConcurrentModificationException(
       s"TxLog: version $version was committed by another writer - " +
         "re-read the table and retry the commit")
 
+  /** The atomic create-with-content seam under [[publish]]: create
+    * `target` holding `bytes`, failing with
+    * `FileAlreadyExistsException` if the target exists. The commit
+    * protocol needs exactly this one primitive; everything above it
+    * (optimistic concurrency, atomic visibility) is primitive-agnostic,
+    * which is what makes an object-store coordination-service
+    * implementation a drop-in later.
+    */
+  sealed trait CommitPrimitive {
+    @throws[java.nio.file.FileAlreadyExistsException]
+    def create(target: java.nio.file.Path, bytes: Array[Byte]): Unit
+  }
+
+  object CommitPrimitive {
+
+    /** Stage to a temp file in the target dir, then `Files.createLink`
+      * into place: the target appears atomically WITH its complete
+      * content, and the link fails if the target exists. Atomic on
+      * local/POSIX/HDFS semantics. Throws `UnsupportedOperationException`
+      * on filesystems without hard links — [[publish]] degrades to
+      * [[CreateWrite]] there.
+      */
+    case object HardLink extends CommitPrimitive {
+      def create(target: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+        val tmp = java.nio.file.Files.createTempFile(target.getParent, ".v", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.createLink(target, tmp)
+          ()
+        } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+      }
+    }
+
+    /** Degraded fallback: atomic `Files.createFile` (fail-if-exists)
+      * followed by the content write. Existence is still atomic — racing
+      * writers are still serialized — but a reader can observe the file
+      * between create and write (the torn-content window the scaladoc
+      * documents; [[snapshot]] treats an unreadable newest version as
+      * retry-able). NOT an atomic rename: POSIX rename() silently
+      * REPLACES an existing target, which would clobber a concurrent
+      * winner's commit.
+      */
+    case object CreateWrite extends CommitPrimitive {
+      def create(target: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+        val p = java.nio.file.Files.createFile(target) // atomic fail-if-exists
+        java.nio.file.Files.write(p, bytes)
+        ()
+      }
+    }
+  }
+
+  /** Process-wide publish primitive (tests swap it via [[usingPrimitive]];
+    * production keeps the default).
+    */
+  @volatile private var primitive: CommitPrimitive = CommitPrimitive.HardLink
+
+  /** Run `body` with `p` as the publish primitive (restores the previous
+    * primitive after; for specs that prove the ACID contract holds under
+    * BOTH implementations).
+    */
+  def usingPrimitive[T](p: CommitPrimitive)(body: => T): T = {
+    val prev = primitive
+    primitive = p
+    try body finally primitive = prev
+  }
+
   private def logDir(path: String) = new java.io.File(path, LogDirName)
 
   private def versionFile(path: String, v: Long) =
     new java.io.File(logDir(path), f"$v%020d.json")
 
+  private def checkpointVersionFile(path: String, v: Long) =
+    new java.io.File(logDir(path), f"$v%020d.checkpoint.json")
+
   private def listVersionNumbers(path: String): Seq[Long] =
     Option(logDir(path).listFiles()).getOrElse(Array.empty)
       .flatMap(f => VersionRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      .toSeq.sorted
+
+  private def listCheckpointVersions(path: String): Seq[Long] =
+    Option(logDir(path).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => CheckpointFileRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
       .toSeq.sorted
 
   private def checkpointFile(path: String) =
@@ -139,26 +239,154 @@ object TxLog {
         if (vs.isEmpty) None else Some(vs.max)
     }
 
+  // ---------------------------------------------------------------------
+  // Version-record / checkpoint serialization.
+  //
+  // One-line JSON, hand-rolled both ways (no JSON lib in the dependency
+  // budget). File names are part-*.parquet (no quotes/commas/escapes);
+  // the schema is arbitrary JSON, so it ships BASE64-wrapped to keep the
+  // record trivially parseable.
+  //
+  //   delta record:  {"version":N,"schemaB64":"...","add":[..],"remove":[..]}
+  //   full record:   {"version":N,"files":[..]}          (legacy v1 format)
+  //   checkpoint:    {"version":N,"schemaB64":"...","files":[..]}
+  // ---------------------------------------------------------------------
+
+  private final case class VersionRecord(full: Option[Seq[String]],
+      add: Seq[String], remove: Seq[String], schemaB64: Option[String])
+
+  private def quoteList(fs: Seq[String]): String =
+    fs.map("\"" + _ + "\"").mkString(",")
+
+  /** `Some(names)` when `"key":[...]` is present (empty array → Some(Nil)),
+    * None when the key is absent.
+    */
+  private def parseList(text: String, key: String): Option[Seq[String]] =
+    ("\"" + key + "\"\\s*:\\s*\\[(.*?)\\]").r.findFirstMatchIn(text)
+      .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq)
+
+  private def parseSchemaB64(text: String): Option[String] =
+    "\"schemaB64\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r.findFirstMatchIn(text)
+      .map(_.group(1)).filter(_.nonEmpty)
+
+  private def schemaToB64(s: StructType): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def schemaFromB64(b: String): StructType =
+    DataType.fromJson(new String(java.util.Base64.getDecoder.decode(b),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  /** The cumulative table schema after committing `written` on top of
+    * `base`: base fields (updated in place if the written data re-declares
+    * them) plus written-only fields appended — the widen-only evolution
+    * the whole-file commit model supports. Stored in the version record so
+    * file-less versions keep a readable schema.
+    */
+  private def mergeSchemas(base: Option[StructType],
+      written: StructType): StructType = base match {
+    case None => written
+    case Some(b) =>
+      val baseNames = b.fieldNames.toSet
+      StructType(
+        b.fields.map(f => written.fields.find(_.name == f.name).getOrElse(f)) ++
+          written.fields.filterNot(f => baseNames.contains(f.name)))
+  }
+
+  private def parseRecord(path: String, v: Long): VersionRecord = {
+    val f = versionFile(path, v)
+    require(f.exists(), s"TxLog: version $v does not exist at $path " +
+      s"(newest is ${currentVersion(path).getOrElse(-1L)}; versions below " +
+      "the vacuum retention horizon are gone)")
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val full = parseList(text, "files")
+    val add = parseList(text, "add")
+    val remove = parseList(text, "remove")
+    if (full.isEmpty && add.isEmpty && remove.isEmpty)
+      // publish is atomic (content linked into place complete), so this is
+      // corruption, not a race — name the file instead of a bare
+      // NoSuchElementException
+      throw new IllegalStateException(
+        s"TxLog: version file ${f.getPath} is not a valid version record")
+    VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
+      parseSchemaB64(text))
+  }
+
+  /** `(files, schema)` from checkpoint file `v`, or None when missing or
+    * unreadable (the caller replays a longer tail — commit-time
+    * checkpoints never change the answer; the load-bearing vacuum
+    * checkpoint is only consulted when the history below it is gone, and
+    * its absence surfaces as [[parseRecord]]'s named missing-version
+    * error).
+    */
+  private def readCheckpoint(path: String,
+      v: Long): Option[(Seq[String], Option[StructType])] =
+    try {
+      val f = checkpointVersionFile(path, v)
+      if (!f.exists()) None
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        parseList(text, "files").map(fs =>
+          (fs, parseSchemaB64(text).map(schemaFromB64)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Atomically (re)write checkpoint file `v` — deterministic content for
+    * a given version, so REPLACE is idempotent.
+    */
+  private def writeCheckpointFile(path: String, v: Long, files: Seq[String],
+      schema: Option[StructType]): Unit = {
+    val schemaPart = schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
+    val json = s"""{"version":$v,$schemaPart"files":[${quoteList(files)}]}"""
+    val dir = logDir(path).toPath
+    val tmp = java.nio.file.Files.createTempFile(dir, ".ckptfile", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, checkpointVersionFile(path, v).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  /** Resolve version `v`'s file list + schema: newest readable checkpoint
+    * ≤ `v` as the base (skipped entirely when `useCheckpoints` is false —
+    * the spec's checkpoint+tail ≡ full-replay proof), then replay the
+    * action tail. O(commits since checkpoint) record reads.
+    */
+  private[graft] def resolve(path: String, v: Long,
+      useCheckpoints: Boolean = true): Snapshot = {
+    val base: Option[(Long, Seq[String], Option[StructType])] =
+      if (!useCheckpoints) None
+      else listCheckpointVersions(path).filter(_ <= v).sorted.reverse
+        .iterator.flatMap(cv =>
+          readCheckpoint(path, cv).map { case (fs, sch) => (cv, fs, sch) })
+        .nextOption()
+    var files = base.map(_._2).getOrElse(Seq.empty[String])
+    var schema = base.flatMap(_._3)
+    val start = base.map(_._1 + 1).getOrElse(0L)
+    var w = start
+    while (w <= v) {
+      val rec = parseRecord(path, w)
+      rec.full match {
+        case Some(fs) => files = fs // legacy full record: absolute reset
+        case None =>
+          val rm = rec.remove.toSet
+          files = files.filterNot(rm.contains) ++ rec.add
+      }
+      schema = rec.schemaB64.map(schemaFromB64).orElse(schema)
+      w += 1
+    }
+    Snapshot(v, files, schema)
+  }
+
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
     val v = asOf.orElse(currentVersion(path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
-    val f = versionFile(path, v)
-    require(f.exists(), s"TxLog: version $v does not exist at $path " +
-      s"(newest is ${currentVersion(path).getOrElse(-1L)})")
-    val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    // one-line JSON of the shape {"version":N,"files":["name",...]}
-    val files = "\"files\"\\s*:\\s*\\[(.*?)\\]".r
-      .findFirstMatchIn(text).getOrElse(
-        // publish is atomic (content linked into place complete), so this
-        // is corruption, not a race — name the file instead of a bare
-        // NoSuchElementException
-        throw new IllegalStateException(
-          s"TxLog: version file ${f.getPath} is not a valid version record"))
-      .group(1)
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
-    Snapshot(v, files)
+    resolve(path, v)
   }
 
   /** Read a snapshot as a DataFrame (file names resolve under `path`).
@@ -169,60 +397,75 @@ object TxLog {
     * `q_s14_schema_evolution` contract, now available under ACID commits.
     * Single-schema tables pay one extra footer pass at planning time
     * (metadata-scale; the data read is unchanged).
+    *
+    * A version with NO files (delete-all — a legal SQL state) reads as an
+    * EMPTY DataFrame with the schema the log recorded at that commit; the
+    * parquet footers stay the schema authority whenever files exist, the
+    * log only when there is nothing else to consult. Pre-schema legacy
+    * logs (no recorded schema) still error on empty versions.
     */
   def read(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(path, asOf)
     if (snap.files.isEmpty)
-      // schema from ANY data file ever written would be arbitrary; an empty
-      // table with no history has no schema — callers handle init
-      throw new IllegalArgumentException(
-        s"TxLog: version ${snap.version} of $path has no files")
-    spark.read.option("mergeSchema", "true")
-      .parquet(snap.files.map(f => s"$path/$f"): _*)
+      snap.schema match {
+        case Some(sch) =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+        case None =>
+          throw new IllegalArgumentException(
+            s"TxLog: version ${snap.version} of $path has no files and no " +
+              "recorded schema (legacy log) - nothing to serve")
+      }
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$path/$f"): _*)
   }
 
-  /** Publish `files` as version `v` — the content is staged to a temp file
-    * and LINKED into place, so the version file appears atomically with
-    * its complete content and the create fails if the version exists
-    * (loser raises [[ConflictException]]). A reader can never observe an
+  /** Publish one commit as version `v`: a DELTA action record (`add` /
+    * `remove` — O(changed files) bytes) through the configured
+    * [[CommitPrimitive]], so the version file appears atomically with its
+    * complete content and the create fails if the version exists (loser
+    * raises [[ConflictException]]). A reader can never observe an
     * empty/torn version file, and a writer crash leaves only an invisible
     * `.tmp` (reaped by [[vacuum]]).
+    *
+    * Every [[CheckpointInterval]] commits, additionally writes the
+    * full-file-list checkpoint (`fullFiles` — the committer already holds
+    * it) and refreshes the `_last_checkpoint` hint. The commit IS the
+    * version file; checkpoint/hint failures must never make a SUCCEEDED
+    * commit look failed to the caller.
     */
-  private def publish(path: String, v: Long, files: Seq[String]): Unit = {
+  private def publish(path: String, v: Long, fullFiles: Seq[String],
+      add: Seq[String], remove: Seq[String],
+      schema: Option[StructType]): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
-    val json = s"""{"version":$v,"files":[${
-      files.map("\"" + _ + "\"").mkString(",")}]}"""
+    val schemaPart =
+      schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
+    val json = s"""{"version":$v,$schemaPart"add":[${quoteList(add)}],""" +
+      s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
-    val tmp = java.nio.file.Files.createTempFile(dir.toPath, ".v", ".tmp")
-    try {
-      java.nio.file.Files.write(tmp, bytes)
-      try java.nio.file.Files.createLink(target, tmp) // atomic fail-if-exists
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConflictException(v)
-        case _: UnsupportedOperationException =>
-          // no hard links on this filesystem: degraded create-then-write
-          // (original protocol; window documented in the scaladoc)
-          try {
-            val p = java.nio.file.Files.createFile(target)
-            java.nio.file.Files.write(p, bytes)
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              throw new ConflictException(v)
-          }
-      }
-    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
-    // the commit IS the version file; the hint is advisory — a hint-write
-    // failure (disk pressure, races on exotic filesystems) must never make
-    // a SUCCEEDED commit look failed to the caller
+    try primitive.create(target, bytes)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConflictException(v)
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: degraded atomic-existence
+        // publish (window documented on CommitPrimitive.CreateWrite)
+        try CommitPrimitive.CreateWrite.create(target, bytes)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new ConflictException(v)
+        }
+    }
     if (v % CheckpointInterval == 0)
-      try writeCheckpointHint(path, v)
-      catch {
+      try {
+        writeCheckpointFile(path, v, fullFiles, schema)
+        writeCheckpointHint(path, v)
+      } catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[txlog] checkpoint hint write failed at $path v$v: $e")
+          System.err.println(s"[txlog] checkpoint write failed at $path v$v: $e")
       }
   }
 
@@ -278,29 +521,36 @@ object TxLog {
     require(currentVersion(path).isEmpty, s"TxLog: table already exists at $path")
     new java.io.File(path).mkdirs()
     val files = writeDataFiles(df, path)
-    publish(path, 0L, files)
-    Snapshot(0L, files)
+    publish(path, 0L, files, add = files, remove = Nil, Some(df.schema))
+    Snapshot(0L, files, Some(df.schema))
   }
 
-  /** Append rows: new files + carried-over references, one new version.
-    * `expectedVersion` is the optimistic-concurrency token: pass the
-    * version you READ; if someone committed since, the publish conflicts.
+  /** Append rows: an add-only action record (O(new files) metadata) on top
+    * of carried-over references. `expectedVersion` is the
+    * optimistic-concurrency token: pass the version you READ; if someone
+    * committed since, the publish conflicts.
     */
   def append(df: DataFrame, path: String, expectedVersion: Long): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
-    val files = base.files ++ writeDataFiles(df, path)
-    publish(path, expectedVersion + 1, files)
-    Snapshot(expectedVersion + 1, files)
+    val added = writeDataFiles(df, path)
+    val schema = mergeSchemas(base.schema, df.schema)
+    val files = base.files ++ added
+    publish(path, expectedVersion + 1, files, add = added, remove = Nil,
+      Some(schema))
+    Snapshot(expectedVersion + 1, files, Some(schema))
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
     * `retainVersions`, (b) data files referenced by NO retained version
     * — both orphans from losing/crashed writers and files superseded by
-    * delete/replace rewrites — and (c) abandoned staging `.tmp` files in
-    * the log dir. Time travel below the retention horizon becomes an
-    * error (the lakehouse trade every format makes). Refreshes the
-    * `_last_checkpoint` hint to the newest retained version. Returns the
-    * deleted file names.
+    * delete/replace rewrites — (c) checkpoint files below the retained
+    * range, and (d) abandoned staging `.tmp` files in the log dir. Time
+    * travel below the retention horizon becomes an error (the lakehouse
+    * trade every format makes). BEFORE dropping anything, atomically
+    * writes a full checkpoint at the OLDEST retained version — the
+    * replacement for the action history being deleted; retained versions
+    * replay from it. Refreshes the `_last_checkpoint` hint to the newest
+    * retained version. Returns the deleted file names.
     *
     * Single-writer window contract, like every VACUUM: a reader holding a
     * below-horizon snapshot open races the delete — retain generously on
@@ -319,9 +569,20 @@ object TxLog {
     val all = listVersionNumbers(path)
     require(all.nonEmpty, s"TxLog: no table at $path")
     val kept = all.takeRight(retainVersions)
-    val referenced = kept.flatMap(v => snapshot(path, Some(v)).files).toSet
+    val snaps = kept.map(v => snapshot(path, Some(v)))
+    val referenced = snaps.flatMap(_.files).toSet
+    // reconstruction base for the oldest retained version, written
+    // atomically BEFORE its history is dropped — this checkpoint is
+    // load-bearing (unlike commit-time ones)
+    val oldest = snaps.head
+    writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema)
     val droppedVersions = all.dropRight(retainVersions).map { v =>
       val f = versionFile(path, v)
+      java.nio.file.Files.delete(f.toPath)
+      f.getName
+    }
+    val droppedCkpts = listCheckpointVersions(path).filter(_ < kept.min).map { v =>
+      val f = checkpointVersionFile(path, v)
       java.nio.file.Files.delete(f.toPath)
       f.getName
     }
@@ -344,7 +605,7 @@ object TxLog {
         f.lastModified() < horizon)
       .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
     writeCheckpointHint(path, kept.max)
-    (droppedVersions ++ droppedData ++ droppedTmp).toSeq
+    (droppedVersions ++ droppedCkpts ++ droppedData ++ droppedTmp).toSeq
   }
 
   /** Basename of an `input_file_name()` URI. */
@@ -439,19 +700,26 @@ object TxLog {
         if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
       }
     val added = writeDataFiles(newData, path)
+    val schema = mergeSchemas(base.schema, newData.schema)
     val files = untouched ++ rewritten ++ added
-    publish(path, expectedVersion + 1, files)
-    Snapshot(expectedVersion + 1, files)
+    publish(path, expectedVersion + 1, files,
+      add = rewritten ++ added, remove = touched.toSeq.sorted, Some(schema))
+    Snapshot(expectedVersion + 1, files, Some(schema))
   }
 
   /** Delete matching rows: only files CONTAINING matches are rewritten
     * (survivor rows re-written as new files); clean files carry over by
-    * reference. Discovery is one distributed job; `statsHint = Some((col,
-    * lo, hi))` additionally pre-prunes candidates through the table's
-    * `_graft_stats` index when the caller knows a bounding interval
-    * implied by `cond` (the predicate itself is arbitrary, so the bound
-    * cannot be derived automatically — sound either way, the row-level
-    * filter still applies).
+    * reference — the commit records remove = touched, add = rewritten
+    * (O(touched) metadata). Discovery is one distributed job.
+    *
+    * `statsHint = Some((col, lo, hi))` additionally pre-prunes candidates
+    * through the table's `_graft_stats` index. The hint MUST be a
+    * SUPERSET bound of `cond`'s matching rows: files the index proves
+    * disjoint from [lo, hi] are never probed, so matching rows OUTSIDE
+    * the hinted interval silently SURVIVE the delete — the row-level
+    * filter only runs over files that survive pruning. A wrong hint is a
+    * data-correctness bug (silent under-delete), not a performance knob;
+    * when in doubt pass None.
     */
   def deleteWhere(spark: SparkSession, path: String,
       cond: Column, expectedVersion: Long,
@@ -475,7 +743,8 @@ object TxLog {
           .filter(!coalesce(cond, lit(false)))
         if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
       }
-    publish(path, expectedVersion + 1, untouched ++ rewritten)
-    Snapshot(expectedVersion + 1, untouched ++ rewritten)
+    publish(path, expectedVersion + 1, untouched ++ rewritten,
+      add = rewritten, remove = touched.toSeq.sorted, base.schema)
+    Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema)
   }
 }

@@ -303,14 +303,128 @@ class TxLogSpec extends SparkSpecBase {
     e.getMessage should include("not a valid version record")
   }
 
-  test("delete-all publishes an empty version that reads as an error, not garbage") {
+  test("delete-all reads as a schema-correct EMPTY table (schema lives in the log)") {
     val path = freshPath()
     TxLog.init(rows(0 until 10), path)
     TxLog.deleteWhere(spark, path, lit(true), 0L)
-    val e = intercept[IllegalArgumentException] {
-      TxLog.read(spark, path)
-    }
-    e.getMessage should include("no files")
+    // an empty table is a legal SQL state: schema from the log, zero rows
+    val empty = TxLog.read(spark, path)
+    empty.count() shouldBe 0L
+    empty.columns.toSeq shouldBe Seq("id", "payload", "grp")
+    empty.schema("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    // time travel below the delete still serves the data
     TxLog.read(spark, path, asOf = Some(0L)).count() shouldBe 10L
+    // the table stays writable: append on the empty base works
+    TxLog.append(rows(50 until 55), path, expectedVersion = 1L)
+    TxLog.read(spark, path).count() shouldBe 5L
+    // schema evolution is reflected in the recorded schema too: widen,
+    // delete all, and the empty read carries the widened column
+    TxLog.append(rows(60 until 62).withColumn("extra", lit(1)), path, 2L)
+    TxLog.deleteWhere(spark, path, lit(true), 3L)
+    TxLog.read(spark, path).columns should contain("extra")
+  }
+
+  test("commits are delta-encoded: a late append's record is O(changed files)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(10), path)
+    (0 until 5).foreach { i =>
+      TxLog.append(rows(100 + i * 10 until 100 + i * 10 + 10), path, i.toLong)
+    }
+    val s = TxLog.snapshot(path)
+    s.files.size should be >= 15
+    // the NEWEST record must reference only its own added files — none of
+    // the base table's files (O(changed), not O(table) metadata)
+    val log = new java.io.File(path, TxLog.LogDirName)
+    val recText = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(log, f"${5L}%020d.json").toPath))
+    val baseFiles = TxLog.snapshot(path, Some(4L)).files.toSet
+    val mentioned = s.files.filter(f => recText.contains(f))
+    mentioned.toSet.intersect(baseFiles) shouldBe empty
+    mentioned should not be empty
+    // a delete's record carries remove actions, not the untouched list
+    val before = TxLog.snapshot(path)
+    TxLog.deleteWhere(spark, path, col("id") < 10L, 5L)
+    val delText = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(log, f"${6L}%020d.json").toPath))
+    val untouchedKept =
+      TxLog.snapshot(path).files.toSet.intersect(before.files.toSet)
+    untouchedKept should not be empty
+    untouchedKept.count(delText.contains) shouldBe 0
+  }
+
+  test("checkpoint + tail replay == full action replay across append/delete/replace/vacuum") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartitionByRange(4, col("id")), path)
+    // mixed history crossing two checkpoint boundaries (v10, v20)
+    (0 until 9).foreach { i =>
+      TxLog.append(rows(100 + i * 10 until 100 + i * 10 + 10), path, i.toLong)
+    }
+    TxLog.deleteWhere(spark, path, col("id") < 20L, 9L) // v10 (checkpointed)
+    (0 until 9).foreach { i =>
+      TxLog.append(rows(1000 + i * 10 until 1000 + i * 10 + 10), path, 10L + i)
+    }
+    TxLog.replaceWhereKeys(spark, path, rows(50 until 60).select("id"),
+      Seq("id"), rows(50 until 60), expectedVersion = 19L) // v20 (checkpointed)
+    TxLog.append(rows(5000 until 5010), path, 20L) // v21 tail past checkpoint
+    val cur = TxLog.currentVersion(path).get
+    cur shouldBe 21L
+    // commit-time checkpoints exist at 0, 10, 20
+    (0L to cur).foreach { v =>
+      val viaCkpt = TxLog.resolve(path, v, useCheckpoints = true)
+      val fullReplay = TxLog.resolve(path, v, useCheckpoints = false)
+      withClue(s"version $v: ") {
+        viaCkpt.files.sorted shouldBe fullReplay.files.sorted
+        viaCkpt.schema shouldBe fullReplay.schema
+      }
+    }
+    val countsBefore =
+      (18L to cur).map(v => TxLog.read(spark, path, asOf = Some(v)).count())
+    // vacuum drops history below v18; retained versions must still resolve
+    // (through the load-bearing checkpoint vacuum writes at the oldest
+    // retained version)
+    TxLog.vacuum(path, retainVersions = 4, minAgeMs = 0L)
+    (18L to cur).zip(countsBefore).foreach { case (v, c) =>
+      TxLog.read(spark, path, asOf = Some(v)).count() shouldBe c
+    }
+    intercept[Exception](TxLog.snapshot(path, Some(17L)))
+    ()
+  }
+
+  test("ACID contract holds under BOTH commit primitives (hard-link and create-write)") {
+    Seq(TxLog.CommitPrimitive.HardLink, TxLog.CommitPrimitive.CreateWrite)
+      .foreach { prim =>
+        TxLog.usingPrimitive(prim) {
+          withClue(s"primitive $prim: ") {
+            val path = freshPath()
+            TxLog.init(rows(0 until 50).repartition(2), path)
+            TxLog.append(rows(50 until 70), path, expectedVersion = 0L)
+            // optimistic concurrency: stale writer raises, table unchanged
+            intercept[TxLog.ConflictException] {
+              TxLog.append(rows(70 until 90), path, expectedVersion = 0L)
+            }
+            TxLog.read(spark, path).count() shouldBe 70L
+            TxLog.deleteWhere(spark, path, col("id") < 10L, 1L)
+            TxLog.read(spark, path).count() shouldBe 60L
+            // time travel intact
+            TxLog.read(spark, path, asOf = Some(0L)).count() shouldBe 50L
+            // genuinely racing writers: exactly one winner per version
+            val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+            val threads = (0 until 2).map { w =>
+              new Thread(() => {
+                try (0 until 3).foreach { i =>
+                  TxLog.commitWithRetry(path, maxRetries = 20) { v =>
+                    TxLog.append(rows(1000 + w * 100 + i * 10 until
+                      1000 + w * 100 + i * 10 + 5), path, v)
+                  }
+                } catch { case t: Throwable => errs.add(t); () }
+              })
+            }
+            threads.foreach(_.start()); threads.foreach(_.join())
+            errs shouldBe empty
+            TxLog.currentVersion(path).get shouldBe 8L
+            TxLog.read(spark, path).count() shouldBe (60L + 6 * 5)
+          }
+        }
+      }
   }
 }
