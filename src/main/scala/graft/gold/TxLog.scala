@@ -74,8 +74,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * narrow torn-content window) on filesystems without links. On
   * eventual-consistency object stores the real formats use a coordination
   * service (DynamoDB for S3 Delta) — same seam, swapped primitive.
-  * [[snapshot]] additionally treats an unreadable newest version as
-  * retry-able rather than table-bricking.
+  * [[snapshot]] raises a NAMED `not a valid version record` error for an
+  * unreadable version rather than a bare parse failure; under the default
+  * HardLink primitive that error is always corruption, while under the
+  * degraded CreateWrite primitive an unreadable NEWEST version can also be
+  * a transient torn-content race — the error is retry-able BY THE CALLER
+  * there (snapshot itself does not retry: it cannot distinguish a racing
+  * writer from real corruption, and a retry loop on corruption would hang).
   */
 object TxLog {
 
@@ -155,20 +160,24 @@ object TxLog {
     }
   }
 
-  /** Process-wide publish primitive (tests swap it via [[usingPrimitive]];
-    * production keeps the default).
+  /** Publish primitive for the current dynamic scope (tests swap it via
+    * [[usingPrimitive]]; production keeps the default). A DynamicVariable
+    * (InheritableThreadLocal-backed), NOT a process-wide var: one spec
+    * exercising the degraded primitive must not silently degrade every
+    * other table/thread in the JVM, and nested scopes restore correctly.
+    * Threads constructed INSIDE a [[usingPrimitive]] block inherit the
+    * scoped primitive; pre-existing threads keep their own.
     */
-  @volatile private var primitive: CommitPrimitive = CommitPrimitive.HardLink
+  private val primitive =
+    new scala.util.DynamicVariable[CommitPrimitive](CommitPrimitive.HardLink)
 
-  /** Run `body` with `p` as the publish primitive (restores the previous
-    * primitive after; for specs that prove the ACID contract holds under
-    * BOTH implementations).
+  /** Run `body` with `p` as the publish primitive for the current thread
+    * (and threads it constructs) — for specs that prove the ACID contract
+    * holds under BOTH implementations. Test seam only, hence the
+    * package-private scope.
     */
-  def usingPrimitive[T](p: CommitPrimitive)(body: => T): T = {
-    val prev = primitive
-    primitive = p
-    try body finally primitive = prev
-  }
+  private[graft] def usingPrimitive[T](p: CommitPrimitive)(body: => T): T =
+    primitive.withValue(p)(body)
 
   private def logDir(path: String) = new java.io.File(path, LogDirName)
 
@@ -278,17 +287,46 @@ object TxLog {
     DataType.fromJson(new String(java.util.Base64.getDecoder.decode(b),
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
 
+  /** True when re-declaring a `from`-typed field as `to` is same-or-wider
+    * (identical type, integral up-rank, or float→double). Everything else
+    * — narrowing, or a cross-family change like string→int — is rejected
+    * by [[mergeSchemas]] before it can be recorded as the table schema.
+    */
+  private def isSameOrWidened(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Int = d match {
+      case ByteType => 0; case ShortType => 1
+      case IntegerType => 2; case LongType => 3
+      case _ => -1
+    }
+    from == to || (from, to) == (FloatType, DoubleType) ||
+      (rank(from) >= 0 && rank(to) >= 0 && rank(from) <= rank(to))
+  }
+
   /** The cumulative table schema after committing `written` on top of
     * `base`: base fields (updated in place if the written data re-declares
     * them) plus written-only fields appended — the widen-only evolution
     * the whole-file commit model supports. Stored in the version record so
-    * file-less versions keep a readable schema.
+    * file-less versions keep a readable schema. A re-declare that NARROWS
+    * (or cross-family changes) a base field is rejected with a named error
+    * — recording it would make a later file-less (delete-all) read serve
+    * the narrowed type while the parquet footers (the authority whenever
+    * files exist) still carry the wide one.
     */
   private def mergeSchemas(base: Option[StructType],
       written: StructType): StructType = base match {
     case None => written
     case Some(b) =>
       val baseNames = b.fieldNames.toSet
+      b.fields.foreach { f =>
+        written.fields.find(_.name == f.name).foreach { w =>
+          require(isSameOrWidened(f.dataType, w.dataType),
+            s"TxLog: commit re-declares column '${f.name}' as " +
+              s"${w.dataType.simpleString}, narrowing/changing the table's " +
+              s"${f.dataType.simpleString} - only same-or-widened " +
+              "re-declares are recordable as the table schema")
+        }
+      }
       StructType(
         b.fields.map(f => written.fields.find(_.name == f.name).getOrElse(f)) ++
           written.fields.filterNot(f => baseNames.contains(f.name)))
@@ -304,12 +342,21 @@ object TxLog {
     val full = parseList(text, "files")
     val add = parseList(text, "add")
     val remove = parseList(text, "remove")
-    if (full.isEmpty && add.isEmpty && remove.isEmpty)
-      // publish is atomic (content linked into place complete), so this is
-      // corruption, not a race — name the file instead of a bare
-      // NoSuchElementException
+    // A record is valid ONLY as a complete legacy full-list record or a
+    // complete delta record with BOTH action keys ([[publish]] always
+    // writes both, `remove` last). A delta record with exactly one key
+    // present is a TRUNCATION: under the degraded CreateWrite primitive a
+    // reader racing the writer can observe the file cut after the add
+    // array — parsing it as remove=Nil would silently resurrect the
+    // commit's removed files. Every truncation must fail loudly instead.
+    // Under HardLink this error is corruption; under CreateWrite it can
+    // also be a transient race on the NEWEST version — retry-able by the
+    // caller either way the caller chooses.
+    if (!(full.isDefined || (add.isDefined && remove.isDefined)))
       throw new IllegalStateException(
-        s"TxLog: version file ${f.getPath} is not a valid version record")
+        s"TxLog: version file ${f.getPath} is not a valid version record " +
+          "(truncated or corrupt; under a degraded CreateWrite publish an " +
+          "unreadable NEWEST version can be a transient race - retry)")
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
       parseSchemaB64(text))
   }
@@ -446,7 +493,7 @@ object TxLog {
       s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
-    try primitive.create(target, bytes)
+    try primitive.value.create(target, bytes)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new ConflictException(v)

@@ -16,6 +16,12 @@ object Alerts {
       task: String,
       message: String)
 
+  /** THREAD-SAFETY CONTRACT: the parallel DAG runner (`Pipeline.run` with
+    * `parallelism > 1`) fires `send` from multiple pool threads
+    * concurrently — implementations must be safe under concurrent calls.
+    * (JsonFileSink's single append write is atomic enough per POSIX
+    * O_APPEND; CollectingSink synchronizes.)
+    */
   trait Sink {
     def send(alert: Alert): Unit
   }
@@ -48,9 +54,14 @@ object Alerts {
     }
   }
 
-  /** In-memory sink for specs. */
+  /** In-memory sink for specs. Synchronized: the parallel runner can fire
+    * alerts from several pool threads at once (see [[Sink]]'s contract),
+    * and an unguarded ArrayBuffer append under that race can lose or
+    * corrupt entries. `alerts` returns an immutable snapshot.
+    */
   final class CollectingSink extends Sink {
-    val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
-    override def send(a: Alert): Unit = { alerts += a; () }
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Alert]
+    def alerts: Seq[Alert] = synchronized(buf.toList)
+    override def send(a: Alert): Unit = synchronized { buf += a; () }
   }
 }

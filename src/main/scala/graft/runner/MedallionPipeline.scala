@@ -525,7 +525,7 @@ final case class MedallionPipeline(
     }
   }
 
-  /** `taskParallelism` (default 4) runs independent DAG tasks concurrently
+  /** `taskParallelism` (default 6) runs independent DAG tasks concurrently
     * — the Airflow executor-pool parity (the reference's bronze tasks fan
     * out in its DAGs). Per-run outputs are identical to a sequential run:
     * each task owns its paths and the byte-identical backfill proof runs

@@ -85,8 +85,19 @@ object Pipeline {
     report
   }
 
-  /** Run `t`'s body with its retry budget; returns the result + fires the
-    * task_failed alert on final failure (shared by both executors).
+  /** Base/cap for the exponential retry backoff: 100ms · 2^attempt,
+    * capped at 5s, jittered uniformly in [half, full] — immediate
+    * zero-delay re-runs hammer exactly the transient condition (storage
+    * blip, lock contention) a retry budget exists to ride out, and the
+    * jitter de-synchronizes parallel tasks retrying against the same
+    * resource (the thundering-herd rule every retry client follows).
+    */
+  private val RetryBaseBackoffMs = 100L
+  private val RetryMaxBackoffMs = 5000L
+
+  /** Run `t`'s body with its retry budget (bounded exponential backoff +
+    * jitter between attempts); returns the result + fires the task_failed
+    * alert on final failure (shared by both executors).
     */
   private def execute(t: Task, alerts: Option[Alerts.Sink],
       pipelineName: String): TaskResult = {
@@ -95,7 +106,16 @@ object Pipeline {
       try { t.body(); Succeeded }
       catch {
         case e: Throwable =>
-          if (left > 0) attempt(left - 1) else Failed(e)
+          if (left > 0) {
+            val exp = math.min(RetryMaxBackoffMs,
+              RetryBaseBackoffMs << math.min(20, t.retries - left))
+            val sleep = exp / 2 + java.util.concurrent.ThreadLocalRandom
+              .current().nextLong(exp / 2 + 1)
+            try Thread.sleep(sleep)
+            catch { case _: InterruptedException =>
+              Thread.currentThread().interrupt() }
+            attempt(left - 1)
+          } else Failed(e)
       }
     attempt(t.retries) match {
       case Succeeded =>
@@ -144,41 +164,59 @@ object Pipeline {
     order.foreach(t => remainingDeps.put(t.name, new AtomicInteger(t.deps.size)))
     val pool = Executors.newFixedThreadPool(parallelism)
     val latch = new CountDownLatch(order.size)
+    // dedicated first-completion token per task — NOT derived from
+    // `results` state: the old containsKey guard could see a task as
+    // "already complete" after a partial failure between results.put and
+    // latch.countDown and leave the latch hung forever
+    val completed = new ConcurrentHashMap[String, java.lang.Boolean]()
 
-    def complete(t: Task, r: TaskResult): Unit = {
-      results.put(t.name, r)
-      latch.countDown()
-      dependents.getOrElse(t.name, Nil).foreach { d =>
-        if (remainingDeps.get(d.name).decrementAndGet() == 0) schedule(d)
-      }
-    }
-
-    def schedule(t: Task): Unit = {
-      pool.submit(new Runnable {
-        override def run(): Unit =
-          try {
-            // deps are all COMPLETE here (scheduling fires on the last
-            // decrement); blocked = any dep that did not succeed
-            val blockedBy = t.deps.filter(d =>
-              results.get(d).status != Succeeded)
-            if (blockedBy.nonEmpty)
-              complete(t, TaskResult(t.name,
-                Skipped(s"upstream failed: ${blockedBy.mkString(",")}"), 0L))
-            else complete(t, execute(t, alerts, pipelineName))
-          } catch {
-            // execute() never throws; this guards the bookkeeping itself
-            // so a bug here can never hang the latch
-            case e: Throwable =>
-              if (!results.containsKey(t.name))
-                complete(t, TaskResult(t.name, Failed(e), 0L))
+    def complete(t: Task, r: TaskResult): Unit =
+      if (completed.putIfAbsent(t.name, java.lang.Boolean.TRUE) == null) {
+        results.put(t.name, r)
+        // count down BEFORE fanning out: this task is done regardless of
+        // what dependent scheduling does
+        latch.countDown()
+        dependents.getOrElse(t.name, Nil).foreach { d =>
+          // per-dependent guard: one dependent's scheduling failure must
+          // not strand its siblings (or the latch)
+          try { if (remainingDeps.get(d.name).decrementAndGet() == 0) schedule(d) }
+          catch {
+            case e: Throwable => complete(d, TaskResult(d.name, Failed(e), 0L))
           }
-      })
-      ()
-    }
+        }
+      }
 
-    order.filter(_.deps.isEmpty).foreach(schedule)
-    latch.await()
-    pool.shutdown()
+    def schedule(t: Task): Unit =
+      // pool.submit can itself reject; complete() is idempotent, so
+      // failing the task here is always safe
+      try {
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try {
+              // deps are all COMPLETE here (scheduling fires on the last
+              // decrement); blocked = any dep that did not succeed
+              val blockedBy = t.deps.filter(d =>
+                results.get(d).status != Succeeded)
+              if (blockedBy.nonEmpty)
+                complete(t, TaskResult(t.name,
+                  Skipped(s"upstream failed: ${blockedBy.mkString(",")}"), 0L))
+              else complete(t, execute(t, alerts, pipelineName))
+            } catch {
+              // execute() never throws; this guards the bookkeeping itself
+              // so a bug here can never hang the latch
+              case e: Throwable =>
+                complete(t, TaskResult(t.name, Failed(e), 0L))
+            }
+        })
+        ()
+      } catch {
+        case e: Throwable => complete(t, TaskResult(t.name, Failed(e), 0L))
+      }
+
+    try {
+      order.filter(_.deps.isEmpty).foreach(schedule)
+      latch.await()
+    } finally pool.shutdown()
     Report(order.map(t => results.get(t.name)))
   }
 

@@ -335,6 +335,72 @@ class MedallionPipelineSpec extends SparkSpecBase {
     sink.alerts.head.message should include("hard")
   }
 
+  test("retry attempts are spaced by bounded backoff, not hammered back-to-back") {
+    var attempts = 0
+    val t0 = System.nanoTime()
+    Pipeline.run(Seq(Pipeline.Task("flaky", retries = 2)(() => {
+      attempts += 1
+      if (attempts < 3) throw new RuntimeException("transient")
+    }))).succeeded shouldBe true
+    attempts shouldBe 3
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    // two backoffs: jittered in [50,100] + [100,200] ms -> >= 150 total
+    elapsedMs should be >= 150L
+  }
+
+  test("CollectingSink is safe under the parallel runner's concurrent alert storm") {
+    val sink = new graft.runner.Alerts.CollectingSink
+    // 24 independent failing tasks on an 8-wide pool: task_failed alerts
+    // fire concurrently from pool threads; every one must be collected and
+    // the run must terminate with a complete report (no hung latch)
+    val tasks = (0 until 24).map(i =>
+      Pipeline.Task(s"t$i")(() => throw new RuntimeException(s"boom$i")))
+    val report = Pipeline.run(tasks, Some(sink), "storm", parallelism = 8)
+    report.results.size shouldBe 24
+    report.failed.size shouldBe 24
+    sink.alerts.count(_.severity == "task_failed") shouldBe 24
+    sink.alerts.count(_.severity == "run_failed") shouldBe 1
+    // raw concurrent sends (outside the runner) are lossless too
+    val sink2 = new graft.runner.Alerts.CollectingSink
+    val threads = (0 until 8).map(w => new Thread(() =>
+      (0 until 500).foreach(i => sink2.send(
+        graft.runner.Alerts.Alert("s", "p", s"$w-$i", "m")))))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    sink2.alerts.size shouldBe 4000
+    sink2.alerts.map(_.task).toSet.size shouldBe 4000
+  }
+
+  test("parallel runner completion is idempotent and pool always shuts down (wide mixed DAG)") {
+    // a wide DAG with interleaved failures: every task must appear exactly
+    // once in the report, dependents of failures SKIPPED, and the run must
+    // return (the completion token is independent of results state, so no
+    // partial-completion path can hang the latch)
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val roots = (0 until 6).map { i =>
+      Pipeline.Task(s"r$i")(() =>
+        if (i % 2 == 0) { ran.add(s"r$i"); () }
+        else throw new RuntimeException(s"fail r$i"))
+    }
+    val mids = (0 until 12).map { i =>
+      Pipeline.Task(s"m$i", Seq(s"r${i % 6}"))(() => { ran.add(s"m$i"); () })
+    }
+    val leaf = Pipeline.Task("leaf", mids.map(_.name))(() => { ran.add("leaf"); () })
+    val report = Pipeline.run(roots ++ mids :+ leaf, parallelism = 8)
+    report.results.size shouldBe 19
+    report.results.map(_.name).distinct.size shouldBe 19
+    val byName = report.results.map(r => r.name -> r.status).toMap
+    (0 until 6).foreach { i =>
+      if (i % 2 == 0) byName(s"r$i") shouldBe Pipeline.Succeeded
+      else byName(s"r$i") shouldBe a[Pipeline.Failed]
+    }
+    (0 until 12).foreach { i =>
+      if (i % 2 == 0) byName(s"m$i") shouldBe Pipeline.Succeeded
+      else byName(s"m$i") shouldBe a[Pipeline.Skipped]
+    }
+    byName("leaf") shouldBe a[Pipeline.Skipped]
+    ran.toArray.length shouldBe (3 + 6) // r0,r2,r4 + their 6 mids
+  }
+
   test("json file alert sink appends structured lines") {
     val path = java.nio.file.Files.createTempDirectory("alerts")
       .toString + "/alerts.jsonl"

@@ -390,6 +390,115 @@ class TxLogSpec extends SparkSpecBase {
     ()
   }
 
+  test("a delta record truncated after the add array fails loudly (no silent file resurrection)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path)
+    TxLog.deleteWhere(spark, path, col("id") < 5L, 0L) // v1 carries remove actions
+    val log = new java.io.File(path, TxLog.LogDirName)
+    val v1 = new java.io.File(log, f"${1L}%020d.json").toPath
+    val full = new String(java.nio.file.Files.readAllBytes(v1))
+    // cut the record right after the add array closes — exactly what a
+    // reader racing a degraded CreateWrite publish can observe. The old
+    // one-key-suffices parse read this as remove=Nil, silently
+    // resurrecting every file the delete removed.
+    val cut = full.substring(0, full.indexOf("\"remove\""))
+      .stripSuffix(",")
+    java.nio.file.Files.write(v1, cut.getBytes)
+    val e = intercept[IllegalStateException](TxLog.snapshot(path))
+    e.getMessage should include("not a valid version record")
+    // a remove-only fragment is equally invalid
+    java.nio.file.Files.write(v1, """{"version":1,"remove":[]}""".getBytes)
+    val e2 = intercept[IllegalStateException](TxLog.snapshot(path))
+    e2.getMessage should include("not a valid version record")
+    // restoring the complete record restores the table
+    java.nio.file.Files.write(v1, full.getBytes)
+    TxLog.read(spark, path).count() shouldBe 5L
+  }
+
+  test("a narrowing column re-declare is rejected before it can be recorded as the schema") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path) // id is LONG
+    val narrowed = rows(10 until 20)
+      .withColumn("id", col("id").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(narrowed, path, expectedVersion = 0L)
+    }
+    e.getMessage should include("id")
+    e.getMessage should include("same-or-widened")
+    // cross-family change rejected too
+    intercept[IllegalArgumentException] {
+      TxLog.append(rows(10 until 20).withColumn("grp", lit("text")), path, 0L)
+    }
+    // the table is untouched — the guard fired before any publish
+    TxLog.currentVersion(path) shouldBe Some(0L)
+    // same-or-WIDENED re-declares stay legal: int grp -> long grp
+    TxLog.append(rows(10 until 20).withColumn("grp", col("grp").cast("long")),
+      path, expectedVersion = 0L)
+    TxLog.deleteWhere(spark, path, lit(true), 1L)
+    // file-less read serves the WIDENED type
+    TxLog.read(spark, path).schema("grp").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+  }
+
+  test("checkpoint fallback property fuzz: corrupt/missing commit-time checkpoints never change answers") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 80).repartitionByRange(4, col("id")), path)
+    (0 until 9).foreach { i =>
+      TxLog.append(rows(100 + i * 10 until 100 + i * 10 + 10), path, i.toLong)
+    }
+    TxLog.deleteWhere(spark, path, col("id") < 20L, 9L) // v10 (checkpointed)
+    (0 until 9).foreach { i =>
+      TxLog.append(rows(1000 + i * 10 until 1000 + i * 10 + 10), path, 10L + i)
+    }
+    TxLog.replaceWhereKeys(spark, path, rows(30 until 40).select("id"),
+      Seq("id"), rows(30 until 40), expectedVersion = 19L) // v20 (checkpointed)
+    TxLog.append(rows(5000 until 5010), path, 20L) // v21
+    val cur = TxLog.currentVersion(path).get
+    cur shouldBe 21L
+    // ground truth from pure action replay, before any mutation
+    val baseline = (0L to cur).map(v =>
+      v -> TxLog.resolve(path, v, useCheckpoints = false).files.sorted).toMap
+    val log = new java.io.File(path, TxLog.LogDirName)
+    def ckptFiles() = log.listFiles()
+      .filter(_.getName.endsWith(".checkpoint.json")).sortBy(_.getName)
+    ckptFiles().length should be >= 3 // v0, v10, v20
+    val rnd = new scala.util.Random(0xC4EC7L)
+    def assertAll(): Unit = (0L to cur).foreach { v =>
+      withClue(s"version $v: ") {
+        TxLog.resolve(path, v).files.sorted shouldBe baseline(v)
+      }
+    }
+    // cumulative seeded mutations: after EVERY one, every version must
+    // resolve to the same file list (commit-time checkpoints are advisory)
+    rnd.shuffle(ckptFiles().toSeq).foreach { f =>
+      rnd.nextInt(3) match {
+        case 0 => // truncate to a random prefix (torn write)
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          java.nio.file.Files.write(f.toPath,
+            bytes.take(rnd.nextInt(math.max(1, bytes.length - 1))))
+        case 1 => // garbage content
+          java.nio.file.Files.write(f.toPath,
+            Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte))
+        case 2 => // gone entirely
+          java.nio.file.Files.delete(f.toPath)
+      }
+      assertAll()
+    }
+    // with every commit-time checkpoint destroyed, answers still hold
+    assertAll()
+    // vacuum writes its LOAD-BEARING checkpoint at the oldest retained
+    // version before dropping history; retained versions must read, and
+    // reads must fail ONLY below the horizon
+    TxLog.vacuum(path, retainVersions = 4, minAgeMs = 0L)
+    (18L to cur).foreach { v =>
+      TxLog.resolve(path, v).files.sorted shouldBe baseline(v)
+    }
+    (0L until 18L).foreach { v =>
+      intercept[Exception](TxLog.snapshot(path, Some(v)))
+    }
+    ()
+  }
+
   test("ACID contract holds under BOTH commit primitives (hard-link and create-write)") {
     Seq(TxLog.CommitPrimitive.HardLink, TxLog.CommitPrimitive.CreateWrite)
       .foreach { prim =>
