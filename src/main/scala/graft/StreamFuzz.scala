@@ -21,11 +21,16 @@ object StreamFuzz {
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_streamfuzz").toString
     val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
     var passed = 0; var failed = 0
+    var lateScenarios = 0; var lateRows = 0L
+    val LateRe = "/late=(\\d+)".r
     val modes = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     try {
       (start until start + n).foreach { seed =>
         val o = fuzz.StreamFuzzer.run(spark, con, tmpRoot, seed)
         modes(o.desc.takeWhile(_ != '/')) += 1
+        LateRe.findFirstMatchIn(o.desc).map(_.group(1).toLong).foreach { k =>
+          if (k > 0) { lateScenarios += 1; lateRows += k }
+        }
         if (o.ok) passed += 1
         else {
           failed += 1
@@ -41,6 +46,8 @@ object StreamFuzz {
     println(runner.Reports.toJson(Map(
       "stream_fuzz_total" -> n.toString, "passed" -> passed.toString,
       "failed" -> failed.toString, "start_seed" -> start.toString,
+      "late_scenarios" -> lateScenarios.toString,
+      "late_rows" -> lateRows.toString,
       "modes" -> modes.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }
         .mkString(","))))
     spark.stop()

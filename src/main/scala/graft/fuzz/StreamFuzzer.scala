@@ -21,8 +21,15 @@ import graft.streaming.EventStream
   *
   * Preconditions the generator honors (they are the determinism contract,
   * not fuzz blind spots — violating them is DOCUMENTED divergence):
-  * watermark delay strictly greater than the join interval, and files
-  * arrive in event-time order (writeTimeOrderedFiles stamps mod times).
+  * watermark delay strictly greater than the join interval, and every row
+  * arrives BEFORE the watermark passes its event time. Within that
+  * contract, roughly half the seeds deliver rows OUT OF ORDER across
+  * files — late-but-in-watermark arrivals, displaced to later files with
+  * the displacement bounded by (watermark − interval) slack against the
+  * in-order split's prefix maxima (a conservative bound: moves only push
+  * rows later, so realized prefix maxima can only shrink). Real streams
+  * live in exactly this regime; strictly event-time-ordered files are the
+  * other half of the seeds.
   */
 object StreamFuzzer {
 
@@ -45,9 +52,12 @@ object StreamFuzzer {
       watermarkHours: Int,
       windowSec: Long,
       rows: Seq[(Long, Long, java.lang.Long, String, Long)], // id, ts_s, user, type, cents
-      sql: String) {
+      sql: String,
+      fileOf: Option[Seq[Int]] = None, // per-row arrival file (None = in-order split)
+      nLate: Int = 0) { // rows displaced to a later file than their in-order one
     def desc: String = s"$mode/files=$nFiles/I=$intervalHours/W=$watermarkHours/" +
-      s"win=${windowSec}s/n=${rows.size}"
+      s"win=${windowSec}s/n=${rows.size}" +
+      fileOf.map(_ => s"/late=$nLate").getOrElse("")
   }
 
   def generate(seed: Long): Scenario = {
@@ -104,26 +114,78 @@ object StreamFuzzer {
            |  ON p.user_id = c.user_id
            | AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + ${intervalHours * 3600L}""".stripMargin
     }
+    // Late-but-in-watermark arrivals (half the seeds, when multi-file):
+    // displace ~25% of rows to a LATER file, bounded so no row is ever
+    // behind the watermark when its file arrives. The bound uses the
+    // in-order split's prefix maxima, which is conservative — moves only
+    // push rows later, so the realized prefix maxima can only shrink.
+    val withLate = rnd.nextBoolean() && nFiles > 1 && buf.size >= nFiles
+    val (fileOf, nLate) =
+      if (!withLate) (None, 0)
+      else {
+        val n2 = buf.size
+        val order = buf.indices.sortBy(i => (buf(i)._2, buf(i)._1))
+        val assign = Array.ofDim[Int](n2)
+        order.zipWithIndex.foreach { case (bi, rank) =>
+          assign(bi) = rank * nFiles / n2
+        }
+        // max event ts among files strictly before f, under the in-order split
+        val fileMax = Array.fill(nFiles)(Long.MinValue)
+        buf.indices.foreach(i =>
+          fileMax(assign(i)) = math.max(fileMax(assign(i)), buf(i)._2))
+        val prefMax = Array.ofDim[Long](nFiles)
+        prefMax(0) = Long.MinValue
+        (1 until nFiles).foreach(f =>
+          prefMax(f) = math.max(prefMax(f - 1), fileMax(f - 1)))
+        // strict slack: (watermark − interval) minus 1 s keeps every
+        // displaced row strictly above the watermark at arrival
+        val slackSec = (watermarkHours - intervalHours).toLong * 3600 - 1
+        var late = 0
+        buf.indices.foreach { i =>
+          if (rnd.nextInt(4) == 0) {
+            val cur = assign(i)
+            val target = math.min(nFiles - 1, cur + 1 + rnd.nextInt(3))
+            if (target > cur && prefMax(target) - buf(i)._2 <= slackSec) {
+              assign(i) = target
+              late += 1
+            }
+          }
+        }
+        (Some(assign.toSeq), late)
+      }
     Scenario(seed, mode, nFiles, intervalHours, watermarkHours, windowSec,
-      buf.toSeq, sql)
+      buf.toSeq, sql, fileOf, nLate)
   }
 
   /** Events framed for the streaming harness: LTZ ts (UTC session), money
-    * as the double the staging layer expects (exact cents / 100).
+    * as the double the staging layer expects (exact cents / 100). When the
+    * scenario carries a late-arrival assignment, rows additionally carry
+    * their arrival-file index as `__file` for the harness's
+    * arrival-ordered staging.
     */
   private def eventsFrame(spark: SparkSession, sc: Scenario): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val schema = new org.apache.spark.sql.types.StructType()
+    val schema0 = new org.apache.spark.sql.types.StructType()
       .add("event_id", "long", false).add("ts_s", "long", false)
       .add("user_id", "long", true).add("event_type", "string", false)
       .add("cents", "long", false)
-    val rows = sc.rows.map { case (i, t, u, ty, c) =>
-      org.apache.spark.sql.Row(i, t, u, ty, c)
+    val schema = sc.fileOf match {
+      case Some(_) => schema0.add("__file", "integer", false)
+      case None    => schema0
+    }
+    val rows = sc.fileOf match {
+      case Some(assign) => sc.rows.zip(assign).map { case ((i, t, u, ty, c), f) =>
+        org.apache.spark.sql.Row(i, t, u, ty, c, f)
+      }
+      case None => sc.rows.map { case (i, t, u, ty, c) =>
+        org.apache.spark.sql.Row(i, t, u, ty, c)
+      }
     }
     spark.createDataFrame(rows.asJava, schema)
-      .select(col("event_id"), timestamp_seconds(col("ts_s")).as("ts"),
+      .select((Seq(col("event_id"), timestamp_seconds(col("ts_s")).as("ts"),
         col("user_id"), col("event_type"),
-        (col("cents").cast("double") / 100.0).as("value"))
+        (col("cents").cast("double") / 100.0).as("value")) ++
+        sc.fileOf.map(_ => col("__file"))): _*)
   }
 
   /** Run one scenario: real streaming replay → epoch/cents normalization →
@@ -136,16 +198,17 @@ object StreamFuzzer {
     val stage = new java.io.File(dir, "stage").getPath
     try {
       val ev = eventsFrame(spark, sc)
+      val arrival = sc.fileOf.map(_ => "__file")
       val replayed = sc.mode match {
         case "windowed" =>
           EventStream.replayWindowedAgg(ev, stage, sc.nFiles,
-            windowDur = s"${sc.windowSec} seconds")
+            windowDur = s"${sc.windowSec} seconds", arrivalCol = arrival)
             .select(
               unix_timestamp(col("window_start").cast("timestamp")).as("wstart_s"),
               col("event_type"), col("cnt"), col("value_cents"))
         case "inner" =>
           EventStream.replayAttributionJoin(ev, stage, sc.nFiles,
-            sc.intervalHours, sc.watermarkHours)
+            sc.intervalHours, sc.watermarkHours, arrivalCol = arrival)
             .select(col("user_id"), col("purchase_id"),
               unix_timestamp(col("purchase_ts")).as("purchase_ts_s"),
               round(col("value") * 100).cast("long").as("cents"),
@@ -153,7 +216,7 @@ object StreamFuzzer {
               unix_timestamp(col("click_ts")).as("click_ts_s"))
         case "outer" =>
           EventStream.replayOuterJoin(ev, stage, sc.nFiles,
-            sc.intervalHours, sc.watermarkHours)
+            sc.intervalHours, sc.watermarkHours, arrivalCol = arrival)
             .select(col("user_id"), col("click_id"),
               unix_timestamp(col("click_ts")).as("click_ts_s"),
               col("purchase_id"),

@@ -58,13 +58,19 @@ object EventStream {
       events: DataFrame,
       stagePath: String,
       nFiles: Int = 6,
-      windowDur: String = "1 day"
+      windowDur: String = "1 day",
+      arrivalCol: Option[String] = None
   ): DataFrame = {
     val s = events.sparkSession
-    val staged = events.select(col("event_id"), col("ts"),
-      col("event_type"), col("value"))
-    staged.repartitionByRange(nFiles, col("ts"), col("event_id"))
-      .write.mode("overwrite").parquet(stagePath)
+    val stagedAll = events.select((Seq(col("event_id"), col("ts"),
+      col("event_type"), col("value")) ++ arrivalCol.map(col)): _*)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None =>
+        stagedAll.repartitionByRange(nFiles, col("ts"), col("event_id"))
+          .write.mode("overwrite").parquet(stagePath)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
     // The stream runs on a CHILD session with few shuffle partitions:
     // state-store partition count is pinned at query start by
     // spark.sql.shuffle.partitions, and a default-200-partition stateful
@@ -143,14 +149,19 @@ object EventStream {
       stagePath: String,
       nFiles: Int = 6,
       intervalHours: Int = 1,
-      watermarkHours: Int = 2
+      watermarkHours: Int = 2,
+      arrivalCol: Option[String] = None
   ): DataFrame = {
     require(watermarkHours > intervalHours,
       "replayAttributionJoin: the determinism argument needs watermark " +
         s"delay > join interval (got $watermarkHours h <= $intervalHours h)")
     val s = events.sparkSession
-    val staged = stageEvents(events)
-    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    val stagedAll = stageEvents(events, arrivalCol)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None    => writeTimeOrderedFiles(stagedAll, stagePath, nFiles)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
     // Child session with few state partitions — see replayWindowedAgg.
     val child = s.newSession()
     child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
@@ -189,14 +200,19 @@ object EventStream {
       stagePath: String,
       nFiles: Int = 6,
       intervalHours: Int = 1,
-      watermarkHours: Int = 2
+      watermarkHours: Int = 2,
+      arrivalCol: Option[String] = None
   ): DataFrame = {
     require(watermarkHours > intervalHours,
       "replayOuterJoin: the determinism argument needs watermark " +
         s"delay > join interval (got $watermarkHours h <= $intervalHours h)")
     val s = events.sparkSession
-    val staged = stageEvents(events)
-    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    val stagedAll = stageEvents(events, arrivalCol)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None    => writeTimeOrderedFiles(stagedAll, stagePath, nFiles)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
     // sentinel file: strictly newer mod time (appended AFTER the staged
     // files' stamps), far-future event time, one row per side. The
     // sentinel ids are Long.MinValue(+1) — a value no generated event_id
@@ -251,12 +267,15 @@ object EventStream {
   private val SentinelId = Long.MinValue
 
   /** NTZ→LTZ staging projection (watermarks demand TIMESTAMP; the
-    * round-trip is the identity under any fixed session tz).
+    * round-trip is the identity under any fixed session tz). `extra`
+    * carries an arrival-order column through staging; it is dropped
+    * before the stream reads the files back.
     */
-  private def stageEvents(events: DataFrame): DataFrame =
-    events.select(col("event_id"),
+  private def stageEvents(events: DataFrame,
+      extra: Option[String] = None): DataFrame =
+    events.select((Seq(col("event_id"),
       col("ts").cast("timestamp").as("ts"), col("user_id"),
-      col("event_type"), col("value"))
+      col("event_type"), col("value")) ++ extra.map(col)): _*)
 
   /** Write `staged` as `nFiles` time-ranged parquet files with STRICTLY
     * INCREASING mod times in event-time order. FileStreamSource replays
@@ -281,6 +300,46 @@ object EventStream {
       require(f.setLastModified(base + i * 60000L),
         s"could not stamp mod time on $f - replay ordering would be " +
           "nondeterministic (watermark-late drops)")
+    }
+  }
+
+  /** Write `staged` as one parquet file PER DISTINCT VALUE of integer
+    * column `arrival` (ascending), stamped with strictly increasing mod
+    * times in ARRIVAL order — the controlled OUT-OF-ORDER delivery
+    * harness. Unlike [[writeTimeOrderedFiles]]' sorted split, a file here
+    * may carry rows whose event times are EARLIER than rows in
+    * previously-arrived files: late-but-in-watermark arrivals, the regime
+    * real streams actually live in. The CALLER owns the lateness bound —
+    * a row arriving after the watermark passed its event time is dropped
+    * by the engine (diverging from batch BY CONTRACT); keep displacement
+    * within (watermark − interval) slack for the replay ≡ batch
+    * equivalence to hold (the StreamFuzzer's late generator does exactly
+    * that). The arrival column is dropped from the written rows. Harness
+    * device: one tiny sequential write per arrival group — fuzz/spec
+    * scale, not a production path.
+    */
+  private def writeArrivalOrderedFiles(staged: DataFrame, stagePath: String,
+      arrival: String): Unit = {
+    graft.core.Fs.rmTree(new java.io.File(stagePath))
+    new java.io.File(stagePath).mkdirs()
+    val idxs = staged.select(col(arrival).cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    // leave headroom below now so an outer replay's sentinel (stamped
+    // now + 60 s) stays strictly newest
+    val base = System.currentTimeMillis() - (idxs.length + 2) * 60000L
+    idxs.zipWithIndex.foreach { case (k, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_arrival")
+      try {
+        staged.filter(col(arrival) === k).drop(arrival)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val src = tmp.toFile.listFiles()
+          .filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(stagePath, f"arrival-$i%05d.parquet")
+        java.nio.file.Files.move(src.toPath, dst.toPath)
+        require(dst.setLastModified(base + i * 60000L),
+          s"could not stamp mod time on $dst - replay ordering would be " +
+            "nondeterministic")
+      } finally graft.core.Fs.rmTree(tmp.toFile)
     }
   }
 

@@ -5,10 +5,11 @@ import graft.fuzz.StreamFuzzer
 /** A streaming-replay fuzz slice inside the unit suite: a handful of
   * seeded random scenarios through the REAL replay harnesses (file
   * source, watermarks, state store, sentinel flush) against in-process
-  * DuckDB batch twins. The full 250-per-round sweep runs via
-  * `runMain graft.StreamFuzz` (committed results in FUZZ_r09.json); this
-  * slice keeps the generator + harness pair honest on every `sbt test`
-  * at ~5 s/seed.
+  * DuckDB batch twins. The full sweep runs via `runMain graft.StreamFuzz`
+  * and its results are committed per-round as the `stream` section of the
+  * round's FUZZ_r*.json artifact (first committed sweep: FUZZ_r11.json);
+  * this slice keeps the generator + harness pair honest on every
+  * `sbt test` at ~5 s/seed.
   */
 class StreamFuzzSpec extends SparkSpecBase {
 
@@ -27,6 +28,31 @@ class StreamFuzzSpec extends SparkSpecBase {
       outcomes.count(_.sparkRows > 0) should be > 3
       outcomes.map(_.desc.takeWhile(_ != '/')).toSet shouldBe
         Set("inner", "outer", "windowed")
+    } finally {
+      con.close()
+      graft.core.Fs.rmTree(new java.io.File(tmpRoot))
+    }
+  }
+
+  test("late-but-in-watermark arrivals: out-of-order join replays still equal batch") {
+    val tmpRoot =
+      java.nio.file.Files.createTempDirectory("graft_streamfuzz_late").toString
+    val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      // first seed per join mode whose scenario actually displaces rows —
+      // deterministic scan, so the slice always exercises the late path
+      val lateSeeds = Seq("inner", "outer").map { m =>
+        (0L until 200L).find { s =>
+          val sc = StreamFuzzer.generate(s)
+          sc.mode == m && sc.nLate >= 3
+        }.getOrElse(fail(s"no $m scenario with late rows in seeds 0..199"))
+      }
+      val outcomes = lateSeeds.map(StreamFuzzer.run(spark, con, tmpRoot, _))
+      withClue(outcomes.filterNot(_.ok).map(o =>
+        s"seed=${o.seed} ${o.desc}: ${o.error.getOrElse("")}\n").mkString) {
+        outcomes.filterNot(_.ok) shouldBe empty
+      }
+      outcomes.foreach(_.sparkRows should be > 0)
     } finally {
       con.close()
       graft.core.Fs.rmTree(new java.io.File(tmpRoot))
