@@ -683,6 +683,69 @@ object SparkEntry {
         col("click_id"),
         col("click_ts").cast("timestamp_ntz").as("click_ts"))
 
+  /** LATE-ARRIVAL batch equivalence: the SAME click→purchase interval
+    * join as q_o_stream_join_replay, but files are delivered OUT OF
+    * EVENT-TIME ORDER — a deterministic subset of rows is displaced two
+    * files later than their in-order position, displacement bounded by
+    * (watermark − interval) slack against the in-order split's prefix
+    * maxima, so every row still arrives before the watermark passes its
+    * event time. The oracle is the SAME batch interval join: a
+    * watermark-late drop, a premature state eviction, or an
+    * order-sensitive state bug all hash-mismatch. This pins the
+    * late-but-in-watermark contract (the regime real streams live in) in
+    * the driver correctness artifact, not only in the stream fuzzer.
+    * The global-order rank is a HARNESS device (arrival assignment for
+    * the file-replay rig, like writeTimeOrderedFiles' mod-time stamps) —
+    * production arrival order comes from the source itself.
+    */
+  private def qStreamLateReplay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = T(s, dir).events
+    val nFiles = 6
+    val intervalHours = 1
+    val watermarkHours = 2
+    val slackSec = (watermarkHours - intervalHours).toLong * 3600 - 1
+    val n = ev.count()
+    val ranked = ev.withColumn("__rank",
+        row_number().over(Window.orderBy(col("ts"), col("event_id")))
+          .cast("long") - 1)
+      .withColumn("__file0", (col("__rank") * nFiles / n).cast("int"))
+      .withColumn("__ts_s", unix_timestamp(col("ts").cast("timestamp")))
+    // max event time of files STRICTLY BEFORE f under the in-order split
+    // (6 rows — the displacement bound; conservative, since moves only
+    // push rows later and can only shrink realized prefix maxima)
+    val pref = ranked.groupBy(col("__file0").as("__pf"))
+      .agg(max(col("__ts_s")).as("__fmax"))
+      .withColumn("__pref", max(col("__fmax")).over(
+        Window.orderBy(col("__pf")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pf"), col("__pref"))
+    val assigned = ranked
+      .withColumn("__target",
+        least(lit(nFiles - 1), col("__file0") + lit(2)))
+      .join(broadcast(pref), col("__target") === col("__pf"), "left")
+      .withColumn("__late",
+        pmod(col("event_id"), lit(3)) === 1 &&
+          col("__target") > col("__file0") &&
+          col("__pref").isNotNull &&
+          (col("__pref") - col("__ts_s")) <= slackSec)
+      .withColumn("__file",
+        when(col("__late"), col("__target")).otherwise(col("__file0")))
+    // the gate must actually exercise out-of-order delivery — an
+    // accidentally-empty displacement set would silently degenerate to
+    // the in-order gate
+    val displaced = assigned.filter(col("__late")).count()
+    require(displaced > 0,
+      s"q_o_stream_late_replay: no rows displaced at $dir - gate degenerate")
+    graft.streaming.EventStream.replayAttributionJoin(
+      assigned, "/tmp/graft_roundtrip/stream_late_events",
+      nFiles, intervalHours, watermarkHours, arrivalCol = Some("__file"))
+      .select(col("user_id"), col("purchase_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        col("click_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+  }
+
   /** Stream-stream LEFT OUTER join batch equivalence (library:
     * streaming.EventStream.replayOuterJoin): every click paired with its
     * following-hour purchases or NULL-extended on watermark expiry; final
@@ -1339,6 +1402,7 @@ object SparkEntry {
     "q_gold_publish_jdbc"    -> (qGoldPublishJdbc _),
     "q_o_stream_window_replay" -> (qStreamWindowReplay _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
+    "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
     "q_o_triangle_count"     -> (qTriangleCount _),
     "q_gold_scd2_dim"        -> (qGoldScd2Dim _),
@@ -2152,6 +2216,17 @@ object SparkEntry {
         |FROM pern GROUP BY 1""".stripMargin,
     // the stream-stream join's final sink vs the batch interval join
     "q_o_stream_join_replay" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(round(p.value * 100) AS BIGINT) AS value_cents,
+        |  c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    // late-arrival replay: SAME batch oracle as q_o_stream_join_replay —
+    // out-of-order delivery within the watermark must not change one row
+    "q_o_stream_late_replay" ->
       """SELECT p.user_id, p.event_id AS purchase_id,
         |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
         |  CAST(round(p.value * 100) AS BIGINT) AS value_cents,
