@@ -668,6 +668,66 @@ object SparkEntry {
     graft.streaming.EventStream.replayWindowedAgg(
       T(s, dir).events, "/tmp/graft_roundtrip/stream_events")
 
+  /** APPEND-MODE windowed replay (library:
+    * streaming.EventStream.replayWindowedAggAppend): watermarked windows
+    * emitted exactly once on expiry (finalize-once), end-of-stream flush
+    * via sentinel; the emitted set must equal the FULL batch window set —
+    * same oracle as the complete-mode gate, so the two watermark
+    * semantics classes are pinned against one another.
+    */
+  private def qStreamAppendReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayWindowedAggAppend(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_append_events")
+
+  /** STATEFUL STREAMING DEDUP batch equivalence (library:
+    * streaming.EventStream.replayDedupStream /
+    * dropDuplicatesWithinWatermark): every third event re-arrives ONE
+    * HOUR later as a payload copy under the same event_id — within the
+    * 2 h watermark delay, so state is contractually still alive — and
+    * the replay must emit exactly one row per original event. Duplicates
+    * near a file boundary straddle micro-batches, exercising CROSS-BATCH
+    * dedup state. The projection drops `ts`: which physical copy
+    * survives inside a single micro-batch is engine-unspecified (the
+    * copies differ only in ts), and the contract worth pinning is the
+    * key set + payload, which the pre-salt oracle states exactly.
+    */
+  private def qStreamDedupReplay(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+    val dups = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+    graft.streaming.EventStream.replayDedupStream(
+      ev.unionByName(dups), "/tmp/graft_roundtrip/stream_dedup_events")
+      .select("event_id", "user_id", "event_type", "value_cents")
+  }
+
+  /** SESSION-WINDOW streaming batch equivalence (library:
+    * streaming.EventStream.replaySessionWindow): data-dependent-extent
+    * windows (a session grows until a 6 h silence) replayed
+    * file-by-file in APPEND mode, each session emitted exactly once on
+    * watermark expiry, end-of-stream flush via sentinel. The oracle is
+    * DuckDB's gap-islands sessionization. BOUNDARY SEMANTICS: Spark's
+    * session_window merges on overlap-OR-ADJACENCY — an event at EXACTLY
+    * gap distance EXTENDS the session (empirically pinned by
+    * EventStreamSpec's boundary test; the intuitive half-open
+    * [start, end) reading predicts a split and is wrong) — so the
+    * oracle breaks on `diff > gap`, the same boundary as the batch
+    * Sessionize / q_w8.
+    */
+  private def qStreamSessionReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replaySessionWindow(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_session_events")
+
+  /** CUSTOM STREAMING STATE batch equivalence (library:
+    * streaming.EventStream.replayRunningStats / mapGroupsWithState —
+    * the KeyValueGroupedDataset custom-state path): running per-user
+    * totals maintained across micro-batches in update mode; the final
+    * state per user (selected by the strictly-monotone running count)
+    * must equal the plain batch groupBy.
+    */
+  private def qStreamRunningStats(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayRunningStats(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_running_events")
+
   /** Stream-stream interval-join batch equivalence: the click→purchase
     * attribution join replayed file-by-file (library:
     * streaming.EventStream.replayAttributionJoin); every emitted match
@@ -1401,6 +1461,10 @@ object SparkEntry {
     "q_gold_fact_daily"      -> (qGoldFactDaily _),
     "q_gold_publish_jdbc"    -> (qGoldPublishJdbc _),
     "q_o_stream_window_replay" -> (qStreamWindowReplay _),
+    "q_o_stream_append_replay" -> (qStreamAppendReplay _),
+    "q_o_stream_dedup_replay"  -> (qStreamDedupReplay _),
+    "q_o_stream_session_replay" -> (qStreamSessionReplay _),
+    "q_o_stream_running_stats" -> (qStreamRunningStats _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
@@ -2181,6 +2245,46 @@ object SparkEntry {
     // buckets, exact cents; CASTs pin microsecond TIMESTAMP (the events
     // view is TIMESTAMP_NS in DuckDB)
     "q_o_stream_window_replay" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // stateful-dedup replay: the salted duplicates must all be dropped,
+    // so the oracle is the pre-salt events table itself
+    "q_o_stream_dedup_replay" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events""".stripMargin,
+    // session-window replay: gap-islands sessionization. Spark's
+    // session_window merges on overlap-or-ADJACENCY (an event at exactly
+    // gap distance extends the session — spec-pinned), hence > on the
+    // break, the same boundary as the batch Sessionize/q_w8
+    "q_o_stream_session_replay" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             > INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (SELECT user_id, ts, cents,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS value_cents
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // mapGroupsWithState running totals: final state == batch groupBy
+    "q_o_stream_running_stats" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    // append-mode replay: finalize-once emission must reconstruct the
+    // SAME full window set the complete-mode gate pins
+    "q_o_stream_append_replay" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
         |  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -167,7 +167,7 @@ object QueryFuzzer {
       * reach (cents ≤ 1e7, multipliers ≤ 9, depth ≤ 2).
       */
     private def intExpr(t: TableMeta, depth: Int = 0): E = {
-      val leaf = rnd.nextInt(10)
+      val leaf = rnd.nextInt(13)
       if (depth >= 2 || leaf < 4) intCol(t)
       else leaf match {
         case 4 | 5 =>
@@ -181,11 +181,23 @@ object QueryFuzzer {
         case 7 | 8 =>
           val a = intCol(t); val m = 2 + rnd.nextInt(11)
           E(a.spark % m, s"(${a.sql} % $m)", TInt)
-        case _ =>
+        case 9 =>
           val b = boolExpr(t, depth + 1)
           val x = intCol(t); val y = intCol(t)
           E(when(b.spark, x.spark).otherwise(y.spark),
             s"(CASE WHEN ${b.sql} THEN ${x.sql} ELSE ${y.sql} END)", TInt)
+        case 10 => // greatest/least over NON-NULL args only — the engines'
+          // NULL-skipping rules differ, so nullable args stay out
+          val a = intExpr(t, depth + 1); val b = intExpr(t, depth + 1)
+          if (rnd.nextBoolean())
+            E(greatest(a.spark, b.spark), s"greatest(${a.sql}, ${b.sql})", TInt)
+          else E(least(a.spark, b.spark), s"least(${a.sql}, ${b.sql})", TInt)
+        case 11 => // COALESCE over a NULL-folding arm — standard in both
+          val a = nullableInt(t); val b = intCol(t)
+          E(coalesce(a.spark, b.spark), s"COALESCE(${a.sql}, ${b.sql})", TInt)
+        case _ => // NULLIF — a second NULL producer besides nullableInt
+          val a = intCol(t); val m = 2 + rnd.nextInt(7)
+          E(nullif(a.spark % m, lit(0L)), s"NULLIF((${a.sql} % $m), 0)", TInt)
       }
     }
 
@@ -235,7 +247,37 @@ object QueryFuzzer {
     }
 
     private def boolExpr(t: TableMeta, depth: Int = 0): E = {
-      def leaf(): E = rnd.nextInt(9) match {
+      def leaf(): E = rnd.nextInt(11) match {
+        case 9 => // BETWEEN (inclusive both ends in both engines)
+          val a = intExpr(t, depth + 1)
+          val lo = rnd.nextInt(2000).toLong
+          val hi = lo + rnd.nextInt(500000).toLong
+          E(a.spark.between(lit(lo), lit(hi)),
+            s"(${a.sql} BETWEEN $lo AND $hi)", TBool)
+        case 10 => // infix / underscore LIKE over known ASCII domains
+          val cands = t.cols.filter(c =>
+            c.typ == TStr && c.ascii && c.values.nonEmpty)
+          if (cands.isEmpty) {
+            val c = strCol(t)
+            val p = pick(Seq("a", "b", "s", "B", "c", "e"))
+            E(col(c.name).like(p + "%"),
+              s"(${c.name} LIKE ${sqlStr(p + "%")})", TBool)
+          } else {
+            val c = pick(cands)
+            val v = pick(c.values)
+            val p = rnd.nextInt(3) match {
+              case 0 => // infix slice
+                val from = rnd.nextInt(math.max(1, v.length - 1))
+                "%" + v.substring(from,
+                  math.min(v.length, from + 1 + rnd.nextInt(3))) + "%"
+              case 1 => // one char blinded to _
+                val i = rnd.nextInt(v.length)
+                v.substring(0, i) + "_" + v.substring(i + 1) + "%"
+              case _ => // suffix
+                "%" + v.substring(rnd.nextInt(v.length))
+            }
+            E(col(c.name).like(p), s"(${c.name} LIKE ${sqlStr(p)})", TBool)
+          }
         case 8 => // NULL-safe equality: Spark <=> vs IS [NOT] DISTINCT FROM
           // (NULL <=> NULL is TRUE, NULL <=> x is FALSE — never UNKNOWN,
           // unlike =; the one comparison that is total over nulls)
@@ -351,7 +393,21 @@ object QueryFuzzer {
     }
 
     /** Low-cardinality group key. */
-    private def groupKey(t: TableMeta): E = rnd.nextInt(5) match {
+    private def groupKey(t: TableMeta): E = rnd.nextInt(7) match {
+      case 5 => // searched-CASE bucket over an integral column
+        val c = pick(t.cols.filter(c => c.typ == TInt && !c.money))
+        val t1 = 10 + rnd.nextInt(500)
+        val t2 = t1 + 1 + rnd.nextInt(2000)
+        val base = s"CAST(${c.name} AS BIGINT)"
+        E(when(col(c.name).cast("long") < t1, lit("lo"))
+            .when(col(c.name).cast("long") < t2, lit("mid"))
+            .otherwise(lit("hi")),
+          s"(CASE WHEN $base < $t1 THEN 'lo' WHEN $base < $t2 THEN 'mid' " +
+            "ELSE 'hi' END)", TStr)
+      case 6 if dateCols(t).nonEmpty => // calendar-month bucket
+        val c = pick(dateCols(t))
+        E(trunc(col(c.name).cast("date"), "month"),
+          s"CAST(date_trunc('month', CAST(${c.name} AS DATE)) AS DATE)", TDate)
       case 0 | 1 =>
         val c = strCol(t)
         E(col(c.name), c.name, TStr)

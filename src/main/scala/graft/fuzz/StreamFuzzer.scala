@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventStream
 
 /** Property fuzzer for the STREAMING REPLAY ≡ BATCH equivalence — the
-  * contract the three replay gates pin for one fixed scenario each
-  * (`q_o_stream_window_replay` / `_join_replay` / `_outer_replay`), here
-  * driven over randomized scenarios: random event/click/purchase streams
+  * contract the replay gates pin for one fixed scenario each
+  * (`q_o_stream_window_replay` / `_append_replay` / `_join_replay` /
+  * `_late_replay` / `_outer_replay` / `_dedup_replay` /
+  * `_session_replay`), here driven over randomized scenarios across SIX
+  * modes (complete-mode windowed agg, APPEND-mode finalize-once windowed
+  * agg, inner interval join, left-outer join, stateful dedup with salted
+  * same-key copies, session windows with exact-gap boundary salt):
+  * random event/click/purchase streams
   * (NULL user keys, boundary-exact interval hits, duplicate timestamps),
   * random file splits (1–8 micro-batches), random join intervals and
   * watermark lateness, random window widths. Each seed replays one mode
@@ -46,11 +51,11 @@ object StreamFuzzer {
     */
   final case class Scenario(
       seed: Long,
-      mode: String, // "windowed" | "inner" | "outer"
+      mode: String, // windowed|append|inner|outer|dedup|session
       nFiles: Int,
       intervalHours: Int,
       watermarkHours: Int,
-      windowSec: Long,
+      windowSec: Long, // tumbling width (windowed/append) or session GAP (session)
       rows: Seq[(Long, Long, java.lang.Long, String, Long)], // id, ts_s, user, type, cents
       sql: String,
       fileOf: Option[Seq[Int]] = None, // per-row arrival file (None = in-order split)
@@ -62,7 +67,8 @@ object StreamFuzzer {
 
   def generate(seed: Long): Scenario = {
     val rnd = new java.util.Random(scramble(seed))
-    val mode = Seq("windowed", "inner", "outer")(rnd.nextInt(3))
+    val mode = Seq("windowed", "inner", "outer", "append",
+      "dedup", "session")(rnd.nextInt(6))
     val nFiles = 1 + rnd.nextInt(8)
     val intervalHours = 1 + rnd.nextInt(2)          // 1..2
     val watermarkHours = intervalHours + 1 + rnd.nextInt(3) // I+1 .. I+3
@@ -78,7 +84,11 @@ object StreamFuzzer {
     (0 until n).foreach { _ =>
       val user: java.lang.Long =
         if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(1L + rnd.nextInt(nUsers))
-      val typ = Seq("click", "purchase", "view")(rnd.nextInt(3))
+      // occasional NULL event_type: joins must drop it on BOTH engines
+      // (WHERE type='click' is null-false), windowed/append must KEEP the
+      // null GROUP (the sentinel cleanup filter must not eat it)
+      val typ = if (rnd.nextInt(12) == 0) null
+        else Seq("click", "purchase", "view")(rnd.nextInt(3))
       val ts = base + rnd.nextInt(spanSec)
       buf += ((nextId(), ts, user, typ, rnd.nextInt(100000).toLong))
     }
@@ -93,9 +103,32 @@ object StreamFuzzer {
         buf += ((nextId(), ts, user, "purchase", rnd.nextInt(100000).toLong))
       }
     }
+    // dedup salt: ~15% of rows re-arrive as payload copies under the SAME
+    // event_id, displaced 1 .. (watermark − 1 s) later — inside
+    // dropDuplicatesWithinWatermark's dedup guarantee relative to the
+    // first occurrence. Copies share user/type/cents so the twin's
+    // DISTINCT is survivor-order-independent (which physical copy
+    // survives within one micro-batch is engine-unspecified).
+    if (mode == "dedup") {
+      val salt = buf.toVector.filter(_ => rnd.nextInt(7) < 1)
+      salt.foreach { case (eid, ts, user, typ, cents) =>
+        val lag = 1 + rnd.nextInt(watermarkHours * 3600 - 2)
+        buf += ((eid, ts + lag, user, typ, cents))
+      }
+    }
+    // session boundary salt: rows at EXACTLY gap distance (MERGE —
+    // session_window extends on adjacency, spec-pinned) and at gap + 1 s
+    // (new session), on the same user
+    if (mode == "session") {
+      buf.toVector.filter(r => r._3 != null).take(3)
+        .foreach { case (_, ts, user, _, _) =>
+          buf += ((nextId(), ts + windowSec, user, "view", rnd.nextInt(100000).toLong))
+          buf += ((nextId(), ts + windowSec + 1, user, "view", rnd.nextInt(100000).toLong))
+        }
+    }
 
     val sql = mode match {
-      case "windowed" =>
+      case "windowed" | "append" =>
         s"""SELECT ts_s - ts_s % $windowSec AS wstart_s, event_type,
            |  COUNT(*) AS cnt, SUM(cents) AS value_cents
            |FROM ev GROUP BY 1, 2""".stripMargin
@@ -113,6 +146,29 @@ object StreamFuzzer {
            |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
            |  ON p.user_id = c.user_id
            | AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + ${intervalHours * 3600L}""".stripMargin
+      case "dedup" =>
+        // salted copies share the full payload, so DISTINCT is exactly
+        // one row per event_id regardless of which copy survived
+        "SELECT DISTINCT event_id, user_id, event_type, cents FROM ev"
+      case "session" =>
+        // gap-islands twin; break on > (session_window merges on
+        // overlap-or-adjacency — exactly-gap EXTENDS, spec-pinned).
+        // sid assignment is tie-permutation-invariant: equal ts_s rows
+        // have diff 0, the event_id tiebreak just makes the plan total
+        s"""WITH m AS (
+           |  SELECT user_id, ts_s, event_id, cents,
+           |    CASE WHEN lag(ts_s) OVER w IS NULL
+           |          OR ts_s - lag(ts_s) OVER w > $windowSec
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+           |g AS (SELECT user_id, ts_s, cents,
+           |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+           |          ROWS UNBOUNDED PRECEDING) AS sid
+           |      FROM m)
+           |SELECT user_id, MIN(ts_s) AS sstart_s, MAX(ts_s) + $windowSec AS send_s,
+           |  COUNT(*) AS n_events, SUM(cents) AS value_cents
+           |FROM g GROUP BY user_id, sid""".stripMargin
     }
     // Late-but-in-watermark arrivals (half the seeds, when multi-file):
     // displace ~25% of rows to a LATER file, bounded so no row is ever
@@ -167,7 +223,7 @@ object StreamFuzzer {
     import scala.jdk.CollectionConverters._
     val schema0 = new org.apache.spark.sql.types.StructType()
       .add("event_id", "long", false).add("ts_s", "long", false)
-      .add("user_id", "long", true).add("event_type", "string", false)
+      .add("user_id", "long", true).add("event_type", "string", true)
       .add("cents", "long", false)
     val schema = sc.fileOf match {
       case Some(_) => schema0.add("__file", "integer", false)
@@ -206,6 +262,15 @@ object StreamFuzzer {
             .select(
               unix_timestamp(col("window_start").cast("timestamp")).as("wstart_s"),
               col("event_type"), col("cnt"), col("value_cents"))
+        case "append" =>
+          // finalize-once append mode: watermarked windows, sentinel
+          // flush; the SAME batch twin as complete mode must come back
+          EventStream.replayWindowedAggAppend(ev, stage, sc.nFiles,
+            windowDur = s"${sc.windowSec} seconds",
+            watermarkHours = sc.watermarkHours, arrivalCol = arrival)
+            .select(
+              unix_timestamp(col("window_start").cast("timestamp")).as("wstart_s"),
+              col("event_type"), col("cnt"), col("value_cents"))
         case "inner" =>
           EventStream.replayAttributionJoin(ev, stage, sc.nFiles,
             sc.intervalHours, sc.watermarkHours, arrivalCol = arrival)
@@ -222,6 +287,20 @@ object StreamFuzzer {
               col("purchase_id"),
               unix_timestamp(col("purchase_ts")).as("purchase_ts_s"),
               round(col("value") * 100).cast("long").as("cents"))
+        case "dedup" =>
+          EventStream.replayDedupStream(ev, stage, sc.nFiles,
+            watermarkHours = sc.watermarkHours, arrivalCol = arrival)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value_cents"))
+        case "session" =>
+          EventStream.replaySessionWindow(ev, stage, sc.nFiles,
+            gap = s"${sc.windowSec} seconds",
+            gapHoursForSentinel = ((sc.windowSec + 3599) / 3600).toInt,
+            watermarkHours = sc.watermarkHours, arrivalCol = arrival)
+            .select(col("user_id"),
+              unix_timestamp(col("session_start").cast("timestamp")).as("sstart_s"),
+              unix_timestamp(col("session_end").cast("timestamp")).as("send_s"),
+              col("n_events"), col("value_cents"))
       }
       val sparkRows = replayed.collect()
         .map(r => (0 until r.length).map(i => DiffRunner.fmt(r.get(i))).toSeq).toSeq

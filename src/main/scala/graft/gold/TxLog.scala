@@ -299,8 +299,15 @@ object TxLog {
       case IntegerType => 2; case LongType => 3
       case _ => -1
     }
-    from == to || (from, to) == (FloatType, DoubleType) ||
-      (rank(from) >= 0 && rank(to) >= 0 && rank(from) <= rank(to))
+    (from, to) match {
+      case _ if from == to => true
+      case (FloatType, DoubleType) => true
+      // same-scale precision widening — the one decimal merge Spark's own
+      // parquet schema merging accepts (max precision at equal scale)
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d1.precision <= d2.precision
+      case _ => rank(from) >= 0 && rank(to) >= 0 && rank(from) <= rank(to)
+    }
   }
 
   /** The cumulative table schema after committing `written` on top of

@@ -193,6 +193,10 @@ object Pipeline {
         pool.submit(new Runnable {
           override def run(): Unit =
             try {
+              // a defensive path may have completed this task as Failed
+              // before its deps all finished — never run the body of a
+              // task whose fate is already recorded
+              if (completed.containsKey(t.name)) return
               // deps are all COMPLETE here (scheduling fires on the last
               // decrement); blocked = any dep that did not succeed
               val blockedBy = t.deps.filter(d =>

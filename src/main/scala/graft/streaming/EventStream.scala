@@ -111,6 +111,264 @@ object EventStream {
     readReplayOutput(s, outPath, agg.schema)
   }
 
+  /** APPEND-MODE twin of [[replayWindowedAgg]] — the OTHER watermark
+    * semantics class: each window is emitted EXACTLY ONCE, when the
+    * watermark proves it closed (finalize-once), instead of the complete
+    * mode's full-state rewrite. The subtle end-of-stream part: after the
+    * last real file the watermark sits `watermarkHours` behind max(ts),
+    * so the final windows would never flush — a far-future sentinel row
+    * (its own `__sentinel` event type, filtered from the returned frame)
+    * pushes the watermark past every real window's end, and Spark's
+    * no-data micro-batches emit the remainder. With in-order (or
+    * slack-bounded out-of-order, via `arrivalCol`) delivery nothing is
+    * watermark-late, so the emitted set must equal the FULL batch window
+    * set — a double emission (window flushed twice across batches), a
+    * missing flush, or a late-drop all diverge. Gated as
+    * `q_o_stream_append_replay` against the same batch-window oracle as
+    * the complete-mode gate.
+    */
+  def replayWindowedAggAppend(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6,
+      windowDur: String = "1 day",
+      watermarkHours: Int = 2,
+      sentinelLeadHours: Int = 34, // > windowDur + watermark for the default gate
+      arrivalCol: Option[String] = None
+  ): DataFrame = {
+    val s = events.sparkSession
+    val stagedAll = events.select((Seq(col("event_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("event_type"), col("value")) ++ arrivalCol.map(col)): _*)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None    => writeTimeOrderedFiles(stagedAll, stagePath, nFiles)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
+    val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    if (maxTs != null) {
+      val farFuture = new java.sql.Timestamp(
+        maxTs.getTime + sentinelLeadHours.toLong * 3600 * 1000)
+      import s.implicits._
+      val sentinel = Seq((Long.MinValue, farFuture, "__sentinel", 0.0))
+        .toDF("event_id", "ts", "event_type", "value")
+      appendSentinelFile(sentinel, stagePath)
+    }
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val agg = stream
+      .withWatermark("ts", s"$watermarkHours hours")
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("window.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("cnt"), col("value_cents"))
+    // drop ONLY the sentinel's own group — a NULL event_type group (legal
+    // data the batch oracle keeps) must survive, so the null case is
+    // explicit (a bare =!= would evaluate NULL and drop it)
+    runReplayToParquet(s, agg, stagePath)
+      .filter(col("event_type").isNull || col("event_type") =!= "__sentinel")
+  }
+
+  /** Batch-equivalence replay of STATEFUL STREAMING DEDUP
+    * (`dropDuplicatesWithinWatermark`): stage `events` — which the CALLER
+    * has salted with duplicate event_ids, displaced at most
+    * (watermark − ε) later in event time — as time-ordered files, stream
+    * them one file per micro-batch, and drop duplicates on `event_id`
+    * with watermark-bounded state. First occurrences emit eagerly (dedup
+    * is not an aggregation — no end-of-stream sentinel needed); every
+    * later copy of a key arriving within the watermark delay is dropped
+    * by state that is still alive (the in-order replay's watermark trails
+    * maxTs by the full delay, so a displacement < delay can never meet
+    * evicted state). Gated as `q_o_stream_dedup_replay`: the DuckDB
+    * oracle is the original pre-salt events — a missed duplicate (row
+    * emitted twice), a dropped unique row, or premature state eviction
+    * all hash-mismatch.
+    */
+  def replayDedupStream(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6,
+      watermarkHours: Int = 2,
+      arrivalCol: Option[String] = None
+  ): DataFrame = {
+    val s = events.sparkSession
+    val stagedAll = stageEvents(events, arrivalCol)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None    => writeTimeOrderedFiles(stagedAll, stagePath, nFiles)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val dedup = stream
+      .withWatermark("ts", s"$watermarkHours hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    runReplayToParquet(s, dedup, stagePath)
+  }
+
+  /** Batch-equivalence replay of the SESSION-WINDOW aggregation — the
+    * streaming window class whose extent is DATA-DEPENDENT (a session
+    * grows until a `gap`-sized silence), unlike the fixed tumbling
+    * windows of [[replayWindowedAgg]]. Append mode: a session emits
+    * exactly once, when the watermark proves no event can extend it;
+    * in-order replay means partial sessions only ever EXTEND (no
+    * cross-batch merge of disjoint fragments is needed for equivalence,
+    * though the engine supports it). End-of-stream flush via the same
+    * far-future sentinel as [[replayWindowedAggAppend]], on its own
+    * impossible user key. Gated as `q_o_stream_session_replay` against
+    * DuckDB's classic gap-islands sessionization (lag-diff breaks +
+    * running sum) — a session split at a micro-batch boundary, a
+    * double-emitted session, or a gap-boundary off-by-one (Spark merges
+    * on overlap-or-ADJACENCY: an event at exactly last + gap EXTENDS the
+    * session, spec-pinned in EventStreamSpec) all hash-mismatch.
+    */
+  def replaySessionWindow(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6,
+      gap: String = "6 hours",
+      gapHoursForSentinel: Int = 6,
+      watermarkHours: Int = 2,
+      arrivalCol: Option[String] = None
+  ): DataFrame = {
+    val s = events.sparkSession
+    val stagedAll = stageEvents(events, arrivalCol)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None    => writeTimeOrderedFiles(stagedAll, stagePath, nFiles)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
+    val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    if (maxTs != null) {
+      // past every real session's flush bound max(ts) + gap + watermark
+      val farFuture = new java.sql.Timestamp(maxTs.getTime +
+        (gapHoursForSentinel + watermarkHours + 8L) * 3600 * 1000)
+      import s.implicits._
+      val sentinel = Seq((SentinelId, farFuture, Long.MinValue, "__sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      appendSentinelFile(sentinel, stagePath)
+    }
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val agg = stream
+      .withWatermark("ts", s"$watermarkHours hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("value_cents"))
+    // null-safe: a NULL-keyed session group is legal data the batch
+    // oracle keeps; only the sentinel's own impossible key is dropped
+    runReplayToParquet(s, agg, stagePath)
+      .filter(!(col("user_id") <=> lit(Long.MinValue)))
+  }
+
+  /** Batch-equivalence replay of CUSTOM STREAMING STATE
+    * (`mapGroupsWithState` — the KeyValueGroupedDataset path for
+    * semantics no built-in window expresses): running per-user
+    * (event count, value cents) totals, update-mode. Each micro-batch
+    * emits a refreshed row per user seen in it; the foreachBatch sink
+    * appends every update, and the FINAL state per user is selected
+    * back by max(n_events) — the running count is strictly monotone per
+    * user, so the maximum IS the last update, with no reliance on file
+    * order. Gated as `q_o_stream_running_stats` against the plain batch
+    * groupBy: lost state between micro-batches, a double-applied batch,
+    * or a key-routing bug all hash-mismatch.
+    */
+  def replayRunningStats(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6,
+      arrivalCol: Option[String] = None
+  ): DataFrame = {
+    val s = events.sparkSession
+    val stagedAll = stageEvents(events, arrivalCol)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None    => writeTimeOrderedFiles(stagedAll, stagePath, nFiles)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    import child.implicits._
+    val stream = child.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+      .select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[CentsEvent]
+    val updates = stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserCents, UserCents](GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[CentsEvent], state: GroupState[UserCents]) =>
+          val prev = state.getOption.getOrElse(UserCents(user, 0L, 0L))
+          var n = prev.n_events; var c = prev.value_cents
+          batch.foreach { e => n += 1; c += e.cents }
+          val next = UserCents(user, n, c)
+          state.update(next)
+          next
+      }
+    val outPath = stagePath + "_out"
+    val ckpt = stagePath + "_ckpt"
+    Seq(outPath, ckpt).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
+    // mapGroupsWithState only supports update-mode output, which the file
+    // sink does not — foreachBatch appends each batch's refreshed rows
+    val q = updates.toDF().writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val all = readReplayOutput(s, outPath,
+      org.apache.spark.sql.Encoders.product[UserCents].schema)
+    all.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("value_cents"), col("n_events")).as("value_cents"))
+  }
+
+  final case class CentsEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, cents: Long)
+  final case class UserCents(user_id: Long, n_events: Long, value_cents: Long)
+
+  /** Stage a single sentinel row as the strictly-newest file under
+    * `stagePath` (mod time now + 60 s, after [[writeTimeOrderedFiles]]'
+    * backdated stamps) — the end-of-stream watermark push shared by the
+    * append-mode replays.
+    */
+  private def appendSentinelFile(sentinel: DataFrame, stagePath: String): Unit = {
+    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    try {
+      sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+      val src = sentinelDir.toFile.listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(stagePath, "zz-sentinel.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      require(dst.setLastModified(System.currentTimeMillis() + 60000L),
+        s"could not stamp mod time on $dst")
+    } finally graft.core.Fs.rmTree(sentinelDir.toFile)
+  }
+
   /** Read a replay's parquet output with the KNOWN schema — an all-late /
     * empty replay must come back as an empty frame, not a schema-inference
     * failure.
@@ -237,17 +495,7 @@ object EventStream {
         (SentinelId, farFuture, -1L, "click", 0.0),
         (SentinelId + 1, farFuture, -1L, "purchase", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value")
-      val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sentinel")
-      try {
-        sentinel.coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
-        val sentinelSrc = sentinelDir.toFile.listFiles()
-          .filter(_.getName.startsWith("part-")).head
-        val sentinelDst = new java.io.File(stagePath, "zz-sentinel.parquet")
-        java.nio.file.Files.copy(sentinelSrc.toPath, sentinelDst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        require(sentinelDst.setLastModified(System.currentTimeMillis() + 60000L),
-          s"could not stamp mod time on $sentinelDst")
-      } finally graft.core.Fs.rmTree(sentinelDir.toFile)
+      appendSentinelFile(sentinel, stagePath)
     }
 
     val child = s.newSession()

@@ -298,4 +298,50 @@ class EventStreamSpec extends SparkSpecBase {
       last shouldBe ((2L, 4.0))
     } finally q.stop()
   }
+
+  test("session replay: an event at EXACTLY gap distance MERGES (adjacent windows)") {
+    // Spark's session_window merges on OVERLAP-OR-ADJACENCY: an event at
+    // exactly last_ts + gap extends the session (empirically pinned here —
+    // the intuitive half-open [start, end) reading predicts a split and is
+    // WRONG; the oracle therefore breaks on diff > gap, matching the batch
+    // Sessionize boundary). Real micros-precision data never hits the
+    // boundary, so only this deterministic case pins it.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_session_edge")
+    try {
+      val events = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0), // == gap → merge
+        (3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+        (4L, ts("2024-01-01 11:00:01"), 2L, "click", 1.0)) // > gap → new
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = EventStream.replaySessionWindow(events, tmp.toString + "/stage",
+          nFiles = 2, gap = "1 hour", gapHoursForSentinel = 1)
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events")
+        .as[(Long, String, String, Long)].collect().toSet
+      out shouldBe Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00", 2L),
+        (2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 1L),
+        (2L, "2024-01-01 11:00:01", "2024-01-01 12:00:01", 1L))
+    } finally graft.core.Fs.rmTree(tmp.toFile)
+  }
+
+  test("dedup replay drops a duplicate arriving in a LATER micro-batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_edge")
+    try {
+      // two files split by ts; event 1's copy lands in file 2 (+6 h,
+      // within the 12 h watermark) — cross-batch state must drop it
+      val events = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 11:00:00"), 1L, "view", 2.0),
+        (1L, ts("2024-01-01 16:00:00"), 1L, "click", 1.0),
+        (3L, ts("2024-01-01 17:00:00"), 2L, "click", 3.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = EventStream.replayDedupStream(events, tmp.toString + "/stage",
+          nFiles = 2, watermarkHours = 12)
+        .select($"event_id", $"value_cents")
+        .as[(Long, Long)].collect().sorted
+      out shouldBe Seq((1L, 100L), (2L, 200L), (3L, 300L))
+    } finally graft.core.Fs.rmTree(tmp.toFile)
+  }
 }

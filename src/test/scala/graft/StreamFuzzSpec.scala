@@ -18,16 +18,17 @@ class StreamFuzzSpec extends SparkSpecBase {
       java.nio.file.Files.createTempDirectory("graft_streamfuzz_spec").toString
     val con = java.sql.DriverManager.getConnection("jdbc:duckdb:")
     try {
-      // seeds 0..5 cover all three modes (inner:1, outer:3, windowed:2)
-      val outcomes = (0L until 6L).map(StreamFuzzer.run(spark, con, tmpRoot, _))
+      // seeds 0..10 cover all six modes (append:0/8, dedup:1/9,
+      // windowed:2/5/7, session:3/6, inner:4/... , outer:10)
+      val outcomes = (0L until 11L).map(StreamFuzzer.run(spark, con, tmpRoot, _))
       val failures = outcomes.filterNot(_.ok)
       withClue(failures.map(o =>
         s"seed=${o.seed} ${o.desc}: ${o.error.getOrElse("")}\n").mkString) {
         failures shouldBe empty
       }
-      outcomes.count(_.sparkRows > 0) should be > 3
+      outcomes.count(_.sparkRows > 0) should be > 6
       outcomes.map(_.desc.takeWhile(_ != '/')).toSet shouldBe
-        Set("inner", "outer", "windowed")
+        Set("inner", "outer", "windowed", "append", "dedup", "session")
     } finally {
       con.close()
       graft.core.Fs.rmTree(new java.io.File(tmpRoot))
@@ -41,7 +42,7 @@ class StreamFuzzSpec extends SparkSpecBase {
     try {
       // first seed per join mode whose scenario actually displaces rows —
       // deterministic scan, so the slice always exercises the late path
-      val lateSeeds = Seq("inner", "outer").map { m =>
+      val lateSeeds = Seq("inner", "outer", "dedup", "session").map { m =>
         (0L until 200L).find { s =>
           val sc = StreamFuzzer.generate(s)
           sc.mode == m && sc.nLate >= 3

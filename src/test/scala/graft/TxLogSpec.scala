@@ -431,6 +431,17 @@ class TxLogSpec extends SparkSpecBase {
     }
     // the table is untouched — the guard fired before any publish
     TxLog.currentVersion(path) shouldBe Some(0L)
+    // decimal: same-scale precision WIDENING is legal (Spark's own parquet
+    // schema merge accepts it); scale changes are not
+    val decPath = freshPath()
+    TxLog.init(rows(0 until 5)
+      .withColumn("amt", col("id").cast("decimal(10,2)")), decPath)
+    TxLog.append(rows(5 until 10)
+      .withColumn("amt", col("id").cast("decimal(12,2)")), decPath, 0L)
+    intercept[IllegalArgumentException] {
+      TxLog.append(rows(10 until 15)
+        .withColumn("amt", col("id").cast("decimal(12,3)")), decPath, 1L)
+    }
     // same-or-WIDENED re-declares stay legal: int grp -> long grp
     TxLog.append(rows(10 until 20).withColumn("grp", col("grp").cast("long")),
       path, expectedVersion = 0L)
@@ -497,6 +508,48 @@ class TxLogSpec extends SparkSpecBase {
       intercept[Exception](TxLog.snapshot(path, Some(v)))
     }
     ()
+  }
+
+  test("racing readers only ever see complete committed states, under both primitives") {
+    Seq(TxLog.CommitPrimitive.HardLink, TxLog.CommitPrimitive.CreateWrite)
+      .foreach { prim =>
+        TxLog.usingPrimitive(prim) {
+          withClue(s"primitive $prim: ") {
+            val path = freshPath()
+            TxLog.init(rows(0 until 10), path)
+            @volatile var stop = false
+            val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+            var reads = 0
+            val reader = new Thread(() => {
+              while (!stop) {
+                try {
+                  // every committed version v holds EXACTLY 10*(v+1) rows;
+                  // any other count means a partially-visible commit
+                  val snap = TxLog.snapshot(path)
+                  val cnt = TxLog.read(spark, path, Some(snap.version)).count()
+                  if (cnt != 10L * (snap.version + 1))
+                    errs.add(s"v${snap.version}: saw $cnt rows")
+                  reads += 1
+                } catch {
+                  // under the degraded CreateWrite primitive a reader racing
+                  // the writer may catch the torn-content window — the
+                  // contract is the LOUD named retry-able error, never a
+                  // wrong answer
+                  case e: IllegalStateException
+                    if e.getMessage.contains("not a valid version record") => ()
+                  case scala.util.control.NonFatal(e) => errs.add(e.toString)
+                }
+              }
+            })
+            reader.start()
+            try (0 until 8).foreach { i =>
+              TxLog.append(rows(100 + i * 10 until 100 + i * 10 + 10), path, i.toLong)
+            } finally { stop = true; reader.join() }
+            errs.toArray shouldBe empty
+            reads should be > 0
+          }
+        }
+      }
   }
 
   test("ACID contract holds under BOTH commit primitives (hard-link and create-write)") {
