@@ -728,6 +728,22 @@ object SparkEntry {
     graft.streaming.EventStream.replayRunningStats(
       T(s, dir).events, "/tmp/graft_roundtrip/stream_running_events")
 
+  /** EXACTLY-ONCE streaming TxLog sink (library:
+    * streaming.EventStream.replayIntoTxLog + gold.TxLog.appendIfNew —
+    * the Delta txn-action pattern): events replayed file-per-micro-batch
+    * into an ACID TxLog table, every batch DELIBERATELY applied twice
+    * with the same (appId, batchId) — the second apply must no-op
+    * against the per-app txn watermark. Oracle = the plain events
+    * projection: an idempotency leak doubles rows, a lost batch drops
+    * them, and the 12-file replay crosses the log's checkpoint interval
+    * so the final read resolves the watermark through a checkpoint.
+    */
+  private def qStreamTxLogSink(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayIntoTxLog(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_txlog_events",
+      "/tmp/graft_roundtrip/stream_txlog_table")
+      .select("event_id", "user_id", "event_type", "value_cents")
+
   /** Stream-stream interval-join batch equivalence: the click→purchase
     * attribution join replayed file-by-file (library:
     * streaming.EventStream.replayAttributionJoin); every emitted match
@@ -1465,6 +1481,7 @@ object SparkEntry {
     "q_o_stream_dedup_replay"  -> (qStreamDedupReplay _),
     "q_o_stream_session_replay" -> (qStreamSessionReplay _),
     "q_o_stream_running_stats" -> (qStreamRunningStats _),
+    "q_o_stream_txlog_sink"  -> (qStreamTxLogSink _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
@@ -2277,6 +2294,11 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(cents) AS BIGINT) AS value_cents
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // exactly-once TxLog sink: double-applied batches must not double rows
+    "q_o_stream_txlog_sink" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events""".stripMargin,
     // mapGroupsWithState running totals: final state == batch groupBy
     "q_o_stream_running_stats" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

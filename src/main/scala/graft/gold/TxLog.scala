@@ -38,6 +38,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    alerts so operators see contention).
   *  - **Snapshot isolation + time travel**: `read(asOf = v)` serves any
   *    retained version — versions are immutable once written.
+  *  - **Idempotent-writer watermarks** (Delta's txn action): a commit may
+  *    carry a `(appId, batchId)` tag; [[appendIfNew]] skips any batch at
+  *    or below the appId's recorded watermark, which is the exactly-once
+  *    seam a streaming `foreachBatch` sink needs under at-least-once
+  *    redelivery. The accumulated map rides in every [[Snapshot]] and is
+  *    persisted by BOTH checkpoint kinds, so it survives vacuum dropping
+  *    the action history.
   *  - **Schema in the log**: every version record carries the table schema
   *    known at that commit (base schema widened by the written data's
   *    schema — Delta stores table metadata in the log for the same
@@ -102,7 +109,8 @@ object TxLog {
   private val CheckpointFileRe = "^(\\d{20})\\.checkpoint\\.json$".r
 
   final case class Snapshot(version: Long, files: Seq[String],
-      schema: Option[StructType] = None)
+      schema: Option[StructType] = None,
+      txns: Map[String, Long] = Map.empty)
 
   final class ConflictException(version: Long)
     extends java.util.ConcurrentModificationException(
@@ -256,13 +264,22 @@ object TxLog {
   // the schema is arbitrary JSON, so it ships BASE64-wrapped to keep the
   // record trivially parseable.
   //
-  //   delta record:  {"version":N,"schemaB64":"...","add":[..],"remove":[..]}
+  //   delta record:  {"version":N,"schemaB64":"...","txn":"b64(app):B",
+  //                   "add":[..],"remove":[..]}   (txn optional)
   //   full record:   {"version":N,"files":[..]}          (legacy v1 format)
-  //   checkpoint:    {"version":N,"schemaB64":"...","files":[..]}
+  //   checkpoint:    {"version":N,"schemaB64":"...","txns":[..],"files":[..]}
+  //
+  // The `txn` action is the idempotent-writer watermark (the Delta
+  // protocol's txn action, same shape): appId base64-wrapped so arbitrary
+  // app names never break the line format, batchId as a plain long. The
+  // SNAPSHOT carries the accumulated appId→newest-batchId map; checkpoints
+  // persist it (`txns`) so the watermark survives vacuum dropping the
+  // action history — losing it would silently re-apply an old batch.
   // ---------------------------------------------------------------------
 
   private final case class VersionRecord(full: Option[Seq[String]],
-      add: Seq[String], remove: Seq[String], schemaB64: Option[String])
+      add: Seq[String], remove: Seq[String], schemaB64: Option[String],
+      txn: Option[(String, Long)])
 
   private def quoteList(fs: Seq[String]): String =
     fs.map("\"" + _ + "\"").mkString(",")
@@ -278,6 +295,25 @@ object TxLog {
   private def parseSchemaB64(text: String): Option[String] =
     "\"schemaB64\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r.findFirstMatchIn(text)
       .map(_.group(1)).filter(_.nonEmpty)
+
+  private def txnEntry(appId: String, batchId: Long): String =
+    java.util.Base64.getEncoder.encodeToString(
+      appId.getBytes(java.nio.charset.StandardCharsets.UTF_8)) + ":" + batchId
+
+  private def parseTxnEntry(e: String): (String, Long) = {
+    val i = e.lastIndexOf(':')
+    require(i > 0, s"TxLog: malformed txn entry '$e'")
+    (new String(java.util.Base64.getDecoder.decode(e.substring(0, i)),
+      java.nio.charset.StandardCharsets.UTF_8), e.substring(i + 1).toLong)
+  }
+
+  private val TxnRe = "\"txn\"\\s*:\\s*\"([A-Za-z0-9+/=]*:-?\\d+)\"".r
+
+  private def parseTxn(text: String): Option[(String, Long)] =
+    TxnRe.findFirstMatchIn(text).map(m => parseTxnEntry(m.group(1)))
+
+  private def parseTxns(text: String): Map[String, Long] =
+    parseList(text, "txns").getOrElse(Nil).map(parseTxnEntry).toMap
 
   private def schemaToB64(s: StructType): String =
     java.util.Base64.getEncoder.encodeToString(
@@ -365,7 +401,7 @@ object TxLog {
           "(truncated or corrupt; under a degraded CreateWrite publish an " +
           "unreadable NEWEST version can be a transient race - retry)")
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
-      parseSchemaB64(text))
+      parseSchemaB64(text), parseTxn(text))
   }
 
   /** `(files, schema)` from checkpoint file `v`, or None when missing or
@@ -376,7 +412,7 @@ object TxLog {
     * error).
     */
   private def readCheckpoint(path: String,
-      v: Long): Option[(Seq[String], Option[StructType])] =
+      v: Long): Option[(Seq[String], Option[StructType], Map[String, Long])] =
     try {
       val f = checkpointVersionFile(path, v)
       if (!f.exists()) None
@@ -384,7 +420,7 @@ object TxLog {
         val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
         parseList(text, "files").map(fs =>
-          (fs, parseSchemaB64(text).map(schemaFromB64)))
+          (fs, parseSchemaB64(text).map(schemaFromB64), parseTxns(text)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -392,9 +428,14 @@ object TxLog {
     * a given version, so REPLACE is idempotent.
     */
   private def writeCheckpointFile(path: String, v: Long, files: Seq[String],
-      schema: Option[StructType]): Unit = {
+      schema: Option[StructType], txns: Map[String, Long]): Unit = {
     val schemaPart = schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
-    val json = s"""{"version":$v,$schemaPart"files":[${quoteList(files)}]}"""
+    val txnsPart =
+      if (txns.isEmpty) ""
+      else s""""txns":[${quoteList(txns.toSeq.sortBy(_._1)
+        .map { case (a, b) => txnEntry(a, b) })}],"""
+    val json =
+      s"""{"version":$v,$schemaPart$txnsPart"files":[${quoteList(files)}]}"""
     val dir = logDir(path).toPath
     val tmp = java.nio.file.Files.createTempFile(dir, ".ckptfile", ".tmp")
     try {
@@ -413,14 +454,15 @@ object TxLog {
     */
   private[graft] def resolve(path: String, v: Long,
       useCheckpoints: Boolean = true): Snapshot = {
-    val base: Option[(Long, Seq[String], Option[StructType])] =
+    val base: Option[(Long, Seq[String], Option[StructType], Map[String, Long])] =
       if (!useCheckpoints) None
       else listCheckpointVersions(path).filter(_ <= v).sorted.reverse
         .iterator.flatMap(cv =>
-          readCheckpoint(path, cv).map { case (fs, sch) => (cv, fs, sch) })
+          readCheckpoint(path, cv).map { case (fs, sch, tx) => (cv, fs, sch, tx) })
         .nextOption()
     var files = base.map(_._2).getOrElse(Seq.empty[String])
     var schema = base.flatMap(_._3)
+    var txns = base.map(_._4).getOrElse(Map.empty[String, Long])
     val start = base.map(_._1 + 1).getOrElse(0L)
     var w = start
     while (w <= v) {
@@ -432,9 +474,10 @@ object TxLog {
           files = files.filterNot(rm.contains) ++ rec.add
       }
       schema = rec.schemaB64.map(schemaFromB64).orElse(schema)
+      rec.txn.foreach { case (app, b) => txns = txns + (app -> b) }
       w += 1
     }
-    Snapshot(v, files, schema)
+    Snapshot(v, files, schema, txns)
   }
 
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
@@ -491,13 +534,24 @@ object TxLog {
     */
   private def publish(path: String, v: Long, fullFiles: Seq[String],
       add: Seq[String], remove: Seq[String],
-      schema: Option[StructType]): Unit = {
+      schema: Option[StructType],
+      txn: Option[(String, Long)] = None,
+      // NO default: every committer must state the complete post-commit
+      // txn map — a forgotten pass-through here would write checkpoints
+      // that silently LOSE idempotency watermarks on vacuum
+      fullTxns: Map[String, Long]): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
     val schemaPart =
       schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
-    val json = s"""{"version":$v,$schemaPart"add":[${quoteList(add)}],""" +
-      s""""remove":[${quoteList(remove)}]}"""
+    // txn rides BEFORE the action arrays so the truncation guard (both
+    // add AND remove present, remove last) keeps covering the whole record
+    val txnPart = txn.map { case (a, b) =>
+      s""""txn":"${txnEntry(a, b)}","""
+    }.getOrElse("")
+    val json =
+      s"""{"version":$v,$schemaPart$txnPart"add":[${quoteList(add)}],""" +
+        s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
     try primitive.value.create(target, bytes)
@@ -515,7 +569,7 @@ object TxLog {
     }
     if (v % CheckpointInterval == 0)
       try {
-        writeCheckpointFile(path, v, fullFiles, schema)
+        writeCheckpointFile(path, v, fullFiles, schema, fullTxns)
         writeCheckpointHint(path, v)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -575,7 +629,8 @@ object TxLog {
     require(currentVersion(path).isEmpty, s"TxLog: table already exists at $path")
     new java.io.File(path).mkdirs()
     val files = writeDataFiles(df, path)
-    publish(path, 0L, files, add = files, remove = Nil, Some(df.schema))
+    publish(path, 0L, files, add = files, remove = Nil, Some(df.schema),
+      fullTxns = Map.empty)
     Snapshot(0L, files, Some(df.schema))
   }
 
@@ -590,8 +645,40 @@ object TxLog {
     val schema = mergeSchemas(base.schema, df.schema)
     val files = base.files ++ added
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
-      Some(schema))
-    Snapshot(expectedVersion + 1, files, Some(schema))
+      Some(schema), fullTxns = base.txns)
+    Snapshot(expectedVersion + 1, files, Some(schema), base.txns)
+  }
+
+  /** IDEMPOTENT append — the exactly-once seam for streaming
+    * `foreachBatch` sinks (the Delta protocol's txn-action pattern):
+    * commit `df` tagged with writer identity `(appId, batchId)`. If the
+    * snapshot at `expectedVersion` already records a txn for `appId` with
+    * a batchId AT OR ABOVE this one, the call is a NO-OP returning that
+    * snapshot unchanged — the redelivery a foreachBatch retry produces
+    * after a sink-side success commits nothing twice. batchIds must be
+    * monotone per appId (Structured Streaming's batchId contract); the
+    * recorded watermark is the newest applied batchId and rides in every
+    * snapshot, survives checkpoint+tail resolution, AND survives vacuum
+    * (the vacuum-time checkpoint persists the accumulated map before the
+    * action history drops — losing it would silently re-apply old
+    * batches). Wrap in [[commitWithRetry]] for concurrent writers: the
+    * skip check re-runs against the fresh snapshot on every retry, so a
+    * conflicting writer can never resurrect an already-applied batch.
+    */
+  def appendIfNew(df: DataFrame, path: String, appId: String, batchId: Long,
+      expectedVersion: Long): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    base.txns.get(appId) match {
+      case Some(last) if batchId <= last => base // already applied: no-op
+      case _ =>
+        val added = writeDataFiles(df, path)
+        val schema = mergeSchemas(base.schema, df.schema)
+        val files = base.files ++ added
+        val txns = base.txns + (appId -> batchId)
+        publish(path, expectedVersion + 1, files, add = added, remove = Nil,
+          Some(schema), txn = Some((appId, batchId)), fullTxns = txns)
+        Snapshot(expectedVersion + 1, files, Some(schema), txns)
+    }
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
@@ -629,7 +716,8 @@ object TxLog {
     // atomically BEFORE its history is dropped — this checkpoint is
     // load-bearing (unlike commit-time ones)
     val oldest = snaps.head
-    writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema)
+    writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema,
+      oldest.txns)
     val droppedVersions = all.dropRight(retainVersions).map { v =>
       val f = versionFile(path, v)
       java.nio.file.Files.delete(f.toPath)
@@ -757,8 +845,9 @@ object TxLog {
     val schema = mergeSchemas(base.schema, newData.schema)
     val files = untouched ++ rewritten ++ added
     publish(path, expectedVersion + 1, files,
-      add = rewritten ++ added, remove = touched.toSeq.sorted, Some(schema))
-    Snapshot(expectedVersion + 1, files, Some(schema))
+      add = rewritten ++ added, remove = touched.toSeq.sorted, Some(schema),
+      fullTxns = base.txns)
+    Snapshot(expectedVersion + 1, files, Some(schema), base.txns)
   }
 
   /** Delete matching rows: only files CONTAINING matches are rewritten
@@ -798,7 +887,9 @@ object TxLog {
         if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
       }
     publish(path, expectedVersion + 1, untouched ++ rewritten,
-      add = rewritten, remove = touched.toSeq.sorted, base.schema)
-    Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema)
+      add = rewritten, remove = touched.toSeq.sorted, base.schema,
+      fullTxns = base.txns)
+    Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema,
+      base.txns)
   }
 }

@@ -350,6 +350,65 @@ object EventStream {
       user_id: Long, event_type: String, cents: Long)
   final case class UserCents(user_id: Long, n_events: Long, value_cents: Long)
 
+  /** EXACTLY-ONCE streaming ingestion into a [[graft.gold.TxLog]] table —
+    * the sink side of the streaming surface: each micro-batch commits
+    * through `TxLog.appendIfNew` tagged `(appId, batchId)` (the Delta
+    * txn-action pattern), so a redelivered batch — the at-least-once
+    * delivery `foreachBatch` gives after any sink-side retry — commits
+    * NOTHING the second time. To make that observable rather than
+    * assumed, the replay DELIBERATELY applies every batch TWICE with the
+    * same batchId; the second call must be a no-op against the recorded
+    * per-app watermark. Gated as `q_o_stream_txlog_sink`: the oracle is
+    * the plain events projection, so any idempotency leak doubles rows
+    * and any lost batch drops them. `nFiles` defaults past the log's
+    * checkpoint interval so the gate read also resolves through a
+    * checkpoint carrying the txn watermark.
+    */
+  def replayIntoTxLog(
+      events: DataFrame,
+      stagePath: String,
+      tablePath: String,
+      nFiles: Int = 12,
+      appId: String = "graft-stream-ingest"
+  ): DataFrame = {
+    val s = events.sparkSession
+    val staged = events.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    graft.core.Fs.rmTree(new java.io.File(tablePath))
+    graft.gold.TxLog.init(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        staged.schema), tablePath)
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val ckpt = stagePath + "_ckpt"
+    graft.core.Fs.rmTree(new java.io.File(ckpt))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val data = batch.persist()
+        try {
+          // commitWithRetry because a table is shared infrastructure:
+          // the skip check re-runs against the fresh snapshot on every
+          // optimistic-conflict retry
+          graft.gold.TxLog.commitWithRetry(tablePath)(v =>
+            graft.gold.TxLog.appendIfNew(data.toDF(), tablePath, appId, bid, v))
+          // the deliberate redelivery: same (appId, batchId) → no-op
+          graft.gold.TxLog.commitWithRetry(tablePath)(v =>
+            graft.gold.TxLog.appendIfNew(data.toDF(), tablePath, appId, bid, v))
+          ()
+        } finally { data.unpersist(); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.gold.TxLog.read(s, tablePath)
+  }
+
   /** Stage a single sentinel row as the strictly-newest file under
     * `stagePath` (mod time now + 60 s, after [[writeTimeOrderedFiles]]'
     * backdated stamps) — the end-of-stream watermark push shared by the

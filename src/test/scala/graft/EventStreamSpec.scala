@@ -344,4 +344,53 @@ class EventStreamSpec extends SparkSpecBase {
       out shouldBe Seq((1L, 100L), (2L, 200L), (3L, 300L))
     } finally graft.core.Fs.rmTree(tmp.toFile)
   }
+
+  test("TxLog streaming sink: restart from checkpoint commits nothing twice") {
+    import graft.gold.TxLog
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txsink_restart")
+    val stage = tmp.toString + "/stage"
+    val table = tmp.toString + "/table"
+    val ckpt = tmp.toString + "/ckpt"
+    try {
+      def staged(r: Range) = r.map(i =>
+          (i.toLong, ts(f"2024-01-01 ${10 + i % 10}%02d:00:00"), i % 3L,
+            "click", i.toLong))
+        .toDF("event_id", "ts", "user_id", "event_type", "value_cents")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val schema = staged(0 until 1).schema
+      TxLog.init(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), table)
+      // one streaming "run": a fresh query over the SAME checkpoint — the
+      // file source resumes from its seen-files log, batchIds continue
+      def runOnce(): Unit = {
+        val child = spark.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", 4)
+        val q = child.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+              TxLog.commitWithRetry(table)(v =>
+                TxLog.appendIfNew(b.toDF(), table, "restart-app", bid, v))
+              ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      staged(0 until 40).coalesce(2).write.mode("append").parquet(stage)
+      runOnce()
+      TxLog.read(spark, table).count() shouldBe 40L
+      // restart with NO new input: any redelivery must no-op
+      runOnce()
+      TxLog.read(spark, table).count() shouldBe 40L
+      // new files arrive, restart from the same checkpoint: only the new
+      // rows commit, exactly once each
+      staged(40 until 70).coalesce(2).write.mode("append").parquet(stage)
+      runOnce()
+      val rows = TxLog.read(spark, table)
+      rows.count() shouldBe 70L
+      rows.select("event_id").distinct().count() shouldBe 70L
+    } finally graft.core.Fs.rmTree(tmp.toFile)
+  }
 }

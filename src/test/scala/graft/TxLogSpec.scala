@@ -589,4 +589,73 @@ class TxLogSpec extends SparkSpecBase {
         }
       }
   }
+
+  test("appendIfNew: at-or-below the txn watermark is a NO-OP, above applies") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path)
+    val s1 = TxLog.appendIfNew(rows(10 until 20), path, "appA", 0L, 0L)
+    s1.version shouldBe 1L
+    s1.txns shouldBe Map("appA" -> 0L)
+    // exact redelivery: same (appId, batchId) — nothing commits
+    val s2 = TxLog.appendIfNew(rows(10 until 20), path, "appA", 0L, 1L)
+    s2.version shouldBe 1L
+    TxLog.read(spark, path).count() shouldBe 20L
+    // a LOWER batchId (a replay from an older checkpoint) is also a no-op
+    TxLog.appendIfNew(rows(10 until 20), path, "appA", -1L, 1L)
+      .version shouldBe 1L
+    // the next batch applies; a DIFFERENT app has its own watermark
+    TxLog.appendIfNew(rows(20 until 30), path, "appA", 1L, 1L)
+      .version shouldBe 2L
+    val s4 = TxLog.appendIfNew(rows(30 until 40), path, "appB", 0L, 2L)
+    s4.version shouldBe 3L
+    s4.txns shouldBe Map("appA" -> 1L, "appB" -> 0L)
+    TxLog.read(spark, path).count() shouldBe 40L
+    // plain appends/deletes CARRY the watermark forward untouched
+    val s5 = TxLog.append(rows(40 until 50), path, 3L)
+    s5.txns shouldBe Map("appA" -> 1L, "appB" -> 0L)
+  }
+
+  test("txn watermark survives checkpoint resolution AND vacuum") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 5), path)
+    // cross the commit-time checkpoint interval (10) with txn commits
+    (0 until 12).foreach { b =>
+      TxLog.appendIfNew(rows(100 + b * 5 until 100 + b * 5 + 5), path,
+        "stream", b.toLong, b.toLong)
+    }
+    // v10's commit-time checkpoint must carry the accumulated map:
+    // checkpoint+tail resolution equals full replay
+    TxLog.resolve(path, 12L).txns shouldBe
+      TxLog.resolve(path, 12L, useCheckpoints = false).txns
+    TxLog.snapshot(path).txns shouldBe Map("stream" -> 11L)
+    // vacuum drops the action history below v11 — the vacuum-time
+    // checkpoint must persist the watermark or old batches would re-apply
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    TxLog.snapshot(path).txns shouldBe Map("stream" -> 11L)
+    TxLog.appendIfNew(rows(0 until 5), path, "stream", 5L, 12L)
+      .version shouldBe 12L // stale batch: still a no-op after vacuum
+    TxLog.appendIfNew(rows(200 until 205), path, "stream", 12L, 12L)
+      .version shouldBe 13L
+    TxLog.read(spark, path).count() shouldBe (5L + 12 * 5 + 5)
+  }
+
+  test("appendIfNew under commitWithRetry: an interleaved foreign writer never breaks idempotency") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path)
+    TxLog.commitWithRetry(path)(v =>
+      TxLog.appendIfNew(rows(10 until 20), path, "appA", 0L, v))
+    // a foreign writer commits between the stream's batches
+    TxLog.append(rows(20 until 30), path, TxLog.currentVersion(path).get)
+    // redelivery of batch 0 AFTER the foreign commit: still a no-op
+    // (the skip check re-reads the fresh snapshot)
+    val before = TxLog.currentVersion(path).get
+    TxLog.commitWithRetry(path)(v =>
+      TxLog.appendIfNew(rows(10 until 20), path, "appA", 0L, v))
+    TxLog.currentVersion(path).get shouldBe before
+    // and the NEXT batch still applies on top of the foreign commit
+    TxLog.commitWithRetry(path)(v =>
+      TxLog.appendIfNew(rows(30 until 40), path, "appA", 1L, v))
+    TxLog.read(spark, path).count() shouldBe 40L
+    TxLog.snapshot(path).txns shouldBe Map("appA" -> 1L)
+  }
 }
