@@ -245,6 +245,35 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
   }
 
+  /** CHANGE DATA FEED over the commit log (library: gold.TxLog.changes +
+    * mirrorFromChanges — the Delta CDF shape derived from file actions):
+    * a four-version history (init slice, append slice, predicate DELETE,
+    * atomic key-replace MERGE) is read back as row-level insert/delete
+    * changes per version and FOLDED — the returned frame is the mirror a
+    * downstream CDC consumer reconstructs FROM THE FEED ALONE, never
+    * reading the table. The oracle states the final membership in closed
+    * form from orders, so a missed delete, a double-emitted insert, a
+    * version applied out of order, or an incomplete rewrite emission all
+    * hash-mismatch.
+    */
+  private def qTxlogCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_cdf"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 4 === 0)
+      .repartitionByRange(4, col("id")), path)
+    TxLog.append(o.filter(col("id") % 4 === 1), path, expectedVersion = 0L)
+    TxLog.deleteWhere(s, path, col("id") % 5 === 2, expectedVersion = 1L)
+    TxLog.replaceWhereKeys(s, path,
+      o.filter(col("id") % 9 === 4).select("id"), Seq("id"),
+      newData = o.filter(col("id") % 4 === 2 && col("id") % 9 === 4),
+      expectedVersion = 2L)
+    TxLog.mirrorFromChanges(s, path)
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1122,6 +1151,7 @@ object ExtensionQueries {
     "q_x_skip_index_dates" -> (qSkipIndexDates _),
     "q_o_txlog_snapshot" -> (qTxlogSnapshot _),
     "q_o_txlog_time_travel" -> (qTxlogTimeTravel _),
+    "q_o_txlog_cdf" -> (qTxlogCdf _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -1416,6 +1446,16 @@ object ExtensionQueries {
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
           |GROUP BY o_orderpriority""".stripMargin,
+      // CDC-replayed mirror == final membership in closed form: slices
+      // id%4 in (0,1), minus the id%5=2 delete, minus the id%9=4
+      // key-replace, plus the replace's new id%4=2, id%9=4 rows
+      "q_o_txlog_cdf" ->
+        """SELECT o_orderkey AS id, o_custkey AS cust,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |FROM orders
+          |WHERE (o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 <> 2
+          |       AND o_orderkey % 9 <> 4)
+          |   OR (o_orderkey % 4 = 2 AND o_orderkey % 9 = 4)""".stripMargin,
       // version 1 = both slices, delete not yet applied
       "q_o_txlog_time_travel" ->
         """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,

@@ -518,6 +518,82 @@ object TxLog {
         .parquet(snap.files.map(f => s"$path/$f"): _*)
   }
 
+  /** Row-level CHANGE DATA FEED between versions (the Delta CDF shape,
+    * derived purely from the log's file actions): for every version `v`
+    * in `(fromExclusive, to]`, emits each row of the files the commit
+    * ADDED as `_change_type = 'insert'` and each row of the files it
+    * REMOVED as `_change_type = 'delete'`, tagged `_commit_version = v`.
+    * A rewrite commit ([[deleteWhere]] / [[replaceWhereKeys]]) therefore
+    * emits delete(every old-file row) + insert(every survivor row) —
+    * net-correct as a MULTISET: applying versions in order to a mirror
+    * (minus deletes, plus inserts — [[mirrorFromChanges]]) reconstructs
+    * exactly the table at `to`. Consumers keying on a natural key can
+    * collapse the delete+reinsert pairs into updates themselves.
+    *
+    * Reads are version-record metadata + the referenced data files —
+    * distributed, O(changed files) per version. The feed window is
+    * bounded by [[vacuum]]: a removed file is referenced by NO retained
+    * snapshot, so vacuum physically deletes it and the versions whose
+    * deletes it carried become unreadable — read the feed BEFORE
+    * vacuuming past it (Delta's CDF retention has the same coupling).
+    * Schema evolution is handled by aligning every version's rows to the
+    * union schema (missing columns NULL), newest-version column order.
+    */
+  def changes(spark: SparkSession, path: String, fromExclusive: Long,
+      to: Long): DataFrame = {
+    require(fromExclusive < to,
+      s"TxLog.changes: empty range ($fromExclusive, $to]")
+    val perVersion: Seq[DataFrame] = (fromExclusive + 1 to to).flatMap { v =>
+      val rec = parseRecord(path, v)
+      require(rec.full.isEmpty,
+        s"TxLog.changes: version $v is a legacy full-list record - its " +
+          "add/remove delta is not recoverable from the record alone")
+      def load(files: Seq[String], kind: String): Option[DataFrame] =
+        if (files.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$path/$f"): _*)
+          .withColumn("_change_type", lit(kind))
+          .withColumn("_commit_version", lit(v)))
+      // deletes first within a version: a rewrite's survivor re-inserts
+      // must land after the old rows leave (order matters to appliers)
+      load(rec.remove, "delete").toSeq ++ load(rec.add, "insert").toSeq
+    }
+    require(perVersion.nonEmpty,
+      s"TxLog.changes: no file actions in ($fromExclusive, $to] at $path")
+    perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Reconstruct the table at version `to` from the change feed ALONE —
+    * the semantic reference for any CDF consumer, and the proof the feed
+    * is complete: fold versions 0..to in order, each step removing the
+    * version's delete-rows (multiset subtract) and adding its
+    * insert-rows. `exceptAll` keys on WHOLE rows, which is exactly the
+    * file-action contract (a removed file's rows leave as-written).
+    * Production consumers at 100 TB would merge by natural key per batch
+    * instead of multiset-subtracting the full mirror; this fold is the
+    * oracle-shaped reference, gated as `q_o_txlog_cdf` against a
+    * closed-form final-state oracle.
+    */
+  def mirrorFromChanges(spark: SparkSession, path: String,
+      to: Option[Long] = None): DataFrame = {
+    val v = to.orElse(currentVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val feed = changes(spark, path, -1L, v)
+    val dataCols = feed.columns
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    val versions = (0L to v)
+    var mirror = feed.filter(lit(false)).select(dataCols.map(col): _*)
+    versions.foreach { w =>
+      val batch = feed.filter(col("_commit_version") === w)
+      val dels = batch.filter(col("_change_type") === "delete")
+        .select(dataCols.map(col): _*)
+      val ins = batch.filter(col("_change_type") === "insert")
+        .select(dataCols.map(col): _*)
+      mirror = mirror.exceptAll(dels).unionAll(ins)
+    }
+    mirror
+  }
+
   /** Publish one commit as version `v`: a DELTA action record (`add` /
     * `remove` — O(changed files) bytes) through the configured
     * [[CommitPrimitive]], so the version file appears atomically with its

@@ -590,6 +590,41 @@ class TxLogSpec extends SparkSpecBase {
       }
   }
 
+  test("change feed: a mirror folded from changes ALONE equals every version's direct read") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(3), path)
+    TxLog.append(rows(100 until 160), path, 0L)
+    TxLog.deleteWhere(spark, path, col("id") % 3 === 1L, 1L)
+    TxLog.replaceWhereKeys(spark, path, rows(50 until 70).select("id"),
+      Seq("id"), newData = rows(200 until 210), expectedVersion = 2L)
+    // widening append: the feed must align old versions to the union schema
+    TxLog.append(rows(300 until 310).withColumn("extra", col("id") * 2L),
+      path, 3L)
+    val cur = TxLog.currentVersion(path).get
+    (0L to cur).foreach { v =>
+      val mirror = TxLog.mirrorFromChanges(spark, path, Some(v))
+      val direct = TxLog.read(spark, path, Some(v))
+        .unionByName(TxLog.mirrorFromChanges(spark, path, Some(cur))
+          .filter(lit(false)), allowMissingColumns = true)
+      val alignedDirect = direct.select(mirror.columns.map(col): _*)
+      withClue(s"version $v: ") {
+        mirror.exceptAll(alignedDirect).count() shouldBe 0L
+        alignedDirect.exceptAll(mirror).count() shouldBe 0L
+      }
+    }
+    // feed shape: the rewrite versions emit BOTH sides
+    val feed = TxLog.changes(spark, path, fromExclusive = -1L, to = cur)
+    Seq(2L, 3L).foreach { v =>
+      feed.filter(col("_commit_version") === v &&
+        col("_change_type") === "delete").count() should be > 0L
+      feed.filter(col("_commit_version") === v &&
+        col("_change_type") === "insert").count() should be > 0L
+    }
+    // an append version emits inserts only
+    feed.filter(col("_commit_version") === 1L &&
+      col("_change_type") === "delete").count() shouldBe 0L
+  }
+
   test("appendIfNew: at-or-below the txn watermark is a NO-OP, above applies") {
     val path = freshPath()
     TxLog.init(rows(0 until 10), path)
