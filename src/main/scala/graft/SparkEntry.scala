@@ -728,6 +728,18 @@ object SparkEntry {
     graft.streaming.EventStream.replayRunningStats(
       T(s, dir).events, "/tmp/graft_roundtrip/stream_running_events")
 
+  /** CUSTOM-STATE sessionization batch equivalence (library:
+    * streaming.EventStream.replayCustomSession — flatMapGroupsWithState
+    * with EVENT-TIME TIMEOUT, the general state API): the same session
+    * semantics as q_o_stream_session_replay's session_window path,
+    * rebuilt from per-key state + watermark timeouts, gated against the
+    * IDENTICAL DuckDB gap-islands oracle so the two implementations pin
+    * each other (merge-on-adjacency boundary included).
+    */
+  private def qStreamCustomSession(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayCustomSession(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_custom_session_events")
+
   /** EXACTLY-ONCE streaming TxLog sink (library:
     * streaming.EventStream.replayIntoTxLog + gold.TxLog.appendIfNew —
     * the Delta txn-action pattern): events replayed file-per-micro-batch
@@ -1482,6 +1494,7 @@ object SparkEntry {
     "q_o_stream_session_replay" -> (qStreamSessionReplay _),
     "q_o_stream_running_stats" -> (qStreamRunningStats _),
     "q_o_stream_txlog_sink"  -> (qStreamTxLogSink _),
+    "q_o_stream_custom_session" -> (qStreamCustomSession _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
@@ -2278,6 +2291,25 @@ object SparkEntry {
     // gap distance extends the session — spec-pinned), hence > on the
     // break, the same boundary as the batch Sessionize/q_w8
     "q_o_stream_session_replay" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             > INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |g AS (SELECT user_id, ts, cents,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS value_cents
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // custom-state sessionization: the SAME gap-islands twin as the
+    // session_window gate — the two implementations pin each other
+    "q_o_stream_custom_session" ->
       """WITH m AS (
         |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -350,6 +350,129 @@ object EventStream {
       user_id: Long, event_type: String, cents: Long)
   final case class UserCents(user_id: Long, n_events: Long, value_cents: Long)
 
+  /** Open-session state for [[replayCustomSession]] (epoch MICROS —
+    * `Timestamp.getTime` is millis and would silently truncate the
+    * events' microsecond precision; the oracle compares exact).
+    */
+  final case class SessionState(start: Long, last: Long, n: Long, cents: Long)
+
+  private def microsOf(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+  final case class SessionOut(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, value_cents: Long)
+
+  /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` +
+    * EVENT-TIME TIMEOUT — the same session semantics as
+    * [[replaySessionWindow]] built from the general state API instead of
+    * the `session_window` operator, gated against the SAME DuckDB
+    * gap-islands oracle so the two implementations pin each other. A
+    * session closes either when a successor event arrives more than
+    * `gap` after its last event (emitted inline), or when the watermark
+    * passes `last + gap` (emitted by the timeout callback — Spark calls
+    * the function with `state.hasTimedOut` once no event can extend the
+    * session). Boundary matches session_window's merge-on-adjacency: an
+    * event at EXACTLY `last + gap` EXTENDS (`diff <= gap`). End-of-stream
+    * flush: the far-future sentinel advances the watermark and the final
+    * no-data batch fires every remaining timeout; the sentinel's own
+    * state (impossible user key, timeout beyond the final watermark)
+    * never emits and its key is filtered from the output.
+    *
+    * In-order replay contract: the range-split staging means each batch's
+    * events are at-or-after the previous batch's, so `last + gap` is
+    * always ahead of the watermark when `gap > watermark` — the
+    * `setTimeoutTimestamp` must-exceed-watermark precondition holds by
+    * construction. Out-of-order (arrivalCol) input is NOT supported here:
+    * unlike `session_window`, this fold never merges disjoint fragments.
+    */
+  def replayCustomSession(
+      events: DataFrame,
+      stagePath: String,
+      nFiles: Int = 6,
+      gapHours: Int = 6,
+      watermarkHours: Int = 2
+  ): DataFrame = {
+    val s = events.sparkSession
+    val staged = stageEvents(events)
+    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    if (maxTs != null) {
+      val farFuture = new java.sql.Timestamp(maxTs.getTime +
+        (gapHours + watermarkHours + 8L) * 3600 * 1000)
+      import s.implicits._
+      val sentinel = Seq((SentinelId, farFuture, Long.MinValue, "__sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      appendSentinelFile(sentinel, stagePath)
+    }
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    import child.implicits._
+    val gapUs = gapHours * 3600L * 1000000L
+    // The sentinel is NOT filtered before grouping: a pre-group filter on
+    // a non-event-time column gets predicate-pushed BELOW the
+    // EventTimeWatermark node, so the sentinel would never advance the
+    // watermark and no timeout would ever fire (observed: only
+    // successor-closed sessions emitted). It flows through, opens its own
+    // state under the impossible user key (whose timeout, sentinel + gap,
+    // stays beyond the final watermark — never emitted), and the OUTPUT
+    // is filtered on that key instead.
+    val stream = child.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+      .withWatermark("ts", s"$watermarkHours hours")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[CentsEvent]
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[CentsEvent], state: GroupState[SessionState]) =>
+          def close(st: SessionState) = SessionOut(user,
+            tsOfMicros(st.start), tsOfMicros(st.last + gapUs), st.n, st.cents)
+          if (state.hasTimedOut) {
+            val st = state.get; state.remove(); Iterator.single(close(st))
+          } else {
+            // within-batch order is not guaranteed; the fold needs it
+            val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            evs.foreach { e =>
+              val t = microsOf(e.ts)
+              cur match {
+                case Some(st) if t - st.last <= gapUs => // adjacency EXTENDS
+                  cur = Some(SessionState(st.start, math.max(st.last, t),
+                    st.n + 1, st.cents + e.cents))
+                case Some(st) =>
+                  closed += close(st)
+                  cur = Some(SessionState(t, t, 1L, e.cents))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.cents))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              // the timeout API is millis; ceil so the flush can never
+              // fire a hair BEFORE last + gap
+              state.setTimeoutTimestamp(
+                Math.floorDiv(st.last + gapUs, 1000L) + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+      .filter(!(col("user_id") <=> lit(Long.MinValue)))
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("value_cents"))
+    runReplayToParquet(s, sessions, stagePath)
+  }
+
   /** EXACTLY-ONCE streaming ingestion into a [[graft.gold.TxLog]] table —
     * the sink side of the streaming surface: each micro-batch commits
     * through `TxLog.appendIfNew` tagged `(appId, batchId)` (the Delta

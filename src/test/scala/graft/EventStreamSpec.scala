@@ -326,6 +326,31 @@ class EventStreamSpec extends SparkSpecBase {
     } finally graft.core.Fs.rmTree(tmp.toFile)
   }
 
+  test("custom session (flatMapGroupsWithState): exactly-gap MERGES, gap+1s splits, timeout flushes") {
+    // the same deterministic boundary the session_window spec pins — the
+    // two implementations must agree at the adjacency edge, and the
+    // trailing sessions here close via EVENT-TIME TIMEOUT (no successor
+    // ever arrives; the sentinel-advanced watermark fires the callback)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_custom_session")
+    try {
+      val events = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 11:00:00"), 1L, "click", 2.0), // == gap → merge
+        (3L, ts("2024-01-01 10:00:00"), 2L, "click", 4.0),
+        (4L, ts("2024-01-01 11:00:01"), 2L, "click", 8.0)) // > gap → new
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val out = EventStream.replayCustomSession(events,
+          tmp.toString + "/stage", nFiles = 2, gapHours = 1)
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events", $"value_cents")
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      out shouldBe Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 12:00:00", 2L, 300L),
+        (2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 1L, 400L),
+        (2L, "2024-01-01 11:00:01", "2024-01-01 12:00:01", 1L, 800L))
+    } finally graft.core.Fs.rmTree(tmp.toFile)
+  }
+
   test("dedup replay drops a duplicate arriving in a LATER micro-batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_edge")
     try {
