@@ -293,14 +293,23 @@ object StreamFuzzer {
             .select(col("event_id"), col("user_id"), col("event_type"),
               col("value_cents"))
         case "session" =>
-          EventStream.replaySessionWindow(ev, stage, sc.nFiles,
-            gap = s"${sc.windowSec} seconds",
-            gapHoursForSentinel = ((sc.windowSec + 3599) / 3600).toInt,
-            watermarkHours = sc.watermarkHours, arrivalCol = arrival)
-            .select(col("user_id"),
-              unix_timestamp(col("session_start").cast("timestamp")).as("sstart_s"),
-              unix_timestamp(col("session_end").cast("timestamp")).as("send_s"),
-              col("n_events"), col("value_cents"))
+          // IMPLEMENTATION LOTTERY: in-order seeds run the
+          // flatMapGroupsWithState custom-state fold on odd scrambles —
+          // both session implementations fuzz against the same twin
+          // (the custom fold does not support out-of-order arrivals)
+          val base =
+            if (arrival.isEmpty && (scramble(sc.seed) & 1L) == 1L)
+              EventStream.replayCustomSession(ev, stage, sc.nFiles,
+                gapSec = sc.windowSec, watermarkHours = sc.watermarkHours)
+            else
+              EventStream.replaySessionWindow(ev, stage, sc.nFiles,
+                gap = s"${sc.windowSec} seconds",
+                gapHoursForSentinel = ((sc.windowSec + 3599) / 3600).toInt,
+                watermarkHours = sc.watermarkHours, arrivalCol = arrival)
+          base.select(col("user_id"),
+            unix_timestamp(col("session_start").cast("timestamp")).as("sstart_s"),
+            unix_timestamp(col("session_end").cast("timestamp")).as("send_s"),
+            col("n_events"), col("value_cents"))
       }
       val sparkRows = replayed.collect()
         .map(r => (0 until r.length).map(i => DiffRunner.fmt(r.get(i))).toSeq).toSeq

@@ -364,9 +364,16 @@ object EventStream {
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
     t
   }
-  final case class SessionOut(user_id: Long,
+  /** `user_id` is an Option: a NULL user key is legal data whose events
+    * form their own session group (matching both `session_window` and the
+    * gap-islands twin's PARTITION BY) — a bare Long would throw on it.
+    */
+  final case class SessionOut(user_id: Option[Long],
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
       n_events: Long, value_cents: Long)
+
+  final case class NKCentsEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Option[Long], event_type: String, cents: Long)
 
   /** CUSTOM-STATE sessionization via `flatMapGroupsWithState` +
     * EVENT-TIME TIMEOUT — the same session semantics as
@@ -384,9 +391,10 @@ object EventStream {
     * state (impossible user key, timeout beyond the final watermark)
     * never emits and its key is filtered from the output.
     *
-    * In-order replay contract: the range-split staging means each batch's
-    * events are at-or-after the previous batch's, so `last + gap` is
-    * always ahead of the watermark when `gap > watermark` — the
+    * In-order replay contract: the range-split staging means a state
+    * updated in batch N has `last >= maxTs(N-1)`, while the watermark
+    * DURING batch N is `maxTs(N-1) - delay` — so `last + gap` strictly
+    * exceeds the watermark for ANY positive gap and the
     * `setTimeoutTimestamp` must-exceed-watermark precondition holds by
     * construction. Out-of-order (arrivalCol) input is NOT supported here:
     * unlike `session_window`, this fold never merges disjoint fragments.
@@ -395,7 +403,7 @@ object EventStream {
       events: DataFrame,
       stagePath: String,
       nFiles: Int = 6,
-      gapHours: Int = 6,
+      gapSec: Long = 6L * 3600,
       watermarkHours: Int = 2
   ): DataFrame = {
     val s = events.sparkSession
@@ -404,7 +412,7 @@ object EventStream {
     val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     if (maxTs != null) {
       val farFuture = new java.sql.Timestamp(maxTs.getTime +
-        (gapHours + watermarkHours + 8L) * 3600 * 1000)
+        (gapSec + (watermarkHours + 8L) * 3600) * 1000)
       import s.implicits._
       val sentinel = Seq((SentinelId, farFuture, Long.MinValue, "__sentinel", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value")
@@ -413,7 +421,7 @@ object EventStream {
     val child = s.newSession()
     child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
     import child.implicits._
-    val gapUs = gapHours * 3600L * 1000000L
+    val gapUs = gapSec * 1000000L
     // The sentinel is NOT filtered before grouping: a pre-group filter on
     // a non-event-time column gets predicate-pushed BELOW the
     // EventTimeWatermark node, so the sentinel would never advance the
@@ -428,11 +436,11 @@ object EventStream {
       .withWatermark("ts", s"$watermarkHours hours")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
-      .as[CentsEvent]
+      .as[NKCentsEvent]
     val sessions = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, batch: Iterator[CentsEvent], state: GroupState[SessionState]) =>
+        (user: Option[Long], batch: Iterator[NKCentsEvent], state: GroupState[SessionState]) =>
           def close(st: SessionState) = SessionOut(user,
             tsOfMicros(st.start), tsOfMicros(st.last + gapUs), st.n, st.cents)
           if (state.hasTimedOut) {

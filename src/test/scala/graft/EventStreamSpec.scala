@@ -340,7 +340,7 @@ class EventStreamSpec extends SparkSpecBase {
         (4L, ts("2024-01-01 11:00:01"), 2L, "click", 8.0)) // > gap → new
         .toDF("event_id", "ts", "user_id", "event_type", "value")
       val out = EventStream.replayCustomSession(events,
-          tmp.toString + "/stage", nFiles = 2, gapHours = 1)
+          tmp.toString + "/stage", nFiles = 2, gapSec = 3600L)
         .select($"user_id", $"session_start".cast("string"),
           $"session_end".cast("string"), $"n_events", $"value_cents")
         .as[(Long, String, String, Long, Long)].collect().toSet
