@@ -743,6 +743,10 @@ object TxLog {
     */
   def appendIfNew(df: DataFrame, path: String, appId: String, batchId: Long,
       expectedVersion: Long): Snapshot = {
+    // an empty appId would serialize as ":<batchId>", which the txn-entry
+    // parser rejects — the commit would succeed and then every subsequent
+    // read of that version would fail. Refuse it BEFORE anything publishes.
+    require(appId.nonEmpty, "TxLog.appendIfNew: appId must be non-empty")
     val base = snapshot(path, Some(expectedVersion))
     base.txns.get(appId) match {
       case Some(last) if batchId <= last => base // already applied: no-op

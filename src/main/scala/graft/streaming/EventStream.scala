@@ -446,7 +446,10 @@ object EventStream {
           if (state.hasTimedOut) {
             val st = state.get; state.remove(); Iterator.single(close(st))
           } else {
-            // within-batch order is not guaranteed; the fold needs it
+            // within-batch order is not guaranteed; the fold needs it.
+            // Materializes ONE KEY's slice of ONE micro-batch (bounded by
+            // trigger size, not stream length) — the retained state stays
+            // a single open session
             val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]

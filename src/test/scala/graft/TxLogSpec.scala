@@ -648,6 +648,11 @@ class TxLogSpec extends SparkSpecBase {
     // plain appends/deletes CARRY the watermark forward untouched
     val s5 = TxLog.append(rows(40 until 50), path, 3L)
     s5.txns shouldBe Map("appA" -> 1L, "appB" -> 0L)
+    // empty appId would serialize unreadably — refused before publishing
+    intercept[IllegalArgumentException] {
+      TxLog.appendIfNew(rows(0 until 5), path, "", 0L, 4L)
+    }
+    TxLog.currentVersion(path).get shouldBe 4L
   }
 
   test("txn watermark survives checkpoint resolution AND vacuum") {
