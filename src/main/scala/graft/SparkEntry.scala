@@ -740,6 +740,34 @@ object SparkEntry {
     graft.streaming.EventStream.replayCustomSession(
       T(s, dir).events, "/tmp/graft_roundtrip/stream_custom_session_events")
 
+  /** TxLog STREAMING SOURCE replay (library:
+    * streaming.EventStream.replayTxLogAppends): a three-commit TxLog
+    * table streamed back in COMMIT ORDER through the windowed
+    * aggregation — the read side of the lakehouse↔streaming loop. The
+    * staging follows the LOG, not the directory: the gate plants an
+    * UNCOMMITTED orphan data file (a crashed writer's leftover — a full
+    * duplicate of one slice) in the table dir, and the oracle counts
+    * every committed row exactly once, so a directory-following source
+    * would double one third of the counts and hash-mismatch.
+    */
+  private def qStreamTxLogSource(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val table = "/tmp/graft_roundtrip/stream_txsrc_table"
+    graft.core.Fs.rmTree(new java.io.File(table))
+    val ev = T(s, dir).events.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    TxLog.init(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 1), table, 0L)
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 2), table, 1L)
+    // the poison pill: uncommitted files in the table dir (written, never
+    // published — exactly what a writer crash leaves behind)
+    ev.filter(pmod(col("event_id"), lit(3)) === 0)
+      .write.mode("append").parquet(table)
+    graft.streaming.EventStream.replayTxLogAppends(
+      s, table, "/tmp/graft_roundtrip/stream_txsrc_stage")
+  }
+
   /** EXACTLY-ONCE streaming TxLog sink (library:
     * streaming.EventStream.replayIntoTxLog + gold.TxLog.appendIfNew —
     * the Delta txn-action pattern): events replayed file-per-micro-batch
@@ -1495,6 +1523,7 @@ object SparkEntry {
     "q_o_stream_running_stats" -> (qStreamRunningStats _),
     "q_o_stream_txlog_sink"  -> (qStreamTxLogSink _),
     "q_o_stream_custom_session" -> (qStreamCustomSession _),
+    "q_o_stream_txlog_source" -> (qStreamTxLogSource _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
@@ -2326,6 +2355,14 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(cents) AS BIGINT) AS value_cents
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // TxLog streaming source: every committed row exactly once (the
+    // planted orphan slice would double event_id%3=0 counts)
+    "q_o_stream_txlog_source" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // exactly-once TxLog sink: double-applied batches must not double rows
     "q_o_stream_txlog_sink" ->
       """SELECT event_id, user_id, event_type,

@@ -563,6 +563,17 @@ object TxLog {
     perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Version `v`'s raw file actions `(added, removed)` — the seam the
+    * streaming-source replay consumes (commit-ordered appends). Legacy
+    * full-list records raise: their delta is not recoverable.
+    */
+  private[graft] def fileActions(path: String, v: Long): (Seq[String], Seq[String]) = {
+    val rec = parseRecord(path, v)
+    require(rec.full.isEmpty,
+      s"TxLog: version $v is a legacy full-list record - no action delta")
+    (rec.add, rec.remove)
+  }
+
   /** Reconstruct the table at version `to` from the change feed ALONE —
     * the semantic reference for any CDF consumer, and the proof the feed
     * is complete: fold versions 0..to in order, each step removing the

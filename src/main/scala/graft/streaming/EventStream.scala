@@ -543,6 +543,81 @@ object EventStream {
     graft.gold.TxLog.read(s, tablePath)
   }
 
+  /** Stream a TxLog table's COMMITTED appends as micro-batches — the
+    * READ side of the lakehouse↔streaming loop (the Delta streaming
+    * source shape, replay-harness form): versions 0..current are staged
+    * in COMMIT ORDER (each version's added files, mod-time-stamped so
+    * the file stream replays them in that order) and run through the
+    * windowed aggregation; the final state must equal the batch
+    * aggregate of the table's current version.
+    *
+    * The staging follows the LOG, never the directory listing: TxLog
+    * writes data files BEFORE their version publishes, so a
+    * directory-based file stream would serve a crashed writer's
+    * UNCOMMITTED orphans. The gate plants exactly such an orphan (a
+    * duplicate slice dropped into the table dir with no commit) — the
+    * oracle counts every committed row exactly once, so serving the
+    * orphan doubles counts and hash-mismatches. Append-only contract: a
+    * version with remove actions raises (CDC consumers belong on
+    * [[graft.gold.TxLog.changes]]).
+    */
+  def replayTxLogAppends(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      stagePath: String,
+      windowDur: String = "1 day"
+  ): DataFrame = {
+    import graft.gold.TxLog
+    val cur = TxLog.currentVersion(tablePath).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $tablePath"))
+    graft.core.Fs.rmTree(new java.io.File(stagePath))
+    new java.io.File(stagePath).mkdirs()
+    var i = 0
+    val base = System.currentTimeMillis() - (cur + 2) * 60000L
+    (0L to cur).foreach { v =>
+      val (added, removed) = TxLog.fileActions(tablePath, v)
+      require(removed.isEmpty,
+        s"TxLog streaming source: version $v removes files - append-only " +
+          "tables only (use TxLog.changes for CDC)")
+      added.foreach { f =>
+        val dst = new java.io.File(stagePath, f"v$v%05d-$f")
+        java.nio.file.Files.copy(new java.io.File(tablePath, f).toPath,
+          dst.toPath)
+        require(dst.setLastModified(base + i * 60000L),
+          s"could not stamp mod time on $dst")
+        i += 1
+      }
+    }
+    val schema = TxLog.snapshot(tablePath).schema.getOrElse(
+      spark.read.parquet(new java.io.File(tablePath,
+        TxLog.fileActions(tablePath, 0L)._1.head).getPath).schema)
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+    val agg = stream
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value_cents")).cast("long").as("value_cents"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("window.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("cnt"), col("value_cents"))
+    val outPath = stagePath + "_out"
+    val ckpt = stagePath + "_ckpt"
+    Seq(outPath, ckpt).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
+    val q = agg.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readReplayOutput(spark, outPath, agg.schema)
+  }
+
   /** Stage a single sentinel row as the strictly-newest file under
     * `stagePath` (mod time now + 60 s, after [[writeTimeOrderedFiles]]'
     * backdated stamps) — the end-of-stream watermark push shared by the

@@ -370,6 +370,37 @@ class EventStreamSpec extends SparkSpecBase {
     } finally graft.core.Fs.rmTree(tmp.toFile)
   }
 
+  test("TxLog streaming source: commit-ordered, orphan-blind, append-only") {
+    import graft.gold.TxLog
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txsrc")
+    val table = tmp.toString + "/table"
+    try {
+      def slice(r: Range) = r.map(i =>
+          (i.toLong, ts(s"2024-01-0${1 + i % 2} 10:00:00"), "click", 100L))
+        .toDF("event_id", "ts", "event_type", "value_cents")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      TxLog.init(slice(0 until 10), table)
+      TxLog.append(slice(10 until 30), table, 0L)
+      // a crashed writer's uncommitted leftovers — never committed, must
+      // never be served
+      slice(100 until 200).write.mode("append").parquet(table)
+      val out = EventStream.replayTxLogAppends(spark, table,
+          tmp.toString + "/stage", windowDur = "1 day")
+        .select($"window_start".cast("string"), $"cnt", $"value_cents")
+        .as[(String, Long, Long)].collect().toSet
+      out shouldBe Set(
+        ("2024-01-01 00:00:00", 15L, 1500L), // even ids of 0..29
+        ("2024-01-02 00:00:00", 15L, 1500L))
+      // append-only contract: a remove-action version raises, loudly
+      TxLog.deleteWhere(spark, table, col("event_id") < 5L, 1L)
+      val e = intercept[IllegalArgumentException] {
+        EventStream.replayTxLogAppends(spark, table, tmp.toString + "/stage2")
+      }
+      e.getMessage should include("append-only")
+    } finally graft.core.Fs.rmTree(tmp.toFile)
+  }
+
   test("TxLog streaming sink: restart from checkpoint commits nothing twice") {
     import graft.gold.TxLog
     import org.apache.spark.sql.functions._
