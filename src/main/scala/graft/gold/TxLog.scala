@@ -772,6 +772,43 @@ object TxLog {
     }
   }
 
+  /** OPTIMIZE: rewrite the files at or below `maxFileBytes` into
+    * `targetFiles` large files — ONE commit that changes no rows
+    * (add = compacted, remove = the smalls), the standard lakehouse
+    * small-file maintenance (Delta OPTIMIZE / Iceberg rewriteDataFiles).
+    * `sortCols` optionally sort-clusters the rewritten rows (pass a
+    * [[ZOrder]] key for multi-dimension clustering) so compaction
+    * doubles as layout maintenance for the stats/skip index. Files
+    * above the threshold carry over BY REFERENCE — compaction cost is
+    * O(small bytes), never O(table). Readers see the old layout until
+    * the commit publishes (atomic like every commit), time travel below
+    * it still serves the pre-compaction files, and the change feed
+    * emits the rewrite as delete+reinsert of identical rows
+    * (multiset-net-zero, same as Delta's CDF for OPTIMIZE). Skipped
+    * entirely (current snapshot returned) when fewer than two small
+    * files exist — a no-op commit would churn history.
+    */
+  def compact(spark: SparkSession, path: String, expectedVersion: Long,
+      maxFileBytes: Long = 32L * 1024 * 1024, targetFiles: Int = 1,
+      sortCols: Seq[String] = Nil): Snapshot = {
+    require(targetFiles >= 1, "TxLog.compact: targetFiles must be >= 1")
+    val base = snapshot(path, Some(expectedVersion))
+    val small = base.files.filter(f =>
+      new java.io.File(path, f).length() <= maxFileBytes)
+    if (small.size < 2) return base
+    val rows0 = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(f => s"$path/$f"): _*)
+    val rows =
+      if (sortCols.isEmpty) rows0.coalesce(targetFiles)
+      else rows0.repartitionByRange(targetFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    val added = writeDataFiles(rows, path)
+    val files = base.files.filterNot(small.contains) ++ added
+    publish(path, expectedVersion + 1, files, add = added,
+      remove = small.sorted, base.schema, fullTxns = base.txns)
+    Snapshot(expectedVersion + 1, files, base.schema, base.txns)
+  }
+
   /** VACUUM: physically delete (a) version files older than the newest
     * `retainVersions`, (b) data files referenced by NO retained version
     * — both orphans from losing/crashed writers and files superseded by
