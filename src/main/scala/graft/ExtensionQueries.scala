@@ -274,6 +274,39 @@ object ExtensionQueries {
     TxLog.mirrorFromChanges(s, path)
   }
 
+  /** KEYED CDF consumer (library: gold.TxLog.mergeByKeyFromChanges — the
+    * production-shaped fold `mirrorFromChanges` is the oracle for): the
+    * SAME mixed history as q_o_txlog_cdf (init, append, predicate DELETE,
+    * atomic key-replace) plus a WIDENING append (schema evolution through
+    * the feed), applied to a mirror by natural key — per version, the
+    * delete keys leave via a broadcast anti-join (mirror never shuffled)
+    * and the mirror checkpoints to parquet so the plan stays O(1) per
+    * version. The oracle states final membership + the evolved column in
+    * closed form: an over-deleting key join, a missed reinsert, a version
+    * applied out of order, or old rows not NULL-aligned to the widened
+    * schema all hash-mismatch.
+    */
+  private def qTxlogMergeMirror(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_mergemirror"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 4 === 0)
+      .repartitionByRange(4, col("id")), path)
+    TxLog.append(o.filter(col("id") % 4 === 1), path, expectedVersion = 0L)
+    TxLog.deleteWhere(s, path, col("id") % 5 === 2, expectedVersion = 1L)
+    TxLog.replaceWhereKeys(s, path,
+      o.filter(col("id") % 9 === 4).select("id"), Seq("id"),
+      newData = o.filter(col("id") % 4 === 2 && col("id") % 9 === 4),
+      expectedVersion = 2L)
+    TxLog.append(o.filter(col("id") % 4 === 3)
+      .withColumn("flag", pmod(col("id"), lit(7)).cast("long")),
+      path, expectedVersion = 3L)
+    TxLog.mergeByKeyFromChanges(s, path, Seq("id"))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1152,6 +1185,7 @@ object ExtensionQueries {
     "q_o_txlog_snapshot" -> (qTxlogSnapshot _),
     "q_o_txlog_time_travel" -> (qTxlogTimeTravel _),
     "q_o_txlog_cdf" -> (qTxlogCdf _),
+    "q_o_txlog_merge_mirror" -> (qTxlogMergeMirror _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -1456,6 +1490,18 @@ object ExtensionQueries {
           |WHERE (o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 <> 2
           |       AND o_orderkey % 9 <> 4)
           |   OR (o_orderkey % 4 = 2 AND o_orderkey % 9 = 4)""".stripMargin,
+      // keyed-merge mirror == the cdf membership plus the widening append
+      // slice; pre-evolution rows must be NULL in the evolved column
+      "q_o_txlog_merge_mirror" ->
+        """SELECT o_orderkey AS id, o_custkey AS cust,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          |  CASE WHEN o_orderkey % 4 = 3
+          |       THEN CAST(o_orderkey % 7 AS BIGINT) END AS flag
+          |FROM orders
+          |WHERE (o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 <> 2
+          |       AND o_orderkey % 9 <> 4)
+          |   OR (o_orderkey % 4 = 2 AND o_orderkey % 9 = 4)
+          |   OR (o_orderkey % 4 = 3)""".stripMargin,
       // version 1 = both slices, delete not yet applied
       "q_o_txlog_time_travel" ->
         """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,

@@ -605,6 +605,81 @@ object TxLog {
     mirror
   }
 
+  /** Keyed CDF consumer — the PRODUCTION-SHAPED fold [[mirrorFromChanges]]
+    * is the oracle for: apply versions `0..to` to a mirror by NATURAL KEY
+    * `keys`, one bounded step per version. Per version the delete rows
+    * collapse to their distinct key set (batch-scale) and leave the mirror
+    * through a BROADCAST anti-join — the mirror itself is never shuffled —
+    * then the insert rows union in; the mirror is CHECKPOINTED to parquet
+    * between versions, so the plan stays O(1) per applied version instead
+    * of `mirrorFromChanges`' O(versions) `exceptAll` chain. Per-version
+    * cost: one mirror scan + rewrite + a broadcast of the version's keys —
+    * the DimStore-merge shape, bounded by |mirror| + |batch|, independent
+    * of history length.
+    *
+    * Semantics contract: equals [[mirrorFromChanges]] exactly WHEN every
+    * version keeps `keys` unique (the discipline `replaceWhereKeys`
+    * maintains and any keyed table owes itself) — a rewrite's
+    * delete+reinsert pair collapses to an update because deletes apply
+    * before inserts within a version, same ordering as the multiset fold.
+    * On a key-duplicated table a keyed delete removes EVERY row with the
+    * key, which is what MERGE semantics mean — the multiset fold is the
+    * reference for that case. `keys` must exist from version 0.
+    *
+    * The returned frame reads the FINAL checkpoint under `workDir`
+    * (caller-owned when given; a temp dir otherwise — persist the result
+    * before deleting it). Production consumers point `workDir` at their
+    * mirror table's storage and resume by folding only new versions on
+    * top of the last checkpoint; this entry point replays from 0 so the
+    * gate can pin it against the multiset reference end-to-end.
+    */
+  def mergeByKeyFromChanges(spark: SparkSession, path: String,
+      keys: Seq[String], to: Option[Long] = None,
+      workDir: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "TxLog.mergeByKeyFromChanges: keys must be non-empty")
+    val v = to.orElse(currentVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val work = workDir.map(new java.io.File(_)).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_cdfmerge").toFile)
+    work.mkdirs()
+    var mirror: Option[DataFrame] = None
+    var prevCkpt: Option[java.io.File] = None
+    (0L to v).foreach { w =>
+      val (added, removed) = fileActions(path, w)
+      var m = mirror
+      if (removed.nonEmpty) m = m.map { cur =>
+        // the version's delete KEY SET is batch-scale; broadcasting it
+        // keeps the mirror map-side (zero shuffle per applied version)
+        val delKeys = spark.read.option("mergeSchema", "true")
+          .parquet(removed.map(f => s"$path/$f"): _*)
+          .select(keys.map(col): _*).distinct()
+        cur.join(broadcast(delKeys), keys, "left_anti")
+      }
+      if (added.nonEmpty) {
+        val ins = spark.read.option("mergeSchema", "true")
+          .parquet(added.map(f => s"$path/$f"): _*)
+        // allowMissingColumns: a widening append evolves the mirror schema
+        // in place (older rows NULL in the new columns — the q_s14 contract)
+        m = Some(m.map(_.unionByName(ins, allowMissingColumns = true))
+          .getOrElse(ins))
+      }
+      m.foreach { cur =>
+        val ckpt = new java.io.File(work, f"v$w%020d")
+        cur.write.mode("overwrite").parquet(ckpt.getPath)
+        mirror = Some(spark.read.parquet(ckpt.getPath))
+        // the previous checkpoint was fully consumed by the write above
+        prevCkpt.foreach(graft.core.Fs.rmTree)
+        prevCkpt = Some(ckpt)
+      }
+    }
+    mirror.getOrElse {
+      val sch = snapshot(path, Some(v)).schema.getOrElse(
+        throw new IllegalArgumentException(
+          s"TxLog: version $v of $path has no data and no recorded schema"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+    }
+  }
+
   /** Publish one commit as version `v`: a DELTA action record (`add` /
     * `remove` — O(changed files) bytes) through the configured
     * [[CommitPrimitive]], so the version file appears atomically with its
@@ -626,7 +701,8 @@ object TxLog {
       // NO default: every committer must state the complete post-commit
       // txn map — a forgotten pass-through here would write checkpoints
       // that silently LOSE idempotency watermarks on vacuum
-      fullTxns: Map[String, Long]): Unit = {
+      fullTxns: Map[String, Long],
+      alerts: Option[graft.runner.Alerts.Sink] = None): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
     val schemaPart =
@@ -660,7 +736,20 @@ object TxLog {
         writeCheckpointHint(path, v)
       } catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[txlog] checkpoint write failed at $path v$v: $e")
+          // the commit IS the version file — a checkpoint/hint failure must
+          // never make a SUCCEEDED commit look failed. But it is also not
+          // cosmetic: commit-time checkpoints bound read-side replay cost,
+          // and repeated failures mean every reader replays an ever-longer
+          // tail. Route it to the same structured channel as txlog_conflict
+          // so operators SEE the degradation (stderr as last resort).
+          alerts match {
+            case Some(sink) => sink.send(graft.runner.Alerts.Alert(
+              "txlog_checkpoint_failed", path, "checkpoint",
+              s"commit v$v succeeded but its checkpoint write failed " +
+                s"(reads replay a longer action tail until one succeeds): $e"))
+            case None =>
+              System.err.println(s"[txlog] checkpoint write failed at $path v$v: $e")
+          }
       }
   }
 
@@ -711,13 +800,17 @@ object TxLog {
     } finally graft.core.Fs.rmTree(stage.toFile)
   }
 
-  /** Create the table at version 0. */
-  def init(df: DataFrame, path: String): Snapshot = {
+  /** Create the table at version 0. `alerts` (here and on every committer)
+    * receives structured `txlog_checkpoint_failed` alerts when a commit
+    * SUCCEEDS but its advisory checkpoint write fails — see [[publish]].
+    */
+  def init(df: DataFrame, path: String,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     require(currentVersion(path).isEmpty, s"TxLog: table already exists at $path")
     new java.io.File(path).mkdirs()
     val files = writeDataFiles(df, path)
     publish(path, 0L, files, add = files, remove = Nil, Some(df.schema),
-      fullTxns = Map.empty)
+      fullTxns = Map.empty, alerts = alerts)
     Snapshot(0L, files, Some(df.schema))
   }
 
@@ -726,13 +819,14 @@ object TxLog {
     * optimistic-concurrency token: pass the version you READ; if someone
     * committed since, the publish conflicts.
     */
-  def append(df: DataFrame, path: String, expectedVersion: Long): Snapshot = {
+  def append(df: DataFrame, path: String, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
     val added = writeDataFiles(df, path)
     val schema = mergeSchemas(base.schema, df.schema)
     val files = base.files ++ added
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
-      Some(schema), fullTxns = base.txns)
+      Some(schema), fullTxns = base.txns, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns)
   }
 
@@ -753,7 +847,8 @@ object TxLog {
     * conflicting writer can never resurrect an already-applied batch.
     */
   def appendIfNew(df: DataFrame, path: String, appId: String, batchId: Long,
-      expectedVersion: Long): Snapshot = {
+      expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     // an empty appId would serialize as ":<batchId>", which the txn-entry
     // parser rejects — the commit would succeed and then every subsequent
     // read of that version would fail. Refuse it BEFORE anything publishes.
@@ -767,7 +862,8 @@ object TxLog {
         val files = base.files ++ added
         val txns = base.txns + (appId -> batchId)
         publish(path, expectedVersion + 1, files, add = added, remove = Nil,
-          Some(schema), txn = Some((appId, batchId)), fullTxns = txns)
+          Some(schema), txn = Some((appId, batchId)), fullTxns = txns,
+          alerts = alerts)
         Snapshot(expectedVersion + 1, files, Some(schema), txns)
     }
   }
@@ -790,7 +886,8 @@ object TxLog {
     */
   def compact(spark: SparkSession, path: String, expectedVersion: Long,
       maxFileBytes: Long = 32L * 1024 * 1024, targetFiles: Int = 1,
-      sortCols: Seq[String] = Nil): Snapshot = {
+      sortCols: Seq[String] = Nil,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     require(targetFiles >= 1, "TxLog.compact: targetFiles must be >= 1")
     val base = snapshot(path, Some(expectedVersion))
     val small = base.files.filter(f =>
@@ -805,7 +902,8 @@ object TxLog {
     val added = writeDataFiles(rows, path)
     val files = base.files.filterNot(small.contains) ++ added
     publish(path, expectedVersion + 1, files, add = added,
-      remove = small.sorted, base.schema, fullTxns = base.txns)
+      remove = small.sorted, base.schema, fullTxns = base.txns,
+      alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns)
   }
 
@@ -945,7 +1043,8 @@ object TxLog {
     * table's stats index (first integral key column) when one exists.
     */
   def replaceWhereKeys(spark: SparkSession, path: String, keys: DataFrame,
-      nk: Seq[String], newData: DataFrame, expectedVersion: Long): Snapshot = {
+      nk: Seq[String], newData: DataFrame, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
     val k = keys.select(nk.map(col): _*)
     val hasStats = new java.io.File(path,
@@ -974,7 +1073,7 @@ object TxLog {
     val files = untouched ++ rewritten ++ added
     publish(path, expectedVersion + 1, files,
       add = rewritten ++ added, remove = touched.toSeq.sorted, Some(schema),
-      fullTxns = base.txns)
+      fullTxns = base.txns, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns)
   }
 
@@ -994,7 +1093,8 @@ object TxLog {
     */
   def deleteWhere(spark: SparkSession, path: String,
       cond: Column, expectedVersion: Long,
-      statsHint: Option[(String, Long, Long)] = None): Snapshot = {
+      statsHint: Option[(String, Long, Long)] = None,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
     val candidates = statsHint match {
       case Some((c, lo, hi)) => statsPruneCandidates(spark, path, base.files, c, lo, hi)
@@ -1016,7 +1116,7 @@ object TxLog {
       }
     publish(path, expectedVersion + 1, untouched ++ rewritten,
       add = rewritten, remove = touched.toSeq.sorted, base.schema,
-      fullTxns = base.txns)
+      fullTxns = base.txns, alerts = alerts)
     Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema,
       base.txns)
   }

@@ -611,6 +611,15 @@ class TxLogSpec extends SparkSpecBase {
         mirror.exceptAll(alignedDirect).count() shouldBe 0L
         alignedDirect.exceptAll(mirror).count() shouldBe 0L
       }
+      // the keyed consumer (broadcast anti-join + checkpointed mirror)
+      // must equal the multiset reference at every version — this history
+      // keeps ids unique per version, the keyed contract's precondition
+      val keyed = TxLog.mergeByKeyFromChanges(spark, path, Seq("id"), Some(v))
+        .select(mirror.columns.map(col): _*)
+      withClue(s"version $v (keyed): ") {
+        keyed.exceptAll(mirror).count() shouldBe 0L
+        mirror.exceptAll(keyed).count() shouldBe 0L
+      }
     }
     // feed shape: the rewrite versions emit BOTH sides
     val feed = TxLog.changes(spark, path, fromExclusive = -1L, to = cur)
@@ -697,5 +706,89 @@ class TxLogSpec extends SparkSpecBase {
       TxLog.appendIfNew(rows(30 until 40), path, "appA", 1L, v))
     TxLog.read(spark, path).count() shouldBe 40L
     TxLog.snapshot(path).txns shouldBe Map("appA" -> 1L)
+  }
+
+  test("a failed checkpoint write fires a structured alert; the commit itself stays succeeded") {
+    val path = freshPath()
+    val sink = new graft.runner.Alerts.CollectingSink
+    TxLog.init(rows(0 until 10), path, alerts = Some(sink)) // v0 checkpoint OK
+    // sabotage v10's checkpoint target: a NON-EMPTY DIRECTORY squatting on
+    // the name makes the atomic move fail (the version-file publish itself
+    // uses a different name and must be unaffected)
+    val blocker = new java.io.File(new java.io.File(path, "_graft_txlog"),
+      f"${10L}%020d.checkpoint.json")
+    blocker.mkdirs() shouldBe true
+    java.nio.file.Files.write(new java.io.File(blocker, "squat").toPath,
+      "x".getBytes)
+    (1 to 10).foreach { i =>
+      TxLog.append(rows(i * 10 until i * 10 + 10), path, (i - 1).toLong,
+        alerts = Some(sink))
+    }
+    // the commit succeeded — only its advisory checkpoint failed
+    TxLog.currentVersion(path) shouldBe Some(10L)
+    TxLog.read(spark, path).count() shouldBe 110L
+    val ckptAlerts = sink.alerts.filter(_.severity == "txlog_checkpoint_failed")
+    ckptAlerts should have size 1
+    ckptAlerts.head.pipeline shouldBe path
+    ckptAlerts.head.message should include("v10")
+    // reads replay through the older checkpoint + longer tail, same answer
+    TxLog.resolve(path, 10L).files.toSet shouldBe
+      TxLog.resolve(path, 10L, useCheckpoints = false).files.toSet
+  }
+
+  test("concurrent appendIfNew stress: racing redeliveries stay exactly-once, watermarks monotone") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path)
+    val apps = Seq("appX", "appY", "appZ")
+    val batchesPerApp = 5
+    def batchRows(appIdx: Int, b: Int) = {
+      val lo = 1000000 * (appIdx + 1) + 100 * b
+      rows(lo until lo + 10)
+    }
+    // TWO threads per app race the SAME (appId, batchId) stream — the
+    // overlap a failed-over streaming driver produces. Each thread also
+    // redelivers a seeded random EARLIER batch after every apply; all of
+    // those must hit the at-or-below watermark skip. maxRetries is high:
+    // 6 writers on one table is deliberate worst-case contention.
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = for {
+      (app, ai) <- apps.zipWithIndex
+      t <- 0 until 2
+    } yield new Thread(() => {
+      val rng = new java.util.Random(31L * ai + t)
+      try {
+        start.await()
+        (0 until batchesPerApp).foreach { b =>
+          TxLog.commitWithRetry(path, maxRetries = 500)(v =>
+            TxLog.appendIfNew(batchRows(ai, b), path, app, b.toLong, v))
+          val re = rng.nextInt(b + 1) // redeliver some batch <= b: must no-op
+          TxLog.commitWithRetry(path, maxRetries = 500)(v =>
+            TxLog.appendIfNew(batchRows(ai, re), path, app, re.toLong, v))
+        }
+      } catch { case e: Throwable => errors.add(e); () }
+    })
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    errors.toArray shouldBe empty
+    // exactly-once: every (app, batch) multiset present exactly once
+    val expectedIds = (0L until 10L) ++ (for {
+      ai <- apps.indices; b <- 0 until batchesPerApp
+      i <- 0 until 10
+    } yield (1000000L * (ai + 1) + 100L * b + i))
+    val got = TxLog.read(spark, path).select("id")
+      .as[Long].collect().sorted
+    got shouldBe expectedIds.sorted.toArray
+    TxLog.snapshot(path).txns shouldBe
+      apps.map(_ -> (batchesPerApp - 1).toLong).toMap
+    // per-app watermarks are MONOTONE nondecreasing across every version
+    val cur = TxLog.currentVersion(path).get
+    (1L to cur).foreach { v =>
+      val prev = TxLog.resolve(path, v - 1).txns
+      val now = TxLog.resolve(path, v).txns
+      prev.foreach { case (a, b) =>
+        assert(now.getOrElse(a, Long.MinValue) >= b,
+          s"watermark for $a regressed at v$v: ${now.get(a)} < $b")
+      }
+    }
   }
 }
