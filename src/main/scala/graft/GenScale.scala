@@ -15,11 +15,18 @@ import org.apache.spark.sql.SparkSession
   *  - lineitem: 4 lines/order, key domains scaled with the multiplier
   *    (co-purchase graph degree distribution preserved).
   *
+  * Round 12 adds `events` (100k/mult over a FIXED 30-day window — density,
+  * not span, grows with scale, which is what stresses streaming state) and
+  * `orders` (unique dense o_orderkey — the CDF merge key), so the
+  * streaming/txlog gate family can spot-close at sf1.
+  *
   * Everything is a PURE FUNCTION of the row id (splitmix-scrambled
   * java.util.Random per row), so generation is distributed, deterministic,
   * and re-runnable. Used for the SCALING.md sf0.1→sf1 exponent
-  * measurements — NOT a replacement for the driver testdata (do not point
-  * Verify at it; the oracles pin driver-data row sets).
+  * measurements and FOCUSED Verify+oracle spot-closures (self-contained
+  * oracles recompute from the same parquet) — NOT a replacement for the
+  * driver testdata in a FULL Verify run (fixture-based gates pin
+  * driver-data row sets).
   *
   * Usage: `runMain graft.GenScale <outDir> [mult]` (default mult=10 ⇒ sf1).
   */
@@ -70,6 +77,13 @@ object GenScale {
       l_linenumber: Int, l_quantity: Double, l_extendedprice: Double,
       l_discount: Double, l_tax: Double, l_returnflag: String,
       l_linestatus: String, l_shipdate: java.sql.Timestamp)
+  // LocalDateTime ⇒ TIMESTAMP_NTZ in the written parquet — what
+  // Tables.events expects and what DuckDB reads as naive TIMESTAMP
+  final case class Ev(event_id: Long, ts: java.time.LocalDateTime,
+      user_id: Long, event_type: String, value: Double, props: String)
+  final case class Ord(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double,
+      o_orderdate: java.time.LocalDateTime, o_orderpriority: String)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
@@ -137,7 +151,44 @@ object GenScale {
         new java.sql.Timestamp(baseTs + rnd.nextInt(2500).toLong * 86400000L))
     }.repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
-    println(s"[genscale] wrote documents=$nDocs embeddings=$nVecs lineitem=$nLi to $outDir")
+    // events: the streaming/txlog gates' input — the sf0.1 shape is 100k
+    // rows over a FIXED 30-day window, 1.5k users, 5 uniform event types,
+    // value 0..~560. The window stays fixed under scaling (density grows:
+    // more events per session/window — the property that stresses the
+    // streaming state), user domain scales with the multiplier.
+    val nEvents = 100000L * mult
+    val nUsers = 1500L * mult
+    val types = Array("signup", "purchase", "view", "click", "error")
+    val evBase = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+    spark.range(nEvents).map { i =>
+      val rnd = new java.util.Random(scramble(i * 23 + 5))
+      Ev(i,
+        evBase.plusNanos(
+          (rnd.nextDouble() * 30.0 * 86400e6).toLong * 1000L), // micros grid
+        rnd.nextLong(nUsers).abs,
+        types(rnd.nextInt(types.length)),
+        rnd.nextInt(56022).toDouble / 100.0,
+        s"""{"device":"d${rnd.nextInt(5)}","country":"c${rnd.nextInt(20)}"}""")
+    }.repartition(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // orders: the txlog gates' input — unique dense o_orderkey (the
+    // natural key the CDF merge consumer folds on), custkey domain at
+    // 1/10th of the keys, price 1k..500k
+    val nOrders = 150000L * mult
+    val priorities = Array("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val ordBase = java.time.LocalDateTime.parse("1995-01-01T00:00:00")
+    spark.range(nOrders).map { i =>
+      val rnd = new java.util.Random(scramble(i * 29 + 11))
+      Ord(i, rnd.nextLong(nOrders / 10).abs,
+        if (rnd.nextBoolean()) "F" else "O",
+        (100191L + rnd.nextInt(49899128)).toDouble / 100.0,
+        ordBase.plusDays(rnd.nextInt(2400).toLong),
+        priorities(rnd.nextInt(5)))
+    }.repartition(16).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    println(s"[genscale] wrote documents=$nDocs embeddings=$nVecs " +
+      s"lineitem=$nLi events=$nEvents orders=$nOrders to $outDir")
     spark.stop()
   }
 }

@@ -740,15 +740,19 @@ object SparkEntry {
     graft.streaming.EventStream.replayCustomSession(
       T(s, dir).events, "/tmp/graft_roundtrip/stream_custom_session_events")
 
-  /** TxLog STREAMING SOURCE replay (library:
-    * streaming.EventStream.replayTxLogAppends): a three-commit TxLog
-    * table streamed back in COMMIT ORDER through the windowed
-    * aggregation — the read side of the lakehouse↔streaming loop. The
-    * staging follows the LOG, not the directory: the gate plants an
-    * UNCOMMITTED orphan data file (a crashed writer's leftover — a full
-    * duplicate of one slice) in the table dir, and the oracle counts
-    * every committed row exactly once, so a directory-following source
-    * would double one third of the counts and hash-mismatch.
+  /** TxLog STREAMING SOURCE (library: streaming.TxLogSource through
+    * EventStream.replayTxLogIncremental): a three-commit TxLog table
+    * streamed in COMMIT ORDER (offset = log version, one commit per
+    * micro-batch, add files read IN PLACE — no staging copy) through the
+    * windowed aggregation — the read side of the lakehouse↔streaming
+    * loop. The source plans batches from the VERSION RECORDS, never the
+    * directory listing: the gate plants an UNCOMMITTED orphan data file
+    * (a crashed writer's leftover — a full duplicate of one slice) in the
+    * table dir, and the oracle counts every committed row exactly once,
+    * so a directory-following source would double one third of the
+    * counts and hash-mismatch. The default no-op `between` still restarts
+    * the drained query once, pinning that a no-new-data restart leaves
+    * the checkpointed state untouched.
     */
   private def qStreamTxLogSource(s: SparkSession, dir: String): DataFrame = {
     import graft.gold.TxLog
@@ -764,8 +768,85 @@ object SparkEntry {
     // published — exactly what a writer crash leaves behind)
     ev.filter(pmod(col("event_id"), lit(3)) === 0)
       .write.mode("append").parquet(table)
-    graft.streaming.EventStream.replayTxLogAppends(
-      s, table, "/tmp/graft_roundtrip/stream_txsrc_stage")
+    graft.streaming.EventStream.replayTxLogIncremental(
+      s, table, "/tmp/graft_roundtrip/stream_txsrc_work")
+  }
+
+  /** INCREMENTAL TxLog streaming source (library: streaming.TxLogSource +
+    * EventStream.replayTxLogIncremental — the real Delta-source shape,
+    * offset = log version, add files read IN PLACE with zero staging
+    * copies): three commits are consumed one-per-micro-batch, the query
+    * STOPS, two MORE commits land while it is down, and the query
+    * RESTARTS from the same checkpoint — it must resume at exactly the
+    * next unread version on top of its checkpointed aggregation state.
+    * The same uncommitted-orphan poison pill as q_o_stream_txlog_source
+    * sits in the table dir (the source plans batches from the version
+    * records, never the listing). Oracle = every committed row exactly
+    * once: re-served versions double pre-stop counts, skipped versions
+    * drop the post-restart slices, orphan-following doubles one fifth.
+    */
+  private def qStreamTxLogIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val table = "/tmp/graft_roundtrip/stream_txinc_table"
+    graft.core.Fs.rmTree(new java.io.File(table))
+    val ev = T(s, dir).events.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    TxLog.init(ev.filter(pmod(col("event_id"), lit(5)) === 0), table)
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(5)) === 1), table, 0L)
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(5)) === 2), table, 1L)
+    // uncommitted orphan: written into the table dir, never published
+    ev.filter(pmod(col("event_id"), lit(5)) === 0)
+      .write.mode("append").parquet(table)
+    graft.streaming.EventStream.replayTxLogIncremental(
+      s, table, "/tmp/graft_roundtrip/stream_txinc_work",
+      between = () => {
+        TxLog.append(ev.filter(pmod(col("event_id"), lit(5)) === 3), table, 2L)
+        TxLog.append(ev.filter(pmod(col("event_id"), lit(5)) === 4), table, 3L)
+        ()
+      })
+  }
+
+  /** TABLE-TO-TABLE incremental streaming pipeline (library:
+    * streaming.TxLogSource → EventStream.runTxLogPipelineOnce →
+    * gold.TxLog.appendIfNew — the lakehouse loop CLOSED end-to-end): a
+    * bronze TxLog table streams through a row-level transform (purchases
+    * only, money to exact cents) into a silver TxLog table with the
+    * exactly-once txn sink. The pipeline runs, STOPS, a third bronze
+    * commit lands while it is down, and it runs AGAIN from the same
+    * checkpoint — source offsets and sink watermarks must BOTH resume:
+    * re-consumed bronze versions or re-applied sink batches double rows,
+    * skipped ones drop the late slice. Oracle = the purchases projection
+    * in closed form.
+    */
+  private def qStreamTxLogPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val bronze = "/tmp/graft_roundtrip/stream_txpipe_bronze"
+    val silver = "/tmp/graft_roundtrip/stream_txpipe_silver"
+    val ckpt = "/tmp/graft_roundtrip/stream_txpipe_ckpt"
+    Seq(bronze, silver, ckpt).foreach(p =>
+      graft.core.Fs.rmTree(new java.io.File(p)))
+    val ev = T(s, dir).events.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    def transform(b: DataFrame): DataFrame =
+      b.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("date").as("day"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+    TxLog.init(ev.filter(pmod(col("event_id"), lit(3)) === 0), bronze)
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 1), bronze, 0L)
+    TxLog.init(s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      transform(ev).schema), silver)
+    graft.streaming.EventStream.runTxLogPipelineOnce(
+      s, bronze, silver, ckpt, transform)
+    // a late bronze commit lands while the pipeline is DOWN…
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 2), bronze, 1L)
+    // …and the restarted run must consume exactly that one version
+    graft.streaming.EventStream.runTxLogPipelineOnce(
+      s, bronze, silver, ckpt, transform)
+    TxLog.read(s, silver)
   }
 
   /** EXACTLY-ONCE streaming TxLog sink (library:
@@ -1524,6 +1605,8 @@ object SparkEntry {
     "q_o_stream_txlog_sink"  -> (qStreamTxLogSink _),
     "q_o_stream_custom_session" -> (qStreamCustomSession _),
     "q_o_stream_txlog_source" -> (qStreamTxLogSource _),
+    "q_o_stream_txlog_incremental" -> (qStreamTxLogIncremental _),
+    "q_o_stream_txlog_pipeline" -> (qStreamTxLogPipeline _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
@@ -2363,6 +2446,20 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // incremental TxLog source with mid-log stop/restart: the resumed
+    // query's final state must still be every committed row exactly once
+    "q_o_stream_txlog_incremental" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // table-to-table pipeline: the silver TxLog table must hold exactly
+    // the purchases projection after the stop/append/restart sequence
+    "q_o_stream_txlog_pipeline" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     // exactly-once TxLog sink: double-applied batches must not double rows
     "q_o_stream_txlog_sink" ->
       """SELECT event_id, user_id, event_type,

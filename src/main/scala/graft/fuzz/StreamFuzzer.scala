@@ -293,14 +293,16 @@ object StreamFuzzer {
             .select(col("event_id"), col("user_id"), col("event_type"),
               col("value_cents"))
         case "session" =>
-          // IMPLEMENTATION LOTTERY: in-order seeds run the
-          // flatMapGroupsWithState custom-state fold on odd scrambles —
-          // both session implementations fuzz against the same twin
-          // (the custom fold does not support out-of-order arrivals)
+          // IMPLEMENTATION LOTTERY: odd scrambles run the
+          // flatMapGroupsWithState custom-state fold — both session
+          // implementations fuzz against the same twin, INCLUDING the
+          // late-arrival seeds (the fragment-merge state lifted the
+          // round-11 in-order-only contract)
           val base =
-            if (arrival.isEmpty && (scramble(sc.seed) & 1L) == 1L)
+            if ((scramble(sc.seed) & 1L) == 1L)
               EventStream.replayCustomSession(ev, stage, sc.nFiles,
-                gapSec = sc.windowSec, watermarkHours = sc.watermarkHours)
+                gapSec = sc.windowSec, watermarkHours = sc.watermarkHours,
+                arrivalCol = arrival)
             else
               EventStream.replaySessionWindow(ev, stage, sc.nFiles,
                 gap = s"${sc.windowSec} seconds",

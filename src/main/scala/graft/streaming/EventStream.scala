@@ -350,11 +350,23 @@ object EventStream {
       user_id: Long, event_type: String, cents: Long)
   final case class UserCents(user_id: Long, n_events: Long, value_cents: Long)
 
-  /** Open-session state for [[replayCustomSession]] (epoch MICROS —
+  /** One session fragment for [[replayCustomSession]] (epoch MICROS —
     * `Timestamp.getTime` is millis and would silently truncate the
     * events' microsecond precision; the oracle compares exact).
     */
   final case class SessionState(start: Long, last: Long, n: Long, cents: Long)
+
+  /** [[replayCustomSession]] state: the key's OPEN session fragments as
+    * disjoint, start-ordered islands. In-order input keeps this a single
+    * island; out-of-order (but in-watermark) input can hold several
+    * disjoint fragments that a later bridging event MERGES — the part a
+    * single-open-session fold cannot express. Bounded: an island closes
+    * (emits, leaves the state) as soon as the watermark proves no
+    * in-watermark event can extend it, so the retained fragment count is
+    * capped by the arrival disorder inside one watermark window, not by
+    * stream length.
+    */
+  final case class SessionIslands(islands: Seq[SessionState])
 
   private def microsOf(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -379,36 +391,55 @@ object EventStream {
     * EVENT-TIME TIMEOUT — the same session semantics as
     * [[replaySessionWindow]] built from the general state API instead of
     * the `session_window` operator, gated against the SAME DuckDB
-    * gap-islands oracle so the two implementations pin each other. A
-    * session closes either when a successor event arrives more than
-    * `gap` after its last event (emitted inline), or when the watermark
-    * passes `last + gap` (emitted by the timeout callback — Spark calls
-    * the function with `state.hasTimedOut` once no event can extend the
-    * session). Boundary matches session_window's merge-on-adjacency: an
-    * event at EXACTLY `last + gap` EXTENDS (`diff <= gap`). End-of-stream
-    * flush: the far-future sentinel advances the watermark and the final
-    * no-data batch fires every remaining timeout; the sentinel's own
-    * state (impossible user key, timeout beyond the final watermark)
-    * never emits and its key is filtered from the output.
+    * gap-islands oracle so the two implementations pin each other.
     *
-    * In-order replay contract: the range-split staging means a state
-    * updated in batch N has `last >= maxTs(N-1)`, while the watermark
-    * DURING batch N is `maxTs(N-1) - delay` — so `last + gap` strictly
-    * exceeds the watermark for ANY positive gap and the
+    * State = the key's open session FRAGMENTS as disjoint start-ordered
+    * islands ([[SessionIslands]]): each batch's events become point
+    * islands, and one sorted merge folds everything adjacent-or-closer
+    * than `gap` together — so a late (but in-watermark) event that lands
+    * BETWEEN two fragments bridges them into one session, the case a
+    * single-open-session fold gets wrong. Boundary matches
+    * session_window's merge-on-adjacency: an event at EXACTLY `last +
+    * gap` EXTENDS (`diff <= gap`).
+    *
+    * Emission is WATERMARK-DRIVEN only: an island closes when the
+    * watermark passes `last + gap` — a successor event no longer proves
+    * closure under out-of-order delivery (a gap-filling event may still
+    * arrive), so islands are emitted either inline (the close check runs
+    * on every invocation) or by the event-time timeout callback, which is
+    * re-armed to the earliest remaining island's close bound. The
     * `setTimeoutTimestamp` must-exceed-watermark precondition holds by
-    * construction. Out-of-order (arrivalCol) input is NOT supported here:
-    * unlike `session_window`, this fold never merges disjoint fragments.
+    * construction: any island whose close bound is at or below the
+    * current watermark was just closed, so the re-armed bound is strictly
+    * above. End-of-stream flush: the far-future sentinel advances the
+    * watermark and the final no-data batch fires every remaining timeout;
+    * the sentinel's own state (impossible user key, close bound beyond
+    * the final watermark) never emits and its key is filtered from the
+    * output.
+    *
+    * Out-of-order contract (the round-11 limitation, now lifted): with
+    * `arrivalCol`, files replay in ARRIVAL order and rows may arrive
+    * event-time-late; as long as every row is in-watermark on arrival
+    * (the StreamFuzzer late generator's bound) the result equals the
+    * batch gap-islands twin exactly. Rows behind the watermark are
+    * dropped by the engine BEFORE the state fold — diverging from batch
+    * by the same contract as every watermarked operator.
     */
   def replayCustomSession(
       events: DataFrame,
       stagePath: String,
       nFiles: Int = 6,
       gapSec: Long = 6L * 3600,
-      watermarkHours: Int = 2
+      watermarkHours: Int = 2,
+      arrivalCol: Option[String] = None
   ): DataFrame = {
     val s = events.sparkSession
-    val staged = stageEvents(events)
-    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    val stagedAll = stageEvents(events, arrivalCol)
+    arrivalCol match {
+      case Some(a) => writeArrivalOrderedFiles(stagedAll, stagePath, a)
+      case None    => writeTimeOrderedFiles(stagedAll, stagePath, nFiles)
+    }
+    val staged = arrivalCol.map(stagedAll.drop(_)).getOrElse(stagedAll)
     val maxTs = staged.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     if (maxTs != null) {
       val farFuture = new java.sql.Timestamp(maxTs.getTime +
@@ -438,43 +469,44 @@ object EventStream {
         round(col("value") * 100).cast("long").as("cents"))
       .as[NKCentsEvent]
     val sessions = stream.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionIslands, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Option[Long], batch: Iterator[NKCentsEvent], state: GroupState[SessionState]) =>
-          def close(st: SessionState) = SessionOut(user,
+        (user: Option[Long], batch: Iterator[NKCentsEvent], state: GroupState[SessionIslands]) =>
+          def emit(st: SessionState) = SessionOut(user,
             tsOfMicros(st.start), tsOfMicros(st.last + gapUs), st.n, st.cents)
-          if (state.hasTimedOut) {
-            val st = state.get; state.remove(); Iterator.single(close(st))
-          } else {
-            // within-batch order is not guaranteed; the fold needs it.
-            // Materializes ONE KEY's slice of ONE micro-batch (bounded by
-            // trigger size, not stream length) — the retained state stays
-            // a single open session
-            val evs = batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            evs.foreach { e =>
-              val t = microsOf(e.ts)
-              cur match {
-                case Some(st) if t - st.last <= gapUs => // adjacency EXTENDS
-                  cur = Some(SessionState(st.start, math.max(st.last, t),
-                    st.n + 1, st.cents + e.cents))
-                case Some(st) =>
-                  closed += close(st)
-                  cur = Some(SessionState(t, t, 1L, e.cents))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.cents))
-              }
-            }
-            cur.foreach { st =>
-              state.update(st)
-              // the timeout API is millis; ceil so the flush can never
-              // fire a hair BEFORE last + gap
-              state.setTimeoutTimestamp(
-                Math.floorDiv(st.last + gapUs, 1000L) + 1L)
-            }
-            closed.result().iterator
+          // millis CEIL of an island's close bound `last + gap`: the
+          // timeout API is millis — ceil so a flush can never fire a hair
+          // BEFORE the bound, and the close test uses the SAME value so
+          // "closable now" and "needs a future timeout" exactly partition
+          // the islands (a gap would strand one; an overlap would arm a
+          // timeout at-or-below the watermark, which Spark rejects)
+          def closeBoundMs(st: SessionState): Long =
+            Math.floorDiv(st.last + gapUs, 1000L) + 1L
+          // merge fragments + new points in one sorted fold — adjacency
+          // (diff <= gap) EXTENDS, matching session_window. Materializes
+          // ONE key's islands + ONE micro-batch slice (bounded by trigger
+          // size and in-window disorder, not stream length).
+          val points = batch.map(e =>
+            SessionState(microsOf(e.ts), microsOf(e.ts), 1L, e.cents)).toSeq
+          val all = (state.getOption.map(_.islands).getOrElse(Nil) ++ points)
+            .sortBy(st => (st.start, st.last))
+          val merged = all.foldLeft(List.empty[SessionState]) {
+            case (cur :: done, nxt) if nxt.start - cur.last <= gapUs =>
+              SessionState(cur.start, math.max(cur.last, nxt.last),
+                cur.n + nxt.n, cur.cents + nxt.cents) :: done
+            case (acc, nxt) => nxt :: acc
+          }.reverse
+          // close every island the watermark proves un-extendable: any
+          // extending event would be engine-dropped as late before
+          // reaching this fold
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(st => closeBoundMs(st) <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionIslands(open))
+            state.setTimeoutTimestamp(open.map(closeBoundMs).min)
           }
+          closed.iterator.map(emit)
       }
       .filter(!(col("user_id") <=> lit(Long.MinValue)))
       .select(col("user_id"),
@@ -543,60 +575,54 @@ object EventStream {
     graft.gold.TxLog.read(s, tablePath)
   }
 
-  /** Stream a TxLog table's COMMITTED appends as micro-batches — the
-    * READ side of the lakehouse↔streaming loop (the Delta streaming
-    * source shape, replay-harness form): versions 0..current are staged
-    * in COMMIT ORDER (each version's added files, mod-time-stamped so
-    * the file stream replays them in that order) and run through the
-    * windowed aggregation; the final state must equal the batch
-    * aggregate of the table's current version.
-    *
-    * The staging follows the LOG, never the directory listing: TxLog
-    * writes data files BEFORE their version publishes, so a
-    * directory-based file stream would serve a crashed writer's
-    * UNCOMMITTED orphans. The gate plants exactly such an orphan (a
-    * duplicate slice dropped into the table dir with no commit) — the
-    * oracle counts every committed row exactly once, so serving the
-    * orphan doubles counts and hash-mismatches. Append-only contract: a
-    * version with remove actions raises (CDC consumers belong on
-    * [[graft.gold.TxLog.changes]]).
+  /** The INCREMENTAL TxLog streaming source ([[TxLogSource]]) as a
+    * readStream — offset = log version, batches read each commit's add
+    * files IN PLACE (no staging copy), resumable from the engine
+    * checkpoint. `maxVersionsPerTrigger` bounds commits per micro-batch
+    * (Delta's `maxFilesPerTrigger` role).
     */
-  def replayTxLogAppends(
+  def streamTxLogTable(
       spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
-      stagePath: String,
-      windowDur: String = "1 day"
+      maxVersionsPerTrigger: Long = 1L
+  ): DataFrame =
+    spark.readStream.format("graft-txlog")
+      .option("path", tablePath)
+      .option(TxLogSource.MaxVersionsKey, maxVersionsPerTrigger.toString)
+      .load()
+
+  /** Drive the incremental TxLog source through the windowed aggregation
+    * WITH a mid-log stop/restart — the resume proof
+    * [[replayTxLogAppends]]' copy-based harness could not give:
+    *
+    *   1. run the query over every version committed so far (one commit
+    *      per micro-batch), `processAllAvailable`, STOP;
+    *   2. run `between()` — the caller appends MORE versions while the
+    *      query is down;
+    *   3. restart from the SAME checkpoint and drain again.
+    *
+    * The complete-mode aggregation state lives in the checkpoint, so the
+    * restarted query must pick up at exactly the next unread version: a
+    * source that re-served already-consumed versions double-counts every
+    * pre-stop row, one that skips ahead drops the between() rows, and one
+    * that regressed its offsets corrupts the state — all hash-mismatch
+    * against the full-table batch oracle. Data files are read in place
+    * from the table dir; nothing is copied (the work dir holds only the
+    * checkpoint and the sink output).
+    */
+  def replayTxLogIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      workPath: String,
+      windowDur: String = "1 day",
+      between: () => Unit = () => ()
   ): DataFrame = {
-    import graft.gold.TxLog
-    val cur = TxLog.currentVersion(tablePath).getOrElse(
-      throw new IllegalArgumentException(s"TxLog: no table at $tablePath"))
-    graft.core.Fs.rmTree(new java.io.File(stagePath))
-    new java.io.File(stagePath).mkdirs()
-    var i = 0
-    val base = System.currentTimeMillis() - (cur + 2) * 60000L
-    (0L to cur).foreach { v =>
-      val (added, removed) = TxLog.fileActions(tablePath, v)
-      require(removed.isEmpty,
-        s"TxLog streaming source: version $v removes files - append-only " +
-          "tables only (use TxLog.changes for CDC)")
-      added.foreach { f =>
-        val dst = new java.io.File(stagePath, f"v$v%05d-$f")
-        java.nio.file.Files.copy(new java.io.File(tablePath, f).toPath,
-          dst.toPath)
-        require(dst.setLastModified(base + i * 60000L),
-          s"could not stamp mod time on $dst")
-        i += 1
-      }
-    }
-    val schema = TxLog.snapshot(tablePath).schema.getOrElse(
-      spark.read.parquet(new java.io.File(tablePath,
-        TxLog.fileActions(tablePath, 0L)._1.head).getPath).schema)
+    val outPath = workPath + "_out"
+    val ckpt = workPath + "_ckpt"
+    Seq(outPath, ckpt).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
     val child = spark.newSession()
     child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
-    val stream = child.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stagePath)
-    val agg = stream
+    def aggOf(stream: DataFrame): DataFrame = stream
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value_cents")).cast("long").as("value_cents"))
@@ -604,18 +630,67 @@ object EventStream {
         col("window.start").cast("timestamp_ntz").as("window_start"),
         col("window.end").cast("timestamp_ntz").as("window_end"),
         col("event_type"), col("cnt"), col("value_cents"))
-    val outPath = stagePath + "_out"
-    val ckpt = stagePath + "_ckpt"
-    Seq(outPath, ckpt).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
-    val q = agg.writeStream
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    def runOnce(): Unit = {
+      val agg = aggOf(streamTxLogTable(child, tablePath))
+      outSchema = agg.schema
+      val q = agg.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(outPath)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    between()
+    runOnce()
+    readReplayOutput(spark, outPath, outSchema)
+  }
+
+  /** TABLE-TO-TABLE incremental streaming pipeline — the lakehouse loop
+    * CLOSED: the incremental TxLog source ([[streamTxLogTable]]) reads
+    * `srcTable`'s commits, `transform` reshapes each micro-batch, and the
+    * exactly-once sink (`TxLog.appendIfNew` under `commitWithRetry`)
+    * commits it into `dstTable` tagged `(appId, batchId)`. One call = one
+    * streaming run (drain everything available, then stop); calling again
+    * with the same `ckpt` RESUMES — source offsets and sink watermarks
+    * both survive, so new upstream commits flow through exactly once and
+    * a redelivered batch no-ops. This is the incremental medallion step
+    * (bronze→silver as a stream) the reference schedules as nightly
+    * batch jobs.
+    *
+    * Scale shape: per run, source work is O(new commits' files), sink
+    * work O(transformed batch); nothing rescans either table's history.
+    * `transform` must be row-level/stateless (each batch is transformed
+    * independently; stateful transforms belong on the watermarked
+    * replay paths).
+    */
+  def runTxLogPipelineOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      srcTable: String,
+      dstTable: String,
+      ckpt: String,
+      transform: DataFrame => DataFrame,
+      appId: String = "graft-txlog-pipeline",
+      maxVersionsPerTrigger: Long = 1L
+  ): Unit = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val q = transform(streamTxLogTable(child, srcTable, maxVersionsPerTrigger))
+      .writeStream
       .option("checkpointLocation", ckpt)
-      .outputMode("complete")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(outPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val data = batch.persist()
+        try {
+          graft.gold.TxLog.commitWithRetry(dstTable)(v =>
+            graft.gold.TxLog.appendIfNew(data.toDF(), dstTable, appId, bid, v))
+          ()
+        } finally { data.unpersist(); () }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    readReplayOutput(spark, outPath, agg.schema)
   }
 
   /** Stage a single sentinel row as the strictly-newest file under

@@ -351,6 +351,37 @@ class EventStreamSpec extends SparkSpecBase {
     } finally graft.core.Fs.rmTree(tmp.toFile)
   }
 
+  test("custom session: a late bridging event MERGES two open fragments into one session") {
+    // the case the round-11 single-open-session fold could NOT express:
+    // events A (10:00) and C (12:00) arrive FIRST (file 0) — two disjoint
+    // fragments under a 1 h gap — then B (11:00) arrives LATE (file 1),
+    // adjacent to BOTH, bridging them into ONE session. B is in-watermark
+    // on arrival (watermark after file 0 = 12:00 − 6 h). A fold that
+    // closed A's fragment when C arrived emits a phantom 1-event session
+    // AND a wrong merged one; the islands state merges exactly once.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_session_bridge")
+    try {
+      val events = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, 0),
+        (3L, ts("2024-01-01 12:00:00"), 1L, "click", 4.0, 0),
+        (2L, ts("2024-01-01 11:00:00"), 1L, "click", 2.0, 1), // the bridge
+        // control key: fragments that stay disjoint must still split
+        (5L, ts("2024-01-01 10:00:00"), 2L, "click", 8.0, 0),
+        (6L, ts("2024-01-01 12:00:01"), 2L, "click", 16.0, 1))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "__file")
+      val out = EventStream.replayCustomSession(events,
+          tmp.toString + "/stage", gapSec = 3600L, watermarkHours = 6,
+          arrivalCol = Some("__file"))
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events", $"value_cents")
+        .as[(Long, String, String, Long, Long)].collect().toSet
+      out shouldBe Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 13:00:00", 3L, 700L),
+        (2L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 1L, 800L),
+        (2L, "2024-01-01 12:00:01", "2024-01-01 13:00:01", 1L, 1600L))
+    } finally graft.core.Fs.rmTree(tmp.toFile)
+  }
+
   test("dedup replay drops a duplicate arriving in a LATER micro-batch") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_edge")
     try {
@@ -385,19 +416,20 @@ class EventStreamSpec extends SparkSpecBase {
       // a crashed writer's uncommitted leftovers — never committed, must
       // never be served
       slice(100 until 200).write.mode("append").parquet(table)
-      val out = EventStream.replayTxLogAppends(spark, table,
-          tmp.toString + "/stage", windowDur = "1 day")
+      val out = EventStream.replayTxLogIncremental(spark, table,
+          tmp.toString + "/work", windowDur = "1 day")
         .select($"window_start".cast("string"), $"cnt", $"value_cents")
         .as[(String, Long, Long)].collect().toSet
       out shouldBe Set(
         ("2024-01-01 00:00:00", 15L, 1500L), // even ids of 0..29
         ("2024-01-02 00:00:00", 15L, 1500L))
-      // append-only contract: a remove-action version raises, loudly
+      // append-only contract: a remove-action version fails the query,
+      // loudly (the incremental source raises from inside the stream)
       TxLog.deleteWhere(spark, table, col("event_id") < 5L, 1L)
-      val e = intercept[IllegalArgumentException] {
-        EventStream.replayTxLogAppends(spark, table, tmp.toString + "/stage2")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        EventStream.replayTxLogIncremental(spark, table, tmp.toString + "/work2")
       }
-      e.getMessage should include("append-only")
+      e.getMessage should include("APPEND-ONLY")
     } finally graft.core.Fs.rmTree(tmp.toFile)
   }
 
@@ -448,5 +480,81 @@ class EventStreamSpec extends SparkSpecBase {
       rows.count() shouldBe 70L
       rows.select("event_id").distinct().count() shouldBe 70L
     } finally graft.core.Fs.rmTree(tmp.toFile)
+  }
+
+  test("TxLog sink: a crash BETWEEN appendIfNew and checkpoint commit redelivers as a no-op (seeded)") {
+    // The at-least-once race the inline double-apply cannot time: the sink
+    // effect (appendIfNew) SUCCEEDS, then the query dies BEFORE the engine
+    // commits the batch to its checkpoint. On restart Structured Streaming
+    // redelivers the SAME batchId — the txn watermark must make it a no-op.
+    // Seeded: the crash batch varies, so the race is exercised at the
+    // first, a middle, and the last batch of the stream.
+    import graft.gold.TxLog
+    import org.apache.spark.sql.functions._
+    (0 until 4).foreach { seed =>
+      val rng = new java.util.Random(0x5eedL * 31 + seed)
+      val nFiles = 4
+      val killAt = rng.nextInt(nFiles).toLong
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_txsink_crash$seed")
+      val stage = tmp.toString + "/stage"
+      val table = tmp.toString + "/table"
+      val ckpt = tmp.toString + "/ckpt"
+      try {
+        def staged(r: Range) = r.map(i =>
+            (i.toLong, ts(f"2024-01-01 ${10 + i % 10}%02d:00:00"), i % 3L,
+              "click", i.toLong))
+          .toDF("event_id", "ts", "user_id", "event_type", "value_cents")
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        val schema = staged(0 until 1).schema
+        TxLog.init(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), table)
+        // one file per micro-batch, written with distinct mod times
+        (0 until nFiles).foreach { f =>
+          staged(f * 10 until f * 10 + 10).coalesce(1)
+            .write.mode("append").parquet(stage)
+          Thread.sleep(25) // distinct mod times → deterministic batch order
+        }
+        val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def runOnce(kill: Boolean): Unit = {
+          val child = spark.newSession()
+          child.conf.set("spark.sql.shuffle.partitions", 4)
+          val q = child.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+                TxLog.commitWithRetry(table)(v =>
+                  TxLog.appendIfNew(b.toDF(), table, "crash-app", bid, v))
+                // the injected crash: AFTER the sink-side commit landed,
+                // BEFORE the engine checkpoints the batch
+                if (kill && bid == killAt && killed.compareAndSet(false, true))
+                  throw new RuntimeException(
+                    s"injected crash after appendIfNew(batch $bid)")
+                ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        withClue(s"seed $seed (crash at batch $killAt): ") {
+          val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            runOnce(kill = true)
+          }
+          e.getMessage should include("injected crash")
+          // the crashed batch's rows ARE in the table (the sink-side
+          // commit landed before the crash): batches 0..killAt committed
+          TxLog.read(spark, table).count() shouldBe (killAt + 1) * 10L
+          TxLog.snapshot(table).txns shouldBe Map("crash-app" -> killAt)
+          // …and the restart redelivers it as a NO-OP, then finishes
+          runOnce(kill = false)
+          val rows = TxLog.read(spark, table)
+          rows.count() shouldBe (nFiles * 10).toLong
+          rows.select("event_id").distinct().count() shouldBe (nFiles * 10).toLong
+          // exactly one commit per batch + init: the redelivery added none
+          TxLog.currentVersion(table) shouldBe Some(nFiles.toLong)
+          TxLog.snapshot(table).txns shouldBe
+            Map("crash-app" -> (nFiles - 1).toLong)
+        }
+      } finally graft.core.Fs.rmTree(tmp.toFile)
+    }
   }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import graft.gold.TxLog
+import org.apache.spark.sql.functions._
+
+/** The incremental TxLog streaming source (graft-txlog): offsets are log
+  * versions, batches read each commit's add files IN PLACE, the engine
+  * checkpoint is the resume point. These specs pin the four contract
+  * points the copy-based replay harness could not: (1) zero staging —
+  * every row's `input_file_name()` resolves inside the TABLE dir; (2)
+  * admission control — one version per micro-batch by default, grouped
+  * under a larger `maxVersionsPerTrigger`, never regressing across a
+  * restart; (3) resume — a restarted query continues at exactly the next
+  * unread version; (4) the append-only contract — a remove-action version
+  * fails the query with a named error.
+  */
+class TxLogSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private def rows(r: Range): org.apache.spark.sql.DataFrame =
+    r.map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+
+  /** Drain one streaming pass of the source into an append-mode parquet
+    * sink that also captures each row's physical source file.
+    */
+  private def drain(path: String, out: String, ckpt: String,
+      maxVersions: Long = 1L): Unit = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    val stream = graft.streaming.EventStream
+      .streamTxLogTable(child, path, maxVersionsPerTrigger = maxVersions)
+      .withColumn("src", input_file_name())
+    val q = stream.writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def batchCount(ckpt: String): Int =
+    Option(new java.io.File(ckpt, "offsets").listFiles())
+      .getOrElse(Array.empty).count(f => f.getName.forall(_.isDigit))
+
+  test("reads committed appends in place, one version per micro-batch, orphan-blind") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 40).repartition(2), path)
+    TxLog.append(rows(40 until 70), path, 0L)
+    TxLog.append(rows(70 until 100), path, 1L)
+    // a crashed writer's uncommitted orphan: identical rows, never published
+    rows(0 until 40).write.mode("append").parquet(path)
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    drain(path, out, ckpt)
+    val got = spark.read.parquet(out)
+    // every committed row exactly once; the orphan is invisible
+    got.select("id").as[Long].collect().sorted shouldBe
+      (0L until 100L).toArray
+    // zero staging: every row was read from a file INSIDE the table dir
+    val srcs = got.select("src").distinct().as[String].collect()
+    all(srcs) should include(new java.io.File(path).getName)
+    srcs.foreach(s => new java.io.File(new java.net.URI(s)).getParentFile
+      .getCanonicalPath shouldBe new java.io.File(path).getCanonicalPath)
+    // admission control: exactly one micro-batch per version
+    batchCount(ckpt) shouldBe 3
+  }
+
+  test("resumes from a mid-log checkpoint at exactly the next unread version") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 10), path)
+    TxLog.append(rows(10 until 20), path, 0L)
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    drain(path, out, ckpt)
+    spark.read.parquet(out).count() shouldBe 20L
+    // two more commits land while the query is DOWN
+    TxLog.append(rows(20 until 30), path, 1L)
+    TxLog.append(rows(30 until 40), path, 2L)
+    drain(path, out, ckpt) // SAME checkpoint: must resume at version 2
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    got shouldBe (0L until 40L).toArray // re-served versions would duplicate
+    batchCount(ckpt) shouldBe 4 // 2 before the stop + 2 after
+  }
+
+  test("maxVersionsPerTrigger groups commits; an empty-add commit streams through") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 10), path)
+    (1 to 4).foreach(i => TxLog.append(rows(i * 10 until i * 10 + 10), path,
+      (i - 1).toLong))
+    // an append that writes NO data files (0-partition frame): a legal
+    // version whose offset range must still advance through the source
+    TxLog.append(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      rows(0 until 1).schema), path, 4L)
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    drain(path, out, ckpt, maxVersions = 2L)
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (0L until 50L).toArray
+    // versions 0..5 in steps of 2: three micro-batches
+    batchCount(ckpt) shouldBe 3
+  }
+
+  test("a remove-action version fails the stream with the append-only error") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 40).repartitionByRange(4, col("id")), path)
+    TxLog.deleteWhere(spark, path, col("id") < 10L, 0L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(path, s"$work/out", s"$work/ckpt", maxVersions = 10L)
+    }
+    e.getMessage should include("APPEND-ONLY")
+  }
+}
