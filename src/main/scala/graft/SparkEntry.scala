@@ -849,6 +849,46 @@ object SparkEntry {
     TxLog.read(s, silver)
   }
 
+  /** STREAMING CHANGE DATA FEED consumer (library: streaming.TxLogCdfSource
+    * → EventStream.runTxLogCdfMirrorOnce — the Delta readChangeFeed
+    * streaming shape over the graft commit log): the q_o_txlog_cdf mixed
+    * history (init, append, predicate DELETE, atomic key-replace) streams
+    * as per-version insert/delete row batches into an epoch-versioned
+    * keyed mirror, then the pipeline STOPS, a WIDENING append (schema
+    * evolution) commits while it is down, and the resumed run folds
+    * exactly that version on top. Oracle = the merge-mirror closed form:
+    * a missed delete, a version applied out of order, a double-applied
+    * redelivery, or old rows not NULL-aligned to the widened schema all
+    * hash-mismatch.
+    */
+  private def qStreamTxLogCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val table = "/tmp/graft_roundtrip/stream_txcdf_table"
+    val mirror = "/tmp/graft_roundtrip/stream_txcdf_mirror"
+    val ckpt = "/tmp/graft_roundtrip/stream_txcdf_ckpt"
+    Seq(table, mirror, ckpt).foreach(p =>
+      graft.core.Fs.rmTree(new java.io.File(p)))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 4 === 0)
+      .repartitionByRange(4, col("id")), table)
+    TxLog.append(o.filter(col("id") % 4 === 1), table, 0L)
+    TxLog.deleteWhere(s, table, col("id") % 5 === 2, 1L)
+    TxLog.replaceWhereKeys(s, table,
+      o.filter(col("id") % 9 === 4).select("id"), Seq("id"),
+      newData = o.filter(col("id") % 4 === 2 && col("id") % 9 === 4), 2L)
+    graft.streaming.EventStream.runTxLogCdfMirrorOnce(
+      s, table, mirror, Seq("id"), ckpt)
+    // the widening append lands while the consumer is DOWN…
+    TxLog.append(o.filter(col("id") % 4 === 3)
+      .withColumn("flag", pmod(col("id"), lit(7)).cast("long")), table, 3L)
+    // …and the resumed run must fold exactly that one version
+    graft.streaming.EventStream.runTxLogCdfMirrorOnce(
+      s, table, mirror, Seq("id"), ckpt)
+    graft.streaming.EventStream.readCdfMirror(s, mirror)
+  }
+
   /** EXACTLY-ONCE streaming TxLog sink (library:
     * streaming.EventStream.replayIntoTxLog + gold.TxLog.appendIfNew —
     * the Delta txn-action pattern): events replayed file-per-micro-batch
@@ -1607,6 +1647,7 @@ object SparkEntry {
     "q_o_stream_txlog_source" -> (qStreamTxLogSource _),
     "q_o_stream_txlog_incremental" -> (qStreamTxLogIncremental _),
     "q_o_stream_txlog_pipeline" -> (qStreamTxLogPipeline _),
+    "q_o_stream_txlog_cdf" -> (qStreamTxLogCdf _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
@@ -2460,6 +2501,19 @@ object SparkEntry {
       """SELECT event_id, user_id, CAST(ts AS DATE) AS day,
         |  CAST(round(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // streaming CDF mirror == the same closed-form membership as the
+    // batch keyed-merge gate (q_o_txlog_merge_mirror), reached through
+    // per-version change batches + a stop/widening-append/restart
+    "q_o_stream_txlog_cdf" ->
+      """SELECT o_orderkey AS id, o_custkey AS cust,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE WHEN o_orderkey % 4 = 3
+        |       THEN CAST(o_orderkey % 7 AS BIGINT) END AS flag
+        |FROM orders
+        |WHERE (o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 <> 2
+        |       AND o_orderkey % 9 <> 4)
+        |   OR (o_orderkey % 4 = 2 AND o_orderkey % 9 = 4)
+        |   OR (o_orderkey % 4 = 3)""".stripMargin,
     // exactly-once TxLog sink: double-applied batches must not double rows
     "q_o_stream_txlog_sink" ->
       """SELECT event_id, user_id, event_type,

@@ -693,6 +693,101 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** STREAMING CDF → keyed mirror: drive the `graft-txlog-cdf` source
+    * ([[TxLogCdfSource]]) into an epoch-versioned mirror folded by natural
+    * key — the streaming face of `TxLog.mergeByKeyFromChanges`. One call =
+    * one run (drain, stop); calling again with the same `ckpt` resumes at
+    * the next unread version, picking up commits (including
+    * delete/replace rewrites and widening appends) made while down.
+    * Exactly-once effect under foreachBatch's at-least-once redelivery
+    * comes from the aggMaintainStream epoch discipline: batch N merges
+    * onto the newest epoch STRICTLY BELOW N and (re)writes its own epoch,
+    * so a redelivered batch re-derives identical state instead of
+    * double-applying. Read the current state with [[readCdfMirror]].
+    */
+  def runTxLogCdfMirrorOnce(
+      spark: org.apache.spark.sql.SparkSession,
+      srcTable: String,
+      mirrorPath: String,
+      keys: Seq[String],
+      ckpt: String,
+      maxVersionsPerTrigger: Long = 1L
+  ): Unit = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val stream = child.readStream.format("graft-txlog-cdf")
+      .option("path", srcTable)
+      .option(TxLogSource.MaxVersionsKey, maxVersionsPerTrigger.toString)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        applyCdfBatch(batch.toDF(), bid, mirrorPath, keys)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One micro-batch of the CDF mirror fold — package-visible so replay
+    * scenarios are directly testable. Applies the batch's versions in
+    * ascending `_commit_version` order: the version's delete-row KEY SET
+    * (batch-scale, broadcast) leaves via anti-join — the mirror is never
+    * shuffled — then its insert rows union in (`allowMissingColumns`: a
+    * widening append evolves the mirror schema, older rows NULL). The
+    * per-version loop is driver-side but bounded by the source's
+    * `maxVersionsPerTrigger`, never by history length.
+    */
+  private[graft] def applyCdfBatch(
+      batch: DataFrame,
+      batchId: Long,
+      mirrorPath: String,
+      keys: Seq[String]
+  ): Unit = if (!batch.isEmpty) {
+    import graft.streaming.TxLogCdfSource.{ChangeTypeCol, CommitVersionCol}
+    val session = batch.sparkSession
+    val b = batch.persist()
+    try {
+      val versions = b.select(col(CommitVersionCol)).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val epochs = listEpochs(mirrorPath)
+      val base = epochs.filter(_ < batchId).sorted.lastOption
+      val dataCols = b.columns
+        .filterNot(c => c == ChangeTypeCol || c == CommitVersionCol)
+      var mirror = base match {
+        case Some(k) => session.read.parquet(s"$mirrorPath/epoch=$k")
+        case None    => b.filter(lit(false)).select(dataCols.map(col): _*)
+      }
+      versions.foreach { v =>
+        val slice = b.filter(col(CommitVersionCol) === v)
+        val delKeys = slice.filter(col(ChangeTypeCol) === "delete")
+          .select(keys.map(col): _*).distinct()
+        val ins = slice.filter(col(ChangeTypeCol) === "insert")
+          .select(dataCols.map(col): _*)
+        mirror = mirror.join(broadcast(delKeys), keys, "left_anti")
+          .unionByName(ins, allowMissingColumns = true)
+      }
+      // the aggMaintainBatch publish discipline: tmp write (name invisible
+      // to the epoch listing) + rename, replay overwrites its own epoch
+      val tmp = new java.io.File(s"$mirrorPath/inprogress-$batchId")
+      if (tmp.exists()) graft.core.Fs.rmTree(tmp)
+      mirror.write.mode("overwrite").parquet(tmp.getPath)
+      val dst = new java.io.File(s"$mirrorPath/epoch=$batchId")
+      if (dst.exists()) graft.core.Fs.rmTree(dst)
+      if (!tmp.renameTo(dst))
+        throw new IllegalStateException(
+          s"epoch publish failed: ${tmp.getPath} -> ${dst.getPath}")
+      val newestN = (listEpochs(mirrorPath) :+ batchId).distinct
+        .sorted.reverse.take(2).toSet
+      epochs.filter(e => base.exists(e < _) && !newestN.contains(e)).foreach { e =>
+        graft.core.Fs.rmTree(new java.io.File(s"$mirrorPath/epoch=$e"))
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  /** Current (newest-epoch) state of a [[runTxLogCdfMirrorOnce]] mirror. */
+  def readCdfMirror(spark: org.apache.spark.sql.SparkSession,
+      mirrorPath: String): DataFrame = readAggStore(spark, mirrorPath)
+
   /** Stage a single sentinel row as the strictly-newest file under
     * `stagePath` (mod time now + 60 s, after [[writeTimeOrderedFiles]]'
     * backdated stamps) — the end-of-stream watermark push shared by the

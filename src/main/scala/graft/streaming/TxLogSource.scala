@@ -103,21 +103,27 @@ object TxLogSource {
   }
 }
 
-class TxLogSource(
-    spark: SparkSession,
-    tablePath: String,
-    override val schema: StructType,
+/** The version-offset machinery shared by both TxLog streaming sources
+  * ([[TxLogSource]] append rows, [[TxLogCdfSource]] change rows): offsets
+  * are log versions; `getOffset` advances at most `maxVersionsPerTrigger`
+  * past the handed-out cursor; the cursor is persisted (atomic tmp+move)
+  * under the engine-provided source-metadata dir so a restarted,
+  * rate-limited source never re-offers an offset below the engine's
+  * committed one (regressing the offset log). `getBatch` also advances the
+  * cursor from the engine's own checkpointed offsets — belt-and-braces: a
+  * lost metadata file degrades to one recovery step, never to wrong data.
+  * The cursor is a lower-bound cursor only; batch CONTENT always derives
+  * from the version records.
+  */
+abstract class TxLogVersionedSource(
+    protected val spark: SparkSession,
+    protected val tablePath: String,
     metadataPath: String,
     maxVersionsPerTrigger: Long) extends Source {
 
-  /** Newest version this source has ever handed to the engine as a batch
-    * END — the admission-control cursor. Persisted (atomic tmp+move) so a
-    * restart resumes rate-limited progress instead of re-offering an
-    * offset below the engine's committed one. Recovery belt-and-braces:
-    * `getBatch` also advances it from the engine's own checkpointed
-    * offsets, so a lost metadata file degrades to one recovery step, never
-    * to wrong data.
-    */
+  /** Batch covering committed versions `(from, to]`, both bounds resolved. */
+  protected def batchFor(fromExclusive: Long, toInclusive: Long): DataFrame
+
   @volatile private var maxHandedOut: Long = readCursor()
 
   private def cursorFile = new java.io.File(metadataPath, "graft-txlog-cursor")
@@ -148,33 +154,144 @@ class TxLogSource(
 
   private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
 
-  override def getOffset: Option[OffsetV1] =
+  final override def getOffset: Option[OffsetV1] =
     TxLog.currentVersion(tablePath).map { cur =>
       val end = math.min(cur, maxHandedOut + maxVersionsPerTrigger)
       advanceCursor(end)
       LongOffset(end)
     }
 
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+  final override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(versionOf).getOrElse(-1L) // exclusive
     val to = versionOf(end) // inclusive
     advanceCursor(to)
-    val files = (from + 1 to to).flatMap { v =>
-      val (added, removed) = TxLog.fileActions(tablePath, v)
-      if (removed.nonEmpty) throw new IllegalStateException(
-        s"graft-txlog source: version $v of $tablePath removes files - " +
-          "this source streams APPEND-ONLY tables (row-level change " +
-          "consumers belong on TxLog.changes / mergeByKeyFromChanges)")
-      added
-    }
-    if (files.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
-    else StreamingSourceBridge.streamingFileBatch(spark, schema,
-      files.map(f => s"$tablePath/$f"))
+    batchFor(from, to)
   }
 
   override def commit(end: OffsetV1): Unit = ()
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"TxLogSource[$tablePath]"
+  override def toString: String = s"${getClass.getSimpleName}[$tablePath]"
+}
+
+class TxLogSource(
+    spark: SparkSession,
+    tablePath: String,
+    override val schema: StructType,
+    metadataPath: String,
+    maxVersionsPerTrigger: Long)
+  extends TxLogVersionedSource(spark, tablePath, metadataPath,
+    maxVersionsPerTrigger) {
+
+  protected def batchFor(from: Long, to: Long): DataFrame = {
+    val files = (from + 1 to to).flatMap { v =>
+      val (added, removed) = TxLog.fileActions(tablePath, v)
+      if (removed.nonEmpty) throw new IllegalStateException(
+        s"graft-txlog source: version $v of $tablePath removes files - " +
+          "this source streams APPEND-ONLY tables (row-level change " +
+          "consumers belong on the graft-txlog-cdf source / TxLog.changes)")
+      added
+    }
+    if (files.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
+    else StreamingSourceBridge.streamingFileBatch(spark, schema,
+      files.map(f => s"$tablePath/$f"))
+  }
+}
+
+/** STREAMING CHANGE DATA FEED over a TxLog table — the Delta
+  * `readChangeFeed` streaming shape, built on the same version-offset
+  * machinery as [[TxLogSource]]: each micro-batch carries the covered
+  * versions' ROW-LEVEL changes — every row of a commit's removed files as
+  * `_change_type = 'delete'` and every row of its added files as
+  * `'insert'`, tagged `_commit_version` — so delete/replace/compact
+  * commits stream too (exactly [[graft.gold.TxLog.changes]], incremental).
+  * Within a version deletes precede inserts in the batch's union order;
+  * consumers that fold by key must apply per `_commit_version` in
+  * ascending order (the [[EventStream.applyCdfBatch]] consumer does).
+  *
+  * Every file is read IN PLACE with the query-start schema pinned
+  * (pre-evolution files null-fill the widened columns — the same contract
+  * as the batch feed's union alignment). Vacuum coupling is inherited
+  * from the batch feed and is one notch tighter here: a lagging stream's
+  * next batch needs the REMOVED files of its uncommitted versions still
+  * on disk, so retention must cover consumer lag (Delta's CDF retention
+  * coupling).
+  *
+  * Usage: `spark.readStream.format("graft-txlog-cdf").option("path", dir)
+  * .load()`.
+  */
+class TxLogCdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txlog-cdf"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = TxLogSource.tablePath(parameters)
+    (shortName(), schema.getOrElse(TxLogCdfSource.cdfSchema(
+      TxLogSource.tableSchema(sqlContext.sparkSession, path))))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = TxLogSource.tablePath(parameters)
+    val dataSchema = TxLogSource.tableSchema(sqlContext.sparkSession, path)
+    val maxVersions = parameters.get(TxLogSource.MaxVersionsKey)
+      .map(_.toLong).getOrElse(1L)
+    require(maxVersions >= 1,
+      s"graft-txlog-cdf: ${TxLogSource.MaxVersionsKey} must be >= 1 (got $maxVersions)")
+    new TxLogCdfSource(sqlContext.sparkSession, path, dataSchema,
+      metadataPath, maxVersions)
+  }
+}
+
+object TxLogCdfSource {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def cdfSchema(data: StructType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    data.add(ChangeTypeCol, StringType, nullable = false)
+      .add(CommitVersionCol, LongType, nullable = false)
+  }
+}
+
+class TxLogCdfSource(
+    spark: SparkSession,
+    tablePath: String,
+    dataSchema: StructType,
+    metadataPath: String,
+    maxVersionsPerTrigger: Long)
+  extends TxLogVersionedSource(spark, tablePath, metadataPath,
+    maxVersionsPerTrigger) {
+
+  override val schema: StructType = TxLogCdfSource.cdfSchema(dataSchema)
+
+  protected def batchFor(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val parts = (from + 1 to to).flatMap { v =>
+      val (added, removed) = TxLog.fileActions(tablePath, v)
+      def part(files: Seq[String], kind: String): Option[DataFrame] =
+        if (files.isEmpty) None
+        // dataSchema pinned at query start: narrower pre-evolution files
+        // null-fill, every part has IDENTICAL shape, so the union below
+        // needs no name-based alignment
+        else Some(StreamingSourceBridge.streamingFileBatch(spark, dataSchema,
+            files.map(f => s"$tablePath/$f"))
+          .withColumn(TxLogCdfSource.ChangeTypeCol, lit(kind))
+          .withColumn(TxLogCdfSource.CommitVersionCol, lit(v)))
+      // deletes first within a version — same ordering contract as the
+      // batch feed (a rewrite's reinserts land after the old rows leave)
+      part(removed, "delete").toSeq ++ part(added, "insert").toSeq
+    }
+    if (parts.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
+    else parts.reduce(_.unionAll(_))
+  }
 }

@@ -103,6 +103,61 @@ class TxLogSourceSpec extends SparkSpecBase {
     batchCount(ckpt) shouldBe 3
   }
 
+  test("CDF stream == the batch change feed, delete-before-insert per version") {
+    val path = freshDir("txcdf") + "/t"
+    val work = freshDir("txcdf_work")
+    TxLog.init(rows(0 until 60).repartitionByRange(3, col("id")), path)
+    TxLog.append(rows(60 until 90), path, 0L)
+    TxLog.deleteWhere(spark, path, col("id") % 3 === 1L, 1L)
+    TxLog.replaceWhereKeys(spark, path, rows(10 until 20).select("id"),
+      Seq("id"), newData = rows(100 until 105), expectedVersion = 2L)
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    val q = child.readStream.format("graft-txlog-cdf")
+      .option("path", path).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+    val batchFeed = TxLog.changes(spark, path, -1L,
+      TxLog.currentVersion(path).get)
+    // identical multiset — the stream IS the incremental form of the feed
+    streamed.exceptAll(batchFeed.select(streamed.columns.map(col): _*))
+      .count() shouldBe 0L
+    batchFeed.select(streamed.columns.map(col): _*).exceptAll(streamed)
+      .count() shouldBe 0L
+    // one micro-batch per version, and the rewrite versions carry BOTH sides
+    batchCount(ckpt) shouldBe 4
+    Seq(2L, 3L).foreach { v =>
+      streamed.filter(col("_commit_version") === v &&
+        col("_change_type") === "delete").count() should be > 0L
+      streamed.filter(col("_commit_version") === v &&
+        col("_change_type") === "insert").count() should be > 0L
+    }
+  }
+
+  test("CDF mirror consumer: redelivered batches re-derive, never double-apply") {
+    import graft.streaming.EventStream
+    val path = freshDir("txcdf") + "/t"
+    val mirrorPath = freshDir("txcdf_mirror") + "/m"
+    TxLog.init(rows(0 until 30), path)
+    TxLog.deleteWhere(spark, path, col("id") < 10L, 0L)
+    val feed = TxLog.changes(spark, path, -1L, 1L)
+    def applied(): Array[Long] =
+      EventStream.readCdfMirror(spark, mirrorPath)
+        .select("id").as[Long].collect().sorted
+    EventStream.applyCdfBatch(feed.filter(col("_commit_version") === 0L),
+      0L, mirrorPath, Seq("id"))
+    EventStream.applyCdfBatch(feed.filter(col("_commit_version") === 1L),
+      1L, mirrorPath, Seq("id"))
+    applied() shouldBe (10L until 30L).toArray
+    // the at-least-once redelivery: batch 1 applied AGAIN — identical state
+    EventStream.applyCdfBatch(feed.filter(col("_commit_version") === 1L),
+      1L, mirrorPath, Seq("id"))
+    applied() shouldBe (10L until 30L).toArray
+  }
+
   test("a remove-action version fails the stream with the append-only error") {
     val path = freshDir("txsrc") + "/t"
     val work = freshDir("txsrc_work")

@@ -31,7 +31,10 @@ def main():
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # driver testdata ships single-file tables; GenScale corpora are
+            # Spark-written DIRECTORIES of part files — glob those
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if not oracle:
         print("FAIL: oracle_sql.json is empty — nothing would be checked")
