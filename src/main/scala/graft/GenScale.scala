@@ -84,6 +84,8 @@ object GenScale {
   final case class Ord(o_orderkey: Long, o_custkey: Long,
       o_orderstatus: String, o_totalprice: Double,
       o_orderdate: java.time.LocalDateTime, o_orderpriority: String)
+  final case class Cust(c_custkey: Long, c_name: String, c_nationkey: Int,
+      c_acctbal: Double, c_mktsegment: String)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(
@@ -187,8 +189,21 @@ object GenScale {
         priorities(rnd.nextInt(5)))
     }.repartition(16).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
+    // customer: the static enrichment dim — key domain covers every
+    // events.user_id (1500·mult users ⊂ 15000·mult customers, the sf0.1
+    // coverage ratio), so stream-static joins keep their match profile
+    val nCust = 15000L * mult
+    val segments = Array("MACHINERY", "HOUSEHOLD", "BUILDING",
+      "AUTOMOBILE", "FURNITURE")
+    spark.range(nCust).map { i =>
+      val rnd = new java.util.Random(scramble(i * 37 + 13))
+      Cust(i, s"Customer#$i", rnd.nextInt(25),
+        (rnd.nextInt(1099999) - 99999).toDouble / 100.0,
+        segments(rnd.nextInt(5)))
+    }.repartition(8).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
     println(s"[genscale] wrote documents=$nDocs embeddings=$nVecs " +
-      s"lineitem=$nLi events=$nEvents orders=$nOrders to $outDir")
+      s"lineitem=$nLi events=$nEvents orders=$nOrders customer=$nCust to $outDir")
     spark.stop()
   }
 }

@@ -889,6 +889,37 @@ object SparkEntry {
     graft.streaming.EventStream.readCdfMirror(s, mirror)
   }
 
+  /** STREAM–STATIC enrichment join (library:
+    * EventStream.replayTxLogStaticEnrich over the graft-txlog source):
+    * events stream from a two-commit TxLog table and each micro-batch
+    * LEFT-joins the static customer dimension (no watermark, no state —
+    * the per-batch broadcast enrich every incremental medallion silver
+    * step runs). Oracle = the batch LEFT join in closed form: a dropped
+    * unmatched event (inner-join semantics leaking in), a double-served
+    * version, or a missed dim match all hash-mismatch.
+    */
+  private def qStreamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val table = "/tmp/graft_roundtrip/stream_txenrich_table"
+    graft.core.Fs.rmTree(new java.io.File(table))
+    val ev = T(s, dir).events.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("user_id"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    TxLog.init(ev.filter(pmod(col("event_id"), lit(2)) === 0), table)
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(2)) === 1), table, 0L)
+    graft.streaming.EventStream.replayTxLogStaticEnrich(
+      s, table, "/tmp/graft_roundtrip/stream_txenrich_work",
+      // even keys only: odd users NULL-extend, so the LEFT semantics are
+      // actually exercised (the full dim covers every user at every SF)
+      dimOf = c => T(c, dir).customer
+        .filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"), col("c_mktsegment")),
+      join = (stream, dim) => stream
+        .join(dim, stream("user_id") === dim("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"), col("value_cents")))
+  }
+
   /** EXACTLY-ONCE streaming TxLog sink (library:
     * streaming.EventStream.replayIntoTxLog + gold.TxLog.appendIfNew —
     * the Delta txn-action pattern): events replayed file-per-micro-batch
@@ -1648,6 +1679,7 @@ object SparkEntry {
     "q_o_stream_txlog_incremental" -> (qStreamTxLogIncremental _),
     "q_o_stream_txlog_pipeline" -> (qStreamTxLogPipeline _),
     "q_o_stream_txlog_cdf" -> (qStreamTxLogCdf _),
+    "q_o_stream_static_enrich" -> (qStreamStaticEnrich _),
     "q_o_stream_join_replay" -> (qStreamJoinReplay _),
     "q_o_stream_late_replay" -> (qStreamLateReplay _),
     "q_o_stream_outer_replay" -> (qStreamOuterReplay _),
@@ -2501,6 +2533,13 @@ object SparkEntry {
       """SELECT event_id, user_id, CAST(ts AS DATE) AS day,
         |  CAST(round(value * 100) AS BIGINT) AS value_cents
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // stream-static LEFT enrich == the batch join (unmatched events
+    // survive NULL-extended; every committed row exactly once)
+    "q_o_stream_static_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |  CAST(round(e.value * 100) AS BIGINT) AS value_cents
+        |FROM events e LEFT JOIN customer c
+        |  ON e.user_id = c.c_custkey AND c.c_custkey % 2 = 0""".stripMargin,
     // streaming CDF mirror == the same closed-form membership as the
     // batch keyed-merge gate (q_o_txlog_merge_mirror), reached through
     // per-version change batches + a stop/widening-append/restart

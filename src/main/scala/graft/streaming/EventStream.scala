@@ -693,6 +693,29 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** STREAM–STATIC enrichment join — the remaining join class: each
+    * micro-batch of the incremental TxLog source joins a STATIC dimension
+    * frame (no watermark, no state — the dim is a plain batch relation
+    * Spark broadcasts per batch when small, the standard medallion enrich
+    * step run incrementally). `dimOf` builds the dim on the CHILD session
+    * the stream runs on (cross-session frames cannot mix); `join` composes
+    * the batch-side plan. Returns the drained sink as a static frame.
+    */
+  def replayTxLogStaticEnrich(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      workPath: String,
+      dimOf: org.apache.spark.sql.SparkSession => DataFrame,
+      join: (DataFrame, DataFrame) => DataFrame,
+      maxVersionsPerTrigger: Long = 1L
+  ): DataFrame = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val joined = join(streamTxLogTable(child, tablePath, maxVersionsPerTrigger),
+      dimOf(child))
+    runReplayToParquet(spark, joined, workPath)
+  }
+
   /** STREAMING CDF → keyed mirror: drive the `graft-txlog-cdf` source
     * ([[TxLogCdfSource]]) into an epoch-versioned mirror folded by natural
     * key — the streaming face of `TxLog.mergeByKeyFromChanges`. One call =

@@ -78,12 +78,28 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
       .map(_.toLong).getOrElse(1L)
     require(maxVersions >= 1,
       s"graft-txlog: ${TxLogSource.MaxVersionsKey} must be >= 1 (got $maxVersions)")
-    new TxLogSource(sqlContext.sparkSession, path, sch, metadataPath, maxVersions)
+    new TxLogSource(sqlContext.sparkSession, path, sch, metadataPath,
+      maxVersions, TxLogSource.startingVersionOf(parameters))
   }
 }
 
 object TxLogSource {
   val MaxVersionsKey = "maxVersionsPerTrigger"
+
+  /** `startingVersion`: first committed version a FRESH query reads
+    * (default 0 = the whole table — Delta's same-named option). The floor
+    * is a fresh-start device: a resumed query's checkpointed offsets take
+    * over, and RAISING it on an existing checkpoint skips ahead to the new
+    * floor (versions between the old cursor and the new floor are never
+    * served).
+    */
+  val StartingVersionKey = "startingVersion"
+
+  private[streaming] def startingVersionOf(parameters: Map[String, String]): Long = {
+    val sv = parameters.get(StartingVersionKey).map(_.toLong).getOrElse(0L)
+    require(sv >= 0, s"graft-txlog: $StartingVersionKey must be >= 0 (got $sv)")
+    sv
+  }
 
   private[streaming] def tablePath(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -109,44 +125,94 @@ object TxLogSource {
   * past the handed-out cursor; the cursor is persisted (atomic tmp+move)
   * under the engine-provided source-metadata dir so a restarted,
   * rate-limited source never re-offers an offset below the engine's
-  * committed one (regressing the offset log). `getBatch` also advances the
-  * cursor from the engine's own checkpointed offsets — belt-and-braces: a
-  * lost metadata file degrades to one recovery step, never to wrong data.
-  * The cursor is a lower-bound cursor only; batch CONTENT always derives
-  * from the version records.
+  * committed one (regressing the offset log). The cursor is a lower-bound
+  * cursor only; batch CONTENT always derives from the version records.
+  *
+  * Cursor-loss safety: the cursor is written BEFORE the engine can log
+  * the offset it bounds, so on any intact checkpoint the cursor is at
+  * least as new as the newest logged offset. A MISSING cursor beside a
+  * NON-EMPTY engine offsets log therefore proves partial checkpoint
+  * corruption — construction fails with a named error rather than
+  * starting from −1, which would hand the engine an offset BELOW its
+  * committed one and silently re-read (double-count) already-consumed
+  * versions. An unreadable/garbage cursor fails the same way. `getBatch`
+  * additionally advances the cursor from the engine's own checkpointed
+  * range, covering the restart-with-uncommitted-batch recovery path.
   */
 abstract class TxLogVersionedSource(
     protected val spark: SparkSession,
     protected val tablePath: String,
     metadataPath: String,
-    maxVersionsPerTrigger: Long) extends Source {
+    maxVersionsPerTrigger: Long,
+    startingVersion: Long) extends Source {
 
   /** Batch covering committed versions `(from, to]`, both bounds resolved. */
   protected def batchFor(fromExclusive: Long, toInclusive: Long): DataFrame
 
-  @volatile private var maxHandedOut: Long = readCursor()
+  // The engine passes metadataPath as a Hadoop URI STRING
+  // ("file:/ckpt/sources/0" locally, scheme-qualified on cluster
+  // filesystems) — all cursor IO goes through the Hadoop FileSystem API.
+  // GOTCHA (caught by the lost-cursor spec): `new java.io.File(uriString)`
+  // silently treats "file:/..." as a RELATIVE path and writes under the
+  // process CWD.
+  private val metadataHPath = new org.apache.hadoop.fs.Path(metadataPath)
+  private val cursorPath =
+    new org.apache.hadoop.fs.Path(metadataHPath, "graft-txlog-cursor")
+  private lazy val fs =
+    cursorPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def cursorFile = new java.io.File(metadataPath, "graft-txlog-cursor")
+  @volatile private var maxHandedOut: Long =
+    math.max(readCursor(), startingVersion - 1)
 
-  private def readCursor(): Long =
-    try {
-      val f = cursorFile
-      if (!f.exists()) -1L
-      else new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+  /** The engine's offsets log lives two levels above the source-metadata
+    * dir (`<ckpt>/sources/<i>` → `<ckpt>/offsets`). Checkpoint-layout
+    * knowledge, used ONLY for the corruption check — never to read
+    * offsets.
+    */
+  private def engineOffsetsLogNonEmpty: Boolean = {
+    val offsets = Option(metadataHPath.getParent).flatMap(p =>
+      Option(p.getParent)).map(new org.apache.hadoop.fs.Path(_, "offsets"))
+      .getOrElse(return false)
+    fs.exists(offsets) && fs.listStatus(offsets)
+      .exists(_.getPath.getName.forall(_.isDigit))
+  }
 
+  private def readCursor(): Long = {
+    if (!fs.exists(cursorPath)) {
+      if (engineOffsetsLogNonEmpty) throw new IllegalStateException(
+        s"graft-txlog source: handed-out cursor missing at $cursorPath " +
+          "but the query checkpoint has logged offsets - the checkpoint " +
+          "is partially corrupted. Starting fresh here could regress the " +
+          "offset log and double-read versions; restore the checkpoint " +
+          "or start a new one.")
+      -1L
+    } else
+      try {
+        val in = fs.open(cursorPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+          s"graft-txlog source: handed-out cursor at $cursorPath is " +
+            s"unreadable ($e) - refusing to guess a rate-limit base; " +
+            "restore the checkpoint or start a new one.")
+      }
+  }
+
+  /** Stage + rename-with-OVERWRITE (FileContext — atomic on local/HDFS;
+    * object stores get the same fail-safe as everywhere else in the log:
+    * a crash window can only LOSE the cursor, which [[readCursor]] turns
+    * into a loud corruption error, never into silent re-reads).
+    */
   private def writeCursor(v: Long): Unit = {
-    val dir = new java.io.File(metadataPath)
-    if (!dir.exists()) dir.mkdirs()
-    val tmp = java.nio.file.Files.createTempFile(dir.toPath, ".cursor", ".tmp")
-    try {
-      java.nio.file.Files.write(tmp,
-        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, cursorFile.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+    if (!fs.exists(metadataHPath)) { fs.mkdirs(metadataHPath); () }
+    val tmp = new org.apache.hadoop.fs.Path(metadataHPath, ".cursor.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      cursorPath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, cursorPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def advanceCursor(v: Long): Unit =
@@ -162,9 +228,13 @@ abstract class TxLogVersionedSource(
     }
 
   final override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val from = start.map(versionOf).getOrElse(-1L) // exclusive
+    // the starting-version floor applies only when the engine has no
+    // checkpointed start (a fresh query); a resumed query's own offsets
+    // take over from there
+    val from = math.max(start.map(versionOf).getOrElse(-1L),
+      startingVersion - 1) // exclusive
     val to = versionOf(end) // inclusive
-    advanceCursor(to)
+    advanceCursor(math.max(from, to)) // engine range is authoritative
     batchFor(from, to)
   }
 
@@ -180,9 +250,10 @@ class TxLogSource(
     tablePath: String,
     override val schema: StructType,
     metadataPath: String,
-    maxVersionsPerTrigger: Long)
+    maxVersionsPerTrigger: Long,
+    startingVersion: Long = 0L)
   extends TxLogVersionedSource(spark, tablePath, metadataPath,
-    maxVersionsPerTrigger) {
+    maxVersionsPerTrigger, startingVersion) {
 
   protected def batchFor(from: Long, to: Long): DataFrame = {
     val files = (from + 1 to to).flatMap { v =>
@@ -248,7 +319,7 @@ class TxLogCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
     require(maxVersions >= 1,
       s"graft-txlog-cdf: ${TxLogSource.MaxVersionsKey} must be >= 1 (got $maxVersions)")
     new TxLogCdfSource(sqlContext.sparkSession, path, dataSchema,
-      metadataPath, maxVersions)
+      metadataPath, maxVersions, TxLogSource.startingVersionOf(parameters))
   }
 }
 
@@ -268,9 +339,10 @@ class TxLogCdfSource(
     tablePath: String,
     dataSchema: StructType,
     metadataPath: String,
-    maxVersionsPerTrigger: Long)
+    maxVersionsPerTrigger: Long,
+    startingVersion: Long = 0L)
   extends TxLogVersionedSource(spark, tablePath, metadataPath,
-    maxVersionsPerTrigger) {
+    maxVersionsPerTrigger, startingVersion) {
 
   override val schema: StructType = TxLogCdfSource.cdfSchema(dataSchema)
 

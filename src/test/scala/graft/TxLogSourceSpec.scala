@@ -103,6 +103,34 @@ class TxLogSourceSpec extends SparkSpecBase {
     batchCount(ckpt) shouldBe 3
   }
 
+  test("startingVersion floors a FRESH query; a resumed query keeps its own offsets") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 10), path)
+    TxLog.append(rows(10 until 20), path, 0L)
+    TxLog.append(rows(20 until 30), path, 1L)
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    def drainFrom(sv: Long): Unit = {
+      val q = child.readStream.format("graft-txlog")
+        .option("path", path)
+        .option(graft.streaming.TxLogSource.StartingVersionKey, sv.toString)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainFrom(1L) // fresh query: version 0's rows never served
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (10L until 30L).toArray
+    // resume: the checkpointed offsets take over (same floor re-passed)
+    TxLog.append(rows(30 until 40), path, 2L)
+    drainFrom(1L)
+    spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
+      (10L until 40L).toArray
+  }
+
   test("CDF stream == the batch change feed, delete-before-insert per version") {
     val path = freshDir("txcdf") + "/t"
     val work = freshDir("txcdf_work")
@@ -156,6 +184,33 @@ class TxLogSourceSpec extends SparkSpecBase {
     EventStream.applyCdfBatch(feed.filter(col("_commit_version") === 1L),
       1L, mirrorPath, Seq("id"))
     applied() shouldBe (10L until 30L).toArray
+  }
+
+  test("a lost admission-control cursor beside logged offsets fails loudly, never double-reads") {
+    // the cursor is written BEFORE the engine logs the offset it bounds, so
+    // cursor-missing + offsets-present can only be partial checkpoint
+    // corruption. Starting from -1 there would hand the engine an offset
+    // BELOW its committed one (regressing the offset log and re-reading
+    // versions) - the source must refuse instead.
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 10), path)
+    TxLog.append(rows(10 until 20), path, 0L)
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    drain(path, out, ckpt)
+    spark.read.parquet(out).count() shouldBe 20L
+    // sabotage: delete ONLY the cursor, keep the engine checkpoint
+    val cursors = Option(new java.io.File(s"$ckpt/sources").listFiles())
+      .getOrElse(Array.empty)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName == "graft-txlog-cursor")
+    cursors should not be empty
+    cursors.foreach(f => assert(f.delete()))
+    TxLog.append(rows(20 until 30), path, 1L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(path, out, ckpt)
+    }
+    e.getMessage should include("partially corrupted")
   }
 
   test("a remove-action version fails the stream with the append-only error") {
