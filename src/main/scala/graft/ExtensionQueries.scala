@@ -307,6 +307,81 @@ object ExtensionQueries {
     TxLog.mergeByKeyFromChanges(s, path, Seq("id"))
   }
 
+  /** CHECK constraints through the commit log (library: gold.TxLog
+    * .addConstraint / enforcement — the Delta invariants shape): the
+    * table declares `cents > 0` and `o_orderpriority IS NOT NULL`; a
+    * violating append (negated cents) and a narrower-schema append
+    * (missing the NOT-NULL column, whose rows would MEAN NULL in the
+    * table) must BOTH refuse atomically — named error, no version
+    * published — while the valid slice commits. The result aggregates
+    * the final table plus bound booleans for the refusals and version
+    * stability; the oracle states the final membership in closed form
+    * (exactly the two valid slices), so a constraint that failed open
+    * (violating rows slipping in) or failed closed (valid rows refused)
+    * hash-mismatches, and the booleans pin that the refusals actually
+    * fired.
+    */
+  private def qTxlogConstraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_constraints"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey")), path)
+    TxLog.addConstraint(s, path, "cents_pos", "cents > 0", 0L)
+    TxLog.addConstraint(s, path, "priority_set",
+      "o_orderpriority IS NOT NULL", 1L)
+    val violationRejected =
+      try {
+        TxLog.append(o.filter(col("o_custkey") % 4 === 2)
+          .withColumn("cents", -col("cents")), path, expectedVersion = 2L)
+        false
+      } catch { case _: TxLog.ConstraintViolationException => true }
+    val narrowRejected =
+      try {
+        TxLog.append(o.filter(col("o_custkey") % 4 === 3)
+          .drop("o_orderpriority"), path, expectedVersion = 2L)
+        false
+      } catch { case _: TxLog.ConstraintViolationException => true }
+    val versionStable = TxLog.currentVersion(path).contains(2L)
+    TxLog.append(o.filter(col("o_custkey") % 4 === 1), path,
+      expectedVersion = 2L)
+    TxLog.read(s, path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("violation_rejected", lit(violationRejected))
+      .withColumn("narrow_rejected", lit(narrowRejected))
+      .withColumn("version_stable", lit(versionStable))
+  }
+
+  /** LOG-NATIVE DATA SKIPPING (library: gold.TxLog per-file stats in add
+    * actions + readPruned — the Delta stats-on-add shape): a
+    * range-clustered three-version history (init, append, predicate
+    * DELETE) is read back through `readPruned`, which selects candidate
+    * files from the stats RECORDED IN THE COMMIT LOG — zero jobs, no
+    * sidecar index — before the row-level filter applies. The oracle
+    * recomputes the slice membership in closed form: a pruned-away file
+    * that actually contained matching rows (unsound skip), stale stats
+    * after the delete rewrite, or a bounds-unit mismatch all
+    * hash-mismatch; the bound boolean pins that pruning REALLY dropped
+    * files (kept < total), so the gate cannot silently degrade into a
+    * full scan.
+    */
+  private def qTxlogStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_statsprune"
+    txlogBuild(s, dir, path) // init %4=0 range-clustered, append %4=1, delete 5-LOW
+    val (kept, total) =
+      TxLog.statsPrunedFilesCanonical(path, "o_orderkey", 1000L, 2000L)
+    TxLog.readPruned(s, path, "o_orderkey", 1000L, 2000L)
+      .filter(col("o_orderkey").between(1000L, 2000L))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("files_pruned", lit(kept.size < total))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1186,6 +1261,8 @@ object ExtensionQueries {
     "q_o_txlog_time_travel" -> (qTxlogTimeTravel _),
     "q_o_txlog_cdf" -> (qTxlogCdf _),
     "q_o_txlog_merge_mirror" -> (qTxlogMergeMirror _),
+    "q_o_txlog_constraints" -> (qTxlogConstraints _),
+    "q_o_txlog_stats_prune" -> (qTxlogStatsPrune _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -1502,6 +1579,28 @@ object ExtensionQueries {
           |       AND o_orderkey % 9 <> 4)
           |   OR (o_orderkey % 4 = 2 AND o_orderkey % 9 = 4)
           |   OR (o_orderkey % 4 = 3)""".stripMargin,
+      // constraints: final membership = exactly the two VALID slices
+      // (the violating %4=2 and narrower %4=3 appends were refused); the
+      // booleans are Spark-bound (refusals observed + version stable),
+      // oracled as literal TRUE
+      "q_o_txlog_constraints" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS violation_rejected, TRUE AS narrow_rejected,
+          |  TRUE AS version_stable
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // log-native skipping: pruned read + row filter == the closed-form
+      // slice; files_pruned is Spark-bound (kept < total), oracled TRUE
+      "q_o_txlog_stats_prune" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS files_pruned
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |  AND o_orderkey BETWEEN 1000 AND 2000
+          |GROUP BY o_orderpriority""".stripMargin,
       // version 1 = both slices, delete not yet applied
       "q_o_txlog_time_travel" ->
         """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,

@@ -67,8 +67,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    only — torn, stale, or missing hints fall back to a full listing, so
   *    correctness never depends on it.
   *
-  * NOT implemented (documented, not hidden): column-level stats IN the log
-  * (the sibling `_graft_stats` dir serves that role), multi-table
+  *  - **Column-level stats IN the log** (Delta's `stats`-on-add): every
+  *    data-writing commit records per-file min/max/nullCount for the
+  *    stats-eligible columns in its OWN version record (canonical longs —
+  *    [[ColStats]]), checkpoints persist the accumulated map, and
+  *    [[readPruned]] / [[statsPrunedFilesCanonical]] skip files with
+  *    ZERO jobs. Unlike the `_graft_stats` sidecar, log stats can never
+  *    be stale relative to the version being read — they are
+  *    transactionally consistent at every time-travel version, and
+  *    DELETE/MERGE touched-file discovery pre-prunes through them
+  *    automatically.
+  *  - **CHECK constraints** (Delta invariants): [[addConstraint]] /
+  *    [[dropConstraint]] DDL rides in the log; every row-adding commit is
+  *    validated in one distributed pass and refused atomically (named
+  *    [[ConstraintViolationException]], nothing published) on violation.
+  *
+  * NOT implemented (documented, not hidden): multi-table
   * transactions. ([[vacuum]] covers orphan/superseded data-file cleanup
   * under a retention horizon.) The point is exercising the COMMIT
   * SEMANTICS the MERGE seam (`DimStore`) pins, end-to-end, with a DuckDB
@@ -110,12 +124,42 @@ object TxLog {
 
   final case class Snapshot(version: Long, files: Seq[String],
       schema: Option[StructType] = None,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      constraints: Map[String, String] = Map.empty,
+      stats: Map[String, FileStats] = Map.empty)
+
+  /** Per-file column statistics recorded IN the commit log (the Delta
+    * `stats`-on-add shape): values are CANONICAL LONGS — integral columns
+    * as themselves (`typ = "l"`), DATE as epoch days (`"d"`),
+    * TIMESTAMP_NTZ as epoch micros under the session timezone mapping
+    * (`"t"`; GraftSession pins UTC, so the mapping is stable and
+    * monotone). min/max ignore NULLs (Spark agg semantics); an
+    * all-NULL/absent column has `min = max = None` and its file is never
+    * pruned. Stats are advisory for CORRECTNESS (files without stats are
+    * always kept) and transactionally consistent BY CONSTRUCTION: they
+    * ride in the same version record as the add actions they describe,
+    * so — unlike a sidecar index — they can never be stale relative to
+    * the snapshot being read, at any time-travel version.
+    */
+  final case class ColStats(typ: String, nulls: Long,
+      min: Option[Long], max: Option[Long])
+
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
   final class ConflictException(version: Long)
     extends java.util.ConcurrentModificationException(
       s"TxLog: version $version was committed by another writer - " +
         "re-read the table and retry the commit")
+
+  /** A commit's rows violated a table CHECK constraint — nothing was
+    * published; the table is unchanged (any already-staged data files are
+    * invisible orphans, reaped by [[vacuum]]).
+    */
+  final class ConstraintViolationException(val name: String,
+      val check: String, val violations: Long)
+    extends IllegalArgumentException(
+      s"TxLog: constraint '$name' CHECK ($check) is violated by " +
+        s"$violations row(s) - nothing was committed")
 
   /** The atomic create-with-content seam under [[publish]]: create
     * `target` holding `bytes`, failing with
@@ -279,7 +323,9 @@ object TxLog {
 
   private final case class VersionRecord(full: Option[Seq[String]],
       add: Seq[String], remove: Seq[String], schemaB64: Option[String],
-      txn: Option[(String, Long)])
+      txn: Option[(String, Long)],
+      constraints: Option[Map[String, String]],
+      stats: Map[String, FileStats])
 
   private def quoteList(fs: Seq[String]): String =
     fs.map("\"" + _ + "\"").mkString(",")
@@ -322,6 +368,76 @@ object TxLog {
   private def schemaFromB64(b: String): StructType =
     DataType.fromJson(new String(java.util.Base64.getDecoder.decode(b),
       java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  // --- constraints serialization -----------------------------------------
+  // `"constraints":"b64(name):b64(expr),..."` — entries name-sorted for
+  // deterministic records, both halves base64 so arbitrary SQL text never
+  // breaks the one-line format. Key PRESENT with an empty value = the map
+  // was explicitly declared empty (a drop to zero constraints); key ABSENT
+  // = unchanged, the resolver inherits (the same record semantics as
+  // schemaB64).
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def unB64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private def constraintsEntries(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (n, e) => b64(n) + ":" + b64(e) }
+      .mkString(",")
+
+  private val ConstraintsRe =
+    "\"constraints\"\\s*:\\s*\"([A-Za-z0-9+/=:,]*)\"".r
+
+  private def parseConstraints(text: String): Option[Map[String, String]] =
+    ConstraintsRe.findFirstMatchIn(text).map(m =>
+      m.group(1).split(",").filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        require(i > 0, s"TxLog: malformed constraint entry '$e'")
+        (unB64(e.substring(0, i)), unB64(e.substring(i + 1)))
+      }.toMap)
+
+  // --- per-file stats serialization --------------------------------------
+  // `"statsB64":"b64(payload)"`. Payload: one line per file,
+  // `file \t rows \t colEntry;colEntry;...` with colEntry =
+  // `b64(name),typ,nulls,min,max` (min/max empty = None). In a VERSION
+  // record the payload covers only that commit's ADDED files (delta-shaped,
+  // O(changed files) bytes); in a CHECKPOINT it covers the full accumulated
+  // map (the Delta checkpoint shape) so stats survive vacuum.
+
+  private def statsToB64(m: Map[String, FileStats]): String = {
+    val payload = m.toSeq.sortBy(_._1).map { case (f, fs) =>
+      val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+        Seq(b64(c), cs.typ, cs.nulls.toString,
+          cs.min.map(_.toString).getOrElse(""),
+          cs.max.map(_.toString).getOrElse("")).mkString(",")
+      }.mkString(";")
+      s"$f\t${fs.rows}\t$cols"
+    }.mkString("\n")
+    b64(payload)
+  }
+
+  private val StatsRe = "\"statsB64\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r
+
+  private def parseStats(text: String): Map[String, FileStats] =
+    StatsRe.findFirstMatchIn(text).map(_.group(1)).filter(_.nonEmpty)
+      .map { blob =>
+        unB64(blob).split("\n").filter(_.nonEmpty).map { line =>
+          val parts = line.split("\t", -1)
+          require(parts.length == 3, s"TxLog: malformed stats line '$line'")
+          val cols = parts(2).split(";").filter(_.nonEmpty).map { e =>
+            val f = e.split(",", -1)
+            require(f.length == 5, s"TxLog: malformed col-stats entry '$e'")
+            (unB64(f(0)), ColStats(f(1), f(2).toLong,
+              if (f(3).isEmpty) None else Some(f(3).toLong),
+              if (f(4).isEmpty) None else Some(f(4).toLong)))
+          }.toMap
+          (parts(0), FileStats(parts(1).toLong, cols))
+        }.toMap
+      }.getOrElse(Map.empty)
 
   /** True when re-declaring a `from`-typed field as `to` is same-or-wider
     * (identical type, integral up-rank, or float→double). Everything else
@@ -401,7 +517,8 @@ object TxLog {
           "(truncated or corrupt; under a degraded CreateWrite publish an " +
           "unreadable NEWEST version can be a transient race - retry)")
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
-      parseSchemaB64(text), parseTxn(text))
+      parseSchemaB64(text), parseTxn(text), parseConstraints(text),
+      parseStats(text))
   }
 
   /** `(files, schema)` from checkpoint file `v`, or None when missing or
@@ -411,8 +528,11 @@ object TxLog {
     * its absence surfaces as [[parseRecord]]'s named missing-version
     * error).
     */
-  private def readCheckpoint(path: String,
-      v: Long): Option[(Seq[String], Option[StructType], Map[String, Long])] =
+  private final case class CheckpointState(files: Seq[String],
+      schema: Option[StructType], txns: Map[String, Long],
+      constraints: Map[String, String], stats: Map[String, FileStats])
+
+  private def readCheckpoint(path: String, v: Long): Option[CheckpointState] =
     try {
       val f = checkpointVersionFile(path, v)
       if (!f.exists()) None
@@ -420,22 +540,39 @@ object TxLog {
         val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
         parseList(text, "files").map(fs =>
-          (fs, parseSchemaB64(text).map(schemaFromB64), parseTxns(text)))
+          CheckpointState(fs, parseSchemaB64(text).map(schemaFromB64),
+            parseTxns(text),
+            // a checkpoint is FULL state: absent keys mean empty (legacy
+            // checkpoints predate constraints/stats)
+            parseConstraints(text).getOrElse(Map.empty), parseStats(text)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Atomically (re)write checkpoint file `v` — deterministic content for
-    * a given version, so REPLACE is idempotent.
+    * a given version, so REPLACE is idempotent. Carries FULL state:
+    * files, schema, txn watermarks, constraints, accumulated per-file
+    * stats — anything omitted here would be silently LOST when vacuum
+    * drops the action history below the checkpoint (for constraints that
+    * loss would disarm enforcement, a correctness hazard, not a
+    * degradation).
     */
   private def writeCheckpointFile(path: String, v: Long, files: Seq[String],
-      schema: Option[StructType], txns: Map[String, Long]): Unit = {
+      schema: Option[StructType], txns: Map[String, Long],
+      constraints: Map[String, String],
+      stats: Map[String, FileStats]): Unit = {
     val schemaPart = schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
     val txnsPart =
       if (txns.isEmpty) ""
       else s""""txns":[${quoteList(txns.toSeq.sortBy(_._1)
         .map { case (a, b) => txnEntry(a, b) })}],"""
+    val consPart =
+      if (constraints.isEmpty) ""
+      else s""""constraints":"${constraintsEntries(constraints)}","""
+    val statsPart =
+      if (stats.isEmpty) ""
+      else s""""statsB64":"${statsToB64(stats)}","""
     val json =
-      s"""{"version":$v,$schemaPart$txnsPart"files":[${quoteList(files)}]}"""
+      s"""{"version":$v,$schemaPart$txnsPart$consPart$statsPart"files":[${quoteList(files)}]}"""
     val dir = logDir(path).toPath
     val tmp = java.nio.file.Files.createTempFile(dir, ".ckptfile", ".tmp")
     try {
@@ -454,30 +591,39 @@ object TxLog {
     */
   private[graft] def resolve(path: String, v: Long,
       useCheckpoints: Boolean = true): Snapshot = {
-    val base: Option[(Long, Seq[String], Option[StructType], Map[String, Long])] =
+    val base: Option[(Long, CheckpointState)] =
       if (!useCheckpoints) None
       else listCheckpointVersions(path).filter(_ <= v).sorted.reverse
-        .iterator.flatMap(cv =>
-          readCheckpoint(path, cv).map { case (fs, sch, tx) => (cv, fs, sch, tx) })
+        .iterator.flatMap(cv => readCheckpoint(path, cv).map((cv, _)))
         .nextOption()
-    var files = base.map(_._2).getOrElse(Seq.empty[String])
-    var schema = base.flatMap(_._3)
-    var txns = base.map(_._4).getOrElse(Map.empty[String, Long])
+    var files = base.map(_._2.files).getOrElse(Seq.empty[String])
+    var schema = base.flatMap(_._2.schema)
+    var txns = base.map(_._2.txns).getOrElse(Map.empty[String, Long])
+    var constraints =
+      base.map(_._2.constraints).getOrElse(Map.empty[String, String])
+    var stats = base.map(_._2.stats).getOrElse(Map.empty[String, FileStats])
     val start = base.map(_._1 + 1).getOrElse(0L)
     var w = start
     while (w <= v) {
       val rec = parseRecord(path, w)
       rec.full match {
-        case Some(fs) => files = fs // legacy full record: absolute reset
+        case Some(fs) =>
+          files = fs // legacy full record: absolute reset
+          // a legacy record carries no stats: keep only entries still
+          // describing a present file (stats for vanished files are noise)
+          val present = fs.toSet
+          stats = stats.filter { case (f, _) => present.contains(f) }
         case None =>
           val rm = rec.remove.toSet
           files = files.filterNot(rm.contains) ++ rec.add
+          stats = stats.filterNot { case (f, _) => rm.contains(f) } ++ rec.stats
       }
       schema = rec.schemaB64.map(schemaFromB64).orElse(schema)
       rec.txn.foreach { case (app, b) => txns = txns + (app -> b) }
+      rec.constraints.foreach(c => constraints = c)
       w += 1
     }
-    Snapshot(v, files, schema, txns)
+    Snapshot(v, files, schema, txns, constraints, stats)
   }
 
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
@@ -702,18 +848,35 @@ object TxLog {
       // txn map — a forgotten pass-through here would write checkpoints
       // that silently LOSE idempotency watermarks on vacuum
       fullTxns: Map[String, Long],
+      // the commit's per-ADDED-file stats (delta-shaped, rides in the
+      // version record) — Map.empty for stat-less commits
+      addStats: Map[String, FileStats] = Map.empty,
+      // Some(map) ONLY on constraint-changing commits (records the full
+      // post-commit map; Some(empty) = explicit clear); None = unchanged
+      constraints: Option[Map[String, String]] = None,
+      // NO defaults, same discipline as fullTxns: checkpoints must carry
+      // the complete post-commit constraint map (losing it on vacuum
+      // would silently DISARM enforcement) and accumulated stats map
+      fullConstraints: Map[String, String],
+      fullStats: Map[String, FileStats],
       alerts: Option[graft.runner.Alerts.Sink] = None): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
     val schemaPart =
       schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
-    // txn rides BEFORE the action arrays so the truncation guard (both
-    // add AND remove present, remove last) keeps covering the whole record
+    // txn/constraints/stats ride BEFORE the action arrays so the
+    // truncation guard (both add AND remove present, remove last) keeps
+    // covering the whole record
     val txnPart = txn.map { case (a, b) =>
       s""""txn":"${txnEntry(a, b)}","""
     }.getOrElse("")
+    val consPart = constraints.map(c =>
+      s""""constraints":"${constraintsEntries(c)}",""").getOrElse("")
+    val statsPart =
+      if (addStats.isEmpty) ""
+      else s""""statsB64":"${statsToB64(addStats)}","""
     val json =
-      s"""{"version":$v,$schemaPart$txnPart"add":[${quoteList(add)}],""" +
+      s"""{"version":$v,$schemaPart$txnPart$consPart$statsPart"add":[${quoteList(add)}],""" +
         s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
@@ -732,7 +895,8 @@ object TxLog {
     }
     if (v % CheckpointInterval == 0)
       try {
-        writeCheckpointFile(path, v, fullFiles, schema, fullTxns)
+        writeCheckpointFile(path, v, fullFiles, schema, fullTxns,
+          fullConstraints, fullStats)
         writeCheckpointHint(path, v)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -780,16 +944,79 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Write `df`'s rows as new immutable data files under `path`, WITHOUT
-    * committing them — returns the new file names. A crash after this
-    * leaves invisible orphans only.
+  /** Stats-eligible columns cap (Delta's `dataSkippingNumIndexedCols`
+    * role): per-file stats are O(files × cols) checkpoint bytes, so very
+    * wide tables index only the first N eligible columns.
     */
-  private def writeDataFiles(df: DataFrame, path: String): Seq[String] = {
+  val MaxStatsCols = 32
+
+  /** Canonical-long projection of a stats-eligible column, or None for
+    * ineligible types. DATE → epoch days; TIMESTAMP_NTZ → epoch micros
+    * through the session-timezone cast (stable + monotone under the fixed
+    * UTC session GraftSession pins — the same wall-clock mapping a reader
+    * session applies, so recorded bounds and query bounds agree).
+    */
+  private def canonCol(dt: DataType, c: String): Option[Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(col(c).cast("long"))
+      case DateType          => Some(unix_date(col(c)).cast("long"))
+      case TimestampNTZType  => Some(unix_micros(col(c).cast("timestamp")))
+      case _                 => None
+    }
+  }
+
+  private def statsTypeTag(dt: DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType         => "d"
+      case TimestampNTZType => "t"
+      case _                => "l"
+    }
+  }
+
+  /** Write `df`'s rows as new immutable data files under `path`, WITHOUT
+    * committing them — returns the new file names plus their per-file
+    * column stats (ONE distributed agg over the staged files, grouped on
+    * `input_file_name()` — metadata-scale output, O(new files) rows). A
+    * crash after this leaves invisible orphans only.
+    */
+  private def writeDataFiles(df: DataFrame,
+      path: String): (Seq[String], Map[String, FileStats]) = {
     val stage = java.nio.file.Files.createTempDirectory("graft_txdata")
     try {
       df.write.mode("overwrite").parquet(stage.toString)
+      val eligible = df.schema.fields.toSeq
+        .flatMap(f => canonCol(f.dataType, f.name)
+          .map(cc => (f.name, statsTypeTag(f.dataType), cc)))
+        .take(MaxStatsCols)
+      val stats: Map[String, FileStats] =
+        if (eligible.isEmpty) Map.empty
+        else {
+          val aggs = count(lit(1)).as("__graft_rows") +:
+            eligible.zipWithIndex.flatMap { case ((n, _, cc), i) =>
+              Seq(min(cc).as(s"__graft_min_$i"), max(cc).as(s"__graft_max_$i"),
+                sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__graft_nulls_$i"))
+            }
+          df.sparkSession.read.parquet(stage.toString)
+            .groupBy(input_file_name().as("__graft_file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val cols = eligible.zipWithIndex.map { case ((n, t, _), i) =>
+                def opt(c: String): Option[Long] = {
+                  val idx = r.fieldIndex(c)
+                  if (r.isNullAt(idx)) None else Some(r.getLong(idx))
+                }
+                (n, ColStats(t, r.getAs[Long](s"__graft_nulls_$i"),
+                  opt(s"__graft_min_$i"), opt(s"__graft_max_$i")))
+              }.toMap
+              (fileName(r.getAs[String]("__graft_file")),
+                FileStats(r.getAs[Long]("__graft_rows"), cols))
+            }.toMap
+        }
       val parts = stage.toFile.listFiles().filter(_.getName.startsWith("part-"))
-      parts.map { f =>
+      val names = parts.map { f =>
         val name = f.getName
         // plain move: these files are INVISIBLE until the version file
         // publishes, so per-file atomicity is not needed (and ATOMIC_MOVE
@@ -797,7 +1024,38 @@ object TxLog {
         java.nio.file.Files.move(f.toPath, new java.io.File(path, name).toPath)
         name
       }.toSeq
+      (names, stats)
     } finally graft.core.Fs.rmTree(stage.toFile)
+  }
+
+  /** Enforce the table's CHECK constraints over an incoming commit's rows
+    * — ONE distributed agg (per-constraint violation counts in a single
+    * pass), nothing launched when the table has no constraints. SQL CHECK
+    * semantics: a row violates only when the expression is definitively
+    * FALSE — UNKNOWN (NULL) passes, exactly the standard-SQL / Delta
+    * invariant contract (`NOT NULL` is therefore spelled
+    * `c IS NOT NULL`, which never evaluates to UNKNOWN). The incoming
+    * frame is first aligned to the merged table schema (missing base
+    * columns = typed NULL — what a read of the committed files would
+    * serve), so a narrower-schema append is checked against what its rows
+    * will MEAN in the table, not what the writer happened to include.
+    */
+  private def enforceConstraints(df: DataFrame, tableSchema: StructType,
+      constraints: Map[String, String]): Unit = {
+    if (constraints.isEmpty) return
+    val present = df.columns.toSet
+    val aligned = tableSchema.fields.filterNot(f => present.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val entries = constraints.toSeq.sortBy(_._1)
+    val aggs = entries.zipWithIndex.map { case ((_, check), i) =>
+      sum(when(coalesce(expr(check), lit(true)) === lit(false), 1L)
+        .otherwise(0L)).as(s"__graft_viol_$i")
+    }
+    val row = aligned.agg(aggs.head, aggs.tail: _*).head()
+    entries.zipWithIndex.foreach { case ((name, check), i) =>
+      val n = if (row.isNullAt(i)) 0L else row.getLong(i) // empty input
+      if (n > 0L) throw new ConstraintViolationException(name, check, n)
+    }
   }
 
   /** Create the table at version 0. `alerts` (here and on every committer)
@@ -808,10 +1066,11 @@ object TxLog {
       alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     require(currentVersion(path).isEmpty, s"TxLog: table already exists at $path")
     new java.io.File(path).mkdirs()
-    val files = writeDataFiles(df, path)
+    val (files, stats) = writeDataFiles(df, path)
     publish(path, 0L, files, add = files, remove = Nil, Some(df.schema),
-      fullTxns = Map.empty, alerts = alerts)
-    Snapshot(0L, files, Some(df.schema))
+      fullTxns = Map.empty, addStats = stats,
+      fullConstraints = Map.empty, fullStats = stats, alerts = alerts)
+    Snapshot(0L, files, Some(df.schema), stats = stats)
   }
 
   /** Append rows: an add-only action record (O(new files) metadata) on top
@@ -822,12 +1081,16 @@ object TxLog {
   def append(df: DataFrame, path: String, expectedVersion: Long,
       alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
-    val added = writeDataFiles(df, path)
     val schema = mergeSchemas(base.schema, df.schema)
+    enforceConstraints(df, schema, base.constraints)
+    val (added, addStats) = writeDataFiles(df, path)
     val files = base.files ++ added
+    val stats = base.stats ++ addStats
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
-      Some(schema), fullTxns = base.txns, alerts = alerts)
-    Snapshot(expectedVersion + 1, files, Some(schema), base.txns)
+      Some(schema), fullTxns = base.txns, addStats = addStats,
+      fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
+    Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
+      base.constraints, stats)
   }
 
   /** IDEMPOTENT append — the exactly-once seam for streaming
@@ -857,15 +1120,83 @@ object TxLog {
     base.txns.get(appId) match {
       case Some(last) if batchId <= last => base // already applied: no-op
       case _ =>
-        val added = writeDataFiles(df, path)
         val schema = mergeSchemas(base.schema, df.schema)
+        enforceConstraints(df, schema, base.constraints)
+        val (added, addStats) = writeDataFiles(df, path)
         val files = base.files ++ added
         val txns = base.txns + (appId -> batchId)
+        val stats = base.stats ++ addStats
         publish(path, expectedVersion + 1, files, add = added, remove = Nil,
           Some(schema), txn = Some((appId, batchId)), fullTxns = txns,
-          alerts = alerts)
-        Snapshot(expectedVersion + 1, files, Some(schema), txns)
+          addStats = addStats, fullConstraints = base.constraints,
+          fullStats = stats, alerts = alerts)
+        Snapshot(expectedVersion + 1, files, Some(schema), txns,
+          base.constraints, stats)
     }
+  }
+
+  /** ADD a named CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * invariant shape): from the commit on, EVERY row-adding commit
+    * ([[append]], [[appendIfNew]], [[replaceWhereKeys]]' new data) is
+    * validated against the table's constraints in one distributed pass
+    * and refused with a named [[ConstraintViolationException]] — nothing
+    * publishes — when any row makes a CHECK definitively FALSE (UNKNOWN
+    * passes, standard SQL; spell NOT NULL as `c IS NOT NULL`). EXISTING
+    * rows must already satisfy the new constraint (one scan here, the
+    * same contract as Delta's ADD CONSTRAINT). The constraint map rides
+    * in the version record and BOTH checkpoint kinds, so enforcement
+    * survives vacuum dropping the declaring version; time travel below
+    * the declaration reads fine (constraints gate writes, not reads).
+    * The declaration is itself a committed version: concurrency-safe
+    * under [[commitWithRetry]] like any commit.
+    */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      check: String, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    require(name.nonEmpty, "TxLog.addConstraint: name must be non-empty")
+    val base = snapshot(path, Some(expectedVersion))
+    require(!base.constraints.contains(name),
+      s"TxLog: constraint '$name' already exists - drop it first " +
+        "(silent redefinition could relax a guarantee readers rely on)")
+    val schema = base.schema.getOrElse(throw new IllegalArgumentException(
+      s"TxLog: $path has no recorded schema (legacy log) - constraints " +
+        "need the schema authority the log provides"))
+    // the expression must RESOLVE against the table schema and be BOOLEAN
+    // — probed on an empty frame so failures are loud at declaration
+    // time, not at some later writer's append
+    val probe = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .select(expr(check))
+    require(
+      probe.schema.head.dataType == org.apache.spark.sql.types.BooleanType,
+      s"TxLog: constraint '$name' CHECK ($check) has type " +
+        s"${probe.schema.head.dataType.simpleString}, not boolean")
+    enforceConstraints(read(spark, path, Some(expectedVersion)), schema,
+      Map(name -> check))
+    val cons = base.constraints + (name -> check)
+    publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
+      base.schema, fullTxns = base.txns, constraints = Some(cons),
+      fullConstraints = cons, fullStats = base.stats, alerts = alerts)
+    Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
+      base.stats)
+  }
+
+  /** Drop a named constraint — a metadata-only commit; later commits stop
+    * enforcing it. Dropping an unknown name raises (a typo'd drop that
+    * silently "succeeds" would leave the caller believing enforcement
+    * ended when it did not).
+    */
+  def dropConstraint(path: String, name: String, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    require(base.constraints.contains(name),
+      s"TxLog: no constraint named '$name' to drop (have: " +
+        s"${base.constraints.keys.toSeq.sorted.mkString(", ")})")
+    val cons = base.constraints - name
+    publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
+      base.schema, fullTxns = base.txns, constraints = Some(cons),
+      fullConstraints = cons, fullStats = base.stats, alerts = alerts)
+    Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
+      base.stats)
   }
 
   /** OPTIMIZE: rewrite the files at or below `maxFileBytes` into
@@ -899,12 +1230,18 @@ object TxLog {
       if (sortCols.isEmpty) rows0.coalesce(targetFiles)
       else rows0.repartitionByRange(targetFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    val added = writeDataFiles(rows, path)
+    // no enforcement: compaction moves existing (already-validated) rows
+    val (added, addStats) = writeDataFiles(rows, path)
     val files = base.files.filterNot(small.contains) ++ added
+    val smallSet = small.toSet
+    val stats = base.stats.filterNot { case (f, _) => smallSet.contains(f) } ++
+      addStats
     publish(path, expectedVersion + 1, files, add = added,
       remove = small.sorted, base.schema, fullTxns = base.txns,
-      alerts = alerts)
-    Snapshot(expectedVersion + 1, files, base.schema, base.txns)
+      addStats = addStats, fullConstraints = base.constraints,
+      fullStats = stats, alerts = alerts)
+    Snapshot(expectedVersion + 1, files, base.schema, base.txns,
+      base.constraints, stats)
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
@@ -943,7 +1280,7 @@ object TxLog {
     // load-bearing (unlike commit-time ones)
     val oldest = snaps.head
     writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema,
-      oldest.txns)
+      oldest.txns, oldest.constraints, oldest.stats)
     val droppedVersions = all.dropRight(retainVersions).map { v =>
       val f = versionFile(path, v)
       java.nio.file.Files.delete(f.toPath)
@@ -1020,6 +1357,59 @@ object TxLog {
     }
   }
 
+  /** Drop `snap`'s files whose LOG-NATIVE stats prove them disjoint from
+    * [lo, hi] on `c` — metadata-only (the stats ride in the snapshot; no
+    * job, no sidecar read). Restricted to `typ == "l"` (integral) stats
+    * here because the caller's bounds are RAW values, which equal the
+    * canonical encoding only for integrals; [[statsPrunedFilesCanonical]]
+    * takes canonical-unit bounds and prunes every stats type. Sound by
+    * construction: files without stats (or with all-NULL bounds) stay.
+    */
+  private def logStatsPrune(snap: Snapshot, c: String, lo: Long,
+      hi: Long): Seq[String] =
+    snap.files.filterNot { f =>
+      snap.stats.get(f).flatMap(_.cols.get(c)).exists(cs =>
+        cs.typ == "l" && (cs.max.exists(_ < lo) || cs.min.exists(_ > hi)))
+    }
+
+  /** The snapshot's files that CAN contain a row with canonical(`c`) ∈
+    * [lo, hi] — log-native data skipping (Delta stats-pruning shape):
+    * pure metadata, zero jobs, and — unlike the `_graft_stats` sidecar —
+    * transactionally consistent with the version being read (stats ride
+    * in the same commit as their add actions, so they are correct at any
+    * time-travel version, never stale after a delete/replace/compact).
+    * Bounds are CANONICAL units ([[ColStats]]: integral as-is, DATE epoch
+    * days, TIMESTAMP_NTZ epoch micros). Returns (kept, total) so callers
+    * can observe pruning effectiveness.
+    */
+  def statsPrunedFilesCanonical(path: String, c: String, lo: Long, hi: Long,
+      asOf: Option[Long] = None): (Seq[String], Int) = {
+    val snap = snapshot(path, asOf)
+    val kept = snap.files.filterNot { f =>
+      snap.stats.get(f).flatMap(_.cols.get(c)).exists(cs =>
+        cs.max.exists(_ < lo) || cs.min.exists(_ > hi))
+    }
+    (kept, snap.files.size)
+  }
+
+  /** Read only the files that can contain canonical(`c`) ∈ [lo, hi] — the
+    * caller still applies the row-level predicate (stats prune I/O, never
+    * semantics; `StatsIndex.prunedRead` has the same contract). An
+    * all-pruned selection serves a schema-correct empty frame.
+    */
+  def readPruned(spark: SparkSession, path: String, c: String, lo: Long,
+      hi: Long, asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(path, asOf)
+    val (kept, _) = statsPrunedFilesCanonical(path, c, lo, hi, asOf)
+    if (kept.isEmpty) snap.schema match {
+      case Some(sch) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+      case None => read(spark, path, asOf).filter(lit(false))
+    }
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(f => s"$path/$f"): _*)
+  }
+
   /** [lo, hi] of integral column `c` over the (batch-scale) `keys` frame,
     * for stats pre-pruning; None when the type is non-integral or the
     * batch has no non-null keys.
@@ -1047,34 +1437,45 @@ object TxLog {
       alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
     val k = keys.select(nk.map(col): _*)
-    val hasStats = new java.io.File(path,
+    val hasSidecar = new java.io.File(path,
       graft.plans.RewriteSkipIndexScan.StatsDirName).isDirectory
-    // key-bounds job only when an index exists to consume them
+    val hasLogStats = base.stats.nonEmpty
+    // key-bounds job only when an index (log-native or sidecar) exists to
+    // consume them
     val candidates =
-      if (!hasStats) base.files
+      if (!hasSidecar && !hasLogStats) base.files
       else integralBounds(k, nk.head) match {
         case Some((lo, hi)) =>
-          statsPruneCandidates(spark, path, base.files, nk.head, lo, hi)
+          val logPruned = logStatsPrune(base, nk.head, lo, hi)
+          if (hasSidecar)
+            statsPruneCandidates(spark, path, logPruned, nk.head, lo, hi)
+          else logPruned
         case None => base.files
       }
     val touched = touchedFileNames(spark, path, candidates,
       _.join(k, nk, "left_semi"))
     val untouched = base.files.filterNot(touched.contains)
-    val rewritten =
-      if (touched.isEmpty) Nil
+    val schema = mergeSchemas(base.schema, newData.schema)
+    enforceConstraints(newData, schema, base.constraints)
+    val (rewritten, rewrittenStats) =
+      if (touched.isEmpty) (Nil, Map.empty[String, FileStats])
       else {
         val survivors = spark.read
           .parquet(touched.toSeq.map(f => s"$path/$f"): _*)
           .join(k, nk, "left_anti")
-        if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
+        if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
+        else writeDataFiles(survivors, path)
       }
-    val added = writeDataFiles(newData, path)
-    val schema = mergeSchemas(base.schema, newData.schema)
+    val (added, addedStats) = writeDataFiles(newData, path)
     val files = untouched ++ rewritten ++ added
+    val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
+      rewrittenStats ++ addedStats
     publish(path, expectedVersion + 1, files,
       add = rewritten ++ added, remove = touched.toSeq.sorted, Some(schema),
-      fullTxns = base.txns, alerts = alerts)
-    Snapshot(expectedVersion + 1, files, Some(schema), base.txns)
+      fullTxns = base.txns, addStats = rewrittenStats ++ addedStats,
+      fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
+    Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
+      base.constraints, stats)
   }
 
   /** Delete matching rows: only files CONTAINING matches are rewritten
@@ -1097,13 +1498,15 @@ object TxLog {
       alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     val base = snapshot(path, Some(expectedVersion))
     val candidates = statsHint match {
-      case Some((c, lo, hi)) => statsPruneCandidates(spark, path, base.files, c, lo, hi)
-      case None              => base.files
+      case Some((c, lo, hi)) =>
+        statsPruneCandidates(spark, path, logStatsPrune(base, c, lo, hi),
+          c, lo, hi)
+      case None => base.files
     }
     val touched = touchedFileNames(spark, path, candidates, _.filter(cond))
     val untouched = base.files.filterNot(touched.contains)
-    val rewritten =
-      if (touched.isEmpty) Nil
+    val (rewritten, rewrittenStats) =
+      if (touched.isEmpty) (Nil, Map.empty[String, FileStats])
       else {
         // SQL DELETE semantics: a NULL-valued predicate deletes NOTHING —
         // plain !cond would be NULL too and silently DROP those rows from
@@ -1112,12 +1515,17 @@ object TxLog {
         val survivors = spark.read
           .parquet(touched.toSeq.map(f => s"$path/$f"): _*)
           .filter(!coalesce(cond, lit(false)))
-        if (survivors.isEmpty) Nil else writeDataFiles(survivors, path)
+        if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
+        else writeDataFiles(survivors, path)
       }
+    // no enforcement: survivors are existing rows that already passed
+    val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
+      rewrittenStats
     publish(path, expectedVersion + 1, untouched ++ rewritten,
       add = rewritten, remove = touched.toSeq.sorted, base.schema,
-      fullTxns = base.txns, alerts = alerts)
+      fullTxns = base.txns, addStats = rewrittenStats,
+      fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
     Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema,
-      base.txns)
+      base.txns, base.constraints, stats)
   }
 }

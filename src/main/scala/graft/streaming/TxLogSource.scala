@@ -79,12 +79,27 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
     require(maxVersions >= 1,
       s"graft-txlog: ${TxLogSource.MaxVersionsKey} must be >= 1 (got $maxVersions)")
     new TxLogSource(sqlContext.sparkSession, path, sch, metadataPath,
-      maxVersions, TxLogSource.startingVersionOf(parameters))
+      maxVersions, TxLogSource.startingVersionOf(parameters),
+      TxLogSource.ignoreDeletesOf(parameters))
   }
 }
 
 object TxLogSource {
   val MaxVersionsKey = "maxVersionsPerTrigger"
+
+  /** `ignoreDeletes` (Delta's same-named option): let DELETE-ONLY commits
+    * (retention cleanup — remove actions, no adds) pass through the
+    * append stream as empty batches instead of raising. The deleted
+    * rows were already served when their files were ADDED, so a
+    * downstream consumer keeps them — exactly Delta's documented
+    * contract. Commits that REWRITE data (remove + add together, i.e.
+    * update/merge/compaction) still raise: serving their adds would
+    * re-deliver rows the consumer already holds.
+    */
+  val IgnoreDeletesKey = "ignoreDeletes"
+
+  private[streaming] def ignoreDeletesOf(parameters: Map[String, String]): Boolean =
+    parameters.get(IgnoreDeletesKey).exists(_.toBoolean)
 
   /** `startingVersion`: first committed version a FRESH query reads
     * (default 0 = the whole table — Delta's same-named option). The floor
@@ -251,17 +266,28 @@ class TxLogSource(
     override val schema: StructType,
     metadataPath: String,
     maxVersionsPerTrigger: Long,
-    startingVersion: Long = 0L)
+    startingVersion: Long = 0L,
+    ignoreDeletes: Boolean = false)
   extends TxLogVersionedSource(spark, tablePath, metadataPath,
     maxVersionsPerTrigger, startingVersion) {
 
   protected def batchFor(from: Long, to: Long): DataFrame = {
     val files = (from + 1 to to).flatMap { v =>
       val (added, removed) = TxLog.fileActions(tablePath, v)
-      if (removed.nonEmpty) throw new IllegalStateException(
-        s"graft-txlog source: version $v of $tablePath removes files - " +
-          "this source streams APPEND-ONLY tables (row-level change " +
-          "consumers belong on the graft-txlog-cdf source / TxLog.changes)")
+      if (removed.nonEmpty) {
+        // delete-ONLY commits (retention cleanup) may pass under
+        // ignoreDeletes — their rows were served when the files were
+        // added. A remove+add REWRITE never passes: its adds carry rows
+        // the consumer already holds (Delta draws the same line between
+        // ignoreDeletes and ignoreChanges; the latter knowingly
+        // re-delivers and is deliberately NOT offered here — row-level
+        // consumers belong on the CDF source).
+        if (!(ignoreDeletes && added.isEmpty)) throw new IllegalStateException(
+          s"graft-txlog source: version $v of $tablePath removes files - " +
+            "this source streams APPEND-ONLY tables (set ignoreDeletes " +
+            "to pass delete-only retention commits; row-level change " +
+            "consumers belong on the graft-txlog-cdf source / TxLog.changes)")
+      }
       added
     }
     if (files.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)

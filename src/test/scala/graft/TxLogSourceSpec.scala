@@ -223,4 +223,40 @@ class TxLogSourceSpec extends SparkSpecBase {
     }
     e.getMessage should include("APPEND-ONLY")
   }
+
+  test("ignoreDeletes passes delete-ONLY commits; a remove+add rewrite still fails") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    // range-clustered so id < 10 matches EXACTLY one whole file → the
+    // delete commit is remove-only (no survivor rewrite): the retention
+    // shape ignoreDeletes exists for
+    TxLog.init(rows(0 until 40).repartitionByRange(4, col("id")), path)
+    TxLog.deleteWhere(spark, path, col("id") < 10L, 0L)
+    TxLog.resolve(path, 1L, useCheckpoints = false) // sanity: table intact
+    TxLog.append(rows(40 until 50), path, 1L)
+    def drainIgnoring(out: String, ckpt: String): Unit = {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", 4)
+      val q = child.readStream.format("graft-txlog")
+        .option("path", path)
+        .option(graft.streaming.TxLogSource.IgnoreDeletesKey, "true")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainIgnoring(s"$work/out", s"$work/ckpt")
+    // the stream serves every ADD: the deleted rows were served when
+    // their file was added (the documented Delta ignoreDeletes contract —
+    // downstream consumers keep them)
+    spark.read.parquet(s"$work/out").select("id").as[Long].collect()
+      .sorted shouldBe (0L until 50L).toArray
+    // a PARTIAL-file delete (remove + survivor-rewrite add) must still
+    // fail even under ignoreDeletes: its adds re-deliver held rows
+    TxLog.deleteWhere(spark, path, col("id") === 15L, 2L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainIgnoring(s"$work/out", s"$work/ckpt")
+    }
+    e.getMessage should include("APPEND-ONLY")
+  }
 }

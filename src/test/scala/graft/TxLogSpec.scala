@@ -161,8 +161,12 @@ class TxLogSpec extends SparkSpecBase {
       }
       TxLog.read(spark, path).count() shouldBe (nFiles * 100L - 100L)
       withClue(s"nFiles=$nFiles: ") {
-        deleteJobs should be < 15
-        replaceJobs should be < 15
+        // constants recalibrated when log-native stats landed: each
+        // writeDataFiles adds ONE flat stats-collection job (delete +1,
+        // replace +2) and replace adds the key-bounds job — all flat in
+        // the file count, which is what the curve below pins
+        deleteJobs should be < 17
+        replaceJobs should be < 20
       }
       (nFiles, deleteJobs, replaceJobs)
     }
@@ -790,5 +794,220 @@ class TxLogSpec extends SparkSpecBase {
           s"watermark for $a regressed at v$v: ${now.get(a)} < $b")
       }
     }
+  }
+
+  // --- CHECK constraints (Delta invariants) ------------------------------
+
+  test("constraints: violating commits refuse atomically, UNKNOWN passes, NOT NULL spelled explicitly") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 50), path)
+    TxLog.addConstraint(spark, path, "id_nonneg", "id >= 0",
+      expectedVersion = 0L).version shouldBe 1L
+    // violating append: named error, version unchanged, table unchanged
+    val before = TxLog.read(spark, path).count()
+    val e = intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(rows(0 until 5).withColumn("id", -col("id") - 1L),
+        path, expectedVersion = 1L)
+    }
+    e.name shouldBe "id_nonneg"
+    e.violations shouldBe 5L
+    TxLog.currentVersion(path) shouldBe Some(1L)
+    TxLog.read(spark, path).count() shouldBe before
+    // valid append passes
+    TxLog.append(rows(50 until 60), path, expectedVersion = 1L)
+    TxLog.read(spark, path).count() shouldBe 60L
+    // UNKNOWN passes (standard SQL CHECK): x > 0 over a NULL x row is ok
+    val nx = Seq((100L, null.asInstanceOf[java.lang.Long]),
+      (101L, java.lang.Long.valueOf(7L))).toDF("id", "x")
+    TxLog.append(nx, path, expectedVersion = 2L) // widens schema with x
+    TxLog.addConstraint(spark, path, "x_pos", "x > 0", expectedVersion = 3L)
+    TxLog.append(Seq((102L, null.asInstanceOf[java.lang.Long])).toDF("id", "x"),
+      path, expectedVersion = 4L) // NULL x → UNKNOWN → passes
+    // ... but a definitive FALSE refuses
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((103L, java.lang.Long.valueOf(-1L))).toDF("id", "x"),
+        path, expectedVersion = 5L)
+    }.name shouldBe "x_pos"
+    // NOT NULL = IS NOT NULL (never UNKNOWN): the declaration scan sees
+    // the existing NULL-x rows (including the one from the PRE-x append,
+    // aligned to NULL) and refuses
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.addConstraint(spark, path, "x_set", "x IS NOT NULL",
+        expectedVersion = 5L)
+    }.name shouldBe "x_set"
+    TxLog.currentVersion(path) shouldBe Some(5L)
+  }
+
+  test("addConstraint refuses when existing data violates; probes resolution and type at declaration") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 50), path)
+    // existing rows violate id > 10 → the declaration scan refuses
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.addConstraint(spark, path, "late", "id > 10", 0L)
+    }.violations shouldBe 11L
+    TxLog.currentVersion(path) shouldBe Some(0L)
+    // unresolvable column: loud at declaration, not at first append
+    intercept[Exception] {
+      TxLog.addConstraint(spark, path, "ghost", "no_such_col > 0", 0L)
+    }
+    // non-boolean expression refused
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, path, "notbool", "id + 1", 0L)
+    }.getMessage should include("not boolean")
+    // duplicate name refused (drop first)
+    TxLog.addConstraint(spark, path, "c1", "id >= 0", 0L)
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, path, "c1", "id >= -5", 1L)
+    }.getMessage should include("already exists")
+  }
+
+  test("constraints survive checkpoints and vacuum; drop re-allows; narrower-schema append checked as table-meaning") {
+    val path = freshPath()
+    TxLog.init(Seq((1L, "a")).toDF("id", "tag"), path)
+    TxLog.addConstraint(spark, path, "tag_set", "tag IS NOT NULL", 0L)
+    // a NARROWER append (no tag column) means tag = NULL in the table —
+    // the IS NOT NULL constraint must refuse it even though the writer
+    // never mentioned the column
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq(Tuple1(2L)).toDF("id"), path, expectedVersion = 1L)
+    }.name shouldBe "tag_set"
+    // churn versions past a checkpoint, then vacuum the declaring version
+    // away — enforcement must survive via the checkpointed map
+    var v = 1L
+    (0 until 12).foreach { i =>
+      TxLog.append(Seq((10L + i, s"t$i")).toDF("id", "tag"), path, v); v += 1
+    }
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    intercept[Exception](TxLog.read(spark, path, asOf = Some(1L))) // history gone
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((99L, null.asInstanceOf[String])).toDF("id", "tag"),
+        path, expectedVersion = v)
+    }.name shouldBe "tag_set"
+    // drop re-allows; dropping an unknown name raises
+    TxLog.dropConstraint(path, "tag_set", expectedVersion = v)
+    v += 1
+    intercept[IllegalArgumentException] {
+      TxLog.dropConstraint(path, "tag_set", expectedVersion = v)
+    }.getMessage should include("no constraint named")
+    TxLog.append(Seq((99L, null.asInstanceOf[String])).toDF("id", "tag"),
+      path, expectedVersion = v)
+    TxLog.read(spark, path).filter(col("tag").isNull).count() shouldBe 1L
+  }
+
+  test("constraints: appendIfNew and replaceWhereKeys new data are enforced") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 20), path)
+    TxLog.addConstraint(spark, path, "id_nonneg", "id >= 0", 0L)
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.appendIfNew(rows(0 until 3).withColumn("id", -col("id") - 1L),
+        path, appId = "app", batchId = 0L, expectedVersion = 1L)
+    }
+    TxLog.currentVersion(path) shouldBe Some(1L)
+    TxLog.snapshot(path).txns shouldBe empty // refused batch left no watermark
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.replaceWhereKeys(spark, path, rows(0 until 3).select("id"),
+        Seq("id"), rows(0 until 3).withColumn("id", -col("id") - 1L),
+        expectedVersion = 1L)
+    }
+    TxLog.currentVersion(path) shouldBe Some(1L)
+    TxLog.read(spark, path).count() shouldBe 20L
+  }
+
+  // --- log-native per-file stats (data skipping from the log) ------------
+
+  test("log stats: every commit kind records them, pruning is sound, and they survive checkpoint + vacuum") {
+    val path = freshPath()
+    // range-clustered: disjoint per-file id ranges make pruning provable
+    TxLog.init(rows(0 until 400).repartitionByRange(8, col("id")), path)
+    val s0 = TxLog.snapshot(path)
+    s0.stats.keySet shouldBe s0.files.toSet // every file has stats
+    s0.stats.values.map(_.rows).sum shouldBe 400L
+    val (kept, total) = TxLog.statsPrunedFilesCanonical(path, "id", 100L, 149L)
+    total shouldBe s0.files.size
+    kept.size should be < total // disjoint ranges actually pruned
+    // soundness: pruned read + row filter ≡ full read + row filter
+    def slice(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("id").between(100L, 149L)).select("id").as[Long]
+        .collect().sorted
+    slice(TxLog.readPruned(spark, path, "id", 100L, 149L)) shouldBe
+      slice(TxLog.read(spark, path))
+    // delete/replace/compact: stats follow the file actions exactly
+    TxLog.deleteWhere(spark, path, col("id") < 50L, 0L)
+    TxLog.replaceWhereKeys(spark, path, rows(200 until 210).select("id"),
+      Seq("id"), rows(200 until 210).withColumn("payload", lit("NEW")), 1L)
+    TxLog.compact(spark, path, 2L)
+    val s3 = TxLog.snapshot(path)
+    s3.stats.keySet shouldBe s3.files.toSet
+    s3.stats.values.map(_.rows).sum shouldBe 350L // 400 - 50 deleted
+    slice(TxLog.readPruned(spark, path, "id", 100L, 149L)) shouldBe
+      slice(TxLog.read(spark, path))
+    // time travel: version-0 pruning serves version-0 data (stats are
+    // transactionally consistent, never stale like a sidecar)
+    TxLog.readPruned(spark, path, "id", 0L, 49L, asOf = Some(0L))
+      .filter(col("id") < 50L).count() shouldBe 50L
+    // churn past a checkpoint, vacuum — stats survive via the checkpoint
+    var v = 3L
+    (0 until 10).foreach { i =>
+      TxLog.append(rows(1000 + i * 10 until 1010 + i * 10), path, v); v += 1
+    }
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    val sv = TxLog.snapshot(path)
+    sv.stats.keySet shouldBe sv.files.toSet
+    val (kept2, total2) = TxLog.statsPrunedFilesCanonical(path, "id", 100L, 149L)
+    kept2.size should be < total2
+    slice(TxLog.readPruned(spark, path, "id", 100L, 149L)) shouldBe
+      slice(TxLog.read(spark, path))
+  }
+
+  test("log stats: all-NULL and stat-less files are never pruned; date/ntz use canonical units") {
+    val path = freshPath()
+    val data = Seq(
+      (1L, java.lang.Long.valueOf(5L), java.sql.Date.valueOf("2024-01-10"),
+        java.time.LocalDateTime.of(2024, 1, 10, 12, 0)),
+      (2L, null.asInstanceOf[java.lang.Long],
+        java.sql.Date.valueOf("2024-06-10"),
+        java.time.LocalDateTime.of(2024, 6, 10, 12, 0)))
+      .toDF("id", "x", "d", "ts").repartitionByRange(2, col("id"))
+    TxLog.init(data, path)
+    val snap = TxLog.snapshot(path)
+    // file 2's x is all-NULL → min/max None → kept under any x bounds
+    val allNull = snap.stats.values.filter(_.cols("x").min.isEmpty)
+    allNull should have size 1
+    allNull.head.cols("x").nulls shouldBe 1L
+    val (keptX, _) = TxLog.statsPrunedFilesCanonical(path, "x", 1000L, 2000L)
+    keptX.size shouldBe 1 // file 1 pruned (5 ∉ [1000,2000]); all-NULL kept
+    // DATE bounds in epoch days
+    val jan10 = java.time.LocalDate.of(2024, 1, 10).toEpochDay
+    val (keptD, totalD) = TxLog.statsPrunedFilesCanonical(path, "d", jan10, jan10)
+    keptD.size should be < totalD
+    // NTZ bounds in epoch micros (UTC session mapping)
+    val juneMicros = java.time.LocalDateTime.of(2024, 6, 10, 12, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val (keptT, totalT) =
+      TxLog.statsPrunedFilesCanonical(path, "ts", juneMicros, juneMicros)
+    keptT.size should be < totalT
+    // a column with NO stats (string) never prunes
+    TxLog.statsPrunedFilesCanonical(path, "nope", 0L, 0L)._1.size shouldBe 2
+  }
+
+  test("deleteWhere statsHint prunes through LOG stats with no sidecar index") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 400).repartitionByRange(8, col("id")), path)
+    new java.io.File(path,
+      graft.plans.RewriteSkipIndexScan.StatsDirName).isDirectory shouldBe false
+    // a correct hint: full behavioral equivalence with an unhinted delete
+    TxLog.deleteWhere(spark, path, col("id").between(96L, 103L), 0L,
+      statsHint = Some(("id", 96L, 103L)))
+    TxLog.read(spark, path).count() shouldBe 392L
+    // the documented wrong-hint hazard is now OBSERVABLE without a
+    // sidecar: a hint excluding part of the predicate range makes files
+    // the log stats prove disjoint from the hint survive un-probed —
+    // proof the pruning actually dropped candidate files
+    TxLog.deleteWhere(spark, path, col("id").between(150L, 249L), 1L,
+      statsHint = Some(("id", 150L, 199L)))
+    val left = TxLog.read(spark, path).filter(col("id").between(150L, 249L))
+      .count()
+    left should be > 0L   // under-delete: hinted-out files never probed
+    left should be < 100L // but the hinted range itself was deleted
   }
 }
