@@ -382,6 +382,30 @@ object ExtensionQueries {
       .withColumn("files_pruned", lit(kept.size < total))
   }
 
+  /** AUTOMATIC log-native data skipping (library:
+    * plans.RewriteTxLogStatsScan over gold.TxLog's per-add-file stats —
+    * the planner-side consumer of the stats the commit log records, the
+    * Delta data-skipping-on-scan shape): the q_o_txlog_stats_prune
+    * history is read back through a PLAIN `TxLog.read(...).filter(...)`
+    * on a session with `spark.graft.txlogStats.path` armed — no manual
+    * readPruned — and the injected optimizer rule rewrites the scan to
+    * only the files whose log-recorded [min, max] can satisfy the
+    * filter, zero extra jobs. Oracle recomputes the slice in closed
+    * form: an unsound skip loses rows and hash-mismatches;
+    * TxLogStatsRuleSpec separately asserts the scan REALLY reads fewer
+    * files and the unarmed session never prunes.
+    */
+  private def qTxlogStatsAuto(s0: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/txlog_orders_statsauto"
+    txlogBuild(s0, dir, path) // init %4=0 range-clustered, append %4=1, delete 5-LOW
+    val s = s0.newSession()
+    s.conf.set(graft.plans.RewriteTxLogStatsScan.PathKey, path)
+    graft.gold.TxLog.read(s, path)
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 2000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1263,6 +1287,7 @@ object ExtensionQueries {
     "q_o_txlog_merge_mirror" -> (qTxlogMergeMirror _),
     "q_o_txlog_constraints" -> (qTxlogConstraints _),
     "q_o_txlog_stats_prune" -> (qTxlogStatsPrune _),
+    "q_o_txlog_stats_auto" -> (qTxlogStatsAuto _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -1597,6 +1622,16 @@ object ExtensionQueries {
         """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
           |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
           |  TRUE AS files_pruned
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |  AND o_orderkey BETWEEN 1000 AND 2000
+          |GROUP BY o_orderpriority""".stripMargin,
+      // automatic rule-pruned scan == the same closed-form slice (no
+      // bound boolean here: TxLogStatsRuleSpec pins that pruning fires;
+      // the oracle pins that it is sound)
+      "q_o_txlog_stats_auto" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
           |  AND o_orderkey BETWEEN 1000 AND 2000

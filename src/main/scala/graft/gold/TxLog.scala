@@ -1024,7 +1024,16 @@ object TxLog {
         java.nio.file.Files.move(f.toPath, new java.io.File(path, name).toPath)
         name
       }.toSeq
-      (names, stats)
+      // a ZERO-ROW part file produces no group in the agg — give it an
+      // explicit all-None entry so stats cover EVERY committed file
+      // (min/max None never prunes; the coverage invariant stays clean)
+      val zeroRow = FileStats(0L,
+        eligible.map { case (n, t, _) => n -> ColStats(t, 0L, None, None) }
+          .toMap)
+      val full =
+        if (eligible.isEmpty) stats
+        else names.map(n => n -> stats.getOrElse(n, zeroRow)).toMap
+      (names, full)
     } finally graft.core.Fs.rmTree(stage.toFile)
   }
 

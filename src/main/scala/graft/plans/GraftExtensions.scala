@@ -267,6 +267,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteIntersectSize)
     e.injectOptimizerRule(_ => RewriteRangeJoin)
     e.injectOptimizerRule(_ => RewriteSkipIndexScan)
+    e.injectOptimizerRule(_ => RewriteTxLogStatsScan)
     SqlFunctions.install(e)
   }
 }

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, InMemoryFileIndex, LogicalRelation
+}
+
+import graft.gold.TxLog
+
+/** Optimizer rule: AUTOMATIC file skipping from the stats recorded IN the
+  * TxLog commit log — the planner-side consumer of `TxLog`'s per-add-file
+  * [[graft.gold.TxLog.ColStats]] (exactly how Delta's planner prunes from
+  * its transaction-log `stats`, where `RewriteSkipIndexScan` plays the
+  * same role for the sidecar `_graft_stats` index). With this rule a user
+  * writes the ordinary `TxLog.read(spark, path).filter(col <op> literal)`
+  * and the scan is rewritten to only the files whose recorded [min, max]
+  * box can satisfy the filter — ZERO extra jobs (the stats came off the
+  * snapshot resolution the read already performed) and, unlike the
+  * sidecar, never stale: stats commit atomically with their add actions.
+  *
+  * Fires ONLY when `spark.graft.txlogStats.path` names the table root
+  * (same scoping discipline as the sibling rules: set it on a
+  * `spark.newSession()` child). Eligible shape: a `Filter` directly over
+  * a parquet relation whose root paths are all files of that table dir —
+  * exactly what `TxLog.read` plans. Bound extraction is shared with
+  * `RewriteSkipIndexScan` (`col <op> literal` conjuncts, both operand
+  * orders); pruning compares ONLY long-domain bounds, whose Catalyst
+  * literal representations are the log's canonical stat units by
+  * construction — integrals as themselves, DATE as epoch days,
+  * TIMESTAMP_NTZ as epoch micros. String conjuncts never prune here (the
+  * log records no string stats — the sidecar rule covers that class).
+  * Residual conjuncts and the full row-level Filter are always kept: the
+  * rule prunes I/O, never meaning.
+  *
+  * Soundness: a file is dropped only when the snapshot's stats PROVE
+  * `max < lo` or `min > hi` on some constrained column; files absent from
+  * the stats map (a time-travel scan of since-removed files, a legacy
+  * stat-less commit) or with NULL bounds are always kept. The stats map
+  * is resolved per (table, current version) and cached — version
+  * monotonicity makes the cache exact, and a scan of an OLDER version
+  * only ever sees files missing from the newer map (kept, sound).
+  */
+object RewriteTxLogStatsScan extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  val PathKey = "spark.graft.txlogStats.path"
+
+  private val Checked = TreeNodeTag[Boolean]("graft.txlogStats.checked")
+
+  // (tablePath → (version, fileName → colName → (min, max))) — metadata
+  // scale; exact because a TxLog version's stats are immutable
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, Map[String, (Long, Long)]])]()
+
+  /** For tests: drop all cached stats. */
+  def invalidateCache(): Unit = cache.clear()
+
+  private def loadStats(
+      tablePath: String): Map[String, Map[String, (Long, Long)]] = {
+    val v = TxLog.currentVersion(tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"RewriteTxLogStatsScan: $PathKey is set to '$tablePath' but no " +
+          "TxLog table exists there - unset the config or fix the path"))
+    val hit = cache.get(tablePath)
+    if (hit != null && hit._1 == v) return hit._2
+    val snap = TxLog.snapshot(tablePath)
+    val m = snap.stats.map { case (f, fs) =>
+      f -> fs.cols.collect {
+        case (c, cs) if cs.min.isDefined && cs.max.isDefined =>
+          c -> (cs.min.get, cs.max.get)
+      }
+    }
+    cache.put(tablePath, (v, m))
+    m
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val tablePath = conf.getConfString(PathKey, "").trim
+    if (tablePath.isEmpty) return plan
+    val wanted = new Path(tablePath).toUri.getPath
+    lazy val session = SparkSession.active
+
+    plan.transform {
+      case f @ Filter(cond,
+          rel @ LogicalRelation(fsRel: HadoopFsRelation, _, _, _, _))
+          if rel.getTagValue(Checked).isEmpty &&
+            fsRel.location.rootPaths.nonEmpty &&
+            fsRel.location.rootPaths.forall(p =>
+              Option(p.getParent).exists(_.toUri.getPath == wanted)) =>
+        rel.setTagValue(Checked, true)
+        // reuse the sibling rule's conjunct extraction; keep only
+        // long-domain bounds (canonical-unit agreement holds only there)
+        val bounds = RewriteSkipIndexScan
+          .extractBounds(splitConjunctivePredicates(cond))
+          .collect { case (c, (lo, hi))
+              if lo.forall(_.isInstanceOf[RewriteSkipIndexScan.BvLong]) &&
+                hi.forall(_.isInstanceOf[RewriteSkipIndexScan.BvLong]) &&
+                (lo.nonEmpty || hi.nonEmpty) =>
+            c -> (lo.map(_.asInstanceOf[RewriteSkipIndexScan.BvLong].v),
+              hi.map(_.asInstanceOf[RewriteSkipIndexScan.BvLong].v))
+          }
+        if (bounds.isEmpty) f
+        else {
+          val stats = loadStats(tablePath)
+          val roots = fsRel.location.rootPaths
+          val kept = roots.filter { p =>
+            stats.get(p.getName) match {
+              case Some(cols) => bounds.forall { case (c, (lo, hi)) =>
+                cols.get(c) match {
+                  case Some((mn, mx)) =>
+                    !(lo.exists(mx < _) || hi.exists(mn > _))
+                  case None => true // no stats for this column: keep
+                }
+              }
+              case None => true // unknown file (time travel / legacy): keep
+            }
+          }
+          if (kept.size == roots.size) f
+          else {
+            val pruned = new InMemoryFileIndex(
+              session, kept, Map.empty, Some(fsRel.dataSchema))
+            val newRel = rel.copy(relation =
+              fsRel.copy(location = pruned)(session))
+            newRel.setTagValue(Checked, true)
+            Filter(cond, newRel)
+          }
+        }
+    }
+  }
+}

@@ -990,6 +990,109 @@ class TxLogSpec extends SparkSpecBase {
     TxLog.statsPrunedFilesCanonical(path, "nope", 0L, 0L)._1.size shouldBe 2
   }
 
+  test("stats + constraints property fuzz: random histories stay sound, checkpoint-consistent, and model-exact") {
+    // random op sequences (append / delete / replace / compact / vacuum /
+    // add-drop constraint) driven against a tiny driver-side model.
+    // Invariants after EVERY op:
+    //   1. stats cover exactly the snapshot's files (keys == file set);
+    //   2. pruning soundness: readPruned + row filter == read + row
+    //      filter for random bounds;
+    //   3. checkpoint+tail resolution == pure action replay for files,
+    //      schema, constraints AND stats;
+    //   4. the constraint model is exact: an append refuses iff it
+    //      carries a violating row, and a refusal never publishes.
+    def df(ids: Seq[Long]) = ids.map(i => (i, s"p$i")).toDF("id", "payload")
+    (1 to 4).foreach { seed =>
+      // splitmix-style scramble: sequential seeds correlate on first draws
+      val rnd = new scala.util.Random(seed * 0x9E3779B97F4A7C15L + 0x85EBCA6BL)
+      val path = freshPath()
+      var live = scala.collection.mutable.Set[Long]()
+      var v = 0L
+      var constrained = false // model: "id >= 0" active?
+      var vacuumed = false // pure action replay impossible below horizon
+      TxLog.init(df(0L until 40L).repartitionByRange(4, col("id")), path)
+      live ++= (0L until 40L)
+      def checkInvariants(): Unit = {
+        val snap = TxLog.snapshot(path)
+        withClue(s"seed=$seed v=$v: ") {
+          snap.stats.keySet shouldBe snap.files.toSet
+          snap.stats.values.map(_.rows).sum shouldBe live.size.toLong
+          val lo = rnd.nextLong(200L) - 50L
+          val hi = lo + rnd.nextLong(120L)
+          TxLog.readPruned(spark, path, "id", lo, hi)
+            .filter(col("id").between(lo, hi)).select("id").as[Long]
+            .collect().sorted shouldBe
+            live.filter(i => i >= lo && i <= hi).toSeq.sorted.toArray
+          if (!vacuumed) { // below-horizon records are gone after vacuum
+            val pure = TxLog.resolve(path, snap.version, useCheckpoints = false)
+            pure.files.sorted shouldBe snap.files.sorted
+            pure.schema shouldBe snap.schema
+            pure.constraints shouldBe snap.constraints
+            pure.stats shouldBe snap.stats
+          }
+          snap.constraints.nonEmpty shouldBe constrained
+        }
+      }
+      checkInvariants()
+      (0 until 14).foreach { _ =>
+        rnd.nextInt(12) match {
+          case 0 | 1 | 2 | 3 => // append, sometimes with a negative id
+            val base = rnd.nextLong(150L)
+            val ids = (base until base + 1 + rnd.nextLong(20L)).toSeq ++
+              (if (rnd.nextInt(3) == 0) Seq(-1L - rnd.nextLong(5L)) else Nil)
+            val fresh = ids.distinct.filterNot(live.contains)
+            val violates = constrained && fresh.exists(_ < 0L)
+            if (violates) {
+              intercept[TxLog.ConstraintViolationException] {
+                TxLog.append(df(fresh), path, v)
+              }
+              TxLog.currentVersion(path) shouldBe Some(v) // nothing published
+            } else if (fresh.nonEmpty) {
+              TxLog.append(df(fresh), path, v); v += 1; live ++= fresh
+            }
+          case 4 | 5 => // predicate delete
+            val cut = rnd.nextLong(150L)
+            TxLog.deleteWhere(spark, path, col("id") >= cut, v); v += 1
+            live = live.filter(_ < cut)
+          case 6 => // keyed replace (replace an existing slice with fresh ids)
+            val ks = live.toSeq.sorted.take(1 + rnd.nextInt(8))
+            val repl = (900L + rnd.nextLong(50L) until 905L + rnd.nextLong(50L))
+              .toSeq.distinct.filterNot(i => live.contains(i) && !ks.contains(i))
+            if (ks.nonEmpty) {
+              TxLog.replaceWhereKeys(spark, path, df(ks).select("id"),
+                Seq("id"), df(repl), v)
+              v += 1; live --= ks; live ++= repl
+            }
+          case 7 => // compact (maybe sort-clustered)
+            val s = TxLog.compact(spark, path, v,
+              sortCols = if (rnd.nextBoolean()) Seq("id") else Nil)
+            v = s.version // no-op returns same version
+          case 8 => // vacuum (load-bearing checkpoint carries stats+cons)
+            TxLog.vacuum(path, retainVersions = 1 + rnd.nextInt(2),
+              minAgeMs = 0L)
+            vacuumed = true
+          case 9 | 10 => // toggle the constraint
+            if (!constrained && live.forall(_ >= 0L)) {
+              TxLog.addConstraint(spark, path, "id_nonneg", "id >= 0", v)
+              v += 1; constrained = true
+            } else if (constrained) {
+              TxLog.dropConstraint(path, "id_nonneg", v)
+              v += 1; constrained = false
+            }
+          case _ => // append a legal negative while UNconstrained
+            if (!constrained) {
+              val neg = Seq(-100L - rnd.nextLong(50L))
+                .filterNot(live.contains)
+              if (neg.nonEmpty) {
+                TxLog.append(df(neg), path, v); v += 1; live ++= neg
+              }
+            }
+        }
+        checkInvariants()
+      }
+    }
+  }
+
   test("deleteWhere statsHint prunes through LOG stats with no sidecar index") {
     val path = freshPath()
     TxLog.init(rows(0 until 400).repartitionByRange(8, col("id")), path)
