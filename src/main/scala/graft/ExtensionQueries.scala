@@ -356,6 +356,101 @@ object ExtensionQueries {
       .withColumn("version_stable", lit(versionStable))
   }
 
+  /** STRING data skipping through the commit log (library: gold.TxLog
+    * truncated string stats + plans.RewriteTxLogStatsScan — the Delta
+    * truncated-string-stats shape): a priority-clustered two-version
+    * history is read through the ARMED child session with a string-range
+    * filter; the rule prunes files whose [strMin, strMax] box (UTF8
+    * binary order, truncation-sound bounds) cannot satisfy it. The
+    * oracle recomputes the slice in closed form: an unsound string skip
+    * (wrong collation order, a truncated bound used as if exact) or a
+    * stats/record mismatch all hash-mismatch. TxLogStatsRuleSpec pins
+    * that pruning actually fires and that truncated bounds stay sound on
+    * supplementary-plane (emoji-adjacent) boundaries.
+    */
+  private def qTxlogStatsString(s0: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_statsstring"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s0, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderpriority"), col("o_orderkey")), path)
+    TxLog.append(o.filter(col("o_custkey") % 4 === 1)
+      .repartitionByRange(4, col("o_orderpriority"), col("o_orderkey")),
+      path, expectedVersion = 0L)
+    val s = s0.newSession()
+    s.conf.set(graft.plans.RewriteTxLogStatsScan.PathKey, path)
+    TxLog.read(s, path)
+      .filter(col("o_orderpriority") >= "2-HIGH" &&
+        col("o_orderpriority") <= "3-MEDIUM")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+  }
+
+  /** RESTORE TABLE through the commit log (library: gold.TxLog.restore —
+    * the Delta `RESTORE ... TO VERSION AS OF` shape, as a NEW commit):
+    * after the shared three-version history PLUS a second destructive
+    * delete, the table is restored to version 1 — both deletes must be
+    * undone by one atomic action record, never by rewriting history. The
+    * oracle states the restored membership in closed form (both slices,
+    * nothing deleted); the bound booleans pin that the pre-restore state
+    * is still time-travelable BELOW the restore commit (restore rolls
+    * forward a rollback, it does not erase the past) and that the audit
+    * trail records the RESTORE operation.
+    */
+  private def qTxlogRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_restore"
+    txlogBuild(s, dir, path) // v0 init %4=0, v1 append %4=1, v2 delete 5-LOW
+    TxLog.deleteWhere(s, path, col("o_orderpriority") === "1-URGENT",
+      expectedVersion = 2L)
+    TxLog.restore(path, toVersion = 1L, expectedVersion = 3L)
+    val belowRestoreIntact =
+      TxLog.read(s, path, asOf = Some(3L)).count() <
+        TxLog.read(s, path).count()
+    val restoreRecorded =
+      TxLog.commitInfos(path).head.operation.contains("RESTORE")
+    TxLog.read(s, path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("below_restore_intact", lit(belowRestoreIntact))
+      .withColumn("restore_recorded", lit(restoreRecorded))
+  }
+
+  /** COMMIT AUDIT TRAIL (library: gold.TxLog.history over the commitInfo
+    * action — the Delta DESCRIBE HISTORY shape): a five-operation script
+    * (INIT, APPEND, ADD_CONSTRAINT, full-slice DELETE, RESTORE) read back
+    * as the per-version operation log, newest first. Row counts come from
+    * the per-file stats recorded in each version's OWN record (zero
+    * jobs), and the script is built so every count is closed-form: the
+    * DELETE removes an entire init slice (its files contain nothing
+    * else, so no survivor rewrite — rows_added 0) and the RESTORE
+    * re-adds exactly those files (rows_added = the slice count). A
+    * misattributed operation, a version missing its commit info, or
+    * stats-derived counts drifting from the data all hash-mismatch.
+    */
+  private def qTxlogHistory(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_history"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey")), path) // v0
+    TxLog.append(o.filter(col("o_custkey") % 4 === 1), path, 0L) // v1
+    TxLog.addConstraint(s, path, "cents_pos", "cents > 0", 1L) // v2
+    // v3: the DELETE hits ONLY the init slice's files, which contain
+    // nothing else - zero survivors, zero rewritten rows, closed form
+    TxLog.deleteWhere(s, path, col("o_custkey") % 4 === 0,
+      expectedVersion = 2L)
+    TxLog.restore(path, toVersion = 2L, expectedVersion = 3L) // v4
+    TxLog.history(s, path)
+      .select(col("version"), col("operation"), col("rows_added"))
+  }
+
   /** LOG-NATIVE DATA SKIPPING (library: gold.TxLog per-file stats in add
     * actions + readPruned — the Delta stats-on-add shape): a
     * range-clustered three-version history (init, append, predicate
@@ -1286,6 +1381,9 @@ object ExtensionQueries {
     "q_o_txlog_cdf" -> (qTxlogCdf _),
     "q_o_txlog_merge_mirror" -> (qTxlogMergeMirror _),
     "q_o_txlog_constraints" -> (qTxlogConstraints _),
+    "q_o_txlog_restore" -> (qTxlogRestore _),
+    "q_o_txlog_stats_string" -> (qTxlogStatsString _),
+    "q_o_txlog_history" -> (qTxlogHistory _),
     "q_o_txlog_stats_prune" -> (qTxlogStatsPrune _),
     "q_o_txlog_stats_auto" -> (qTxlogStatsAuto _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
@@ -1616,6 +1714,40 @@ object ExtensionQueries {
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1)
           |GROUP BY o_orderpriority""".stripMargin,
+      // string-bound rule-pruned scan == the closed-form slice (DuckDB
+      // default collation is binary, same order as the UTF8 bounds)
+      "q_o_txlog_stats_string" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1)
+          |  AND o_orderpriority >= '2-HIGH' AND o_orderpriority <= '3-MEDIUM'
+          |GROUP BY o_orderpriority""".stripMargin,
+      // restore-to-v1 membership = both slices, both deletes undone; the
+      // booleans are Spark-bound (pre-restore state still readable below
+      // the restore commit + RESTORE recorded in history), oracled TRUE
+      "q_o_txlog_restore" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS below_restore_intact, TRUE AS restore_recorded
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // the audit trail in closed form: the DELETE removes the whole init
+      // slice (no survivor rewrite -> 0 rows added), the RESTORE re-adds
+      // exactly that slice's files
+      "q_o_txlog_history" ->
+        """SELECT CAST(4 AS BIGINT) AS version, 'RESTORE' AS operation,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+          |   WHERE o_custkey % 4 = 0) AS rows_added
+          |UNION ALL SELECT CAST(3 AS BIGINT), 'DELETE', CAST(0 AS BIGINT)
+          |UNION ALL SELECT CAST(2 AS BIGINT), 'ADD_CONSTRAINT', CAST(0 AS BIGINT)
+          |UNION ALL SELECT CAST(1 AS BIGINT), 'APPEND',
+          |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+          |   WHERE o_custkey % 4 = 1)
+          |UNION ALL SELECT CAST(0 AS BIGINT), 'INIT',
+          |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+          |   WHERE o_custkey % 4 = 0)""".stripMargin,
       // log-native skipping: pruned read + row filter == the closed-form
       // slice; files_pruned is Spark-bound (kept < total), oracled TRUE
       "q_o_txlog_stats_prune" ->

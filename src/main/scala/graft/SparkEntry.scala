@@ -936,6 +936,24 @@ object SparkEntry {
       "/tmp/graft_roundtrip/stream_txlog_table")
       .select("event_id", "user_id", "event_type", "value_cents")
 
+  /** EXACTLY-ONCE through the DECLARATIVE sink format (library:
+    * streaming.TxLogSink behind `writeStream.format("graft-txlog")`) with
+    * a REAL crash-window redelivery: the first run is killed AFTER the
+    * mid-stream batch's table commit but BEFORE its engine commit marker
+    * (sink fault injection), the restart redelivers that batch from the
+    * same checkpoint, and the txn watermark must no-op it. Same oracle as
+    * q_o_stream_txlog_sink (the plain events projection): a watermark
+    * miss double-counts the redelivered batch, a lost batch drops rows.
+    * Together the two gates pin both redelivery shapes — inline
+    * double-apply and engine restart-redelivery — on both sink APIs
+    * (foreachBatch and format).
+    */
+  private def qStreamTxLogSinkFmt(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.replayIntoTxLogFormatSink(
+      T(s, dir).events, "/tmp/graft_roundtrip/stream_txlogfmt_events",
+      "/tmp/graft_roundtrip/stream_txlogfmt_table")
+      .select("event_id", "user_id", "event_type", "value_cents")
+
   /** Stream-stream interval-join batch equivalence: the click→purchase
     * attribution join replayed file-by-file (library:
     * streaming.EventStream.replayAttributionJoin); every emitted match
@@ -1674,6 +1692,7 @@ object SparkEntry {
     "q_o_stream_session_replay" -> (qStreamSessionReplay _),
     "q_o_stream_running_stats" -> (qStreamRunningStats _),
     "q_o_stream_txlog_sink"  -> (qStreamTxLogSink _),
+    "q_o_stream_txlog_sink_fmt" -> (qStreamTxLogSinkFmt _),
     "q_o_stream_custom_session" -> (qStreamCustomSession _),
     "q_o_stream_txlog_source" -> (qStreamTxLogSource _),
     "q_o_stream_txlog_incremental" -> (qStreamTxLogIncremental _),
@@ -2555,6 +2574,12 @@ object SparkEntry {
         |   OR (o_orderkey % 4 = 3)""".stripMargin,
     // exactly-once TxLog sink: double-applied batches must not double rows
     "q_o_stream_txlog_sink" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM events""".stripMargin,
+    // declarative sink format + crash-window restart-redelivery: the
+    // redelivered batch must no-op against the txn watermark
+    "q_o_stream_txlog_sink_fmt" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(round(value * 100) AS BIGINT) AS value_cents
         |FROM events""".stripMargin,

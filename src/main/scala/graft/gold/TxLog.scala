@@ -140,9 +140,23 @@ object TxLog {
     * ride in the same version record as the add actions they describe,
     * so — unlike a sidecar index — they can never be stale relative to
     * the snapshot being read, at any time-travel version.
+    *
+    * STRING columns (`typ = "s"`) use `strMin`/`strMax` instead (the
+    * Delta truncated-string-stats shape, [[MaxStringStatChars]] code
+    * points): `strMin` is a PREFIX of the file's minimum — a prefix is
+    * at-or-below its extension in UTF8 binary order, so it is a sound
+    * lower bound; `strMax` is the exact maximum when it fits, otherwise
+    * the truncated prefix with its last code point INCREMENTED (strictly
+    * above every extension of the prefix — Delta's tie-breaker), or None
+    * when even that overflows (max-code-point run). All comparisons are
+    * UTF8String BINARY order = code-point order, the order Spark's own
+    * min/max aggregate strings in — java.lang.String's UTF-16 order
+    * disagrees on supplementary-plane characters and would make skips
+    * unsound exactly there.
     */
   final case class ColStats(typ: String, nulls: Long,
-      min: Option[Long], max: Option[Long])
+      min: Option[Long], max: Option[Long],
+      strMin: Option[String] = None, strMax: Option[String] = None)
 
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -325,7 +339,8 @@ object TxLog {
       add: Seq[String], remove: Seq[String], schemaB64: Option[String],
       txn: Option[(String, Long)],
       constraints: Option[Map[String, String]],
-      stats: Map[String, FileStats])
+      stats: Map[String, FileStats],
+      info: Option[(String, Map[String, String])])
 
   private def quoteList(fs: Seq[String]): String =
     fs.map("\"" + _ + "\"").mkString(",")
@@ -403,17 +418,32 @@ object TxLog {
   // --- per-file stats serialization --------------------------------------
   // `"statsB64":"b64(payload)"`. Payload: one line per file,
   // `file \t rows \t colEntry;colEntry;...` with colEntry =
-  // `b64(name),typ,nulls,min,max` (min/max empty = None). In a VERSION
-  // record the payload covers only that commit's ADDED files (delta-shaped,
-  // O(changed files) bytes); in a CHECKPOINT it covers the full accumulated
-  // map (the Delta checkpoint shape) so stats survive vacuum.
+  // `b64(name),typ,nulls,min,max,smin,smax` (min/max empty = None;
+  // smin/smax empty = None, else `p` + b64(value) — the marker
+  // disambiguates an absent bound from a present EMPTY-string bound,
+  // which is a legal minimum). Legacy 5-field entries (pre-string-stats)
+  // parse with no string bounds. In a VERSION record the payload covers
+  // only that commit's ADDED files (delta-shaped, O(changed files)
+  // bytes); in a CHECKPOINT it covers the full accumulated map (the
+  // Delta checkpoint shape) so stats survive vacuum.
+
+  private def strStatEnc(v: Option[String]): String =
+    v.map("p" + b64(_)).getOrElse("")
+
+  private def strStatDec(s: String): Option[String] =
+    if (s.isEmpty) None
+    else {
+      require(s.charAt(0) == 'p', s"TxLog: malformed string-stat field '$s'")
+      Some(unB64(s.substring(1)))
+    }
 
   private def statsToB64(m: Map[String, FileStats]): String = {
     val payload = m.toSeq.sortBy(_._1).map { case (f, fs) =>
       val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
         Seq(b64(c), cs.typ, cs.nulls.toString,
           cs.min.map(_.toString).getOrElse(""),
-          cs.max.map(_.toString).getOrElse("")).mkString(",")
+          cs.max.map(_.toString).getOrElse(""),
+          strStatEnc(cs.strMin), strStatEnc(cs.strMax)).mkString(",")
       }.mkString(";")
       s"$f\t${fs.rows}\t$cols"
     }.mkString("\n")
@@ -430,14 +460,46 @@ object TxLog {
           require(parts.length == 3, s"TxLog: malformed stats line '$line'")
           val cols = parts(2).split(";").filter(_.nonEmpty).map { e =>
             val f = e.split(",", -1)
-            require(f.length == 5, s"TxLog: malformed col-stats entry '$e'")
+            require(f.length == 5 || f.length == 7,
+              s"TxLog: malformed col-stats entry '$e'")
             (unB64(f(0)), ColStats(f(1), f(2).toLong,
               if (f(3).isEmpty) None else Some(f(3).toLong),
-              if (f(4).isEmpty) None else Some(f(4).toLong)))
+              if (f(4).isEmpty) None else Some(f(4).toLong),
+              if (f.length < 7) None else strStatDec(f(5)),
+              if (f.length < 7) None else strStatDec(f(6))))
           }.toMap
           (parts(0), FileStats(parts(1).toLong, cols))
         }.toMap
       }.getOrElse(Map.empty)
+
+  // --- commit-info serialization ------------------------------------------
+  // `"info":"b64(op);b64(k):b64(v),..."` — the Delta commitInfo action's
+  // role: every version records WHAT operation produced it (operation name
+  // + caller-supplied parameters), the raw material of [[history]]. Both
+  // halves base64 (operation names are controlled, parameters are
+  // arbitrary caller text — predicates, app ids); entries key-sorted for
+  // deterministic records. Commit info is per-version ANNOTATION, not
+  // resolved state: checkpoints do not carry it, so — exactly like Delta's
+  // DESCRIBE HISTORY — history is bounded by vacuum retention.
+
+  private def infoEntries(op: String, params: Map[String, String]): String =
+    b64(op) + ";" + params.toSeq.sortBy(_._1)
+      .map { case (k, v) => b64(k) + ":" + b64(v) }.mkString(",")
+
+  private val InfoRe = "\"info\"\\s*:\\s*\"([A-Za-z0-9+/=;:,]*)\"".r
+
+  private def parseInfo(text: String): Option[(String, Map[String, String])] =
+    InfoRe.findFirstMatchIn(text).map { m =>
+      val i = m.group(1).indexOf(';')
+      require(i > 0, s"TxLog: malformed info entry '${m.group(1)}'")
+      val params = m.group(1).substring(i + 1).split(",").filter(_.nonEmpty)
+        .map { e =>
+          val j = e.indexOf(':')
+          require(j > 0, s"TxLog: malformed info param '$e'")
+          (unB64(e.substring(0, j)), unB64(e.substring(j + 1)))
+        }.toMap
+      (unB64(m.group(1).substring(0, i)), params)
+    }
 
   /** True when re-declaring a `from`-typed field as `to` is same-or-wider
     * (identical type, integral up-rank, or float→double). Everything else
@@ -518,7 +580,7 @@ object TxLog {
           "unreadable NEWEST version can be a transient race - retry)")
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
       parseSchemaB64(text), parseTxn(text), parseConstraints(text),
-      parseStats(text))
+      parseStats(text), parseInfo(text))
   }
 
   /** `(files, schema)` from checkpoint file `v`, or None when missing or
@@ -826,6 +888,61 @@ object TxLog {
     }
   }
 
+  /** One retained commit's audit row — see [[history]]. `operation` /
+    * `params` come from the version record's commit info (None/empty for
+    * records written before commit info existed); `rowsAdded` sums the
+    * commit's per-added-file stats (None when some added file predates
+    * stats — never guessed).
+    */
+  final case class CommitInfo(version: Long, operation: Option[String],
+      params: Map[String, String], addedFiles: Int, removedFiles: Int,
+      rowsAdded: Option[Long])
+
+  /** The audit trail of every RETAINED commit, newest first (the Delta
+    * `DESCRIBE HISTORY` shape): which operation produced each version,
+    * with the caller-supplied parameters recorded at commit time, plus
+    * file/row deltas from the action record itself. Commit info is
+    * per-version annotation, not resolved state — checkpoints do not
+    * carry it — so history is bounded by [[vacuum]] retention exactly
+    * like Delta's. Pure log-metadata read: O(retained versions) record
+    * parses, zero jobs.
+    */
+  def commitInfos(path: String): Seq[CommitInfo] = {
+    val vs = listVersionNumbers(path).sorted
+    require(vs.nonEmpty, s"TxLog: no table at $path")
+    vs.reverseIterator.map { v =>
+      val rec = parseRecord(path, v)
+      val add = rec.full.getOrElse(rec.add)
+      val rowsAdded =
+        if (add.isEmpty) Some(0L)
+        else if (add.forall(rec.stats.contains))
+          Some(add.iterator.map(f => rec.stats(f).rows).sum)
+        else None
+      CommitInfo(v, rec.info.map(_._1),
+        rec.info.map(_._2).getOrElse(Map.empty),
+        add.size, rec.remove.size, rowsAdded)
+    }.toSeq
+  }
+
+  /** [[commitInfos]] as a DataFrame (newest first; metadata-scale —
+    * built driver-side like every log read).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = true),
+      StructField("params", MapType(StringType, StringType), nullable = false),
+      StructField("n_added_files", IntegerType, nullable = false),
+      StructField("n_removed_files", IntegerType, nullable = false),
+      StructField("rows_added", LongType, nullable = true)))
+    val rows = commitInfos(path).map(ci => Row(ci.version,
+      ci.operation.orNull, ci.params, ci.addedFiles, ci.removedFiles,
+      ci.rowsAdded.map(java.lang.Long.valueOf).orNull))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Publish one commit as version `v`: a DELTA action record (`add` /
     * `remove` — O(changed files) bytes) through the configured
     * [[CommitPrimitive]], so the version file appears atomically with its
@@ -843,6 +960,11 @@ object TxLog {
   private def publish(path: String, v: Long, fullFiles: Seq[String],
       add: Seq[String], remove: Seq[String],
       schema: Option[StructType],
+      // NO default: every committer must name the operation that produced
+      // the version (Delta's commitInfo role) — the raw material of
+      // [[history]]; an unattributed commit would be a blind spot in the
+      // audit trail forever
+      info: (String, Map[String, String]),
       txn: Option[(String, Long)] = None,
       // NO default: every committer must state the complete post-commit
       // txn map — a forgotten pass-through here would write checkpoints
@@ -864,9 +986,10 @@ object TxLog {
     if (!dir.exists()) dir.mkdirs()
     val schemaPart =
       schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
-    // txn/constraints/stats ride BEFORE the action arrays so the
+    // info/txn/constraints/stats ride BEFORE the action arrays so the
     // truncation guard (both add AND remove present, remove last) keeps
     // covering the whole record
+    val infoPart = s""""info":"${infoEntries(info._1, info._2)}","""
     val txnPart = txn.map { case (a, b) =>
       s""""txn":"${txnEntry(a, b)}","""
     }.getOrElse("")
@@ -876,7 +999,7 @@ object TxLog {
       if (addStats.isEmpty) ""
       else s""""statsB64":"${statsToB64(addStats)}","""
     val json =
-      s"""{"version":$v,$schemaPart$txnPart$consPart$statsPart"add":[${quoteList(add)}],""" +
+      s"""{"version":$v,$schemaPart$infoPart$txnPart$consPart$statsPart"add":[${quoteList(add)}],""" +
         s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
@@ -950,6 +1073,59 @@ object TxLog {
     */
   val MaxStatsCols = 32
 
+  /** String-stat truncation width in CODE POINTS (Delta truncates its
+    * string stats the same way): without a cap a single document-sized
+    * value would bloat every version record and checkpoint. Code points,
+    * not UTF-16 chars — truncating inside a surrogate pair would store an
+    * unpaired surrogate whose UTF-8 bytes break the binary order the
+    * bounds are compared in.
+    */
+  val MaxStringStatChars = 32
+
+  /** First `n` code points of `s` (whole string when shorter). */
+  private def takeCodePoints(s: String, n: Int): String =
+    s.substring(0, s.offsetByCodePoints(0,
+      math.min(n, s.codePointCount(0, s.length))))
+
+  /** The smallest convenient string STRICTLY ABOVE every extension of
+    * prefix `s`, in code-point (= UTF8 binary) order: last code point
+    * incremented — skipping the surrogate range (not valid standalone
+    * code points) and carrying past U+10FFFF by dropping it and
+    * incrementing the previous position. None when `s` is all U+10FFFF
+    * (no such string exists) — the bound degrades to unbounded-above.
+    */
+  private[graft] def incrementLastCodePoint(s: String): Option[String] = {
+    val sb = new java.lang.StringBuilder(s)
+    var i = sb.length
+    while (i > 0) {
+      val cp = sb.codePointBefore(i)
+      val start = i - Character.charCount(cp)
+      if (cp < 0x10FFFF) {
+        var next = cp + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        sb.delete(start, sb.length)
+        sb.appendCodePoint(next)
+        return Some(sb.toString)
+      }
+      sb.delete(start, sb.length) // U+10FFFF: drop and carry left
+      i = start
+    }
+    None
+  }
+
+  /** Upper string bound from the collected per-file maximum over
+    * (MaxStringStatChars+1)-code-point prefixes. When the collected value
+    * fits in MaxStringStatChars it IS an upper bound for the whole file:
+    * any longer row's 33-cp prefix would be ≤ it while differing before
+    * its end, which forces the full row below it too. When the collected
+    * value was itself truncated, the only sound cheap bound is the
+    * incremented 32-cp prefix (strictly above every extension).
+    */
+  private def strMaxBound(collected: String): Option[String] =
+    if (collected.codePointCount(0, collected.length) <= MaxStringStatChars)
+      Some(collected)
+    else incrementLastCodePoint(takeCodePoints(collected, MaxStringStatChars))
+
   /** Canonical-long projection of a stats-eligible column, or None for
     * ineligible types. DATE → epoch days; TIMESTAMP_NTZ → epoch micros
     * through the session-timezone cast (stable + monotone under the fixed
@@ -972,6 +1148,7 @@ object TxLog {
     dt match {
       case DateType         => "d"
       case TimestampNTZType => "t"
+      case StringType       => "s"
       case _                => "l"
     }
   }
@@ -988,8 +1165,19 @@ object TxLog {
     try {
       df.write.mode("overwrite").parquet(stage.toString)
       val eligible = df.schema.fields.toSeq
-        .flatMap(f => canonCol(f.dataType, f.name)
-          .map(cc => (f.name, statsTypeTag(f.dataType), cc)))
+        .flatMap { f =>
+          f.dataType match {
+            // strings aggregate over a (cap+1)-code-point prefix: min of
+            // prefixes is a sound lower bound (prefix <= extension in UTF8
+            // order); the +1 cp lets strMaxBound distinguish "fits exactly"
+            // from "was truncated" without shipping whole values
+            case org.apache.spark.sql.types.StringType =>
+              Some((f.name, "s",
+                substring(col(f.name), 1, MaxStringStatChars + 1)))
+            case dt => canonCol(dt, f.name)
+              .map(cc => (f.name, statsTypeTag(dt), cc))
+          }
+        }
         .take(MaxStatsCols)
       val stats: Map[String, FileStats] =
         if (eligible.isEmpty) Map.empty
@@ -1008,8 +1196,19 @@ object TxLog {
                   val idx = r.fieldIndex(c)
                   if (r.isNullAt(idx)) None else Some(r.getLong(idx))
                 }
-                (n, ColStats(t, r.getAs[Long](s"__graft_nulls_$i"),
-                  opt(s"__graft_min_$i"), opt(s"__graft_max_$i")))
+                def optS(c: String): Option[String] = {
+                  val idx = r.fieldIndex(c)
+                  if (r.isNullAt(idx)) None else Some(r.getString(idx))
+                }
+                if (t == "s")
+                  (n, ColStats(t, r.getAs[Long](s"__graft_nulls_$i"),
+                    None, None,
+                    optS(s"__graft_min_$i")
+                      .map(takeCodePoints(_, MaxStringStatChars)),
+                    optS(s"__graft_max_$i").flatMap(strMaxBound)))
+                else
+                  (n, ColStats(t, r.getAs[Long](s"__graft_nulls_$i"),
+                    opt(s"__graft_min_$i"), opt(s"__graft_max_$i")))
               }.toMap
               (fileName(r.getAs[String]("__graft_file")),
                 FileStats(r.getAs[Long]("__graft_rows"), cols))
@@ -1077,6 +1276,7 @@ object TxLog {
     new java.io.File(path).mkdirs()
     val (files, stats) = writeDataFiles(df, path)
     publish(path, 0L, files, add = files, remove = Nil, Some(df.schema),
+      info = ("INIT", Map.empty),
       fullTxns = Map.empty, addStats = stats,
       fullConstraints = Map.empty, fullStats = stats, alerts = alerts)
     Snapshot(0L, files, Some(df.schema), stats = stats)
@@ -1096,7 +1296,8 @@ object TxLog {
     val files = base.files ++ added
     val stats = base.stats ++ addStats
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
-      Some(schema), fullTxns = base.txns, addStats = addStats,
+      Some(schema), info = ("APPEND", Map.empty),
+      fullTxns = base.txns, addStats = addStats,
       fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
       base.constraints, stats)
@@ -1136,7 +1337,10 @@ object TxLog {
         val txns = base.txns + (appId -> batchId)
         val stats = base.stats ++ addStats
         publish(path, expectedVersion + 1, files, add = added, remove = Nil,
-          Some(schema), txn = Some((appId, batchId)), fullTxns = txns,
+          Some(schema),
+          info = ("STREAMING_APPEND",
+            Map("appId" -> appId, "batchId" -> batchId.toString)),
+          txn = Some((appId, batchId)), fullTxns = txns,
           addStats = addStats, fullConstraints = base.constraints,
           fullStats = stats, alerts = alerts)
         Snapshot(expectedVersion + 1, files, Some(schema), txns,
@@ -1183,7 +1387,9 @@ object TxLog {
       Map(name -> check))
     val cons = base.constraints + (name -> check)
     publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
-      base.schema, fullTxns = base.txns, constraints = Some(cons),
+      base.schema,
+      info = ("ADD_CONSTRAINT", Map("name" -> name, "check" -> check)),
+      fullTxns = base.txns, constraints = Some(cons),
       fullConstraints = cons, fullStats = base.stats, alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
       base.stats)
@@ -1202,7 +1408,8 @@ object TxLog {
         s"${base.constraints.keys.toSeq.sorted.mkString(", ")})")
     val cons = base.constraints - name
     publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
-      base.schema, fullTxns = base.txns, constraints = Some(cons),
+      base.schema, info = ("DROP_CONSTRAINT", Map("name" -> name)),
+      fullTxns = base.txns, constraints = Some(cons),
       fullConstraints = cons, fullStats = base.stats, alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
       base.stats)
@@ -1246,11 +1453,73 @@ object TxLog {
     val stats = base.stats.filterNot { case (f, _) => smallSet.contains(f) } ++
       addStats
     publish(path, expectedVersion + 1, files, add = added,
-      remove = small.sorted, base.schema, fullTxns = base.txns,
+      remove = small.sorted, base.schema,
+      info = ("OPTIMIZE", Map(
+        "targetFiles" -> targetFiles.toString,
+        "maxFileBytes" -> maxFileBytes.toString,
+        "sortCols" -> sortCols.mkString(","))),
+      fullTxns = base.txns,
       addStats = addStats, fullConstraints = base.constraints,
       fullStats = stats, alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns,
       base.constraints, stats)
+  }
+
+  /** RESTORE the table to the state it had at `toVersion` (the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` shape) — as a NEW commit, never
+    * by rewriting history: the restored version's file set, recorded
+    * schema, and constraint set become the table's current state through
+    * one atomic action record (add = files the restore brings back,
+    * remove = current files the target lacks), so the restore itself is
+    * time-travelable and shows in [[history]] as a RESTORE operation.
+    *
+    * Restore is the ONE sanctioned schema rollback: the recorded schema
+    * reverts to the target version's even when that narrows — the served
+    * files ARE the target version's files, so the record must match them
+    * (the widen-only [[mergeSchemas]] guard protects appends, where
+    * narrow metadata would misdescribe wide files; here both roll back
+    * together). Constraints revert with the data: the restored rows were
+    * validated against the TARGET version's constraint set, which is the
+    * set that must resume gating writes. Txn watermarks are deliberately
+    * NOT restored — rolling a per-app batch watermark backwards would let
+    * an exactly-once writer re-apply batches it already committed, the
+    * exact double-write the watermark exists to prevent (Delta keeps txn
+    * actions through RESTORE for the same reason).
+    *
+    * Requires every target-version file to still exist physically — a
+    * below-horizon `toVersion` already fails in [[snapshot]], and a
+    * retained version's files are vacuum-protected, so a missing file
+    * here means external deletion; named error, nothing publishes.
+    */
+  def restore(path: String, toVersion: Long, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    require(toVersion <= expectedVersion,
+      s"TxLog.restore: target version $toVersion is above the current " +
+        s"$expectedVersion - restore rolls BACK")
+    val base = snapshot(path, Some(expectedVersion))
+    val target = snapshot(path, Some(toVersion))
+    val missing = target.files.filterNot(f =>
+      new java.io.File(path, f).isFile)
+    require(missing.isEmpty,
+      s"TxLog.restore: version $toVersion references data files that no " +
+        s"longer exist (${missing.take(3).mkString(", ")}${
+          if (missing.size > 3) ", ..." else ""}) - restored versions " +
+        "must be within vacuum retention and externally untouched")
+    val curSet = base.files.toSet
+    val tgtSet = target.files.toSet
+    val add = target.files.filterNot(curSet.contains)
+    val addSet = add.toSet
+    publish(path, expectedVersion + 1, target.files, add = add,
+      remove = base.files.filterNot(tgtSet.contains).sorted,
+      schema = target.schema,
+      info = ("RESTORE", Map("restoredVersion" -> toVersion.toString)),
+      fullTxns = base.txns,
+      addStats = target.stats.filter { case (f, _) => addSet.contains(f) },
+      constraints = Some(target.constraints),
+      fullConstraints = target.constraints,
+      fullStats = target.stats, alerts = alerts)
+    Snapshot(expectedVersion + 1, target.files, target.schema, base.txns,
+      target.constraints, target.stats)
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
@@ -1481,6 +1750,7 @@ object TxLog {
       rewrittenStats ++ addedStats
     publish(path, expectedVersion + 1, files,
       add = rewritten ++ added, remove = touched.toSeq.sorted, Some(schema),
+      info = ("MERGE", Map("keys" -> nk.mkString(","))),
       fullTxns = base.txns, addStats = rewrittenStats ++ addedStats,
       fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
@@ -1532,6 +1802,7 @@ object TxLog {
       rewrittenStats
     publish(path, expectedVersion + 1, untouched ++ rewritten,
       add = rewritten, remove = touched.toSeq.sorted, base.schema,
+      info = ("DELETE", Map("predicate" -> cond.toString)),
       fullTxns = base.txns, addStats = rewrittenStats,
       fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
     Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema,

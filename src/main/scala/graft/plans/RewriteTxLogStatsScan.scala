@@ -28,13 +28,16 @@ import graft.gold.TxLog
   * a parquet relation whose root paths are all files of that table dir —
   * exactly what `TxLog.read` plans. Bound extraction is shared with
   * `RewriteSkipIndexScan` (`col <op> literal` conjuncts, both operand
-  * orders); pruning compares ONLY long-domain bounds, whose Catalyst
-  * literal representations are the log's canonical stat units by
-  * construction — integrals as themselves, DATE as epoch days,
-  * TIMESTAMP_NTZ as epoch micros. String conjuncts never prune here (the
-  * log records no string stats — the sidecar rule covers that class).
-  * Residual conjuncts and the full row-level Filter are always kept: the
-  * rule prunes I/O, never meaning.
+  * orders). Two stat domains prune: LONG-domain bounds (integrals as
+  * themselves, DATE as epoch days, TIMESTAMP_NTZ as epoch micros — the
+  * log's canonical units are Catalyst's literal units by construction)
+  * and STRING bounds against the log's truncated string stats
+  * (`strMin`/`strMax`, compared in UTF8String BINARY order — the order
+  * both Spark's min/max and the stats writer use; truncation keeps the
+  * bounds sound, see [[graft.gold.TxLog.ColStats]]). String bounds can
+  * be ONE-SIDED (a truncated maximum degrades to unbounded-above) — each
+  * side prunes independently. Residual conjuncts and the full row-level
+  * Filter are always kept: the rule prunes I/O, never meaning.
   *
   * Soundness: a file is dropped only when the snapshot's stats PROVE
   * `max < lo` or `min > hi` on some constrained column; files absent from
@@ -51,16 +54,19 @@ object RewriteTxLogStatsScan extends Rule[LogicalPlan]
 
   private val Checked = TreeNodeTag[Boolean]("graft.txlogStats.checked")
 
-  // (tablePath → (version, fileName → colName → (min, max))) — metadata
-  // scale; exact because a TxLog version's stats are immutable
+  import RewriteSkipIndexScan.{BV, BvLong, BvStr}
+
+  // (tablePath → (version, fileName → colName → (lower, upper))) —
+  // metadata scale; exact because a TxLog version's stats are immutable.
+  // Bounds are Option per side: string stats can be one-sided.
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Map[String, Map[String, (Long, Long)]])]()
+    String, (Long, Map[String, Map[String, (Option[BV], Option[BV])]])]()
 
   /** For tests: drop all cached stats. */
   def invalidateCache(): Unit = cache.clear()
 
-  private def loadStats(
-      tablePath: String): Map[String, Map[String, (Long, Long)]] = {
+  private def loadStats(tablePath: String)
+      : Map[String, Map[String, (Option[BV], Option[BV])]] = {
     val v = TxLog.currentVersion(tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"RewriteTxLogStatsScan: $PathKey is set to '$tablePath' but no " +
@@ -69,9 +75,17 @@ object RewriteTxLogStatsScan extends Rule[LogicalPlan]
     if (hit != null && hit._1 == v) return hit._2
     val snap = TxLog.snapshot(tablePath)
     val m = snap.stats.map { case (f, fs) =>
-      f -> fs.cols.collect {
-        case (c, cs) if cs.min.isDefined && cs.max.isDefined =>
-          c -> (cs.min.get, cs.max.get)
+      f -> fs.cols.flatMap { case (c, cs) =>
+        val bounds: Option[(Option[BV], Option[BV])] =
+          if (cs.typ == "s") {
+            if (cs.strMin.isEmpty && cs.strMax.isEmpty) None
+            else Some((cs.strMin.map(BvStr.apply): Option[BV],
+              cs.strMax.map(BvStr.apply): Option[BV]))
+          } else if (cs.min.isDefined && cs.max.isDefined)
+            Some((Some(BvLong(cs.min.get)): Option[BV],
+              Some(BvLong(cs.max.get)): Option[BV]))
+          else None
+        bounds.map(c -> _)
       }
     }
     cache.put(tablePath, (v, m))
@@ -92,17 +106,10 @@ object RewriteTxLogStatsScan extends Rule[LogicalPlan]
             fsRel.location.rootPaths.forall(p =>
               Option(p.getParent).exists(_.toUri.getPath == wanted)) =>
         rel.setTagValue(Checked, true)
-        // reuse the sibling rule's conjunct extraction; keep only
-        // long-domain bounds (canonical-unit agreement holds only there)
+        // the sibling rule's conjunct extraction: long-domain AND string
+        // bounds (cross-domain comparisons never prune — BV.lt is false)
         val bounds = RewriteSkipIndexScan
           .extractBounds(splitConjunctivePredicates(cond))
-          .collect { case (c, (lo, hi))
-              if lo.forall(_.isInstanceOf[RewriteSkipIndexScan.BvLong]) &&
-                hi.forall(_.isInstanceOf[RewriteSkipIndexScan.BvLong]) &&
-                (lo.nonEmpty || hi.nonEmpty) =>
-            c -> (lo.map(_.asInstanceOf[RewriteSkipIndexScan.BvLong].v),
-              hi.map(_.asInstanceOf[RewriteSkipIndexScan.BvLong].v))
-          }
         if (bounds.isEmpty) f
         else {
           val stats = loadStats(tablePath)
@@ -111,8 +118,14 @@ object RewriteTxLogStatsScan extends Rule[LogicalPlan]
             stats.get(p.getName) match {
               case Some(cols) => bounds.forall { case (c, (lo, hi)) =>
                 cols.get(c) match {
-                  case Some((mn, mx)) =>
-                    !(lo.exists(mx < _) || hi.exists(mn > _))
+                  case Some((smn, smx)) =>
+                    val wholeFileBelow =
+                      (for (l <- lo; mx <- smx) yield mx.lt(l))
+                        .getOrElse(false)
+                    val wholeFileAbove =
+                      (for (h <- hi; mn <- smn) yield h.lt(mn))
+                        .getOrElse(false)
+                    !(wholeFileBelow || wholeFileAbove)
                   case None => true // no stats for this column: keep
                 }
               }

@@ -575,6 +575,68 @@ object EventStream {
     graft.gold.TxLog.read(s, tablePath)
   }
 
+  /** The same exactly-once ingestion through the DECLARATIVE sink format
+    * (`writeStream.format("graft-txlog")`, [[TxLogSink]]) — and, unlike
+    * [[replayIntoTxLog]]'s inline double-apply, with a REAL engine-level
+    * redelivery driven through the crash window: the first run carries the
+    * sink's fault-injection option and DIES after `appendIfNew` commits
+    * batch `nFiles/2` but before the engine writes that batch's commit
+    * marker (exactly the at-least-once window); the restart from the same
+    * checkpoint redelivers that batch — the txn watermark must no-op it —
+    * then drains the remaining files. Gated as `q_o_stream_txlog_sink_fmt`
+    * against the plain events projection: a watermark miss double-counts
+    * the redelivered batch, a lost batch drops rows, both hash-mismatch.
+    * The crash is REQUIRED to have fired (loud error otherwise) so the
+    * gate can never silently degrade into a plain single-run replay.
+    */
+  def replayIntoTxLogFormatSink(
+      events: DataFrame,
+      stagePath: String,
+      tablePath: String,
+      nFiles: Int = 12,
+      appId: String = "graft-stream-ingest-fmt"
+  ): DataFrame = {
+    val s = events.sparkSession
+    val staged = events.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"))
+    writeTimeOrderedFiles(staged, stagePath, nFiles)
+    graft.core.Fs.rmTree(new java.io.File(tablePath))
+    graft.gold.TxLog.init(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        staged.schema), tablePath)
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", ReplayShufflePartitions)
+    val ckpt = stagePath + "_ckpt"
+    graft.core.Fs.rmTree(new java.io.File(ckpt))
+    def run(fault: Option[Long]): Boolean = {
+      var w = child.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stagePath)
+        .writeStream.format("graft-txlog")
+        .option("path", tablePath)
+        .option("appId", appId)
+        .option("checkpointLocation", ckpt)
+      fault.foreach(k => w = w.option(TxLogSink.FaultInjectKey, k.toString))
+      val q = w.start()
+      try { q.processAllAvailable(); false }
+      catch {
+        // the injected crash surfaces as the query's failure; anything
+        // else (a real bug) must keep propagating
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("INJECTED failure") => true
+      } finally q.stop()
+    }
+    val crashed = run(fault = Some(nFiles / 2L))
+    require(crashed, "replayIntoTxLogFormatSink: the injected crash did " +
+      "not fire - the redelivery path was not exercised")
+    val crashedAgain = run(fault = None)
+    require(!crashedAgain,
+      "replayIntoTxLogFormatSink: restart run failed unexpectedly")
+    graft.gold.TxLog.read(s, tablePath)
+  }
+
   /** The INCREMENTAL TxLog streaming source ([[TxLogSource]]) as a
     * readStream — offset = log version, batches read each commit's add
     * files IN PLACE (no staging copy), resumable from the engine

@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamingSourceBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.gold.TxLog
@@ -52,9 +53,60 @@ import graft.gold.TxLog
   * .load()` (service-registered short name), or the
   * [[EventStream.streamTxLogTable]] wrapper.
   */
-class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
+
+  /** The SINK side of the same format — `df.writeStream
+    * .format("graft-txlog").option("path", dir).option("appId", id)` is
+    * the EXACTLY-ONCE TxLog ingestion [[EventStream.replayIntoTxLog]]
+    * proves through `foreachBatch`, packaged as a declarative sink: every
+    * micro-batch commits via `TxLog.appendIfNew` under `commitWithRetry`,
+    * so the engine's at-least-once batch redelivery (restart after a
+    * sink-success/engine-commit crash window) re-applies NOTHING — the
+    * per-app txn watermark skips at-or-below batches (the Delta sink's
+    * txn-action pattern, and together with the source side it closes the
+    * loop: TxLog table → `graft-txlog` stream → `graft-txlog` sink →
+    * TxLog table, exactly-once end to end).
+    *
+    * `appId` is REQUIRED and is the writer identity the exactly-once
+    * guarantee keys on: the V1 sink API does not expose the streaming
+    * query's id, and deriving one from, say, the checkpoint path would
+    * silently change identity when a checkpoint moves — two different
+    * appIds ingest the same batches TWICE. Choose one stable id per
+    * logical pipeline and never share it across pipelines. Append mode
+    * only (the table is an append target; aggregating queries belong in
+    * front of a complete/update-mode consumer, not inside an ACID append
+    * sink), and the table must already exist (`TxLog.init`) — implicit
+    * creation racing multiple queries would turn a deploy mistake into
+    * two tables' worth of interleaved schemas.
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-txlog sink: only Append output mode is supported (got " +
+        s"$outputMode) - the sink commits each micro-batch as an ACID " +
+        "append; updating semantics belong on a keyed consumer")
+    require(partitionColumns.isEmpty,
+      "graft-txlog sink: partitionBy is not supported - the commit log " +
+        "tracks files, not partition directories (cluster with " +
+        "TxLog.compact(sortCols) instead)")
+    val path = TxLogSource.tablePath(parameters)
+    val appId = parameters.getOrElse("appId",
+      throw new IllegalArgumentException(
+        "graft-txlog sink: 'appId' option is required - it is the stable " +
+          "writer identity the exactly-once txn watermark keys on"))
+    require(appId.nonEmpty, "graft-txlog sink: appId must be non-empty")
+    require(TxLog.currentVersion(path).isDefined,
+      s"graft-txlog sink: no TxLog table at $path - TxLog.init it first " +
+        "(implicit creation under concurrent queries is a footgun)")
+    new TxLogSink(sqlContext.sparkSession, path, appId,
+      parameters.get(TxLogSink.FaultInjectKey).map(_.toLong))
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -82,6 +134,52 @@ class TxLogSourceProvider extends StreamSourceProvider with DataSourceRegister {
       maxVersions, TxLogSource.startingVersionOf(parameters),
       TxLogSource.ignoreDeletesOf(parameters))
   }
+}
+
+/** The V1 sink behind `writeStream.format("graft-txlog")` — see
+  * [[TxLogSourceProvider.createSink]] for the contract. `addBatch` first
+  * re-wraps the engine's streaming-planned micro-batch as a batch view
+  * (the ForeachBatchSink bridge — a streaming-flagged plan cannot be
+  * written), then commits through `appendIfNew`: on a redelivered batchId
+  * the snapshot's per-app watermark makes the whole call a no-op BEFORE
+  * any data file is written, so retries cost metadata reads only.
+  */
+class TxLogSink(spark: SparkSession, tablePath: String, appId: String,
+    faultInjectFailAfterBatch: Option[Long] = None)
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // redelivery probe for the fault hook below: a batch whose id is
+    // at-or-below the recorded watermark is the engine re-running a
+    // batch it crashed before committing — the injected failure must not
+    // re-fire on it or the query could never recover
+    val redelivered =
+      TxLog.snapshot(tablePath).txns.get(appId).exists(_ >= batchId)
+    val batch = StreamingSourceBridge.sinkBatchView(data)
+    TxLog.commitWithRetry(tablePath)(v =>
+      TxLog.appendIfNew(batch, tablePath, appId, batchId, v))
+    if (!redelivered && faultInjectFailAfterBatch.contains(batchId))
+      throw new IllegalStateException(
+        s"graft-txlog sink: INJECTED failure after committing batch " +
+          s"$batchId (option '${TxLogSink.FaultInjectKey}' - crash-window " +
+          "fault injection: the table commit succeeded, the engine's " +
+          "checkpoint commit will not, so a restart MUST redeliver this " +
+          "batch and the txn watermark MUST no-op it)")
+  }
+
+  override def toString: String = s"TxLogSink[$tablePath, app=$appId]"
+}
+
+object TxLogSink {
+  /** TEST-ONLY fault injection: fail the query AFTER `appendIfNew` for
+    * this batchId succeeds but BEFORE the engine can write the batch's
+    * commit marker — the exact at-least-once crash window the txn
+    * watermark exists for. The failure fires only on the batch's FIRST
+    * delivery (a redelivered batch is recognized by the watermark and
+    * passes), so a restarted query recovers and the no-op redelivery is
+    * observable end-to-end.
+    */
+  val FaultInjectKey = "faultInjectFailAfterBatch"
 }
 
 object TxLogSource {

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
@@ -36,6 +36,23 @@ object StreamingSourceBridge {
     Dataset.ofRows(cs,
       LogicalRelation(ds.resolveRelation(checkFilesExist = false),
         isStreaming = true))
+  }
+
+  /** The inverse bridge, for V1 streaming SINKS: the DataFrame handed to
+    * `Sink.addBatch` carries a streaming-flagged plan (an
+    * IncrementalExecution), so any batch action on it — `df.write`, a
+    * fresh aggregation — fails analysis with "streaming sources must be
+    * executed with writeStream". Re-wrap the micro-batch's already-planned
+    * RDD as an ordinary batch DataFrame (`isStreaming = false`), exactly
+    * what Spark's own ForeachBatchSink does before handing the user their
+    * batch view. The RDD is the executed micro-batch lineage — recomputing
+    * it (e.g. across a commit retry) replays the same deterministic batch.
+    */
+  def sinkBatchView(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[Dataset[Row]]
+    val cs = ds.sparkSession.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema,
+      isStreaming = false)
   }
 
   /** A zero-row streaming-flagged batch (a micro-batch whose offset range

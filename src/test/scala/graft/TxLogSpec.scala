@@ -986,8 +986,26 @@ class TxLogSpec extends SparkSpecBase {
     val (keptT, totalT) =
       TxLog.statsPrunedFilesCanonical(path, "ts", juneMicros, juneMicros)
     keptT.size should be < totalT
-    // a column with NO stats (string) never prunes
+    // a column with no canonical-long stats never prunes through the
+    // canonical API (string stats live in strMin/strMax, not here)
     TxLog.statsPrunedFilesCanonical(path, "nope", 0L, 0L)._1.size shouldBe 2
+  }
+
+  test("incrementLastCodePoint: surrogate skip, U+10FFFF carry, exhaustion") {
+    def cp(c: Int) = new String(Character.toChars(c))
+    TxLog.incrementLastCodePoint("abc") shouldBe Some("abd")
+    // D7FF + 1 lands in the surrogate range -> jump to E000
+    TxLog.incrementLastCodePoint("a\uD7FF") shouldBe Some("a\uE000")
+    // a trailing U+10FFFF cannot increment: drop it, carry left
+    TxLog.incrementLastCodePoint("a" + cp(0x10FFFF)) shouldBe Some("b")
+    // nothing above an all-U+10FFFF prefix exists
+    TxLog.incrementLastCodePoint(cp(0x10FFFF) * 3) shouldBe None
+    // every increment is strictly above ANY extension of the input prefix
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    Seq("abc", "a\uD7FF", "a" + cp(0x1F600), "zz\uFFFF").foreach { p =>
+      val inc = TxLog.incrementLastCodePoint(p).get
+      u(inc).compareTo(u(p + "extension-beyond-the-prefix")) should be > 0
+    }
   }
 
   test("stats + constraints property fuzz: random histories stay sound, checkpoint-consistent, and model-exact") {
@@ -1010,9 +1028,15 @@ class TxLogSpec extends SparkSpecBase {
       var v = 0L
       var constrained = false // model: "id >= 0" active?
       var vacuumed = false // pure action replay impossible below horizon
+      var minRetained = 0L // oldest version still readable (vacuum horizon)
+      // per-version model state, the RESTORE oracle: restoring to w must
+      // reproduce exactly the live set and constraint flag recorded at w
+      val histLive = scala.collection.mutable.Map[Long, Set[Long]]()
+      val histCons = scala.collection.mutable.Map[Long, Boolean]()
       TxLog.init(df(0L until 40L).repartitionByRange(4, col("id")), path)
       live ++= (0L until 40L)
       def checkInvariants(): Unit = {
+        histLive(v) = live.toSet; histCons(v) = constrained
         val snap = TxLog.snapshot(path)
         withClue(s"seed=$seed v=$v: ") {
           snap.stats.keySet shouldBe snap.files.toSet
@@ -1035,7 +1059,7 @@ class TxLogSpec extends SparkSpecBase {
       }
       checkInvariants()
       (0 until 14).foreach { _ =>
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case 0 | 1 | 2 | 3 => // append, sometimes with a negative id
             val base = rnd.nextLong(150L)
             val ids = (base until base + 1 + rnd.nextLong(20L)).toSeq ++
@@ -1068,9 +1092,10 @@ class TxLogSpec extends SparkSpecBase {
               sortCols = if (rnd.nextBoolean()) Seq("id") else Nil)
             v = s.version // no-op returns same version
           case 8 => // vacuum (load-bearing checkpoint carries stats+cons)
-            TxLog.vacuum(path, retainVersions = 1 + rnd.nextInt(2),
-              minAgeMs = 0L)
+            val retain = 1 + rnd.nextInt(2)
+            TxLog.vacuum(path, retainVersions = retain, minAgeMs = 0L)
             vacuumed = true
+            minRetained = math.max(minRetained, v - retain + 1)
           case 9 | 10 => // toggle the constraint
             if (!constrained && live.forall(_ >= 0L)) {
               TxLog.addConstraint(spark, path, "id_nonneg", "id >= 0", v)
@@ -1079,6 +1104,11 @@ class TxLogSpec extends SparkSpecBase {
               TxLog.dropConstraint(path, "id_nonneg", v)
               v += 1; constrained = false
             }
+          case 11 => // restore to a random retained version
+            val target = minRetained + rnd.nextLong(v - minRetained + 1)
+            TxLog.restore(path, target, v); v += 1
+            live = scala.collection.mutable.Set(histLive(target).toSeq: _*)
+            constrained = histCons(target)
           case _ => // append a legal negative while UNconstrained
             if (!constrained) {
               val neg = Seq(-100L - rnd.nextLong(50L))
@@ -1112,5 +1142,94 @@ class TxLogSpec extends SparkSpecBase {
       .count()
     left should be > 0L   // under-delete: hinted-out files never probed
     left should be < 100L // but the hinted range itself was deleted
+  }
+
+  test("history: every commit kind attributed with params, newest first, zero jobs") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(4), path) // v0
+    TxLog.append(rows(100 until 150), path, 0L) // v1
+    TxLog.appendIfNew(rows(150 until 160), path, "app-x", 7L, 1L) // v2
+    TxLog.addConstraint(spark, path, "id_nn", "id IS NOT NULL", 2L) // v3
+    TxLog.dropConstraint(path, "id_nn", 3L) // v4
+    TxLog.deleteWhere(spark, path, col("id") >= 150L, 4L) // v5
+    TxLog.compact(spark, path, 5L, targetFiles = 2) // v6
+    TxLog.replaceWhereKeys(spark, path,
+      rows(0 until 10).select("id"), Seq("id"),
+      newData = rows(0 until 10), expectedVersion = 6L) // v7
+    TxLog.restore(path, toVersion = 5L, expectedVersion = 7L) // v8
+
+    countJobs { // history is pure log metadata: ZERO jobs
+      val got = TxLog.commitInfos(path)
+      got.map(_.version) shouldBe (8L to 0L by -1L)
+      got.map(_.operation.get) shouldBe Seq("RESTORE", "MERGE", "OPTIMIZE",
+        "DELETE", "DROP_CONSTRAINT", "ADD_CONSTRAINT", "STREAMING_APPEND",
+        "APPEND", "INIT")
+      val byV = got.map(ci => ci.version -> ci).toMap
+      byV(2L).params shouldBe Map("appId" -> "app-x", "batchId" -> "7")
+      byV(3L).params shouldBe Map("name" -> "id_nn", "check" -> "id IS NOT NULL")
+      byV(4L).params shouldBe Map("name" -> "id_nn")
+      byV(6L).params("targetFiles") shouldBe "2"
+      byV(7L).params shouldBe Map("keys" -> "id")
+      byV(8L).params shouldBe Map("restoredVersion" -> "5")
+      // rows_added from the records' own stats: INIT 100, APPEND 50,
+      // STREAMING_APPEND 10, metadata-only commits 0
+      byV(0L).rowsAdded shouldBe Some(100L)
+      byV(1L).rowsAdded shouldBe Some(50L)
+      byV(2L).rowsAdded shouldBe Some(10L)
+      byV(3L).rowsAdded shouldBe Some(0L)
+      byV(4L).rowsAdded shouldBe Some(0L)
+    } shouldBe 0
+    // the DataFrame face serves the same rows (its build may run jobs)
+    TxLog.history(spark, path).count() shouldBe 9L
+    // history is vacuum-retention-bounded, exactly like DESCRIBE HISTORY
+    TxLog.vacuum(path, retainVersions = 3, minAgeMs = 0L)
+    TxLog.commitInfos(path).map(_.version) shouldBe Seq(8L, 7L, 6L)
+  }
+
+  test("restore: data+schema+constraints roll back as a NEW commit; txn watermarks survive") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(4), path) // v0
+    TxLog.append(rows(100 until 150), path, 0L) // v1
+    // v2: widening append (schema evolution), v3: constraint, v4: txn
+    TxLog.append(rows(150 until 200).withColumn("extra", col("id") * 2), path, 1L)
+    TxLog.addConstraint(spark, path, "id_nn", "id IS NOT NULL", 2L)
+    TxLog.appendIfNew(rows(200 until 210), path, "app-x", 5L, 3L) // v4
+    val v1 = TxLog.snapshot(path, Some(1L))
+
+    val restored = TxLog.restore(path, toVersion = 1L, expectedVersion = 4L)
+    restored.version shouldBe 5L
+    // data == the target version exactly (same files, same rows)
+    restored.files.sorted shouldBe v1.files.sorted
+    TxLog.read(spark, path).select("id").as[Long].collect().sorted shouldBe
+      (0L until 150L).toArray
+    // schema rolled back with the files: the widened column is gone
+    TxLog.read(spark, path).columns should not contain "extra"
+    restored.schema shouldBe v1.schema
+    // constraints rolled back: the later declaration no longer gates
+    restored.constraints shouldBe empty
+    TxLog.append(rows(300 until 301).withColumn("id",
+      lit(null).cast("long")), path, 5L) // would violate id_nn if alive
+    // txn watermarks deliberately NOT rolled back: the old batch still no-ops
+    restored.txns shouldBe Map("app-x" -> 5L)
+    val noop = TxLog.appendIfNew(rows(900 until 999), path, "app-x", 5L, 6L)
+    noop.version shouldBe 6L // unchanged - skip, no new version
+    // the pre-restore past is intact BELOW the restore commit
+    TxLog.read(spark, path, asOf = Some(4L)).count() shouldBe 210L
+    TxLog.read(spark, path, asOf = Some(4L)).columns should contain("extra")
+    // and the restore itself is an ordinary time-travelable version
+    TxLog.read(spark, path, asOf = Some(5L)).count() shouldBe 150L
+
+    // refusals: forward "restore", and a physically missing target file
+    intercept[IllegalArgumentException] {
+      TxLog.restore(path, toVersion = 99L, expectedVersion = 6L)
+    }.getMessage should include("rolls BACK")
+    val path2 = freshPath()
+    TxLog.init(rows(0 until 50).repartition(2), path2)
+    val f0 = TxLog.snapshot(path2).files.head
+    TxLog.deleteWhere(spark, path2, lit(true), 0L) // v1: table emptied
+    java.nio.file.Files.delete(new java.io.File(path2, f0).toPath)
+    intercept[IllegalArgumentException] {
+      TxLog.restore(path2, toVersion = 0L, expectedVersion = 1L)
+    }.getMessage should include("no longer exist")
   }
 }

@@ -9,11 +9,12 @@ import graft.plans.RewriteTxLogStatsScan
 
 /** The log-native auto-skipping rule's contract: (1) an ordinary
   * `TxLog.read(...).filter(...)` scan reads strictly fewer files with
-  * ZERO extra jobs; (2) pruning is SOUND across predicate shapes,
-  * including ones the rule must ignore (string conjuncts — the log holds
-  * no string stats); (3) the stats are TRANSACTIONALLY CONSISTENT — a
-  * delete/rewrite immediately yields the new version's pruning (version
-  * keyed cache, no staleness window), and a time-travel scan of
+  * ZERO extra jobs; (2) pruning is SOUND across predicate shapes in BOTH
+  * stat domains — canonical longs and truncated string bounds (UTF8
+  * binary order, incl. the supplementary-plane boundary where UTF-16
+  * order would mis-prune); (3) the stats are TRANSACTIONALLY CONSISTENT
+  * — a delete/rewrite immediately yields the new version's pruning
+  * (version keyed cache, no staleness window), and a time-travel scan of
   * since-removed files keeps them (unknown files never pruned); (4) the
   * conf is loud on misconfiguration and scoped per session.
   */
@@ -61,8 +62,9 @@ class TxLogStatsRuleSpec extends SparkSpecBase {
       // DATE bound (Catalyst days == log canonical days): first file only
       ((d: DataFrame) => d.filter(col("k") < 90L &&
         col("d") >= lit("2020-01-01").cast("date")), true),
-      // string-only predicate: the log has no string stats → full scan
-      ((d: DataFrame) => d.filter(col("payload") === "r5"), false)
+      // string-only predicate: the truncated string stats prune too
+      // (payload "r$i" boxes are lexically disjoint enough here)
+      ((d: DataFrame) => d.filter(col("payload") === "r5"), true)
     )
     for (((pred, expectPrune), i) <- predicates.zipWithIndex) {
       val pruned = pred(TxLog.read(s, path))
@@ -88,6 +90,51 @@ class TxLogStatsRuleSpec extends SparkSpecBase {
     val none = TxLog.read(s, path).filter(col("k") > 5000L)
     none.collect() shouldBe empty
     scanFileCounts(none).foreach(_ shouldBe 0)
+  }
+
+  test("string stats: truncated bounds stay sound on long values and prune; UTF8 order on supplementary planes") {
+    val path = freshPath()
+    // every value is LONGER than the 32-cp stat cap: all recorded bounds
+    // are truncated — strMin a 32-cp prefix, strMax the incremented prefix
+    val pad = "x" * 40
+    TxLog.init(
+      (0 until 100).map { i =>
+        val grp = ('a' + i / 25).toChar // 4 lexical groups a..d
+        (i.toLong, s"$grp$pad${"%03d".format(i)}")
+      }.toDF("k", "s").repartitionByRange(4, col("s")),
+      path)
+    val snap = TxLog.snapshot(path)
+    snap.stats.values.foreach { fs =>
+      val cs = fs.cols("s")
+      cs.typ shouldBe "s"
+      cs.min shouldBe None // string cols carry no long-domain bounds
+      cs.strMin.get.codePointCount(0, cs.strMin.get.length) shouldBe 32
+      val mx = cs.strMax.get
+      mx.codePointCount(0, mx.length) shouldBe 32
+      mx.last shouldBe 'y' // the incremented trailing 'x' of the prefix
+    }
+    val s = armed()
+    s.conf.set(RewriteTxLogStatsScan.PathKey, path)
+    val pruned = TxLog.read(s, path).filter(col("s") >= "b" && col("s") < "c")
+    val full = TxLog.read(spark, path).filter(col("s") >= "b" && col("s") < "c")
+    pruned.select("k").as[Long].collect().sorted shouldBe
+      full.select("k").as[Long].collect().sorted
+    scanFileCounts(pruned).foreach(_ should be < 4)
+
+    // supplementary-plane boundary: U+FFFF sorts BELOW U+1F600 in UTF8 /
+    // code-point order but ABOVE it in java.lang.String UTF-16 order — a
+    // UTF-16 comparison would prune the emoji file under `>= "￿"`
+    // and silently drop its rows
+    val path2 = freshPath()
+    TxLog.init(
+      Seq((0L, "a"), (1L, "z"), (2L, "\uFFFF"),
+        (3L, new String(Character.toChars(0x1F600))))
+        .toDF("k", "s").repartitionByRange(2, col("s")),
+      path2)
+    val s2 = armed()
+    s2.conf.set(RewriteTxLogStatsScan.PathKey, path2)
+    TxLog.read(s2, path2).filter(col("s") >= lit("\uFFFF"))
+      .select("k").as[Long].collect().sorted shouldBe Array(2L, 3L)
   }
 
   test("version-keyed cache: a rewrite prunes with the NEW stats immediately; time travel keeps removed files") {
