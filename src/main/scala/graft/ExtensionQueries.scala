@@ -389,6 +389,67 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
   }
 
+  /** DELETION-VECTOR soft delete (library: gold.TxLog.deleteWhereDV — the
+    * Delta DV shape): matching rows are recorded as (file, row_index)
+    * pairs in one sidecar and a metadata-only commit maps the touched
+    * files to it — O(deleted rows) write cost, ZERO data-file churn. The
+    * oracle states the visible membership in closed form (identical to a
+    * rewriting delete — an unapplied vector, a row-index misalignment, or
+    * an over-wide vector all hash-mismatch); the bound booleans pin the
+    * SOFT mechanics: the file set and the per-file physical stats are
+    * byte-identical to the pre-delete snapshot, so the gate cannot
+    * silently degrade into the rewriting path.
+    */
+  private def qTxlogDvDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_dvdelete"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey")), path)
+    TxLog.append(o.filter(col("o_custkey") % 4 === 1), path, 0L)
+    val before = TxLog.snapshot(path)
+    TxLog.deleteWhereDV(s, path, col("o_orderpriority") === "5-LOW", 1L)
+    val after = TxLog.snapshot(path)
+    val zeroChurn = after.files.toSet == before.files.toSet
+    val statsPhysical = after.stats == before.stats
+    TxLog.read(s, path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("zero_file_churn", lit(zeroChurn))
+      .withColumn("stats_untouched", lit(statsPhysical))
+  }
+
+  /** CHANGE FEED over a deletion-vector history (library: TxLog.changes /
+    * mirrorFromChanges over DV commits): a six-version history exercising
+    * every DV change carrier — soft delete (newly-dead rows emit as
+    * deletes), PURGE (remove+add materialization), RESTORE past the purge
+    * (re-adds the ORIGINAL files WITH their vector, removes the purge
+    * rewrites), then a plain append — folded into a mirror from the feed
+    * alone. The oracle states the final membership in closed form: a DV
+    * commit emitting already-dead rows (double delete in the multiset
+    * fold), a purge emitting dead rows as inserts, or a restore losing
+    * the re-added files' vectors all hash-mismatch.
+    */
+  private def qTxlogDvCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_dvcdf"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 4 === 0)
+      .repartitionByRange(4, col("id")), path) // v0
+    TxLog.append(o.filter(col("id") % 4 === 1), path, 0L) // v1
+    TxLog.deleteWhereDV(s, path, col("id") % 5 === 2, 1L) // v2: soft
+    TxLog.purgeDeletes(s, path, 2L) // v3: materialize
+    TxLog.restore(path, toVersion = 2L, expectedVersion = 3L) // v4
+    TxLog.append(o.filter(col("id") % 4 === 3), path, 4L) // v5
+    TxLog.mirrorFromChanges(s, path)
+  }
+
   /** RESTORE TABLE through the commit log (library: gold.TxLog.restore —
     * the Delta `RESTORE ... TO VERSION AS OF` shape, as a NEW commit):
     * after the shared three-version history PLUS a second destructive
@@ -1382,6 +1443,8 @@ object ExtensionQueries {
     "q_o_txlog_merge_mirror" -> (qTxlogMergeMirror _),
     "q_o_txlog_constraints" -> (qTxlogConstraints _),
     "q_o_txlog_restore" -> (qTxlogRestore _),
+    "q_o_txlog_dv_delete" -> (qTxlogDvDelete _),
+    "q_o_txlog_dv_cdf" -> (qTxlogDvCdf _),
     "q_o_txlog_stats_string" -> (qTxlogStatsString _),
     "q_o_txlog_history" -> (qTxlogHistory _),
     "q_o_txlog_stats_prune" -> (qTxlogStatsPrune _),
@@ -1714,6 +1777,25 @@ object ExtensionQueries {
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1)
           |GROUP BY o_orderpriority""".stripMargin,
+      // DV soft delete: visible membership == the rewriting delete's;
+      // the booleans are Spark-bound (file set + physical stats
+      // byte-identical across the commit), oracled TRUE
+      "q_o_txlog_dv_delete" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS zero_file_churn, TRUE AS stats_untouched
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |GROUP BY o_orderpriority""".stripMargin,
+      // DV change feed folded to a mirror == final membership in closed
+      // form: slices %4 in (0,1) minus the soft-deleted %5=2 (the purge +
+      // restore round-trip is visibility-neutral), plus the %4=3 append
+      "q_o_txlog_dv_cdf" ->
+        """SELECT o_orderkey AS id, o_custkey AS cust,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |FROM orders
+          |WHERE (o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 <> 2)
+          |   OR o_orderkey % 4 = 3""".stripMargin,
       // string-bound rule-pruned scan == the closed-form slice (DuckDB
       // default collation is binary, same order as the UTF8 bounds)
       "q_o_txlog_stats_string" ->

@@ -126,7 +126,11 @@ object TxLog {
       schema: Option[StructType] = None,
       txns: Map[String, Long] = Map.empty,
       constraints: Map[String, String] = Map.empty,
-      stats: Map[String, FileStats] = Map.empty)
+      stats: Map[String, FileStats] = Map.empty,
+      // active deletion vectors: data file → DV sidecar file whose
+      // (file, row_idx) rows are DELETED from it (the Delta DV shape) —
+      // see [[deleteWhereDV]]; every read path applies them
+      dvs: Map[String, String] = Map.empty)
 
   /** Per-file column statistics recorded IN the commit log (the Delta
     * `stats`-on-add shape): values are CANONICAL LONGS — integral columns
@@ -340,7 +344,8 @@ object TxLog {
       txn: Option[(String, Long)],
       constraints: Option[Map[String, String]],
       stats: Map[String, FileStats],
-      info: Option[(String, Map[String, String])])
+      info: Option[(String, Map[String, String])],
+      dvs: Map[String, Option[String]])
 
   private def quoteList(fs: Seq[String]): String =
     fs.map("\"" + _ + "\"").mkString(",")
@@ -472,6 +477,31 @@ object TxLog {
         }.toMap
       }.getOrElse(Map.empty)
 
+  // --- deletion-vector serialization ---------------------------------------
+  // `"dvs":"b64(dataFile):b64(dvFile),..."` — the commit's per-file DV
+  // entry CHANGES (delta-shaped like add/remove, O(touched files) bytes):
+  // a present value sets/replaces the file's deletion vector, an EMPTY
+  // value clears it (rows resurrect — the restore path needs this). A
+  // CHECKPOINT carries the same key as FULL state (all values present):
+  // losing the DV map on vacuum would silently RESURRECT deleted rows, a
+  // correctness hazard of exactly the constraints-loss class.
+
+  private def dvEntries(m: Map[String, Option[String]]): String =
+    m.toSeq.sortBy(_._1).map { case (f, dv) =>
+      b64(f) + ":" + dv.map(b64).getOrElse("")
+    }.mkString(",")
+
+  private val DvsRe = "\"dvs\"\\s*:\\s*\"([A-Za-z0-9+/=:,]*)\"".r
+
+  private def parseDvs(text: String): Map[String, Option[String]] =
+    DvsRe.findFirstMatchIn(text).map(m =>
+      m.group(1).split(",").filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        require(i > 0, s"TxLog: malformed dv entry '$e'")
+        val v = e.substring(i + 1)
+        (unB64(e.substring(0, i)), if (v.isEmpty) None else Some(unB64(v)))
+      }.toMap).getOrElse(Map.empty)
+
   // --- commit-info serialization ------------------------------------------
   // `"info":"b64(op);b64(k):b64(v),..."` — the Delta commitInfo action's
   // role: every version records WHAT operation produced it (operation name
@@ -580,7 +610,7 @@ object TxLog {
           "unreadable NEWEST version can be a transient race - retry)")
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
       parseSchemaB64(text), parseTxn(text), parseConstraints(text),
-      parseStats(text), parseInfo(text))
+      parseStats(text), parseInfo(text), parseDvs(text))
   }
 
   /** `(files, schema)` from checkpoint file `v`, or None when missing or
@@ -592,7 +622,8 @@ object TxLog {
     */
   private final case class CheckpointState(files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
-      constraints: Map[String, String], stats: Map[String, FileStats])
+      constraints: Map[String, String], stats: Map[String, FileStats],
+      dvs: Map[String, String])
 
   private def readCheckpoint(path: String, v: Long): Option[CheckpointState] =
     try {
@@ -605,8 +636,9 @@ object TxLog {
           CheckpointState(fs, parseSchemaB64(text).map(schemaFromB64),
             parseTxns(text),
             // a checkpoint is FULL state: absent keys mean empty (legacy
-            // checkpoints predate constraints/stats)
-            parseConstraints(text).getOrElse(Map.empty), parseStats(text)))
+            // checkpoints predate constraints/stats/dvs)
+            parseConstraints(text).getOrElse(Map.empty), parseStats(text),
+            parseDvs(text).collect { case (k, Some(dv)) => (k, dv) }))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -621,7 +653,8 @@ object TxLog {
   private def writeCheckpointFile(path: String, v: Long, files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
       constraints: Map[String, String],
-      stats: Map[String, FileStats]): Unit = {
+      stats: Map[String, FileStats],
+      dvs: Map[String, String]): Unit = {
     val schemaPart = schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
     val txnsPart =
       if (txns.isEmpty) ""
@@ -633,8 +666,11 @@ object TxLog {
     val statsPart =
       if (stats.isEmpty) ""
       else s""""statsB64":"${statsToB64(stats)}","""
+    val dvsPart =
+      if (dvs.isEmpty) ""
+      else s""""dvs":"${dvEntries(dvs.map { case (k, dv) => k -> Some(dv) })}","""
     val json =
-      s"""{"version":$v,$schemaPart$txnsPart$consPart$statsPart"files":[${quoteList(files)}]}"""
+      s"""{"version":$v,$schemaPart$txnsPart$consPart$statsPart$dvsPart"files":[${quoteList(files)}]}"""
     val dir = logDir(path).toPath
     val tmp = java.nio.file.Files.createTempFile(dir, ".ckptfile", ".tmp")
     try {
@@ -664,6 +700,7 @@ object TxLog {
     var constraints =
       base.map(_._2.constraints).getOrElse(Map.empty[String, String])
     var stats = base.map(_._2.stats).getOrElse(Map.empty[String, FileStats])
+    var dvs = base.map(_._2.dvs).getOrElse(Map.empty[String, String])
     val start = base.map(_._1 + 1).getOrElse(0L)
     var w = start
     while (w <= v) {
@@ -671,21 +708,27 @@ object TxLog {
       rec.full match {
         case Some(fs) =>
           files = fs // legacy full record: absolute reset
-          // a legacy record carries no stats: keep only entries still
-          // describing a present file (stats for vanished files are noise)
+          // a legacy record carries no stats/dvs: keep only entries still
+          // describing a present file (entries for vanished files are noise)
           val present = fs.toSet
           stats = stats.filter { case (f, _) => present.contains(f) }
+          dvs = dvs.filter { case (f, _) => present.contains(f) }
         case None =>
           val rm = rec.remove.toSet
           files = files.filterNot(rm.contains) ++ rec.add
           stats = stats.filterNot { case (f, _) => rm.contains(f) } ++ rec.stats
+          dvs = dvs.filterNot { case (f, _) => rm.contains(f) }
+      }
+      rec.dvs.foreach {
+        case (f, Some(dv)) => dvs = dvs + (f -> dv)
+        case (f, None)     => dvs = dvs - f
       }
       schema = rec.schemaB64.map(schemaFromB64).orElse(schema)
       rec.txn.foreach { case (app, b) => txns = txns + (app -> b) }
       rec.constraints.foreach(c => constraints = c)
       w += 1
     }
-    Snapshot(v, files, schema, txns, constraints, stats)
+    Snapshot(v, files, schema, txns, constraints, stats, dvs)
   }
 
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
@@ -721,9 +764,66 @@ object TxLog {
             s"TxLog: version ${snap.version} of $path has no files and no " +
               "recorded schema (legacy log) - nothing to serve")
       }
+    else readFilesWithDvs(spark, path, snap.files, snap.dvs)
+  }
+
+  // --- deletion-vector read machinery --------------------------------------
+
+  private val DvFileCol = "__graft_dv_file"
+  private val DvRiCol = "__graft_dv_ri"
+  private[graft] val MetaFileCol = "__graft_file"
+  private[graft] val MetaRiCol = "__graft_ri"
+
+  /** The (file, row_idx) DELETED-row set of `active` (data file → DV
+    * file), as a DataFrame — each DV parquet is filtered to ONLY the data
+    * files whose CURRENT mapping points at it, so superseded entries in a
+    * shared DV file never apply.
+    */
+  private def dvRowsDf(spark: SparkSession, path: String,
+      active: Map[String, String]): DataFrame =
+    active.groupBy(_._2).map { case (dvf, entries) =>
+      spark.read.parquet(s"$path/$dvf")
+        .filter(col("file").isInCollection(entries.keys.toSeq))
+    }.reduce(_.unionAll(_))
+      .select(col("file").as(DvFileCol), col("row_idx").as(DvRiCol))
+
+  /** Load `files` with (file_name, row_index) metadata columns attached —
+    * the read-side anchor deletion vectors key on (parquet hidden
+    * `_metadata`, per-file physical row position, stable under pushed
+    * filters). `mergeSchema = false` for writer-internal probe/survivor
+    * reads (their historical contract: parquet's own type widening
+    * handles a widened re-declare, which footer MERGING refuses).
+    */
+  private def readFilesMeta(spark: SparkSession, path: String,
+      files: Seq[String], mergeSchema: Boolean = true): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => s"$path/$f"): _*)
+      .withColumn(MetaFileCol, col("_metadata.file_name"))
+      .withColumn(MetaRiCol, col("_metadata.row_index"))
+
+  /** DV-aware load of snapshot `files`: the plain distributed parquet
+    * scan when none of them carries a deletion vector (the common case —
+    * zero overhead), otherwise an ANTI-JOIN on (file_name, row_index)
+    * against the broadcast deleted-row set. The DV side is
+    * deleted-rows-scale metadata by contract ([[deleteWhereDV]] is the
+    * soft-delete path; [[purgeDeletes]]/[[compact]] materialize before it
+    * grows to data scale), so the join is map-side — the table is never
+    * shuffled.
+    */
+  private def readFilesWithDvs(spark: SparkSession, path: String,
+      files: Seq[String], dvs: Map[String, String],
+      mergeSchema: Boolean = true): DataFrame = {
+    val present = files.toSet
+    val active = dvs.filter { case (f, _) => present.contains(f) }
+    if (active.isEmpty)
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(files.map(f => s"$path/$f"): _*)
     else
-      spark.read.option("mergeSchema", "true")
-        .parquet(snap.files.map(f => s"$path/$f"): _*)
+      readFilesMeta(spark, path, files, mergeSchema)
+        .join(broadcast(dvRowsDf(spark, path, active)),
+          col(MetaFileCol) === col(DvFileCol) &&
+            col(MetaRiCol) === col(DvRiCol), "left_anti")
+        .drop(MetaFileCol, MetaRiCol)
   }
 
   /** Row-level CHANGE DATA FEED between versions (the Delta CDF shape,
@@ -751,24 +851,109 @@ object TxLog {
       to: Long): DataFrame = {
     require(fromExclusive < to,
       s"TxLog.changes: empty range ($fromExclusive, $to]")
-    val perVersion: Seq[DataFrame] = (fromExclusive + 1 to to).flatMap { v =>
-      val rec = parseRecord(path, v)
-      require(rec.full.isEmpty,
-        s"TxLog.changes: version $v is a legacy full-list record - its " +
-          "add/remove delta is not recoverable from the record alone")
-      def load(files: Seq[String], kind: String): Option[DataFrame] =
-        if (files.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$path/$f"): _*)
-          .withColumn("_change_type", lit(kind))
-          .withColumn("_commit_version", lit(v)))
-      // deletes first within a version: a rewrite's survivor re-inserts
-      // must land after the old rows leave (order matters to appliers)
-      load(rec.remove, "delete").toSeq ++ load(rec.add, "insert").toSeq
+    var (files, dvs) =
+      if (fromExclusive < 0L) (Seq.empty[String], Map.empty[String, String])
+      else {
+        val s = resolve(path, fromExclusive)
+        (s.files, s.dvs)
+      }
+    val parts = Seq.newBuilder[DataFrame]
+    (fromExclusive + 1 to to).foreach { v =>
+      val (ps, nf, nd) = versionChangeParts(spark, path, v, files, dvs,
+        fs => readFilesMeta(spark, path, fs))
+      parts ++= ps; files = nf; dvs = nd
     }
+    val perVersion = parts.result()
     require(perVersion.nonEmpty,
       s"TxLog.changes: no file actions in ($fromExclusive, $to] at $path")
     perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One version's row-level change emission, given the file/DV state
+    * BEFORE it — the shared core of [[changes]], the keyed CDF consumer,
+    * and the streaming CDF source (whose `loadMeta` returns
+    * streaming-flagged frames; this helper only composes ordinary
+    * transforms on top). `loadMeta` must attach the `__graft_file` /
+    * `__graft_ri` metadata columns ([[readFilesMeta]] shape). Emission
+    * covers all three change carriers, deletes before inserts:
+    *
+    *  - REMOVED files: their rows LIVE at v−1 (the pre-version DV state
+    *    applies — emitting already-soft-deleted rows again would
+    *    double-delete in any multiset fold);
+    *  - ADDED files: their rows LIVE at v (a restore can re-add a file
+    *    WITH a deletion vector — its dead rows never re-enter);
+    *  - DV-delta on files present on both sides: newly-dead rows emit as
+    *    deletes, resurrected rows (a restore clearing a later DV) emit as
+    *    inserts.
+    *
+    * Returns (tagged parts, files after, DV state after).
+    */
+  private[graft] def versionChangeParts(
+      spark: SparkSession, path: String, v: Long,
+      filesBefore: Seq[String], dvBefore: Map[String, String],
+      loadMeta: Seq[String] => DataFrame)
+      : (Seq[DataFrame], Seq[String], Map[String, String]) = {
+    val rec = parseRecord(path, v)
+    require(rec.full.isEmpty,
+      s"TxLog.changes: version $v is a legacy full-list record - its " +
+        "add/remove delta is not recoverable from the record alone")
+    val rm = rec.remove.toSet
+    val addSet = rec.add.toSet
+    val filesAfter = filesBefore.filterNot(rm.contains) ++ rec.add
+    var dvAfter = dvBefore.filterNot { case (f, _) => rm.contains(f) }
+    rec.dvs.foreach {
+      case (f, Some(dv)) => dvAfter = dvAfter + (f -> dv)
+      case (f, None)     => dvAfter = dvAfter - f
+    }
+    def tag(df: DataFrame, kind: String): DataFrame =
+      df.drop(MetaFileCol, MetaRiCol)
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v))
+    def liveRows(files: Seq[String], dvs: Map[String, String]): DataFrame = {
+      val active = dvs.filter { case (f, _) => files.contains(f) }
+      val base = loadMeta(files)
+      if (active.isEmpty) base
+      else base.join(broadcast(dvRowsDf(spark, path, active)),
+        col(MetaFileCol) === col(DvFileCol) &&
+          col(MetaRiCol) === col(DvRiCol), "left_anti")
+    }
+    val removedPart =
+      if (rec.remove.isEmpty) Nil
+      else Seq(tag(liveRows(rec.remove, dvBefore), "delete"))
+    val addedPart =
+      if (rec.add.isEmpty) Nil
+      else Seq(tag(liveRows(rec.add, dvAfter), "insert"))
+    // DV delta on files that stay present across the version
+    val staying = rec.dvs.keys.toSeq.sorted
+      .filter(f => filesBefore.contains(f) && !rm.contains(f) &&
+        !addSet.contains(f))
+    val (dvDeletes, dvInserts) =
+      if (staying.isEmpty) (Nil, Nil)
+      else {
+        def rowsOf(m: Map[String, String]): Option[DataFrame] = {
+          val active = m.filter { case (f, _) => staying.contains(f) }
+          if (active.isEmpty) None else Some(dvRowsDf(spark, path, active))
+        }
+        val oldRows = rowsOf(dvBefore)
+        val newRows = rowsOf(dvAfter)
+        def minus(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+          a.map(x => b.fold(x)(y => x.join(y.withColumnRenamed(DvFileCol, "__b_f")
+            .withColumnRenamed(DvRiCol, "__b_r"),
+            col(DvFileCol) === col("__b_f") && col(DvRiCol) === col("__b_r"),
+            "left_anti")))
+        def dataAt(idx: Option[DataFrame], kind: String): Seq[DataFrame] =
+          idx.map { ix =>
+            tag(loadMeta(staying).join(broadcast(ix),
+              col(MetaFileCol) === col(DvFileCol) &&
+                col(MetaRiCol) === col(DvRiCol), "left_semi"), kind)
+          }.toSeq
+        (dataAt(minus(newRows, oldRows), "delete"),
+          dataAt(minus(oldRows, newRows), "insert"))
+      }
+    // deletes first within a version: a rewrite's survivor re-inserts
+    // must land after the old rows leave (order matters to appliers)
+    (removedPart ++ dvDeletes ++ addedPart ++ dvInserts,
+      filesAfter, dvAfter)
   }
 
   /** Version `v`'s raw file actions `(added, removed)` — the seam the
@@ -781,6 +966,12 @@ object TxLog {
       s"TxLog: version $v is a legacy full-list record - no action delta")
     (rec.add, rec.remove)
   }
+
+  /** True when version `v` changes any deletion-vector entry — the
+    * append-only streaming source treats it as a delete-class commit.
+    */
+  private[graft] def hasDvActions(path: String, v: Long): Boolean =
+    parseRecord(path, v).dvs.nonEmpty
 
   /** Reconstruct the table at version `to` from the change feed ALONE —
     * the semantic reference for any CDF consumer, and the proof the feed
@@ -852,20 +1043,30 @@ object TxLog {
     work.mkdirs()
     var mirror: Option[DataFrame] = None
     var prevCkpt: Option[java.io.File] = None
+    var files = Seq.empty[String]
+    var dvs = Map.empty[String, String]
     (0L to v).foreach { w =>
-      val (added, removed) = fileActions(path, w)
+      // the shared per-version emission (DV-aware: removed files emit
+      // only their LIVE rows, a DV delta emits exactly the newly-dead /
+      // resurrected rows) — keyed consumption of the same feed the
+      // multiset oracle folds
+      val (parts, nf, nd) = versionChangeParts(spark, path, w, files, dvs,
+        fs => readFilesMeta(spark, path, fs))
+      files = nf; dvs = nd
+      // each part is wholly one kind; split on the tag column
+      val dels = parts.map(_.filter(col("_change_type") === "delete"))
+        .map(_.select(keys.map(col): _*))
+      val inserts = parts.map(_.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version"))
       var m = mirror
-      if (removed.nonEmpty) m = m.map { cur =>
+      if (dels.nonEmpty) m = m.map { cur =>
         // the version's delete KEY SET is batch-scale; broadcasting it
         // keeps the mirror map-side (zero shuffle per applied version)
-        val delKeys = spark.read.option("mergeSchema", "true")
-          .parquet(removed.map(f => s"$path/$f"): _*)
-          .select(keys.map(col): _*).distinct()
+        val delKeys = dels.reduce(_.unionAll(_)).distinct()
         cur.join(broadcast(delKeys), keys, "left_anti")
       }
-      if (added.nonEmpty) {
-        val ins = spark.read.option("mergeSchema", "true")
-          .parquet(added.map(f => s"$path/$f"): _*)
+      if (inserts.nonEmpty) {
+        val ins = inserts.reduce(_.unionByName(_, allowMissingColumns = true))
         // allowMissingColumns: a widening append evolves the mirror schema
         // in place (older rows NULL in the new columns — the q_s14 contract)
         m = Some(m.map(_.unionByName(ins, allowMissingColumns = true))
@@ -981,6 +1182,11 @@ object TxLog {
       // would silently DISARM enforcement) and accumulated stats map
       fullConstraints: Map[String, String],
       fullStats: Map[String, FileStats],
+      // the commit's per-file deletion-vector entry CHANGES (None value =
+      // clear); and the complete post-commit DV map — NO default: a
+      // checkpoint losing it would silently RESURRECT deleted rows
+      dvs: Map[String, Option[String]] = Map.empty,
+      fullDvs: Map[String, String],
       alerts: Option[graft.runner.Alerts.Sink] = None): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
@@ -998,8 +1204,10 @@ object TxLog {
     val statsPart =
       if (addStats.isEmpty) ""
       else s""""statsB64":"${statsToB64(addStats)}","""
+    val dvsPart =
+      if (dvs.isEmpty) "" else s""""dvs":"${dvEntries(dvs)}","""
     val json =
-      s"""{"version":$v,$schemaPart$infoPart$txnPart$consPart$statsPart"add":[${quoteList(add)}],""" +
+      s"""{"version":$v,$schemaPart$infoPart$txnPart$consPart$statsPart$dvsPart"add":[${quoteList(add)}],""" +
         s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
@@ -1019,7 +1227,7 @@ object TxLog {
     if (v % CheckpointInterval == 0)
       try {
         writeCheckpointFile(path, v, fullFiles, schema, fullTxns,
-          fullConstraints, fullStats)
+          fullConstraints, fullStats, fullDvs)
         writeCheckpointHint(path, v)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -1278,7 +1486,8 @@ object TxLog {
     publish(path, 0L, files, add = files, remove = Nil, Some(df.schema),
       info = ("INIT", Map.empty),
       fullTxns = Map.empty, addStats = stats,
-      fullConstraints = Map.empty, fullStats = stats, alerts = alerts)
+      fullConstraints = Map.empty, fullStats = stats,
+      fullDvs = Map.empty, alerts = alerts)
     Snapshot(0L, files, Some(df.schema), stats = stats)
   }
 
@@ -1298,9 +1507,10 @@ object TxLog {
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
       Some(schema), info = ("APPEND", Map.empty),
       fullTxns = base.txns, addStats = addStats,
-      fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
+      fullConstraints = base.constraints, fullStats = stats,
+      fullDvs = base.dvs, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
-      base.constraints, stats)
+      base.constraints, stats, base.dvs)
   }
 
   /** IDEMPOTENT append — the exactly-once seam for streaming
@@ -1342,9 +1552,9 @@ object TxLog {
             Map("appId" -> appId, "batchId" -> batchId.toString)),
           txn = Some((appId, batchId)), fullTxns = txns,
           addStats = addStats, fullConstraints = base.constraints,
-          fullStats = stats, alerts = alerts)
+          fullStats = stats, fullDvs = base.dvs, alerts = alerts)
         Snapshot(expectedVersion + 1, files, Some(schema), txns,
-          base.constraints, stats)
+          base.constraints, stats, base.dvs)
     }
   }
 
@@ -1390,9 +1600,10 @@ object TxLog {
       base.schema,
       info = ("ADD_CONSTRAINT", Map("name" -> name, "check" -> check)),
       fullTxns = base.txns, constraints = Some(cons),
-      fullConstraints = cons, fullStats = base.stats, alerts = alerts)
+      fullConstraints = cons, fullStats = base.stats,
+      fullDvs = base.dvs, alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
-      base.stats)
+      base.stats, base.dvs)
   }
 
   /** Drop a named constraint — a metadata-only commit; later commits stop
@@ -1410,9 +1621,10 @@ object TxLog {
     publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
       base.schema, info = ("DROP_CONSTRAINT", Map("name" -> name)),
       fullTxns = base.txns, constraints = Some(cons),
-      fullConstraints = cons, fullStats = base.stats, alerts = alerts)
+      fullConstraints = cons, fullStats = base.stats,
+      fullDvs = base.dvs, alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
-      base.stats)
+      base.stats, base.dvs)
   }
 
   /** OPTIMIZE: rewrite the files at or below `maxFileBytes` into
@@ -1440,8 +1652,9 @@ object TxLog {
     val small = base.files.filter(f =>
       new java.io.File(path, f).length() <= maxFileBytes)
     if (small.size < 2) return base
-    val rows0 = spark.read.option("mergeSchema", "true")
-      .parquet(small.map(f => s"$path/$f"): _*)
+    // DV-aware materialization: a vectored small file compacts to its
+    // LIVE rows and sheds its vector (compaction doubles as local purge)
+    val rows0 = readFilesWithDvs(spark, path, small, base.dvs)
     val rows =
       if (sortCols.isEmpty) rows0.coalesce(targetFiles)
       else rows0.repartitionByRange(targetFiles, sortCols.map(col): _*)
@@ -1452,6 +1665,7 @@ object TxLog {
     val smallSet = small.toSet
     val stats = base.stats.filterNot { case (f, _) => smallSet.contains(f) } ++
       addStats
+    val dvsAfter = base.dvs.filterNot { case (f, _) => smallSet.contains(f) }
     publish(path, expectedVersion + 1, files, add = added,
       remove = small.sorted, base.schema,
       info = ("OPTIMIZE", Map(
@@ -1460,9 +1674,9 @@ object TxLog {
         "sortCols" -> sortCols.mkString(","))),
       fullTxns = base.txns,
       addStats = addStats, fullConstraints = base.constraints,
-      fullStats = stats, alerts = alerts)
+      fullStats = stats, fullDvs = dvsAfter, alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns,
-      base.constraints, stats)
+      base.constraints, stats, dvsAfter)
   }
 
   /** RESTORE the table to the state it had at `toVersion` (the Delta
@@ -1498,10 +1712,10 @@ object TxLog {
         s"$expectedVersion - restore rolls BACK")
     val base = snapshot(path, Some(expectedVersion))
     val target = snapshot(path, Some(toVersion))
-    val missing = target.files.filterNot(f =>
-      new java.io.File(path, f).isFile)
+    val missing = (target.files ++ target.dvs.values.toSeq.distinct)
+      .filterNot(f => new java.io.File(path, f).isFile)
     require(missing.isEmpty,
-      s"TxLog.restore: version $toVersion references data files that no " +
+      s"TxLog.restore: version $toVersion references files that no " +
         s"longer exist (${missing.take(3).mkString(", ")}${
           if (missing.size > 3) ", ..." else ""}) - restored versions " +
         "must be within vacuum retention and externally untouched")
@@ -1509,6 +1723,20 @@ object TxLog {
     val tgtSet = target.files.toSet
     val add = target.files.filterNot(curSet.contains)
     val addSet = add.toSet
+    // deletion-vector state restores with the data: SET every target
+    // entry that differs from the file's current state (re-added files'
+    // entries were dropped when they left; a later vector on a staying
+    // file rolls back), and CLEAR vectors the target did not have —
+    // clearing RESURRECTS rows, which is exactly what restoring past a
+    // soft delete means
+    val dvSets: Map[String, Option[String]] = target.dvs.collect {
+      case (f, dv) if !curSet.contains(f) || !base.dvs.get(f).contains(dv) =>
+        f -> (Some(dv): Option[String])
+    }
+    val dvClears: Map[String, Option[String]] = base.dvs.collect {
+      case (f, _) if tgtSet.contains(f) && !target.dvs.contains(f) =>
+        f -> (None: Option[String])
+    }
     publish(path, expectedVersion + 1, target.files, add = add,
       remove = base.files.filterNot(tgtSet.contains).sorted,
       schema = target.schema,
@@ -1517,9 +1745,10 @@ object TxLog {
       addStats = target.stats.filter { case (f, _) => addSet.contains(f) },
       constraints = Some(target.constraints),
       fullConstraints = target.constraints,
-      fullStats = target.stats, alerts = alerts)
+      fullStats = target.stats,
+      dvs = dvSets ++ dvClears, fullDvs = target.dvs, alerts = alerts)
     Snapshot(expectedVersion + 1, target.files, target.schema, base.txns,
-      target.constraints, target.stats)
+      target.constraints, target.stats, target.dvs)
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
@@ -1558,7 +1787,7 @@ object TxLog {
     // load-bearing (unlike commit-time ones)
     val oldest = snaps.head
     writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema,
-      oldest.txns, oldest.constraints, oldest.stats)
+      oldest.txns, oldest.constraints, oldest.stats, oldest.dvs)
     val droppedVersions = all.dropRight(retainVersions).map { v =>
       val f = versionFile(path, v)
       java.nio.file.Files.delete(f.toPath)
@@ -1581,6 +1810,14 @@ object TxLog {
       .filter(f => f.isFile && f.getName.startsWith("part-") &&
         !referenced.contains(f.getName) && f.lastModified() < horizon)
       .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
+    // deletion-vector sidecars referenced by NO retained snapshot
+    // (superseded by a merge/purge/rewrite) — same age guard as data
+    val referencedDvs = snaps.flatMap(_.dvs.values).toSet
+    val droppedDvs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("dv-") &&
+        !referencedDvs.contains(f.getName) && f.lastModified() < horizon)
+      .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
     // abandoned publish stages (writer crashed between stage and link)
     val droppedTmp = Option(logDir(path).listFiles())
       .getOrElse(Array.empty)
@@ -1588,7 +1825,8 @@ object TxLog {
         f.lastModified() < horizon)
       .map { f => java.nio.file.Files.delete(f.toPath); f.getName }
     writeCheckpointHint(path, kept.max)
-    (droppedVersions ++ droppedCkpts ++ droppedData ++ droppedTmp).toSeq
+    (droppedVersions ++ droppedCkpts ++ droppedData ++ droppedDvs ++
+      droppedTmp).toSeq
   }
 
   /** Basename of an `input_file_name()` URI. */
@@ -1602,12 +1840,26 @@ object TxLog {
     * DELETE/MERGE commit minutes-to-hours regardless of data volume.
     */
   private def touchedFileNames(spark: SparkSession, path: String,
-      candidates: Seq[String], probe: DataFrame => DataFrame): Set[String] =
+      candidates: Seq[String], probe: DataFrame => DataFrame,
+      dvs: Map[String, String] = Map.empty): Set[String] =
     if (candidates.isEmpty) Set.empty
-    else probe(spark.read.parquet(candidates.map(f => s"$path/$f"): _*)
-        .withColumn("__graft_file", input_file_name()))
-      .select(col("__graft_file")).distinct()
-      .collect().map(r => fileName(r.getString(0))).toSet
+    else {
+      // DV-aware: rows a deletion vector already killed must not mark a
+      // file touched (and must not re-enter the survivor rewrite). The
+      // file tag is the scan-bound `_metadata.file_name` column, NOT
+      // input_file_name() — the thread-local function refuses plans with
+      // two file sources, which the DV anti-join introduces.
+      val present = candidates.toSet
+      val active = dvs.filter { case (f, _) => present.contains(f) }
+      val base = readFilesMeta(spark, path, candidates, mergeSchema = false)
+      val live =
+        if (active.isEmpty) base
+        else base.join(broadcast(dvRowsDf(spark, path, active)),
+          col(MetaFileCol) === col(DvFileCol) &&
+            col(MetaRiCol) === col(DvRiCol), "left_anti")
+      probe(live).select(col(MetaFileCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+    }
 
   /** Drop candidates a `_graft_stats` index PROVES disjoint from
     * [lo, hi] on `c` (the [[StatsIndex]] pre-pruning the lakehouse
@@ -1684,8 +1936,7 @@ object TxLog {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
       case None => read(spark, path, asOf).filter(lit(false))
     }
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(f => s"$path/$f"): _*)
+    else readFilesWithDvs(spark, path, kept, snap.dvs)
   }
 
   /** [lo, hi] of integral column `c` over the (batch-scale) `keys` frame,
@@ -1731,16 +1982,17 @@ object TxLog {
         case None => base.files
       }
     val touched = touchedFileNames(spark, path, candidates,
-      _.join(k, nk, "left_semi"))
+      _.join(k, nk, "left_semi"), base.dvs)
     val untouched = base.files.filterNot(touched.contains)
     val schema = mergeSchemas(base.schema, newData.schema)
     enforceConstraints(newData, schema, base.constraints)
     val (rewritten, rewrittenStats) =
       if (touched.isEmpty) (Nil, Map.empty[String, FileStats])
       else {
-        val survivors = spark.read
-          .parquet(touched.toSeq.map(f => s"$path/$f"): _*)
-          .join(k, nk, "left_anti")
+        val survivors =
+          readFilesWithDvs(spark, path, touched.toSeq, base.dvs,
+            mergeSchema = false)
+            .join(k, nk, "left_anti")
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
         else writeDataFiles(survivors, path)
       }
@@ -1748,13 +2000,15 @@ object TxLog {
     val files = untouched ++ rewritten ++ added
     val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
       rewrittenStats ++ addedStats
+    val dvsAfter = base.dvs.filterNot { case (f, _) => touched.contains(f) }
     publish(path, expectedVersion + 1, files,
       add = rewritten ++ added, remove = touched.toSeq.sorted, Some(schema),
       info = ("MERGE", Map("keys" -> nk.mkString(","))),
       fullTxns = base.txns, addStats = rewrittenStats ++ addedStats,
-      fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
+      fullConstraints = base.constraints, fullStats = stats,
+      fullDvs = dvsAfter, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
-      base.constraints, stats)
+      base.constraints, stats, dvsAfter)
   }
 
   /** Delete matching rows: only files CONTAINING matches are rewritten
@@ -1782,7 +2036,8 @@ object TxLog {
           c, lo, hi)
       case None => base.files
     }
-    val touched = touchedFileNames(spark, path, candidates, _.filter(cond))
+    val touched = touchedFileNames(spark, path, candidates, _.filter(cond),
+      base.dvs)
     val untouched = base.files.filterNot(touched.contains)
     val (rewritten, rewrittenStats) =
       if (touched.isEmpty) (Nil, Map.empty[String, FileStats])
@@ -1790,22 +2045,158 @@ object TxLog {
         // SQL DELETE semantics: a NULL-valued predicate deletes NOTHING —
         // plain !cond would be NULL too and silently DROP those rows from
         // the rewritten files (while identical rows in untouched files
-        // survived); coalesce makes survival explicit
-        val survivors = spark.read
-          .parquet(touched.toSeq.map(f => s"$path/$f"): _*)
-          .filter(!coalesce(cond, lit(false)))
+        // survived); coalesce makes survival explicit. DV-aware read:
+        // soft-deleted rows must not resurrect into the rewrite.
+        val survivors =
+          readFilesWithDvs(spark, path, touched.toSeq, base.dvs,
+            mergeSchema = false)
+            .filter(!coalesce(cond, lit(false)))
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
         else writeDataFiles(survivors, path)
       }
     // no enforcement: survivors are existing rows that already passed
     val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
       rewrittenStats
+    val dvsAfter = base.dvs.filterNot { case (f, _) => touched.contains(f) }
     publish(path, expectedVersion + 1, untouched ++ rewritten,
       add = rewritten, remove = touched.toSeq.sorted, base.schema,
       info = ("DELETE", Map("predicate" -> cond.toString)),
       fullTxns = base.txns, addStats = rewrittenStats,
-      fullConstraints = base.constraints, fullStats = stats, alerts = alerts)
+      fullConstraints = base.constraints, fullStats = stats,
+      fullDvs = dvsAfter, alerts = alerts)
     Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema,
-      base.txns, base.constraints, stats)
+      base.txns, base.constraints, stats, dvsAfter)
+  }
+
+  // --- deletion vectors (soft deletes) --------------------------------------
+
+  /** Soft DELETE by DELETION VECTOR (the Delta DV shape): instead of
+    * rewriting every touched file ([[deleteWhere]]'s O(touched bytes)),
+    * record the matching rows' (file, row_index) pairs in ONE sidecar
+    * parquet and commit a metadata-only version mapping each touched data
+    * file to it — write cost O(deleted rows), zero data-file churn, and
+    * the row-ids come from the same `_metadata.row_index` every reader
+    * keys on. A second DV delete on an already-vectored file MERGES (the
+    * new DV file carries the union; the entry replaces — per-file
+    * replacement, exactly Delta's semantics), so vectors compose.
+    *
+    * Every read path applies active DVs ([[readFilesWithDvs]]): plain
+    * reads, time travel (DV state is versioned like everything else),
+    * pruned reads, the change feed (a DV commit emits exactly its
+    * newly-dead rows as deletes), and the writers' own probe/survivor
+    * reads. Trade-offs, matching Delta's: per-file stats become UPPER
+    * bounds (pruning stays sound — deletes only shrink), the read adds a
+    * broadcast anti-join until [[purgeDeletes]] or a rewriting commit
+    * materializes, and the log-stats optimizer rule does not fire on
+    * DV'd tables (the filter no longer sits directly over the scan).
+    * Predicate NULL semantics match SQL DELETE: NULL never deletes.
+    */
+  def deleteWhereDV(spark: SparkSession, path: String,
+      cond: Column, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val hits =
+      if (base.files.isEmpty) None
+      else {
+        val active = base.dvs.filter { case (f, _) =>
+          base.files.contains(f) }
+        val live0 = readFilesMeta(spark, path, base.files)
+        val live =
+          if (active.isEmpty) live0
+          else live0.join(broadcast(dvRowsDf(spark, path, active)),
+            col(MetaFileCol) === col(DvFileCol) &&
+              col(MetaRiCol) === col(DvRiCol), "left_anti")
+        Some(live.filter(coalesce(cond, lit(false)))
+          .select(col(MetaFileCol).as("file"), col(MetaRiCol).as("row_idx"))
+          .persist())
+      }
+    try {
+      val touched = hits.map(_.select("file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted).getOrElse(Nil)
+      if (touched.isEmpty) {
+        // nothing matched: still a committed (empty) version, same
+        // always-commit contract as deleteWhere
+        publish(path, expectedVersion + 1, base.files, add = Nil,
+          remove = Nil, base.schema,
+          info = ("DELETE_DV", Map("predicate" -> cond.toString)),
+          fullTxns = base.txns,
+          fullConstraints = base.constraints, fullStats = base.stats,
+          fullDvs = base.dvs, alerts = alerts)
+        Snapshot(expectedVersion + 1, base.files, base.schema, base.txns,
+          base.constraints, base.stats, base.dvs)
+      } else {
+        // per-file REPLACEMENT: the new DV file carries old ∪ new rows
+        // for every touched file (old rows of untouched files stay in
+        // their existing vectors)
+        val carryOver = base.dvs.filter { case (f, _) =>
+          touched.contains(f) }
+        val merged =
+          if (carryOver.isEmpty) hits.get
+          else hits.get.unionAll(
+            dvRowsDf(spark, path, carryOver)
+              .select(col(DvFileCol).as("file"), col(DvRiCol).as("row_idx")))
+        val dvName = writeDvFile(merged, path)
+        val entries: Map[String, Option[String]] =
+          touched.map(f => f -> (Some(dvName): Option[String])).toMap
+        val dvsAfter = base.dvs ++ touched.map(_ -> dvName)
+        publish(path, expectedVersion + 1, base.files, add = Nil,
+          remove = Nil, base.schema,
+          info = ("DELETE_DV", Map("predicate" -> cond.toString)),
+          fullTxns = base.txns,
+          fullConstraints = base.constraints, fullStats = base.stats,
+          dvs = entries, fullDvs = dvsAfter, alerts = alerts)
+        Snapshot(expectedVersion + 1, base.files, base.schema, base.txns,
+          base.constraints, base.stats, dvsAfter)
+      }
+    } finally { hits.foreach { h => h.unpersist(); () } }
+  }
+
+  /** Materialize every active deletion vector (Delta's
+    * `REORG TABLE ... APPLY (PURGE)`): rewrite each DV'd file's LIVE rows
+    * into fresh files, one commit removing the vectored files — the table
+    * returns to plain-scan reads (no anti-join) and the orphaned DV
+    * sidecars become vacuum food. No-op (current snapshot returned) when
+    * no DVs are active. Cost O(vectored-file bytes), never O(table).
+    */
+  def purgeDeletes(spark: SparkSession, path: String, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val dvd = base.files.filter(base.dvs.contains).sorted
+    if (dvd.isEmpty) return base
+    val survivors = readFilesWithDvs(spark, path, dvd, base.dvs)
+    val (rewritten, rewrittenStats) =
+      if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
+      else writeDataFiles(survivors, path)
+    val dvdSet = dvd.toSet
+    val files = base.files.filterNot(dvdSet.contains) ++ rewritten
+    val stats = base.stats.filterNot { case (f, _) => dvdSet.contains(f) } ++
+      rewrittenStats
+    publish(path, expectedVersion + 1, files, add = rewritten,
+      remove = dvd, base.schema, info = ("PURGE", Map.empty),
+      fullTxns = base.txns, addStats = rewrittenStats,
+      fullConstraints = base.constraints, fullStats = stats,
+      fullDvs = Map.empty, alerts = alerts)
+    Snapshot(expectedVersion + 1, files, base.schema, base.txns,
+      base.constraints, stats, Map.empty)
+  }
+
+  /** Stage and move a single deletion-vector sidecar holding `rows`
+    * (columns `file`, `row_idx`) under the table dir as `dv-*.parquet` —
+    * invisible until a version record references it, exactly like data
+    * files. One file per commit: the deleted-row set is metadata-scale by
+    * the DV contract.
+    */
+  private def writeDvFile(rows: DataFrame, path: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_txdv")
+    try {
+      rows.select(col("file"), col("row_idx")).repartition(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val name = "dv-" + part.getName.stripPrefix("part-")
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(path, name).toPath)
+      name
+    } finally graft.core.Fs.rmTree(stage.toFile)
   }
 }

@@ -372,19 +372,23 @@ class TxLogSource(
   protected def batchFor(from: Long, to: Long): DataFrame = {
     val files = (from + 1 to to).flatMap { v =>
       val (added, removed) = TxLog.fileActions(tablePath, v)
-      if (removed.nonEmpty) {
-        // delete-ONLY commits (retention cleanup) may pass under
-        // ignoreDeletes — their rows were served when the files were
-        // added. A remove+add REWRITE never passes: its adds carry rows
-        // the consumer already holds (Delta draws the same line between
-        // ignoreDeletes and ignoreChanges; the latter knowingly
+      // a deletion-vector commit is a delete-class commit: rows the
+      // consumer already holds just died — same contract as removes
+      val deletish = removed.nonEmpty || TxLog.hasDvActions(tablePath, v)
+      if (deletish) {
+        // delete-ONLY commits (retention cleanup / soft deletes) may pass
+        // under ignoreDeletes — their rows were served when the files
+        // were added. A remove+add REWRITE never passes: its adds carry
+        // rows the consumer already holds (Delta draws the same line
+        // between ignoreDeletes and ignoreChanges; the latter knowingly
         // re-delivers and is deliberately NOT offered here — row-level
         // consumers belong on the CDF source).
         if (!(ignoreDeletes && added.isEmpty)) throw new IllegalStateException(
-          s"graft-txlog source: version $v of $tablePath removes files - " +
-            "this source streams APPEND-ONLY tables (set ignoreDeletes " +
-            "to pass delete-only retention commits; row-level change " +
-            "consumers belong on the graft-txlog-cdf source / TxLog.changes)")
+          s"graft-txlog source: version $v of $tablePath removes rows " +
+            "(file removes or deletion vectors) - this source streams " +
+            "APPEND-ONLY tables (set ignoreDeletes to pass delete-only " +
+            "commits; row-level change consumers belong on the " +
+            "graft-txlog-cdf source / TxLog.changes)")
       }
       added
     }
@@ -471,23 +475,37 @@ class TxLogCdfSource(
   override val schema: StructType = TxLogCdfSource.cdfSchema(dataSchema)
 
   protected def batchFor(from: Long, to: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val parts = (from + 1 to to).flatMap { v =>
-      val (added, removed) = TxLog.fileActions(tablePath, v)
-      def part(files: Seq[String], kind: String): Option[DataFrame] =
-        if (files.isEmpty) None
-        // dataSchema pinned at query start: narrower pre-evolution files
-        // null-fill, every part has IDENTICAL shape, so the union below
-        // needs no name-based alignment
-        else Some(StreamingSourceBridge.streamingFileBatch(spark, dataSchema,
-            files.map(f => s"$tablePath/$f"))
-          .withColumn(TxLogCdfSource.ChangeTypeCol, lit(kind))
-          .withColumn(TxLogCdfSource.CommitVersionCol, lit(v)))
-      // deletes first within a version — same ordering contract as the
-      // batch feed (a rewrite's reinserts land after the old rows leave)
-      part(removed, "delete").toSeq ++ part(added, "insert").toSeq
+    import org.apache.spark.sql.functions.col
+    // the shared per-version emission core (TxLog.versionChangeParts) —
+    // DV-aware like the batch feed — fed a STREAMING loader: each
+    // version's files read in place as streaming-flagged frames with the
+    // (file_name, row_index) metadata columns attached; the DV
+    // anti/semi-joins the core composes on top are stream-static joins
+    // with metadata-scale static sides. dataSchema pinned at query start:
+    // narrower pre-evolution files null-fill, every part has IDENTICAL
+    // shape, so the union below needs no name-based alignment.
+    def loadMeta(files: Seq[String]): DataFrame =
+      StreamingSourceBridge.streamingFileBatch(spark, dataSchema,
+          files.map(f => s"$tablePath/$f"))
+        .withColumn(TxLog.MetaFileCol, col("_metadata.file_name"))
+        .withColumn(TxLog.MetaRiCol, col("_metadata.row_index"))
+    var (files, dvs) =
+      if (from < 0L) (Seq.empty[String], Map.empty[String, String])
+      else {
+        val s = TxLog.snapshot(tablePath, Some(from))
+        (s.files, s.dvs)
+      }
+    val parts = Seq.newBuilder[DataFrame]
+    (from + 1 to to).foreach { v =>
+      val (ps, nf, nd) = TxLog.versionChangeParts(spark, tablePath, v,
+        files, dvs, loadMeta)
+      parts ++= ps; files = nf; dvs = nd
     }
-    if (parts.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
-    else parts.reduce(_.unionAll(_))
+    val all = parts.result()
+    if (all.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
+    // rename the core's tag columns to this source's public CDF columns
+    // (same names today; keep the select explicit so the batch shape is
+    // pinned to `schema`)
+    else all.reduce(_.unionAll(_))
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch probe (will be folded into the DV specs): parquet hidden file
+  * metadata `_metadata.row_index` — per-file physical row position, the
+  * read-side anchor deletion vectors key on.
+  */
+class ScratchRowIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("_metadata.row_index is per-file, stable, and filter-independent") {
+    val dir = java.nio.file.Files.createTempDirectory("rowidx").toString
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "p")
+      .repartitionByRange(2, col("id")).write.mode("overwrite").parquet(dir)
+    val withIdx = spark.read.parquet(dir)
+      .select(col("id"), col("_metadata.file_name").as("f"),
+        col("_metadata.row_index").as("ri"))
+    val n = withIdx.groupBy("f").agg(count(lit(1)).as("c"),
+      min("ri").as("mn"), max("ri").as("mx")).collect()
+    n.length shouldBe 2
+    n.foreach { r =>
+      r.getAs[Long]("mn") shouldBe 0L
+      r.getAs[Long]("mx") shouldBe r.getAs[Long]("c") - 1L
+    }
+    // stability under a pushed filter: the surviving rows keep the SAME
+    // (file, row_index) they had on the full scan
+    val full = withIdx.filter(col("id") % 7 === 0)
+      .select("id", "f", "ri").collect().map(_.toSeq).toSet
+    val filtered = spark.read.parquet(dir).filter(col("id") % 7 === 0)
+      .select(col("id"), col("_metadata.file_name"),
+        col("_metadata.row_index")).collect().map(_.toSeq).toSet
+    filtered shouldBe full
+  }
+}

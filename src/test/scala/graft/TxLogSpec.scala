@@ -1029,6 +1029,10 @@ class TxLogSpec extends SparkSpecBase {
       var constrained = false // model: "id >= 0" active?
       var vacuumed = false // pure action replay impossible below horizon
       var minRetained = 0L // oldest version still readable (vacuum horizon)
+      // once a deletion vector exists, physical rows (stats) can exceed
+      // visible rows; the row-sum invariant weakens to >= (visible
+      // correctness itself stays exact through the pruned-read check)
+      var dvUsed = false
       // per-version model state, the RESTORE oracle: restoring to w must
       // reproduce exactly the live set and constraint flag recorded at w
       val histLive = scala.collection.mutable.Map[Long, Set[Long]]()
@@ -1040,7 +1044,10 @@ class TxLogSpec extends SparkSpecBase {
         val snap = TxLog.snapshot(path)
         withClue(s"seed=$seed v=$v: ") {
           snap.stats.keySet shouldBe snap.files.toSet
-          snap.stats.values.map(_.rows).sum shouldBe live.size.toLong
+          if (dvUsed)
+            snap.stats.values.map(_.rows).sum should be >= live.size.toLong
+          else
+            snap.stats.values.map(_.rows).sum shouldBe live.size.toLong
           val lo = rnd.nextLong(200L) - 50L
           val hi = lo + rnd.nextLong(120L)
           TxLog.readPruned(spark, path, "id", lo, hi)
@@ -1059,7 +1066,7 @@ class TxLogSpec extends SparkSpecBase {
       }
       checkInvariants()
       (0 until 14).foreach { _ =>
-        rnd.nextInt(13) match {
+        rnd.nextInt(15) match {
           case 0 | 1 | 2 | 3 => // append, sometimes with a negative id
             val base = rnd.nextLong(150L)
             val ids = (base until base + 1 + rnd.nextLong(20L)).toSeq ++
@@ -1109,6 +1116,16 @@ class TxLogSpec extends SparkSpecBase {
             TxLog.restore(path, target, v); v += 1
             live = scala.collection.mutable.Set(histLive(target).toSeq: _*)
             constrained = histCons(target)
+            // a restore can re-activate a vectored state
+            dvUsed = dvUsed || TxLog.snapshot(path).dvs.nonEmpty
+          case 12 => // soft delete by deletion vector (model == delete)
+            val cut = rnd.nextLong(150L)
+            TxLog.deleteWhereDV(spark, path, col("id") >= cut, v); v += 1
+            live = live.filter(_ < cut)
+            dvUsed = true
+          case 13 => // purge: materialize vectors, visibility-neutral
+            val s = TxLog.purgeDeletes(spark, path, v)
+            v = s.version // no-op keeps the version
           case _ => // append a legal negative while UNconstrained
             if (!constrained) {
               val neg = Seq(-100L - rnd.nextLong(50L))
