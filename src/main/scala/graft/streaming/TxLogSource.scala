@@ -126,13 +126,11 @@ class TxLogSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val path = TxLogSource.tablePath(parameters)
     val sch = schema.getOrElse(TxLogSource.tableSchema(sqlContext.sparkSession, path))
-    val maxVersions = parameters.get(TxLogSource.MaxVersionsKey)
-      .map(_.toLong).getOrElse(1L)
-    require(maxVersions >= 1,
-      s"graft-txlog: ${TxLogSource.MaxVersionsKey} must be >= 1 (got $maxVersions)")
+    val maxVersions = TxLogSource.maxVersionsOf(parameters, "graft-txlog")
     new TxLogSource(sqlContext.sparkSession, path, sch, metadataPath,
       maxVersions, TxLogSource.startingVersionOf(parameters),
-      TxLogSource.ignoreDeletesOf(parameters))
+      TxLogSource.ignoreDeletesOf(parameters),
+      TxLogSource.maxBytesOf(parameters))
   }
 }
 
@@ -208,6 +206,40 @@ object TxLogSource {
     */
   val StartingVersionKey = "startingVersion"
 
+  /** `maxBytesPerTrigger` (Delta's same-named option): soft byte budget
+    * per micro-batch — `getOffset` stops admitting versions once the
+    * accumulated data-file bytes of the versions already admitted would
+    * exceed it, but always admits AT LEAST ONE version (a budget below
+    * the smallest commit must not starve the stream — Delta's
+    * minimum-one-file rule). Composes with `maxVersionsPerTrigger`
+    * (whichever bound binds first). The append source budgets a
+    * version's ADD bytes; the CDF source budgets add + remove (its
+    * batches read both sides).
+    */
+  val MaxBytesKey = "maxBytesPerTrigger"
+
+  private[streaming] def maxBytesOf(parameters: Map[String, String]): Option[Long] = {
+    val mb = parameters.get(MaxBytesKey).map(_.toLong)
+    mb.foreach(b => require(b >= 1,
+      s"graft-txlog: $MaxBytesKey must be >= 1 (got $b)"))
+    mb
+  }
+
+  /** Version cap per trigger: explicit option wins; otherwise 1 —
+    * UNLESS a byte budget alone was given, where a 1-version cap would
+    * silently make the budget inert (the byte walk then bounds the
+    * batch; the cap is a large overflow-safe sentinel, not
+    * Long.MaxValue, because `maxHandedOut + cap` must not wrap).
+    */
+  private[streaming] def maxVersionsOf(parameters: Map[String, String],
+      name: String): Long = {
+    val explicit = parameters.get(MaxVersionsKey).map(_.toLong)
+    explicit.foreach(mv => require(mv >= 1,
+      s"$name: $MaxVersionsKey must be >= 1 (got $mv)"))
+    explicit.getOrElse(
+      if (parameters.contains(MaxBytesKey)) 1L << 40 else 1L)
+  }
+
   private[streaming] def startingVersionOf(parameters: Map[String, String]): Long = {
     val sv = parameters.get(StartingVersionKey).map(_.toLong).getOrElse(0L)
     require(sv >= 0, s"graft-txlog: $StartingVersionKey must be >= 0 (got $sv)")
@@ -257,10 +289,16 @@ abstract class TxLogVersionedSource(
     protected val tablePath: String,
     metadataPath: String,
     maxVersionsPerTrigger: Long,
-    startingVersion: Long) extends Source {
+    startingVersion: Long,
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   /** Batch covering committed versions `(from, to]`, both bounds resolved. */
   protected def batchFor(fromExclusive: Long, toInclusive: Long): DataFrame
+
+  /** Version `v`'s contribution to the `maxBytesPerTrigger` budget —
+    * what a batch covering it would physically read (source-specific).
+    */
+  protected def versionBytes(v: Long): Long
 
   // The engine passes metadataPath as a Hadoop URI STRING
   // ("file:/ckpt/sources/0" locally, scheme-qualified on cluster
@@ -335,7 +373,23 @@ abstract class TxLogVersionedSource(
 
   final override def getOffset: Option[OffsetV1] =
     TxLog.currentVersion(tablePath).map { cur =>
-      val end = math.min(cur, maxHandedOut + maxVersionsPerTrigger)
+      val capped = math.min(cur, maxHandedOut + maxVersionsPerTrigger)
+      val end = maxBytesPerTrigger match {
+        case None => capped
+        case Some(budget) =>
+          // admit versions until the budget binds — but always at least
+          // one (a budget below the smallest commit must not starve the
+          // stream). Record-metadata walk only; O(admitted versions).
+          var v = maxHandedOut
+          var bytes = 0L
+          var stop = false
+          while (!stop && v < capped) {
+            val nb = versionBytes(v + 1)
+            if (v > maxHandedOut && bytes + nb > budget) stop = true
+            else { v += 1; bytes += nb }
+          }
+          v
+      }
       advanceCursor(end)
       LongOffset(end)
     }
@@ -365,9 +419,14 @@ class TxLogSource(
     metadataPath: String,
     maxVersionsPerTrigger: Long,
     startingVersion: Long = 0L,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
   extends TxLogVersionedSource(spark, tablePath, metadataPath,
-    maxVersionsPerTrigger, startingVersion) {
+    maxVersionsPerTrigger, startingVersion, maxBytesPerTrigger) {
+
+  protected def versionBytes(v: Long): Long =
+    TxLog.fileActions(tablePath, v)._1
+      .map(f => new java.io.File(tablePath, f).length()).sum
 
   protected def batchFor(from: Long, to: Long): DataFrame = {
     val files = (from + 1 to to).flatMap { v =>
@@ -442,12 +501,10 @@ class TxLogCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): Source = {
     val path = TxLogSource.tablePath(parameters)
     val dataSchema = TxLogSource.tableSchema(sqlContext.sparkSession, path)
-    val maxVersions = parameters.get(TxLogSource.MaxVersionsKey)
-      .map(_.toLong).getOrElse(1L)
-    require(maxVersions >= 1,
-      s"graft-txlog-cdf: ${TxLogSource.MaxVersionsKey} must be >= 1 (got $maxVersions)")
+    val maxVersions = TxLogSource.maxVersionsOf(parameters, "graft-txlog-cdf")
     new TxLogCdfSource(sqlContext.sparkSession, path, dataSchema,
-      metadataPath, maxVersions, TxLogSource.startingVersionOf(parameters))
+      metadataPath, maxVersions, TxLogSource.startingVersionOf(parameters),
+      TxLogSource.maxBytesOf(parameters))
   }
 }
 
@@ -468,11 +525,18 @@ class TxLogCdfSource(
     dataSchema: StructType,
     metadataPath: String,
     maxVersionsPerTrigger: Long,
-    startingVersion: Long = 0L)
+    startingVersion: Long = 0L,
+    maxBytesPerTrigger: Option[Long] = None)
   extends TxLogVersionedSource(spark, tablePath, metadataPath,
-    maxVersionsPerTrigger, startingVersion) {
+    maxVersionsPerTrigger, startingVersion, maxBytesPerTrigger) {
 
   override val schema: StructType = TxLogCdfSource.cdfSchema(dataSchema)
+
+  // CDF batches read BOTH sides of a version's actions
+  protected def versionBytes(v: Long): Long = {
+    val (added, removed) = TxLog.fileActions(tablePath, v)
+    (added ++ removed).map(f => new java.io.File(tablePath, f).length()).sum
+  }
 
   protected def batchFor(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.col

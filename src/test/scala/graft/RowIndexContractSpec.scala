@@ -2,11 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Scratch probe (will be folded into the DV specs): parquet hidden file
-  * metadata `_metadata.row_index` — per-file physical row position, the
-  * read-side anchor deletion vectors key on.
+/** The parquet hidden-metadata contract deletion vectors are built on:
+  * `_metadata.row_index` is the per-file physical row position — zero
+  * based, dense per file, and STABLE under pushed filters (a filtered
+  * scan reports the same (file, row_index) a full scan does). If a Spark
+  * upgrade ever broke any of these, every DV read would silently
+  * mis-target rows — this spec is the canary.
   */
-class ScratchRowIndexSpec extends SparkSpecBase {
+class RowIndexContractSpec extends SparkSpecBase {
   import spark.implicits._
 
   test("_metadata.row_index is per-file, stable, and filter-independent") {

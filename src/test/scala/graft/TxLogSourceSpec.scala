@@ -1,6 +1,7 @@
 package graft
 
 import graft.gold.TxLog
+import graft.streaming.TxLogSource
 import org.apache.spark.sql.functions._
 
 /** The incremental TxLog streaming source (graft-txlog): offsets are log
@@ -129,6 +130,39 @@ class TxLogSourceSpec extends SparkSpecBase {
     drainFrom(1L)
     spark.read.parquet(out).select("id").as[Long].collect().sorted shouldBe
       (10L until 40L).toArray
+  }
+
+  test("maxBytesPerTrigger: byte budget groups versions; a sub-minimum budget never starves") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 30).coalesce(1), path)
+    (1 to 4).foreach(i =>
+      TxLog.append(rows(i * 30 until i * 30 + 30).coalesce(1), path, i - 1L))
+    val sizes = (0L to 4L).map(v => TxLog.fileActions(path, v)._1
+      .map(f => new java.io.File(path, f).length()).sum)
+    def drainBytes(ckpt: String, budget: Long): Long = {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", 4)
+      val out = s"$work/out_$ckpt"
+      val q = child.readStream.format("graft-txlog")
+        .option("path", path)
+        .option(TxLogSource.MaxBytesKey, budget.toString)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$work/$ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).count()
+    }
+    // ~2.5 similar-sized versions per budget → exactly two admitted per
+    // trigger (the third would exceed), last trigger takes the remainder
+    val budget = 2 * sizes.max + sizes.min / 2
+    drainBytes("ck_pair", budget) shouldBe 150L
+    batchCount(s"$work/ck_pair") shouldBe 3
+    // a budget below ANY single commit still admits one version per
+    // trigger — rate limiting must never starve the stream
+    drainBytes("ck_tiny", 1L) shouldBe 150L
+    batchCount(s"$work/ck_tiny") shouldBe 5
   }
 
   test("CDF stream == the batch change feed, delete-before-insert per version") {
