@@ -2087,9 +2087,12 @@ object TxLog {
     * reads. Trade-offs, matching Delta's: per-file stats become UPPER
     * bounds (pruning stays sound — deletes only shrink), the read adds a
     * broadcast anti-join until [[purgeDeletes]] or a rewriting commit
-    * materializes, and the log-stats optimizer rule does not fire on
-    * DV'd tables (the filter no longer sits directly over the scan).
-    * Predicate NULL semantics match SQL DELETE: NULL never deletes.
+    * materializes, and the log-stats optimizer rule MAY not fire on
+    * DV'd tables (the user filter sits above the DV anti-join unless
+    * pushdown restores the Filter-over-scan shape; when it does fire,
+    * pruning the data side of the anti-join is sound — it only drops
+    * rows the filter would drop). Predicate NULL semantics match SQL
+    * DELETE: NULL never deletes.
     */
   def deleteWhereDV(spark: SparkSession, path: String,
       cond: Column, expectedVersion: Long,
