@@ -57,6 +57,28 @@ class TxLogDvSpec extends SparkSpecBase {
     ids(TxLog.read(spark, c)) shouldBe Array(2L)
   }
 
+  test("DV read plan: broadcast anti-join (table never shuffled), plain scan when no vector") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 200).repartitionByRange(4, col("id")), path)
+    // vector-less read: no join in the plan at all (zero overhead claim)
+    val plain = TxLog.read(spark, path)
+    plain.collect().length shouldBe 200
+    plain.queryExecution.executedPlan.toString should not include "Join"
+    TxLog.deleteWhereDV(spark, path, col("id") % 2 === 0, 0L)
+    val dv = TxLog.read(spark, path)
+    // collect() executes THIS DataFrame's own query execution (count()
+    // would build a separate one and leave this plan unexecuted); AQE
+    // rewrites during execution — read the FINAL plan
+    dv.collect().length shouldBe 100
+    val plan = dv.queryExecution.executedPlan.toString
+    // the DV application is a BROADCAST hash LEFT ANTI join — the
+    // deleted-row set ships to the table, never the reverse — and the
+    // table is never shuffled
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    (plan should not).include("ShuffleExchange")
+  }
+
   test("successive DVs compose; time travel serves each version's own DV state") {
     val path = freshPath()
     TxLog.init(rows(0 until 100).repartitionByRange(4, col("id")), path)
