@@ -84,6 +84,27 @@ class TxLogSinkSpec extends SparkSpecBase {
     TxLog.snapshot(table).txns("spec-app") shouldBe 3L
   }
 
+  test("randomized crash points: any batch's crash window recovers exactly-once") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 0x9E3779B97F4A7C15L)
+      val nFiles = 3 + rnd.nextInt(3) // 3..5 micro-batches
+      val crashAt = rnd.nextInt(nFiles).toLong // any batch, first included
+      val n = nFiles * 12
+      val work = freshDir("txsink_rnd")
+      val stage = s"$work/stage"; val table = s"$work/t"; val ckpt = s"$work/ckpt"
+      stageFiles(stage, n, nFiles)
+      TxLog.init(rows(0 until 0), table)
+      withClue(s"seed=$seed nFiles=$nFiles crashAt=$crashAt: ") {
+        val err = runSink(stage, table, ckpt, "rnd-app", fault = Some(crashAt))
+        err.map(_.getMessage).getOrElse("") should include("INJECTED failure")
+        runSink(stage, table, ckpt, "rnd-app") shouldBe None
+        TxLog.read(spark, table).select("id").as[Long].collect().sorted shouldBe
+          (0L until n.toLong).toArray
+        TxLog.snapshot(table).txns("rnd-app") shouldBe (nFiles - 1).toLong
+      }
+    }
+  }
+
   test("sink refuses: non-append mode, missing appId, missing table, partitionBy") {
     val work = freshDir("txsink")
     val stage = s"$work/stage"; val table = s"$work/t"
