@@ -562,6 +562,174 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
   }
 
+  /** Like [[txlogBuild]] but the delete is a DELETION-VECTOR soft delete
+    * — shared by the round-13 format/stats-composition gates.
+    */
+  private def txlogBuildDv(s: SparkSession, dir: String, path: String): Unit = {
+    import graft.gold.TxLog
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey")), path)
+    TxLog.append(o.filter(col("o_custkey") % 4 === 1), path,
+      expectedVersion = 0L)
+    TxLog.deleteWhereDV(s, path, col("o_orderpriority") === "5-LOW",
+      expectedVersion = 1L)
+  }
+
+  /** BATCH READ through the registered `graft-txlog` FORMAT (library:
+    * streaming.TxLogRelation + plans.ExpandTxLogDvScan — the Delta
+    * `spark.read.format("delta")` shape, the round-12 verdict's top
+    * gap): a DV'd snapshot is read via
+    * `spark.read.format("graft-txlog").load()` — NOT `TxLog.read` — so
+    * the gate pins the whole format path: provider resolution, log-schema
+    * authority, and the optimizer expansion of the DV placeholder into
+    * the native broadcast anti-join plan. The oracle recomputes the
+    * visible membership in closed form; the bound boolean pins
+    * format ≡ direct (multiset equality both ways), so a format read
+    * serving a stale snapshot, dropping the vectors (resurrected rows),
+    * or double-reading files all fail.
+    */
+  private def qTxlogFormatBatch(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/txlog_orders_fmtbatch"
+    txlogBuildDv(s, dir, path)
+    val viaFmt = s.read.format("graft-txlog").option("path", path).load()
+    val direct = graft.gold.TxLog.read(s, path)
+    val matches = viaFmt.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaFmt).isEmpty
+    viaFmt.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("format_matches_direct", lit(matches))
+  }
+
+  /** TIMESTAMP-BASED TIME TRAVEL (library: gold.TxLog commit timestamps
+    * + versionAtTimestamp — Delta's `TIMESTAMP AS OF`): a three-version
+    * history committed under an INJECTED clock whose second stamp is
+    * NON-MONOTONE (skewed writer), read back at an instant between the
+    * clamped second and third commits — must serve version 1 (both
+    * slices, the delete not yet applied). The oracle recomputes that
+    * state in closed form; the bound booleans pin the Delta clamp
+    * (v1 resolves at v0's stamp + 1ms) and both refusal directions
+    * (before-earliest and after-latest raise named errors instead of
+    * silently serving a different state).
+    */
+  private def qTxlogTimeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_traveltstamp"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val stamps = Iterator(1000000L, 400000L, 2000000L) // v1 skews BELOW v0
+    TxLog.usingClock(() => stamps.next()) {
+      TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+        .repartitionByRange(4, col("o_orderkey")), path)
+      TxLog.append(o.filter(col("o_custkey") % 4 === 1), path, 0L)
+      TxLog.deleteWhere(s, path, col("o_orderpriority") === "5-LOW", 1L)
+    }
+    val clampApplied = TxLog.clampedCommitTimestamps(path) ==
+      Seq((0L, 1000000L), (1L, 1000001L), (2L, 2000000L))
+    val beforeRefused =
+      try { TxLog.versionAtTimestamp(path, 999999L); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("before the earliest") }
+    val afterRefused =
+      try { TxLog.versionAtTimestamp(path, 2000001L); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("after the latest") }
+    TxLog.readTimestampAsOf(s, path, 1500000L) // between v1' and v2
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("clamp_applied", lit(clampApplied))
+      .withColumn("before_refused", lit(beforeRefused))
+      .withColumn("after_refused", lit(afterRefused))
+  }
+
+  /** SQL OVER A CATALOG-REGISTERED TxLog TABLE (library: the
+    * `graft-txlog` SchemaRelationProvider via `CREATE TABLE ... USING` —
+    * the other half of verdict item 1: `spark.sql` users reach TxLog
+    * tables through the catalog, DV-aware, with the log schema pinned at
+    * registration). The oracle recomputes the DV'd membership in closed
+    * form, so a catalog read bypassing the vectors or serving a stale
+    * file list hash-mismatches.
+    */
+  private def qSqlTxlogCatalog(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqlcat"
+    txlogBuildDv(s, dir, path)
+    s.sql("DROP TABLE IF EXISTS graft_txlog_orders")
+    s.sql(s"CREATE TABLE graft_txlog_orders USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  sum(cents) AS total_cents
+        |FROM graft_txlog_orders
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** DV-BASED UPDATE + MERGE (library: gold.TxLog.updateWhereDV /
+    * replaceWhereKeysDV — row-level mutation WITHOUT file rewrites,
+    * completing the soft-delete write family): a four-version history —
+    * init, append, an UPDATE that bumps matched rows' cents through a
+    * deletion vector + new-image append in ONE commit, then a keyed
+    * MERGE the same way — read back at the head. The oracle states every
+    * row in closed form (membership AND the updated cents), so an update
+    * that lost rows, double-applied, or resurrected soft-deleted old
+    * images hash-mismatches. Bound booleans pin the soft mechanics
+    * (neither mutation removed a file) and CDF completeness (the mirror
+    * folded from the feed alone equals the table).
+    */
+  private def qTxlogDvUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_dvupdate"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 4 === 0)
+      .repartitionByRange(4, col("id")), path) // v0
+    TxLog.append(o.filter(col("id") % 4 === 1), path, 0L) // v1
+    val filesV1 = TxLog.snapshot(path).files.toSet
+    TxLog.updateWhereDV(s, path, col("id") % 5 === 2,
+      Map("cents" -> (col("cents") + 7L)), 1L) // v2
+    TxLog.replaceWhereKeysDV(s, path,
+      o.filter(col("id") % 9 === 4).select("id"), Seq("id"),
+      newData = o.filter(col("id") % 4 === 2 && col("id") % 9 === 4),
+      expectedVersion = 2L) // v3
+    val noChurn = filesV1.subsetOf(TxLog.snapshot(path).files.toSet)
+    val table = TxLog.read(s, path)
+    val mirror = TxLog.mirrorFromChanges(s, path)
+    val cdfIdentical = table.exceptAll(mirror).isEmpty &&
+      mirror.exceptAll(table).isEmpty
+    table
+      .withColumn("update_zero_churn", lit(noChurn))
+      .withColumn("cdf_identical", lit(cdfIdentical))
+  }
+
+  /** STATS PRUNING × DELETION VECTORS (library: plans.RewriteTxLogStats
+    * Scan over a VECTORED table — verdict item 4: the two features must
+    * compose, not silently disarm each other): the stats-auto history
+    * with the delete taken as a SOFT delete is read through the armed
+    * session with a range filter — pushdown restores the
+    * Filter-over-scan shape below the DV anti-join, the rule prunes the
+    * DATA side, and the vectors still apply. Oracle recomputes the slice
+    * in closed form (identical to the rewriting-delete gate — an
+    * unsound prune OR an unapplied vector both hash-mismatch);
+    * TxLogStatsRuleSpec separately asserts fewer files are read WITH the
+    * anti-join still in the plan.
+    */
+  private def qTxlogStatsDv(s0: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip/txlog_orders_statsdv"
+    txlogBuildDv(s0, dir, path)
+    val s = s0.newSession()
+    s.conf.set(graft.plans.RewriteTxLogStatsScan.PathKey, path)
+    graft.gold.TxLog.read(s, path)
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 2000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1449,6 +1617,11 @@ object ExtensionQueries {
     "q_o_txlog_history" -> (qTxlogHistory _),
     "q_o_txlog_stats_prune" -> (qTxlogStatsPrune _),
     "q_o_txlog_stats_auto" -> (qTxlogStatsAuto _),
+    "q_o_txlog_format_batch" -> (qTxlogFormatBatch _),
+    "q_o_txlog_time_travel_ts" -> (qTxlogTimeTravelTs _),
+    "q_sql_txlog_catalog" -> (qSqlTxlogCatalog _),
+    "q_o_txlog_dv_update" -> (qTxlogDvUpdate _),
+    "q_o_txlog_stats_dv" -> (qTxlogStatsDv _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -1796,6 +1969,59 @@ object ExtensionQueries {
           |FROM orders
           |WHERE (o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 <> 2)
           |   OR o_orderkey % 4 = 3""".stripMargin,
+      // format read of the DV'd snapshot == the rewriting delete's
+      // membership; the boolean is Spark-bound (format ≡ TxLog.read as
+      // multisets), oracled TRUE
+      "q_o_txlog_format_batch" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS format_matches_direct
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |GROUP BY o_orderpriority""".stripMargin,
+      // timestamp travel lands on version 1 (both slices, delete not yet
+      // applied); clamp + both refusals are Spark-bound, oracled TRUE
+      "q_o_txlog_time_travel_ts" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS clamp_applied, TRUE AS before_refused,
+          |  TRUE AS after_refused
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // spark.sql over the catalog-registered TxLog table == the DV'd
+      // membership
+      "q_sql_txlog_catalog" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |GROUP BY o_orderpriority""".stripMargin,
+      // DV update/merge in closed form: slices %4 in (0,1) keep their
+      // rows except the %9=4 keyed replace; the update bumped cents by 7
+      // exactly on the pre-replace members with id%5=2; the replace's
+      // new %4=2,%9=4 rows carry BASE cents (they arrived after the
+      // update). Soft mechanics + CDF completeness are Spark-bound,
+      // oracled TRUE.
+      "q_o_txlog_dv_update" ->
+        """SELECT o_orderkey AS id, o_custkey AS cust,
+          |  CAST(round(o_totalprice * 100) AS BIGINT)
+          |    + CASE WHEN o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 = 2
+          |           THEN 7 ELSE 0 END AS cents,
+          |  TRUE AS update_zero_churn, TRUE AS cdf_identical
+          |FROM orders
+          |WHERE (o_orderkey % 4 IN (0, 1) AND o_orderkey % 9 <> 4)
+          |   OR (o_orderkey % 4 = 2 AND o_orderkey % 9 = 4)""".stripMargin,
+      // rule-pruned scan over a VECTORED table == the same closed-form
+      // slice as the rewriting-delete stats gate (an unsound prune or an
+      // unapplied vector both lose/gain rows)
+      "q_o_txlog_stats_dv" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |  AND o_orderkey BETWEEN 1000 AND 2000
+          |GROUP BY o_orderpriority""".stripMargin,
       // string-bound rule-pruned scan == the closed-form slice (DuckDB
       // default collation is binary, same order as the UTF8 bounds)
       "q_o_txlog_stats_string" ->

@@ -167,9 +167,14 @@ object QueryFuzzer {
       * reach (cents ≤ 1e7, multipliers ≤ 9, depth ≤ 2).
       */
     private def intExpr(t: TableMeta, depth: Int = 0): E = {
-      val leaf = rnd.nextInt(13)
+      val leaf = rnd.nextInt(14)
       if (depth >= 2 || leaf < 4) intCol(t)
       else leaf match {
+        case 13 => // CASE with NO ELSE — the implicit NULL-typed branch
+          // (both engines: missing ELSE is NULL of the THEN type)
+          val b = boolExpr(t, depth + 1); val x = intCol(t)
+          E(when(b.spark, x.spark),
+            s"(CASE WHEN ${b.sql} THEN ${x.sql} END)", TInt)
         case 4 | 5 =>
           val a = intExpr(t, depth + 1); val b = intExpr(t, depth + 1)
           if (rnd.nextBoolean())
@@ -247,7 +252,43 @@ object QueryFuzzer {
     }
 
     private def boolExpr(t: TableMeta, depth: Int = 0): E = {
-      def leaf(): E = rnd.nextInt(11) match {
+      def leaf(): E = rnd.nextInt(14) match {
+        case 11 => // array membership — Spark array_contains vs DuckDB
+          // list_contains over the split tokens
+          val c = asciiStrCol(t)
+          val tok =
+            if (c.values.nonEmpty && rnd.nextBoolean())
+              pick(c.values).split(' ').head
+            else pick(Seq("a", "the", "Brand", "src3", "1-URGENT", "x"))
+          E(array_contains(split(col(c.name),
+              java.util.regex.Pattern.quote(" ")), tok),
+            s"list_contains(string_split(${c.name}, ' '), ${sqlStr(tok)})",
+            TBool)
+        case 12 => // ILIKE with a case-scrambled pattern (both engines:
+          // case-insensitive LIKE; ASCII domains only — non-ASCII case
+          // folding is locale-dependent and stays out by house rule)
+          val cands = t.cols.filter(c =>
+            c.typ == TStr && c.ascii && c.values.nonEmpty)
+          val (cname, v) =
+            if (cands.isEmpty) (asciiStrCol(t).name, "ab")
+            else { val c = pick(cands); (c.name, pick(c.values)) }
+          val scrambled = v.take(1 + rnd.nextInt(math.max(1, v.length)))
+            .map(ch => if (rnd.nextBoolean()) ch.toUpper else ch.toLower)
+          val p = scrambled + "%"
+          E(col(cname).ilike(p), s"(${cname} ILIKE ${sqlStr(p)})", TBool)
+        case 13 => // ESCAPED wildcard: '\_' is a LITERAL underscore under
+          // Spark's default escape; DuckDB needs the explicit ESCAPE
+          // clause — an engine treating it as the one-char wildcard
+          // matches different rows (no domain value contains '_', so the
+          // literal reading matches nothing; the wildcard reading would)
+          val cands = t.cols.filter(c =>
+            c.typ == TStr && c.ascii && c.values.nonEmpty)
+          val (cname, v) =
+            if (cands.isEmpty) (asciiStrCol(t).name, "abc")
+            else { val c = pick(cands); (c.name, pick(c.values)) }
+          val p = v.take(1 + rnd.nextInt(3)) + "\\_%"
+          E(col(cname).like(p),
+            s"(${cname} LIKE ${sqlStr(p)} ESCAPE '\\')", TBool)
         case 9 => // BETWEEN (inclusive both ends in both engines)
           val a = intExpr(t, depth + 1)
           val lo = rnd.nextInt(2000).toLong
@@ -357,8 +398,34 @@ object QueryFuzzer {
       }
     }
 
+    /** An ASCII string column (every table has at least one). */
+    private def asciiStrCol(t: TableMeta): ColMeta = {
+      val cands = t.cols.filter(c => c.typ == TStr && c.ascii)
+      if (cands.isEmpty) strCol(t) else pick(cands)
+    }
+
     /** Any scalar expression usable in a projection or as a group key. */
-    private def scalarExpr(t: TableMeta): E = rnd.nextInt(12) match {
+    private def scalarExpr(t: TableMeta): E = rnd.nextInt(14) match {
+      case 12 => // ARRAY length via split — Spark split/size vs DuckDB
+        // string_split/len (single-char literal separator, NOT a regex
+        // metachar: Spark's split takes a REGEX, DuckDB's is literal —
+        // space and '#' mean the same thing to both). Both keep trailing
+        // empty fields (Spark limit -1, DuckDB default).
+        val c = asciiStrCol(t)
+        val sep = pick(Seq(" ", "#", "-"))
+        E(size(split(col(c.name), java.util.regex.Pattern.quote(sep)))
+            .cast("long"),
+          s"CAST(len(string_split(${c.name}, ${sqlStr(sep)})) AS BIGINT)",
+          TInt)
+      case 13 => // array element by index — HOUSE RULE (caught by this
+        // grammar's first sweep): Spark 4 ANSI `element_at` THROWS on an
+        // out-of-bounds index while DuckDB's list index returns NULL;
+        // `try_element_at` is the NULL-on-OOB twin (both 1-based)
+        val c = asciiStrCol(t)
+        val i = 1 + rnd.nextInt(3)
+        E(try_element_at(split(col(c.name),
+            java.util.regex.Pattern.quote(" ")), lit(i)),
+          s"(string_split(${c.name}, ' ')[$i])", TStr)
       case 0 | 1 | 2 | 3 => intExpr(t)
       case 4 | 5         => strExpr(t)
       case 6 if dateCols(t).nonEmpty =>
@@ -533,14 +600,69 @@ object QueryFuzzer {
       val rt = tables.find(_.name == rn).get
       val anti = rnd.nextBoolean()
       val rightFilter = boolExpr(rt)
-      val inOp = if (anti) "NOT IN" else "IN"
-      Src(
-        (s, dir) => tableDf(ln)(s, dir).join(
+      val build = (s: SparkSession, dir: String) =>
+        tableDf(ln)(s, dir).join(
           tableDf(rn)(s, dir).filter(rightFilter.spark).select(col(rk)),
-          col(lk) === col(rk), if (anti) "left_anti" else "left_semi"),
-        ln, lt, s"${if (anti) "anti" else "semi"}/$ln-$rn",
-        preWhere = Some(
-          s"$lk $inOp (SELECT $rk FROM $rn WHERE ${rightFilter.sql})"))
+          col(lk) === col(rk), if (anti) "left_anti" else "left_semi")
+      if (rnd.nextBoolean()) {
+        // explicit SEMI/ANTI JOIN syntax on the DuckDB side (its native
+        // filtering-join keywords) against the same Spark left_semi/anti
+        // plan — a second rendering of the same semantics, so a
+        // divergence in either engine's join-type handling surfaces
+        val kw = if (anti) "ANTI" else "SEMI"
+        Src(build,
+          s"$ln $kw JOIN (SELECT * FROM $rn WHERE ${rightFilter.sql}) " +
+            s"AS $rn ON $lk = $rk",
+          lt, s"${if (anti) "anti-join" else "semi-join"}/$ln-$rn")
+      } else {
+        val inOp = if (anti) "NOT IN" else "IN"
+        Src(build, ln, lt, s"${if (anti) "anti" else "semi"}/$ln-$rn",
+          preWhere = Some(
+            s"$lk $inOp (SELECT $rk FROM $rn WHERE ${rightFilter.sql})"))
+      }
+    }
+
+    /** JOIN ... USING source: both sides pre-project their FK key to ONE
+      * shared name, the join is rendered `USING (k_u)` (DuckDB) against
+      * Spark's `join(right, Seq("k_u"))` — the column-DEDUP semantics
+      * (one output key column, never two) that ON-joins don't have, and a
+      * classic cross-engine divergence spot (which side's value survives
+      * in outer joins: the LEFT's, in both engines' LEFT USING).
+      */
+    private def usingJoinSource(): Src = {
+      val (ln, lk, rn, rk) = pick(joins)
+      val lt = tables.find(_.name == ln).get
+      val rt = tables.find(_.name == rn).get
+      val left = rnd.nextInt(3) == 0
+      val joinType = if (left) "LEFT" else "INNER"
+      val rightFilter =
+        if (left || rnd.nextBoolean()) Some(boolExpr(rt)) else None
+      val lCols = lt.cols.filterNot(_.name == lk)
+      val rCols = rt.cols.filterNot(_.name == rk)
+      val merged = TableMeta(s"${ln}_${rn}_using",
+        ColMeta("k_u", TInt) +: (lCols ++ rCols),
+        // the key survives as k_u; left tiebreaks keep their names unless
+        // the key itself was one — substitute it
+        lt.tie.map(c => if (c == lk) "k_u" else c) ++
+          (if (left) Nil else rt.tie.map(c => if (c == rk) "k_u" else c)))
+      val lSql = s"(SELECT $lk AS k_u, ${lCols.map(_.name).mkString(", ")} " +
+        s"FROM $ln) AS lu"
+      val rBase = rightFilter match {
+        case Some(f) => s"(SELECT * FROM $rn WHERE ${f.sql})"
+        case None    => rn
+      }
+      val rSql = s"(SELECT $rk AS k_u, ${rCols.map(_.name).mkString(", ")} " +
+        s"FROM $rBase AS $rn) AS ru"
+      Src(
+        (s, dir) => {
+          val l = tableDf(ln)(s, dir).withColumnRenamed(lk, "k_u")
+          val r0 = tableDf(rn)(s, dir)
+          val r = rightFilter.map(f => r0.filter(f.spark)).getOrElse(r0)
+            .withColumnRenamed(rk, "k_u")
+          l.join(r, Seq("k_u"), joinType.toLowerCase)
+        },
+        s"$lSql $joinType JOIN $rSql USING (k_u)",
+        merged, s"using/$ln-$joinType-$rn")
     }
 
     /** CORRELATED EXISTS / NOT EXISTS source: the subquery correlates on
@@ -580,10 +702,11 @@ object QueryFuzzer {
       * source's tie would no longer be a total order.
       */
     private def source(requireTie: Boolean = false): Src = {
-      val roll = rnd.nextInt(11)
+      val roll = rnd.nextInt(12)
       if (roll == 7) return chainSource()
       if (roll == 8) return semiSource()
       if (roll == 10) return existsSource()
+      if (roll == 11) return usingJoinSource()
       if (roll <= 2 || roll == 9) {
         val (ln, lk, rn, rk) = pick(joins)
         val lt = tables.find(_.name == ln).get

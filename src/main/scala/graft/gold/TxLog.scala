@@ -162,7 +162,17 @@ object TxLog {
       min: Option[Long], max: Option[Long],
       strMin: Option[String] = None, strMax: Option[String] = None)
 
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** `bytes` is the add-file's physical size recorded AT COMMIT TIME
+    * (Delta's add-action `size` field): byte-budget admission control
+    * ([[TxLog.versionAddBytes]]) and [[compact]]'s small-file selection
+    * read it as pure log metadata — zero filesystem stats, correct on any
+    * filesystem (a `java.io.File.length()` on a non-local FS returns 0
+    * SILENTLY, which was the round-12 latent bug this field retires).
+    * None only on legacy pre-size records — consumers fall back to one
+    * Hadoop-FS stat per uncovered file ([[fileBytes]]).
+    */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+      bytes: Option[Long] = None)
 
   final class ConflictException(version: Long)
     extends java.util.ConcurrentModificationException(
@@ -248,6 +258,31 @@ object TxLog {
     */
   private[graft] def usingPrimitive[T](p: CommitPrimitive)(body: => T): T =
     primitive.withValue(p)(body)
+
+  /** Commit wall-clock source (epoch millis). Every [[publish]] stamps its
+    * version record with `clock.value()` — the raw material of
+    * timestamp-based time travel and the `history` timestamp column. A
+    * DynamicVariable like [[primitive]], so specs inject a fixed sequence
+    * and the gate oracles are deterministic; production keeps the system
+    * clock. Stamping LOG METADATA does not violate the pipeline's
+    * no-wall-clock determinism rule — that rule protects DATA outputs
+    * (layer parquet must be byte-identical across re-runs); commit
+    * timestamps are annotation, exactly like file mtimes.
+    *
+    * Skew contract (Delta's): timestamps are recorded RAW, per-writer
+    * clock; the resolution path ([[clampedCommitTimestamps]]) restores
+    * monotonicity by clamping a non-monotone stamp to predecessor + 1 ms,
+    * so `TIMESTAMP AS OF` is always well-defined even across skewed
+    * writers. [[history]] shows the raw stamps (the audit truth).
+    */
+  private val clock =
+    new scala.util.DynamicVariable[() => Long](() => System.currentTimeMillis())
+
+  /** Run `body` with `c` as the commit clock (test seam — deterministic
+    * timestamp histories for specs and gates).
+    */
+  private[graft] def usingClock[T](c: () => Long)(body: => T): T =
+    clock.withValue(c)(body)
 
   private def logDir(path: String) = new java.io.File(path, LogDirName)
 
@@ -345,7 +380,10 @@ object TxLog {
       constraints: Option[Map[String, String]],
       stats: Map[String, FileStats],
       info: Option[(String, Map[String, String])],
-      dvs: Map[String, Option[String]])
+      dvs: Map[String, Option[String]],
+      // commit wall-clock (epoch millis, raw per-writer stamp); None only
+      // on legacy pre-timestamp records
+      tsMillis: Option[Long])
 
   private def quoteList(fs: Seq[String]): String =
     fs.map("\"" + _ + "\"").mkString(",")
@@ -450,7 +488,9 @@ object TxLog {
           cs.max.map(_.toString).getOrElse(""),
           strStatEnc(cs.strMin), strStatEnc(cs.strMax)).mkString(",")
       }.mkString(";")
-      s"$f\t${fs.rows}\t$cols"
+      // 4-field line (file, rows, bytes, colEntries); bytes empty = None.
+      // Legacy 3-field lines (pre-size records) parse with bytes = None.
+      s"$f\t${fs.rows}\t${fs.bytes.map(_.toString).getOrElse("")}\t$cols"
     }.mkString("\n")
     b64(payload)
   }
@@ -462,8 +502,13 @@ object TxLog {
       .map { blob =>
         unB64(blob).split("\n").filter(_.nonEmpty).map { line =>
           val parts = line.split("\t", -1)
-          require(parts.length == 3, s"TxLog: malformed stats line '$line'")
-          val cols = parts(2).split(";").filter(_.nonEmpty).map { e =>
+          require(parts.length == 3 || parts.length == 4,
+            s"TxLog: malformed stats line '$line'")
+          val bytes =
+            if (parts.length < 4 || parts(2).isEmpty) None
+            else Some(parts(2).toLong)
+          val colsField = if (parts.length == 4) parts(3) else parts(2)
+          val cols = colsField.split(";").filter(_.nonEmpty).map { e =>
             val f = e.split(",", -1)
             require(f.length == 5 || f.length == 7,
               s"TxLog: malformed col-stats entry '$e'")
@@ -473,7 +518,7 @@ object TxLog {
               if (f.length < 7) None else strStatDec(f(5)),
               if (f.length < 7) None else strStatDec(f(6))))
           }.toMap
-          (parts(0), FileStats(parts(1).toLong, cols))
+          (parts(0), FileStats(parts(1).toLong, cols, bytes))
         }.toMap
       }.getOrElse(Map.empty)
 
@@ -610,8 +655,13 @@ object TxLog {
           "unreadable NEWEST version can be a transient race - retry)")
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
       parseSchemaB64(text), parseTxn(text), parseConstraints(text),
-      parseStats(text), parseInfo(text), parseDvs(text))
+      parseStats(text), parseInfo(text), parseDvs(text), parseTs(text))
   }
+
+  private val TsRe = "\"tsMillis\"\\s*:\\s*(-?\\d+)".r
+
+  private def parseTs(text: String): Option[Long] =
+    TsRe.findFirstMatchIn(text).map(_.group(1).toLong)
 
   /** `(files, schema)` from checkpoint file `v`, or None when missing or
     * unreadable (the caller replays a longer tail — commit-time
@@ -1050,6 +1100,13 @@ object TxLog {
       // only their LIVE rows, a DV delta emits exactly the newly-dead /
       // resurrected rows) — keyed consumption of the same feed the
       // multiset oracle folds
+      // delete carriers, from the record itself: remove actions or a DV
+      // entry SET (a clear only resurrects — inserts). Without this an
+      // insert-only version would still pay a distinct + broadcast
+      // anti-join of a provably-empty key set (parts is non-empty
+      // whenever the version has ANY file action).
+      val rec = parseRecord(path, w)
+      val mayDelete = rec.remove.nonEmpty || rec.dvs.exists(_._2.isDefined)
       val (parts, nf, nd) = versionChangeParts(spark, path, w, files, dvs,
         fs => readFilesMeta(spark, path, fs))
       files = nf; dvs = nd
@@ -1059,7 +1116,7 @@ object TxLog {
       val inserts = parts.map(_.filter(col("_change_type") === "insert")
         .drop("_change_type", "_commit_version"))
       var m = mirror
-      if (dels.nonEmpty) m = m.map { cur =>
+      if (mayDelete && dels.nonEmpty) m = m.map { cur =>
         // the version's delete KEY SET is batch-scale; broadcasting it
         // keeps the mirror map-side (zero shuffle per applied version)
         val delKeys = dels.reduce(_.unionAll(_)).distinct()
@@ -1097,7 +1154,11 @@ object TxLog {
     */
   final case class CommitInfo(version: Long, operation: Option[String],
       params: Map[String, String], addedFiles: Int, removedFiles: Int,
-      rowsAdded: Option[Long])
+      rowsAdded: Option[Long],
+      // RAW commit wall-clock (epoch millis) as recorded by the writer —
+      // the audit truth; TIMESTAMP AS OF resolution uses the CLAMPED
+      // monotone sequence instead ([[clampedCommitTimestamps]])
+      timestampMillis: Option[Long] = None)
 
   /** The audit trail of every RETAINED commit, newest first (the Delta
     * `DESCRIBE HISTORY` shape): which operation produced each version,
@@ -1121,7 +1182,7 @@ object TxLog {
         else None
       CommitInfo(v, rec.info.map(_._1),
         rec.info.map(_._2).getOrElse(Map.empty),
-        add.size, rec.remove.size, rowsAdded)
+        add.size, rec.remove.size, rowsAdded, rec.tsMillis)
     }.toSeq
   }
 
@@ -1131,18 +1192,82 @@ object TxLog {
   def history(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
+      // leading timestamp column — what DESCRIBE HISTORY users reach for
+      // first; TIMESTAMP_NTZ under the engine's fixed-UTC mapping, RAW
+      // writer stamps (resolution clamps separately)
+      StructField("timestamp", TimestampNTZType, nullable = true),
       StructField("version", LongType, nullable = false),
       StructField("operation", StringType, nullable = true),
       StructField("params", MapType(StringType, StringType), nullable = false),
       StructField("n_added_files", IntegerType, nullable = false),
       StructField("n_removed_files", IntegerType, nullable = false),
       StructField("rows_added", LongType, nullable = true)))
-    val rows = commitInfos(path).map(ci => Row(ci.version,
+    val rows = commitInfos(path).map(ci => Row(
+      ci.timestampMillis.map(millisToLdt).orNull, ci.version,
       ci.operation.orNull, ci.params, ci.addedFiles, ci.removedFiles,
       ci.rowsAdded.map(java.lang.Long.valueOf).orNull))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  private def millisToLdt(ms: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochMilli(ms),
+      java.time.ZoneOffset.UTC)
+
+  /** The retained versions' commit timestamps CLAMPED to strict
+    * monotonicity (Delta's resolution rule: a stamp at or below its
+    * predecessor's clamped value becomes predecessor + 1 ms — version
+    * order is the commit truth; wall clocks only annotate it). Ascending
+    * by version. Raises a named error if any retained record lacks a
+    * stamp (legacy pre-timestamp log): timestamp travel over a partially
+    * stamped history would silently mis-resolve — version-based travel
+    * still works there.
+    */
+  private[graft] def clampedCommitTimestamps(path: String): Seq[(Long, Long)] = {
+    val vs = listVersionNumbers(path).sorted
+    require(vs.nonEmpty, s"TxLog: no table at $path")
+    var prev = Long.MinValue
+    vs.map { v =>
+      val raw = parseRecord(path, v).tsMillis.getOrElse(
+        throw new IllegalStateException(
+          s"TxLog: version $v of $path has no commit timestamp (legacy " +
+            "pre-timestamp record) - TIMESTAMP AS OF needs every retained " +
+            "version stamped; use version-based time travel instead"))
+      val clamped = if (prev == Long.MinValue) raw else math.max(raw, prev + 1)
+      prev = clamped
+      (v, clamped)
+    }
+  }
+
+  /** The version `TIMESTAMP AS OF tsMillis` resolves to: the newest
+    * retained version whose CLAMPED commit timestamp is at or below the
+    * requested instant (the Delta contract). Named errors outside the
+    * servable window, both directions: BELOW the earliest retained commit
+    * there is no state to serve (vacuum horizon — same reason version
+    * travel refuses there); ABOVE the newest commit the caller is asking
+    * about a future this log has not recorded — serving "latest" would
+    * silently answer a different question than asked (Delta refuses the
+    * same way and names the latest usable timestamp).
+    */
+  def versionAtTimestamp(path: String, tsMillis: Long): Long = {
+    val ts = clampedCommitTimestamps(path)
+    require(tsMillis >= ts.head._2,
+      s"TxLog: timestamp $tsMillis is before the earliest retained " +
+        s"commit (${ts.head._2} at version ${ts.head._1}) - versions " +
+        "below the vacuum retention horizon are gone")
+    require(tsMillis <= ts.last._2,
+      s"TxLog: timestamp $tsMillis is after the latest commit " +
+        s"(${ts.last._2} at version ${ts.last._1}) - the log has no " +
+        "state recorded there; read the latest version explicitly")
+    ts.filter(_._2 <= tsMillis).last._1
+  }
+
+  /** `read` at the version [[versionAtTimestamp]] resolves — timestamp
+    * time travel (`TIMESTAMP AS OF`), DV-aware like every read.
+    */
+  def readTimestampAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    read(spark, path, asOf = Some(versionAtTimestamp(path, tsMillis)))
 
   /** Publish one commit as version `v`: a DELTA action record (`add` /
     * `remove` — O(changed files) bytes) through the configured
@@ -1207,7 +1332,7 @@ object TxLog {
     val dvsPart =
       if (dvs.isEmpty) "" else s""""dvs":"${dvEntries(dvs)}","""
     val json =
-      s"""{"version":$v,$schemaPart$infoPart$txnPart$consPart$statsPart$dvsPart"add":[${quoteList(add)}],""" +
+      s"""{"version":$v,"tsMillis":${clock.value()},$schemaPart$infoPart$txnPart$consPart$statsPart$dvsPart"add":[${quoteList(add)}],""" +
         s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
@@ -1423,6 +1548,11 @@ object TxLog {
             }.toMap
         }
       val parts = stage.toFile.listFiles().filter(_.getName.startsWith("part-"))
+      // capture physical sizes BEFORE the move (the stage is always a
+      // local temp dir, so File.length is exact here) — recorded in the
+      // version record (Delta's add-action `size`) so byte budgets and
+      // compaction never stat the table filesystem again
+      val sizes = parts.map(f => f.getName -> f.length()).toMap
       val names = parts.map { f =>
         val name = f.getName
         // plain move: these files are INVISIBLE until the version file
@@ -1437,9 +1567,14 @@ object TxLog {
       val zeroRow = FileStats(0L,
         eligible.map { case (n, t, _) => n -> ColStats(t, 0L, None, None) }
           .toMap)
+      // eligible.isEmpty means the stats agg never ran: rows are UNKNOWN,
+      // so no FileStats may be fabricated (a rows=0 entry would lie to
+      // history's rows_added) — such commits stay stat-less and size
+      // consumers fall back to one FS stat per file
       val full =
         if (eligible.isEmpty) stats
-        else names.map(n => n -> stats.getOrElse(n, zeroRow)).toMap
+        else names.map(n =>
+          n -> stats.getOrElse(n, zeroRow).copy(bytes = Some(sizes(n)))).toMap
       (names, full)
     } finally graft.core.Fs.rmTree(stage.toFile)
   }
@@ -1649,8 +1784,11 @@ object TxLog {
       alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
     require(targetFiles >= 1, "TxLog.compact: targetFiles must be >= 1")
     val base = snapshot(path, Some(expectedVersion))
+    // small-file selection from LOG-RECORDED sizes (zero FS stats on
+    // post-size records; legacy files pay one Hadoop-FS stat each)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val small = base.files.filter(f =>
-      new java.io.File(path, f).length() <= maxFileBytes)
+      fileBytes(path, f, base.stats, hadoopConf) <= maxFileBytes)
     if (small.size < 2) return base
     // DV-aware materialization: a vectored small file compacts to its
     // LIVE rows and sheds its vector (compaction doubles as local purge)
@@ -1775,20 +1913,71 @@ object TxLog {
     * dominate worst-case skew + write duration, not just write duration.
     */
   def vacuum(path: String, retainVersions: Int = 2,
-      minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+      minAgeMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false,
+      readerFloor: Option[Long] = None,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Seq[String] = {
     require(retainVersions >= 1, "TxLog.vacuum: must retain >= 1 version")
     val all = listVersionNumbers(path)
     require(all.nonEmpty, s"TxLog: no table at $path")
     val kept = all.takeRight(retainVersions)
+    val dropping = all.dropRight(retainVersions)
+    // STREAMING-LAG GUARD: a lagging TxLog source's next batch needs the
+    // files of every version it has not yet committed — `readerFloor` is
+    // that consumer's oldest still-needed version (its handed-out cursor
+    // + 1, or a startingVersion). Vacuuming versions AT OR ABOVE the
+    // floor breaks the consumer's replay window (the documented
+    // vacuum↔source coupling); fire the structured alert BEFORE anything
+    // drops so operators see it while the read still works. The vacuum
+    // itself proceeds — retention policy is the caller's call; the alert
+    // is the visibility the coupling was missing.
+    readerFloor.foreach { floor =>
+      val breaking = dropping.filter(_ >= floor)
+      if (breaking.nonEmpty) alerts match {
+        case Some(sink) => sink.send(graft.runner.Alerts.Alert(
+          "txlog_vacuum_breaks_reader", path, "vacuum",
+          s"vacuum is dropping ${breaking.size} version(s) at or above " +
+            s"the reader floor $floor (${breaking.min}..${breaking.max}) - " +
+            "a streaming consumer lagging behind the floor will fail its " +
+            "next batch; raise retainVersions or advance the consumer"))
+        case None => System.err.println(
+          s"[txlog] vacuum at $path drops versions >= reader floor $floor")
+      }
+    }
     val snaps = kept.map(v => snapshot(path, Some(v)))
     val referenced = snaps.flatMap(_.files).toSet
+    if (dryRun) {
+      // report-only: what a real run WOULD reap, with the same age guard
+      // — nothing written (not even the checkpoint), nothing deleted
+      val horizon = System.currentTimeMillis() - minAgeMs
+      val referencedDvs = snaps.flatMap(_.dvs.values).toSet
+      val wouldData = Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-") &&
+          !referenced.contains(f.getName) && f.lastModified() < horizon)
+        .map(_.getName)
+      val wouldDvs = Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("dv-") &&
+          !referencedDvs.contains(f.getName) && f.lastModified() < horizon)
+        .map(_.getName)
+      val wouldTmp = Option(logDir(path).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".tmp") &&
+          f.lastModified() < horizon)
+        .map(_.getName)
+      return (dropping.map(v => versionFile(path, v).getName) ++
+        listCheckpointVersions(path).filter(_ < kept.min)
+          .map(v => checkpointVersionFile(path, v).getName) ++
+        wouldData ++ wouldDvs ++ wouldTmp).toSeq
+    }
     // reconstruction base for the oldest retained version, written
     // atomically BEFORE its history is dropped — this checkpoint is
     // load-bearing (unlike commit-time ones)
     val oldest = snaps.head
     writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema,
       oldest.txns, oldest.constraints, oldest.stats, oldest.dvs)
-    val droppedVersions = all.dropRight(retainVersions).map { v =>
+    val droppedVersions = dropping.map { v =>
       val f = versionFile(path, v)
       java.nio.file.Files.delete(f.toPath)
       f.getName
@@ -1832,6 +2021,58 @@ object TxLog {
   /** Basename of an `input_file_name()` URI. */
   private def fileName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
+
+  // --- log-native file sizes -------------------------------------------------
+
+  /** Count of FS-stat fallbacks taken by [[fileBytes]] — test seam: a
+    * fresh table's byte walks must be pure log metadata (count stays 0);
+    * only legacy size-less records pay a stat.
+    */
+  private[graft] val sizeFallbackStats =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Physical size of data file `name` under `path`: the log-recorded
+    * add-action size when `stats` carries it (zero filesystem calls),
+    * else ONE Hadoop-FS stat (correct on any filesystem — never
+    * `java.io.File.length()`, which returns 0 silently off local FS).
+    */
+  private[graft] def fileBytes(path: String, name: String,
+      stats: Map[String, FileStats],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Long =
+    stats.get(name).flatMap(_.bytes).getOrElse {
+      sizeFallbackStats.incrementAndGet()
+      val p = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path), name)
+      p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+    }
+
+  /** Version `v`'s ADDED bytes — what an append-source batch covering it
+    * physically reads. Log metadata only on post-size records (the add
+    * stats ride in the version record itself).
+    */
+  private[graft] def versionAddBytes(path: String, v: Long,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Long = {
+    val rec = parseRecord(path, v)
+    rec.add.map(f => fileBytes(path, f, rec.stats, hadoopConf)).sum
+  }
+
+  /** Version `v`'s ADDED + REMOVED bytes — what a CDF batch covering it
+    * physically reads (both sides). Removed files' sizes come from the
+    * PRE-version snapshot's accumulated stats map (checkpoints carry it,
+    * so the size survives the adding version being vacuumed).
+    */
+  private[graft] def versionChangeBytes(path: String, v: Long,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Long = {
+    val rec = parseRecord(path, v)
+    val addB = rec.add.map(f => fileBytes(path, f, rec.stats, hadoopConf)).sum
+    val remB =
+      if (rec.remove.isEmpty) 0L
+      else {
+        val before = resolve(path, v - 1).stats
+        rec.remove.map(f => fileBytes(path, f, before, hadoopConf)).sum
+      }
+    addB + remB
+  }
 
   /** The names of `candidates` containing at least one row surviving
     * `probe` — ONE distributed job over all candidate files at once
@@ -1892,8 +2133,11 @@ object TxLog {
     * job, no sidecar read). Restricted to `typ == "l"` (integral) stats
     * here because the caller's bounds are RAW values, which equal the
     * canonical encoding only for integrals; [[statsPrunedFilesCanonical]]
-    * takes canonical-unit bounds and prunes every stats type. Sound by
-    * construction: files without stats (or with all-NULL bounds) stay.
+    * takes canonical-unit bounds and prunes every LONG-DOMAIN stats type
+    * (integral, DATE, TIMESTAMP_NTZ — string bounds live in
+    * strMin/strMax and are consumed only by `RewriteTxLogStatsScan`).
+    * Sound by construction: files without stats (or with all-NULL
+    * bounds) stay.
     */
   private def logStatsPrune(snap: Snapshot, c: String, lo: Long,
       hi: Long): Seq[String] =
@@ -2181,6 +2425,143 @@ object TxLog {
       fullDvs = Map.empty, alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns,
       base.constraints, stats, Map.empty)
+  }
+
+  /** The shared DV-write core of [[updateWhereDV]] and
+    * [[replaceWhereKeysDV]]: soft-delete `hits` ((file, row_idx) pairs of
+    * live rows, already persisted by the caller) AND append `newData`, as
+    * ONE committed version — the MERGE commit shape without file
+    * rewrites: the matched rows' old images die by deletion vector
+    * (O(matched rows) sidecar bytes, zero data-file churn), the new
+    * images append as ordinary add files. The CDF core already emits such
+    * a version correctly (newly-dead rows as deletes from the DV delta,
+    * added files' rows as inserts — deletes before inserts, so keyed
+    * consumers fold it as an update).
+    */
+  private def commitDvMutation(spark: SparkSession, path: String,
+      base: Snapshot, hits: DataFrame, newData: DataFrame,
+      op: String, params: Map[String, String],
+      alerts: Option[graft.runner.Alerts.Sink]): Snapshot = {
+    val expectedVersion = base.version
+    val schema = mergeSchemas(base.schema, newData.schema)
+    enforceConstraints(newData, schema, base.constraints)
+    val touched = hits.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val (entries, dvsAfter) =
+      if (touched.isEmpty) (Map.empty[String, Option[String]], base.dvs)
+      else {
+        // per-file replacement, exactly deleteWhereDV's merge rule: the
+        // new sidecar carries old ∪ new dead rows for every touched file
+        val carryOver = base.dvs.filter { case (f, _) => touched.contains(f) }
+        val merged =
+          if (carryOver.isEmpty) hits
+          else hits.unionAll(dvRowsDf(spark, path, carryOver)
+            .select(col(DvFileCol).as("file"), col(DvRiCol).as("row_idx")))
+        val dvName = writeDvFile(merged, path)
+        (touched.map(f => f -> (Some(dvName): Option[String])).toMap,
+          base.dvs ++ touched.map(_ -> dvName))
+      }
+    val (added, addStats) =
+      if (newData.isEmpty) (Nil, Map.empty[String, FileStats])
+      else writeDataFiles(newData, path)
+    val files = base.files ++ added
+    val stats = base.stats ++ addStats
+    publish(path, expectedVersion + 1, files, add = added, remove = Nil,
+      Some(schema), info = (op, params),
+      fullTxns = base.txns, addStats = addStats,
+      fullConstraints = base.constraints, fullStats = stats,
+      dvs = entries, fullDvs = dvsAfter, alerts = alerts)
+    Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
+      base.constraints, stats, dvsAfter)
+  }
+
+  /** The snapshot's LIVE rows with (file, row_idx) metadata attached —
+    * the probe every DV writer starts from.
+    */
+  private def liveRowsMeta(spark: SparkSession, path: String,
+      base: Snapshot): DataFrame = {
+    val active = base.dvs.filter { case (f, _) => base.files.contains(f) }
+    val live0 = readFilesMeta(spark, path, base.files)
+    if (active.isEmpty) live0
+    else live0.join(broadcast(dvRowsDf(spark, path, active)),
+      col(MetaFileCol) === col(DvFileCol) &&
+        col(MetaRiCol) === col(DvRiCol), "left_anti")
+  }
+
+  /** UPDATE by deletion vector — row-level mutation WITHOUT file rewrites
+    * (the Delta DV-update shape): matched live rows soft-delete via a DV
+    * sidecar and their UPDATED images append as new files, in ONE atomic
+    * commit — cost O(matched rows), never O(touched-file bytes); the
+    * untouched rows of a touched file are never rewritten (the classic
+    * [[replaceWhereKeys]]/[[deleteWhere]] pay the rewrite; this path
+    * defers it to [[purgeDeletes]]/[[compact]]). `set` maps column name →
+    * new-value expression evaluated over the ORIGINAL row (standard
+    * UPDATE ... SET semantics); a NULL predicate updates nothing (SQL).
+    * Updated rows are new rows entering the table: CHECK constraints
+    * gate them like any append. The CDF emits the version as
+    * delete(old images) + insert(new images) — keyed consumers fold it
+    * as an update.
+    */
+  def updateWhereDV(spark: SparkSession, path: String, cond: Column,
+      set: Map[String, Column], expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    require(set.nonEmpty, "TxLog.updateWhereDV: SET map must be non-empty")
+    val base = snapshot(path, Some(expectedVersion))
+    if (base.files.isEmpty) {
+      publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
+        base.schema, info = ("UPDATE_DV", Map("predicate" -> cond.toString)),
+        fullTxns = base.txns, fullConstraints = base.constraints,
+        fullStats = base.stats, fullDvs = base.dvs, alerts = alerts)
+      return Snapshot(expectedVersion + 1, base.files, base.schema,
+        base.txns, base.constraints, base.stats, base.dvs)
+    }
+    val matched = liveRowsMeta(spark, path, base)
+      .filter(coalesce(cond, lit(false))).persist()
+    try {
+      val hits = matched
+        .select(col(MetaFileCol).as("file"), col(MetaRiCol).as("row_idx"))
+      val updated = set.toSeq.sortBy(_._1)
+        .foldLeft(matched.drop(MetaFileCol, MetaRiCol)) {
+          case (d, (c, v)) => d.withColumn(c, v)
+        }
+      commitDvMutation(spark, path, base, hits, updated,
+        "UPDATE_DV", Map("predicate" -> cond.toString,
+          "set" -> set.keys.toSeq.sorted.mkString(",")), alerts)
+    } finally { matched.unpersist(); () }
+  }
+
+  /** MERGE by deletion vector — [[replaceWhereKeys]] without the survivor
+    * rewrite: every live row whose `nk` appears in `keys` soft-deletes
+    * via a DV sidecar and `newData` appends, ONE atomic commit. Write
+    * cost O(matched rows + new data); the files holding matched keys are
+    * never rewritten (their vectors materialize at the next
+    * purge/compact). Same semantics contract as the classic path — at
+    * every version the visible table is identical to what
+    * `replaceWhereKeys` would have produced; only the physical layout
+    * (and therefore the CDF's delete emission: exactly the matched rows,
+    * not whole-file delete+reinsert) differs.
+    */
+  def replaceWhereKeysDV(spark: SparkSession, path: String, keys: DataFrame,
+      nk: Seq[String], newData: DataFrame, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val k = keys.select(nk.map(col): _*)
+    if (base.files.isEmpty) {
+      // nothing to soft-delete: degenerates to an append of newData
+      return commitDvMutation(spark, path, base,
+        hits = newData.limit(0).select(lit("").as("file"),
+          lit(0L).as("row_idx")).filter(lit(false)),
+        newData = newData, "MERGE_DV", Map("keys" -> nk.mkString(",")),
+        alerts)
+    }
+    val matched = liveRowsMeta(spark, path, base)
+      .join(broadcast(k), nk, "left_semi").persist()
+    try {
+      val hits = matched
+        .select(col(MetaFileCol).as("file"), col(MetaRiCol).as("row_idx"))
+      commitDvMutation(spark, path, base, hits, newData,
+        "MERGE_DV", Map("keys" -> nk.mkString(",")), alerts)
+    } finally { matched.unpersist(); () }
   }
 
   /** Stage and move a single deletion-vector sidecar holding `rows`

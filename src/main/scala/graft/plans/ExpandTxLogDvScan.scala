@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.gold.TxLog
+import graft.streaming.TxLogDvRelation
+
+/** Optimizer rule: expand a [[graft.streaming.TxLogDvRelation]]
+  * placeholder (a `graft-txlog` BATCH read of a snapshot with ACTIVE
+  * deletion vectors) into the NATIVE DV read plan — the same
+  * parquet-scan → broadcast-LeftAnti(DV rows) plan `TxLog.read` builds —
+  * instead of the placeholder's `TableScan` fallback, which is correct
+  * everywhere but pays an RDD boundary (Row conversion both ways, a
+  * codegen fence, and an opaque leaf no later rule can see through).
+  *
+  * After expansion the user's filter sits above an ordinary LeftAnti
+  * join over a parquet relation, so the SAME fixpoint batch pushes it
+  * down to the scan (LeftAnti passes left-only predicates) and
+  * `RewriteTxLogStatsScan` can prune the DATA side — the rule
+  * composition the `q_o_txlog_stats_dv` gate pins. Unconditional (no
+  * arming conf): the placeholder itself proves the read is a TxLog DV
+  * read; expanding is never wrong, only faster.
+  *
+  * The expanded subplan's fresh attribute ids are re-exposed under the
+  * placeholder's original output ids via an aliasing Project, so parent
+  * operators' references stay resolved (the standard splice discipline).
+  * The snapshot version was pinned in the placeholder at relation
+  * construction, so expansion and fallback serve identical data.
+  */
+object ExpandTxLogDvScan extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case rel @ LogicalRelation(dv: TxLogDvRelation, _, _, _, _) =>
+      val session = SparkSession.active
+      val native = TxLog.read(session, dv.path, asOf = Some(dv.version))
+      val expanded =
+        org.apache.spark.sql.graftbridge.StreamingSourceBridge
+          .analyzedPlan(native)
+      val aliases = rel.output.zip(expanded.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }
+      Project(aliases, expanded)
+  }
+}

@@ -268,6 +268,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteRangeJoin)
     e.injectOptimizerRule(_ => RewriteSkipIndexScan)
     e.injectOptimizerRule(_ => RewriteTxLogStatsScan)
+    // before the stats rule in spirit (same fixpoint batch): expands the
+    // graft-txlog DV placeholder into the native anti-join plan, whose
+    // data-side Filter-over-scan shape the stats rule then prunes
+    e.injectOptimizerRule(_ => ExpandTxLogDvScan)
     SqlFunctions.install(e)
   }
 }

@@ -52,13 +52,24 @@ object RewriteTxLogStatsScan extends Rule[LogicalPlan]
 
   val PathKey = "spark.graft.txlogStats.path"
 
+  // Fired-once marker. KNOWN INHERITANCE BEHAVIOR (shared with the
+  // sibling RewriteSkipIndexScan, kept deliberately): the tag propagates
+  // through makeCopy into derived plans, so reusing an ALREADY-OPTIMIZED
+  // filtered-TxLog DataFrame lineage inside a later query skips pruning
+  // there (kept-all — perf-only, never correctness). Build fresh reads
+  // per query (TxLog.read is cheap metadata) to always prune.
   private val Checked = TreeNodeTag[Boolean]("graft.txlogStats.checked")
 
   import RewriteSkipIndexScan.{BV, BvLong, BvStr}
 
   // (tablePath → (version, fileName → colName → (lower, upper))) —
   // metadata scale; exact because a TxLog version's stats are immutable.
-  // Bounds are Option per side: string stats can be one-sided.
+  // Bounds are Option per side: string stats can be one-sided. Bounded:
+  // one entry per armed table, evicted FIFO-ish past MaxCachedTables so
+  // a long-lived process cycling through many table paths cannot grow
+  // the map without bound (pruning is (path, version)-keyed, so eviction
+  // is always sound — the next scan just reloads).
+  private val MaxCachedTables = 64
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Map[String, Map[String, (Option[BV], Option[BV])]])]()
 
@@ -88,6 +99,7 @@ object RewriteTxLogStatsScan extends Rule[LogicalPlan]
         bounds.map(c -> _)
       }
     }
+    if (cache.size >= MaxCachedTables) cache.clear()
     cache.put(tablePath, (v, m))
     m
   }

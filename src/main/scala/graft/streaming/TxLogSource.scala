@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamingSourceBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -54,9 +54,29 @@ import graft.gold.TxLog
   * [[EventStream.streamTxLogTable]] wrapper.
   */
 class TxLogSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with SchemaRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
+
+  /** BATCH read — `spark.read.format("graft-txlog").load()` ≡
+    * `TxLog.read` (DV-aware, log schema authoritative), with
+    * `versionAsOf` / `timestampAsOf` time-travel options. See
+    * [[TxLogRelation]].
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    TxLogRelation.batchRelation(sqlContext, parameters, None)
+
+  /** The catalog-table path (`CREATE TABLE ... USING graft-txlog` pins
+    * the schema at creation; Spark hands it back on every read and
+    * requires exact equality) — refused with re-registration guidance
+    * when the log has since evolved.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    TxLogRelation.batchRelation(sqlContext, parameters, Some(schema))
 
   /** The SINK side of the same format — `df.writeStream
     * .format("graft-txlog").option("path", dir).option("appId", id)` is
@@ -246,9 +266,19 @@ object TxLogSource {
     sv
   }
 
-  private[streaming] def tablePath(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
+  private[streaming] def tablePath(parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-txlog source: 'path' option (the TxLog table dir) is required"))
+    // a catalog table's stored location arrives as a Hadoop URI STRING
+    // ("file:/tmp/t") — TxLog's local-FS IO would treat it as a RELATIVE
+    // path (the round-12 metadataPath gotcha, same class); strip the
+    // file scheme. Non-file schemes pass through untouched (TxLog is
+    // documented local-FS; a remote scheme fails loudly downstream).
+    val uri = new org.apache.hadoop.fs.Path(raw).toUri
+    if (uri.getScheme == null) raw
+    else if (uri.getScheme == "file") uri.getPath
+    else raw
+  }
 
   /** The table's schema at its current version: the log's recorded schema
     * (authoritative even for file-less versions), falling back to the
@@ -371,6 +401,63 @@ abstract class TxLogVersionedSource(
 
   private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
 
+  /** The schema this source PINNED at query start (both sources read
+    * every batch file with it — pre-evolution files null-fill).
+    */
+  protected def pinnedSchema: StructType
+
+  /** SCHEMA-EVOLUTION CONTRACT (the Delta source's): a batch whose
+    * covered versions WIDEN the table schema beyond the pinned one fails
+    * with a named error — reading the new files through the pinned
+    * (narrower) schema would silently DROP the new column from every row
+    * this stream ever serves, and silently switching schemas mid-stream
+    * would break downstream consumers' row shape. The query must RESTART:
+    * source construction re-derives the schema from the log, the
+    * checkpointed offsets resume, and pre-evolution files null-fill the
+    * widened columns. A NARROWED log schema (RESTORE past a widening) is
+    * allowed through: reading old wide files with the pinned wider schema
+    * loses nothing.
+    */
+  protected final def checkSchemaPinned(toInclusive: Long): Unit = {
+    val logSchema = TxLog.snapshot(tablePath, Some(toInclusive)).schema
+    logSchema.foreach { s =>
+      val pinned = pinnedSchema.fields.map(f => f.name -> f.dataType).toMap
+      val added = s.fields.filterNot(f => pinned.contains(f.name))
+        .map(_.name)
+      // a same-name TYPE widen (int→long re-declare, legal in the log)
+      // is the same hazard: the pinned narrower read of the new files
+      // would fail or truncate. The REVERSE direction is fine — a
+      // restarted query pins the WIDE schema while old versions record
+      // the narrow one, and reading narrow files through a wider pinned
+      // type is exactly the null-fill/widen contract.
+      def readsLosslessly(log: org.apache.spark.sql.types.DataType,
+          pin: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        def rank(d: DataType): Int = d match {
+          case ByteType => 0; case ShortType => 1
+          case IntegerType => 2; case LongType => 3; case _ => -1
+        }
+        log == pin || ((log, pin) match {
+          case (FloatType, DoubleType) => true
+          case (d1: DecimalType, d2: DecimalType) =>
+            d1.scale == d2.scale && d1.precision <= d2.precision
+          case _ => rank(log) >= 0 && rank(pin) >= 0 && rank(log) <= rank(pin)
+        })
+      }
+      val widened = s.fields.filter(f =>
+        pinned.get(f.name).exists(p => !readsLosslessly(f.dataType, p)))
+        .map(_.name)
+      val offending = added ++ widened
+      if (offending.nonEmpty) throw new IllegalStateException(
+        s"graft-txlog source: the table schema at $tablePath widened " +
+          s"mid-stream (column(s): ${offending.mkString(", ")}; version " +
+          s"$toInclusive) - this stream pinned the query-start schema " +
+          "and will not silently drop or misread the new data. Restart " +
+          "the query: it resumes from its checkpoint with the widened " +
+          "schema (pre-evolution files null-fill).")
+    }
+  }
+
   final override def getOffset: Option[OffsetV1] =
     TxLog.currentVersion(tablePath).map { cur =>
       val capped = math.min(cur, maxHandedOut + maxVersionsPerTrigger)
@@ -424,11 +511,18 @@ class TxLogSource(
   extends TxLogVersionedSource(spark, tablePath, metadataPath,
     maxVersionsPerTrigger, startingVersion, maxBytesPerTrigger) {
 
+  // log-recorded add-action sizes (zero filesystem stats on post-size
+  // records; a legacy size-less file pays one Hadoop-FS stat — never
+  // java.io.File.length(), which is silently 0 off local FS and would
+  // make the byte budget inert with no error)
   protected def versionBytes(v: Long): Long =
-    TxLog.fileActions(tablePath, v)._1
-      .map(f => new java.io.File(tablePath, f).length()).sum
+    TxLog.versionAddBytes(tablePath, v,
+      spark.sparkContext.hadoopConfiguration)
+
+  protected def pinnedSchema: StructType = schema
 
   protected def batchFor(from: Long, to: Long): DataFrame = {
+    checkSchemaPinned(to)
     val files = (from + 1 to to).flatMap { v =>
       val (added, removed) = TxLog.fileActions(tablePath, v)
       // a deletion-vector commit is a delete-class commit: rows the
@@ -532,14 +626,17 @@ class TxLogCdfSource(
 
   override val schema: StructType = TxLogCdfSource.cdfSchema(dataSchema)
 
-  // CDF batches read BOTH sides of a version's actions
-  protected def versionBytes(v: Long): Long = {
-    val (added, removed) = TxLog.fileActions(tablePath, v)
-    (added ++ removed).map(f => new java.io.File(tablePath, f).length()).sum
-  }
+  // CDF batches read BOTH sides of a version's actions; removed files'
+  // sizes come from the pre-version snapshot's stats map (log metadata)
+  protected def versionBytes(v: Long): Long =
+    TxLog.versionChangeBytes(tablePath, v,
+      spark.sparkContext.hadoopConfiguration)
+
+  protected def pinnedSchema: StructType = dataSchema
 
   protected def batchFor(from: Long, to: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
+    checkSchemaPinned(to)
     // the shared per-version emission core (TxLog.versionChangeParts) —
     // DV-aware like the batch feed — fed a STREAMING loader: each
     // version's files read in place as streaming-flagged frames with the
@@ -567,9 +664,10 @@ class TxLogCdfSource(
     }
     val all = parts.result()
     if (all.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
-    // rename the core's tag columns to this source's public CDF columns
-    // (same names today; keep the select explicit so the batch shape is
-    // pinned to `schema`)
-    else all.reduce(_.unionAll(_))
+    // pin the batch shape to the declared CDF `schema` explicitly: the
+    // core's parts happen to emit (data cols, _change_type,
+    // _commit_version) in this order today, but the positional unionAll
+    // above must never depend on that staying true
+    else all.reduce(_.unionAll(_)).select(schema.fieldNames.map(col): _*)
   }
 }

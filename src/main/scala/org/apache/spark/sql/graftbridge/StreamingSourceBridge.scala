@@ -55,6 +55,14 @@ object StreamingSourceBridge {
       isStreaming = false)
   }
 
+  /** A DataFrame's ANALYZED logical plan — for optimizer rules that
+    * splice a library-built read plan in place of a placeholder relation
+    * (`queryExecution` is public only on the classic Dataset).
+    */
+  def analyzedPlan(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[Dataset[Row]].queryExecution.analyzed
+
   /** A zero-row streaming-flagged batch (a micro-batch whose offset range
     * contains no data files — e.g. a commit that added nothing).
     */

@@ -1,0 +1,218 @@
+package graft
+
+import graft.gold.TxLog
+import org.apache.spark.sql.functions._
+
+/** Round-13 protocol growth: DV-based UPDATE/MERGE (row-level mutation
+  * without file rewrites), commit timestamps + TIMESTAMP AS OF (with the
+  * Delta monotonicity clamp and both refusal directions), log-recorded
+  * add-file sizes (byte walks are pure log metadata; FS-stat fallback
+  * only for legacy records), and vacuum's dryRun + streaming-lag guard.
+  */
+class TxLogMutationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("txmut").toString + "/t"
+
+  private def rows(r: Range): org.apache.spark.sql.DataFrame =
+    r.map(i => (i.toLong, s"v$i", (i % 5).toLong)).toDF("id", "payload", "cents")
+
+  private def byId(df: org.apache.spark.sql.DataFrame): Array[(Long, String, Long)] =
+    df.select("id", "payload", "cents").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+
+  private def partFiles(path: String): Set[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(_.getName).toSet
+
+  test("updateWhereDV == classic delete+append twin on visible rows; zero removed files; CDF folds it") {
+    val a = freshPath(); val b = freshPath()
+    TxLog.init(rows(0 until 300).repartitionByRange(6, col("id")), a)
+    TxLog.init(rows(0 until 300).repartitionByRange(6, col("id")), b)
+    val before = partFiles(a)
+    val beforeSnap = TxLog.snapshot(a)
+    // DV path: one atomic commit
+    TxLog.updateWhereDV(spark, a, col("id") % 7 === 3,
+      Map("cents" -> (col("cents") + 100L), "payload" -> lit("upd")), 0L)
+    // classic twin: replaceWhereKeys with the matched keys and updated images
+    val matched = TxLog.read(spark, b).filter(col("id") % 7 === 3)
+    val updated = matched.withColumn("cents", col("cents") + 100L)
+      .withColumn("payload", lit("upd"))
+    TxLog.replaceWhereKeys(spark, b, matched.select("id"), Seq("id"), updated, 0L)
+    byId(TxLog.read(spark, a)) shouldBe byId(TxLog.read(spark, b))
+    // soft mechanics: no file removed, untouched files not rewritten
+    val after = TxLog.snapshot(a)
+    before.subsetOf(partFiles(a)) shouldBe true
+    beforeSnap.files.toSet.subsetOf(after.files.toSet) shouldBe true
+    after.dvs should not be empty
+    // the change feed reconstructs the mutated table exactly (delete of
+    // old images + insert of new images, one version)
+    byId(TxLog.mirrorFromChanges(spark, a)) shouldBe byId(TxLog.read(spark, a))
+    // NULL predicate updates nothing (SQL UPDATE semantics)
+    val c = freshPath()
+    Seq((1L, java.lang.Long.valueOf(10L)), (2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "x").write.parquet(c.stripSuffix("/t") + "/stage")
+    TxLog.init(spark.read.parquet(c.stripSuffix("/t") + "/stage"), c)
+    TxLog.updateWhereDV(spark, c, col("x") > 5L, Map("x" -> lit(0L)), 0L)
+    TxLog.read(spark, c).filter(col("id") === 2L).select("x")
+      .head().isNullAt(0) shouldBe true
+    TxLog.read(spark, c).filter(col("id") === 1L).select("x")
+      .head().getLong(0) shouldBe 0L
+  }
+
+  test("updateWhereDV: updated rows are gated by CHECK constraints (atomic refusal)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartitionByRange(2, col("id")), path)
+    TxLog.addConstraint(spark, path, "cents_nonneg", "cents >= 0", 0L)
+    val e = intercept[TxLog.ConstraintViolationException] {
+      TxLog.updateWhereDV(spark, path, col("id") < 10L,
+        Map("cents" -> lit(-1L)), 1L)
+    }
+    e.name shouldBe "cents_nonneg"
+    TxLog.currentVersion(path) shouldBe Some(1L) // nothing published
+    byId(TxLog.read(spark, path)) shouldBe byId(TxLog.read(spark, path, Some(1L)))
+  }
+
+  test("replaceWhereKeysDV == replaceWhereKeys on visible rows at every version; mergeByKey folds both") {
+    val a = freshPath(); val b = freshPath()
+    val init = rows(0 until 240).repartitionByRange(4, col("id"))
+    TxLog.init(init, a); TxLog.init(init, b)
+    val keys = rows(0 until 240).filter(col("id") % 6 === 1).select("id")
+    val newData = rows(1000 until 1040)
+      .unionAll(rows(0 until 240).filter(col("id") % 12 === 1)
+        .withColumn("payload", lit("replaced")))
+    TxLog.replaceWhereKeysDV(spark, a, keys, Seq("id"), newData, 0L)
+    TxLog.replaceWhereKeys(spark, b, keys, Seq("id"), newData, 0L)
+    byId(TxLog.read(spark, a)) shouldBe byId(TxLog.read(spark, b))
+    // physical: DV path removed no files
+    TxLog.snapshot(a, Some(0L)).files.toSet
+      .subsetOf(TxLog.snapshot(a).files.toSet) shouldBe true
+    // keyed CDF consumer folds the DV-merge version as an update
+    byId(TxLog.mergeByKeyFromChanges(spark, a, Seq("id"))) shouldBe
+      byId(TxLog.read(spark, a))
+    // a second DV merge composes with the existing vectors
+    val keys2 = rows(0 until 240).filter(col("id") % 6 === 5).select("id")
+    TxLog.replaceWhereKeysDV(spark, a, keys2, Seq("id"),
+      newData = rows(2000 until 2010), 1L)
+    TxLog.replaceWhereKeys(spark, b, keys2, Seq("id"),
+      newData = rows(2000 until 2010), 1L)
+    byId(TxLog.read(spark, a)) shouldBe byId(TxLog.read(spark, b))
+    // purge materializes: same visible rows, vectors gone
+    TxLog.purgeDeletes(spark, a, 2L)
+    byId(TxLog.read(spark, a)) shouldBe byId(TxLog.read(spark, b))
+    TxLog.snapshot(a).dvs shouldBe empty
+  }
+
+  test("commit timestamps: raw in history, clamped for resolution; both refusal directions") {
+    val path = freshPath()
+    // non-monotone injected clock: v1 stamps BELOW v0 (skewed writer)
+    val stamps = Iterator(100000L, 50000L, 200000L)
+    TxLog.usingClock(() => stamps.next()) {
+      TxLog.init(rows(0 until 10), path)             // v0 @ 100000
+      TxLog.append(rows(10 until 20), path, 0L)      // v1 @ 50000 (skew!)
+      TxLog.append(rows(20 until 30), path, 1L)      // v2 @ 200000
+    }
+    // raw stamps in the audit trail (newest first)
+    val h = TxLog.history(spark, path)
+    h.columns.head shouldBe "timestamp"
+    val rawMs = TxLog.commitInfos(path).map(_.timestampMillis.get)
+    rawMs shouldBe Seq(200000L, 50000L, 100000L)
+    // clamped resolution: v1 resolves at 100001
+    TxLog.clampedCommitTimestamps(path) shouldBe
+      Seq((0L, 100000L), (1L, 100001L), (2L, 200000L))
+    TxLog.versionAtTimestamp(path, 100000L) shouldBe 0L
+    TxLog.versionAtTimestamp(path, 100001L) shouldBe 1L
+    TxLog.versionAtTimestamp(path, 199999L) shouldBe 1L
+    TxLog.versionAtTimestamp(path, 200000L) shouldBe 2L
+    TxLog.readTimestampAsOf(spark, path, 150000L).count() shouldBe 20L
+    // refusals: before earliest retained, after latest
+    intercept[IllegalArgumentException] {
+      TxLog.versionAtTimestamp(path, 99999L)
+    }.getMessage should include("before the earliest")
+    intercept[IllegalArgumentException] {
+      TxLog.versionAtTimestamp(path, 200001L)
+    }.getMessage should include("after the latest")
+    // vacuum moves the floor: below-horizon timestamps refuse like versions
+    TxLog.usingClock(() => 300000L) {
+      TxLog.append(rows(30 until 40), path, 2L)
+    }
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    intercept[IllegalArgumentException] {
+      TxLog.versionAtTimestamp(path, 150000L)
+    }.getMessage should include("before the earliest")
+    TxLog.versionAtTimestamp(path, 250000L) shouldBe 2L
+  }
+
+  test("timestamp travel refuses on a partially stamped (legacy) history") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 10), path)
+    // manufacture a legacy record: strip the tsMillis field from v0
+    val vf = new java.io.File(path, "_graft_txlog/00000000000000000000.json")
+    val text = new String(java.nio.file.Files.readAllBytes(vf.toPath), "UTF-8")
+    java.nio.file.Files.write(vf.toPath,
+      text.replaceFirst("\"tsMillis\":-?\\d+,", "").getBytes("UTF-8"))
+    TxLog.append(rows(10 until 20), path, 0L)
+    intercept[IllegalStateException] {
+      TxLog.versionAtTimestamp(path, System.currentTimeMillis())
+    }.getMessage should include("no commit timestamp")
+    // version-based travel still serves it
+    TxLog.read(spark, path, asOf = Some(0L)).count() shouldBe 10L
+  }
+
+  test("byte walks are pure log metadata on fresh tables; legacy stat-less records fall back to ONE FS stat per file") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartitionByRange(3, col("id")), path)
+    TxLog.append(rows(100 until 150), path, 0L)
+    TxLog.deleteWhere(spark, path, col("id") < 10L, 1L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    TxLog.sizeFallbackStats.set(0L)
+    val add0 = TxLog.versionAddBytes(path, 0L, conf)
+    val chg2 = TxLog.versionChangeBytes(path, 2L, conf)
+    TxLog.sizeFallbackStats.get() shouldBe 0L // zero filesystem stats
+    // the recorded sizes are the real ones
+    val snap0 = TxLog.snapshot(path, Some(0L))
+    add0 shouldBe snap0.files
+      .map(f => new java.io.File(path, f).length()).sum
+    chg2 should be > 0L
+    // a table whose schema has NO stats-eligible columns commits
+    // stat-less records: the byte walk falls back (correct, counted)
+    val p2 = freshPath()
+    val noStats = (0 until 50).map(i => Array(i.toDouble, 1.0))
+      .toDF("vec") // double array: ineligible
+    TxLog.init(noStats, p2)
+    TxLog.sizeFallbackStats.set(0L)
+    val b = TxLog.versionAddBytes(p2, 0L, conf)
+    TxLog.sizeFallbackStats.get() should be > 0L
+    b shouldBe TxLog.snapshot(p2).files
+      .map(f => new java.io.File(p2, f).length()).sum
+  }
+
+  test("vacuum dryRun reports without touching anything; readerFloor fires the lag alert") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 50), path)
+    (1 to 5).foreach(v => TxLog.append(rows(v * 100 until v * 100 + 10), path, v - 1L))
+    val allVersions = (0L to 5L)
+    val dry = TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L, dryRun = true)
+    dry should not be empty
+    // NOTHING happened: every version still readable, no checkpoint moved
+    allVersions.foreach(v => TxLog.read(spark, path, Some(v)).count())
+    // real run with a lagging reader floor: alert BEFORE the drop
+    val sink = new graft.runner.Alerts.CollectingSink
+    val dropped = TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L,
+      readerFloor = Some(2L), alerts = Some(sink))
+    dropped.toSet shouldBe dry.toSet
+    val a = sink.alerts.filter(_.severity == "txlog_vacuum_breaks_reader")
+    a should have size 1
+    a.head.message should include("reader floor 2")
+    // the lagging reader now fails only below the horizon (as documented)
+    intercept[Exception] { TxLog.read(spark, path, Some(1L)).count() }
+    TxLog.read(spark, path, Some(4L)).count() shouldBe 90L
+    // a floor entirely above the dropped range stays silent
+    val sink2 = new graft.runner.Alerts.CollectingSink
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L,
+      readerFloor = Some(5L), alerts = Some(sink2))
+    sink2.alerts shouldBe empty
+  }
+}

@@ -293,4 +293,72 @@ class TxLogSourceSpec extends SparkSpecBase {
     }
     e.getMessage should include("APPEND-ONLY")
   }
+
+  test("schema-evolution contract: a mid-stream widen fails NAMED; a restart serves the widened schema null-filled") {
+    val path = freshDir("txsrc") + "/t"
+    val work = freshDir("txsrc_work")
+    TxLog.init(rows(0 until 10), path)
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    // the table WIDENS while the query is LIVE: the batch covering the
+    // widening version must fail with the named contract error — the
+    // pinned query-start schema would silently drop the new column
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val child = spark.newSession()
+      child.conf.set("spark.sql.shuffle.partitions", 4)
+      val q = child.readStream.format("graft-txlog").option("path", path)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable() // serves v0 under the pinned (id, payload)
+        TxLog.append(rows(10 until 20).withColumn("extra", col("id") * 2),
+          path, 0L)
+        q.processAllAvailable() // v1 widens: must raise, not drop `extra`
+      } finally q.stop()
+    }
+    e.getMessage should include("widened mid-stream")
+    e.getMessage should include("Restart the query")
+    spark.read.parquet(out).count() shouldBe 10L // v1 served nothing
+    // RESTART = source construction re-derives the schema: the SAME
+    // checkpoint (and sink - the file sink's _spark_metadata rides the
+    // output dir) resumes at v1 and the widened column appears
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    val q = child.readStream.format("graft-txlog").option("path", path).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    got.columns.toSet shouldBe Set("id", "payload", "extra")
+    got.select("id").as[Long].collect().sorted shouldBe (0L until 20L).toArray
+    got.filter(col("id") >= 10L).select("extra").as[Long].collect()
+      .sorted shouldBe (10L until 20L).map(_ * 2).toArray
+    // a fresh query over the full widened table null-fills v0's rows
+    val q2 = child.readStream.format("graft-txlog").option("path", path).load()
+      .writeStream.format("parquet").option("path", s"$work/out3")
+      .option("checkpointLocation", s"$work/ckpt3")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val full = spark.read.parquet(s"$work/out3")
+    full.filter(col("id") < 10L && col("extra").isNull).count() shouldBe 10L
+    // the CDF source enforces the same contract
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val c2 = spark.newSession()
+      c2.conf.set("spark.sql.shuffle.partitions", 4)
+      val path2 = freshDir("txsrc") + "/t"
+      TxLog.init(rows(0 until 5), path2)
+      val q3 = c2.readStream.format("graft-txlog-cdf")
+        .option("path", path2).load()
+        .writeStream.format("parquet").option("path", s"$work/out4")
+        .option("checkpointLocation", s"$work/ckpt4")
+        .outputMode("append").start()
+      try {
+        q3.processAllAvailable()
+        TxLog.append(rows(5 until 8).withColumn("extra", lit(1L)), path2, 0L)
+        q3.processAllAvailable()
+      } finally q3.stop()
+    }
+    e2.getMessage should include("widened mid-stream")
+  }
 }

@@ -182,4 +182,52 @@ class TxLogStatsRuleSpec extends SparkSpecBase {
     // the unarmed parent session is untouched by the misconfiguration
     TxLog.read(spark, path).count() shouldBe 10L
   }
+
+  test("stats pruning COMPOSES with deletion vectors: pushdown restores the eligible shape below the anti-join") {
+    val path = freshPath()
+    TxLog.init(
+      (0 until 800).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "payload").repartitionByRange(8, col("k")),
+      path)
+    TxLog.deleteWhereDV(spark, path, col("k") % 10 === 3, 0L)
+    val total = TxLog.snapshot(path).files.size
+    val s = armed()
+    s.conf.set(RewriteTxLogStatsScan.PathKey, path)
+    // AQE wraps the join sides in QueryStageExec LEAVES, hiding the scans
+    // from plan.collect — turn it off so the file-count assertions can
+    // see them (the rule itself is AQE-independent: it runs at logical
+    // optimization, before any physical planning)
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val u = spark.newSession()
+    u.conf.set("spark.sql.shuffle.partitions", 4)
+    u.conf.set("spark.sql.adaptive.enabled", "false")
+    val pruned = TxLog.read(s, path).filter(col("k") >= 100L && col("k") <= 199L)
+    val full = TxLog.read(u, path).filter(col("k") >= 100L && col("k") <= 199L)
+    // soundness first: identical rows (DVs applied AND files pruned)
+    pruned.select("k").as[Long].collect().sorted shouldBe
+      full.select("k").as[Long].collect().sorted
+    pruned.select("k").as[Long].collect().sorted shouldBe
+      (100L to 199L).filterNot(_ % 10 == 3).toArray
+    // the plan keeps the DV anti-join AND the DATA-side scan reads fewer
+    // files — the user filter was pushed below the LeftAnti join onto
+    // the parquet relation, where the rule fired (identify the data scan
+    // by its `k` column; the other scan is the metadata-scale DV sidecar)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan
+    plan.toString should include("LeftAnti")
+    val dataScans = plan.collect {
+      case f: FileSourceScanExec
+          if f.output.exists(_.name == "k") &&
+            f.relation.location.rootPaths.exists(_.getName.startsWith("part-")) =>
+        f.relation.location.inputFiles.length
+    }
+    dataScans should not be empty
+    dataScans.foreach(_ should be < total)
+    // unarmed session: same rows, full scan
+    full.collect()
+    full.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "k") =>
+        f.relation.location.inputFiles.length
+    }.foreach(_ shouldBe total)
+  }
 }
