@@ -730,6 +730,67 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
   }
 
+  /** BATCH WRITE through the registered format (library: the
+    * `graft-txlog` CreatableRelationProvider — `df.write.format(...)`
+    * with create/append/overwrite SaveModes, each an ACID commit under
+    * commitWithRetry): a three-step script — create (INIT), APPEND a
+    * second slice, then OVERWRITE with a computed final content — read
+    * back at the head. The oracle recomputes the overwrite content in
+    * closed form; the bound booleans pin the audit trail (INIT → APPEND
+    * → OVERWRITE recorded) and that time travel below the overwrite
+    * still serves the pre-overwrite union (overwrite is a commit, not a
+    * truncation).
+    */
+  private def qTxlogBatchWrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_batchwrite"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def w(df: DataFrame) = df.write.format("graft-txlog").option("path", path)
+    w(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey"))).mode("errorifexists").save()
+    w(o.filter(col("o_custkey") % 4 === 1)).mode("append").save()
+    w(o.filter(col("o_custkey") % 4 === 2 &&
+      col("o_orderpriority") =!= "5-LOW")).mode("overwrite").save()
+    val ops = TxLog.commitInfos(path).flatMap(_.operation)
+    val trailOk = ops == Seq("OVERWRITE", "APPEND", "INIT")
+    val belowIntact = TxLog.read(s, path, asOf = Some(1L)).count() >
+      TxLog.read(s, path).count()
+    s.read.format("graft-txlog").option("path", path).load()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("trail_recorded", lit(trailOk))
+      .withColumn("below_overwrite_intact", lit(belowIntact))
+  }
+
+  /** BATCH CHANGE FEED through the registered format (library: the
+    * `graft-txlog-cdf` RelationProvider — Delta's batch `readChangeFeed`
+    * shape): a DV-only history (init, append, soft delete) whose CDF
+    * emission is CLOSED FORM per (change type, version) — the soft
+    * delete emits exactly its matched rows, never file-boundary-shaped
+    * delete+reinsert pairs — aggregated straight off
+    * `spark.read.format("graft-txlog-cdf")`. A feed missing a version,
+    * double-emitting, or mis-tagging hash-mismatches.
+    */
+  private def qTxlogCdfBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_cdfbatch"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 4 === 0)
+      .repartitionByRange(4, col("id")), path) // v0
+    TxLog.append(o.filter(col("id") % 4 === 1), path, 0L) // v1
+    TxLog.deleteWhereDV(s, path, col("id") % 5 === 2, 1L) // v2: soft
+    s.read.format("graft-txlog-cdf").option("path", path).load()
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1622,6 +1683,8 @@ object ExtensionQueries {
     "q_sql_txlog_catalog" -> (qSqlTxlogCatalog _),
     "q_o_txlog_dv_update" -> (qTxlogDvUpdate _),
     "q_o_txlog_stats_dv" -> (qTxlogStatsDv _),
+    "q_o_txlog_batch_write" -> (qTxlogBatchWrite _),
+    "q_o_txlog_cdf_batch" -> (qTxlogCdfBatch _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2022,6 +2085,31 @@ object ExtensionQueries {
           |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
           |  AND o_orderkey BETWEEN 1000 AND 2000
           |GROUP BY o_orderpriority""".stripMargin,
+      // final content == the overwrite slice; trail + below-overwrite
+      // booleans Spark-bound, oracled TRUE
+      "q_o_txlog_batch_write" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS trail_recorded, TRUE AS below_overwrite_intact
+          |FROM orders
+          |WHERE o_custkey % 4 = 2 AND o_orderpriority <> '5-LOW'
+          |GROUP BY o_orderpriority""".stripMargin,
+      // the DV-only history's feed in closed form: v0 inserts slice 0,
+      // v1 inserts slice 1, v2 soft-deletes exactly the %5=2 members of
+      // their union
+      "q_o_txlog_cdf_batch" ->
+        """SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+          |  CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents
+          |FROM orders WHERE o_orderkey % 4 = 0
+          |UNION ALL
+          |SELECT 'insert', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+          |FROM orders WHERE o_orderkey % 4 = 1
+          |UNION ALL
+          |SELECT 'delete', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+          |FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 = 2""".stripMargin,
       // string-bound rule-pruned scan == the closed-form slice (DuckDB
       // default collation is binary, same order as the UTF8 bounds)
       "q_o_txlog_stats_string" ->

@@ -1648,6 +1648,50 @@ object TxLog {
       base.constraints, stats, base.dvs)
   }
 
+  /** OVERWRITE the table's contents atomically: one commit removing every
+    * current file and adding the new data — `SaveMode.Overwrite` through
+    * the batch format, INSERT OVERWRITE semantics. Constraints gate the
+    * new rows; deletion vectors clear with the files they covered; txn
+    * watermarks survive (an overwrite does not un-apply a streaming
+    * writer's batches). The recorded schema still merges widen-only —
+    * an overwrite that NARROWS a column errors like any commit (Delta
+    * requires `overwriteSchema` for that; here it stays refused), though
+    * brand-new columns and type widenings record normally.
+    */
+  def overwrite(df: DataFrame, path: String, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val schema = mergeSchemas(base.schema, df.schema)
+    enforceConstraints(df, schema, base.constraints)
+    val (added, addStats) = writeDataFiles(df, path)
+    publish(path, expectedVersion + 1, added, add = added,
+      remove = base.files.sorted, Some(schema),
+      info = ("OVERWRITE", Map.empty),
+      fullTxns = base.txns, addStats = addStats,
+      fullConstraints = base.constraints, fullStats = addStats,
+      fullDvs = Map.empty, alerts = alerts)
+    Snapshot(expectedVersion + 1, added, Some(schema), base.txns,
+      base.constraints, addStats, Map.empty)
+  }
+
+  /** The FIRST version whose clamped commit timestamp is at or after
+    * `tsMillis` — the `startingTimestamp` resolution for streaming
+    * sources ("stream everything committed from this instant on"; the
+    * dual of [[versionAtTimestamp]]'s newest-at-or-before, which serves
+    * batch reads). A timestamp at or before the earliest retained commit
+    * floors at that commit; one after the latest raises (nothing to
+    * stream from there yet — Delta refuses the same way rather than
+    * silently starting at an arbitrary point).
+    */
+  def firstVersionAtOrAfter(path: String, tsMillis: Long): Long = {
+    val ts = clampedCommitTimestamps(path)
+    require(tsMillis <= ts.last._2,
+      s"TxLog: timestamp $tsMillis is after the latest commit " +
+        s"(${ts.last._2} at version ${ts.last._1}) - nothing is " +
+        "committed at or after it")
+    ts.find(_._2 >= tsMillis).get._1
+  }
+
   /** IDEMPOTENT append — the exactly-once seam for streaming
     * `foreachBatch` sinks (the Delta protocol's txn-action pattern):
     * commit `df` tagged with writer identity `(appId, batchId)`. If the

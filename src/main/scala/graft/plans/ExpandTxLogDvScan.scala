@@ -33,16 +33,40 @@ import graft.streaming.TxLogDvRelation
   */
 object ExpandTxLogDvScan extends Rule[LogicalPlan] {
 
+  /** Splice `native`'s analyzed plan under `rel`'s output ids. Alignment
+    * is BY NAME, not position — the expanded plan's column order comes
+    * from parquet footer merging / union alignment and is not guaranteed
+    * to match the placeholder's declared schema order; a positional zip
+    * would silently serve values under the wrong names.
+    */
+  private def splice(rel: LogicalRelation,
+      native: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val expanded =
+      org.apache.spark.sql.graftbridge.StreamingSourceBridge
+        .analyzedPlan(native)
+    val byName = expanded.output.map(a => a.name -> a).toMap
+    val aliases = rel.output.map { o =>
+      val n = byName.getOrElse(o.name, throw new IllegalStateException(
+        s"ExpandTxLogDvScan: native plan lacks column '${o.name}' the " +
+          s"relation declared (has: ${expanded.output.map(_.name).mkString(", ")})"))
+      // cast when the native type differs from the declared one (a
+      // re-declare-widened table read through narrower footers): the
+      // alias must carry the TYPE the parents' references expect, or the
+      // spliced plan is silently type-inconsistent
+      val child: org.apache.spark.sql.catalyst.expressions.Expression =
+        if (n.dataType == o.dataType) n
+        else org.apache.spark.sql.catalyst.expressions.Cast(n, o.dataType)
+      Alias(child, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(aliases, expanded)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case rel @ LogicalRelation(dv: TxLogDvRelation, _, _, _, _) =>
       val session = SparkSession.active
-      val native = TxLog.read(session, dv.path, asOf = Some(dv.version))
-      val expanded =
-        org.apache.spark.sql.graftbridge.StreamingSourceBridge
-          .analyzedPlan(native)
-      val aliases = rel.output.zip(expanded.output).map { case (o, n) =>
-        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-      }
-      Project(aliases, expanded)
+      splice(rel, TxLog.read(session, dv.path, asOf = Some(dv.version)))
+    case rel @ LogicalRelation(cdf: graft.streaming.TxLogCdfRelation, _, _, _, _) =>
+      val session = SparkSession.active
+      splice(rel, TxLog.changes(session, cdf.path, cdf.fromExclusive, cdf.to))
   }
 }

@@ -132,6 +132,83 @@ object TxLogRelation {
   }
 }
 
+object TxLogCdfRelation {
+
+  val StartingVersionKey = "startingVersion"
+  val EndingVersionKey = "endingVersion"
+  val StartingTimestampKey = "startingTimestamp"
+  val EndingTimestampKey = "endingTimestamp"
+
+  /** The BATCH change-feed relation — `spark.read
+    * .format("graft-txlog-cdf")` (Delta's batch `readChangeFeed`):
+    * row-level insert/delete changes of versions
+    * [`startingVersion` (default 0), `endingVersion` (default current)],
+    * the `TxLog.changes` frame behind the registered format. Same
+    * placeholder + expansion design as the DV read: the `TableScan`
+    * fallback keeps any session correct; `ExpandTxLogDvScan` splices the
+    * native multi-version union plan in Graft sessions. The feed window
+    * is vacuum-bounded exactly like the library call.
+    */
+  def batchRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = TxLogSource.tablePath(parameters)
+    val cur = TxLog.currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-txlog-cdf: no TxLog table at $path"))
+    // version bounds or timestamp bounds per side, never both: the
+    // starting side resolves FIRST-at-or-after (stream everything
+    // committed from this instant on), the ending side
+    // NEWEST-at-or-before (state as of this instant) — the same duals
+    // the batch read / streaming floor use
+    val sv = parameters.get(StartingVersionKey).map(_.toLong)
+    val st = parameters.get(StartingTimestampKey)
+      .map(TxLogRelation.parseTsOption)
+    require(sv.isEmpty || st.isEmpty,
+      s"graft-txlog-cdf: $StartingVersionKey and $StartingTimestampKey " +
+        "are mutually exclusive")
+    val ev = parameters.get(EndingVersionKey).map(_.toLong)
+    val et = parameters.get(EndingTimestampKey)
+      .map(TxLogRelation.parseTsOption)
+    require(ev.isEmpty || et.isEmpty,
+      s"graft-txlog-cdf: $EndingVersionKey and $EndingTimestampKey " +
+        "are mutually exclusive")
+    val from = sv.orElse(st.map(TxLog.firstVersionAtOrAfter(path, _)))
+      .getOrElse(0L)
+    val to = ev.orElse(et.map(TxLog.versionAtTimestamp(path, _)))
+      .getOrElse(cur)
+    require(from >= 0 && to >= from && to <= cur,
+      s"graft-txlog-cdf: invalid version range [$from, $to] " +
+        s"(table is at version $cur)")
+    val dataSchema = TxLog.snapshot(path, Some(to)).schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-txlog-cdf: version $to of $path has no recorded schema " +
+          "(legacy log)"))
+    TxLogCdfRelation(path, from - 1, to,
+      TxLogCdfSource.cdfSchema(dataSchema))(spark)
+  }
+}
+
+/** Placeholder for the batch change feed of `(fromExclusive, to]` —
+  * expanded to the native `TxLog.changes` plan by `ExpandTxLogDvScan`;
+  * the fallback delegates through an RDD boundary.
+  */
+case class TxLogCdfRelation(path: String, fromExclusive: Long, to: Long,
+    override val schema: StructType)(
+    @transient val session: SparkSession)
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = session.sqlContext
+
+  override def buildScan(): RDD[Row] =
+    TxLog.changes(session, path, fromExclusive, to)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .rdd
+
+  override def toString: String =
+    s"TxLogCdfRelation[$path, ($fromExclusive, $to]]"
+}
+
 /** Placeholder relation for a DV'd TxLog snapshot — carries everything
   * the `ExpandTxLogDvScan` rule needs to splice in the native anti-join
   * plan; the `TableScan` fallback keeps extension-less sessions correct
@@ -147,8 +224,15 @@ case class TxLogDvRelation(path: String, version: Long,
 
   override def sqlContext: SQLContext = session.sqlContext
 
+  // project the DECLARED schema order explicitly: the TableScan row
+  // conversion aligns by POSITION against `schema`, while TxLog.read's
+  // column order comes from parquet footer merging — any divergence
+  // would silently serve values under the wrong columns
   override def buildScan(): RDD[Row] =
-    TxLog.read(session, path, asOf = Some(version)).rdd
+    TxLog.read(session, path, asOf = Some(version))
+      .select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+      .rdd
 
   override def toString: String = s"TxLogDvRelation[$path, v=$version]"
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamingSourceBridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -55,7 +56,8 @@ import graft.gold.TxLog
   */
 class TxLogSourceProvider extends StreamSourceProvider
     with StreamSinkProvider with RelationProvider
-    with SchemaRelationProvider with DataSourceRegister {
+    with SchemaRelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog"
 
@@ -77,6 +79,42 @@ class TxLogSourceProvider extends StreamSourceProvider
       parameters: Map[String, String],
       schema: StructType): BaseRelation =
     TxLogRelation.batchRelation(sqlContext, parameters, Some(schema))
+
+  /** BATCH WRITE — `df.write.format("graft-txlog").mode(...)` (and
+    * `CREATE TABLE ... USING graft-txlog AS SELECT`): a non-existent
+    * table is created (`TxLog.init`) under ANY mode; on an existing
+    * table Append commits an ACID append, Overwrite replaces the whole
+    * content in ONE commit (INSERT OVERWRITE — old files removed, DVs
+    * cleared, txn watermarks kept), ErrorIfExists refuses, Ignore
+    * no-ops. All writes run under `commitWithRetry`, so concurrent
+    * writers serialize through the optimistic-concurrency protocol
+    * instead of clobbering. Exactly-once STREAMING ingestion stays on
+    * the sink path (`writeStream` + `appId`) — batch writes carry no
+    * idempotency token by design (re-running a batch job IS a second
+    * write).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = TxLogSource.tablePath(parameters)
+    val exists = TxLog.currentVersion(path).isDefined
+    if (!exists) {
+      new java.io.File(path).mkdirs()
+      TxLog.init(data, path)
+    } else mode match {
+      case SaveMode.ErrorIfExists => throw new IllegalArgumentException(
+        s"graft-txlog: a TxLog table already exists at $path " +
+          "(SaveMode.ErrorIfExists) - use Append or Overwrite")
+      case SaveMode.Ignore => ()
+      case SaveMode.Append =>
+        TxLog.commitWithRetry(path)(v => TxLog.append(data, path, v))
+      case SaveMode.Overwrite =>
+        TxLog.commitWithRetry(path)(v => TxLog.overwrite(data, path, v))
+    }
+    TxLogRelation.batchRelation(sqlContext,
+      parameters - TxLogRelation.VersionAsOfKey -
+        TxLogRelation.TimestampAsOfKey, None)
+  }
 
   /** The SINK side of the same format — `df.writeStream
     * .format("graft-txlog").option("path", dir).option("appId", id)` is
@@ -148,7 +186,7 @@ class TxLogSourceProvider extends StreamSourceProvider
     val sch = schema.getOrElse(TxLogSource.tableSchema(sqlContext.sparkSession, path))
     val maxVersions = TxLogSource.maxVersionsOf(parameters, "graft-txlog")
     new TxLogSource(sqlContext.sparkSession, path, sch, metadataPath,
-      maxVersions, TxLogSource.startingVersionOf(parameters),
+      maxVersions, TxLogSource.startingVersionOf(parameters, path),
       TxLogSource.ignoreDeletesOf(parameters),
       TxLogSource.maxBytesOf(parameters))
   }
@@ -260,10 +298,82 @@ object TxLogSource {
       if (parameters.contains(MaxBytesKey)) 1L << 40 else 1L)
   }
 
-  private[streaming] def startingVersionOf(parameters: Map[String, String]): Long = {
-    val sv = parameters.get(StartingVersionKey).map(_.toLong).getOrElse(0L)
-    require(sv >= 0, s"graft-txlog: $StartingVersionKey must be >= 0 (got $sv)")
-    sv
+  /** `startingTimestamp` (Delta's same-named option): the fresh-query
+    * floor as an INSTANT instead of a version — resolves to the first
+    * version committed at or after it ([[TxLog.firstVersionAtOrAfter]]
+    * on the clamped monotone stamps). Same fresh-start-only contract as
+    * `startingVersion`; mutually exclusive with it.
+    */
+  val StartingTimestampKey = "startingTimestamp"
+
+  private[streaming] def startingVersionOf(parameters: Map[String, String],
+      path: String): Long = {
+    val sv = parameters.get(StartingVersionKey).map(_.toLong)
+    val st = parameters.get(StartingTimestampKey)
+      .map(TxLogRelation.parseTsOption)
+    require(sv.isEmpty || st.isEmpty,
+      s"graft-txlog: $StartingVersionKey and $StartingTimestampKey are " +
+        "mutually exclusive")
+    sv.foreach(v => require(v >= 0,
+      s"graft-txlog: $StartingVersionKey must be >= 0 (got $v)"))
+    sv.orElse(st.map(TxLog.firstVersionAtOrAfter(path, _))).getOrElse(0L)
+  }
+
+  /** The OLDEST version a checkpointed `graft-txlog` / `graft-txlog-cdf`
+    * query can still need: (last COMMITTED batch's end offset) + 1 — a
+    * restart redelivers everything above the last commit, so versions at
+    * or above this floor must outlive vacuum. Pass the result as
+    * `TxLog.vacuum(readerFloor = ...)` to arm the lag alert for a real
+    * consumer. NOT the handed-out cursor + 1: offsets are logged BEFORE
+    * their batch commits, so versions in (lastCommitted, cursor] are
+    * re-read on restart — a cursor-based floor would under-protect
+    * exactly them. Reads the engine's v1 checkpoint layout
+    * (`commits/<n>`, `offsets/<n>`: "v1", metadata, one offset line per
+    * source) — the stable public format FileStreamSource queries have
+    * used across Spark versions. A checkpoint with no commits floors at
+    * 0 (a fresh query needs everything).
+    */
+  def committedReaderFloor(spark: SparkSession, checkpointLocation: String,
+      sourceIndex: Int = 0): Long = {
+    val root = new org.apache.hadoop.fs.Path(checkpointLocation)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lastCommittedEndOffset(fs, root, sourceIndex).map(_ + 1L).getOrElse(0L)
+  }
+
+  /** The last COMMITTED batch's end offset for source `sourceIndex` in
+    * the v1 checkpoint at `root` (`commits/<n>` names the batch,
+    * `offsets/<n>` is "v1", metadata json, then one serialized offset
+    * per source). None when no batch has committed. Raises on a
+    * non-numeric offset line — that source is not a version-offset
+    * source.
+    */
+  private[streaming] def lastCommittedEndOffset(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, sourceIndex: Int): Option[Long] = {
+    val commits = new org.apache.hadoop.fs.Path(root, "commits")
+    if (!fs.exists(commits)) return None
+    val ids = fs.listStatus(commits).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+    if (ids.isEmpty) return None
+    val off = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "offsets"), ids.max.toString)
+    val in = fs.open(off)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val offsetLines = lines.drop(2)
+    require(sourceIndex >= 0 && sourceIndex < offsetLines.length,
+      s"graft-txlog: checkpoint $root has ${offsetLines.length} source " +
+        s"offset(s); index $sourceIndex does not exist")
+    val line = offsetLines(sourceIndex).trim
+    if (line == "-") None
+    else
+      try Some(line.toLong)
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"graft-txlog: offset line '$line' in $off is not a version " +
+            s"offset - is source index $sourceIndex a graft-txlog source?")
+      }
   }
 
   private[streaming] def tablePath(parameters: Map[String, String]): String = {
@@ -344,6 +454,12 @@ abstract class TxLogVersionedSource(
 
   @volatile private var maxHandedOut: Long =
     math.max(readCursor(), startingVersion - 1)
+
+  /** The cursor as restored at construction — ranges at or below it can
+    * only be the engine's RESTART-INITIALIZATION `getBatch` calls (see
+    * [[getBatch]]); fresh batches always end above it.
+    */
+  private val initialCursor: Long = maxHandedOut
 
   /** The engine's offsets log lives two levels above the source-metadata
     * dir (`<ckpt>/sources/<i>` → `<ckpt>/offsets`). Checkpoint-layout
@@ -481,6 +597,20 @@ abstract class TxLogVersionedSource(
       LongOffset(end)
     }
 
+  /** The engine's last COMMITTED batch end offset (a log version), read
+    * from the checkpoint this source's metadata dir lives under — same
+    * layout knowledge as the corruption check, used ONLY to recognize
+    * already-committed ranges. None when unreadable (fail open to the
+    * normal batch path, whose own errors are loud).
+    */
+  private def engineCommittedEnd: Option[Long] =
+    try {
+      val root = Option(metadataHPath.getParent).flatMap(p =>
+        Option(p.getParent)).getOrElse(return None)
+      val idx = metadataHPath.getName.toInt
+      TxLogSource.lastCommittedEndOffset(fs, root, idx)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   final override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // the starting-version floor applies only when the engine has no
     // checkpointed start (a fresh query); a resumed query's own offsets
@@ -489,7 +619,18 @@ abstract class TxLogVersionedSource(
       startingVersion - 1) // exclusive
     val to = versionOf(end) // inclusive
     advanceCursor(math.max(from, to)) // engine range is authoritative
-    batchFor(from, to)
+    // RESTART-INITIALIZATION calls: on every restart MicroBatchExecution
+    // re-calls getBatch for the first logged batch's range even when that
+    // batch is COMMITTED — the frame is never executed. Before vacuum
+    // existed this only wasted a log walk; once vacuum drops the covered
+    // versions the eager record parse would CRASH a perfectly healthy
+    // restart (caught by the committedReaderFloor spec). A range ending
+    // at or below the engine's own committed offset was fully delivered:
+    // serving it empty is exact, and the check costs nothing in steady
+    // state (fresh batches always end above the restored cursor).
+    if (to <= initialCursor && engineCommittedEnd.exists(_ >= to))
+      StreamingSourceBridge.emptyStreamingBatch(spark, schema)
+    else batchFor(from, to)
   }
 
   override def commit(end: OffsetV1): Unit = ()
@@ -573,9 +714,18 @@ class TxLogSource(
   * Usage: `spark.readStream.format("graft-txlog-cdf").option("path", dir)
   * .load()`.
   */
-class TxLogCdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogCdfSourceProvider extends StreamSourceProvider
+    with RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog-cdf"
+
+  /** BATCH change feed — `spark.read.format("graft-txlog-cdf")` with
+    * `startingVersion`/`endingVersion` (both inclusive). See
+    * [[TxLogCdfRelation.batchRelation]].
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    TxLogCdfRelation.batchRelation(sqlContext, parameters)
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -597,7 +747,7 @@ class TxLogCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
     val dataSchema = TxLogSource.tableSchema(sqlContext.sparkSession, path)
     val maxVersions = TxLogSource.maxVersionsOf(parameters, "graft-txlog-cdf")
     new TxLogCdfSource(sqlContext.sparkSession, path, dataSchema,
-      metadataPath, maxVersions, TxLogSource.startingVersionOf(parameters),
+      metadataPath, maxVersions, TxLogSource.startingVersionOf(parameters, path),
       TxLogSource.maxBytesOf(parameters))
   }
 }

@@ -215,4 +215,41 @@ class TxLogMutationSpec extends SparkSpecBase {
       readerFloor = Some(5L), alerts = Some(sink2))
     sink2.alerts shouldBe empty
   }
+
+  test("committedReaderFloor reads the last COMMITTED offset from a real checkpoint") {
+    import org.apache.spark.sql.functions.col
+    val path = freshPath()
+    TxLog.init(rows(0 until 20).repartitionByRange(2, col("id")), path)
+    TxLog.append(rows(20 until 30), path, 0L)
+    TxLog.append(rows(30 until 40), path, 1L)
+    val work = java.nio.file.Files.createTempDirectory("txfloor").toString
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    val q = child.readStream.format("graft-txlog").option("path", path).load()
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // the query committed versions 0..2 → the floor is 3: vacuum may
+    // drop 0..2 without breaking a restart
+    graft.streaming.TxLogSource.committedReaderFloor(spark, s"$work/ckpt") shouldBe 3L
+    // a never-started checkpoint floors at 0 (needs everything)
+    graft.streaming.TxLogSource.committedReaderFloor(spark, s"$work/nope") shouldBe 0L
+    // wire it through vacuum: retention keeping 3.. stays silent
+    TxLog.append(rows(40 until 50), path, 2L) // v3 so retain=1 keeps it
+    val sink = new graft.runner.Alerts.CollectingSink
+    TxLog.vacuum(path, retainVersions = 1, minAgeMs = 0L,
+      readerFloor = Some(
+        graft.streaming.TxLogSource.committedReaderFloor(spark, s"$work/ckpt")),
+      alerts = Some(sink))
+    // dropped versions 0..2 are all BELOW the committed floor 3: silent
+    sink.alerts shouldBe empty
+    // and the restarted query still works (serves v3 only)
+    val q2 = child.readStream.format("graft-txlog").option("path", path).load()
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(s"$work/out").count() shouldBe 50L
+  }
 }

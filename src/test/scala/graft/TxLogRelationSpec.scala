@@ -139,6 +139,124 @@ class TxLogRelationSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS txrel_cat")
   }
 
+  test("batch WRITE through the format: create / append / overwrite / refuse / ignore") {
+    val path = freshPath()
+    def w(r: Range) = rows(r).write.format("graft-txlog").option("path", path)
+    // absent table: any mode creates it
+    w(0 until 50).mode("errorifexists").save()
+    TxLog.currentVersion(path) shouldBe Some(0L)
+    // append commits an ACID append
+    w(50 until 80).mode("append").save()
+    ids(TxLog.read(spark, path)) shouldBe (0L until 80L).toArray
+    TxLog.commitInfos(path).head.operation shouldBe Some("APPEND")
+    // ErrorIfExists refuses an existing table; Ignore no-ops
+    intercept[IllegalArgumentException] { w(0 until 5).mode("errorifexists").save() }
+    w(0 until 5).mode("ignore").save()
+    TxLog.currentVersion(path) shouldBe Some(1L)
+    // overwrite replaces everything in ONE commit; DVs clear with files
+    TxLog.deleteWhereDV(spark, path, col("id") < 10L, 1L)
+    w(1000 until 1020).mode("overwrite").save()
+    ids(TxLog.read(spark, path)) shouldBe (1000L until 1020L).toArray
+    TxLog.snapshot(path).dvs shouldBe empty
+    TxLog.commitInfos(path).head.operation shouldBe Some("OVERWRITE")
+    // time travel below the overwrite still serves the old content
+    ids(TxLog.read(spark, path, asOf = Some(2L))) shouldBe
+      (10L until 80L).toArray
+    // CTAS: CREATE TABLE ... USING graft-txlog AS SELECT
+    val path2 = freshPath()
+    spark.sql("DROP TABLE IF EXISTS txrel_ctas")
+    try {
+      rows(0 until 30).createOrReplaceTempView("txrel_ctas_src")
+      spark.sql(s"CREATE TABLE txrel_ctas USING `graft-txlog` " +
+        s"OPTIONS (path '$path2') AS SELECT * FROM txrel_ctas_src")
+      TxLog.currentVersion(path2) shouldBe Some(0L)
+      spark.sql("SELECT count(*) FROM txrel_ctas").head().getLong(0) shouldBe 30L
+    } finally spark.sql("DROP TABLE IF EXISTS txrel_ctas")
+  }
+
+  test("batch CDF relation == TxLog.changes; expansion plans the native union; fallback correct") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartitionByRange(2, col("id")), path)
+    TxLog.append(rows(100 until 150), path, 0L)
+    TxLog.deleteWhere(spark, path, col("id") % 5 === 2, 1L)
+    TxLog.deleteWhereDV(spark, path, col("id") % 7 === 3, 2L)
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.select(col("id"), col("_change_type"), col("_commit_version"))
+        .collect().map(r => s"${r.getLong(0)}|${r.getString(1)}|${r.getLong(2)}")
+        .sorted
+    val viaFmt = spark.read.format("graft-txlog-cdf").option("path", path).load()
+    canon(viaFmt) shouldBe canon(TxLog.changes(spark, path, -1L, 3L))
+    viaFmt.collect()
+    (viaFmt.queryExecution.executedPlan.toString should not).include("ExistingRDD")
+    // version-bounded range (inclusive both ends, Delta's contract)
+    val ranged = spark.read.format("graft-txlog-cdf").option("path", path)
+      .option("startingVersion", "2").option("endingVersion", "3").load()
+    canon(ranged) shouldBe canon(TxLog.changes(spark, path, 1L, 3L))
+    // the TableScan fallback serves identical rows
+    val rel = graft.streaming.TxLogCdfRelation.batchRelation(
+      spark.sqlContext, Map("path" -> path))
+      .asInstanceOf[graft.streaming.TxLogCdfRelation]
+    rel.buildScan().count() shouldBe viaFmt.count()
+    // out-of-range endingVersion refuses
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-txlog-cdf").option("path", path)
+        .option("endingVersion", "9").load()
+    }
+  }
+
+  test("batch CDF timestamp bounds: starting=first-at-or-after, ending=newest-at-or-before") {
+    val path = freshPath()
+    var t = 0L
+    TxLog.usingClock(() => { t += 100000L; t }) {
+      TxLog.init(rows(0 until 50), path)              // v0 @ 100000
+      TxLog.append(rows(50 until 80), path, 0L)       // v1 @ 200000
+      TxLog.deleteWhere(spark, path, col("id") < 10L, 1L) // v2 @ 300000
+      TxLog.append(rows(80 until 90), path, 2L)       // v3 @ 400000
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.select(col("id"), col("_change_type"), col("_commit_version"))
+        .collect().map(r => s"${r.getLong(0)}|${r.getString(1)}|${r.getLong(2)}")
+        .sorted
+    // [150000, 310000] covers versions 1..2 exactly
+    val ts = spark.read.format("graft-txlog-cdf").option("path", path)
+      .option("startingTimestamp", "150000")
+      .option("endingTimestamp", "310000").load()
+    canon(ts) shouldBe canon(TxLog.changes(spark, path, 0L, 2L))
+    // mixing version and timestamp bounds on ONE side refuses
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-txlog-cdf").option("path", path)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", "150000").load()
+    }.getMessage should include("mutually exclusive")
+  }
+
+  test("startingTimestamp floors a fresh stream at the first commit at-or-after the instant") {
+    val path = freshPath()
+    var t = 0L
+    TxLog.usingClock(() => { t += 100000L; t }) {
+      TxLog.init(rows(0 until 10), path)        // v0 @ 100000
+      TxLog.append(rows(10 until 20), path, 0L) // v1 @ 200000
+      TxLog.append(rows(20 until 30), path, 1L) // v2 @ 300000
+    }
+    TxLog.firstVersionAtOrAfter(path, 100000L) shouldBe 0L
+    TxLog.firstVersionAtOrAfter(path, 150000L) shouldBe 1L
+    TxLog.firstVersionAtOrAfter(path, 300000L) shouldBe 2L
+    intercept[IllegalArgumentException] {
+      TxLog.firstVersionAtOrAfter(path, 300001L)
+    }.getMessage should include("after the latest")
+    val work = java.nio.file.Files.createTempDirectory("txrelst").toString
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    val q = child.readStream.format("graft-txlog").option("path", path)
+      .option("startingTimestamp", "150000").load()
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$work/out").select("id").as[Long].collect()
+      .sorted shouldBe (10L until 30L).toArray
+  }
+
   test("empty (delete-all) version serves a schema-correct empty frame through the format") {
     val path = freshPath()
     TxLog.init(rows(0 until 50), path)
