@@ -715,7 +715,8 @@ class TxLogSource(
   * .load()`.
   */
 class TxLogCdfSourceProvider extends StreamSourceProvider
-    with RelationProvider with DataSourceRegister {
+    with RelationProvider with SchemaRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txlog-cdf"
 
@@ -726,6 +727,22 @@ class TxLogCdfSourceProvider extends StreamSourceProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =
     TxLogCdfRelation.batchRelation(sqlContext, parameters)
+
+  /** Catalog-table path (`CREATE TABLE ... USING graft-txlog-cdf` pins
+    * the CDF schema at creation) — SQL over a change feed. Refused with
+    * re-registration guidance when the table schema evolved since.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val rel = TxLogCdfRelation.batchRelation(sqlContext, parameters)
+    require(rel.schema == schema,
+      s"graft-txlog-cdf: the catalog schema no longer matches the feed " +
+        s"schema (catalog: ${schema.simpleString}; feed: " +
+        s"${rel.schema.simpleString}) - the table evolved after " +
+        "registration; re-register it")
+    rel
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,

@@ -216,6 +216,91 @@ class TxLogMutationSpec extends SparkSpecBase {
     sink2.alerts shouldBe empty
   }
 
+  test("DV mutation property fuzz: random update/merge/delete histories stay model-exact and CDF-complete") {
+    import org.apache.spark.sql.functions.col
+    // random op sequences over the FULL mutation family (append, DV
+    // update, DV merge, DV delete, classic delete, purge, compact)
+    // against a driver-side id→cents model. After EVERY op the visible
+    // table equals the model exactly (values, not just membership — an
+    // update that double-applied, resurrected an old image, or missed a
+    // vectored row shows up as a cents mismatch); at the end the keyed
+    // CDF consumer AND the multiset mirror both reconstruct the table
+    // from the feed alone.
+    def df(m: Seq[(Long, Long)]): org.apache.spark.sql.DataFrame =
+      m.toDF("id", "cents")
+    def pairs(d: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+      d.select("id", "cents").as[(Long, Long)].collect().sortBy(_._1)
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 0x9E3779B97F4A7C15L + 0xC2B2AE35L)
+      val path = freshPath()
+      val model = scala.collection.mutable.Map[Long, Long]()
+      (0L until 40L).foreach(i => model(i) = i * 10L)
+      TxLog.init(df(model.toSeq).repartitionByRange(4, col("id")), path)
+      var v = 0L
+      def check(): Unit = withClue(s"seed=$seed v=$v: ") {
+        pairs(TxLog.read(spark, path)) shouldBe model.toArray.sortBy(_._1)
+      }
+      check()
+      (0 until 12).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 | 1 => // append fresh ids
+            val base = 100L + rnd.nextLong(400L)
+            val fresh = (base until base + 1 + rnd.nextLong(12L))
+              .filterNot(model.contains).map(i => i -> (i * 10L))
+            if (fresh.nonEmpty) {
+              TxLog.append(df(fresh), path, v); v += 1
+              model ++= fresh
+            }
+          case 2 | 3 => // DV UPDATE: bump cents on a modular slice
+            val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+            val delta = 1L + rnd.nextLong(9L)
+            TxLog.updateWhereDV(spark, path, col("id") % m === r,
+              Map("cents" -> (col("cents") + delta)), v); v += 1
+            model.keys.filter(k => ((k % m) + m) % m == r)
+              .foreach(k => model(k) += delta)
+          case 4 => // DV MERGE: replace a sampled key slice + add fresh
+            val ks = rnd.shuffle(model.keys.toSeq.sorted)
+              .take(rnd.nextInt(6)) ++ Seq(9999L) // incl. an absent key
+            val base = 700L + rnd.nextLong(100L)
+            val newData = (ks.filter(_ != 9999L).take(2).map(k =>
+              k -> (k * 10L + 5L)) ++
+              (base until base + 3L).filterNot(model.contains)
+                .map(i => i -> (i * 10L))).distinct
+            TxLog.replaceWhereKeysDV(spark, path,
+              df(ks.map(k => k -> 0L)).select("id"), Seq("id"),
+              df(newData), v); v += 1
+            ks.foreach(model.remove)
+            model ++= newData
+          case 5 => // DV delete
+            val cut = rnd.nextLong(500L)
+            TxLog.deleteWhereDV(spark, path, col("id") >= cut, v); v += 1
+            model.keys.filter(_ >= cut).toSeq.foreach(model.remove)
+          case 6 => // classic rewriting delete interleaves
+            val m = 3 + rnd.nextInt(5)
+            TxLog.deleteWhere(spark, path, col("id") % m === 1, v); v += 1
+            model.keys.filter(k => ((k % m) + m) % m == 1).toSeq
+              .foreach(model.remove)
+          case 7 => // purge (visibility-neutral)
+            v = TxLog.purgeDeletes(spark, path, v).version
+          case 8 => // compact (visibility-neutral, sheds vectors)
+            v = TxLog.compact(spark, path, v,
+              sortCols = if (rnd.nextBoolean()) Seq("id") else Nil).version
+          case _ => // DV update adding a NEW column once in a while is
+            // covered by the dedicated spec; here keep cents-only but
+            // exercise the no-match path
+            TxLog.updateWhereDV(spark, path, col("id") === -12345L,
+              Map("cents" -> lit(0L)), v); v += 1
+        }
+        check()
+      }
+      // the feed reconstructs the final table both ways
+      pairs(TxLog.mergeByKeyFromChanges(spark, path, Seq("id"))) shouldBe
+        model.toArray.sortBy(_._1)
+      pairs(TxLog.mirrorFromChanges(spark, path)) shouldBe
+        model.toArray.sortBy(_._1)
+    }
+  }
+
   test("committedReaderFloor reads the last COMMITTED offset from a real checkpoint") {
     import org.apache.spark.sql.functions.col
     val path = freshPath()

@@ -204,6 +204,24 @@ class TxLogRelationSpec extends SparkSpecBase {
     }
   }
 
+  test("SQL over a catalog-registered change feed (CREATE TABLE ... USING graft-txlog-cdf)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 60), path)
+    TxLog.append(rows(60 until 100), path, 0L)
+    TxLog.deleteWhereDV(spark, path, col("id") % 4 === 1, 1L)
+    spark.sql("DROP TABLE IF EXISTS txrel_cdf_cat")
+    try {
+      spark.sql(s"CREATE TABLE txrel_cdf_cat USING `graft-txlog-cdf` " +
+        s"OPTIONS (path '$path')")
+      val got = spark.sql(
+        """SELECT _change_type, _commit_version, count(*) AS n
+          |FROM txrel_cdf_cat GROUP BY 1, 2""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      got shouldBe Array(("delete", 2L, 25L), ("insert", 0L, 60L),
+        ("insert", 1L, 40L))
+    } finally spark.sql("DROP TABLE IF EXISTS txrel_cdf_cat")
+  }
+
   test("batch CDF timestamp bounds: starting=first-at-or-after, ending=newest-at-or-before") {
     val path = freshPath()
     var t = 0L
@@ -255,6 +273,27 @@ class TxLogRelationSpec extends SparkSpecBase {
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(s"$work/out").select("id").as[Long].collect()
       .sorted shouldBe (10L until 30L).toArray
+  }
+
+  test("format reads auto-prune through the stats rule on an armed session") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = freshPath()
+    TxLog.init((0 until 800).map(i => (i.toLong, s"r$i")).toDF("id", "payload")
+      .repartitionByRange(8, col("id")), path)
+    val total = TxLog.snapshot(path).files.size
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s.conf.set(graft.plans.RewriteTxLogStatsScan.PathKey, path)
+    // the native HadoopFsRelation the format builds is EXACTLY the shape
+    // the stats rule matches — no special casing needed
+    val pruned = s.read.format("graft-txlog").option("path", path).load()
+      .filter(col("id") >= 100L && col("id") <= 199L)
+    pruned.select("id").as[Long].collect().sorted shouldBe (100L to 199L).toArray
+    val counts = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.relation.location.inputFiles.length
+    }
+    counts should not be empty
+    counts.foreach(_ should be < total)
   }
 
   test("empty (delete-all) version serves a schema-correct empty frame through the format") {
