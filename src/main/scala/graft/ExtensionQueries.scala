@@ -791,6 +791,197 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
   }
 
+  /** PARTITIONED TxLog table + zero-job partition pruning (library:
+    * gold.TxLog partitionBy/init + prunedFilesByPartition/readPartitions
+    * — the Delta partitionColumns/partitionValues shape, log-native: the
+    * values ride in the add actions, so pruning consults ZERO data files
+    * and no directory listing): a table partitioned by a derived bucket,
+    * built by init + append, read back through the PRUNED path for two
+    * of four buckets. The oracle recomputes the slice in closed form;
+    * the bound booleans pin that pruning actually skipped files (rest
+    * non-empty) and that the pruned read is multiset-identical to the
+    * filtered full read (a lost NULL partition, a mis-rendered value, or
+    * an over-prune all flip it).
+    */
+  private def qTxlogPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_partitioned"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      (col("o_orderkey") % 4).as("bucket"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 2 === 0)
+      .repartitionByRange(3, col("o_orderkey")), path,
+      partitionBy = Seq("bucket"))
+    TxLog.append(o.filter(col("o_custkey") % 2 === 1), path, 0L)
+    val pred = col("bucket").isin(1L, 2L)
+    val (matching, rest) = TxLog.prunedFilesByPartition(s, path, pred)
+    val pruned = TxLog.readPartitions(s, path, pred)
+    val full = TxLog.read(s, path).filter(pred)
+    val prunedOk = matching.nonEmpty && rest.nonEmpty &&
+      pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty
+    pruned.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("pruned_skips_and_matches", lit(prunedOk))
+  }
+
+  /** METADATA-ONLY partition DELETE (library: gold.TxLog.deletePartitions
+    * — Delta's fast path for a partition-predicate DELETE: one commit
+    * removing whole files by their recorded partition values, zero data
+    * files read OR written — at 100 TB, dropping a day from a
+    * date-partitioned table is a metadata op, not a rewrite): delete two
+    * buckets, read the head. The oracle recomputes the survivors in
+    * closed form; bound booleans pin the metadata-only mechanics (the
+    * table's physical file set is untouched — nothing rewritten, nothing
+    * staged) and that time travel below the delete still serves all rows.
+    */
+  private def qTxlogDeletePartition(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_delpart"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      (col("o_orderkey") % 4).as("bucket"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 2 === 0)
+      .repartitionByRange(3, col("o_orderkey")), path,
+      partitionBy = Seq("bucket"))
+    TxLog.append(o.filter(col("o_custkey") % 2 === 1), path, 0L)
+    def dataFiles() = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = dataFiles()
+    TxLog.deletePartitions(s, path, col("bucket").isin(0L, 3L), 1L)
+    val metadataOnly = dataFiles() == before
+    val belowIntact =
+      TxLog.read(s, path, asOf = Some(1L)).count() > TxLog.read(s, path).count()
+    TxLog.read(s, path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("below_delete_intact", lit(belowIntact))
+  }
+
+  /** PARTITION-SCOPED OVERWRITE (library: gold.TxLog
+    * .replaceWherePartitions — Delta's `replaceWhere`, the idempotent
+    * backfill primitive: ONE commit replacing exactly the matching
+    * partitions, with rows falling OUTSIDE the predicate refused before
+    * anything publishes): bucket 2 is backfilled with recomputed rows
+    * (cents bumped by 1000), twice — the second run replaces the first
+    * run's output with identical content, which is what makes re-running
+    * a failed backfill safe. The oracle states the final table in closed
+    * form (untouched buckets at base cents, bucket 2 bumped); bound
+    * booleans pin the leak refusal and the idempotent re-run equality.
+    */
+  private def qTxlogReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_replwhere"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      (col("o_orderkey") % 4).as("bucket"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.repartitionByRange(4, col("o_orderkey")), path,
+      partitionBy = Seq("bucket"))
+    val pred = col("bucket") === 2L
+    val leakRefused =
+      try { TxLog.replaceWherePartitions(s, path, pred, o.limit(50), 0L); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("OUTSIDE the predicate") }
+    val fresh = o.filter(pred).withColumn("cents", col("cents") + 1000L)
+    TxLog.replaceWherePartitions(s, path, pred, fresh, 0L)
+    val run1 = TxLog.read(s, path)
+    TxLog.replaceWherePartitions(s, path, pred, fresh, 1L)
+    val run2 = TxLog.read(s, path)
+    val idempotent = run1.exceptAll(run2).isEmpty &&
+      run2.exceptAll(run1).isEmpty
+    run2.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("leak_refused", lit(leakRefused))
+      .withColumn("backfill_idempotent", lit(idempotent))
+  }
+
+  /** ZERO-COPY CLONE (library: gold.TxLog.cloneTable — the Delta SHALLOW
+    * CLONE shape made durable: data files HARD-LINKED into an
+    * independent table with its own fresh log; immutability is the
+    * refcount, so a SOURCE vacuum cannot break the clone — stronger than
+    * Delta's absolute-path references): clone a DV'd source, then
+    * OVERWRITE + aggressively VACUUM the source so every pre-clone file
+    * is unlinked from the source dir — and read the CLONE. The oracle
+    * recomputes the cloned snapshot's visible membership in closed form,
+    * so a clone that shared log state, lost its vectors, or died with
+    * the source's vacuum all hash-mismatch. Bound booleans pin the fresh
+    * log (version 0) and that txn watermarks were deliberately NOT
+    * cloned (a pipeline pointed at the clone must not skip batches).
+    */
+  private def qTxlogClone(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val src = "/tmp/graft_roundtrip/txlog_orders_clonesrc"
+    val dst = "/tmp/graft_roundtrip/txlog_orders_clonedst"
+    graft.core.Fs.rmTree(new java.io.File(src))
+    graft.core.Fs.rmTree(new java.io.File(dst))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(4, col("o_orderkey")), src)
+    TxLog.appendIfNew(o.filter(col("o_custkey") % 4 === 1), src,
+      appId = "loader", batchId = 3L, expectedVersion = 0L)
+    TxLog.deleteWhereDV(s, src, col("o_orderpriority") === "5-LOW", 1L)
+    val cs = TxLog.cloneTable(src, dst)
+    val freshLog = cs.version == 0L
+    val txnsNotCloned = cs.txns.isEmpty &&
+      TxLog.snapshot(src).txns.get("loader").contains(3L)
+    // the source moves on and vacuums away every pre-clone file
+    TxLog.overwrite(o.limit(10), src, 2L)
+    TxLog.vacuum(src, retainVersions = 1, minAgeMs = 0L)
+    TxLog.read(s, dst)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("fresh_log", lit(freshLog))
+      .withColumn("txns_not_cloned", lit(txnsNotCloned))
+  }
+
+  /** IDEMPOTENT BATCH WRITES through the registered format (library: the
+    * `graft-txlog` CreatableRelationProvider's txnAppId/txnVersion
+    * options — Delta's same-named batch-writer options, the
+    * exactly-once seam for orchestrator-retried batch jobs): a
+    * partitioned CREATE through the format, then the same logical batch
+    * written TWICE with one token (the retry no-ops), a second batch
+    * with the next token, and a STALE-token write after progress (no-ops
+    * too — the watermark is at-or-below). The oracle states the final
+    * content in closed form — any double-apply or lost batch changes
+    * counts and sums.
+    */
+  private def qTxlogBatchIdempotent(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_batchidem"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      (col("o_orderkey") % 4).as("bucket"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(3, col("o_orderkey"))
+      .write.format("graft-txlog").option("path", path)
+      .option("partitionBy", "bucket").save()
+    def writeTok(df: DataFrame, v: Long): Unit =
+      df.write.format("graft-txlog").mode("append").option("path", path)
+        .option("txnAppId", "backfill").option("txnVersion", v.toString)
+        .save()
+    val b1 = o.filter(col("o_custkey") % 4 === 1)
+    writeTok(b1, 1L)
+    writeTok(b1, 1L) // orchestrator retry: same token, must no-op
+    writeTok(o.filter(col("o_custkey") % 4 === 2), 2L)
+    writeTok(o.filter(col("o_custkey") % 4 === 3), 1L) // stale: no-op
+    val partitioned =
+      TxLog.snapshot(path).partitionCols == Seq("bucket")
+    s.read.format("graft-txlog").option("path", path).load()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("partitioned_via_option", lit(partitioned))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1685,6 +1876,11 @@ object ExtensionQueries {
     "q_o_txlog_stats_dv" -> (qTxlogStatsDv _),
     "q_o_txlog_batch_write" -> (qTxlogBatchWrite _),
     "q_o_txlog_cdf_batch" -> (qTxlogCdfBatch _),
+    "q_o_txlog_partitioned" -> (qTxlogPartitioned _),
+    "q_o_txlog_delete_partition" -> (qTxlogDeletePartition _),
+    "q_o_txlog_replace_where" -> (qTxlogReplaceWhere _),
+    "q_o_txlog_clone" -> (qTxlogClone _),
+    "q_o_txlog_batch_idempotent" -> (qTxlogBatchIdempotent _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2110,6 +2306,55 @@ object ExtensionQueries {
           |SELECT 'delete', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
           |  CAST(sum(round(o_totalprice * 100)) AS BIGINT)
           |FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 5 = 2""".stripMargin,
+      // partition-pruned read of buckets 1,2 over the full orders
+      // membership (init + append cover custkey % 2 = 0 and 1); pruning
+      // mechanics Spark-bound, oracled TRUE
+      "q_o_txlog_partitioned" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS pruned_skips_and_matches
+          |FROM orders
+          |WHERE o_orderkey % 4 IN (1, 2)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // metadata-only partition delete: survivors = buckets 1,2; the
+      // untouched-physical-files and time-travel booleans Spark-bound
+      "q_o_txlog_delete_partition" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS metadata_only, TRUE AS below_delete_intact
+          |FROM orders
+          |WHERE o_orderkey % 4 IN (1, 2)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // replaceWhere backfill: bucket 2 carries +1000 cents per row,
+      // other buckets base cents; leak refusal + idempotency Spark-bound
+      "q_o_txlog_replace_where" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)
+          |    + CASE WHEN o_orderkey % 4 = 2 THEN 1000 ELSE 0 END)
+          |    AS BIGINT) AS total_cents,
+          |  TRUE AS leak_refused, TRUE AS backfill_idempotent
+          |FROM orders
+          |GROUP BY o_orderpriority""".stripMargin,
+      // the clone serves the cloned snapshot: slices %4 in (0,1) minus
+      // the soft-deleted 5-LOW rows — and keeps serving it after the
+      // SOURCE overwrote and vacuumed every pre-clone file away
+      "q_o_txlog_clone" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS fresh_log, TRUE AS txns_not_cloned
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
+          |GROUP BY o_orderpriority""".stripMargin,
+      // idempotent batch writes: create slice 0, token-1 batch applies
+      // ONCE despite the retry, token-2 applies, the stale token-1 write
+      // of slice 3 no-ops -> slices 0,1,2 exactly once
+      "q_o_txlog_batch_idempotent" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS partitioned_via_option
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1, 2)
+          |GROUP BY o_orderpriority""".stripMargin,
       // string-bound rule-pruned scan == the closed-form slice (DuckDB
       // default collation is binary, same order as the UTF8 bounds)
       "q_o_txlog_stats_string" ->

@@ -130,7 +130,15 @@ object TxLog {
       // active deletion vectors: data file → DV sidecar file whose
       // (file, row_idx) rows are DELETED from it (the Delta DV shape) —
       // see [[deleteWhereDV]]; every read path applies them
-      dvs: Map[String, String] = Map.empty)
+      dvs: Map[String, String] = Map.empty,
+      // table PARTITION COLUMNS (Delta's partitionColumns metadata) —
+      // declared at [[init]], immutable for the table's lifetime; empty =
+      // unpartitioned. Every data file of a partitioned table is
+      // partition-ALIGNED (all rows share one partition tuple, recorded
+      // as [[FileStats.parts]]), which is what makes metadata-only
+      // partition ops ([[deletePartitions]], [[replaceWherePartitions]],
+      // [[prunedFilesByPartition]]) sound.
+      partitionCols: Seq[String] = Nil)
 
   /** Per-file column statistics recorded IN the commit log (the Delta
     * `stats`-on-add shape): values are CANONICAL LONGS — integral columns
@@ -172,7 +180,16 @@ object TxLog {
     * Hadoop-FS stat per uncovered file ([[fileBytes]]).
     */
   final case class FileStats(rows: Long, cols: Map[String, ColStats],
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None,
+      // the file's PARTITION VALUE tuple (Delta's add-action
+      // partitionValues), aligned with [[Snapshot.partitionCols]]: each
+      // entry is the canonical string rendering (`CAST(value AS STRING)`
+      // under the engine's fixed UTC session) of the single partition
+      // value every row in the file shares; None = the NULL partition.
+      // Nil on unpartitioned tables. Rides in the version record with the
+      // add action and in both checkpoint kinds, exactly like the column
+      // stats — losing it on vacuum would disarm partition ops.
+      parts: Seq[Option[String]] = Nil)
 
   final class ConflictException(version: Long)
     extends java.util.ConcurrentModificationException(
@@ -383,7 +400,13 @@ object TxLog {
       dvs: Map[String, Option[String]],
       // commit wall-clock (epoch millis, raw per-writer stamp); None only
       // on legacy pre-timestamp records
-      tsMillis: Option[Long])
+      tsMillis: Option[Long],
+      // table partition columns; None = key absent. partCols are
+      // immutable after init and written into every record of a
+      // partitioned table, so on such tables every record carries Some;
+      // resolve still inherits (orElse) for robustness against a legacy
+      // record spliced into the tail
+      partCols: Option[Seq[String]])
 
   private def quoteList(fs: Seq[String]): String =
     fs.map("\"" + _ + "\"").mkString(",")
@@ -488,26 +511,44 @@ object TxLog {
           cs.max.map(_.toString).getOrElse(""),
           strStatEnc(cs.strMin), strStatEnc(cs.strMax)).mkString(",")
       }.mkString(";")
-      // 4-field line (file, rows, bytes, colEntries); bytes empty = None.
-      // Legacy 3-field lines (pre-size records) parse with bytes = None.
-      s"$f\t${fs.rows}\t${fs.bytes.map(_.toString).getOrElse("")}\t$cols"
+      // 5-field line (file, rows, bytes, colEntries, partitionValues);
+      // bytes empty = None. partitionValues is "" on unpartitioned
+      // tables, else "P" + comma-joined per-value fields in
+      // [[strStatEnc]] encoding (the "P" marker disambiguates
+      // "unpartitioned" from "one NULL partition value", which both
+      // render as the empty join). Legacy 3-field (pre-size) and 4-field
+      // (pre-partition) lines parse with the missing fields defaulted.
+      val pv =
+        if (fs.parts.isEmpty) ""
+        else "P" + fs.parts.map(strStatEnc).mkString(",")
+      s"$f\t${fs.rows}\t${fs.bytes.map(_.toString).getOrElse("")}\t$cols\t$pv"
     }.mkString("\n")
     b64(payload)
   }
 
   private val StatsRe = "\"statsB64\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r
 
+  private def parsePartValues(field: String): Seq[Option[String]] =
+    if (field.isEmpty) Nil
+    else {
+      require(field.charAt(0) == 'P',
+        s"TxLog: malformed partition-values field '$field'")
+      field.substring(1).split(",", -1).map(strStatDec).toSeq
+    }
+
   private def parseStats(text: String): Map[String, FileStats] =
     StatsRe.findFirstMatchIn(text).map(_.group(1)).filter(_.nonEmpty)
       .map { blob =>
         unB64(blob).split("\n").filter(_.nonEmpty).map { line =>
           val parts = line.split("\t", -1)
-          require(parts.length == 3 || parts.length == 4,
+          require(parts.length >= 3 && parts.length <= 5,
             s"TxLog: malformed stats line '$line'")
           val bytes =
             if (parts.length < 4 || parts(2).isEmpty) None
             else Some(parts(2).toLong)
-          val colsField = if (parts.length == 4) parts(3) else parts(2)
+          val colsField = if (parts.length >= 4) parts(3) else parts(2)
+          val pvals =
+            if (parts.length < 5) Nil else parsePartValues(parts(4))
           val cols = colsField.split(";").filter(_.nonEmpty).map { e =>
             val f = e.split(",", -1)
             require(f.length == 5 || f.length == 7,
@@ -518,9 +559,26 @@ object TxLog {
               if (f.length < 7) None else strStatDec(f(5)),
               if (f.length < 7) None else strStatDec(f(6))))
           }.toMap
-          (parts(0), FileStats(parts(1).toLong, cols, bytes))
+          (parts(0), FileStats(parts(1).toLong, cols, bytes, pvals))
         }.toMap
       }.getOrElse(Map.empty)
+
+  // --- partition-columns serialization --------------------------------------
+  // `"partCols":"b64(c1),b64(c2)"` — the table's partition columns
+  // (Delta's partitionColumns metadata). Immutable after [[init]]; written
+  // into EVERY version record of a partitioned table (self-describing
+  // records) and into both checkpoint kinds (vacuum must not forget the
+  // table is partitioned — partition ops would silently stop resolving).
+  // Absent key = inherit (unpartitioned tables never carry it).
+
+  private def partColsEntries(cols: Seq[String]): String =
+    cols.map(b64).mkString(",")
+
+  private val PartColsRe = "\"partCols\"\\s*:\\s*\"([A-Za-z0-9+/=,]*)\"".r
+
+  private def parsePartCols(text: String): Option[Seq[String]] =
+    PartColsRe.findFirstMatchIn(text).map(
+      _.group(1).split(",").filter(_.nonEmpty).map(unB64).toSeq)
 
   // --- deletion-vector serialization ---------------------------------------
   // `"dvs":"b64(dataFile):b64(dvFile),..."` — the commit's per-file DV
@@ -655,7 +713,8 @@ object TxLog {
           "unreadable NEWEST version can be a transient race - retry)")
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
       parseSchemaB64(text), parseTxn(text), parseConstraints(text),
-      parseStats(text), parseInfo(text), parseDvs(text), parseTs(text))
+      parseStats(text), parseInfo(text), parseDvs(text), parseTs(text),
+      parsePartCols(text))
   }
 
   private val TsRe = "\"tsMillis\"\\s*:\\s*(-?\\d+)".r
@@ -673,7 +732,7 @@ object TxLog {
   private final case class CheckpointState(files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
       constraints: Map[String, String], stats: Map[String, FileStats],
-      dvs: Map[String, String])
+      dvs: Map[String, String], partCols: Seq[String])
 
   private def readCheckpoint(path: String, v: Long): Option[CheckpointState] =
     try {
@@ -686,9 +745,10 @@ object TxLog {
           CheckpointState(fs, parseSchemaB64(text).map(schemaFromB64),
             parseTxns(text),
             // a checkpoint is FULL state: absent keys mean empty (legacy
-            // checkpoints predate constraints/stats/dvs)
+            // checkpoints predate constraints/stats/dvs/partCols)
             parseConstraints(text).getOrElse(Map.empty), parseStats(text),
-            parseDvs(text).collect { case (k, Some(dv)) => (k, dv) }))
+            parseDvs(text).collect { case (k, Some(dv)) => (k, dv) },
+            parsePartCols(text).getOrElse(Nil)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -704,7 +764,8 @@ object TxLog {
       schema: Option[StructType], txns: Map[String, Long],
       constraints: Map[String, String],
       stats: Map[String, FileStats],
-      dvs: Map[String, String]): Unit = {
+      dvs: Map[String, String],
+      partCols: Seq[String]): Unit = {
     val schemaPart = schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
     val txnsPart =
       if (txns.isEmpty) ""
@@ -719,8 +780,11 @@ object TxLog {
     val dvsPart =
       if (dvs.isEmpty) ""
       else s""""dvs":"${dvEntries(dvs.map { case (k, dv) => k -> Some(dv) })}","""
+    val partColsPart =
+      if (partCols.isEmpty) ""
+      else s""""partCols":"${partColsEntries(partCols)}","""
     val json =
-      s"""{"version":$v,$schemaPart$txnsPart$consPart$statsPart$dvsPart"files":[${quoteList(files)}]}"""
+      s"""{"version":$v,$schemaPart$txnsPart$consPart$statsPart$dvsPart$partColsPart"files":[${quoteList(files)}]}"""
     val dir = logDir(path).toPath
     val tmp = java.nio.file.Files.createTempFile(dir, ".ckptfile", ".tmp")
     try {
@@ -751,6 +815,7 @@ object TxLog {
       base.map(_._2.constraints).getOrElse(Map.empty[String, String])
     var stats = base.map(_._2.stats).getOrElse(Map.empty[String, FileStats])
     var dvs = base.map(_._2.dvs).getOrElse(Map.empty[String, String])
+    var partCols = base.map(_._2.partCols).getOrElse(Seq.empty[String])
     val start = base.map(_._1 + 1).getOrElse(0L)
     var w = start
     while (w <= v) {
@@ -776,9 +841,10 @@ object TxLog {
       schema = rec.schemaB64.map(schemaFromB64).orElse(schema)
       rec.txn.foreach { case (app, b) => txns = txns + (app -> b) }
       rec.constraints.foreach(c => constraints = c)
+      rec.partCols.foreach(pc => partCols = pc)
       w += 1
     }
-    Snapshot(v, files, schema, txns, constraints, stats, dvs)
+    Snapshot(v, files, schema, txns, constraints, stats, dvs, partCols)
   }
 
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
@@ -1312,6 +1378,11 @@ object TxLog {
       // checkpoint losing it would silently RESURRECT deleted rows
       dvs: Map[String, Option[String]] = Map.empty,
       fullDvs: Map[String, String],
+      // NO default, same discipline: the table's partition columns —
+      // written into every record of a partitioned table and into every
+      // checkpoint (a checkpoint losing it would silently disarm
+      // partition ops after vacuum); Nil on unpartitioned tables
+      partCols: Seq[String],
       alerts: Option[graft.runner.Alerts.Sink] = None): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
@@ -1331,8 +1402,11 @@ object TxLog {
       else s""""statsB64":"${statsToB64(addStats)}","""
     val dvsPart =
       if (dvs.isEmpty) "" else s""""dvs":"${dvEntries(dvs)}","""
+    val partColsPart =
+      if (partCols.isEmpty) ""
+      else s""""partCols":"${partColsEntries(partCols)}","""
     val json =
-      s"""{"version":$v,"tsMillis":${clock.value()},$schemaPart$infoPart$txnPart$consPart$statsPart$dvsPart"add":[${quoteList(add)}],""" +
+      s"""{"version":$v,"tsMillis":${clock.value()},$schemaPart$infoPart$txnPart$consPart$statsPart$dvsPart$partColsPart"add":[${quoteList(add)}],""" +
         s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
@@ -1352,7 +1426,7 @@ object TxLog {
     if (v % CheckpointInterval == 0)
       try {
         writeCheckpointFile(path, v, fullFiles, schema, fullTxns,
-          fullConstraints, fullStats, fullDvs)
+          fullConstraints, fullStats, fullDvs, partCols)
         writeCheckpointHint(path, v)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -1492,12 +1566,75 @@ object TxLog {
     * `input_file_name()` — metadata-scale output, O(new files) rows). A
     * crash after this leaves invisible orphans only.
     */
+  /** Types a partition column may have: exactly the stats-eligible set
+    * (canonical-long domains + string) — a partitioned table therefore
+    * ALWAYS has at least one stats-eligible column, so every committed
+    * file gets a FileStats entry carrying its partition values (the
+    * all-files-covered invariant the metadata-only partition ops need).
+    */
+  private def isPartitionableType(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampNTZType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Write `df`'s rows as data files under `path` (invisible until a
+    * version record references them), returning the file names and their
+    * per-file stats. On a PARTITIONED table (`partitionCols` non-empty)
+    * the staged write goes through `partitionBy` over SHADOW copies of
+    * the partition columns — the shadow keeps the real column IN the
+    * data files (a `partitionBy` on the column itself would strip it,
+    * breaking every explicit-file-list read path) while still splitting
+    * files partition-pure. The staged Hive layout is then FLATTENED into
+    * unique flat names: the table's physical layout stays flat BY DESIGN
+    * (partitioning is a LOG concept here, like Iceberg's hidden
+    * partitioning — on object stores directory layout buys nothing, and
+    * a flat layout keeps file names the stable per-file key every other
+    * map uses; Spark's partitionBy reuses part-file names ACROSS
+    * partition directories, so unflattened names would collide). Each
+    * file's partition tuple is captured in the same per-file stats agg
+    * (all rows of a file share it by construction) and recorded as
+    * [[FileStats.parts]].
+    */
   private def writeDataFiles(df: DataFrame,
-      path: String): (Seq[String], Map[String, FileStats]) = {
+      path: String,
+      partitionCols: Seq[String]): (Seq[String], Map[String, FileStats]) = {
     val stage = java.nio.file.Files.createTempDirectory("graft_txdata")
     try {
-      df.write.mode("overwrite").parquet(stage.toString)
-      val eligible = df.schema.fields.toSeq
+      if (partitionCols.isEmpty)
+        df.write.mode("overwrite").parquet(stage.toString)
+      else {
+        partitionCols.foreach { c =>
+          val f = df.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"TxLog: commit to a table partitioned by " +
+                s"(${partitionCols.mkString(", ")}) is missing partition " +
+                s"column '$c' - every write to a partitioned table must " +
+                "include all partition columns"))
+          require(isPartitionableType(f.dataType),
+            s"TxLog: partition column '$c' has unsupported type " +
+              s"${f.dataType.simpleString} (supported: integral, DATE, " +
+              "TIMESTAMP_NTZ, STRING)")
+        }
+        val shadows = partitionCols.indices.map(i => s"__graft_pt_$i")
+        val staged = partitionCols.zip(shadows).foldLeft(df) {
+          case (d, (c, s)) => d.withColumn(s, col(c))
+        }
+        staged.write.mode("overwrite").partitionBy(shadows: _*)
+          .parquet(stage.toString)
+        flattenStage(stage)
+      }
+      // stats-eligible columns — partition columns FIRST when the table
+      // is partitioned, so the MaxStatsCols cap can never evict the
+      // columns the partition-values invariant depends on
+      val orderedFields =
+        if (partitionCols.isEmpty) df.schema.fields.toSeq
+        else partitionCols.flatMap(c => df.schema.fields.find(_.name == c)) ++
+          df.schema.fields.toSeq.filterNot(f => partitionCols.contains(f.name))
+      val eligible = orderedFields
         .flatMap { f =>
           f.dataType match {
             // strings aggregate over a (cap+1)-code-point prefix: min of
@@ -1516,22 +1653,29 @@ object TxLog {
         if (eligible.isEmpty) Map.empty
         else {
           val aggs = count(lit(1)).as("__graft_rows") +:
-            eligible.zipWithIndex.flatMap { case ((n, _, cc), i) =>
+            (eligible.zipWithIndex.flatMap { case ((n, _, cc), i) =>
               Seq(min(cc).as(s"__graft_min_$i"), max(cc).as(s"__graft_max_$i"),
                 sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__graft_nulls_$i"))
-            }
+            } ++ partitionCols.zipWithIndex.map { case (c, i) =>
+              // all rows of a file share one partition value (the
+              // partitionBy stage guarantees it), so min IS the value;
+              // NULL iff the file is the NULL partition. Canonical
+              // rendering = CAST(value AS STRING) under the fixed UTC
+              // session — what the pruning side re-casts back
+              min(col(c)).cast("string").as(s"__graft_pv_$i")
+            })
           df.sparkSession.read.parquet(stage.toString)
             .groupBy(input_file_name().as("__graft_file"))
             .agg(aggs.head, aggs.tail: _*)
             .collect().map { r =>
+              def optS(c: String): Option[String] = {
+                val idx = r.fieldIndex(c)
+                if (r.isNullAt(idx)) None else Some(r.getString(idx))
+              }
               val cols = eligible.zipWithIndex.map { case ((n, t, _), i) =>
                 def opt(c: String): Option[Long] = {
                   val idx = r.fieldIndex(c)
                   if (r.isNullAt(idx)) None else Some(r.getLong(idx))
-                }
-                def optS(c: String): Option[String] = {
-                  val idx = r.fieldIndex(c)
-                  if (r.isNullAt(idx)) None else Some(r.getString(idx))
                 }
                 if (t == "s")
                   (n, ColStats(t, r.getAs[Long](s"__graft_nulls_$i"),
@@ -1543,11 +1687,15 @@ object TxLog {
                   (n, ColStats(t, r.getAs[Long](s"__graft_nulls_$i"),
                     opt(s"__graft_min_$i"), opt(s"__graft_max_$i")))
               }.toMap
+              val pvals = partitionCols.indices
+                .map(i => optS(s"__graft_pv_$i"))
               (fileName(r.getAs[String]("__graft_file")),
-                FileStats(r.getAs[Long]("__graft_rows"), cols))
+                FileStats(r.getAs[Long]("__graft_rows"), cols,
+                  parts = pvals))
             }.toMap
         }
-      val parts = stage.toFile.listFiles().filter(_.getName.startsWith("part-"))
+      val parts = stage.toFile.listFiles().filter(f =>
+        f.isFile && StagedDataFileRe.pattern.matcher(f.getName).matches())
       // capture physical sizes BEFORE the move (the stage is always a
       // local temp dir, so File.length is exact here) — recorded in the
       // version record (Delta's add-action `size`) so byte budgets and
@@ -1563,10 +1711,13 @@ object TxLog {
       }.toSeq
       // a ZERO-ROW part file produces no group in the agg — give it an
       // explicit all-None entry so stats cover EVERY committed file
-      // (min/max None never prunes; the coverage invariant stays clean)
+      // (min/max None never prunes; the coverage invariant stays clean).
+      // A zero-row file's partition tuple is vacuous: all-None keeps it
+      // out of every partition match (0 rows — sound either way).
       val zeroRow = FileStats(0L,
         eligible.map { case (n, t, _) => n -> ColStats(t, 0L, None, None) }
-          .toMap)
+          .toMap,
+        parts = partitionCols.map(_ => None))
       // eligible.isEmpty means the stats agg never ran: rows are UNKNOWN,
       // so no FileStats may be fabricated (a rows=0 entry would lie to
       // history's rows_added) — such commits stay stat-less and size
@@ -1577,6 +1728,39 @@ object TxLog {
           n -> stats.getOrElse(n, zeroRow).copy(bytes = Some(sizes(n)))).toMap
       (names, full)
     } finally graft.core.Fs.rmTree(stage.toFile)
+  }
+
+  /** Staged data-file names: plain `part-*` from an unpartitioned write,
+    * or `p<dirIdx>-part-*` after [[flattenStage]] renamed a partitioned
+    * stage's nested files into the root.
+    */
+  private val StagedDataFileRe = "^(?:p\\d+-)?part-.*".r
+
+  /** Flatten a `partitionBy`-staged directory tree: move every nested
+    * part file into the stage ROOT under a unique name
+    * (`p<dirIdx>-<origName>` — part-file names are unique WITHIN a
+    * partition directory but Spark reuses them ACROSS directories, so
+    * the directory index is what restores global uniqueness). Directory
+    * enumeration is sorted for deterministic naming.
+    */
+  private def flattenStage(stage: java.nio.file.Path): Unit = {
+    def leafDirs(d: java.io.File): Seq[java.io.File] = {
+      val subs = d.listFiles().filter(_.isDirectory)
+      if (subs.isEmpty) Seq(d) else subs.sortBy(_.getName).flatMap(leafDirs).toSeq
+    }
+    val root = stage.toFile
+    leafDirs(root).filterNot(_ == root).zipWithIndex.foreach {
+      case (dir, i) =>
+        dir.listFiles().filter(f =>
+          f.isFile && f.getName.startsWith("part-")).foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(root, s"p$i-${f.getName}").toPath)
+        }
+    }
+    // drop the now-empty partition directories so the flat read below
+    // sees only data files
+    root.listFiles().filter(_.isDirectory)
+      .foreach(d => graft.core.Fs.rmTree(d))
   }
 
   /** Enforce the table's CHECK constraints over an incoming commit's rows
@@ -1612,18 +1796,34 @@ object TxLog {
   /** Create the table at version 0. `alerts` (here and on every committer)
     * receives structured `txlog_checkpoint_failed` alerts when a commit
     * SUCCEEDS but its advisory checkpoint write fails — see [[publish]].
+    *
+    * `partitionBy` declares the table's PARTITION COLUMNS (Delta's
+    * partitionColumns metadata) — immutable for the table's lifetime,
+    * recorded in the log, and honored by EVERY subsequent data-writing
+    * commit: files stay partition-aligned (all rows of a file share one
+    * partition tuple, recorded per add action), which is what makes
+    * [[deletePartitions]] / [[replaceWherePartitions]] metadata-only and
+    * [[prunedFilesByPartition]] a zero-job prune. Supported types:
+    * integral, DATE, TIMESTAMP_NTZ, STRING.
     */
   def init(df: DataFrame, path: String,
-      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+      alerts: Option[graft.runner.Alerts.Sink] = None,
+      partitionBy: Seq[String] = Nil): Snapshot = {
     require(currentVersion(path).isEmpty, s"TxLog: table already exists at $path")
+    require(partitionBy.distinct.size == partitionBy.size,
+      s"TxLog.init: duplicate partition columns in " +
+        s"(${partitionBy.mkString(", ")})")
     new java.io.File(path).mkdirs()
-    val (files, stats) = writeDataFiles(df, path)
+    val (files, stats) = writeDataFiles(df, path, partitionBy)
     publish(path, 0L, files, add = files, remove = Nil, Some(df.schema),
-      info = ("INIT", Map.empty),
+      info = ("INIT",
+        if (partitionBy.isEmpty) Map.empty[String, String]
+        else Map("partitionBy" -> partitionBy.mkString(","))),
       fullTxns = Map.empty, addStats = stats,
       fullConstraints = Map.empty, fullStats = stats,
-      fullDvs = Map.empty, alerts = alerts)
-    Snapshot(0L, files, Some(df.schema), stats = stats)
+      fullDvs = Map.empty, partCols = partitionBy, alerts = alerts)
+    Snapshot(0L, files, Some(df.schema), stats = stats,
+      partitionCols = partitionBy)
   }
 
   /** Append rows: an add-only action record (O(new files) metadata) on top
@@ -1636,16 +1836,16 @@ object TxLog {
     val base = snapshot(path, Some(expectedVersion))
     val schema = mergeSchemas(base.schema, df.schema)
     enforceConstraints(df, schema, base.constraints)
-    val (added, addStats) = writeDataFiles(df, path)
+    val (added, addStats) = writeDataFiles(df, path, base.partitionCols)
     val files = base.files ++ added
     val stats = base.stats ++ addStats
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
       Some(schema), info = ("APPEND", Map.empty),
       fullTxns = base.txns, addStats = addStats,
       fullConstraints = base.constraints, fullStats = stats,
-      fullDvs = base.dvs, alerts = alerts)
+      fullDvs = base.dvs, partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
-      base.constraints, stats, base.dvs)
+      base.constraints, stats, base.dvs, base.partitionCols)
   }
 
   /** OVERWRITE the table's contents atomically: one commit removing every
@@ -1663,15 +1863,15 @@ object TxLog {
     val base = snapshot(path, Some(expectedVersion))
     val schema = mergeSchemas(base.schema, df.schema)
     enforceConstraints(df, schema, base.constraints)
-    val (added, addStats) = writeDataFiles(df, path)
+    val (added, addStats) = writeDataFiles(df, path, base.partitionCols)
     publish(path, expectedVersion + 1, added, add = added,
       remove = base.files.sorted, Some(schema),
       info = ("OVERWRITE", Map.empty),
       fullTxns = base.txns, addStats = addStats,
       fullConstraints = base.constraints, fullStats = addStats,
-      fullDvs = Map.empty, alerts = alerts)
+      fullDvs = Map.empty, partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, added, Some(schema), base.txns,
-      base.constraints, addStats, Map.empty)
+      base.constraints, addStats, Map.empty, base.partitionCols)
   }
 
   /** The FIRST version whose clamped commit timestamp is at or after
@@ -1721,7 +1921,7 @@ object TxLog {
       case _ =>
         val schema = mergeSchemas(base.schema, df.schema)
         enforceConstraints(df, schema, base.constraints)
-        val (added, addStats) = writeDataFiles(df, path)
+        val (added, addStats) = writeDataFiles(df, path, base.partitionCols)
         val files = base.files ++ added
         val txns = base.txns + (appId -> batchId)
         val stats = base.stats ++ addStats
@@ -1731,9 +1931,10 @@ object TxLog {
             Map("appId" -> appId, "batchId" -> batchId.toString)),
           txn = Some((appId, batchId)), fullTxns = txns,
           addStats = addStats, fullConstraints = base.constraints,
-          fullStats = stats, fullDvs = base.dvs, alerts = alerts)
+          fullStats = stats, fullDvs = base.dvs,
+          partCols = base.partitionCols, alerts = alerts)
         Snapshot(expectedVersion + 1, files, Some(schema), txns,
-          base.constraints, stats, base.dvs)
+          base.constraints, stats, base.dvs, base.partitionCols)
     }
   }
 
@@ -1780,9 +1981,9 @@ object TxLog {
       info = ("ADD_CONSTRAINT", Map("name" -> name, "check" -> check)),
       fullTxns = base.txns, constraints = Some(cons),
       fullConstraints = cons, fullStats = base.stats,
-      fullDvs = base.dvs, alerts = alerts)
+      fullDvs = base.dvs, partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
-      base.stats, base.dvs)
+      base.stats, base.dvs, base.partitionCols)
   }
 
   /** Drop a named constraint — a metadata-only commit; later commits stop
@@ -1801,9 +2002,9 @@ object TxLog {
       base.schema, info = ("DROP_CONSTRAINT", Map("name" -> name)),
       fullTxns = base.txns, constraints = Some(cons),
       fullConstraints = cons, fullStats = base.stats,
-      fullDvs = base.dvs, alerts = alerts)
+      fullDvs = base.dvs, partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
-      base.stats, base.dvs)
+      base.stats, base.dvs, base.partitionCols)
   }
 
   /** OPTIMIZE: rewrite the files at or below `maxFileBytes` into
@@ -1841,8 +2042,11 @@ object TxLog {
       if (sortCols.isEmpty) rows0.coalesce(targetFiles)
       else rows0.repartitionByRange(targetFiles, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    // no enforcement: compaction moves existing (already-validated) rows
-    val (added, addStats) = writeDataFiles(rows, path)
+    // no enforcement: compaction moves existing (already-validated) rows.
+    // On a partitioned table the staged partitionBy re-splits the
+    // compacted rows partition-pure, so `targetFiles` becomes a
+    // PER-PARTITION target — compaction never merges across partitions.
+    val (added, addStats) = writeDataFiles(rows, path, base.partitionCols)
     val files = base.files.filterNot(small.contains) ++ added
     val smallSet = small.toSet
     val stats = base.stats.filterNot { case (f, _) => smallSet.contains(f) } ++
@@ -1856,9 +2060,10 @@ object TxLog {
         "sortCols" -> sortCols.mkString(","))),
       fullTxns = base.txns,
       addStats = addStats, fullConstraints = base.constraints,
-      fullStats = stats, fullDvs = dvsAfter, alerts = alerts)
+      fullStats = stats, fullDvs = dvsAfter,
+      partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns,
-      base.constraints, stats, dvsAfter)
+      base.constraints, stats, dvsAfter, base.partitionCols)
   }
 
   /** RESTORE the table to the state it had at `toVersion` (the Delta
@@ -1928,9 +2133,11 @@ object TxLog {
       constraints = Some(target.constraints),
       fullConstraints = target.constraints,
       fullStats = target.stats,
-      dvs = dvSets ++ dvClears, fullDvs = target.dvs, alerts = alerts)
+      dvs = dvSets ++ dvClears, fullDvs = target.dvs,
+      // partition columns are immutable, so base == target here always
+      partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, target.files, target.schema, base.txns,
-      target.constraints, target.stats, target.dvs)
+      target.constraints, target.stats, target.dvs, base.partitionCols)
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
@@ -2020,7 +2227,8 @@ object TxLog {
     // load-bearing (unlike commit-time ones)
     val oldest = snaps.head
     writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema,
-      oldest.txns, oldest.constraints, oldest.stats, oldest.dvs)
+      oldest.txns, oldest.constraints, oldest.stats, oldest.dvs,
+      oldest.partitionCols)
     val droppedVersions = dropping.map { v =>
       val f = versionFile(path, v)
       java.nio.file.Files.delete(f.toPath)
@@ -2282,9 +2490,9 @@ object TxLog {
             mergeSchema = false)
             .join(k, nk, "left_anti")
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
-        else writeDataFiles(survivors, path)
+        else writeDataFiles(survivors, path, base.partitionCols)
       }
-    val (added, addedStats) = writeDataFiles(newData, path)
+    val (added, addedStats) = writeDataFiles(newData, path, base.partitionCols)
     val files = untouched ++ rewritten ++ added
     val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
       rewrittenStats ++ addedStats
@@ -2294,9 +2502,9 @@ object TxLog {
       info = ("MERGE", Map("keys" -> nk.mkString(","))),
       fullTxns = base.txns, addStats = rewrittenStats ++ addedStats,
       fullConstraints = base.constraints, fullStats = stats,
-      fullDvs = dvsAfter, alerts = alerts)
+      fullDvs = dvsAfter, partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
-      base.constraints, stats, dvsAfter)
+      base.constraints, stats, dvsAfter, base.partitionCols)
   }
 
   /** Delete matching rows: only files CONTAINING matches are rewritten
@@ -2340,7 +2548,7 @@ object TxLog {
             mergeSchema = false)
             .filter(!coalesce(cond, lit(false)))
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
-        else writeDataFiles(survivors, path)
+        else writeDataFiles(survivors, path, base.partitionCols)
       }
     // no enforcement: survivors are existing rows that already passed
     val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
@@ -2351,9 +2559,9 @@ object TxLog {
       info = ("DELETE", Map("predicate" -> cond.toString)),
       fullTxns = base.txns, addStats = rewrittenStats,
       fullConstraints = base.constraints, fullStats = stats,
-      fullDvs = dvsAfter, alerts = alerts)
+      fullDvs = dvsAfter, partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema,
-      base.txns, base.constraints, stats, dvsAfter)
+      base.txns, base.constraints, stats, dvsAfter, base.partitionCols)
   }
 
   // --- deletion vectors (soft deletes) --------------------------------------
@@ -2412,9 +2620,10 @@ object TxLog {
           info = ("DELETE_DV", Map("predicate" -> cond.toString)),
           fullTxns = base.txns,
           fullConstraints = base.constraints, fullStats = base.stats,
-          fullDvs = base.dvs, alerts = alerts)
+          fullDvs = base.dvs, partCols = base.partitionCols,
+          alerts = alerts)
         Snapshot(expectedVersion + 1, base.files, base.schema, base.txns,
-          base.constraints, base.stats, base.dvs)
+          base.constraints, base.stats, base.dvs, base.partitionCols)
       } else {
         // per-file REPLACEMENT: the new DV file carries old ∪ new rows
         // for every touched file (old rows of untouched files stay in
@@ -2435,9 +2644,10 @@ object TxLog {
           info = ("DELETE_DV", Map("predicate" -> cond.toString)),
           fullTxns = base.txns,
           fullConstraints = base.constraints, fullStats = base.stats,
-          dvs = entries, fullDvs = dvsAfter, alerts = alerts)
+          dvs = entries, fullDvs = dvsAfter,
+          partCols = base.partitionCols, alerts = alerts)
         Snapshot(expectedVersion + 1, base.files, base.schema, base.txns,
-          base.constraints, base.stats, dvsAfter)
+          base.constraints, base.stats, dvsAfter, base.partitionCols)
       }
     } finally { hits.foreach { h => h.unpersist(); () } }
   }
@@ -2457,7 +2667,7 @@ object TxLog {
     val survivors = readFilesWithDvs(spark, path, dvd, base.dvs)
     val (rewritten, rewrittenStats) =
       if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
-      else writeDataFiles(survivors, path)
+      else writeDataFiles(survivors, path, base.partitionCols)
     val dvdSet = dvd.toSet
     val files = base.files.filterNot(dvdSet.contains) ++ rewritten
     val stats = base.stats.filterNot { case (f, _) => dvdSet.contains(f) } ++
@@ -2466,9 +2676,9 @@ object TxLog {
       remove = dvd, base.schema, info = ("PURGE", Map.empty),
       fullTxns = base.txns, addStats = rewrittenStats,
       fullConstraints = base.constraints, fullStats = stats,
-      fullDvs = Map.empty, alerts = alerts)
+      fullDvs = Map.empty, partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns,
-      base.constraints, stats, Map.empty)
+      base.constraints, stats, Map.empty, base.partitionCols)
   }
 
   /** The shared DV-write core of [[updateWhereDV]] and
@@ -2507,16 +2717,17 @@ object TxLog {
       }
     val (added, addStats) =
       if (newData.isEmpty) (Nil, Map.empty[String, FileStats])
-      else writeDataFiles(newData, path)
+      else writeDataFiles(newData, path, base.partitionCols)
     val files = base.files ++ added
     val stats = base.stats ++ addStats
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
       Some(schema), info = (op, params),
       fullTxns = base.txns, addStats = addStats,
       fullConstraints = base.constraints, fullStats = stats,
-      dvs = entries, fullDvs = dvsAfter, alerts = alerts)
+      dvs = entries, fullDvs = dvsAfter,
+      partCols = base.partitionCols, alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
-      base.constraints, stats, dvsAfter)
+      base.constraints, stats, dvsAfter, base.partitionCols)
   }
 
   /** The snapshot's LIVE rows with (file, row_idx) metadata attached —
@@ -2555,9 +2766,11 @@ object TxLog {
       publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
         base.schema, info = ("UPDATE_DV", Map("predicate" -> cond.toString)),
         fullTxns = base.txns, fullConstraints = base.constraints,
-        fullStats = base.stats, fullDvs = base.dvs, alerts = alerts)
+        fullStats = base.stats, fullDvs = base.dvs,
+        partCols = base.partitionCols, alerts = alerts)
       return Snapshot(expectedVersion + 1, base.files, base.schema,
-        base.txns, base.constraints, base.stats, base.dvs)
+        base.txns, base.constraints, base.stats, base.dvs,
+        base.partitionCols)
     }
     val matched = liveRowsMeta(spark, path, base)
       .filter(coalesce(cond, lit(false))).persist()
@@ -2606,6 +2819,239 @@ object TxLog {
       commitDvMutation(spark, path, base, hits, newData,
         "MERGE_DV", Map("keys" -> nk.mkString(",")), alerts)
     } finally { matched.unpersist(); () }
+  }
+
+  // --- partitioned-table operations -----------------------------------------
+
+  /** The snapshot's per-file partition tuples as a TYPED local DataFrame
+    * (`__graft_pfile` + one column per partition column, cast from the
+    * recorded canonical strings back to the log schema's types) — the
+    * evaluation surface for partition predicates: filtering it with a
+    * caller's `Column` gives EXACT Spark SQL semantics (NULL partition =
+    * UNKNOWN = non-matching, same as a row filter) without touching any
+    * data file. The frame is a LocalRelation over O(files) metadata rows
+    * — at 10⁵–10⁶ files this is driver-memory-scale like every other
+    * per-file map the log keeps, and Catalyst folds the filter without
+    * launching a distributed scan.
+    *
+    * Requires every file to carry a recorded partition tuple — true by
+    * construction on tables initialized with `partitionBy` (partition
+    * columns are stats-eligible, so the stats agg always runs); a file
+    * without one (foreign/legacy) fails LOUDLY, because guessing a
+    * membership either way could silently mis-delete or mis-keep rows.
+    */
+  private def partitionTuplesDf(spark: SparkSession, path: String,
+      snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    require(snap.partitionCols.nonEmpty,
+      s"TxLog: $path is not a partitioned table - partition operations " +
+        "need a table initialized with partitionBy")
+    val sch = snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"TxLog: $path has no recorded schema (legacy log) - partition " +
+        "operations need the schema authority the log provides"))
+    val uncovered = snap.files.filterNot(f =>
+      snap.stats.get(f).exists(_.parts.size == snap.partitionCols.size))
+    require(uncovered.isEmpty,
+      s"TxLog: ${uncovered.size} file(s) of $path carry no recorded " +
+        s"partition values (e.g. ${uncovered.take(3).mkString(", ")}) - " +
+        "partition operations would have to guess their membership; " +
+        "rewrite them through compact() first")
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    snap.files.foreach { f =>
+      rows.add(Row.fromSeq(f +: snap.stats(f).parts.map(_.orNull)))
+    }
+    val strSchema = StructType(
+      StructField("__graft_pfile", StringType, nullable = false) +:
+        snap.partitionCols.map(c => StructField(c, StringType)))
+    val typed = snap.partitionCols.map { c =>
+      val dt = sch.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"TxLog: partition column '$c' is missing from the recorded " +
+            s"schema of $path")).dataType
+      col(c).cast(dt).as(c)
+    }
+    spark.createDataFrame(rows, strSchema)
+      .select(col("__graft_pfile") +: typed: _*)
+  }
+
+  /** Split the snapshot's files by whether their partition tuple
+    * satisfies `cond` (a predicate over the table's PARTITION COLUMNS
+    * only — SQL WHERE semantics, UNKNOWN = non-matching):
+    * `(matching, rest)`. Zero data-file access — the evaluation runs
+    * over log metadata, which is what makes the partition ops
+    * metadata-only and a partition-pruned read skip files before any
+    * scan is planned. A predicate referencing a non-partition column
+    * fails with a named error (its truth varies WITHIN a file, so no
+    * file-level split exists).
+    */
+  def prunedFilesByPartition(spark: SparkSession, path: String,
+      cond: Column, asOf: Option[Long] = None): (Seq[String], Seq[String]) =
+    splitByPartition(spark, path, snapshot(path, asOf), cond)
+
+  private def splitByPartition(spark: SparkSession, path: String,
+      snap: Snapshot, cond: Column): (Seq[String], Seq[String]) = {
+    val tuples = partitionTuplesDf(spark, path, snap)
+    val matching =
+      try tuples.filter(cond).select("__graft_pfile")
+        .collect().map(_.getString(0)).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"TxLog: partition predicate ($cond) must reference only the " +
+              s"partition columns (${snap.partitionCols.mkString(", ")}) " +
+              s"of $path - a predicate over data columns varies within a " +
+              "file and cannot split at file granularity", e)
+      }
+    (snap.files.filter(matching.contains),
+      snap.files.filterNot(matching.contains))
+  }
+
+  /** Read ONLY the partitions matching `cond` — a zero-job prune over
+    * log metadata before any scan is planned, then the ordinary DV-aware
+    * read of the surviving files. Result ≡ `read(...).filter(cond)`
+    * exactly (files are partition-aligned; NULL partitions are
+    * UNKNOWN-non-matching both ways) — the filter is just already paid
+    * at the metadata level, which at 100 TB is the difference between
+    * scanning one date and scanning the table.
+    */
+  def readPartitions(spark: SparkSession, path: String, cond: Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(path, asOf)
+    val (matching, _) = splitByPartition(spark, path, snap, cond)
+    if (matching.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        snap.schema.get)
+    else readFilesWithDvs(spark, path, matching, snap.dvs)
+  }
+
+  /** DELETE whole partitions METADATA-ONLY (the Delta fast path for a
+    * DELETE whose predicate covers only partition columns): one commit
+    * removing every file whose partition tuple satisfies `cond` — zero
+    * data files read or written, cost O(matching files) log metadata.
+    * This is THE partition payoff at scale: dropping a day from a
+    * date-partitioned 100 TB table is a metadata operation, not a
+    * rewrite. Removed files' deletion vectors drop with them; the change
+    * feed emits the removed files' live rows as deletes (the existing
+    * remove-action machinery). Always commits (possibly-empty version),
+    * the same contract as [[deleteWhere]].
+    */
+  def deletePartitions(spark: SparkSession, path: String, cond: Column,
+      expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val (matching, rest) = splitByPartition(spark, path, base, cond)
+    val matchSet = matching.toSet
+    val stats = base.stats.filterNot { case (f, _) => matchSet.contains(f) }
+    val dvsAfter = base.dvs.filterNot { case (f, _) => matchSet.contains(f) }
+    publish(path, expectedVersion + 1, rest, add = Nil,
+      remove = matching.sorted, base.schema,
+      info = ("DELETE_PARTITIONS", Map("predicate" -> cond.toString)),
+      fullTxns = base.txns,
+      fullConstraints = base.constraints, fullStats = stats,
+      fullDvs = dvsAfter, partCols = base.partitionCols, alerts = alerts)
+    Snapshot(expectedVersion + 1, rest, base.schema, base.txns,
+      base.constraints, stats, dvsAfter, base.partitionCols)
+  }
+
+  /** OVERWRITE only the partitions matching `cond` with `newData` — the
+    * Delta `replaceWhere` shape, the idempotent-backfill primitive a
+    * partitioned pipeline re-runs a day with: ONE commit removing every
+    * matching partition's files and adding the new data. Every `newData`
+    * row must satisfy `cond` definitively (a row outside the predicate
+    * would survive a re-run's remove and silently double — refused with
+    * a named error BEFORE anything publishes, Delta's same contract);
+    * the check is one distributed agg over `newData`. CHECK constraints
+    * gate the new rows like any commit; untouched partitions carry over
+    * by reference.
+    */
+  def replaceWherePartitions(spark: SparkSession, path: String,
+      cond: Column, newData: DataFrame, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val (matching, rest) = splitByPartition(spark, path, base, cond)
+    val schema = mergeSchemas(base.schema, newData.schema)
+    enforceConstraints(newData, schema, base.constraints)
+    val violRow = newData.agg(
+      sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L)).as("v")).head()
+    val viol = if (violRow.isNullAt(0)) 0L else violRow.getLong(0)
+    require(viol == 0L,
+      s"TxLog.replaceWherePartitions: $viol row(s) of the replacement " +
+        s"data fall OUTSIDE the predicate ($cond) - they would survive a " +
+        "re-run's remove and silently duplicate; constrain the data or " +
+        "widen the predicate")
+    val (added, addStats) = writeDataFiles(newData, path, base.partitionCols)
+    val matchSet = matching.toSet
+    val stats = base.stats.filterNot { case (f, _) =>
+      matchSet.contains(f) } ++ addStats
+    val dvsAfter = base.dvs.filterNot { case (f, _) => matchSet.contains(f) }
+    publish(path, expectedVersion + 1, rest ++ added, add = added,
+      remove = matching.sorted, Some(schema),
+      info = ("REPLACE_WHERE", Map("predicate" -> cond.toString)),
+      fullTxns = base.txns, addStats = addStats,
+      fullConstraints = base.constraints, fullStats = stats,
+      fullDvs = dvsAfter, partCols = base.partitionCols, alerts = alerts)
+    Snapshot(expectedVersion + 1, rest ++ added, Some(schema), base.txns,
+      base.constraints, stats, dvsAfter, base.partitionCols)
+  }
+
+  /** ZERO-COPY CLONE (the Delta `SHALLOW CLONE` shape, made durable):
+    * create a NEW independent table at `dst` serving exactly the `src`
+    * snapshot at `asOf` (default: current) — data files and active DV
+    * sidecars are HARD-LINKED into `dst` (content shared, no bytes
+    * copied; degrading to a real copy on filesystems without links), and
+    * `dst` gets its own fresh log at version 0. Cost O(files) metadata +
+    * link syscalls, never O(table bytes) — cloning a 100 TB table for a
+    * what-if experiment is instant.
+    *
+    * Independence is by IMMUTABILITY, not reference counting: data files
+    * are never mutated in place (the table contract), so writes to
+    * either table create new files, and a vacuum on either side only
+    * unlinks its own directory entry — the shared content survives until
+    * its LAST link drops (the filesystem is the refcount). This is
+    * stronger than Delta's shallow clone, whose absolute-path references
+    * break when the SOURCE vacuums; here a source vacuum cannot hurt the
+    * clone.
+    *
+    * Cloned: schema, partition columns, per-file stats, CHECK
+    * constraints, active deletion vectors. NOT cloned: txn watermarks
+    * (Delta's same choice — a streaming writer's exactly-once identity
+    * belongs to the source table; carrying it over would make the
+    * clone silently SKIP the first batches a pipeline pointed at it
+    * writes) and history (the clone starts at version 0; time travel
+    * into pre-clone states belongs to the source).
+    */
+  def cloneTable(src: String, dst: String, asOf: Option[Long] = None,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    require(currentVersion(dst).isEmpty,
+      s"TxLog.cloneTable: a table already exists at $dst")
+    val snap = snapshot(src, asOf)
+    new java.io.File(dst).mkdirs()
+    val present = snap.files.toSet
+    val activeDvs = snap.dvs.filter { case (f, _) => present.contains(f) }
+    val toLink = snap.files ++ activeDvs.values.toSeq.distinct
+    toLink.foreach { f =>
+      val s = new java.io.File(src, f).toPath
+      val d = new java.io.File(dst, f).toPath
+      try { java.nio.file.Files.createLink(d, s); () }
+      catch {
+        // no hard links on this filesystem (or cross-device): fall back
+        // to a real copy — correctness identical, zero-copy lost
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(s, d); ()
+      }
+    }
+    val stats = snap.stats.filter { case (f, _) => present.contains(f) }
+    publish(dst, 0L, snap.files, add = snap.files, remove = Nil,
+      snap.schema,
+      info = ("CLONE", Map("source" -> src,
+        "sourceVersion" -> snap.version.toString)),
+      fullTxns = Map.empty, addStats = stats,
+      constraints = Some(snap.constraints),
+      fullConstraints = snap.constraints, fullStats = stats,
+      dvs = activeDvs.map { case (f, dv) => f -> (Some(dv): Option[String]) },
+      fullDvs = activeDvs, partCols = snap.partitionCols, alerts = alerts)
+    Snapshot(0L, snap.files, snap.schema, Map.empty, snap.constraints,
+      stats, activeDvs, snap.partitionCols)
   }
 
   /** Stage and move a single deletion-vector sidecar holding `rows`

@@ -88,28 +88,71 @@ class TxLogSourceProvider extends StreamSourceProvider
     * cleared, txn watermarks kept), ErrorIfExists refuses, Ignore
     * no-ops. All writes run under `commitWithRetry`, so concurrent
     * writers serialize through the optimistic-concurrency protocol
-    * instead of clobbering. Exactly-once STREAMING ingestion stays on
-    * the sink path (`writeStream` + `appId`) — batch writes carry no
-    * idempotency token by design (re-running a batch job IS a second
-    * write).
+    * instead of clobbering.
+    *
+    * `partitionBy` option (comma-separated column names): declares the
+    * table's partition columns at CREATE (TxLog partitioning is a LOG
+    * concept — partition values ride in the add actions; layout stays
+    * flat); on an existing table the option must match the table's
+    * declared partitioning or be absent — partitioning is immutable, so
+    * a mismatch is a caller bug, refused loudly.
+    *
+    * `txnAppId` + `txnVersion` options (Delta's same-named batch-writer
+    * options): an IDEMPOTENT append — if the table already records a
+    * txn for `txnAppId` at-or-above `txnVersion`, the write is a no-op.
+    * This is the exactly-once seam for MANUALLY-driven batch pipelines
+    * that may re-run (orchestrator retries); both options or neither,
+    * Append mode only (an idempotent overwrite is a contradiction — the
+    * second run must be a no-op precisely because the first happened).
+    * Without the options a batch re-run IS a second write, by design.
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val path = TxLogSource.tablePath(parameters)
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val txnAppId = parameters.get("txnAppId")
+    val txnVersion = parameters.get("txnVersion").map(_.toLong)
+    require(txnAppId.isDefined == txnVersion.isDefined,
+      "graft-txlog: txnAppId and txnVersion must be provided together - " +
+        "one without the other cannot key an idempotent write")
     val exists = TxLog.currentVersion(path).isDefined
     if (!exists) {
+      require(txnAppId.isEmpty,
+        s"graft-txlog: txnAppId/txnVersion require an existing table at " +
+          s"$path - TxLog.init (or a plain create) it first, so writer " +
+          "identity never races table creation")
       new java.io.File(path).mkdirs()
-      TxLog.init(data, path)
-    } else mode match {
-      case SaveMode.ErrorIfExists => throw new IllegalArgumentException(
-        s"graft-txlog: a TxLog table already exists at $path " +
-          "(SaveMode.ErrorIfExists) - use Append or Overwrite")
-      case SaveMode.Ignore => ()
-      case SaveMode.Append =>
-        TxLog.commitWithRetry(path)(v => TxLog.append(data, path, v))
-      case SaveMode.Overwrite =>
-        TxLog.commitWithRetry(path)(v => TxLog.overwrite(data, path, v))
+      TxLog.init(data, path, partitionBy = partitionBy.getOrElse(Nil))
+    } else {
+      partitionBy.foreach { pb =>
+        val cur = TxLog.snapshot(path).partitionCols
+        require(pb == cur,
+          s"graft-txlog: partitionBy (${pb.mkString(",")}) does not match " +
+            s"the table's declared partitioning (${cur.mkString(",")}) at " +
+            s"$path - partition columns are immutable after creation")
+      }
+      mode match {
+        case SaveMode.ErrorIfExists => throw new IllegalArgumentException(
+          s"graft-txlog: a TxLog table already exists at $path " +
+            "(SaveMode.ErrorIfExists) - use Append or Overwrite")
+        case SaveMode.Ignore => ()
+        case SaveMode.Append => txnAppId match {
+          case Some(app) =>
+            TxLog.commitWithRetry(path)(v =>
+              TxLog.appendIfNew(data, path, app, txnVersion.get, v))
+          case None =>
+            TxLog.commitWithRetry(path)(v => TxLog.append(data, path, v))
+        }
+        case SaveMode.Overwrite =>
+          require(txnAppId.isEmpty,
+            "graft-txlog: txnAppId/txnVersion are Append-only - an " +
+              "\"idempotent overwrite\" would have to no-op the re-run " +
+              "whose whole point is replacing the content; sequence " +
+              "overwrites through versions instead")
+          TxLog.commitWithRetry(path)(v => TxLog.overwrite(data, path, v))
+      }
     }
     TxLogRelation.batchRelation(sqlContext,
       parameters - TxLogRelation.VersionAsOfKey -
@@ -150,9 +193,10 @@ class TxLogSourceProvider extends StreamSourceProvider
         s"$outputMode) - the sink commits each micro-batch as an ACID " +
         "append; updating semantics belong on a keyed consumer")
     require(partitionColumns.isEmpty,
-      "graft-txlog sink: partitionBy is not supported - the commit log " +
-        "tracks files, not partition directories (cluster with " +
-        "TxLog.compact(sortCols) instead)")
+      "graft-txlog sink: a writeStream partitionBy clause is not " +
+        "supported - partitioning belongs to the TABLE (declare it at " +
+        "TxLog.init(partitionBy); the sink's appends then honor it " +
+        "automatically), so two queries can never disagree about layout")
     val path = TxLogSource.tablePath(parameters)
     val appId = parameters.getOrElse("appId",
       throw new IllegalArgumentException(

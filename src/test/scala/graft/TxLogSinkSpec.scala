@@ -135,6 +135,7 @@ class TxLogSinkSpec extends SparkSpecBase {
       writer().option("path", table).option("appId", "a")
         .partitionBy("payload").start()
     }
-    partErr.getMessage should include("partitionBy is not supported")
+    partErr.getMessage should include(
+      "partitionBy clause is not supported")
   }
 }
