@@ -982,6 +982,42 @@ object ExtensionQueries {
       .withColumn("partitioned_via_option", lit(partitioned))
   }
 
+  /** SQL `CALL` MAINTENANCE PROCEDURES (library:
+    * sqlfront.GraftProcedureCatalog — Spark 4 DSv2 stored procedures,
+    * the Iceberg `CALL cat.system.proc` surface): a partitioned TxLog
+    * table is operated entirely FROM SQL — a metadata-only partition
+    * DELETE, an OPTIMIZE compaction, and a CHECK-constraint declaration,
+    * each a `spark.sql("CALL ...")` — then read back through the
+    * registered format. The oracle recomputes the surviving slice in
+    * closed form (a procedure that mis-deleted, double-deleted, or lost
+    * rows in compaction hash-mismatches); the bound boolean pins the
+    * audit trail the CALLs left behind.
+    */
+  private def qSqlTxlogProcedures(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_proc"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      (col("o_orderkey") % 4).as("bucket"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.repartition(6), path, partitionBy = Seq("bucket")) // v0
+    s.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sqlfront.GraftProcedureCatalog")
+    s.sql(s"CALL graft_sys.system.delete_partitions('$path', 'bucket = 3')")
+    s.sql(s"CALL graft_sys.system.compact(path => '$path')")
+    s.sql(s"CALL graft_sys.system.add_constraint('$path', " +
+      "'cents_nonneg', 'cents >= 0')")
+    val trail = s.sql(s"CALL graft_sys.system.history('$path')")
+      .select("operation").collect().map(_.getString(0)).toSeq
+    val trailOk = trail ==
+      Seq("ADD_CONSTRAINT", "OPTIMIZE", "DELETE_PARTITIONS", "INIT")
+    s.read.format("graft-txlog").option("path", path).load()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("call_trail_recorded", lit(trailOk))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1881,6 +1917,7 @@ object ExtensionQueries {
     "q_o_txlog_replace_where" -> (qTxlogReplaceWhere _),
     "q_o_txlog_clone" -> (qTxlogClone _),
     "q_o_txlog_batch_idempotent" -> (qTxlogBatchIdempotent _),
+    "q_sql_txlog_procedures" -> (qSqlTxlogProcedures _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2354,6 +2391,16 @@ object ExtensionQueries {
           |  TRUE AS partitioned_via_option
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1, 2)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // the CALL-driven table: partition 3 deleted metadata-only, then
+      // compacted (row-preserving) — survivors are buckets 0,1,2; the
+      // audit-trail boolean is Spark-bound
+      "q_sql_txlog_procedures" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS call_trail_recorded
+          |FROM orders
+          |WHERE o_orderkey % 4 <> 3
           |GROUP BY o_orderpriority""".stripMargin,
       // string-bound rule-pruned scan == the closed-form slice (DuckDB
       // default collation is binary, same order as the UTF8 bounds)
