@@ -1018,6 +1018,47 @@ object ExtensionQueries {
       .withColumn("call_trail_recorded", lit(trailOk))
   }
 
+  /** SQL INSERT INTO / INSERT OVERWRITE over a catalog TxLog table
+    * (library: streaming.TxLogRelation's InsertableRelation seam — the
+    * catalog placeholder routes SQL inserts through the COMMIT PROTOCOL;
+    * without it Spark's generic file-relation insert would write bare
+    * un-logged parquet, i.e. silently lose the insert): create a table
+    * from one slice, `INSERT INTO ... SELECT` a second slice, then
+    * `INSERT OVERWRITE` with a computed final content — each an ACID
+    * commit, read back THROUGH SQL with no manual refresh. The oracle
+    * recomputes the overwrite content in closed form; bound booleans pin
+    * the audit trail (INIT → APPEND → OVERWRITE) and time travel below
+    * the overwrite.
+    */
+  private def qSqlTxlogInsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqlinsert"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("o_custkey") % 4 === 0)
+      .repartitionByRange(3, col("o_orderkey")), path)
+    o.createOrReplaceTempView("orders_ins_src")
+    s.sql("DROP TABLE IF EXISTS graft_txlog_ins")
+    s.sql(s"CREATE TABLE graft_txlog_ins USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    s.sql("""INSERT INTO graft_txlog_ins
+             SELECT * FROM orders_ins_src WHERE o_custkey % 4 = 1""")
+    s.sql("""INSERT OVERWRITE graft_txlog_ins
+             SELECT * FROM orders_ins_src
+             WHERE o_custkey % 4 = 2 AND o_orderpriority <> '5-LOW'""")
+    val ops = TxLog.commitInfos(path).flatMap(_.operation)
+    val trailOk = ops == Seq("OVERWRITE", "APPEND", "INIT")
+    val belowIntact = TxLog.read(s, path, asOf = Some(1L)).count() >
+      TxLog.read(s, path).count()
+    s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+             sum(cents) AS total_cents
+             FROM graft_txlog_ins GROUP BY o_orderpriority""")
+      .withColumn("trail_recorded", lit(trailOk))
+      .withColumn("below_overwrite_intact", lit(belowIntact))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1918,6 +1959,7 @@ object ExtensionQueries {
     "q_o_txlog_clone" -> (qTxlogClone _),
     "q_o_txlog_batch_idempotent" -> (qTxlogBatchIdempotent _),
     "q_sql_txlog_procedures" -> (qSqlTxlogProcedures _),
+    "q_sql_txlog_insert" -> (qSqlTxlogInsert _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2391,6 +2433,15 @@ object ExtensionQueries {
           |  TRUE AS partitioned_via_option
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1, 2)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // SQL-insert-driven table: final content == the INSERT OVERWRITE
+      // slice; trail + time-travel booleans Spark-bound
+      "q_sql_txlog_insert" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS trail_recorded, TRUE AS below_overwrite_intact
+          |FROM orders
+          |WHERE o_custkey % 4 = 2 AND o_orderpriority <> '5-LOW'
           |GROUP BY o_orderpriority""".stripMargin,
       // the CALL-driven table: partition 3 deleted metadata-only, then
       // compacted (row-preserving) — survivors are buckets 0,1,2; the

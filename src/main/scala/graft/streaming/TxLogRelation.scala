@@ -120,7 +120,19 @@ object TxLogRelation {
           "registration; re-register it (SqlFront.refreshCatalog)")
     }
     val active = snap.dvs.filter { case (f, _) => snap.files.contains(f) }
-    if (active.nonEmpty)
+    // CATALOG tables always get the placeholder: (a) SQL INSERT must
+    // route through the commit protocol, and Spark's insert analysis
+    // matches the HadoopFsRelation case BEFORE InsertableRelation — a
+    // native-relation catalog table could never intercept the insert
+    // (and the generic HadoopFsRelation insert would write bare parquet
+    // with NO log commit: invisible orphans, silent data loss); (b) in a
+    // Graft session the injected ExpandTxLogDvScan rule splices the
+    // native plan back in, so SELECT keeps full pushdown/pruning — the
+    // RDD-boundary TableScan only serves extension-less sessions.
+    // PATH reads (spark.read.format) stay native when vector-less:
+    // nothing inserts through a path read, and bare sessions keep the
+    // zero-overhead plan.
+    if (active.nonEmpty || catalogSchema.isDefined)
       TxLogDvRelation(path, version, served)(spark)
     else {
       val index = new InMemoryFileIndex(spark,
@@ -130,6 +142,7 @@ object TxLogRelation {
         fileFormat = new ParquetFileFormat, options = Map.empty)(spark)
     }
   }
+
 }
 
 object TxLogCdfRelation {
@@ -209,20 +222,41 @@ case class TxLogCdfRelation(path: String, fromExclusive: Long, to: Long,
     s"TxLogCdfRelation[$path, ($fromExclusive, $to]]"
 }
 
-/** Placeholder relation for a DV'd TxLog snapshot — carries everything
-  * the `ExpandTxLogDvScan` rule needs to splice in the native anti-join
-  * plan; the `TableScan` fallback keeps extension-less sessions correct
-  * (at an RDD-boundary cost the expansion removes). The schema is pinned
-  * at relation-construction time; the version is pinned too, so the
-  * fallback scan and the expanded plan serve the SAME snapshot even if
-  * the table commits between planning and execution.
+/** Placeholder relation for a TxLog snapshot — served for every DV'd
+  * snapshot and for EVERY catalog-registered table (vectored or not):
+  * it carries everything the `ExpandTxLogDvScan` rule needs to splice
+  * in the native plan (anti-join when vectors are active, plain parquet
+  * scan otherwise — `TxLog.read` decides), and it is the SQL
+  * `INSERT INTO` seam — `InsertableRelation` routes catalog inserts
+  * through the commit protocol, which a native `HadoopFsRelation` can
+  * never do (Spark's insert analysis claims that shape first and would
+  * write bare un-logged parquet). The `TableScan` fallback keeps
+  * extension-less sessions correct (at an RDD-boundary cost the
+  * expansion removes). The schema is pinned at relation-construction
+  * time; the version is pinned too, so the fallback scan and the
+  * expanded plan serve the SAME snapshot even if the table commits
+  * between planning and execution.
   */
 case class TxLogDvRelation(path: String, version: Long,
     override val schema: StructType)(
     @transient val session: SparkSession)
-  extends BaseRelation with TableScan {
+  extends BaseRelation with TableScan
+  with org.apache.spark.sql.sources.InsertableRelation {
 
   override def sqlContext: SQLContext = session.sqlContext
+
+  // SQL INSERT INTO a DV'd snapshot: same ACID append seam as the
+  // vector-less relation (TxLogInsertableFsRelation.insert)
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit = {
+    TxLog.commitWithRetry(path) { v =>
+      if (overwrite) TxLog.overwrite(data, path, v)
+      else TxLog.append(data, path, v)
+    }
+    session.catalog.refreshByPath(path)
+    org.apache.spark.sql.graftbridge.CatalogBridge
+      .invalidateCachedRelations(session)
+  }
 
   // project the DECLARED schema order explicitly: the TableScan row
   // conversion aligns by POSITION against `schema`, while TxLog.read's

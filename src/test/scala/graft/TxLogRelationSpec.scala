@@ -296,6 +296,77 @@ class TxLogRelationSpec extends SparkSpecBase {
     counts.foreach(_ should be < total)
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE commit through the log (InsertableRelation seam)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 50), path)
+    spark.sql("DROP TABLE IF EXISTS ins_t")
+    spark.sql(s"CREATE TABLE ins_t USING `graft-txlog` OPTIONS (path '$path')")
+    spark.sql("INSERT INTO ins_t VALUES (100, 'sql-row', 1)")
+    // the insert is an ACID commit, not a bare file write: the log
+    // advanced, and the SELECT sees it WITHOUT a manual REFRESH TABLE
+    TxLog.currentVersion(path) shouldBe Some(1L)
+    TxLog.commitInfos(path).head.operation shouldBe Some("APPEND")
+    spark.sql("SELECT count(*) FROM ins_t").head().getLong(0) shouldBe 51L
+    TxLog.read(spark, path).count() shouldBe 51L
+    // INSERT OVERWRITE = one OVERWRITE commit; history keeps the past
+    spark.sql("INSERT OVERWRITE ins_t VALUES (7, 'only', 0)")
+    spark.sql("SELECT count(*) FROM ins_t").head().getLong(0) shouldBe 1L
+    TxLog.read(spark, path, asOf = Some(1L)).count() shouldBe 51L
+    spark.sql("DROP TABLE ins_t")
+  }
+
+  test("SQL INSERT respects constraints and partitioning; DV'd tables insert too") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 40).repartition(2), path)
+    TxLog.addConstraint(spark, path, "id_nonneg", "id >= 0", 0L)
+    TxLog.deleteWhereDV(spark, path, col("id") % 7 === 0L, 1L)
+    spark.sql("DROP TABLE IF EXISTS ins_dv")
+    spark.sql(s"CREATE TABLE ins_dv USING `graft-txlog` OPTIONS (path '$path')")
+    // constraint gates the SQL insert atomically
+    intercept[Exception] {
+      spark.sql("INSERT INTO ins_dv VALUES (-3, 'bad', 0)")
+    }.getMessage should include("id_nonneg")
+    TxLog.currentVersion(path) shouldBe Some(2L)
+    // a DV'd snapshot's relation (the placeholder) inserts through the
+    // same seam
+    spark.sql("INSERT INTO ins_dv VALUES (200, 'ok', 3)")
+    spark.sql("SELECT count(*) FROM ins_dv").head().getLong(0) shouldBe
+      (40L - rows(0 until 40).filter(col("id") % 7 === 0L).count() + 1L)
+    spark.sql("DROP TABLE ins_dv")
+
+    // partitioned table: the partition column must be present — SQL
+    // inserts align by POSITION to the table schema, so a full-width
+    // insert carries it; the commit records its partition values
+    val ppath = freshPath()
+    TxLog.init(rows(0 until 30), ppath, partitionBy = Seq("grp"))
+    spark.sql("DROP TABLE IF EXISTS ins_part")
+    spark.sql(s"CREATE TABLE ins_part USING `graft-txlog` OPTIONS (path '$ppath')")
+    spark.sql("INSERT INTO ins_part VALUES (300, 'p-row', 2)")
+    val snap = TxLog.snapshot(ppath)
+    snap.files.foreach(f => snap.stats(f).parts.size shouldBe 1)
+    TxLog.readPartitions(spark, ppath, col("grp") === 2)
+      .filter(col("id") === 300L).count() shouldBe 1L
+    spark.sql("DROP TABLE ins_part")
+  }
+
+  test("catalog SELECT on a vector-less table still plans the NATIVE scan (expansion, not the RDD fallback)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(2), path)
+    spark.sql("DROP TABLE IF EXISTS plan_canary_t")
+    spark.sql(
+      s"CREATE TABLE plan_canary_t USING `graft-txlog` OPTIONS (path '$path')")
+    val df = spark.sql(
+      "SELECT grp, count(*) AS c FROM plan_canary_t GROUP BY grp")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the placeholder expanded to the ordinary parquet scan — catalog
+    // tables pay ZERO plan overhead in a graft session despite serving
+    // the insertable placeholder relation
+    plan should include("FileScan parquet")
+    (plan should not).include("ExistingRDD")
+    spark.sql("DROP TABLE plan_canary_t")
+  }
+
   test("empty (delete-all) version serves a schema-correct empty frame through the format") {
     val path = freshPath()
     TxLog.init(rows(0 until 50), path)
