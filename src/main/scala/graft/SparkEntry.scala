@@ -849,6 +849,49 @@ object SparkEntry {
     TxLog.read(s, silver)
   }
 
+  /** PARTITION-FILTERED incremental streaming (library:
+    * streaming.TxLogSource's `partitionFilter` option over a PARTITIONED
+    * TxLog table — file-level partition admission from the log's
+    * recorded partition values: a consumer of one partition of a 100-TB
+    * table reads only its own files, and the filtered view is
+    * append-only ON ITS OWN TERMS — a partition deleted ELSEWHERE in the
+    * table mid-history passes as an invisible empty batch, no
+    * ignoreDeletes needed, where the unfiltered source would fail the
+    * stream). The oracle recomputes the filtered partition's rows in
+    * closed form: a stream that read other partitions' files, dropped a
+    * version, or choked on the foreign delete all mismatch.
+    */
+  private def qStreamTxLogPartition(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val table = "/tmp/graft_roundtrip/stream_txpart_table"
+    val work = "/tmp/graft_roundtrip/stream_txpart_work"
+    Seq(table, work).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
+    val ev = T(s, dir).events.select(col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      pmod(col("event_id"), lit(4)).as("bucket"))
+    TxLog.init(ev.filter(pmod(col("event_id"), lit(3)) === 0), table,
+      partitionBy = Seq("bucket"))                                   // v0
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 1), table, 0L) // v1
+    // a partition OUTSIDE the filtered view is dropped mid-history —
+    // invisible to this consumer (the whole point of the filtered view)
+    TxLog.deletePartitions(s, table, col("bucket") === 0L, 1L)       // v2
+    TxLog.append(ev.filter(pmod(col("event_id"), lit(3)) === 2), table, 2L) // v3
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 8)
+    val q = child.readStream.format("graft-txlog").option("path", table)
+      .option("partitionFilter", "bucket = 2")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$work/out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value_cents").as("value_cents"))
+  }
+
   /** STREAMING CHANGE DATA FEED consumer (library: streaming.TxLogCdfSource
     * → EventStream.runTxLogCdfMirrorOnce — the Delta readChangeFeed
     * streaming shape over the graft commit log): the q_o_txlog_cdf mixed
@@ -1696,6 +1739,7 @@ object SparkEntry {
     "q_o_stream_custom_session" -> (qStreamCustomSession _),
     "q_o_stream_txlog_source" -> (qStreamTxLogSource _),
     "q_o_stream_txlog_incremental" -> (qStreamTxLogIncremental _),
+    "q_o_stream_txlog_partition" -> (qStreamTxLogPartition _),
     "q_o_stream_txlog_pipeline" -> (qStreamTxLogPipeline _),
     "q_o_stream_txlog_cdf" -> (qStreamTxLogCdf _),
     "q_o_stream_static_enrich" -> (qStreamStaticEnrich _),
@@ -2546,6 +2590,13 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // partition-filtered stream: exactly bucket 2's rows across every
+    // version; the foreign partition delete passed as an empty batch
+    "q_o_stream_txlog_partition" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id % 4 = 2
+        |GROUP BY event_type""".stripMargin,
     // table-to-table pipeline: the silver TxLog table must hold exactly
     // the purchases projection after the stop/append/restart sequence
     "q_o_stream_txlog_pipeline" ->

@@ -2906,6 +2906,81 @@ object TxLog {
       snap.files.filterNot(matching.contains))
   }
 
+  /** Version `v`'s PARTITION-FILTERED view for an append stream serving
+    * only `cond`'s partitions: `(matching adds, delete-touches-view)` —
+    * the second component is true when any removed or DV-touched file of
+    * the version lies IN the filtered partitions (the filtered view saw
+    * rows die; a delete entirely in OTHER partitions is invisible to
+    * this consumer, which is the point: dropping yesterday's partition
+    * must not poison a stream tailing today's). All evaluation is log
+    * metadata — removed files' tuples come from the pre-version
+    * snapshot's accumulated stats (checkpoints carry them, so this works
+    * above the vacuum horizon exactly like the byte budget).
+    */
+  private[graft] def versionPartitionView(spark: SparkSession, path: String,
+      v: Long, cond: Column): (Seq[String], Boolean) = {
+    val rec = parseRecord(path, v)
+    val snapV = resolve(path, v)
+    require(snapV.partitionCols.nonEmpty,
+      s"TxLog: $path is not a partitioned table - partition-filtered " +
+        "streams need a table initialized with partitionBy")
+    val dvTouched = rec.dvs.keys.toSeq
+    val prevStats =
+      if (rec.remove.isEmpty) Map.empty[String, FileStats]
+      else resolve(path, v - 1).stats
+    val entries: Seq[(String, Seq[Option[String]])] =
+      (rec.add.map(f => f -> rec.stats.get(f)) ++
+        dvTouched.map(f => f -> snapV.stats.get(f)) ++
+        rec.remove.map(f => f -> prevStats.get(f))).map {
+        case (f, Some(fs)) if fs.parts.size == snapV.partitionCols.size =>
+          f -> fs.parts
+        case (f, _) => throw new IllegalStateException(
+          s"TxLog: file $f of version $v at $path carries no recorded " +
+            "partition values - a partition-filtered stream cannot " +
+            "decide its membership")
+      }
+    val sch = snapV.schema.getOrElse(throw new IllegalStateException(
+      s"TxLog: $path has no recorded schema (legacy log)"))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    entries.distinct.foreach { case (f, parts) =>
+      rows.add(Row.fromSeq(f +: parts.map(_.orNull)))
+    }
+    val strSchema = StructType(
+      org.apache.spark.sql.types.StructField("__graft_pfile",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        snapV.partitionCols.map(c => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType)))
+    val typed = snapV.partitionCols.map { c =>
+      val dt = sch.fields.find(_.name == c).get.dataType
+      col(c).cast(dt).as(c)
+    }
+    val matching =
+      try spark.createDataFrame(rows, strSchema)
+        .select(col("__graft_pfile") +: typed: _*)
+        .filter(cond).select("__graft_pfile")
+        .collect().map(_.getString(0)).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"TxLog: partition predicate ($cond) must reference only the " +
+              s"partition columns (${snapV.partitionCols.mkString(", ")}) " +
+              s"of $path", e)
+      }
+    (rec.add.filter(matching.contains),
+      (rec.remove ++ dvTouched).exists(matching.contains))
+  }
+
+  /** Physical bytes of version `v`'s adds RESTRICTED to `files` — the
+    * partition-filtered byte budget (log metadata, like
+    * [[versionAddBytes]]).
+    */
+  private[graft] def versionAddBytesOf(path: String, v: Long,
+      files: Seq[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): Long = {
+    val rec = parseRecord(path, v)
+    files.map(f => fileBytes(path, f, rec.stats, hadoopConf)).sum
+  }
+
   /** Read ONLY the partitions matching `cond` — a zero-job prune over
     * log metadata before any scan is planned, then the ordinary DV-aware
     * read of the surviving files. Result ≡ `read(...).filter(cond)`

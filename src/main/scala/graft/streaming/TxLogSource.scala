@@ -229,10 +229,17 @@ class TxLogSourceProvider extends StreamSourceProvider
     val path = TxLogSource.tablePath(parameters)
     val sch = schema.getOrElse(TxLogSource.tableSchema(sqlContext.sparkSession, path))
     val maxVersions = TxLogSource.maxVersionsOf(parameters, "graft-txlog")
+    val partitionFilter = parameters.get(TxLogSource.PartitionFilterKey)
+    partitionFilter.foreach { _ =>
+      require(TxLog.snapshot(path).partitionCols.nonEmpty,
+        s"graft-txlog source: ${TxLogSource.PartitionFilterKey} requires " +
+          s"a PARTITIONED table at $path (initialize with partitionBy)")
+    }
     new TxLogSource(sqlContext.sparkSession, path, sch, metadataPath,
       maxVersions, TxLogSource.startingVersionOf(parameters, path),
       TxLogSource.ignoreDeletesOf(parameters),
-      TxLogSource.maxBytesOf(parameters))
+      TxLogSource.maxBytesOf(parameters),
+      partitionFilter)
   }
 }
 
@@ -341,6 +348,20 @@ object TxLogSource {
     explicit.getOrElse(
       if (parameters.contains(MaxBytesKey)) 1L << 40 else 1L)
   }
+
+  /** `partitionFilter` (append source only): a SQL predicate over the
+    * table's PARTITION COLUMNS — the stream serves only the matching
+    * partitions' adds, decided per version from the log's recorded
+    * partition values (zero data-file access before the batch read; at
+    * a 100-TB table, a consumer of one date must not read every
+    * version's adds). The filtered view is APPEND-ONLY on its own terms:
+    * deletes that touch only OTHER partitions pass as invisible
+    * (dropping yesterday's partition cannot poison a stream tailing
+    * today's); deletes touching the FILTERED partitions keep the
+    * ordinary contract (raise, or pass under `ignoreDeletes` when
+    * delete-only).
+    */
+  val PartitionFilterKey = "partitionFilter"
 
   /** `startingTimestamp` (Delta's same-named option): the fresh-query
     * floor as an INSTANT instead of a version — resolves to the first
@@ -692,17 +713,49 @@ class TxLogSource(
     maxVersionsPerTrigger: Long,
     startingVersion: Long = 0L,
     ignoreDeletes: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    partitionFilter: Option[String] = None)
   extends TxLogVersionedSource(spark, tablePath, metadataPath,
     maxVersionsPerTrigger, startingVersion, maxBytesPerTrigger) {
+
+  /** The per-version partition view under `partitionFilter` — cached
+    * because the byte-budget walk and the batch build both consult it,
+    * and version records are immutable so the cache is exact. Bounded
+    * (a long-lived stream must not accumulate an entry per version
+    * forever); LRU-ish eviction via insertion order is fine for a
+    * consumer that touches each version a handful of times around its
+    * admission.
+    */
+  private val viewCache =
+    new java.util.LinkedHashMap[Long, (Seq[String], Boolean)](64, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, (Seq[String], Boolean)]): Boolean =
+        size() > 4096
+    }
+
+  private def partitionView(cond: String, v: Long): (Seq[String], Boolean) =
+    viewCache.synchronized {
+      val hit = viewCache.get(v)
+      if (hit != null) hit
+      else {
+        val computed = TxLog.versionPartitionView(spark, tablePath, v,
+          org.apache.spark.sql.functions.expr(cond))
+        viewCache.put(v, computed)
+        computed
+      }
+    }
 
   // log-recorded add-action sizes (zero filesystem stats on post-size
   // records; a legacy size-less file pays one Hadoop-FS stat — never
   // java.io.File.length(), which is silently 0 off local FS and would
-  // make the byte budget inert with no error)
-  protected def versionBytes(v: Long): Long =
-    TxLog.versionAddBytes(tablePath, v,
+  // make the byte budget inert with no error). Under a partition filter
+  // the budget counts only the files this stream will actually read.
+  protected def versionBytes(v: Long): Long = partitionFilter match {
+    case None => TxLog.versionAddBytes(tablePath, v,
       spark.sparkContext.hadoopConfiguration)
+    case Some(cond) => TxLog.versionAddBytesOf(tablePath, v,
+      partitionView(cond, v)._1, spark.sparkContext.hadoopConfiguration)
+  }
 
   protected def pinnedSchema: StructType = schema
 
@@ -710,9 +763,17 @@ class TxLogSource(
     checkSchemaPinned(to)
     val files = (from + 1 to to).flatMap { v =>
       val (added, removed) = TxLog.fileActions(tablePath, v)
-      // a deletion-vector commit is a delete-class commit: rows the
-      // consumer already holds just died — same contract as removes
-      val deletish = removed.nonEmpty || TxLog.hasDvActions(tablePath, v)
+      // under a partition filter, adds restrict to the matching
+      // partitions and only deletes TOUCHING them count as deletes —
+      // the filtered view is append-only on its own terms
+      val (servedAdds, deletish) = partitionFilter match {
+        case None =>
+          // a deletion-vector commit is a delete-class commit: rows the
+          // consumer already holds just died — same contract as removes
+          (added,
+            removed.nonEmpty || TxLog.hasDvActions(tablePath, v))
+        case Some(cond) => partitionView(cond, v)
+      }
       if (deletish) {
         // delete-ONLY commits (retention cleanup / soft deletes) may pass
         // under ignoreDeletes — their rows were served when the files
@@ -721,14 +782,16 @@ class TxLogSource(
         // between ignoreDeletes and ignoreChanges; the latter knowingly
         // re-delivers and is deliberately NOT offered here — row-level
         // consumers belong on the CDF source).
-        if (!(ignoreDeletes && added.isEmpty)) throw new IllegalStateException(
+        if (!(ignoreDeletes && servedAdds.isEmpty)) throw new IllegalStateException(
           s"graft-txlog source: version $v of $tablePath removes rows " +
-            "(file removes or deletion vectors) - this source streams " +
+            "(file removes or deletion vectors" +
+            partitionFilter.map(f => s" within partitionFilter '$f'")
+              .getOrElse("") + ") - this source streams " +
             "APPEND-ONLY tables (set ignoreDeletes to pass delete-only " +
             "commits; row-level change consumers belong on the " +
             "graft-txlog-cdf source / TxLog.changes)")
       }
-      added
+      servedAdds
     }
     if (files.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
     else StreamingSourceBridge.streamingFileBatch(spark, schema,
@@ -805,6 +868,11 @@ class TxLogCdfSourceProvider extends StreamSourceProvider
       providerName: String,
       parameters: Map[String, String]): Source = {
     val path = TxLogSource.tablePath(parameters)
+    require(!parameters.contains(TxLogSource.PartitionFilterKey),
+      s"graft-txlog-cdf: ${TxLogSource.PartitionFilterKey} is not " +
+        "supported on the change feed (a change-row consumer filters " +
+        "rows, not files: add .filter(...) on the stream; file-level " +
+        "partition admission is the APPEND source's contract)")
     val dataSchema = TxLogSource.tableSchema(sqlContext.sparkSession, path)
     val maxVersions = TxLogSource.maxVersionsOf(parameters, "graft-txlog-cdf")
     new TxLogCdfSource(sqlContext.sparkSession, path, dataSchema,

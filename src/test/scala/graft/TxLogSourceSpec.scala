@@ -247,6 +247,137 @@ class TxLogSourceSpec extends SparkSpecBase {
     e.getMessage should include("partially corrupted")
   }
 
+  test("partitionFilter: the stream serves only matching partitions' adds, file-pruned") {
+    import graft.gold.TxLog
+    val work = freshDir("txsrc_pf")
+    val path = s"$work/t"
+    def part(r: Range) =
+      r.map(i => (i.toLong, s"v$i", (i % 3).toLong)).toDF("id", "payload", "grp")
+    TxLog.init(part(0 until 60).repartition(2), path,
+      partitionBy = Seq("grp"))                      // v0
+    TxLog.append(part(60 until 120), path, 0L)       // v1
+    TxLog.append(part(120 until 150), path, 1L)      // v2
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    val stream = child.readStream.format("graft-txlog")
+      .option("path", path)
+      .option("partitionFilter", "grp = 1")
+      .option("maxVersionsPerTrigger", "1")
+      .load().withColumn("src", input_file_name())
+    val out = s"$work/out"; val ckpt = s"$work/ckpt"
+    val q = stream.writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    // exactly the grp=1 rows of all three versions
+    got.count() shouldBe part(0 until 150).filter(col("grp") === 1L).count()
+    got.filter(col("grp") =!= 1L).count() shouldBe 0L
+    // FILE pruning, not row filtering: every physical file read is
+    // partition-pure grp=1, i.e. the non-matching partitions' files were
+    // never opened
+    val snap = TxLog.snapshot(path)
+    val readFiles = got.select("src").distinct().collect()
+      .map(_.getString(0).split("/").last).toSet
+    readFiles.foreach { f =>
+      snap.stats(f).parts.head shouldBe Some("1")
+    }
+    // and matching files of OTHER partitions exist (the prune had work)
+    snap.files.exists(f => snap.stats(f).parts.head != Some("1")) shouldBe true
+  }
+
+  test("partitionFilter: deletes in OTHER partitions are invisible; deletes touching the view keep the contract") {
+    import graft.gold.TxLog
+    val work = freshDir("txsrc_pfdel")
+    val path = s"$work/t"
+    def part(r: Range) =
+      r.map(i => (i.toLong, s"v$i", (i % 3).toLong)).toDF("id", "payload", "grp")
+    TxLog.init(part(0 until 60).repartition(2), path,
+      partitionBy = Seq("grp"))                              // v0
+    TxLog.deletePartitions(spark, path, col("grp") === 0L, 0L) // v1: other
+    TxLog.append(part(60 until 90), path, 1L)                  // v2
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    def start(outName: String, ckptName: String) = {
+      val s = child.readStream.format("graft-txlog")
+        .option("path", path).option("partitionFilter", "grp = 1")
+        .option("maxVersionsPerTrigger", "1").load()
+      s.writeStream.format("parquet").option("path", s"$work/$outName")
+        .option("checkpointLocation", s"$work/$ckptName")
+        .outputMode("append").start()
+    }
+    // the grp=0 partition delete passes as an EMPTY batch — no
+    // ignoreDeletes needed: the filtered view never saw those rows
+    val q = start("out", "ckpt")
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$work/out").count() shouldBe
+      part(0 until 90).filter(col("grp") === 1L).count()
+    // now a delete TOUCHING grp=1: the filtered view saw rows die — the
+    // append-only contract raises (named, mentioning the filter)
+    TxLog.deletePartitions(spark, path, col("grp") === 1L, 2L) // v3
+    val q2 = start("out2", "ckpt2")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    e.getMessage should include("partitionFilter")
+  }
+
+  test("partitionFilter: byte budget counts only matching files; option refused on unpartitioned tables and the CDF source") {
+    import graft.gold.TxLog
+    val work = freshDir("txsrc_pfbudget")
+    val path = s"$work/t"
+    def part(r: Range) =
+      r.map(i => (i.toLong, s"v$i", (i % 3).toLong)).toDF("id", "payload", "grp")
+    TxLog.init(part(0 until 30), path, partitionBy = Seq("grp"))
+    (1 to 4).foreach(v => TxLog.append(part(v * 30 until v * 30 + 30),
+      path, v - 1L))
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    // a huge byte budget with the filter: matching bytes per version are
+    // tiny, so ALL versions fit one micro-batch (if the budget counted
+    // FULL version bytes the same budget would still pass — so pin the
+    // mechanics the other way: a small budget that fits >1 FILTERED
+    // version but <2 FULL versions must still group more than one)
+    val fullV1 = TxLog.versionAddBytes(path, 1L,
+      spark.sparkContext.hadoopConfiguration)
+    val stream = child.readStream.format("graft-txlog")
+      .option("path", path).option("partitionFilter", "grp = 2")
+      .option("maxBytesPerTrigger", (fullV1 + fullV1 / 2).toString)
+      .load()
+    val q = stream.writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$work/out").count() shouldBe
+      part(0 until 150).filter(col("grp") === 2L).count()
+    val batches = Option(new java.io.File(s"$work/ckpt", "offsets")
+      .listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.forall(_.isDigit))
+    // filtered bytes per version ≈ fullV1/3, so the 1.5x-full budget
+    // admits 4+ filtered versions per batch; full-byte accounting would
+    // have split into >= 4 batches
+    batches should be <= 2
+    // refusals (createSource runs on the stream thread: drive the query
+    // and read the named error off the StreamingQueryException)
+    val plain = s"$work/plain"
+    TxLog.init(rows(0 until 10), plain)
+    val e = intercept[Exception] {
+      val qq = child.readStream.format("graft-txlog").option("path", plain)
+        .option("partitionFilter", "grp = 1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckpt_plain").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    e.getMessage should include("PARTITIONED table")
+    val e2 = intercept[Exception] {
+      val qq = child.readStream.format("graft-txlog-cdf").option("path", path)
+        .option("partitionFilter", "grp = 1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckpt_cdf").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    e2.getMessage should include("not supported on the change feed")
+  }
+
   test("a remove-action version fails the stream with the append-only error") {
     val path = freshDir("txsrc") + "/t"
     val work = freshDir("txsrc_work")
