@@ -1059,6 +1059,44 @@ object ExtensionQueries {
       .withColumn("below_overwrite_intact", lit(belowIntact))
   }
 
+  /** SQL DML PROCEDURES — UPDATE / soft DELETE / keyed MERGE / classic
+    * DELETE, all from `spark.sql("CALL ...")` (library: the
+    * update_where / delete_where_dv / merge_into / delete_where
+    * procedures over gold.TxLog's DV mutation family): a four-step DML
+    * script over one table whose final state the oracle states in
+    * CLOSED FORM per row — the update bumps cents on matched live rows,
+    * the soft delete kills a priority class, the merge re-keys a slice
+    * from a session VIEW (doubling+1 its cents, resurrecting even
+    * soft-deleted keys — MERGE replaces by key), and the classic delete
+    * rewrites survivors. Any mis-ordered, double-applied, or lost DML
+    * step hash-mismatches.
+    */
+  private def qSqlTxlogDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqldml"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.repartitionByRange(4, col("id")), path) // v0
+    s.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sqlfront.GraftProcedureCatalog")
+    s.sql(s"CALL graft_sys.system.update_where('$path', 'id % 5 = 2', " +
+      "map('cents', 'cents + 7'))") // v1
+    s.sql(s"CALL graft_sys.system.delete_where_dv('$path', " +
+      "'o_orderpriority = \\'5-LOW\\'')") // v2
+    o.filter(col("id") % 9 === 4)
+      .withColumn("cents", col("cents") * 2 + 1)
+      .createOrReplaceTempView("graft_dml_src")
+    s.sql(s"CALL graft_sys.system.merge_into('$path', " +
+      "'graft_dml_src', 'id')") // v3
+    s.sql(s"CALL graft_sys.system.delete_where('$path', " +
+      "'cust % 10 = 3')") // v4
+    TxLog.read(s, path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1960,6 +1998,7 @@ object ExtensionQueries {
     "q_o_txlog_batch_idempotent" -> (qTxlogBatchIdempotent _),
     "q_sql_txlog_procedures" -> (qSqlTxlogProcedures _),
     "q_sql_txlog_insert" -> (qSqlTxlogInsert _),
+    "q_sql_txlog_dml" -> (qSqlTxlogDml _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2433,6 +2472,26 @@ object ExtensionQueries {
           |  TRUE AS partitioned_via_option
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1, 2)
+          |GROUP BY o_orderpriority""".stripMargin,
+      // CALL-driven DML in closed form: %9=4 keys re-merged at 2*base+1
+      // cents (even out of the soft delete); other rows survive unless
+      // 5-LOW, updated +7 when id%5=2; the final classic delete drops
+      // cust%10=3 everywhere
+      "q_sql_txlog_dml" ->
+        """WITH base AS (
+          |  SELECT o_orderkey AS id, o_custkey AS cust, o_orderpriority,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS bc
+          |  FROM orders),
+          |final AS (
+          |  SELECT o_orderpriority, cust, 2 * bc + 1 AS cents
+          |  FROM base WHERE id % 9 = 4
+          |  UNION ALL
+          |  SELECT o_orderpriority, cust,
+          |    bc + CASE WHEN id % 5 = 2 THEN 7 ELSE 0 END AS cents
+          |  FROM base WHERE id % 9 <> 4 AND o_orderpriority <> '5-LOW')
+          |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(cents) AS BIGINT) AS total_cents
+          |FROM final WHERE cust % 10 <> 3
           |GROUP BY o_orderpriority""".stripMargin,
       // SQL-insert-driven table: final content == the INSERT OVERWRITE
       // slice; trail + time-travel booleans Spark-bound

@@ -265,6 +265,74 @@ object GraftProcedureCatalog {
       }
     },
 
+    new Proc("delete_where",
+      "row-level DELETE (rewrites only touched files; SQL predicate)",
+      Seq(in("path", StringType), in("predicate", StringType)),
+      versionOut) {
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val path = a.getString(0).toString
+        val cond = expr(a.getString(1).toString)
+        val snap = TxLog.commitWithRetry(path)(v =>
+          TxLog.deleteWhere(s, path, cond, v))
+        Seq(row(snap.version))
+      }
+    },
+
+    new Proc("delete_where_dv",
+      "soft DELETE by deletion vector (zero data-file churn until purge)",
+      Seq(in("path", StringType), in("predicate", StringType)),
+      versionOut) {
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val path = a.getString(0).toString
+        val cond = expr(a.getString(1).toString)
+        val snap = TxLog.commitWithRetry(path)(v =>
+          TxLog.deleteWhereDV(s, path, cond, v))
+        Seq(row(snap.version))
+      }
+    },
+
+    new Proc("update_where",
+      "row-level UPDATE ... SET via deletion vector (old images " +
+        "soft-delete, new images append, one commit); assignments as " +
+        "map(column, expression)",
+      Seq(in("path", StringType), in("predicate", StringType),
+        in("assignments", MapType(StringType, StringType))),
+      versionOut) {
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val path = a.getString(0).toString
+        val cond = expr(a.getString(1).toString)
+        val m = a.getMap(2)
+        val set = (0 until m.numElements()).map { i =>
+          m.keyArray().getUTF8String(i).toString ->
+            expr(m.valueArray().getUTF8String(i).toString)
+        }.toMap
+        val snap = TxLog.commitWithRetry(path)(v =>
+          TxLog.updateWhereDV(s, path, cond, set, v))
+        Seq(row(snap.version))
+      }
+    },
+
+    new Proc("merge_into",
+      "keyed MERGE: rows of the SOURCE (a table/view name resolvable in " +
+        "the session) replace same-keyed rows of the table via deletion " +
+        "vectors; key_columns comma-separated",
+      Seq(in("path", StringType), in("source", StringType),
+        in("key_columns", StringType)),
+      versionOut) {
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val path = a.getString(0).toString
+        val src = s.table(a.getString(1).toString)
+        val keys = a.getString(2).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty,
+          "graft.merge_into: key_columns must name at least one column")
+        val snap = TxLog.commitWithRetry(path)(v =>
+          TxLog.replaceWhereKeysDV(s, path, src.select(keys.map(
+            org.apache.spark.sql.functions.col): _*), keys, src, v))
+        Seq(row(snap.version))
+      }
+    },
+
     new Proc("add_constraint",
       "add a named CHECK constraint (existing rows must already satisfy it)",
       Seq(in("path", StringType), in("name", StringType),
