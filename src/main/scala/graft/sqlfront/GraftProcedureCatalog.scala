@@ -175,31 +175,44 @@ object GraftProcedureCatalog {
 
     new Proc("vacuum",
       "physically delete versions below the retention horizon and " +
-        "unreferenced data files (dry_run => true reports only)",
+        "unreferenced data files (dry_run => true reports only; " +
+        "reader_floor_checkpoint => a streaming checkpoint dir arms the " +
+        "lag alert for that consumer)",
       Seq(in("path", StringType),
         inDefault("retain_versions", IntegerType, "2"),
         inDefault("min_age_ms", LongType, "86400000"),
-        inDefault("dry_run", BooleanType, "false")),
+        inDefault("dry_run", BooleanType, "false"),
+        inDefault("reader_floor_checkpoint", StringType, "NULL")),
       StructType(Seq(
         StructField("removed", StringType, nullable = false)))) {
-      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] =
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val floor =
+          if (a.isNullAt(4)) None
+          else Some(graft.streaming.TxLogSource.committedReaderFloor(s,
+            a.getString(4).toString))
         TxLog.vacuum(a.getString(0).toString, a.getInt(1), a.getLong(2),
-          dryRun = a.getBoolean(3)).map(f => row(f))
+          dryRun = a.getBoolean(3), readerFloor = floor).map(f => row(f))
+      }
     },
 
     new Proc("compact",
       "rewrite small files into large ones (OPTIMIZE); DV-aware, " +
-        "partition-pure on partitioned tables",
+        "partition-pure on partitioned tables; sort_columns " +
+        "(comma-separated, e.g. a Z-order key) clusters the rewrite " +
+        "(OPTIMIZE ... ZORDER BY)",
       Seq(in("path", StringType),
         inDefault("max_file_bytes", LongType, (32L * 1024 * 1024).toString),
-        inDefault("target_files", IntegerType, "1")),
+        inDefault("target_files", IntegerType, "1"),
+        inDefault("sort_columns", StringType, "''")),
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("n_files", LongType, nullable = false)))) {
       def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
         val path = a.getString(0).toString
+        val sortCols = a.getString(3).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
         val snap = TxLog.commitWithRetry(path)(v =>
-          TxLog.compact(s, path, v, a.getLong(1), a.getInt(2)))
+          TxLog.compact(s, path, v, a.getLong(1), a.getInt(2), sortCols))
         row(snap.version, snap.files.size.toLong) :: Nil
       }
     },

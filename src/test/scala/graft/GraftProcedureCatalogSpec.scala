@@ -103,6 +103,44 @@ class GraftProcedureCatalogSpec extends SparkSpecBase {
     TxLog.read(spark, path).count() shouldBe 51L
   }
 
+  test("CALL compact(sort_columns) clusters like OPTIMIZE ZORDER; vacuum takes a reader-floor checkpoint") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 200).repartition(5), path)
+    // a consumer tails the table BEFORE maintenance (a rewrite commit is
+    // not streamable, by the append-only contract) — its checkpoint is
+    // the reader floor the vacuum below respects
+    val work = java.nio.file.Files.createTempDirectory("proc_vac").toString
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+    val q = child.readStream.format("graft-txlog").option("path", path)
+      .load().writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val c = spark.sql(s"CALL graft_sys.system.compact(path => '$path', " +
+      "target_files => 5, sort_columns => 'grp,id')").head()
+    c.getLong(0) shouldBe 1L
+    // the OPTIMIZE commit records its clustering key in the audit trail
+    TxLog.commitInfos(path).head.params("sortCols") shouldBe "grp,id"
+    // clustered: with grp leading the range key over 5 output files,
+    // each rewritten file covers a contiguous grp range (1-2 values of
+    // the 5), where an unsorted compaction would mix all 5 everywhere
+    val perFile = TxLog.read(spark, path)
+      .groupBy(input_file_name().as("f"))
+      .agg(countDistinct(col("grp")).as("n")).collect()
+    perFile.foreach(_.getAs[Long]("n") should be <= 2L)
+
+    // vacuum with the consumer's checkpoint as the reader floor:
+    // dry_run reports without dropping, and the floor resolution reads
+    // the engine's commits/offsets logs
+    val dry = spark.sql("CALL graft_sys.system.vacuum(" +
+      s"path => '$path', retain_versions => 1, min_age_ms => 0, " +
+      s"dry_run => true, reader_floor_checkpoint => '$work/ckpt')")
+    dry.count() should be > 0L // the superseded pre-compaction files
+    TxLog.read(spark, path, asOf = Some(0L)).count() shouldBe 200L // intact
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     // Spark wraps catalog load failures in FAILED_TO_LOAD_ROUTINE; the
     // named message rides as the cause
