@@ -1097,6 +1097,44 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
   }
 
+  /** METADATA-ONLY ADD COLUMN (library: gold.TxLog.addColumn + the
+    * add_column procedure — Delta's `ALTER TABLE ADD COLUMN`, zero data
+    * rewrite): a column added BETWEEN two appends through SQL CALL;
+    * rows committed before the declaration read back typed NULL on
+    * every path, rows after carry values — the oracle states both
+    * populations in closed form, so a read dropping the column, a
+    * rewrite sneaking in, or values leaking into pre-declaration rows
+    * all mismatch. Bound booleans pin the metadata-only mechanics (file
+    * set untouched by the DDL commit) and that time travel below the
+    * declaration serves the ORIGINAL schema (no retroactive column).
+    */
+  private def qTxlogAddColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_addcol"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 3 === 0)
+      .repartitionByRange(3, col("id")), path) // v0
+    s.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sqlfront.GraftProcedureCatalog")
+    val filesBefore = TxLog.snapshot(path).files.toSet
+    s.sql(s"CALL graft_sys.system.add_column('$path', 'flag', 'BIGINT')") // v1
+    val metadataOnly = TxLog.snapshot(path).files.toSet == filesBefore
+    val belowNoColumn =
+      !TxLog.read(s, path, asOf = Some(0L)).columns.contains("flag")
+    TxLog.append(o.filter(col("id") % 3 === 1)
+      .withColumn("flag", col("id") % 7), path, 1L) // v2: materializes
+    TxLog.read(s, path)
+      .withColumn("has_flag", col("flag").isNotNull)
+      .groupBy("o_orderpriority", "has_flag")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"),
+        sum("flag").as("flag_sum"))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("below_add_no_column", lit(belowNoColumn))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -1999,6 +2037,7 @@ object ExtensionQueries {
     "q_sql_txlog_procedures" -> (qSqlTxlogProcedures _),
     "q_sql_txlog_insert" -> (qSqlTxlogInsert _),
     "q_sql_txlog_dml" -> (qSqlTxlogDml _),
+    "q_o_txlog_add_column" -> (qTxlogAddColumn _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2473,6 +2512,19 @@ object ExtensionQueries {
           |FROM orders
           |WHERE o_custkey % 4 IN (0, 1, 2)
           |GROUP BY o_orderpriority""".stripMargin,
+      // metadata-only ADD COLUMN: pre-declaration rows (id%3=0) read
+      // NULL flag, post-declaration rows (id%3=1) carry id%7; mechanics
+      // booleans Spark-bound
+      "q_o_txlog_add_column" ->
+        """SELECT o_orderpriority, (o_orderkey % 3 = 1) AS has_flag,
+          |  CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  CASE WHEN o_orderkey % 3 = 1
+          |       THEN CAST(sum(o_orderkey % 7) AS BIGINT) END AS flag_sum,
+          |  TRUE AS metadata_only, TRUE AS below_add_no_column
+          |FROM orders
+          |WHERE o_orderkey % 3 IN (0, 1)
+          |GROUP BY o_orderpriority, o_orderkey % 3 = 1""".stripMargin,
       // CALL-driven DML in closed form: %9=4 keys re-merged at 2*base+1
       // cents (even out of the soft delete); other rows survive unless
       // 5-LOW, updated +7 when id%5=2; the final classic delete drops

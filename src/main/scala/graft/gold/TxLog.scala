@@ -880,7 +880,62 @@ object TxLog {
             s"TxLog: version ${snap.version} of $path has no files and no " +
               "recorded schema (legacy log) - nothing to serve")
       }
-    else readFilesWithDvs(spark, path, snap.files, snap.dvs)
+    else alignToRecordedSchema(
+      readFilesWithDvs(spark, path, snap.files, snap.dvs), snap)
+  }
+
+  /** Null-fill columns the RECORDED schema declares but no data file
+    * carries yet — the read half of metadata-only [[addColumn]] (Delta's
+    * ALTER TABLE ADD COLUMN): until a write materializes the column,
+    * every row serves a typed NULL. A no-op (same frame back) on tables
+    * whose files cover the schema, i.e. everything except
+    * post-addColumn-pre-write states — the recorded schema is always a
+    * superset of the footer union by the widen-only commit rules, so
+    * this can only APPEND columns, never change existing ones.
+    */
+  private def alignToRecordedSchema(df: DataFrame, snap: Snapshot): DataFrame =
+    snap.schema match {
+      case None => df
+      case Some(sch) =>
+        val present = df.columns.toSet
+        sch.fields.filterNot(f => present.contains(f.name))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+
+  /** Metadata-only ADD COLUMN (Delta's `ALTER TABLE ADD COLUMN` — the
+    * ONE schema change that needs no data rewrite): record the widened
+    * schema in a new version; existing rows serve a typed NULL for the
+    * column on every read path until writes materialize it (writers may
+    * keep omitting it — narrower-schema appends stay legal and
+    * constraint checks align first, as always). The CHANGE FEED carries
+    * the column only from the first version whose files physically hold
+    * it (CDF rows are read from data files — Delta's CDF has the same
+    * shape); keyed consumers' union alignment null-fills older rows once
+    * it appears. Nullable by construction: a non-null column over
+    * existing rows would be instantly violated.
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: DataType, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val sch = base.schema.getOrElse(throw new IllegalArgumentException(
+      s"TxLog: $path has no recorded schema (legacy log) - ADD COLUMN " +
+        "needs the schema authority the log provides"))
+    require(!sch.fieldNames.contains(name),
+      s"TxLog.addColumn: column '$name' already exists on $path - " +
+        "re-declaring a column's type belongs to a widening data commit")
+    val widened = StructType(sch.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
+      Some(widened),
+      info = ("ADD_COLUMN",
+        Map("name" -> name, "type" -> dataType.simpleString)),
+      fullTxns = base.txns, fullConstraints = base.constraints,
+      fullStats = base.stats, fullDvs = base.dvs,
+      partCols = base.partitionCols, alerts = alerts)
+    Snapshot(expectedVersion + 1, base.files, Some(widened), base.txns,
+      base.constraints, base.stats, base.dvs, base.partitionCols)
   }
 
   // --- deletion-vector read machinery --------------------------------------
@@ -2432,7 +2487,8 @@ object TxLog {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
       case None => read(spark, path, asOf).filter(lit(false))
     }
-    else readFilesWithDvs(spark, path, kept, snap.dvs)
+    else alignToRecordedSchema(
+      readFilesWithDvs(spark, path, kept, snap.dvs), snap)
   }
 
   /** [lo, hi] of integral column `c` over the (batch-scale) `keys` frame,
@@ -2996,7 +3052,8 @@ object TxLog {
     if (matching.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         snap.schema.get)
-    else readFilesWithDvs(spark, path, matching, snap.dvs)
+    else alignToRecordedSchema(
+      readFilesWithDvs(spark, path, matching, snap.dvs), snap)
   }
 
   /** DELETE whole partitions METADATA-ONLY (the Delta fast path for a

@@ -346,6 +346,22 @@ object GraftProcedureCatalog {
       }
     },
 
+    new Proc("add_column",
+      "metadata-only ADD COLUMN (no data rewrite): existing rows read " +
+        "back NULL until writes materialize it; type is a Spark DDL " +
+        "string (e.g. 'BIGINT', 'ARRAY<STRING>')",
+      Seq(in("path", StringType), in("name", StringType),
+        in("type", StringType)), versionOut) {
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val path = a.getString(0).toString
+        val dt = org.apache.spark.sql.types.DataType
+          .fromDDL(a.getString(2).toString)
+        val snap = TxLog.commitWithRetry(path)(v =>
+          TxLog.addColumn(s, path, a.getString(1).toString, dt, v))
+        Seq(row(snap.version))
+      }
+    },
+
     new Proc("add_constraint",
       "add a named CHECK constraint (existing rows must already satisfy it)",
       Seq(in("path", StringType), in("name", StringType),

@@ -416,6 +416,52 @@ class TxLogPartitionSpec extends SparkSpecBase {
     }
   }
 
+  test("addColumn: metadata-only widen, null-fill on every read path, refusals, rewrite safety") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(2), path,
+      partitionBy = Seq("grp"))
+    TxLog.addColumn(spark, path, "score",
+      org.apache.spark.sql.types.LongType, 0L) // v1: metadata only
+    // every pre-declaration row reads a typed NULL; time travel below
+    // the declaration has no column at all
+    val r = TxLog.read(spark, path)
+    r.columns should contain("score")
+    r.filter(col("score").isNotNull).count() shouldBe 0L
+    (TxLog.read(spark, path, asOf = Some(0L)).columns should not)
+      .contain("score")
+    // partition-pruned reads align too
+    TxLog.readPartitions(spark, path, col("grp") === 1L)
+      .columns should contain("score")
+    // duplicate refusal
+    val e = intercept[IllegalArgumentException] {
+      TxLog.addColumn(spark, path, "grp",
+        org.apache.spark.sql.types.LongType, 1L)
+    }
+    e.getMessage should include("already exists")
+    // a later append materializes it; old rows stay NULL
+    TxLog.append(rows(100 until 150).withColumn("score", col("id") * 2),
+      path, 1L) // v2
+    TxLog.read(spark, path).filter(col("score").isNotNull)
+      .count() shouldBe 50L
+    // a row-level delete's survivor rewrite (files WITHOUT the column)
+    // must not lose the column from subsequent reads
+    TxLog.deleteWhere(spark, path, col("id") % 10 === 0L, 2L) // v3
+    val after = TxLog.read(spark, path)
+    after.columns should contain("score")
+    after.count() shouldBe rows(0 until 150)
+      .filter(col("id") % 10 =!= 0L).count()
+    // constraints may reference it (UNKNOWN passes on NULL rows)
+    TxLog.addConstraint(spark, path, "score_nonneg", "score >= 0", 3L)
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((999L, "x", 0L))
+        .toDF("id", "payload", "grp").withColumn("score", lit(-1L)),
+        path, 4L)
+    }
+    // schema survives vacuum's checkpoint
+    TxLog.vacuum(path, retainVersions = 1, minAgeMs = 0L)
+    TxLog.read(spark, path).columns should contain("score")
+  }
+
   test("multi-column partitioning: tuple split + string values with empty string") {
     val path = freshPath()
     val data = Seq(
