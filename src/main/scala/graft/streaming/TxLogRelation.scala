@@ -132,8 +132,10 @@ object TxLogRelation {
     // PATH reads (spark.read.format) stay native when vector-less:
     // nothing inserts through a path read, and bare sessions keep the
     // zero-overhead plan.
+    val timeTraveled = parameters.contains(VersionAsOfKey) ||
+      parameters.contains(TimestampAsOfKey)
     if (active.nonEmpty || catalogSchema.isDefined)
-      TxLogDvRelation(path, version, served)(spark)
+      TxLogDvRelation(path, version, served, timeTraveled)(spark)
     else {
       val index = new InMemoryFileIndex(spark,
         snap.files.map(f => new Path(s"$path/$f")), Map.empty, Some(served))
@@ -238,17 +240,27 @@ case class TxLogCdfRelation(path: String, fromExclusive: Long, to: Long,
   * between planning and execution.
   */
 case class TxLogDvRelation(path: String, version: Long,
-    override val schema: StructType)(
+    override val schema: StructType,
+    // true when the read was pinned by an explicit versionAsOf /
+    // timestampAsOf option: such a relation is a FROZEN view — writing
+    // "through" it would commit at the HEAD while reads stay pinned,
+    // silently diverging (Delta refuses writes to time-traveled
+    // relations for the same reason)
+    timeTraveled: Boolean = false)(
     @transient val session: SparkSession)
   extends BaseRelation with TableScan
   with org.apache.spark.sql.sources.InsertableRelation {
 
   override def sqlContext: SQLContext = session.sqlContext
 
-  // SQL INSERT INTO a DV'd snapshot: same ACID append seam as the
-  // vector-less relation (TxLogInsertableFsRelation.insert)
+  // SQL INSERT INTO a TxLog snapshot: the ACID append/overwrite seam
   override def insert(data: org.apache.spark.sql.DataFrame,
       overwrite: Boolean): Unit = {
+    require(!timeTraveled,
+      s"graft-txlog: this relation reads $path pinned at version " +
+        s"$version (versionAsOf/timestampAsOf) - a frozen view cannot " +
+        "be inserted into; write through a table registered without " +
+        "time-travel options")
     TxLog.commitWithRetry(path) { v =>
       if (overwrite) TxLog.overwrite(data, path, v)
       else TxLog.append(data, path, v)

@@ -367,6 +367,22 @@ class TxLogRelationSpec extends SparkSpecBase {
     spark.sql("DROP TABLE plan_canary_t")
   }
 
+  test("INSERT into a time-traveled catalog table refuses: frozen views are read-only") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 30), path)
+    TxLog.append(rows(30 until 60), path, 0L)
+    spark.sql("DROP TABLE IF EXISTS frozen_t")
+    spark.sql(s"CREATE TABLE frozen_t USING `graft-txlog` " +
+      s"OPTIONS (path '$path', versionAsOf '0')")
+    spark.sql("SELECT count(*) FROM frozen_t").head().getLong(0) shouldBe 30L
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO frozen_t VALUES (999, 'x', 0)")
+    }
+    e.getMessage should include("frozen view")
+    TxLog.currentVersion(path) shouldBe Some(1L) // nothing committed
+    spark.sql("DROP TABLE frozen_t")
+  }
+
   test("empty (delete-all) version serves a schema-correct empty frame through the format") {
     val path = freshPath()
     TxLog.init(rows(0 until 50), path)
