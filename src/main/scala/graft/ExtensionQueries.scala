@@ -1135,6 +1135,182 @@ object ExtensionQueries {
       .withColumn("below_add_no_column", lit(belowNoColumn))
   }
 
+  /** NATIVE SQL `DELETE FROM` (library: plans.RewriteTxLogDml — the
+    * post-hoc resolution rule swapping Spark's analyzed `DeleteFromTable`
+    * onto the DV soft-delete committer; round-14 verdict item 1): two
+    * sequential DELETE statements typed as plain SQL against a catalog
+    * TxLog table, read back through SQL. The oracle recomputes the
+    * survivors in closed form; bound booleans pin the soft mechanics
+    * (both deletes left the physical file set untouched — deletion
+    * vectors, not rewrites) and the audit trail.
+    */
+  private def qSqlTxlogDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqldelete"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.repartitionByRange(4, col("id")), path) // v0
+    s.sql("DROP TABLE IF EXISTS graft_sqldel_t")
+    s.sql(s"CREATE TABLE graft_sqldel_t USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    val filesBefore = TxLog.snapshot(path).files.toSet
+    s.sql("DELETE FROM graft_sqldel_t WHERE o_orderpriority = '5-LOW'") // v1
+    s.sql("DELETE FROM graft_sqldel_t WHERE id % 7 = 3")                // v2
+    val soft = TxLog.snapshot(path).files.toSet == filesBefore
+    val trail = TxLog.commitInfos(path).flatMap(_.operation) ==
+      Seq("DELETE_DV", "DELETE_DV", "INIT")
+    s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+             sum(cents) AS total_cents
+             FROM graft_sqldel_t GROUP BY o_orderpriority""")
+      .withColumn("soft_delete", lit(soft))
+      .withColumn("trail_recorded", lit(trail))
+  }
+
+  /** NATIVE SQL `UPDATE ... SET` (library: plans.RewriteTxLogDml onto
+    * TxLog.updateWhereDV): two sequential UPDATE statements whose ORDER
+    * matters (the second doubles rows the first may have bumped), final
+    * state in closed form. The bound boolean pins the frozen-view
+    * contract: a table registered with versionAsOf refuses UPDATE with
+    * the same named error as INSERT (time-travel parity).
+    */
+  private def qSqlTxlogUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqlupdate"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.repartitionByRange(4, col("id")), path) // v0
+    s.sql("DROP TABLE IF EXISTS graft_sqlupd_t")
+    s.sql(s"CREATE TABLE graft_sqlupd_t USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    s.sql("UPDATE graft_sqlupd_t SET cents = cents + 7 WHERE id % 5 = 2")
+    s.sql("UPDATE graft_sqlupd_t SET cents = cents * 2 " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    s.sql("DROP TABLE IF EXISTS graft_sqlupd_frozen")
+    s.sql(s"CREATE TABLE graft_sqlupd_frozen USING `graft-txlog` " +
+      s"OPTIONS (path '$path', versionAsOf '0')")
+    val frozenRefused =
+      try { s.sql("UPDATE graft_sqlupd_frozen SET cents = 0 WHERE id = 1")
+            .collect(); false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("frozen view") }
+    s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+             sum(cents) AS total_cents
+             FROM graft_sqlupd_t GROUP BY o_orderpriority""")
+      .withColumn("frozen_refused", lit(frozenRefused))
+  }
+
+  /** NATIVE SQL `MERGE INTO` (library: plans.RewriteTxLogDml onto
+    * TxLog.replaceWhereKeysDV — one keyed DV commit per statement): an
+    * upsert MERGE (`UPDATE SET * / INSERT *` — matched base rows replaced
+    * by re-priced source images, unmatched source rows inserted) followed
+    * by a delete-only MERGE. Final state in closed form per row; the
+    * bound boolean pins the Delta cardinality contract (duplicate source
+    * keys matching existing rows refuse with a named error).
+    */
+  private def qSqlTxlogMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqlmerge"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // the table holds id % 3 != 0; the source covers id % 9 in (0, 4):
+    // %9=4 implies %3=1 (always matched), %9=0 implies %3=0 (always new)
+    TxLog.init(o.filter(col("id") % 3 =!= 0)
+      .repartitionByRange(4, col("id")), path) // v0
+    s.sql("DROP TABLE IF EXISTS graft_sqlmrg_t")
+    s.sql(s"CREATE TABLE graft_sqlmrg_t USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    o.filter(col("id") % 9 === 0 || col("id") % 9 === 4)
+      .withColumn("cents", col("cents") * 2 + 1)
+      .createOrReplaceTempView("graft_sqlmrg_src")
+    s.sql("""MERGE INTO graft_sqlmrg_t USING graft_sqlmrg_src
+             ON graft_sqlmrg_t.id = graft_sqlmrg_src.id
+             WHEN MATCHED THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""") // v1
+    o.filter(col("cust") % 10 === 3).select("id")
+      .createOrReplaceTempView("graft_sqlmrg_del")
+    s.sql("""MERGE INTO graft_sqlmrg_t USING graft_sqlmrg_del
+             ON graft_sqlmrg_t.id = graft_sqlmrg_del.id
+             WHEN MATCHED THEN DELETE""") // v2
+    // duplicate-key source anchored on a key GUARANTEED present (the
+    // table's min id after both merges) so the refusal is deterministic
+    // at every SF
+    val presentId = s.sql("SELECT min(id) FROM graft_sqlmrg_t")
+      .head().getLong(0)
+    val dupRow = o.limit(1).select(lit(presentId).as("id"),
+      lit(0L).as("cust"), lit("X").as("o_orderpriority"),
+      lit(1L).as("cents"))
+    dupRow.unionAll(dupRow).createOrReplaceTempView("graft_sqlmrg_dup")
+    val cardinalityRefused =
+      try { s.sql("""MERGE INTO graft_sqlmrg_t USING graft_sqlmrg_dup
+                     ON graft_sqlmrg_t.id = graft_sqlmrg_dup.id
+                     WHEN MATCHED THEN UPDATE SET *""").collect(); false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("duplicate key") }
+    s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+             sum(cents) AS total_cents
+             FROM graft_sqlmrg_t GROUP BY o_orderpriority""")
+      .withColumn("cardinality_refused", lit(cardinalityRefused))
+  }
+
+  /** NATIVE SQL DDL over a TxLog catalog table (library:
+    * plans.RewriteTxLogDml for `ALTER TABLE ADD COLUMNS` + the
+    * GraftSqlParser intercept for `ADD/DROP CONSTRAINT` — the analyzer
+    * refuses the native constraint nodes for V1 tables before any
+    * injectable rule runs, so the parser is the seam): add a column, see
+    * it through SQL with NO re-registration (the catalog schema is
+    * re-pinned by the command), materialize it with a SQL INSERT, then
+    * round-trip a CHECK constraint — enforced (violating INSERT refused
+    * atomically, bound boolean), dropped, and the sentinel row that
+    * previously violated inserts cleanly into its own closed-form group.
+    */
+  private def qSqlTxlogDdl(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqlddl"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 3 === 0)
+      .repartitionByRange(3, col("id")), path) // v0
+    s.sql("DROP TABLE IF EXISTS graft_sqlddl_t")
+    s.sql(s"CREATE TABLE graft_sqlddl_t USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    val filesBefore = TxLog.snapshot(path).files.toSet
+    s.sql("ALTER TABLE graft_sqlddl_t ADD COLUMNS (flag BIGINT)") // v1
+    val metadataOnly = TxLog.snapshot(path).files.toSet == filesBefore
+    val catalogSeesIt =
+      s.table("graft_sqlddl_t").columns.contains("flag")
+    o.filter(col("id") % 3 === 1).withColumn("flag", col("id") % 7)
+      .createOrReplaceTempView("graft_sqlddl_src")
+    s.sql("""INSERT INTO graft_sqlddl_t
+             SELECT id, cust, o_orderpriority, cents, flag
+             FROM graft_sqlddl_src""") // v2: materializes the column
+    s.sql("ALTER TABLE graft_sqlddl_t ADD CONSTRAINT flag_ok " +
+      "CHECK (flag IS NULL OR flag >= 0)") // v3
+    val violationRefused =
+      try { s.sql("INSERT INTO graft_sqlddl_t VALUES " +
+              "(-1, 0, 'ZZ-SENTINEL', 123, -5)"); false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("flag_ok") }
+    s.sql("ALTER TABLE graft_sqlddl_t DROP CONSTRAINT flag_ok") // v4
+    s.sql("INSERT INTO graft_sqlddl_t VALUES " +
+      "(-1, 0, 'ZZ-SENTINEL', 123, -5)") // v5: now legal
+    s.sql("""SELECT o_orderpriority, flag IS NOT NULL AS has_flag,
+             count(*) AS cnt, sum(cents) AS total_cents,
+             sum(flag) AS flag_sum
+             FROM graft_sqlddl_t
+             GROUP BY o_orderpriority, flag IS NOT NULL""")
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("catalog_sees_column", lit(catalogSeesIt))
+      .withColumn("violation_refused", lit(violationRefused))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -2038,6 +2214,10 @@ object ExtensionQueries {
     "q_sql_txlog_insert" -> (qSqlTxlogInsert _),
     "q_sql_txlog_dml" -> (qSqlTxlogDml _),
     "q_o_txlog_add_column" -> (qTxlogAddColumn _),
+    "q_sql_txlog_delete" -> (qSqlTxlogDelete _),
+    "q_sql_txlog_update" -> (qSqlTxlogUpdate _),
+    "q_sql_txlog_merge" -> (qSqlTxlogMerge _),
+    "q_sql_txlog_ddl" -> (qSqlTxlogDdl _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2545,6 +2725,64 @@ object ExtensionQueries {
           |  CAST(sum(cents) AS BIGINT) AS total_cents
           |FROM final WHERE cust % 10 <> 3
           |GROUP BY o_orderpriority""".stripMargin,
+      // native SQL DELETE x2: survivors exclude 5-LOW and id%7=3; soft
+      // (file-set-untouched) + trail booleans Spark-bound
+      "q_sql_txlog_delete" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS soft_delete, TRUE AS trail_recorded
+          |FROM orders
+          |WHERE o_orderpriority <> '5-LOW' AND o_orderkey % 7 <> 3
+          |GROUP BY o_orderpriority""".stripMargin,
+      // native SQL UPDATE x2, order-sensitive: +7 on id%5=2 FIRST, then
+      // the urgent doubling applies to the bumped value; frozen-view
+      // refusal Spark-bound
+      "q_sql_txlog_update" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum((CAST(round(o_totalprice * 100) AS BIGINT)
+          |    + CASE WHEN o_orderkey % 5 = 2 THEN 7 ELSE 0 END)
+          |    * CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END)
+          |    AS BIGINT) AS total_cents,
+          |  TRUE AS frozen_refused
+          |FROM orders
+          |GROUP BY o_orderpriority""".stripMargin,
+      // native SQL MERGE: upsert re-prices id%9 in (0,4) at 2*base+1
+      // (%9=4 matched-replaced, %9=0 inserted), base rows id%3<>0 outside
+      // the source keep base cents, the delete-only merge drops
+      // cust%10=3; cardinality refusal Spark-bound
+      "q_sql_txlog_merge" ->
+        """WITH base AS (
+          |  SELECT o_orderkey AS id, o_custkey AS cust, o_orderpriority,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS bc
+          |  FROM orders),
+          |final AS (
+          |  SELECT o_orderpriority, cust, 2 * bc + 1 AS cents
+          |  FROM base WHERE id % 9 IN (0, 4)
+          |  UNION ALL
+          |  SELECT o_orderpriority, cust, bc AS cents
+          |  FROM base WHERE id % 3 <> 0 AND id % 9 NOT IN (0, 4))
+          |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(cents) AS BIGINT) AS total_cents,
+          |  TRUE AS cardinality_refused
+          |FROM final WHERE cust % 10 <> 3
+          |GROUP BY o_orderpriority""".stripMargin,
+      // native SQL DDL: pre-ALTER rows (id%3=0) read NULL flag, the SQL
+      // INSERT materializes id%7 for id%3=1, the sentinel row lands in
+      // its own group after the constraint round-trip; mechanics booleans
+      // Spark-bound
+      "q_sql_txlog_ddl" ->
+        """SELECT o_orderpriority, (o_orderkey % 3 = 1) AS has_flag,
+          |  CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  CASE WHEN o_orderkey % 3 = 1
+          |       THEN CAST(sum(o_orderkey % 7) AS BIGINT) END AS flag_sum,
+          |  TRUE AS metadata_only, TRUE AS catalog_sees_column,
+          |  TRUE AS violation_refused
+          |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+          |GROUP BY o_orderpriority, o_orderkey % 3 = 1
+          |UNION ALL
+          |SELECT 'ZZ-SENTINEL', TRUE, CAST(1 AS BIGINT),
+          |  CAST(123 AS BIGINT), CAST(-5 AS BIGINT), TRUE, TRUE, TRUE""".stripMargin,
       // SQL-insert-driven table: final content == the INSERT OVERWRITE
       // slice; trail + time-travel booleans Spark-bound
       "q_sql_txlog_insert" ->

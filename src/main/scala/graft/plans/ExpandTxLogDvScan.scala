@@ -41,9 +41,19 @@ object ExpandTxLogDvScan extends Rule[LogicalPlan] {
     */
   private def splice(rel: LogicalRelation,
       native: org.apache.spark.sql.DataFrame): LogicalPlan = {
-    val expanded =
-      org.apache.spark.sql.graftbridge.StreamingSourceBridge
-        .analyzedPlan(native)
+    // The native plan is ANALYZED but not hint-eliminated: its broadcast()
+    // hints are still ResolvedHint nodes, and this rule runs AFTER the
+    // optimizer's own EliminateResolvedHint batch — splicing them in raw
+    // leaves hints the planner refuses ("ResolvedHint operator should
+    // have been replaced"). Round-13 LATENT BUG, live exactly when the
+    // hinted DV side is a UNION of >= 2 sidecar files (a single-relation
+    // hint happened to survive planning): apply Spark's own elimination
+    // here so hints land on the joins as JoinHints, same as a top-level
+    // query.
+    val expanded = org.apache.spark.sql.catalyst.optimizer
+      .EliminateResolvedHint(
+        org.apache.spark.sql.graftbridge.StreamingSourceBridge
+          .analyzedPlan(native))
     val byName = expanded.output.map(a => a.name -> a).toMap
     val aliases = rel.output.map { o =>
       val n = byName.getOrElse(o.name, throw new IllegalStateException(

@@ -272,6 +272,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft-txlog DV placeholder into the native anti-join plan, whose
     // data-side Filter-over-scan shape the stats rule then prunes
     e.injectOptimizerRule(_ => ExpandTxLogDvScan)
+    // SQL row-level DML + ALTER TABLE over catalog TxLog tables: a
+    // post-hoc resolution rule (DELETE/UPDATE/MERGE analyze cleanly over
+    // the V1 relation and only execution refuses — TxLogSqlDml's pinned
+    // seam evidence) plus a delegating parser for the two constraint DDL
+    // statements the analyzer refuses before any injectable rule runs
+    e.injectPostHocResolutionRule(session => RewriteTxLogDml(session))
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     SqlFunctions.install(e)
   }
 }

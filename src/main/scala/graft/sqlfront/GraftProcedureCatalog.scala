@@ -143,6 +143,10 @@ object GraftProcedureCatalog {
       def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
         val snap = TxLog.snapshot(a.getString(0).toString,
           if (a.isNullAt(1)) None else Some(a.getLong(1)))
+        // one Set materialization: Seq.contains inside the loops would be
+        // O(files x entries) on the driver at the 10^5-10^6-file scale
+        // the partition machinery targets
+        val fileSet = snap.files.toSet
         // row count from log stats when every file carries one (UPPER
         // bound under active DVs — report NULL then, never a wrong count)
         val rowsKnown = snap.dvs.isEmpty &&
@@ -152,7 +156,7 @@ object GraftProcedureCatalog {
           else None,
           snap.partitionCols.mkString(","),
           snap.constraints.size.toLong,
-          snap.dvs.count { case (f, _) => snap.files.contains(f) }.toLong))
+          snap.dvs.count { case (f, _) => fileSet.contains(f) }.toLong))
       }
     },
 
@@ -271,9 +275,17 @@ object GraftProcedureCatalog {
         StructField("n_files", LongType, nullable = false)))) {
       def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
         val src = a.getString(0).toString
+        val dst = a.getString(1).toString
         val asOf = if (a.isNullAt(2)) None else Some(a.getLong(2))
-        val snap = TxLog.cloneTable(src, a.getString(1).toString, asOf)
-        row(asOf.getOrElse(TxLog.currentVersion(src).get),
+        val snap = TxLog.cloneTable(src, dst, asOf)
+        // the cloned source version from the clone's OWN commit record
+        // (its CLONE commitInfo stamped it) — re-reading the source head
+        // here could race a concurrent source commit and report a version
+        // the clone does not serve
+        val recorded = TxLog.commitInfos(dst)
+          .find(_.operation.contains("CLONE"))
+          .flatMap(_.params.get("sourceVersion")).map(_.toLong)
+        row(recorded.getOrElse(asOf.getOrElse(-1L)),
           snap.files.size.toLong) :: Nil
       }
     },

@@ -44,24 +44,36 @@ object TxLogRelation {
   val VersionAsOfKey = "versionAsOf"
   val TimestampAsOfKey = "timestampAsOf"
 
-  /** Parse `timestampAsOf`: epoch millis, or a UTC wall-clock literal. */
-  private[streaming] def parseTsOption(s: String): Long =
-    if (s.matches("-?\\d+")) s.toLong
+  /** Parse `timestampAsOf`: epoch millis, a UTC wall-clock literal, or a
+    * bare date (`'2024-01-01'` — the single most common form Delta users
+    * type; read as midnight UTC, same convention as a CAST to timestamp).
+    */
+  private[streaming] def parseTsOption(s: String): Long = {
+    val t = s.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else if (t.matches("\\d{4}-\\d{2}-\\d{2}"))
+      java.time.LocalDate.parse(t).atStartOfDay
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     else
-      try java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       catch {
         case e: java.time.format.DateTimeParseException =>
           throw new IllegalArgumentException(
-            s"graft-txlog: $TimestampAsOfKey must be epoch millis or " +
-              s"'yyyy-MM-dd HH:mm:ss[.S]' (UTC), got '$s'", e)
+            s"graft-txlog: $TimestampAsOfKey must be epoch millis, " +
+              s"'yyyy-MM-dd' (midnight UTC), or 'yyyy-MM-dd HH:mm:ss[.S]' " +
+              s"(UTC), got '$s'", e)
       }
+  }
 
   /** The log schema with every field (recursively) nullable — the shape
     * a file-source read serves regardless of how the writer declared its
     * frame (Spark's own file relations normalize the same way; the
     * public `asNullable` equivalent).
     */
+  private[graft] def asNullableSchema(s: StructType): StructType =
+    allNullable(s)
+
   private def allNullable(s: StructType): StructType = {
     import org.apache.spark.sql.types._
     def nt(d: DataType): DataType = d match {

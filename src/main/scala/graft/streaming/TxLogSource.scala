@@ -441,7 +441,7 @@ object TxLogSource {
       }
   }
 
-  private[streaming] def tablePath(parameters: Map[String, String]): String = {
+  private[graft] def tablePath(parameters: Map[String, String]): String = {
     val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-txlog source: 'path' option (the TxLog table dir) is required"))
     // a catalog table's stored location arrives as a Hadoop URI STRING

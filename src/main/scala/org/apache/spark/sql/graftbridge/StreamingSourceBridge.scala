@@ -55,6 +55,16 @@ object StreamingSourceBridge {
       isStreaming = false)
   }
 
+  /** An ordinary batch DataFrame over an (already analyzed) logical plan
+    * — for runnable commands that captured a statement's source plan at
+    * analysis time (the SQL MERGE seam) and materialize it at execution.
+    * `Dataset.ofRows` is `private[sql]`, hence the bridge.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
   /** A DataFrame's ANALYZED logical plan — for optimizer rules that
     * splice a library-built read plan in place of a placeholder relation
     * (`queryExecution` is public only on the classic Dataset).

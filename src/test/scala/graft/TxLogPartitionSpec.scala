@@ -481,4 +481,192 @@ class TxLogPartitionSpec extends SparkSpecBase {
     TxLog.deletePartitions(spark, path, col("region") === "", 0L)
     TxLog.read(spark, path).count() shouldBe 4L
   }
+
+  test("versionPartitionView: removes classify from the record ALONE " +
+      "(oldest-retained version after vacuum, v-1 history gone)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100), path, partitionBy = Seq("grp"))   // v0
+    TxLog.append(rows(100 until 150), path, 0L)                     // v1
+    TxLog.deletePartitions(spark, path, col("grp") === 0L, 1L)      // v2
+    TxLog.append(rows(150 until 180), path, 2L)                     // v3
+    // retain {2, 3}: v2 becomes the oldest retained version — its
+    // pre-version snapshot (v1) is unresolvable, the exact case the
+    // round-13 doc claimed worked and did not (ADVICE medium)
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    intercept[Exception] { TxLog.resolve(path, 1L) }
+    // foreign filter: the grp=0 delete is invisible — adds Nil, no touch
+    val (adds1, touch1) = TxLog.versionPartitionView(spark, path, 2L,
+      col("grp") === 1L)
+    adds1 shouldBe empty
+    touch1 shouldBe false
+    // matching filter: the delete touches the view
+    val (_, touch0) = TxLog.versionPartitionView(spark, path, 2L,
+      col("grp") === 0L)
+    touch0 shouldBe true
+  }
+
+  test("versionPartitionView: legacy record without removeParts fails " +
+      "NAMED at the vacuum horizon (not a raw missing-version error)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100), path, partitionBy = Seq("grp"))   // v0
+    TxLog.append(rows(100 until 150), path, 0L)                     // v1
+    TxLog.deletePartitions(spark, path, col("grp") === 0L, 1L)      // v2
+    TxLog.append(rows(150 until 180), path, 2L)                     // v3
+    // simulate a pre-removeParts (round-13) record: strip the key
+    val vf = new java.io.File(path, f"_graft_txlog/${2L}%020d.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(vf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    txt should include("removeParts")
+    java.nio.file.Files.write(vf.toPath,
+      txt.replaceAll("\"removeParts\"\\s*:\\s*\"[^\"]*\",", "")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // above the horizon the legacy fallback still resolves v-1
+    val (_, touch) = TxLog.versionPartitionView(spark, path, 2L,
+      col("grp") === 0L)
+    touch shouldBe true
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    val e = intercept[IllegalStateException] {
+      TxLog.versionPartitionView(spark, path, 2L, col("grp") === 1L)
+    }
+    e.getMessage should include("vacuum retention horizon")
+    e.getMessage should include("startingVersion")
+  }
+
+  test("versionPartitionView: a RESTORE version (removes + DV clears in " +
+      "one record) classifies every file exactly once") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100), path, partitionBy = Seq("grp"))   // v0
+    TxLog.deleteWhereDV(spark, path, col("id") % 10 === 3, 0L)      // v1
+    TxLog.append(rows(100 until 130), path, 1L)                     // v2
+    TxLog.restore(path, 0L, 2L)                                     // v3
+    // the restore removes v2's adds and clears v1's vectors; both
+    // classes carry recorded tuples — no misleading
+    // 'carries no recorded partition values' failure (ADVICE low)
+    val (adds, touch) = TxLog.versionPartitionView(spark, path, 3L,
+      col("grp") === 2L)
+    adds shouldBe empty // restore re-adds nothing new here
+    touch shouldBe true // v2's grp=2 rows leave; v1's cleared DVs resurrect
+  }
+
+  test("logical conflict detection: disjoint replaceWherePartitions " +
+      "reconciles; overlapping adds / constraint changes re-raise") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100), path, partitionBy = Seq("grp")) // v0
+    // interleave an append that touches ONLY grp=2, then backfill grp=1
+    // from a STALE version token: every interleaved action is outside the
+    // backfill's partitions -> reconciles, no error, no re-run
+    TxLog.append(rows(200 until 210).filter(col("grp") === 2L), path, 0L) // v1
+    val before = TxLog.reconciledCommits.get()
+    val g1 = rows(300 until 340).filter(col("grp") === 1L)
+    val snap = TxLog.replaceWherePartitions(spark, path, col("grp") === 1L,
+      g1, expectedVersion = 0L) // stale: v1 interleaved
+    snap.version shouldBe 2L
+    TxLog.reconciledCommits.get() shouldBe before + 1
+    TxLog.read(spark, path).filter(col("grp") === 1L)
+      .select("id").as[Long].collect().sorted shouldBe
+      (300 until 340).filter(_ % 5 == 1).map(_.toLong).toArray
+    TxLog.read(spark, path).filter(col("grp") === 2L).count() shouldBe
+      (20L + 2L) // original grp=2 plus the interleaved append's
+    // interleaved append INTO our partitions -> our remove set is stale,
+    // a real conflict: named error, nothing published
+    TxLog.append(rows(400 until 410).filter(col("grp") === 1L), path, 2L) // v3
+    intercept[TxLog.ConflictException] {
+      TxLog.replaceWherePartitions(spark, path, col("grp") === 1L,
+        rows(500 until 510).filter(col("grp") === 1L), expectedVersion = 2L)
+    }
+    // interleaved ADD CONSTRAINT -> a stale APPEND must re-run (its rows
+    // were validated against the old constraint set), not reconcile
+    // (the refused replace above published nothing — still v3)
+    TxLog.addConstraint(spark, path, "id_pos", "id >= 0", 3L) // v4
+    intercept[TxLog.ConflictException] {
+      TxLog.append(rows(600 until 605), path, expectedVersion = 3L)
+    }
+  }
+
+  test("two concurrent DISJOINT replaceWherePartitions backfills both " +
+      "land without either re-running its write") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100), path, partitionBy = Seq("grp"))
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def backfill(g: Long, idBase: Int): Thread = new Thread(() => {
+      try {
+        TxLog.commitWithRetry(path) { v =>
+          attempts.incrementAndGet()
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          TxLog.replaceWherePartitions(spark, path, col("grp") === g,
+            rows(idBase until idBase + 40).filter(col("grp") === g), v)
+        }
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val ts = Seq(backfill(0L, 1000), backfill(1L, 2000))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    errs.toArray shouldBe empty
+    // the barrier forces both attempts to read the SAME base version, so
+    // one MUST lose the publish race — and reconcile instead of re-running
+    attempts.get() shouldBe 2
+    TxLog.currentVersion(path).get shouldBe 2L
+    TxLog.read(spark, path).filter(col("grp") === 0L)
+      .select("id").as[Long].collect().sorted shouldBe
+      (1000 until 1040).filter(_ % 5 == 0).map(_.toLong).toArray
+    TxLog.read(spark, path).filter(col("grp") === 1L)
+      .select("id").as[Long].collect().sorted shouldBe
+      (2000 until 2040).filter(_ % 5 == 1).map(_.toLong).toArray
+    TxLog.read(spark, path).filter(col("grp") >= 2L).count() shouldBe 60L
+  }
+
+  test("two concurrent OVERLAPPING replaceWherePartitions: one reconciling " +
+      "is refused (named conflict), retry serializes to a clean last-wins") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100), path, partitionBy = Seq("grp"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def backfill(idBase: Int): Thread = new Thread(() => {
+      try {
+        // maxRetries = 0: a real logical conflict must surface as the
+        // NAMED error, not silently reconcile
+        TxLog.commitWithRetry(path, maxRetries = 0) { v =>
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          TxLog.replaceWherePartitions(spark, path, col("grp") === 1L,
+            rows(idBase until idBase + 40).filter(col("grp") === 1L), v)
+        }
+      } catch {
+        case _: TxLog.ConflictException => conflicts.incrementAndGet(); ()
+        case t: Throwable => errs.add(t); ()
+      }
+    })
+    val ts = Seq(backfill(1000), backfill(2000))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    errs.toArray shouldBe empty
+    conflicts.get() shouldBe 1 // exactly the loser; never both, never zero
+    // the winner's backfill is intact — a reconciling loser would have
+    // double-removed or interleaved rows
+    val got = TxLog.read(spark, path).filter(col("grp") === 1L)
+      .select("id").as[Long].collect().sorted
+    val a = (1000 until 1040).filter(_ % 5 == 1).map(_.toLong).toArray
+    val b = (2000 until 2040).filter(_ % 5 == 1).map(_.toLong).toArray
+    (got.sameElements(a) || got.sameElements(b)) shouldBe true
+  }
+
+  test("replaceWherePartitions evaluates newData ONCE (persisted across " +
+      "leak check and write)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100), path, partitionBy = Seq("grp"))
+    val acc = sc.longAccumulator("rw_evals")
+    val src = rows(200 until 260).filter(col("grp") === 1L)
+    val n = src.count()
+    val counted = src.as[(Long, String, Long)]
+      .map { r => acc.add(1L); r }.toDF("id", "payload", "grp")
+    acc.reset()
+    TxLog.replaceWherePartitions(spark, path, col("grp") === 1L, counted, 0L)
+    // pre-fix: the leak-check agg AND writeDataFiles each evaluated the
+    // frame (2n) — a non-deterministic source could pass the check yet
+    // write rows outside the predicate
+    acc.value shouldBe n
+    TxLog.read(spark, path).filter(col("grp") === 1L)
+      .select("id").as[Long].collect().sorted shouldBe
+      (200 until 260).filter(_ % 5 == 1).map(_.toLong).toArray
+  }
 }

@@ -63,18 +63,25 @@ class TxLogSpec extends SparkSpecBase {
       Array(2L, 3L)
   }
 
-  test("optimistic concurrency: second writer on the same version raises") {
+  test("optimistic concurrency: a stale APPEND reconciles (append vs append " +
+      "never conflicts); a stale remove-bearing commit still raises") {
     val path = freshPath()
     TxLog.init(rows(0 until 10), path)
     TxLog.append(rows(10 until 20), path, expectedVersion = 0L)
+    // Delta conflict-checker semantics (round-14): the staged files are
+    // fresh names no interleaved commit references, so losing the version
+    // race costs a metadata re-publish, not a re-run or an error
+    val before = TxLog.reconciledCommits.get()
+    val snap = TxLog.append(rows(20 until 30), path, expectedVersion = 0L)
+    snap.version shouldBe 2L
+    TxLog.reconciledCommits.get() shouldBe before + 1
+    TxLog.read(spark, path).count() shouldBe 30L
+    // remove-bearing commits keep the CAS contract: a stale deleteWhere
+    // could double-remove files — raises, caller re-derives
     val e = intercept[TxLog.ConflictException] {
-      TxLog.append(rows(20 until 30), path, expectedVersion = 0L)
+      TxLog.deleteWhere(spark, path, col("id") < 5L, expectedVersion = 1L)
     }
     e.getMessage should include("another writer")
-    // the losing writer's data files are orphans — INVISIBLE to readers
-    TxLog.read(spark, path).count() shouldBe 20L
-    // retry against the new version succeeds
-    TxLog.append(rows(20 until 30), path, expectedVersion = 1L)
     TxLog.read(spark, path).count() shouldBe 30L
   }
 
@@ -214,17 +221,18 @@ class TxLogSpec extends SparkSpecBase {
     TxLog.init(rows(0 until 10), path)
     val sink = new graft.runner.Alerts.CollectingSink
     // deterministic interleave first: an interloper commits between the
-    // read and the publish — the stale attempt must conflict, alert, and
-    // the retry must re-derive from the NEW version
+    // read and the publish — the stale append RECONCILES (round-14:
+    // append vs append never conflicts — re-publish, no re-run), with the
+    // reconciliation alerted on the append's own sink
     var interloped = false
     TxLog.commitWithRetry(path, alerts = Some(sink)) { v =>
       if (!interloped) {
         interloped = true
         TxLog.append(rows(100 until 110), path, v) // interloper wins v+1
       }
-      TxLog.append(rows(200 until 210), path, v)
+      TxLog.append(rows(200 until 210), path, v, alerts = Some(sink))
     }
-    sink.alerts.map(_.severity) should contain("txlog_conflict")
+    sink.alerts.map(_.severity) should contain("txlog_conflict_reconciled")
     TxLog.read(spark, path).count() shouldBe 30L // both appends landed
     // now genuinely concurrent writers: every batch must survive
     val base = TxLog.currentVersion(path).get
@@ -564,13 +572,16 @@ class TxLogSpec extends SparkSpecBase {
             val path = freshPath()
             TxLog.init(rows(0 until 50).repartition(2), path)
             TxLog.append(rows(50 until 70), path, expectedVersion = 0L)
-            // optimistic concurrency: stale writer raises, table unchanged
+            // stale append reconciles under BOTH primitives (the loser
+            // re-publishes its staged files at the new head)
+            TxLog.append(rows(70 until 90), path, expectedVersion = 0L)
+            TxLog.read(spark, path).count() shouldBe 90L
+            // remove-bearing commit on a stale version still raises
             intercept[TxLog.ConflictException] {
-              TxLog.append(rows(70 until 90), path, expectedVersion = 0L)
+              TxLog.deleteWhere(spark, path, col("id") < 10L, 1L)
             }
-            TxLog.read(spark, path).count() shouldBe 70L
-            TxLog.deleteWhere(spark, path, col("id") < 10L, 1L)
-            TxLog.read(spark, path).count() shouldBe 60L
+            TxLog.deleteWhere(spark, path, col("id") < 10L, 2L)
+            TxLog.read(spark, path).count() shouldBe 80L
             // time travel intact
             TxLog.read(spark, path, asOf = Some(0L)).count() shouldBe 50L
             // genuinely racing writers: exactly one winner per version
@@ -587,8 +598,8 @@ class TxLogSpec extends SparkSpecBase {
             }
             threads.foreach(_.start()); threads.foreach(_.join())
             errs shouldBe empty
-            TxLog.currentVersion(path).get shouldBe 8L
-            TxLog.read(spark, path).count() shouldBe (60L + 6 * 5)
+            TxLog.currentVersion(path).get shouldBe 9L
+            TxLog.read(spark, path).count() shouldBe (80L + 6 * 5)
           }
         }
       }
