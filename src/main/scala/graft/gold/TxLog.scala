@@ -2830,11 +2830,49 @@ object TxLog {
           fullConstraints = base.constraints, fullStats = base.stats,
           dvs = entries, fullDvs = dvsAfter,
           partCols = base.partitionCols, alerts = alerts)
-        Snapshot(expectedVersion + 1, base.files, base.schema, base.txns,
-          base.constraints, base.stats, dvsAfter, base.partitionCols)
+        val snap = Snapshot(expectedVersion + 1, base.files, base.schema,
+          base.txns, base.constraints, base.stats, dvsAfter,
+          base.partitionCols)
+        alertDvCardinality(spark, path, snap, alerts)
+        snap
       }
     } finally { hits.foreach { h => h.unpersist(); () } }
   }
+
+  /** Active-DV row-count threshold for the `txlog_dv_cardinality` alert
+    * (an AtomicLong so specs can lower it; production default 2^20 rows
+    * ≈ a 16 MB broadcast side — past Spark's own 10 MB auto-broadcast
+    * comfort zone). Every read of a vectored table broadcasts the FULL
+    * deleted-row set into its anti-join; that is sound while DVs are
+    * TRANSIENT by contract ([[purgeDeletes]]/[[compact]] shed them), but
+    * a pipeline that soft-deletes forever would grow the broadcast
+    * unboundedly — this alert is the structured purge nudge, fired by
+    * every DV-writing commit (when a sink is armed) with the measured
+    * total so operators see the growth BEFORE reads degrade.
+    */
+  private[graft] val dvCardinalityAlertRows =
+    new java.util.concurrent.atomic.AtomicLong(1L << 20)
+
+  /** Fire `txlog_dv_cardinality` when the table's active deleted-row set
+    * exceeds the threshold — one metadata-scale count over the active
+    * sidecars, run only when a sink is armed (alert-path cost stays off
+    * un-instrumented commits).
+    */
+  private def alertDvCardinality(spark: SparkSession, path: String,
+      snap: Snapshot, alerts: Option[graft.runner.Alerts.Sink]): Unit =
+    alerts.foreach { sink =>
+      val active = snap.dvs.filter { case (f, _) => snap.files.contains(f) }
+      if (active.nonEmpty) {
+        val n = dvRowsDf(spark, path, active).count()
+        val limit = dvCardinalityAlertRows.get()
+        if (n > limit) sink.send(graft.runner.Alerts.Alert(
+          "txlog_dv_cardinality", path, "commit",
+          s"active deletion vectors carry $n deleted rows (> $limit): " +
+            "every read broadcasts this set into its anti-join - run " +
+            "purgeDeletes() or compact() to materialize and shed the " +
+            "vectors"))
+      }
+    }
 
   /** Materialize every active deletion vector (Delta's
     * `REORG TABLE ... APPLY (PURGE)`): rewrite each DV'd file's LIVE rows
@@ -2911,8 +2949,10 @@ object TxLog {
       fullConstraints = base.constraints, fullStats = stats,
       dvs = entries, fullDvs = dvsAfter,
       partCols = base.partitionCols, alerts = alerts)
-    Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
+    val snap = Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
       base.constraints, stats, dvsAfter, base.partitionCols)
+    alertDvCardinality(spark, path, snap, alerts)
+    snap
   }
 
   /** The snapshot's LIVE rows with (file, row_idx) metadata attached —

@@ -337,4 +337,66 @@ class TxLogMutationSpec extends SparkSpecBase {
     try q2.processAllAvailable() finally q2.stop()
     spark.read.parquet(s"$work/out").count() shouldBe 50L
   }
+
+  test("txlog_dv_cardinality alert: fires past the threshold, silent " +
+      "below it, re-arms after purge (the structured purge nudge)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(2), path)
+    val sink = new graft.runner.Alerts.CollectingSink
+    val saved = TxLog.dvCardinalityAlertRows.get()
+    TxLog.dvCardinalityAlertRows.set(10L)
+    try {
+      // 5 dead rows <= 10: no alert
+      TxLog.deleteWhereDV(spark, path, col("id") < 5L, 0L,
+        alerts = Some(sink))
+      sink.alerts.map(_.severity) should not contain "txlog_dv_cardinality"
+      // +35 dead rows (40 total) > 10: alert, with the measured count
+      TxLog.deleteWhereDV(spark, path, col("id") < 40L, 1L,
+        alerts = Some(sink))
+      val a = sink.alerts.filter(_.severity == "txlog_dv_cardinality")
+      a should not be empty
+      a.last.message should include("40 deleted rows")
+      a.last.message should include("purgeDeletes")
+      // a DV UPDATE on the still-vectored table alerts too
+      TxLog.updateWhereDV(spark, path, col("id") === 50L,
+        Map("cents" -> lit(999L)), 2L, alerts = Some(sink))
+      sink.alerts.count(_.severity == "txlog_dv_cardinality") shouldBe 2
+      // purge sheds the vectors; a small new delete stays silent
+      TxLog.purgeDeletes(spark, path, 3L)
+      TxLog.deleteWhereDV(spark, path, col("id") === 60L, 4L,
+        alerts = Some(sink))
+      sink.alerts.count(_.severity == "txlog_dv_cardinality") shouldBe 2
+    } finally TxLog.dvCardinalityAlertRows.set(saved)
+  }
+
+  test("keyed CDF consumer folding across an addColumn boundary " +
+      "reconstructs the evolved table exactly (Delta-CDF parity pinned " +
+      "by behavior, not prose)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 60).repartition(2), path)             // v0
+    TxLog.replaceWhereKeys(spark, path, rows(10 until 20).select("id"),
+      Seq("id"), rows(10 until 20).withColumn("cents", lit(777L)), 0L) // v1
+    TxLog.addColumn(spark, path, "flag",
+      org.apache.spark.sql.types.LongType, 1L)                    // v2
+    // post-evolution writes materialize the column; pre-evolution rows
+    // must come back NULL through the FEED, not just through reads
+    TxLog.append(rows(100 until 120).withColumn("flag", col("id") % 7L),
+      path, 2L)                                                   // v3
+    TxLog.replaceWhereKeysDV(spark, path, rows(15 until 25).select("id"),
+      Seq("id"),
+      rows(15 until 25).withColumn("cents", lit(888L))
+        .withColumn("flag", lit(-1L)), 3L)                        // v4
+    val direct = TxLog.read(spark, path)
+    direct.columns should contain("flag")
+    val folded = TxLog.mergeByKeyFromChanges(spark, path, Seq("id"))
+    folded.columns.sorted shouldBe direct.columns.sorted
+    val f = folded.select(direct.columns.map(col): _*)
+    f.exceptAll(direct).isEmpty shouldBe true
+    direct.exceptAll(f).isEmpty shouldBe true
+    // and the multiset reference agrees
+    val mirror = TxLog.mirrorFromChanges(spark, path)
+      .select(direct.columns.map(col): _*)
+    mirror.exceptAll(direct).isEmpty shouldBe true
+    direct.exceptAll(mirror).isEmpty shouldBe true
+  }
 }
