@@ -1135,6 +1135,50 @@ object ExtensionQueries {
       .withColumn("below_add_no_column", lit(belowNoColumn))
   }
 
+  /** PARQUET CHECKPOINTS (library: gold.TxLog's round-14 checkpoint kind
+    * — row-per-file parquet, the Delta checkpoint shape, replacing the
+    * JSON blob whose driver-side parse was the documented 100-TB
+    * bottleneck): a 12-commit history checkpoints at v10 in parquet;
+    * vacuum drops the history below it, so the final read RESOLVES
+    * THROUGH the parquet checkpoint (plus the load-bearing one vacuum
+    * writes). The oracle recomputes the final membership in closed form
+    * — a checkpoint losing files, stats, or the delete would
+    * hash-mismatch. Bound booleans pin the kind on disk (parquet
+    * present, zero JSON) and the DISTRIBUTIVE read (the checkpoint's
+    * file rows as a DataFrame equal the resolved snapshot's file set).
+    */
+  private def qTxlogCkptParquet(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_ckptpq"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("cust") % 4 === 0)
+      .repartitionByRange(3, col("id")), path) // v0 (checkpointed)
+    val slice1 = o.filter(col("cust") % 4 === 1)
+    (0 until 10).foreach { i => // v1..v10 (v10 checkpointed)
+      TxLog.append(slice1.filter(col("id") % 10 === i), path, i.toLong)
+    }
+    TxLog.deleteWhere(s, path, col("o_orderpriority") === "5-LOW", 10L) // v11
+    val logDir = new java.io.File(path, TxLog.LogDirName)
+    val names = logDir.listFiles().map(_.getName)
+    val parquetKind =
+      names.contains(f"${10L}%020d.checkpoint.parquet") &&
+        !names.exists(_.endsWith(".checkpoint.json"))
+    val distributiveMatches = TxLog.checkpointFilesDf(s, path, 10L)
+      .select("file").collect().map(_.getString(0)).toSet ==
+      TxLog.snapshot(path, Some(10L)).files.toSet
+    // drop the history below v10: the retained reads go THROUGH parquet
+    // checkpoints alone
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    TxLog.read(s, path)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("parquet_kind", lit(parquetKind))
+      .withColumn("distributive_matches", lit(distributiveMatches))
+  }
+
   /** NATIVE SQL `DELETE FROM` (library: plans.RewriteTxLogDml — the
     * post-hoc resolution rule swapping Spark's analyzed `DeleteFromTable`
     * onto the DV soft-delete committer; round-14 verdict item 1): two
@@ -2214,6 +2258,7 @@ object ExtensionQueries {
     "q_sql_txlog_insert" -> (qSqlTxlogInsert _),
     "q_sql_txlog_dml" -> (qSqlTxlogDml _),
     "q_o_txlog_add_column" -> (qTxlogAddColumn _),
+    "q_o_txlog_ckpt_parquet" -> (qTxlogCkptParquet _),
     "q_sql_txlog_delete" -> (qSqlTxlogDelete _),
     "q_sql_txlog_update" -> (qSqlTxlogUpdate _),
     "q_sql_txlog_merge" -> (qSqlTxlogMerge _),
@@ -2724,6 +2769,16 @@ object ExtensionQueries {
           |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
           |  CAST(sum(cents) AS BIGINT) AS total_cents
           |FROM final WHERE cust % 10 <> 3
+          |GROUP BY o_orderpriority""".stripMargin,
+      // post-vacuum resolution through parquet checkpoints: slices
+      // cust%4 in (0,1) minus 5-LOW; kind + distributive-read booleans
+      // Spark-bound
+      "q_o_txlog_ckpt_parquet" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS parquet_kind, TRUE AS distributive_matches
+          |FROM orders
+          |WHERE o_custkey % 4 IN (0, 1) AND o_orderpriority <> '5-LOW'
           |GROUP BY o_orderpriority""".stripMargin,
       // native SQL DELETE x2: survivors exclude 5-LOW and id%7=3; soft
       // (file-set-untouched) + trail booleans Spark-bound

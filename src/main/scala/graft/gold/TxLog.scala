@@ -122,6 +122,8 @@ object TxLog {
 
   private val CheckpointFileRe = "^(\\d{20})\\.checkpoint\\.json$".r
 
+  private val CheckpointParquetRe = "^(\\d{20})\\.checkpoint\\.parquet$".r
+
   final case class Snapshot(version: Long, files: Seq[String],
       schema: Option[StructType] = None,
       txns: Map[String, Long] = Map.empty,
@@ -309,6 +311,9 @@ object TxLog {
   private def checkpointVersionFile(path: String, v: Long) =
     new java.io.File(logDir(path), f"$v%020d.checkpoint.json")
 
+  private def checkpointParquetVersionFile(path: String, v: Long) =
+    new java.io.File(logDir(path), f"$v%020d.checkpoint.parquet")
+
   private def listVersionNumbers(path: String): Seq[Long] =
     Option(logDir(path).listFiles()).getOrElse(Array.empty)
       .flatMap(f => VersionRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
@@ -316,8 +321,10 @@ object TxLog {
 
   private def listCheckpointVersions(path: String): Seq[Long] =
     Option(logDir(path).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => CheckpointFileRe.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .toSeq.sorted
+      .flatMap(f => CheckpointFileRe.findFirstMatchIn(f.getName)
+        .orElse(CheckpointParquetRe.findFirstMatchIn(f.getName))
+        .map(_.group(1).toLong))
+      .toSeq.distinct.sorted
 
   private def checkpointFile(path: String) =
     new java.io.File(logDir(path), CheckpointName)
@@ -513,25 +520,34 @@ object TxLog {
       Some(unB64(s.substring(1)))
     }
 
+  /** One file's column-stats entries in the canonical `colEntry;...`
+    * encoding — shared by the JSON record payload and the parquet
+    * checkpoint's `cols` column.
+    */
+  private def colEntriesOf(fs: FileStats): String =
+    fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      Seq(b64(c), cs.typ, cs.nulls.toString,
+        cs.min.map(_.toString).getOrElse(""),
+        cs.max.map(_.toString).getOrElse(""),
+        strStatEnc(cs.strMin), strStatEnc(cs.strMax)).mkString(",")
+    }.mkString(";")
+
+  /** The partition-values field: "" on unpartitioned tables, else "P" +
+    * comma-joined per-value [[strStatEnc]] fields (the "P" marker
+    * disambiguates "unpartitioned" from "one NULL partition value",
+    * which both render as the empty join).
+    */
+  private def pvFieldOf(fs: FileStats): String =
+    if (fs.parts.isEmpty) ""
+    else "P" + fs.parts.map(strStatEnc).mkString(",")
+
   private def statsToB64(m: Map[String, FileStats]): String = {
     val payload = m.toSeq.sortBy(_._1).map { case (f, fs) =>
-      val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-        Seq(b64(c), cs.typ, cs.nulls.toString,
-          cs.min.map(_.toString).getOrElse(""),
-          cs.max.map(_.toString).getOrElse(""),
-          strStatEnc(cs.strMin), strStatEnc(cs.strMax)).mkString(",")
-      }.mkString(";")
       // 5-field line (file, rows, bytes, colEntries, partitionValues);
-      // bytes empty = None. partitionValues is "" on unpartitioned
-      // tables, else "P" + comma-joined per-value fields in
-      // [[strStatEnc]] encoding (the "P" marker disambiguates
-      // "unpartitioned" from "one NULL partition value", which both
-      // render as the empty join). Legacy 3-field (pre-size) and 4-field
+      // bytes empty = None. Legacy 3-field (pre-size) and 4-field
       // (pre-partition) lines parse with the missing fields defaulted.
-      val pv =
-        if (fs.parts.isEmpty) ""
-        else "P" + fs.parts.map(strStatEnc).mkString(",")
-      s"$f\t${fs.rows}\t${fs.bytes.map(_.toString).getOrElse("")}\t$cols\t$pv"
+      s"$f\t${fs.rows}\t${fs.bytes.map(_.toString).getOrElse("")}\t" +
+        s"${colEntriesOf(fs)}\t${pvFieldOf(fs)}"
     }.mkString("\n")
     b64(payload)
   }
@@ -546,6 +562,23 @@ object TxLog {
       field.substring(1).split(",", -1).map(strStatDec).toSeq
     }
 
+  /** Parse a `colEntry;colEntry;...` field — the inverse of
+    * [[colEntriesOf]], shared by the JSON payload and the parquet
+    * checkpoint reader. Legacy 5-field entries (pre-string-stats) parse
+    * with no string bounds.
+    */
+  private def parseColEntries(colsField: String): Map[String, ColStats] =
+    colsField.split(";").filter(_.nonEmpty).map { e =>
+      val f = e.split(",", -1)
+      require(f.length == 5 || f.length == 7,
+        s"TxLog: malformed col-stats entry '$e'")
+      (unB64(f(0)), ColStats(f(1), f(2).toLong,
+        if (f(3).isEmpty) None else Some(f(3).toLong),
+        if (f(4).isEmpty) None else Some(f(4).toLong),
+        if (f.length < 7) None else strStatDec(f(5)),
+        if (f.length < 7) None else strStatDec(f(6))))
+    }.toMap
+
   private def parseStats(text: String): Map[String, FileStats] =
     StatsRe.findFirstMatchIn(text).map(_.group(1)).filter(_.nonEmpty)
       .map { blob =>
@@ -559,17 +592,8 @@ object TxLog {
           val colsField = if (parts.length >= 4) parts(3) else parts(2)
           val pvals =
             if (parts.length < 5) Nil else parsePartValues(parts(4))
-          val cols = colsField.split(";").filter(_.nonEmpty).map { e =>
-            val f = e.split(",", -1)
-            require(f.length == 5 || f.length == 7,
-              s"TxLog: malformed col-stats entry '$e'")
-            (unB64(f(0)), ColStats(f(1), f(2).toLong,
-              if (f(3).isEmpty) None else Some(f(3).toLong),
-              if (f(4).isEmpty) None else Some(f(4).toLong),
-              if (f.length < 7) None else strStatDec(f(5)),
-              if (f.length < 7) None else strStatDec(f(6))))
-          }.toMap
-          (parts(0), FileStats(parts(1).toLong, cols, bytes, pvals))
+          (parts(0), FileStats(parts(1).toLong, parseColEntries(colsField),
+            bytes, pvals))
         }.toMap
       }.getOrElse(Map.empty)
 
@@ -773,12 +797,20 @@ object TxLog {
     * its absence surfaces as [[parseRecord]]'s named missing-version
     * error).
     */
-  private final case class CheckpointState(files: Seq[String],
+  private[graft] final case class CheckpointState(files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
       constraints: Map[String, String], stats: Map[String, FileStats],
       dvs: Map[String, String], partCols: Seq[String])
 
   private def readCheckpoint(path: String, v: Long): Option[CheckpointState] =
+    readCheckpointParquet(path, v).orElse(readCheckpointJson(path, v))
+
+  /** Legacy JSON checkpoint parse (rounds 10-13 wrote this kind; new
+    * checkpoints are parquet). Kept forever: existing tables resolve
+    * through their recorded history.
+    */
+  private[graft] def readCheckpointJson(path: String, v: Long)
+      : Option[CheckpointState] =
     try {
       val f = checkpointVersionFile(path, v)
       if (!f.exists()) None
@@ -796,15 +828,181 @@ object TxLog {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Atomically (re)write checkpoint file `v` — deterministic content for
+  // --- parquet checkpoints ---------------------------------------------------
+  // The scale-safe checkpoint kind (round-14 verdict item 3; Delta's own
+  // checkpoints are parquet for the same reason): ONE ROW PER FILE plus a
+  // meta row, so (a) the driver's cold resolve STREAMS rows through
+  // parquet-mr instead of materializing and regex-scanning one JSON blob
+  // holding the whole file list (O(row) working memory vs O(table
+  // metadata) garbage), and (b) the file list is readable DISTRIBUTIVELY
+  // (`spark.read.parquet` / [[checkpointFilesDf]]) — a 10^6-file
+  // table's planning inputs can be consumed as a DataFrame without ever
+  // collecting them on the driver (stats stay encoded strings per row,
+  // exactly Delta's stats-as-JSON-string checkpoint shape).
+  //
+  //   kind='meta' row: `meta` holds a JSON fragment with version /
+  //     schemaB64 / txns / constraints / partCols (the existing record
+  //     parsers read it).
+  //   kind='file' rows: file name, FileStats fields (rows NULL = the
+  //     file has no stats entry), active DV sidecar.
+  //
+  // Written driver-side via parquet-mr's example Group API over
+  // LocalOutputFile (no Hadoop FS, no .crc litter), staged + ATOMIC_MOVE
+  // like every checkpoint; any read failure returns None (advisory
+  // checkpoints degrade to a longer replay, the load-bearing vacuum kind
+  // surfaces as the named missing-version error — identical contract to
+  // the JSON kind, proven by the same corruption property fuzz).
+
+  private val CheckpointMessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_checkpoint {
+        |  required binary kind (UTF8);
+        |  optional binary file (UTF8);
+        |  optional int64 rows;
+        |  optional int64 bytes;
+        |  optional binary cols (UTF8);
+        |  optional binary parts (UTF8);
+        |  optional binary dv (UTF8);
+        |  optional binary meta (UTF8);
+        |}""".stripMargin)
+
+  private[graft] def writeCheckpointParquet(path: String, v: Long,
+      files: Seq[String], schema: Option[StructType],
+      txns: Map[String, Long], constraints: Map[String, String],
+      stats: Map[String, FileStats], dvs: Map[String, String],
+      partCols: Seq[String]): Unit = {
+    val dir = logDir(path).toPath
+    val tmp = java.nio.file.Files.createTempFile(dir, ".ckptpq", ".tmp")
+    java.nio.file.Files.delete(tmp) // writer must create it itself
+    try {
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.parquet.io.LocalOutputFile(tmp))
+        .withType(CheckpointMessageType)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try {
+        val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+          CheckpointMessageType)
+        val schemaPart = schema.map(s =>
+          s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
+        val txnsPart =
+          if (txns.isEmpty) ""
+          else s""""txns":[${quoteList(txns.toSeq.sortBy(_._1)
+            .map { case (a, b) => txnEntry(a, b) })}],"""
+        val consPart =
+          if (constraints.isEmpty) ""
+          else s""""constraints":"${constraintsEntries(constraints)}","""
+        val partColsPart =
+          if (partCols.isEmpty) ""
+          else s""""partCols":"${partColsEntries(partCols)}","""
+        w.write(gf.newGroup().append("kind", "meta").append("meta",
+          s"""{"version":$v,$schemaPart$txnsPart$consPart$partColsPart"k":0}"""))
+        files.foreach { f =>
+          val g = gf.newGroup().append("kind", "file").append("file", f)
+          stats.get(f).foreach { fs =>
+            g.append("rows", fs.rows)
+            fs.bytes.foreach(b => g.append("bytes", b))
+            g.append("cols", colEntriesOf(fs))
+            val pv = pvFieldOf(fs)
+            if (pv.nonEmpty) g.append("parts", pv)
+          }
+          dvs.get(f).foreach(dv => g.append("dv", dv))
+          w.write(g)
+        }
+      } finally w.close()
+      java.nio.file.Files.move(tmp,
+        checkpointParquetVersionFile(path, v).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  private[graft] def readCheckpointParquet(path: String, v: Long)
+      : Option[CheckpointState] =
+    try {
+      val f = checkpointParquetVersionFile(path, v)
+      if (!f.exists()) None
+      else {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            new org.apache.hadoop.fs.Path(f.getPath))
+          .build()
+        try {
+          val files = Seq.newBuilder[String]
+          var stats = Map.empty[String, FileStats]
+          var dvs = Map.empty[String, String]
+          var meta: Option[String] = None
+          var g = reader.read()
+          while (g != null) {
+            def has(field: String): Boolean =
+              g.getFieldRepetitionCount(field) > 0
+            def str(field: String): String = g.getString(field, 0)
+            if (str("kind") == "meta") meta = Some(str("meta"))
+            else {
+              val name = str("file")
+              files += name
+              if (has("rows")) {
+                stats += name -> FileStats(g.getLong("rows", 0),
+                  if (has("cols")) parseColEntries(str("cols")) else Map.empty,
+                  if (has("bytes")) Some(g.getLong("bytes", 0)) else None,
+                  if (has("parts")) parsePartValues(str("parts")) else Nil)
+              }
+              if (has("dv")) dvs += name -> str("dv")
+            }
+            g = reader.read()
+          }
+          meta.map { m =>
+            CheckpointState(files.result(),
+              parseSchemaB64(m).map(schemaFromB64), parseTxns(m),
+              parseConstraints(m).getOrElse(Map.empty), stats, dvs,
+              parsePartCols(m).getOrElse(Nil))
+          }
+        } finally reader.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Checkpoint `v`'s FILE ROWS as a DataFrame — the distributive
+    * consumption path for very large tables: (file, rows, bytes, cols,
+    * parts, dv) without collecting anything on the driver. Requires a
+    * parquet-kind checkpoint at exactly `v` (the named error points at
+    * the available versions).
+    */
+  def checkpointFilesDf(spark: SparkSession, path: String,
+      v: Long): DataFrame = {
+    val f = checkpointParquetVersionFile(path, v)
+    require(f.isFile,
+      s"TxLog: no parquet checkpoint at version $v of $path (have " +
+        s"checkpoints at: ${listCheckpointVersions(path).mkString(", ")})")
+    spark.read.parquet(f.getPath).filter(col("kind") === "file")
+      .select("file", "rows", "bytes", "cols", "parts", "dv")
+  }
+
+  /** Atomically (re)write checkpoint `v` — deterministic content for
     * a given version, so REPLACE is idempotent. Carries FULL state:
     * files, schema, txn watermarks, constraints, accumulated per-file
-    * stats — anything omitted here would be silently LOST when vacuum
-    * drops the action history below the checkpoint (for constraints that
-    * loss would disarm enforcement, a correctness hazard, not a
-    * degradation).
+    * stats, DVs, partition columns — anything omitted here would be
+    * silently LOST when vacuum drops the action history below the
+    * checkpoint (for constraints that loss would disarm enforcement, a
+    * correctness hazard, not a degradation). New checkpoints are the
+    * PARQUET kind (row-per-file — see the parquet-checkpoints section);
+    * the JSON writer stays as the legacy-kind test seam.
     */
   private def writeCheckpointFile(path: String, v: Long, files: Seq[String],
+      schema: Option[StructType], txns: Map[String, Long],
+      constraints: Map[String, String],
+      stats: Map[String, FileStats],
+      dvs: Map[String, String],
+      partCols: Seq[String]): Unit =
+    writeCheckpointParquet(path, v, files, schema, txns, constraints,
+      stats, dvs, partCols)
+
+  /** The legacy (rounds 10-13) JSON checkpoint writer — retained so specs
+    * can prove the legacy PARSE path forever (old tables must keep
+    * resolving); production writes go through the parquet kind.
+    */
+  private[graft] def writeCheckpointJsonFile(path: String, v: Long,
+      files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
       constraints: Map[String, String],
       stats: Map[String, FileStats],
@@ -2400,7 +2598,9 @@ object TxLog {
         .map(_.getName)
       return (dropping.map(v => versionFile(path, v).getName) ++
         listCheckpointVersions(path).filter(_ < kept.min)
-          .map(v => checkpointVersionFile(path, v).getName) ++
+          .flatMap(v => Seq(checkpointVersionFile(path, v),
+            checkpointParquetVersionFile(path, v))
+            .filter(_.exists()).map(_.getName)) ++
         wouldData ++ wouldDvs ++ wouldTmp).toSeq
     }
     // reconstruction base for the oldest retained version, written
@@ -2415,11 +2615,14 @@ object TxLog {
       java.nio.file.Files.delete(f.toPath)
       f.getName
     }
-    val droppedCkpts = listCheckpointVersions(path).filter(_ < kept.min).map { v =>
-      val f = checkpointVersionFile(path, v)
-      java.nio.file.Files.delete(f.toPath)
-      f.getName
-    }
+    val droppedCkpts = listCheckpointVersions(path).filter(_ < kept.min)
+      .flatMap { v =>
+        Seq(checkpointVersionFile(path, v),
+          checkpointParquetVersionFile(path, v)).filter(_.exists()).map { f =>
+          java.nio.file.Files.delete(f.toPath)
+          f.getName
+        }
+      }
     // minAgeMs guards the WRITER race (not just readers): an in-flight
     // commit's freshly-moved data files are referenced by NO version yet —
     // deleting them would let the commit publish a version pointing at

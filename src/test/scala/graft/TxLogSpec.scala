@@ -482,9 +482,18 @@ class TxLogSpec extends SparkSpecBase {
     val baseline = (0L to cur).map(v =>
       v -> TxLog.resolve(path, v, useCheckpoints = false).files.sorted).toMap
     val log = new java.io.File(path, TxLog.LogDirName)
+    // both checkpoint kinds are fair game (commits write parquet now;
+    // plant legacy JSON twins at the same versions so the fuzz covers
+    // the legacy parse path under the same invariance)
+    Seq(0L, 10L, 20L).foreach { v =>
+      val s = TxLog.resolve(path, v)
+      TxLog.writeCheckpointJsonFile(path, v, s.files, s.schema, s.txns,
+        s.constraints, s.stats, s.dvs, s.partitionCols)
+    }
     def ckptFiles() = log.listFiles()
-      .filter(_.getName.endsWith(".checkpoint.json")).sortBy(_.getName)
-    ckptFiles().length should be >= 3 // v0, v10, v20
+      .filter(f => f.getName.endsWith(".checkpoint.json") ||
+        f.getName.endsWith(".checkpoint.parquet")).sortBy(_.getName)
+    ckptFiles().length should be >= 6 // v0, v10, v20 in both kinds
     val rnd = new scala.util.Random(0xC4EC7L)
     def assertAll(): Unit = (0L to cur).foreach { v =>
       withClue(s"version $v: ") {
@@ -520,6 +529,44 @@ class TxLogSpec extends SparkSpecBase {
       intercept[Exception](TxLog.snapshot(path, Some(v)))
     }
     ()
+  }
+
+  test("parquet checkpoints: commits write the parquet kind, resolution " +
+      "equals pure replay, the file rows read distributively") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 80).repartition(3), path,
+      partitionBy = Seq("grp")) // v0, checkpointed
+    (0 until 9).foreach { i =>
+      TxLog.append(rows(100 + i * 10 until 100 + i * 10 + 10), path, i.toLong)
+    }
+    TxLog.deleteWhereDV(spark, path, col("id") < 10L, 9L) // v10, checkpointed
+    val log = new java.io.File(path, TxLog.LogDirName)
+    log.listFiles().map(_.getName) should contain(
+      f"${10L}%020d.checkpoint.parquet")
+    log.listFiles().map(_.getName).count(_.endsWith(".checkpoint.json")) shouldBe 0
+    // checkpoint+tail resolution == pure action replay, ALL state facets
+    val viaCkpt = TxLog.resolve(path, 10L)
+    val replay = TxLog.resolve(path, 10L, useCheckpoints = false)
+    viaCkpt.files.sorted shouldBe replay.files.sorted
+    viaCkpt.stats shouldBe replay.stats
+    viaCkpt.dvs shouldBe replay.dvs
+    viaCkpt.partitionCols shouldBe replay.partitionCols
+    viaCkpt.schema shouldBe replay.schema
+    // distributive read: the checkpoint's file rows AS A DATAFRAME — no
+    // driver collect needed to enumerate a huge table's planning inputs
+    val df = TxLog.checkpointFilesDf(spark, path, 10L)
+    df.select("file").as[String].collect().sorted shouldBe
+      viaCkpt.files.sorted.toArray
+    df.agg(sum("rows")).head().getLong(0) shouldBe
+      viaCkpt.files.map(f => viaCkpt.stats(f).rows).sum
+    df.filter(col("dv").isNotNull).select("file").as[String]
+      .collect().toSet shouldBe viaCkpt.dvs.keySet
+    // vacuum's LOAD-BEARING checkpoint is the parquet kind too: history
+    // below the horizon gone, retained versions resolve through it
+    TxLog.append(rows(2000 until 2010), path, 10L) // v11
+    TxLog.vacuum(path, retainVersions = 2, minAgeMs = 0L)
+    TxLog.resolve(path, 10L).files.sorted shouldBe replay.files.sorted
+    TxLog.read(spark, path, asOf = Some(10L)).count() shouldBe 160L
   }
 
   test("racing readers only ever see complete committed states, under both primitives") {
@@ -731,7 +778,7 @@ class TxLogSpec extends SparkSpecBase {
     // the name makes the atomic move fail (the version-file publish itself
     // uses a different name and must be unaffected)
     val blocker = new java.io.File(new java.io.File(path, "_graft_txlog"),
-      f"${10L}%020d.checkpoint.json")
+      f"${10L}%020d.checkpoint.parquet")
     blocker.mkdirs() shouldBe true
     java.nio.file.Files.write(new java.io.File(blocker, "squat").toPath,
       "x".getBytes)
