@@ -1135,6 +1135,50 @@ object ExtensionQueries {
       .withColumn("below_add_no_column", lit(belowNoColumn))
   }
 
+  /** COLUMN MAPPING (library: gold.TxLog.renameColumn / dropColumn +
+    * the rename_column/drop_column procedures — the Delta column-mapping
+    * shape: metadata-only RENAME and DROP through logical→physical name
+    * indirection, zero data rewrite at any table size): cents renames to
+    * amount_cents, cust drops and is RE-ADDED — the closed-form oracle
+    * pins the RESURRECT GUARD (pre-drop rows read NULL in the re-added
+    * column, never the dropped values — the tombstoned physical name is
+    * what makes that safe) alongside the renamed column's sums across
+    * pre- and post-rename writes. Bound booleans pin the metadata-only
+    * mechanics and time travel below the rename serving the OLD name.
+    */
+  private def qTxlogRenameColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_rencol"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 3 === 0)
+      .repartitionByRange(3, col("id")), path) // v0
+    s.conf.set("spark.sql.catalog.graft_sys",
+      "graft.sqlfront.GraftProcedureCatalog")
+    val filesBefore = TxLog.snapshot(path).files.toSet
+    s.sql(s"CALL graft_sys.system.rename_column('$path', 'cents', " +
+      "'amount_cents')") // v1
+    s.sql(s"CALL graft_sys.system.drop_column('$path', 'cust')") // v2
+    val metadataOnly = TxLog.snapshot(path).files.toSet == filesBefore
+    val belowOldName =
+      TxLog.read(s, path, asOf = Some(0L)).columns.contains("cents")
+    TxLog.append(o.filter(col("id") % 3 === 1).drop("cust")
+      .withColumnRenamed("cents", "amount_cents"), path, 2L) // v3
+    s.sql(s"CALL graft_sys.system.add_column('$path', 'cust', 'BIGINT')") // v4
+    TxLog.append(o.filter(col("id") % 3 === 2)
+      .withColumnRenamed("cents", "amount_cents"), path, 4L) // v5
+    TxLog.read(s, path)
+      .withColumn("has_cust", col("cust").isNotNull)
+      .groupBy("o_orderpriority", "has_cust")
+      .agg(count(lit(1)).as("cnt"),
+        sum("amount_cents").as("total_amount"),
+        sum("cust").as("cust_sum"))
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("below_rename_old_name", lit(belowOldName))
+  }
+
   /** PARQUET CHECKPOINTS (library: gold.TxLog's round-14 checkpoint kind
     * — row-per-file parquet, the Delta checkpoint shape, replacing the
     * JSON blob whose driver-side parse was the documented 100-TB
@@ -2259,6 +2303,7 @@ object ExtensionQueries {
     "q_sql_txlog_dml" -> (qSqlTxlogDml _),
     "q_o_txlog_add_column" -> (qTxlogAddColumn _),
     "q_o_txlog_ckpt_parquet" -> (qTxlogCkptParquet _),
+    "q_o_txlog_rename_column" -> (qTxlogRenameColumn _),
     "q_sql_txlog_delete" -> (qSqlTxlogDelete _),
     "q_sql_txlog_update" -> (qSqlTxlogUpdate _),
     "q_sql_txlog_merge" -> (qSqlTxlogMerge _),
@@ -2770,6 +2815,19 @@ object ExtensionQueries {
           |  CAST(sum(cents) AS BIGINT) AS total_cents
           |FROM final WHERE cust % 10 <> 3
           |GROUP BY o_orderpriority""".stripMargin,
+      // column mapping: amount_cents carries every slice's base cents
+      // under the renamed name; cust was dropped then RE-ADDED, so only
+      // the post-re-add slice (id%3=2) carries values - pre-drop rows
+      // reading NULL is the resurrect guard, stated in closed form
+      "q_o_txlog_rename_column" ->
+        """SELECT o_orderpriority, (o_orderkey % 3 = 2) AS has_cust,
+          |  CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_amount,
+          |  CASE WHEN o_orderkey % 3 = 2
+          |       THEN CAST(sum(o_custkey) AS BIGINT) END AS cust_sum,
+          |  TRUE AS metadata_only, TRUE AS below_rename_old_name
+          |FROM orders
+          |GROUP BY o_orderpriority, o_orderkey % 3 = 2""".stripMargin,
       // post-vacuum resolution through parquet checkpoints: slices
       // cust%4 in (0,1) minus 5-LOW; kind + distributive-read booleans
       // Spark-bound

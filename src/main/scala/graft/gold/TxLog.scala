@@ -140,7 +140,20 @@ object TxLog {
       // as [[FileStats.parts]]), which is what makes metadata-only
       // partition ops ([[deletePartitions]], [[replaceWherePartitions]],
       // [[prunedFilesByPartition]]) sound.
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      // COLUMN MAPPING (the Delta column-mapping shape): logical column
+      // name (what the recorded schema + every API shows) → PHYSICAL
+      // name (what the parquet files store). Empty = identity — the
+      // state of every table until its first [[renameColumn]] /
+      // [[dropColumn]], where the map materializes for all columns; from
+      // then on writes physicalize and reads logicalize at the two shared
+      // IO seams. Keyed by logical name; values are unique.
+      columnMap: Map[String, String] = Map.empty,
+      // physical names of DROPPED columns, still present in data files —
+      // reads project them out, and no future column (addColumn or a
+      // widening append) may claim them: a re-added same-named column
+      // gets a FRESH physical name, so old values can never leak into it
+      physTombstones: Set[String] = Set.empty)
 
   /** Per-file column statistics recorded IN the commit log (the Delta
     * `stats`-on-add shape): values are CANONICAL LONGS — integral columns
@@ -423,7 +436,14 @@ object TxLog {
       // foreign to its filter. Empty on unpartitioned tables and legacy
       // records (consumers fall back to resolve(v-1), failing NAMED at
       // the horizon).
-      removeParts: Map[String, Seq[Option[String]]])
+      removeParts: Map[String, Seq[Option[String]]],
+      // column mapping: Some = the FULL post-commit logical→physical map
+      // (a mapping-changing commit records complete state, like
+      // constraints); None = inherit
+      colMap: Option[Map[String, String]],
+      // dropped-column physical-name tombstones: Some = full post-commit
+      // set; None = inherit
+      colDrop: Option[Set[String]])
 
   private def quoteList(fs: Seq[String]): String =
     fs.map("\"" + _ + "\"").mkString(",")
@@ -614,6 +634,38 @@ object TxLog {
     PartColsRe.findFirstMatchIn(text).map(
       _.group(1).split(",").filter(_.nonEmpty).map(unB64).toSeq)
 
+  // --- column-mapping serialization -----------------------------------------
+  // `"colMap":"b64(logical):b64(physical),..."` and
+  // `"colDrop":"b64(phys1),b64(phys2),..."` — same record semantics as
+  // constraints: key PRESENT = the full post-commit state (a
+  // mapping-changing commit records everything), key ABSENT = inherit.
+  // Both ride in BOTH checkpoint kinds: losing the map on vacuum would
+  // serve physical column names to readers; losing the tombstones would
+  // let a re-added column resurrect dropped data.
+
+  private def colMapEntries(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (l, p) => b64(l) + ":" + b64(p) }
+      .mkString(",")
+
+  private val ColMapRe = "\"colMap\"\\s*:\\s*\"([A-Za-z0-9+/=:,]*)\"".r
+
+  private def parseColMap(text: String): Option[Map[String, String]] =
+    ColMapRe.findFirstMatchIn(text).map(m =>
+      m.group(1).split(",").filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        require(i > 0, s"TxLog: malformed colMap entry '$e'")
+        (unB64(e.substring(0, i)), unB64(e.substring(i + 1)))
+      }.toMap)
+
+  private def colDropEntries(s: Set[String]): String =
+    s.toSeq.sorted.map(b64).mkString(",")
+
+  private val ColDropRe = "\"colDrop\"\\s*:\\s*\"([A-Za-z0-9+/=,]*)\"".r
+
+  private def parseColDrop(text: String): Option[Set[String]] =
+    ColDropRe.findFirstMatchIn(text).map(
+      _.group(1).split(",").filter(_.nonEmpty).map(unB64).toSet)
+
   // --- removed-file partition-values serialization --------------------------
   // `"removeParts":"b64(file):b64(P<enc>,...),..."` — the remove-action
   // twin of FileStats.parts (Delta RemoveFile.partitionValues): per
@@ -782,7 +834,8 @@ object TxLog {
     VersionRecord(full, add.getOrElse(Nil), remove.getOrElse(Nil),
       parseSchemaB64(text), parseTxn(text), parseConstraints(text),
       parseStats(text), parseInfo(text), parseDvs(text), parseTs(text),
-      parsePartCols(text), parseRemoveParts(text))
+      parsePartCols(text), parseRemoveParts(text),
+      parseColMap(text), parseColDrop(text))
   }
 
   private val TsRe = "\"tsMillis\"\\s*:\\s*(-?\\d+)".r
@@ -800,7 +853,9 @@ object TxLog {
   private[graft] final case class CheckpointState(files: Seq[String],
       schema: Option[StructType], txns: Map[String, Long],
       constraints: Map[String, String], stats: Map[String, FileStats],
-      dvs: Map[String, String], partCols: Seq[String])
+      dvs: Map[String, String], partCols: Seq[String],
+      columnMap: Map[String, String] = Map.empty,
+      physTombstones: Set[String] = Set.empty)
 
   private def readCheckpoint(path: String, v: Long): Option[CheckpointState] =
     readCheckpointParquet(path, v).orElse(readCheckpointJson(path, v))
@@ -824,7 +879,9 @@ object TxLog {
             // checkpoints predate constraints/stats/dvs/partCols)
             parseConstraints(text).getOrElse(Map.empty), parseStats(text),
             parseDvs(text).collect { case (k, Some(dv)) => (k, dv) },
-            parsePartCols(text).getOrElse(Nil)))
+            parsePartCols(text).getOrElse(Nil),
+            parseColMap(text).getOrElse(Map.empty),
+            parseColDrop(text).getOrElse(Set.empty)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -870,7 +927,9 @@ object TxLog {
       files: Seq[String], schema: Option[StructType],
       txns: Map[String, Long], constraints: Map[String, String],
       stats: Map[String, FileStats], dvs: Map[String, String],
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String],
+      columnMap: Map[String, String] = Map.empty,
+      tombstones: Set[String] = Set.empty): Unit = {
     val dir = logDir(path).toPath
     val tmp = java.nio.file.Files.createTempFile(dir, ".ckptpq", ".tmp")
     java.nio.file.Files.delete(tmp) // writer must create it itself
@@ -896,8 +955,14 @@ object TxLog {
         val partColsPart =
           if (partCols.isEmpty) ""
           else s""""partCols":"${partColsEntries(partCols)}","""
+        val colMapPart =
+          if (columnMap.isEmpty) ""
+          else s""""colMap":"${colMapEntries(columnMap)}","""
+        val colDropPart =
+          if (tombstones.isEmpty) ""
+          else s""""colDrop":"${colDropEntries(tombstones)}","""
         w.write(gf.newGroup().append("kind", "meta").append("meta",
-          s"""{"version":$v,$schemaPart$txnsPart$consPart$partColsPart"k":0}"""))
+          s"""{"version":$v,$schemaPart$txnsPart$consPart$partColsPart$colMapPart$colDropPart"k":0}"""))
         files.foreach { f =>
           val g = gf.newGroup().append("kind", "file").append("file", f)
           stats.get(f).foreach { fs =>
@@ -956,7 +1021,9 @@ object TxLog {
             CheckpointState(files.result(),
               parseSchemaB64(m).map(schemaFromB64), parseTxns(m),
               parseConstraints(m).getOrElse(Map.empty), stats, dvs,
-              parsePartCols(m).getOrElse(Nil))
+              parsePartCols(m).getOrElse(Nil),
+              parseColMap(m).getOrElse(Map.empty),
+              parseColDrop(m).getOrElse(Set.empty))
           }
         } finally reader.close()
       }
@@ -993,9 +1060,11 @@ object TxLog {
       constraints: Map[String, String],
       stats: Map[String, FileStats],
       dvs: Map[String, String],
-      partCols: Seq[String]): Unit =
+      partCols: Seq[String],
+      columnMap: Map[String, String],
+      tombstones: Set[String]): Unit =
     writeCheckpointParquet(path, v, files, schema, txns, constraints,
-      stats, dvs, partCols)
+      stats, dvs, partCols, columnMap, tombstones)
 
   /** The legacy (rounds 10-13) JSON checkpoint writer — retained so specs
     * can prove the legacy PARSE path forever (old tables must keep
@@ -1007,7 +1076,9 @@ object TxLog {
       constraints: Map[String, String],
       stats: Map[String, FileStats],
       dvs: Map[String, String],
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String],
+      columnMap: Map[String, String] = Map.empty,
+      tombstones: Set[String] = Set.empty): Unit = {
     val schemaPart = schema.map(s => s""""schemaB64":"${schemaToB64(s)}",""").getOrElse("")
     val txnsPart =
       if (txns.isEmpty) ""
@@ -1025,8 +1096,14 @@ object TxLog {
     val partColsPart =
       if (partCols.isEmpty) ""
       else s""""partCols":"${partColsEntries(partCols)}","""
+    val colMapPart =
+      if (columnMap.isEmpty) ""
+      else s""""colMap":"${colMapEntries(columnMap)}","""
+    val colDropPart =
+      if (tombstones.isEmpty) ""
+      else s""""colDrop":"${colDropEntries(tombstones)}","""
     val json =
-      s"""{"version":$v,$schemaPart$txnsPart$consPart$statsPart$dvsPart$partColsPart"files":[${quoteList(files)}]}"""
+      s"""{"version":$v,$schemaPart$txnsPart$consPart$statsPart$dvsPart$partColsPart$colMapPart$colDropPart"files":[${quoteList(files)}]}"""
     val dir = logDir(path).toPath
     val tmp = java.nio.file.Files.createTempFile(dir, ".ckptfile", ".tmp")
     try {
@@ -1058,6 +1135,8 @@ object TxLog {
     var stats = base.map(_._2.stats).getOrElse(Map.empty[String, FileStats])
     var dvs = base.map(_._2.dvs).getOrElse(Map.empty[String, String])
     var partCols = base.map(_._2.partCols).getOrElse(Seq.empty[String])
+    var columnMap = base.map(_._2.columnMap).getOrElse(Map.empty[String, String])
+    var tombstones = base.map(_._2.physTombstones).getOrElse(Set.empty[String])
     val start = base.map(_._1 + 1).getOrElse(0L)
     var w = start
     while (w <= v) {
@@ -1084,9 +1163,12 @@ object TxLog {
       rec.txn.foreach { case (app, b) => txns = txns + (app -> b) }
       rec.constraints.foreach(c => constraints = c)
       rec.partCols.foreach(pc => partCols = pc)
+      rec.colMap.foreach(m => columnMap = m)
+      rec.colDrop.foreach(t => tombstones = t)
       w += 1
     }
-    Snapshot(v, files, schema, txns, constraints, stats, dvs, partCols)
+    Snapshot(v, files, schema, txns, constraints, stats, dvs, partCols,
+      columnMap, tombstones)
   }
 
   def snapshot(path: String, asOf: Option[Long] = None): Snapshot = {
@@ -1123,7 +1205,8 @@ object TxLog {
               "recorded schema (legacy log) - nothing to serve")
       }
     else alignToRecordedSchema(
-      readFilesWithDvs(spark, path, snap.files, snap.dvs), snap)
+      readFilesWithDvs(spark, path, snap.files, snap.dvs,
+        columnMap = snap.columnMap, tombstones = snap.physTombstones), snap)
   }
 
   /** Null-fill columns the RECORDED schema declares but no data file
@@ -1169,15 +1252,145 @@ object TxLog {
         "re-declaring a column's type belongs to a widening data commit")
     val widened = StructType(sch.fields :+
       org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    // under an ACTIVE mapping the new logical column needs a physical
+    // name no data file already carries — in particular never a
+    // tombstoned one, or the re-added column would read back the DROPPED
+    // column's old values (the resurrect leak column mapping exists to
+    // prevent)
+    val (mapAction, newMap) =
+      if (base.columnMap.isEmpty) (None, base.columnMap)
+      else {
+        val phys = freshPhysicalName(name,
+          base.columnMap.values.toSet ++ base.physTombstones)
+        val m = base.columnMap + (name -> phys)
+        (Some(m), m)
+      }
     publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
       Some(widened),
       info = ("ADD_COLUMN",
         Map("name" -> name, "type" -> dataType.simpleString)),
       fullTxns = base.txns, fullConstraints = base.constraints,
       fullStats = base.stats, fullDvs = base.dvs,
-      partCols = base.partitionCols, alerts = alerts)
+      partCols = base.partitionCols, colMap = mapAction,
+      fullColMaps = (newMap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, Some(widened), base.txns,
-      base.constraints, base.stats, base.dvs, base.partitionCols)
+      base.constraints, base.stats, base.dvs, base.partitionCols,
+      newMap, base.physTombstones)
+  }
+
+  /** The mapping with IDENTITY entries for every schema field when it has
+    * not materialized yet — the first rename/drop activates column
+    * mapping for the whole table (Delta's columnMapping mode switch has
+    * the same one-way shape).
+    */
+  private def materializedMap(base: Snapshot,
+      sch: StructType): Map[String, String] =
+    if (base.columnMap.nonEmpty) base.columnMap
+    else sch.fieldNames.map(n => n -> n).toMap
+
+  /** Refuse a rename/drop of a column a CHECK constraint mentions — the
+    * recorded constraint TEXT would silently stop (or wrongly keep)
+    * gating writes. Conservative word-boundary match on the SQL text
+    * (false positives refuse loudly with the fix in the message; false
+    * negatives are impossible for plain identifiers).
+    */
+  private def refuseConstraintReference(base: Snapshot, name: String,
+      op: String): Unit = {
+    val re = ("(?i)(?<![A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_`])").r
+    base.constraints.foreach { case (n, check) =>
+      require(re.findFirstIn(check).isEmpty,
+        s"TxLog.$op: column '$name' is referenced by CHECK constraint " +
+          s"'$n' ($check) - drop the constraint first and re-add it " +
+          "against the new schema")
+    }
+  }
+
+  /** METADATA-ONLY column RENAME (the Delta column-mapping shape): the
+    * logical name changes in the recorded schema while every data file
+    * keeps its PHYSICAL column untouched — zero rewrite, any table size.
+    * The first rename materializes the logical→physical map for all
+    * columns; reads logicalize (physical→logical) and writes physicalize
+    * at the two shared IO seams, so every read path (plain, pruned,
+    * partition-pruned, DV'd, CDF) and every committer keeps working.
+    * Time travel below the rename serves the OLD name (mapping state is
+    * versioned like everything else); RESTORE rolls the mapping back
+    * with the data. Refused: partition columns (immutable — their
+    * physical identity is baked into per-file partition tuples),
+    * constraint-referenced columns, and clashes with existing names.
+    */
+  def renameColumn(path: String, oldName: String, newName: String,
+      expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val sch = base.schema.getOrElse(throw new IllegalArgumentException(
+      s"TxLog: $path has no recorded schema (legacy log) - RENAME COLUMN " +
+        "needs the schema authority the log provides"))
+    require(sch.fieldNames.contains(oldName),
+      s"TxLog.renameColumn: no column '$oldName' on $path (have: " +
+        s"${sch.fieldNames.mkString(", ")})")
+    require(!sch.fieldNames.contains(newName),
+      s"TxLog.renameColumn: column '$newName' already exists on $path")
+    require(!base.partitionCols.contains(oldName),
+      s"TxLog.renameColumn: '$oldName' is a partition column - partition " +
+        "columns are immutable for the table's lifetime (clone into a " +
+        "new layout instead)")
+    refuseConstraintReference(base, oldName, "renameColumn")
+    val m0 = materializedMap(base, sch)
+    val newMap = m0 - oldName + (newName -> m0(oldName))
+    val renamed = StructType(sch.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
+      Some(renamed),
+      info = ("RENAME_COLUMN", Map("from" -> oldName, "to" -> newName)),
+      fullTxns = base.txns, fullConstraints = base.constraints,
+      fullStats = base.stats, fullDvs = base.dvs,
+      partCols = base.partitionCols,
+      colMap = Some(newMap),
+      fullColMaps = (newMap, base.physTombstones), alerts = alerts)
+    Snapshot(expectedVersion + 1, base.files, Some(renamed), base.txns,
+      base.constraints, base.stats, base.dvs, base.partitionCols,
+      newMap, base.physTombstones)
+  }
+
+  /** METADATA-ONLY column DROP: the field leaves the recorded schema and
+    * its physical name joins the TOMBSTONE set — data files keep the
+    * column (reads project it out), and no future column may claim the
+    * physical name, so a later addColumn of the SAME name serves NULL
+    * for old rows instead of resurrecting dropped values (the leak the
+    * tombstones exist to prevent; spec-pinned). Same refusals as rename,
+    * plus the last column.
+    */
+  def dropColumn(path: String, name: String, expectedVersion: Long,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    val base = snapshot(path, Some(expectedVersion))
+    val sch = base.schema.getOrElse(throw new IllegalArgumentException(
+      s"TxLog: $path has no recorded schema (legacy log) - DROP COLUMN " +
+        "needs the schema authority the log provides"))
+    require(sch.fieldNames.contains(name),
+      s"TxLog.dropColumn: no column '$name' on $path (have: " +
+        s"${sch.fieldNames.mkString(", ")})")
+    require(sch.fields.length > 1,
+      s"TxLog.dropColumn: '$name' is the only column of $path")
+    require(!base.partitionCols.contains(name),
+      s"TxLog.dropColumn: '$name' is a partition column - partition " +
+        "columns are immutable for the table's lifetime")
+    refuseConstraintReference(base, name, "dropColumn")
+    val m0 = materializedMap(base, sch)
+    val newMap = m0 - name
+    val tombs = base.physTombstones + m0(name)
+    val narrowed = StructType(sch.fields.filterNot(_.name == name))
+    publish(path, expectedVersion + 1, base.files, add = Nil, remove = Nil,
+      Some(narrowed),
+      info = ("DROP_COLUMN", Map("name" -> name)),
+      fullTxns = base.txns, fullConstraints = base.constraints,
+      fullStats = base.stats, fullDvs = base.dvs,
+      partCols = base.partitionCols,
+      colMap = Some(newMap), colDrop = Some(tombs),
+      fullColMaps = (newMap, tombs), alerts = alerts)
+    Snapshot(expectedVersion + 1, base.files, Some(narrowed), base.txns,
+      base.constraints, base.stats, base.dvs, base.partitionCols,
+      newMap, tombs)
   }
 
   // --- deletion-vector read machinery --------------------------------------
@@ -1208,11 +1421,15 @@ object TxLog {
     * handles a widened re-declare, which footer MERGING refuses).
     */
   private def readFilesMeta(spark: SparkSession, path: String,
-      files: Seq[String], mergeSchema: Boolean = true): DataFrame =
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(f => s"$path/$f"): _*)
-      .withColumn(MetaFileCol, col("_metadata.file_name"))
-      .withColumn(MetaRiCol, col("_metadata.row_index"))
+      files: Seq[String], mergeSchema: Boolean = true,
+      columnMap: Map[String, String] = Map.empty,
+      tombstones: Set[String] = Set.empty): DataFrame =
+    logicalizeRead(
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .withColumn(MetaFileCol, col("_metadata.file_name"))
+        .withColumn(MetaRiCol, col("_metadata.row_index")),
+      columnMap, tombstones)
 
   /** DV-aware load of snapshot `files`: the plain distributed parquet
     * scan when none of them carries a deletion vector (the common case —
@@ -1225,14 +1442,18 @@ object TxLog {
     */
   private def readFilesWithDvs(spark: SparkSession, path: String,
       files: Seq[String], dvs: Map[String, String],
-      mergeSchema: Boolean = true): DataFrame = {
+      mergeSchema: Boolean = true,
+      columnMap: Map[String, String] = Map.empty,
+      tombstones: Set[String] = Set.empty): DataFrame = {
     val present = files.toSet
     val active = dvs.filter { case (f, _) => present.contains(f) }
     if (active.isEmpty)
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(files.map(f => s"$path/$f"): _*)
+      logicalizeRead(
+        spark.read.option("mergeSchema", mergeSchema.toString)
+          .parquet(files.map(f => s"$path/$f"): _*),
+        columnMap, tombstones)
     else
-      readFilesMeta(spark, path, files, mergeSchema)
+      readFilesMeta(spark, path, files, mergeSchema, columnMap, tombstones)
         .join(broadcast(dvRowsDf(spark, path, active)),
           col(MetaFileCol) === col(DvFileCol) &&
             col(MetaRiCol) === col(DvRiCol), "left_anti")
@@ -1270,10 +1491,17 @@ object TxLog {
         val s = resolve(path, fromExclusive)
         (s.files, s.dvs)
       }
+    // every version's rows are served under the FEED-END mapping (the
+    // Delta read-CDF-with-end-schema convention): physical names are
+    // stable across renames, so pre-rename files' rows surface under the
+    // final logical names and dropped columns project out everywhere
+    val endSnap = resolve(path, to)
     val parts = Seq.newBuilder[DataFrame]
     (fromExclusive + 1 to to).foreach { v =>
       val (ps, nf, nd) = versionChangeParts(spark, path, v, files, dvs,
-        fs => readFilesMeta(spark, path, fs))
+        fs => readFilesMeta(spark, path, fs,
+          columnMap = endSnap.columnMap,
+          tombstones = endSnap.physTombstones))
       parts ++= ps; files = nf; dvs = nd
     }
     val perVersion = parts.result()
@@ -1458,6 +1686,7 @@ object TxLog {
     var prevCkpt: Option[java.io.File] = None
     var files = Seq.empty[String]
     var dvs = Map.empty[String, String]
+    val endSnap = resolve(path, v) // feed-end column mapping (see changes)
     (0L to v).foreach { w =>
       // the shared per-version emission (DV-aware: removed files emit
       // only their LIVE rows, a DV delta emits exactly the newly-dead /
@@ -1471,7 +1700,9 @@ object TxLog {
       val rec = parseRecord(path, w)
       val mayDelete = rec.remove.nonEmpty || rec.dvs.exists(_._2.isDefined)
       val (parts, nf, nd) = versionChangeParts(spark, path, w, files, dvs,
-        fs => readFilesMeta(spark, path, fs))
+        fs => readFilesMeta(spark, path, fs,
+          columnMap = endSnap.columnMap,
+          tombstones = endSnap.physTombstones))
       files = nf; dvs = nd
       // each part is wholly one kind; split on the tag column
       val dels = parts.map(_.filter(col("_change_type") === "delete"))
@@ -1685,6 +1916,15 @@ object TxLog {
       // removePartsOf(base.stats, removed) so partition-filtered
       // consumers never need the (possibly vacuumed) v-1 snapshot
       removeParts: Map[String, Seq[Option[String]]] = Map.empty,
+      // column-mapping ACTIONS: Some = full post-commit state (mapping-
+      // changing commits — rename/drop/extension); None = unchanged
+      colMap: Option[Map[String, String]] = None,
+      colDrop: Option[Set[String]] = None,
+      // NO default, the fullTxns discipline: the complete post-commit
+      // (columnMap, physTombstones) for checkpoints — losing the map on
+      // vacuum would serve PHYSICAL names to readers; losing tombstones
+      // would resurrect dropped data into a re-added column
+      fullColMaps: (Map[String, String], Set[String]),
       alerts: Option[graft.runner.Alerts.Sink] = None): Unit = {
     val dir = logDir(path)
     if (!dir.exists()) dir.mkdirs()
@@ -1710,8 +1950,12 @@ object TxLog {
     val removePartsPart =
       if (removeParts.isEmpty) ""
       else s""""removeParts":"${removePartsEntries(removeParts)}","""
+    val colMapPart = colMap.map(m =>
+      s""""colMap":"${colMapEntries(m)}",""").getOrElse("")
+    val colDropPart = colDrop.map(s =>
+      s""""colDrop":"${colDropEntries(s)}",""").getOrElse("")
     val json =
-      s"""{"version":$v,"tsMillis":${clock.value()},$schemaPart$infoPart$txnPart$consPart$statsPart$dvsPart$partColsPart$removePartsPart"add":[${quoteList(add)}],""" +
+      s"""{"version":$v,"tsMillis":${clock.value()},$schemaPart$infoPart$txnPart$consPart$statsPart$dvsPart$partColsPart$removePartsPart$colMapPart$colDropPart"add":[${quoteList(add)}],""" +
         s""""remove":[${quoteList(remove)}]}"""
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val target = versionFile(path, v).toPath
@@ -1731,7 +1975,8 @@ object TxLog {
     if (v % CheckpointInterval == 0)
       try {
         writeCheckpointFile(path, v, fullFiles, schema, fullTxns,
-          fullConstraints, fullStats, fullDvs, partCols)
+          fullConstraints, fullStats, fullDvs, partCols,
+          fullColMaps._1, fullColMaps._2)
         writeCheckpointHint(path, v)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -1871,6 +2116,60 @@ object TxLog {
     * `input_file_name()` — metadata-scale output, O(new files) rows). A
     * crash after this leaves invisible orphans only.
     */
+  /** Fresh PHYSICAL name for logical column `logical` under an active
+    * mapping: the logical name itself when no current physical or
+    * tombstone claims it (files stay human-readable), else the first
+    * free reserved-prefix name — deterministic, so concurrent writers
+    * re-deriving from the same base agree.
+    */
+  private def freshPhysicalName(logical: String, used: Set[String]): String =
+    if (!used.contains(logical)) logical
+    else Iterator.from(0).map(k => s"__gcol${k}_$logical")
+      .find(!used.contains(_)).get
+
+  /** Extend an ACTIVE column mapping with physical names for `schema`
+    * fields it does not cover yet (new logical columns from a widening
+    * append / addColumn) — identity tables (empty map, no tombstones)
+    * stay identity. Returns (map, changed).
+    */
+  private def extendColumnMap(map: Map[String, String],
+      tombstones: Set[String],
+      schema: StructType): (Map[String, String], Boolean) =
+    if (map.isEmpty && tombstones.isEmpty) (map, false)
+    else {
+      var m = map
+      var changed = false
+      schema.fieldNames.filterNot(m.contains).foreach { l =>
+        m += l -> freshPhysicalName(l, m.values.toSet ++ tombstones)
+        changed = true
+      }
+      (m, changed)
+    }
+
+  /** Rename a LOGICAL frame to physical column names for writing — one
+    * projection (no intermediate-rename collisions). Identity when the
+    * mapping is empty.
+    */
+  private def physicalize(df: DataFrame,
+      columnMap: Map[String, String]): DataFrame =
+    if (columnMap.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(columnMap.getOrElse(c, c))): _*)
+
+  /** Rename a PHYSICAL frame (a file read) back to logical names and
+    * project out dropped columns' tombstoned physicals — the read half of
+    * column mapping. Non-data columns (the __graft metadata tags) pass
+    * through untouched. Identity when the mapping is inactive.
+    */
+  private def logicalizeRead(df: DataFrame, columnMap: Map[String, String],
+      tombstones: Set[String]): DataFrame =
+    if (columnMap.isEmpty && tombstones.isEmpty) df
+    else {
+      val inv = columnMap.map(_.swap) // physical -> logical (values unique)
+      val keep = df.columns.filterNot(tombstones.contains)
+      df.select(keep.map(c => col(c).as(inv.getOrElse(c, c))): _*)
+    }
+
   /** Types a partition column may have: exactly the stats-eligible set
     * (canonical-long domains + string) — a partitioned table therefore
     * ALWAYS has at least one stats-eligible column, so every committed
@@ -1904,9 +2203,18 @@ object TxLog {
     * (all rows of a file share it by construction) and recorded as
     * [[FileStats.parts]].
     */
-  private def writeDataFiles(df: DataFrame,
+  private def writeDataFiles(df0: DataFrame,
       path: String,
-      partitionCols: Seq[String]): (Seq[String], Map[String, FileStats]) = {
+      partitionCols: Seq[String],
+      // ACTIVE column mapping (must already cover every df column -
+      // callers extend first): data files store PHYSICAL names
+      columnMap: Map[String, String] = Map.empty)
+      : (Seq[String], Map[String, FileStats]) = {
+    // physicalize up front: the staged files, the stats agg (stats are
+    // keyed by the PHYSICAL name - what the files and the pruned reads
+    // see), and the partition shadow columns all run over physical names;
+    // partition columns are identity-mapped by the rename/drop refusals
+    val df = physicalize(df0, columnMap)
     val stage = java.nio.file.Files.createTempDirectory("graft_txdata")
     try {
       if (partitionCols.isEmpty)
@@ -2126,7 +2434,8 @@ object TxLog {
         else Map("partitionBy" -> partitionBy.mkString(","))),
       fullTxns = Map.empty, addStats = stats,
       fullConstraints = Map.empty, fullStats = stats,
-      fullDvs = Map.empty, partCols = partitionBy, alerts = alerts)
+      fullDvs = Map.empty, partCols = partitionBy,
+      fullColMaps = (Map.empty, Set.empty), alerts = alerts)
     Snapshot(0L, files, Some(df.schema), stats = stats,
       partitionCols = partitionBy)
   }
@@ -2145,9 +2454,12 @@ object TxLog {
     val base = snapshot(path, Some(expectedVersion))
     val schema = mergeSchemas(base.schema, df.schema)
     enforceConstraints(df, schema, base.constraints)
-    val (added, addStats) = writeDataFiles(df, path, base.partitionCols)
+    val (cmap, cmapChanged) =
+      extendColumnMap(base.columnMap, base.physTombstones, schema)
+    val (added, addStats) = writeDataFiles(df, path, base.partitionCols, cmap)
     appendResolved(path, base, added, addStats, df.schema, txn = None,
-      info = ("APPEND", Map.empty), alerts = alerts)
+      info = ("APPEND", Map.empty), cmap = cmap,
+      cmapChanged = cmapChanged, alerts = alerts)
   }
 
   /** Conflicts an append RECONCILES without re-execution (test seam:
@@ -2190,6 +2502,7 @@ object TxLog {
       added: Seq[String], addStats: Map[String, FileStats],
       writtenSchema: StructType, txn: Option[(String, Long)],
       info: (String, Map[String, String]),
+      cmap: Map[String, String], cmapChanged: Boolean,
       alerts: Option[graft.runner.Alerts.Sink]): Snapshot = {
     var base = base0
     var reconciles = 0
@@ -2206,9 +2519,12 @@ object TxLog {
           Some(schema), info = info, txn = txn, fullTxns = txns,
           addStats = addStats, fullConstraints = base.constraints,
           fullStats = stats, fullDvs = base.dvs,
-          partCols = base.partitionCols, alerts = alerts)
+          partCols = base.partitionCols,
+          colMap = if (cmapChanged) Some(cmap) else None,
+          fullColMaps = (cmap, base.physTombstones), alerts = alerts)
         return Snapshot(base.version + 1, files, Some(schema), txns,
-          base.constraints, stats, base.dvs, base.partitionCols)
+          base.constraints, stats, base.dvs, base.partitionCols,
+          cmap, base.physTombstones)
       } catch {
         case e: ConflictException =>
           reconciles += 1
@@ -2216,7 +2532,10 @@ object TxLog {
           val cur = currentVersion(path).getOrElse(throw e)
           val compatible = (base.version + 1 to cur).forall { w =>
             val r = parseRecord(path, w)
-            r.full.isEmpty && r.constraints.isEmpty
+            r.full.isEmpty && r.constraints.isEmpty &&
+              // a concurrent rename/drop changes what our staged files'
+              // physical names MEAN — real conflict, re-run
+              r.colMap.isEmpty && r.colDrop.isEmpty
           }
           if (!compatible) throw e
           base = resolve(path, cur)
@@ -2246,16 +2565,21 @@ object TxLog {
     val base = snapshot(path, Some(expectedVersion))
     val schema = mergeSchemas(base.schema, df.schema)
     enforceConstraints(df, schema, base.constraints)
-    val (added, addStats) = writeDataFiles(df, path, base.partitionCols)
+    val (cmap, cmapChanged) =
+      extendColumnMap(base.columnMap, base.physTombstones, schema)
+    val (added, addStats) = writeDataFiles(df, path, base.partitionCols, cmap)
     publish(path, expectedVersion + 1, added, add = added,
       remove = base.files.sorted, Some(schema),
       info = ("OVERWRITE", Map.empty),
       fullTxns = base.txns, addStats = addStats,
       fullConstraints = base.constraints, fullStats = addStats,
       fullDvs = Map.empty, partCols = base.partitionCols,
-      removeParts = removePartsOf(base.stats, base.files), alerts = alerts)
+      removeParts = removePartsOf(base.stats, base.files),
+      colMap = if (cmapChanged) Some(cmap) else None,
+      fullColMaps = (cmap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, added, Some(schema), base.txns,
-      base.constraints, addStats, Map.empty, base.partitionCols)
+      base.constraints, addStats, Map.empty, base.partitionCols,
+      cmap, base.physTombstones)
   }
 
   /** The FIRST version whose clamped commit timestamp is at or after
@@ -2305,12 +2629,15 @@ object TxLog {
       case _ =>
         val schema = mergeSchemas(base.schema, df.schema)
         enforceConstraints(df, schema, base.constraints)
-        val (added, addStats) = writeDataFiles(df, path, base.partitionCols)
+        val (cmap, cmapChanged) =
+          extendColumnMap(base.columnMap, base.physTombstones, schema)
+        val (added, addStats) =
+          writeDataFiles(df, path, base.partitionCols, cmap)
         appendResolved(path, base, added, addStats, df.schema,
           txn = Some((appId, batchId)),
           info = ("STREAMING_APPEND",
             Map("appId" -> appId, "batchId" -> batchId.toString)),
-          alerts = alerts)
+          cmap = cmap, cmapChanged = cmapChanged, alerts = alerts)
     }
   }
 
@@ -2357,9 +2684,11 @@ object TxLog {
       info = ("ADD_CONSTRAINT", Map("name" -> name, "check" -> check)),
       fullTxns = base.txns, constraints = Some(cons),
       fullConstraints = cons, fullStats = base.stats,
-      fullDvs = base.dvs, partCols = base.partitionCols, alerts = alerts)
+      fullDvs = base.dvs, partCols = base.partitionCols,
+      fullColMaps = (base.columnMap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
-      base.stats, base.dvs, base.partitionCols)
+      base.stats, base.dvs, base.partitionCols, base.columnMap,
+      base.physTombstones)
   }
 
   /** Drop a named constraint — a metadata-only commit; later commits stop
@@ -2378,9 +2707,11 @@ object TxLog {
       base.schema, info = ("DROP_CONSTRAINT", Map("name" -> name)),
       fullTxns = base.txns, constraints = Some(cons),
       fullConstraints = cons, fullStats = base.stats,
-      fullDvs = base.dvs, partCols = base.partitionCols, alerts = alerts)
+      fullDvs = base.dvs, partCols = base.partitionCols,
+      fullColMaps = (base.columnMap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, base.files, base.schema, base.txns, cons,
-      base.stats, base.dvs, base.partitionCols)
+      base.stats, base.dvs, base.partitionCols, base.columnMap,
+      base.physTombstones)
   }
 
   /** OPTIMIZE: rewrite the files at or below `maxFileBytes` into
@@ -2413,7 +2744,8 @@ object TxLog {
     if (small.size < 2) return base
     // DV-aware materialization: a vectored small file compacts to its
     // LIVE rows and sheds its vector (compaction doubles as local purge)
-    val rows0 = readFilesWithDvs(spark, path, small, base.dvs)
+    val rows0 = readFilesWithDvs(spark, path, small, base.dvs,
+      columnMap = base.columnMap, tombstones = base.physTombstones)
     val rows =
       if (sortCols.isEmpty) rows0.coalesce(targetFiles)
       else rows0.repartitionByRange(targetFiles, sortCols.map(col): _*)
@@ -2422,7 +2754,8 @@ object TxLog {
     // On a partitioned table the staged partitionBy re-splits the
     // compacted rows partition-pure, so `targetFiles` becomes a
     // PER-PARTITION target — compaction never merges across partitions.
-    val (added, addStats) = writeDataFiles(rows, path, base.partitionCols)
+    val (added, addStats) =
+      writeDataFiles(rows, path, base.partitionCols, base.columnMap)
     val files = base.files.filterNot(small.contains) ++ added
     val smallSet = small.toSet
     val stats = base.stats.filterNot { case (f, _) => smallSet.contains(f) } ++
@@ -2438,9 +2771,11 @@ object TxLog {
       addStats = addStats, fullConstraints = base.constraints,
       fullStats = stats, fullDvs = dvsAfter,
       partCols = base.partitionCols,
-      removeParts = removePartsOf(base.stats, small), alerts = alerts)
+      removeParts = removePartsOf(base.stats, small),
+      fullColMaps = (base.columnMap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns,
-      base.constraints, stats, dvsAfter, base.partitionCols)
+      base.constraints, stats, dvsAfter, base.partitionCols,
+      base.columnMap, base.physTombstones)
   }
 
   /** RESTORE the table to the state it had at `toVersion` (the Delta
@@ -2514,9 +2849,15 @@ object TxLog {
       // partition columns are immutable, so base == target here always
       partCols = base.partitionCols,
       removeParts = removePartsOf(base.stats,
-        base.files.filterNot(tgtSet.contains)), alerts = alerts)
+        base.files.filterNot(tgtSet.contains)),
+      // column mapping rolls back WITH the data: the restored files'
+      // physical names mean what the target version said they meant
+      colMap = Some(target.columnMap), colDrop = Some(target.physTombstones),
+      fullColMaps = (target.columnMap, target.physTombstones),
+      alerts = alerts)
     Snapshot(expectedVersion + 1, target.files, target.schema, base.txns,
-      target.constraints, target.stats, target.dvs, base.partitionCols)
+      target.constraints, target.stats, target.dvs, base.partitionCols,
+      target.columnMap, target.physTombstones)
   }
 
   /** VACUUM: physically delete (a) version files older than the newest
@@ -2609,7 +2950,7 @@ object TxLog {
     val oldest = snaps.head
     writeCheckpointFile(path, oldest.version, oldest.files, oldest.schema,
       oldest.txns, oldest.constraints, oldest.stats, oldest.dvs,
-      oldest.partitionCols)
+      oldest.partitionCols, oldest.columnMap, oldest.physTombstones)
     val droppedVersions = dropping.map { v =>
       val f = versionFile(path, v)
       java.nio.file.Files.delete(f.toPath)
@@ -2718,7 +3059,9 @@ object TxLog {
     */
   private def touchedFileNames(spark: SparkSession, path: String,
       candidates: Seq[String], probe: DataFrame => DataFrame,
-      dvs: Map[String, String] = Map.empty): Set[String] =
+      dvs: Map[String, String] = Map.empty,
+      columnMap: Map[String, String] = Map.empty,
+      tombstones: Set[String] = Set.empty): Set[String] =
     if (candidates.isEmpty) Set.empty
     else {
       // DV-aware: rows a deletion vector already killed must not mark a
@@ -2728,7 +3071,8 @@ object TxLog {
       // two file sources, which the DV anti-join introduces.
       val present = candidates.toSet
       val active = dvs.filter { case (f, _) => present.contains(f) }
-      val base = readFilesMeta(spark, path, candidates, mergeSchema = false)
+      val base = readFilesMeta(spark, path, candidates, mergeSchema = false,
+        columnMap = columnMap, tombstones = tombstones)
       val live =
         if (active.isEmpty) base
         else base.join(broadcast(dvRowsDf(spark, path, active)),
@@ -2776,11 +3120,13 @@ object TxLog {
     * bounds) stay.
     */
   private def logStatsPrune(snap: Snapshot, c: String, lo: Long,
-      hi: Long): Seq[String] =
+      hi: Long): Seq[String] = {
+    val pc = snap.columnMap.getOrElse(c, c) // stats are physical-keyed
     snap.files.filterNot { f =>
-      snap.stats.get(f).flatMap(_.cols.get(c)).exists(cs =>
+      snap.stats.get(f).flatMap(_.cols.get(pc)).exists(cs =>
         cs.typ == "l" && (cs.max.exists(_ < lo) || cs.min.exists(_ > hi)))
     }
+  }
 
   /** The snapshot's files that CAN contain a row with canonical(`c`) ∈
     * [lo, hi] — log-native data skipping (Delta stats-pruning shape):
@@ -2795,8 +3141,11 @@ object TxLog {
   def statsPrunedFilesCanonical(path: String, c: String, lo: Long, hi: Long,
       asOf: Option[Long] = None): (Seq[String], Int) = {
     val snap = snapshot(path, asOf)
+    // per-file stats are keyed by the PHYSICAL column name (what the
+    // files store); callers speak logical
+    val pc = snap.columnMap.getOrElse(c, c)
     val kept = snap.files.filterNot { f =>
-      snap.stats.get(f).flatMap(_.cols.get(c)).exists(cs =>
+      snap.stats.get(f).flatMap(_.cols.get(pc)).exists(cs =>
         cs.max.exists(_ < lo) || cs.min.exists(_ > hi))
     }
     (kept, snap.files.size)
@@ -2817,7 +3166,8 @@ object TxLog {
       case None => read(spark, path, asOf).filter(lit(false))
     }
     else alignToRecordedSchema(
-      readFilesWithDvs(spark, path, kept, snap.dvs), snap)
+      readFilesWithDvs(spark, path, kept, snap.dvs,
+        columnMap = snap.columnMap, tombstones = snap.physTombstones), snap)
   }
 
   /** [lo, hi] of integral column `c` over the (batch-scale) `keys` frame,
@@ -2863,21 +3213,26 @@ object TxLog {
         case None => base.files
       }
     val touched = touchedFileNames(spark, path, candidates,
-      _.join(k, nk, "left_semi"), base.dvs)
+      _.join(k, nk, "left_semi"), base.dvs, base.columnMap,
+      base.physTombstones)
     val untouched = base.files.filterNot(touched.contains)
     val schema = mergeSchemas(base.schema, newData.schema)
     enforceConstraints(newData, schema, base.constraints)
+    val (cmap, cmapChanged) =
+      extendColumnMap(base.columnMap, base.physTombstones, schema)
     val (rewritten, rewrittenStats) =
       if (touched.isEmpty) (Nil, Map.empty[String, FileStats])
       else {
         val survivors =
           readFilesWithDvs(spark, path, touched.toSeq, base.dvs,
-            mergeSchema = false)
+            mergeSchema = false, columnMap = base.columnMap,
+            tombstones = base.physTombstones)
             .join(k, nk, "left_anti")
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
-        else writeDataFiles(survivors, path, base.partitionCols)
+        else writeDataFiles(survivors, path, base.partitionCols, cmap)
       }
-    val (added, addedStats) = writeDataFiles(newData, path, base.partitionCols)
+    val (added, addedStats) =
+      writeDataFiles(newData, path, base.partitionCols, cmap)
     val files = untouched ++ rewritten ++ added
     val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
       rewrittenStats ++ addedStats
@@ -2888,9 +3243,12 @@ object TxLog {
       fullTxns = base.txns, addStats = rewrittenStats ++ addedStats,
       fullConstraints = base.constraints, fullStats = stats,
       fullDvs = dvsAfter, partCols = base.partitionCols,
-      removeParts = removePartsOf(base.stats, touched.toSeq), alerts = alerts)
+      removeParts = removePartsOf(base.stats, touched.toSeq),
+      colMap = if (cmapChanged) Some(cmap) else None,
+      fullColMaps = (cmap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
-      base.constraints, stats, dvsAfter, base.partitionCols)
+      base.constraints, stats, dvsAfter, base.partitionCols,
+      cmap, base.physTombstones)
   }
 
   /** Delete matching rows: only files CONTAINING matches are rewritten
@@ -2919,7 +3277,7 @@ object TxLog {
       case None => base.files
     }
     val touched = touchedFileNames(spark, path, candidates, _.filter(cond),
-      base.dvs)
+      base.dvs, base.columnMap, base.physTombstones)
     val untouched = base.files.filterNot(touched.contains)
     val (rewritten, rewrittenStats) =
       if (touched.isEmpty) (Nil, Map.empty[String, FileStats])
@@ -2931,10 +3289,12 @@ object TxLog {
         // soft-deleted rows must not resurrect into the rewrite.
         val survivors =
           readFilesWithDvs(spark, path, touched.toSeq, base.dvs,
-            mergeSchema = false)
+            mergeSchema = false, columnMap = base.columnMap,
+            tombstones = base.physTombstones)
             .filter(!coalesce(cond, lit(false)))
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
-        else writeDataFiles(survivors, path, base.partitionCols)
+        else writeDataFiles(survivors, path, base.partitionCols,
+          base.columnMap)
       }
     // no enforcement: survivors are existing rows that already passed
     val stats = base.stats.filterNot { case (f, _) => touched.contains(f) } ++
@@ -2946,9 +3306,11 @@ object TxLog {
       fullTxns = base.txns, addStats = rewrittenStats,
       fullConstraints = base.constraints, fullStats = stats,
       fullDvs = dvsAfter, partCols = base.partitionCols,
-      removeParts = removePartsOf(base.stats, touched.toSeq), alerts = alerts)
+      removeParts = removePartsOf(base.stats, touched.toSeq),
+      fullColMaps = (base.columnMap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, untouched ++ rewritten, base.schema,
-      base.txns, base.constraints, stats, dvsAfter, base.partitionCols)
+      base.txns, base.constraints, stats, dvsAfter, base.partitionCols,
+      base.columnMap, base.physTombstones)
   }
 
   // --- deletion vectors (soft deletes) --------------------------------------
@@ -2986,7 +3348,8 @@ object TxLog {
       else {
         val active = base.dvs.filter { case (f, _) =>
           base.files.contains(f) }
-        val live0 = readFilesMeta(spark, path, base.files)
+        val live0 = readFilesMeta(spark, path, base.files,
+          columnMap = base.columnMap, tombstones = base.physTombstones)
         val live =
           if (active.isEmpty) live0
           else live0.join(broadcast(dvRowsDf(spark, path, active)),
@@ -3008,9 +3371,11 @@ object TxLog {
           fullTxns = base.txns,
           fullConstraints = base.constraints, fullStats = base.stats,
           fullDvs = base.dvs, partCols = base.partitionCols,
+          fullColMaps = (base.columnMap, base.physTombstones),
           alerts = alerts)
         Snapshot(expectedVersion + 1, base.files, base.schema, base.txns,
-          base.constraints, base.stats, base.dvs, base.partitionCols)
+          base.constraints, base.stats, base.dvs, base.partitionCols,
+          base.columnMap, base.physTombstones)
       } else {
         // per-file REPLACEMENT: the new DV file carries old ∪ new rows
         // for every touched file (old rows of untouched files stay in
@@ -3032,10 +3397,12 @@ object TxLog {
           fullTxns = base.txns,
           fullConstraints = base.constraints, fullStats = base.stats,
           dvs = entries, fullDvs = dvsAfter,
-          partCols = base.partitionCols, alerts = alerts)
+          partCols = base.partitionCols,
+          fullColMaps = (base.columnMap, base.physTombstones),
+          alerts = alerts)
         val snap = Snapshot(expectedVersion + 1, base.files, base.schema,
           base.txns, base.constraints, base.stats, dvsAfter,
-          base.partitionCols)
+          base.partitionCols, base.columnMap, base.physTombstones)
         alertDvCardinality(spark, path, snap, alerts)
         snap
       }
@@ -3089,10 +3456,12 @@ object TxLog {
     val base = snapshot(path, Some(expectedVersion))
     val dvd = base.files.filter(base.dvs.contains).sorted
     if (dvd.isEmpty) return base
-    val survivors = readFilesWithDvs(spark, path, dvd, base.dvs)
+    val survivors = readFilesWithDvs(spark, path, dvd, base.dvs,
+      columnMap = base.columnMap, tombstones = base.physTombstones)
     val (rewritten, rewrittenStats) =
       if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
-      else writeDataFiles(survivors, path, base.partitionCols)
+      else writeDataFiles(survivors, path, base.partitionCols,
+        base.columnMap)
     val dvdSet = dvd.toSet
     val files = base.files.filterNot(dvdSet.contains) ++ rewritten
     val stats = base.stats.filterNot { case (f, _) => dvdSet.contains(f) } ++
@@ -3102,9 +3471,11 @@ object TxLog {
       fullTxns = base.txns, addStats = rewrittenStats,
       fullConstraints = base.constraints, fullStats = stats,
       fullDvs = Map.empty, partCols = base.partitionCols,
-      removeParts = removePartsOf(base.stats, dvd), alerts = alerts)
+      removeParts = removePartsOf(base.stats, dvd),
+      fullColMaps = (base.columnMap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, files, base.schema, base.txns,
-      base.constraints, stats, Map.empty, base.partitionCols)
+      base.constraints, stats, Map.empty, base.partitionCols,
+      base.columnMap, base.physTombstones)
   }
 
   /** The shared DV-write core of [[updateWhereDV]] and
@@ -3125,6 +3496,8 @@ object TxLog {
     val expectedVersion = base.version
     val schema = mergeSchemas(base.schema, newData.schema)
     enforceConstraints(newData, schema, base.constraints)
+    val (cmap, cmapChanged) =
+      extendColumnMap(base.columnMap, base.physTombstones, schema)
     val touched = hits.select("file").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val (entries, dvsAfter) =
@@ -3143,7 +3516,7 @@ object TxLog {
       }
     val (added, addStats) =
       if (newData.isEmpty) (Nil, Map.empty[String, FileStats])
-      else writeDataFiles(newData, path, base.partitionCols)
+      else writeDataFiles(newData, path, base.partitionCols, cmap)
     val files = base.files ++ added
     val stats = base.stats ++ addStats
     publish(path, expectedVersion + 1, files, add = added, remove = Nil,
@@ -3151,9 +3524,12 @@ object TxLog {
       fullTxns = base.txns, addStats = addStats,
       fullConstraints = base.constraints, fullStats = stats,
       dvs = entries, fullDvs = dvsAfter,
-      partCols = base.partitionCols, alerts = alerts)
+      partCols = base.partitionCols,
+      colMap = if (cmapChanged) Some(cmap) else None,
+      fullColMaps = (cmap, base.physTombstones), alerts = alerts)
     val snap = Snapshot(expectedVersion + 1, files, Some(schema), base.txns,
-      base.constraints, stats, dvsAfter, base.partitionCols)
+      base.constraints, stats, dvsAfter, base.partitionCols,
+      cmap, base.physTombstones)
     alertDvCardinality(spark, path, snap, alerts)
     snap
   }
@@ -3164,7 +3540,8 @@ object TxLog {
   private def liveRowsMeta(spark: SparkSession, path: String,
       base: Snapshot): DataFrame = {
     val active = base.dvs.filter { case (f, _) => base.files.contains(f) }
-    val live0 = readFilesMeta(spark, path, base.files)
+    val live0 = readFilesMeta(spark, path, base.files,
+      columnMap = base.columnMap, tombstones = base.physTombstones)
     if (active.isEmpty) live0
     else live0.join(broadcast(dvRowsDf(spark, path, active)),
       col(MetaFileCol) === col(DvFileCol) &&
@@ -3195,10 +3572,12 @@ object TxLog {
         base.schema, info = ("UPDATE_DV", Map("predicate" -> cond.toString)),
         fullTxns = base.txns, fullConstraints = base.constraints,
         fullStats = base.stats, fullDvs = base.dvs,
-        partCols = base.partitionCols, alerts = alerts)
+        partCols = base.partitionCols,
+        fullColMaps = (base.columnMap, base.physTombstones),
+        alerts = alerts)
       return Snapshot(expectedVersion + 1, base.files, base.schema,
         base.txns, base.constraints, base.stats, base.dvs,
-        base.partitionCols)
+        base.partitionCols, base.columnMap, base.physTombstones)
     }
     val matched = liveRowsMeta(spark, path, base)
       .filter(coalesce(cond, lit(false))).persist()
@@ -3459,7 +3838,8 @@ object TxLog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         snap.schema.get)
     else alignToRecordedSchema(
-      readFilesWithDvs(spark, path, matching, snap.dvs), snap)
+      readFilesWithDvs(spark, path, matching, snap.dvs,
+        columnMap = snap.columnMap, tombstones = snap.physTombstones), snap)
   }
 
   /** DELETE whole partitions METADATA-ONLY (the Delta fast path for a
@@ -3487,9 +3867,11 @@ object TxLog {
       fullTxns = base.txns,
       fullConstraints = base.constraints, fullStats = stats,
       fullDvs = dvsAfter, partCols = base.partitionCols,
-      removeParts = removePartsOf(base.stats, matching), alerts = alerts)
+      removeParts = removePartsOf(base.stats, matching),
+      fullColMaps = (base.columnMap, base.physTombstones), alerts = alerts)
     Snapshot(expectedVersion + 1, rest, base.schema, base.txns,
-      base.constraints, stats, dvsAfter, base.partitionCols)
+      base.constraints, stats, dvsAfter, base.partitionCols,
+      base.columnMap, base.physTombstones)
   }
 
   /** OVERWRITE only the partitions matching `cond` with `newData` — the
@@ -3517,6 +3899,8 @@ object TxLog {
     try {
       val schema = mergeSchemas(base.schema, newData.schema)
       enforceConstraints(newData, schema, base.constraints)
+      val (cmap, cmapChanged) =
+        extendColumnMap(base.columnMap, base.physTombstones, schema)
       val violRow = newData.agg(
         sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L)).as("v")).head()
       val viol = if (violRow.isNullAt(0)) 0L else violRow.getLong(0)
@@ -3525,7 +3909,8 @@ object TxLog {
           s"data fall OUTSIDE the predicate ($cond) - they would survive a " +
           "re-run's remove and silently duplicate; constrain the data or " +
           "widen the predicate")
-      val (added, addStats) = writeDataFiles(newData, path, base.partitionCols)
+      val (added, addStats) =
+        writeDataFiles(newData, path, base.partitionCols, cmap)
       val matchSet = matching.toSet
       // RECONCILE losses of the version race when the interleaved commits
       // never touched OUR partitions (the Delta conflict-checker shape —
@@ -3553,10 +3938,12 @@ object TxLog {
             fullConstraints = curBase.constraints, fullStats = stats,
             fullDvs = dvsAfter, partCols = curBase.partitionCols,
             removeParts = removePartsOf(curBase.stats, matching),
+            colMap = if (cmapChanged) Some(cmap) else None,
+            fullColMaps = (cmap, curBase.physTombstones),
             alerts = alerts)
           out = Snapshot(curBase.version + 1, rest ++ added, Some(schema),
             curBase.txns, curBase.constraints, stats, dvsAfter,
-            curBase.partitionCols)
+            curBase.partitionCols, cmap, curBase.physTombstones)
         } catch {
           case e: ConflictException =>
             reconciles += 1
@@ -3565,6 +3952,7 @@ object TxLog {
             val compatible = (curBase.version + 1 to cur).forall { w =>
               val r = parseRecord(path, w)
               r.full.isEmpty && r.constraints.isEmpty &&
+                r.colMap.isEmpty && r.colDrop.isEmpty &&
                 r.remove.forall(f => !matchSet.contains(f)) &&
                 r.dvs.keys.forall(f => !matchSet.contains(f)) && {
                   val addTuples = r.add.map(f =>
@@ -3645,9 +4033,16 @@ object TxLog {
       constraints = Some(snap.constraints),
       fullConstraints = snap.constraints, fullStats = stats,
       dvs = activeDvs.map { case (f, dv) => f -> (Some(dv): Option[String]) },
-      fullDvs = activeDvs, partCols = snap.partitionCols, alerts = alerts)
+      fullDvs = activeDvs, partCols = snap.partitionCols,
+      // the clone's fresh log must RECORD the source's column mapping:
+      // the linked files carry physical names only the map explains
+      colMap = if (snap.columnMap.isEmpty) None else Some(snap.columnMap),
+      colDrop =
+        if (snap.physTombstones.isEmpty) None else Some(snap.physTombstones),
+      fullColMaps = (snap.columnMap, snap.physTombstones), alerts = alerts)
     Snapshot(0L, snap.files, snap.schema, Map.empty, snap.constraints,
-      stats, activeDvs, snap.partitionCols)
+      stats, activeDvs, snap.partitionCols, snap.columnMap,
+      snap.physTombstones)
   }
 
   /** Stage and move a single deletion-vector sidecar holding `rows`

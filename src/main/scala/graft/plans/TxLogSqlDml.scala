@@ -368,6 +368,64 @@ case class GraftTxLogAddColumnsCommand(ident: TableIdentifier,
   }
 }
 
+/** `ALTER TABLE t RENAME COLUMN a TO b` — parser-intercepted (analysis
+  * refuses the native node for V1 tables; see [[TxLogSqlDml]]), routed to
+  * the metadata-only `TxLog.renameColumn` (column mapping), with the
+  * catalog schema re-pinned so the next SELECT resolves the new name.
+  */
+case class GraftTxLogRenameColumnCommand(nameParts: Seq[String],
+    from: String, to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ident, path) = TxLogDmlExec.resolveTxLogTable(spark, nameParts,
+      "ALTER TABLE ... RENAME COLUMN")
+    val snap = TxLog.commitWithRetry(path)(v =>
+      TxLog.renameColumn(path, from, to, v))
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(ident)
+    // alterTable, not alterTableDataSchema: the latter refuses renames
+    // and drops outright ("We don't support dropping columns yet")
+    catalog.alterTable(meta.copy(schema =
+      graft.streaming.TxLogRelation.asNullableSchema(StructType(
+        meta.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)))))
+    TxLogDmlExec.refresh(spark, path)
+    Seq(Row(snap.version))
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN(S) ...` — parser-intercepted twin, routed
+  * to the metadata-only `TxLog.dropColumn` (tombstoned physical name:
+  * old values can never resurrect into a re-added column).
+  */
+case class GraftTxLogDropColumnsCommand(nameParts: Seq[String],
+    cols: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ident, path) = TxLogDmlExec.resolveTxLogTable(spark, nameParts,
+      "ALTER TABLE ... DROP COLUMN")
+    var version = TxLog.currentVersion(path).get
+    cols.foreach { c =>
+      val present = TxLog.snapshot(path).schema
+        .exists(_.fieldNames.contains(c))
+      if (present)
+        version = TxLog.commitWithRetry(path)(v =>
+          TxLog.dropColumn(path, c, v)).version
+      else if (!ifExists) throw new IllegalArgumentException(
+        s"ALTER TABLE ... DROP COLUMN: no column '$c' on $path")
+    }
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(ident)
+    catalog.alterTable(meta.copy(schema =
+      graft.streaming.TxLogRelation.asNullableSchema(StructType(
+        meta.schema.fields.filterNot(f => cols.contains(f.name))))))
+    TxLogDmlExec.refresh(spark, path)
+    Seq(Row(version))
+  }
+}
+
 /** `ALTER TABLE t ADD CONSTRAINT name CHECK (...)` — parser-intercepted
   * (see [[TxLogSqlDml]]: the analyzer refuses the native node for V1
   * tables before any injectable rule runs). Run-time verifies the target
@@ -488,6 +546,32 @@ class GraftSqlParser(
 
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
+      // RENAME/DROP COLUMN refuse during ANALYSIS for V1 tables (same
+      // class as the constraint DDL — probed; no injectable rule runs
+      // first), so they ride the parser too
+      case r: RenameColumn =>
+        r.table match {
+          case u: UnresolvedTable if r.column.name.length == 1 =>
+            GraftTxLogRenameColumnCommand(u.multipartIdentifier,
+              r.column.name.head, r.newName)
+          case _: UnresolvedTable =>
+            throw new IllegalArgumentException(
+              "graft-txlog: RENAME COLUMN on a nested field is not " +
+                "supported - only top-level columns map")
+          case _ => r
+        }
+      case d: DropColumns =>
+        d.table match {
+          case u: UnresolvedTable
+              if d.columnsToDrop.forall(_.name.length == 1) =>
+            GraftTxLogDropColumnsCommand(u.multipartIdentifier,
+              d.columnsToDrop.map(_.name.head), d.ifExists)
+          case _: UnresolvedTable =>
+            throw new IllegalArgumentException(
+              "graft-txlog: DROP COLUMN on a nested field is not " +
+                "supported - only top-level columns map")
+          case _ => d
+        }
       case a: AddCheckConstraint =>
         val ident = a.child.collectFirst {
           case u: UnresolvedRelation => u.multipartIdentifier

@@ -374,6 +374,33 @@ object GraftProcedureCatalog {
       }
     },
 
+    new Proc("rename_column",
+      "metadata-only column RENAME (column mapping - zero data rewrite); " +
+        "refuses partition and constraint-referenced columns",
+      Seq(in("path", StringType), in("from", StringType),
+        in("to", StringType)), versionOut) {
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val path = a.getString(0).toString
+        val snap = TxLog.commitWithRetry(path)(v =>
+          TxLog.renameColumn(path, a.getString(1).toString,
+            a.getString(2).toString, v))
+        Seq(row(snap.version))
+      }
+    },
+
+    new Proc("drop_column",
+      "metadata-only column DROP (physical name tombstoned - a re-added " +
+        "same-named column reads NULL for old rows, never the dropped " +
+        "values)",
+      Seq(in("path", StringType), in("name", StringType)), versionOut) {
+      def run(a: InternalRow, s: SparkSession): Seq[InternalRow] = {
+        val path = a.getString(0).toString
+        val snap = TxLog.commitWithRetry(path)(v =>
+          TxLog.dropColumn(path, a.getString(1).toString, v))
+        Seq(row(snap.version))
+      }
+    },
+
     new Proc("add_constraint",
       "add a named CHECK constraint (existing rows must already satisfy it)",
       Seq(in("path", StringType), in("name", StringType),

@@ -146,7 +146,13 @@ object TxLogRelation {
     // zero-overhead plan.
     val timeTraveled = parameters.contains(VersionAsOfKey) ||
       parameters.contains(TimestampAsOfKey)
-    if (active.nonEmpty || catalogSchema.isDefined)
+    // an ACTIVE column mapping means the files' physical names diverge
+    // from the served logical schema — the native HadoopFsRelation would
+    // silently null-fill renamed columns; the placeholder's expansion
+    // (TxLog.read) logicalizes correctly
+    val mappingActive = snap.physTombstones.nonEmpty ||
+      snap.columnMap.exists { case (l, p) => l != p }
+    if (active.nonEmpty || catalogSchema.isDefined || mappingActive)
       TxLogDvRelation(path, version, served, timeTraveled)(spark)
     else {
       val index = new InMemoryFileIndex(spark,

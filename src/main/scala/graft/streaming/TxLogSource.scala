@@ -497,6 +497,20 @@ abstract class TxLogVersionedSource(
     startingVersion: Long,
     maxBytesPerTrigger: Option[Long] = None) extends Source {
 
+  // CONSTRUCTION-TIME column-mapping refusal (the per-batch schema
+  // contract re-checks for mid-stream activation): streaming batches
+  // read data files directly with the pinned LOGICAL schema — an active
+  // mapping's physical names would silently null-fill renamed columns.
+  locally {
+    val head = TxLog.snapshot(tablePath)
+    require(head.physTombstones.isEmpty &&
+      !head.columnMap.exists { case (l, p) => l != p },
+      s"graft-txlog source: the table at $tablePath has an ACTIVE column " +
+        "mapping (renamed/dropped columns) - streaming sources read data " +
+        "files directly and cannot apply the logical→physical mapping; " +
+        "consume mapped tables through batch reads")
+  }
+
   /** Batch covering committed versions `(from, to]`, both bounds resolved. */
   protected def batchFor(fromExclusive: Long, toInclusive: Long): DataFrame
 
@@ -600,7 +614,24 @@ abstract class TxLogVersionedSource(
     * loses nothing.
     */
   protected final def checkSchemaPinned(toInclusive: Long): Unit = {
-    val logSchema = TxLog.snapshot(tablePath, Some(toInclusive)).schema
+    val snap = TxLog.snapshot(tablePath, Some(toInclusive))
+    // COLUMN MAPPING refusal: the streaming sources read batch files
+    // directly with the pinned LOGICAL schema — under an active mapping
+    // (a rename/drop happened) the files' physical names diverge and the
+    // user-schema read would silently null-fill every renamed column.
+    // Same restart-shaped contract as the widen refusal, except batch
+    // consumption of mapped tables goes through TxLog.read/the batch
+    // format (which logicalize); streams require a mapping-free table.
+    val mappingActive = snap.physTombstones.nonEmpty ||
+      snap.columnMap.exists { case (l, p) => l != p }
+    if (mappingActive) throw new IllegalStateException(
+      s"graft-txlog source: the table at $tablePath has an ACTIVE column " +
+        s"mapping (renamed/dropped columns) at version $toInclusive - " +
+        "streaming sources read data files directly and cannot apply the " +
+        "logical→physical mapping; consume mapped tables through batch " +
+        "reads (TxLog.read / the graft-txlog batch format), or purge the " +
+        "mapping by rewriting into a fresh table (cloneTable + overwrite)")
+    val logSchema = snap.schema
     logSchema.foreach { s =>
       val pinned = pinnedSchema.fields.map(f => f.name -> f.dataType).toMap
       val added = s.fields.filterNot(f => pinned.contains(f.name))
