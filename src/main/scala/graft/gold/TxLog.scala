@@ -1423,13 +1423,18 @@ object TxLog {
   private def readFilesMeta(spark: SparkSession, path: String,
       files: Seq[String], mergeSchema: Boolean = true,
       columnMap: Map[String, String] = Map.empty,
-      tombstones: Set[String] = Set.empty): DataFrame =
+      tombstones: Set[String] = Set.empty,
+      explicitSchema: Option[StructType] = None): DataFrame = {
+    val reader = explicitSchema match {
+      case Some(sch) => spark.read.schema(sch)
+      case None => spark.read.option("mergeSchema", mergeSchema.toString)
+    }
     logicalizeRead(
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(files.map(f => s"$path/$f"): _*)
+      reader.parquet(files.map(f => s"$path/$f"): _*)
         .withColumn(MetaFileCol, col("_metadata.file_name"))
         .withColumn(MetaRiCol, col("_metadata.row_index")),
       columnMap, tombstones)
+  }
 
   /** DV-aware load of snapshot `files`: the plain distributed parquet
     * scan when none of them carries a deletion vector (the common case —
@@ -1444,16 +1449,21 @@ object TxLog {
       files: Seq[String], dvs: Map[String, String],
       mergeSchema: Boolean = true,
       columnMap: Map[String, String] = Map.empty,
-      tombstones: Set[String] = Set.empty): DataFrame = {
+      tombstones: Set[String] = Set.empty,
+      explicitSchema: Option[StructType] = None): DataFrame = {
     val present = files.toSet
     val active = dvs.filter { case (f, _) => present.contains(f) }
-    if (active.isEmpty)
+    if (active.isEmpty) {
+      val reader = explicitSchema match {
+        case Some(sch) => spark.read.schema(sch)
+        case None => spark.read.option("mergeSchema", mergeSchema.toString)
+      }
       logicalizeRead(
-        spark.read.option("mergeSchema", mergeSchema.toString)
-          .parquet(files.map(f => s"$path/$f"): _*),
+        reader.parquet(files.map(f => s"$path/$f"): _*),
         columnMap, tombstones)
-    else
-      readFilesMeta(spark, path, files, mergeSchema, columnMap, tombstones)
+    } else
+      readFilesMeta(spark, path, files, mergeSchema, columnMap, tombstones,
+        explicitSchema)
         .join(broadcast(dvRowsDf(spark, path, active)),
           col(MetaFileCol) === col(DvFileCol) &&
             col(MetaRiCol) === col(DvRiCol), "left_anti")
@@ -2155,6 +2165,34 @@ object TxLog {
     if (columnMap.isEmpty) df
     else df.select(df.columns.map(c =>
       col(c).as(columnMap.getOrElse(c, c))): _*)
+
+  /** The recorded schema in PHYSICAL column names, all-nullable — the
+    * explicit read schema for WRITER-INTERNAL probe/survivor reads.
+    * Footer-schema reads are wrong there in both directions: merging
+    * (mergeSchema=true) refuses int→long widened re-declares that
+    * parquet type widening reads fine (round-12 gotcha), and
+    * single-footer sampling (mergeSchema=false) silently DROPS columns
+    * the sampled file predates — a survivor rewrite after a widening
+    * append would lose the new column's values in rewritten files (REAL
+    * latent bug, caught by the round-14 column-mapping property fuzz).
+    * An explicit schema null-fills missing columns and type-widens old
+    * ones, which is exactly what the rows MEAN in the table.
+    */
+  private def physicalReadSchema(snap: Snapshot): Option[StructType] =
+    snap.schema.map { sch =>
+      def nullable(d: DataType): DataType = d match {
+        case st: StructType => StructType(st.fields.map(f =>
+          f.copy(dataType = nullable(f.dataType), nullable = true)))
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          org.apache.spark.sql.types.ArrayType(nullable(et), true)
+        case org.apache.spark.sql.types.MapType(k, v, _) =>
+          org.apache.spark.sql.types.MapType(nullable(k), nullable(v), true)
+        case other => other
+      }
+      StructType(sch.fields.map(f => f.copy(
+        name = snap.columnMap.getOrElse(f.name, f.name),
+        dataType = nullable(f.dataType), nullable = true)))
+    }
 
   /** Rename a PHYSICAL frame (a file read) back to logical names and
     * project out dropped columns' tombstoned physicals — the read half of
@@ -3061,7 +3099,8 @@ object TxLog {
       candidates: Seq[String], probe: DataFrame => DataFrame,
       dvs: Map[String, String] = Map.empty,
       columnMap: Map[String, String] = Map.empty,
-      tombstones: Set[String] = Set.empty): Set[String] =
+      tombstones: Set[String] = Set.empty,
+      explicitSchema: Option[StructType] = None): Set[String] =
     if (candidates.isEmpty) Set.empty
     else {
       // DV-aware: rows a deletion vector already killed must not mark a
@@ -3072,7 +3111,8 @@ object TxLog {
       val present = candidates.toSet
       val active = dvs.filter { case (f, _) => present.contains(f) }
       val base = readFilesMeta(spark, path, candidates, mergeSchema = false,
-        columnMap = columnMap, tombstones = tombstones)
+        columnMap = columnMap, tombstones = tombstones,
+        explicitSchema = explicitSchema)
       val live =
         if (active.isEmpty) base
         else base.join(broadcast(dvRowsDf(spark, path, active)),
@@ -3214,7 +3254,7 @@ object TxLog {
       }
     val touched = touchedFileNames(spark, path, candidates,
       _.join(k, nk, "left_semi"), base.dvs, base.columnMap,
-      base.physTombstones)
+      base.physTombstones, physicalReadSchema(base))
     val untouched = base.files.filterNot(touched.contains)
     val schema = mergeSchemas(base.schema, newData.schema)
     enforceConstraints(newData, schema, base.constraints)
@@ -3226,7 +3266,8 @@ object TxLog {
         val survivors =
           readFilesWithDvs(spark, path, touched.toSeq, base.dvs,
             mergeSchema = false, columnMap = base.columnMap,
-            tombstones = base.physTombstones)
+            tombstones = base.physTombstones,
+            explicitSchema = physicalReadSchema(base))
             .join(k, nk, "left_anti")
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
         else writeDataFiles(survivors, path, base.partitionCols, cmap)
@@ -3277,7 +3318,8 @@ object TxLog {
       case None => base.files
     }
     val touched = touchedFileNames(spark, path, candidates, _.filter(cond),
-      base.dvs, base.columnMap, base.physTombstones)
+      base.dvs, base.columnMap, base.physTombstones,
+      physicalReadSchema(base))
     val untouched = base.files.filterNot(touched.contains)
     val (rewritten, rewrittenStats) =
       if (touched.isEmpty) (Nil, Map.empty[String, FileStats])
@@ -3290,7 +3332,8 @@ object TxLog {
         val survivors =
           readFilesWithDvs(spark, path, touched.toSeq, base.dvs,
             mergeSchema = false, columnMap = base.columnMap,
-            tombstones = base.physTombstones)
+            tombstones = base.physTombstones,
+            explicitSchema = physicalReadSchema(base))
             .filter(!coalesce(cond, lit(false)))
         if (survivors.isEmpty) (Nil, Map.empty[String, FileStats])
         else writeDataFiles(survivors, path, base.partitionCols,

@@ -170,6 +170,98 @@ class TxLogColumnMappingSpec extends SparkSpecBase {
       .columns should contain("amount")
   }
 
+  test("column-mapping property fuzz: random rename/drop/re-add/append/" +
+      "delete/compact histories stay model-exact (resurrect guard " +
+      "randomized)") {
+    // driver-side model: rows as id -> (logical column -> value); the
+    // lottery renames, drops (values become unreachable FOREVER), re-adds
+    // previously-used names (must read NULL - the resurrect guard),
+    // appends under the CURRENT schema, row-deletes, and compacts.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729L)
+      val path = freshPath()
+      var cols = Vector("c0", "c1", "c2") // + id, always present
+      var usedNames = cols.toSet
+      var rows = scala.collection.mutable.LinkedHashMap[Long, Map[String, Long]]()
+      var nextId = 0L
+      def valueOf(id: Long, c: String): Long = id * 31 + c.hashCode % 1000
+      def freshRows(n: Int): Seq[(Long, Map[String, Long])] =
+        (0 until n).map { _ =>
+          val id = nextId; nextId += 1
+          id -> cols.map(c => c -> valueOf(id, c)).toMap
+        }
+      def dfOf(rs: Seq[(Long, Map[String, Long])]) = {
+        val schema = StructType(StructField("id", LongType, false) +:
+          cols.map(c => StructField(c, LongType, true)))
+        val jr = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        rs.foreach { case (id, m) =>
+          jr.add(org.apache.spark.sql.Row.fromSeq(
+            id +: cols.map(c => m(c): java.lang.Long)))
+        }
+        spark.createDataFrame(jr, schema)
+      }
+      val first = freshRows(30)
+      first.foreach { case (id, m) => rows += id -> m }
+      TxLog.init(dfOf(first).repartition(2), path)
+      var v = 0L
+      for (_ <- 1 to 10) {
+        rnd.nextInt(6) match {
+          case 0 => // append under the current schema
+            val add = freshRows(5 + rnd.nextInt(10))
+            add.foreach { case (id, m) => rows += id -> m }
+            TxLog.append(dfOf(add), path, v)
+          case 1 if cols.nonEmpty => // rename
+            val from = cols(rnd.nextInt(cols.size))
+            val to = s"r${usedNames.size}_$from"
+            usedNames += to
+            TxLog.renameColumn(path, from, to, v)
+            cols = cols.map(c => if (c == from) to else c)
+            rows = rows.map { case (id, m) =>
+              id -> m.map { case (c, x) => (if (c == from) to else c, x) }
+            }
+          case 2 if cols.size > 1 => // drop: values gone forever
+            val victim = cols(rnd.nextInt(cols.size))
+            TxLog.dropColumn(path, victim, v)
+            cols = cols.filterNot(_ == victim)
+            rows = rows.map { case (id, m) => id -> (m - victim) }
+          case 3 => // re-add a USED name half the time (the leak case)
+            val used = (usedNames -- cols).toSeq.sorted
+            val name =
+              if (used.nonEmpty && rnd.nextBoolean()) used(rnd.nextInt(used.size))
+              else { val n = s"n${usedNames.size}"; n }
+            usedNames += name
+            TxLog.addColumn(spark, path, name, LongType, v)
+            cols = cols :+ name // NULL everywhere until appends fill it
+          case 4 => // row delete over a live column (or id)
+            val k = 2 + rnd.nextInt(4)
+            TxLog.deleteWhere(spark, path, col("id") % k === 0L, v)
+            rows = rows.filterNot(_._1 % k == 0L)
+          case _ =>
+            TxLog.compact(spark, path, v)
+        }
+        v = TxLog.currentVersion(path).get
+        val got = TxLog.read(spark, path)
+        withClue(s"seed=$seed v=$v cols=$cols: ") {
+          // set equality: footer-merge order after drop/re-add cycles is
+          // not the recorded order (align only APPENDS missing columns)
+          got.columns.toSet shouldBe ("id" +: cols).toSet
+          val idIdx = got.columns.indexOf("id")
+          val colIdx = cols.map(c => c -> got.columns.indexOf(c))
+          val collected = got.collect().map { r =>
+            r.getLong(idIdx) -> colIdx.flatMap { case (c, i) =>
+              if (r.isNullAt(i)) None else Some(c -> r.getLong(i))
+            }.toMap
+          }.toMap
+          collected.keySet shouldBe rows.keySet
+          rows.foreach { case (id, m) =>
+            withClue(s"id=$id: ") { collected(id) shouldBe m }
+          }
+        }
+      }
+    }
+  }
+
   test("SQL surface: ALTER TABLE RENAME/DROP COLUMN route to the mapping, " +
       "catalog re-pinned, SELECT sees the change") {
     val path = freshPath()

@@ -368,7 +368,7 @@ class TxLogPartitionSpec extends SparkSpecBase {
       TxLog.init(df(model).repartition(3), path, partitionBy = Seq("grp"))
       var v = 0L
       for (_ <- 1 to 8) {
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 => // append
             val add = fresh(20 + rnd.nextInt(20), someGrp)
             TxLog.append(df(add).repartition(1 + rnd.nextInt(3)), path, v)
@@ -394,6 +394,22 @@ class TxLogPartitionSpec extends SparkSpecBase {
             model = model.filterNot(_._1 % k == 0L)
           case 4 =>
             TxLog.compact(spark, path, v)
+          case 5 => // zero-copy clone mid-history: snapshot-exact
+            val dst = freshPath()
+            TxLog.cloneTable(path, dst)
+            val cloned = TxLog.read(spark, dst)
+              .select("id", "payload", "grp").collect()
+              .map(r => (r.getLong(0), r.getString(1),
+                if (r.isNullAt(2)) null
+                else java.lang.Long.valueOf(r.getLong(2))))
+            withClue(s"clone at v=$v: ") {
+              cloned.toSeq should contain theSameElementsAs model
+            }
+          case 6 => // metadata-only ADD COLUMN interleaved with partition
+            // ops: later narrower appends stay legal, reads null-fill,
+            // partition machinery unaffected
+            TxLog.addColumn(spark, path, s"extra_$v",
+              org.apache.spark.sql.types.LongType, v)
         }
         v = TxLog.currentVersion(path).get
         val got = TxLog.read(spark, path)

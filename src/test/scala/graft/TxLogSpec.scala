@@ -531,6 +531,32 @@ class TxLogSpec extends SparkSpecBase {
     ()
   }
 
+  test("survivor rewrite after a WIDENING append keeps the new column's " +
+      "values (single-footer sampling latent bug, round-14 fuzz find)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 50).repartition(2), path)          // v0
+    TxLog.append(rows(100 until 120)
+      .withColumn("extra", col("id") * 2L), path, 0L)          // v1 widens
+    // the delete touches BOTH schema generations; the survivor rewrite
+    // used to read touched files with mergeSchema=false (one sampled
+    // footer) — if it sampled a pre-widening file, every rewritten
+    // survivor from the widened files silently LOST its extra values
+    TxLog.deleteWhere(spark, path, col("id") % 10 === 5L, 1L)  // v2
+    val r = TxLog.read(spark, path)
+    r.count() shouldBe (50L - 5L + 20L - 2L)
+    r.filter(col("id") >= 100L && col("extra").isNull).count() shouldBe 0L
+    r.filter(col("id") >= 100L)
+      .agg(sum("extra")).head().getLong(0) shouldBe
+      (100 until 120).filter(_ % 10 != 5).map(_ * 2L).sum
+    // keyed merge's survivor path has the same contract
+    TxLog.replaceWhereKeys(spark, path,
+      rows(101 until 103).select("id"), Seq("id"),
+      rows(101 until 103).withColumn("extra", lit(-1L)), 2L)   // v3
+    TxLog.read(spark, path)
+      .filter(col("id") >= 104L && col("id") < 120L &&
+        col("extra").isNull).count() shouldBe 0L
+  }
+
   test("parquet checkpoints: commits write the parquet kind, resolution " +
       "equals pure replay, the file rows read distributively") {
     val path = freshPath()
