@@ -149,7 +149,7 @@ object Bench {
     "q_o_stream_running_stats", "q_o_stream_txlog_sink",
     "q_o_stream_custom_session", "q_o_stream_txlog_source",
     "q_o_stream_txlog_incremental", "q_o_stream_txlog_pipeline",
-    "q_o_stream_txlog_partition",
+    "q_o_stream_txlog_partition", "q_o_stream_txlog_rename",
     "q_o_stream_txlog_cdf", "q_o_stream_static_enrich",
     "q_o_stream_window_replay", "q_o_stream_outer_replay",
     "q_gold_publish_jdbc", "q_p11_backfill_fact",

@@ -1399,6 +1399,207 @@ object ExtensionQueries {
       .withColumn("violation_refused", lit(violationRefused))
   }
 
+  /** FULL-SHAPE SQL MERGE (library: plans.GraftTxLogMergeDvCommand onto
+    * TxLog.mergeDV — round-14 verdict item 4): conditional and MULTIPLE
+    * `WHEN MATCHED` clauses with first-match-wins, a conditional
+    * `WHEN NOT MATCHED ... INSERT`, and two `WHEN NOT MATCHED BY SOURCE`
+    * clauses (DELETE + UPDATE), all in ONE statement = ONE row-level DV
+    * commit. Table holds id%3<>0; source covers id%9 in {0,4,7} (%9∈{4,7}
+    * ⇒ %3=1 always matched, %9=0 ⇒ %3=0 always new), so every branch is
+    * closed-form. Bound booleans pin the soft mechanics (no data file
+    * removed) and the single-version trail.
+    */
+  private def qSqlTxlogMergeCond(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqlmergecond"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 3 =!= 0)
+      .repartitionByRange(4, col("id")), path) // v0
+    s.sql("DROP TABLE IF EXISTS graft_mrgcond_t")
+    s.sql(s"CREATE TABLE graft_mrgcond_t USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    o.filter(col("id") % 9 === 0 || col("id") % 9 === 4 ||
+        col("id") % 9 === 7)
+      .select(col("id").as("sid"), col("cust").as("scust"),
+        (col("cust") % 100).as("bonus"))
+      .createOrReplaceTempView("graft_mrgcond_src")
+    val filesBefore = TxLog.snapshot(path).files.toSet
+    s.sql("""MERGE INTO graft_mrgcond_t USING graft_mrgcond_src
+             ON graft_mrgcond_t.id = graft_mrgcond_src.sid
+             WHEN MATCHED AND graft_mrgcond_src.sid % 2 = 0 THEN DELETE
+             WHEN MATCHED AND graft_mrgcond_t.cents >= 20000000 THEN
+               UPDATE SET cents = graft_mrgcond_t.cents
+                 + graft_mrgcond_src.bonus
+             WHEN MATCHED THEN UPDATE SET o_orderpriority = 'ZZ-TOUCHED'
+             WHEN NOT MATCHED AND graft_mrgcond_src.sid % 2 = 1 THEN
+               INSERT (id, cust, o_orderpriority, cents)
+               VALUES (graft_mrgcond_src.sid, graft_mrgcond_src.scust,
+                 'ZZ-NEW', graft_mrgcond_src.bonus)
+             WHEN NOT MATCHED BY SOURCE AND graft_mrgcond_t.cust % 10 = 3
+               THEN DELETE
+             WHEN NOT MATCHED BY SOURCE AND graft_mrgcond_t.cust % 10 = 4
+               THEN UPDATE SET cents = 0""") // v1
+    val soft = filesBefore.subsetOf(TxLog.snapshot(path).files.toSet)
+    val oneVersion = TxLog.currentVersion(path).contains(1L)
+    val trail = TxLog.commitInfos(path).flatMap(_.operation).headOption
+      .contains("MERGE_DV")
+    s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+             sum(cents) AS total_cents
+             FROM graft_mrgcond_t GROUP BY o_orderpriority""")
+      .withColumn("soft_merge", lit(soft))
+      .withColumn("one_version", lit(oneVersion))
+      .withColumn("trail_recorded", lit(trail))
+  }
+
+  /** DELETE/UPDATE with an IN-SUBQUERY condition (library: the
+    * splitInSubquery rewrite in plans.RewriteTxLogDml compiling onto the
+    * keyed TxLog.mergeDV path — round-14 verdict item 8): a
+    * SELF-REFERENTIAL deduplicated IN (the subquery reads the same
+    * catalog table, UNION ALL'd so duplicates prove IN-collapse) with a
+    * residual conjunct applied PER ROW, then an IN-subquery UPDATE over
+    * the survivors. Bound booleans pin the soft mechanics and the
+    * MERGE_DV trail the rewrite produces.
+    */
+  private def qSqlTxlogDeleteIn(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_sqldeletein"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.repartitionByRange(4, col("id")), path) // v0
+    s.sql("DROP TABLE IF EXISTS graft_delin_t")
+    s.sql(s"CREATE TABLE graft_delin_t USING `graft-txlog` " +
+      s"OPTIONS (path '$path')")
+    val filesBefore = TxLog.snapshot(path).files.toSet
+    // duplicated subquery rows: IN semantics collapse them (no
+    // cardinality refusal); residual kills only non-urgent rows
+    s.sql("""DELETE FROM graft_delin_t WHERE id IN (
+               SELECT id FROM graft_delin_t WHERE cust % 5 = 0
+               UNION ALL
+               SELECT id FROM graft_delin_t WHERE cust % 5 = 0)
+             AND o_orderpriority <> '1-URGENT'""") // v1
+    // IN-subquery UPDATE over the post-delete survivors
+    s.sql("""UPDATE graft_delin_t SET cents = cents + 11 WHERE id IN (
+               SELECT id FROM graft_delin_t WHERE cust % 7 = 1)""") // v2
+    val soft = filesBefore.subsetOf(TxLog.snapshot(path).files.toSet)
+    val trail = TxLog.commitInfos(path).flatMap(_.operation) ==
+      Seq("MERGE_DV", "MERGE_DV", "INIT")
+    s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+             sum(cents) AS total_cents
+             FROM graft_delin_t GROUP BY o_orderpriority""")
+      .withColumn("soft_dml", lit(soft))
+      .withColumn("trail_recorded", lit(trail))
+  }
+
+  /** PER-FILE BITMAP deletion-vector reads (library: TxLog.applyActiveDvs
+    * over functions.DvRowAlive/DvSidecars — round-14 verdict item 1, the
+    * last named 100-TB scale-killer): three disjoint DV deletes, then the
+    * same snapshot read BOTH ways — the broadcast anti-join (threshold
+    * sky-high) and the per-file bitmap filter (threshold 0). The gate's
+    * relational result is the bitmap read; bound booleans pin that the
+    * two paths agree row-for-row and that the bitmap plan carries NO join
+    * and NO broadcast exchange (the deleted rows never ride a join
+    * relation — each scan task probes its own file's sorted index set).
+    */
+  private def qTxlogDvBitmap(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val path = "/tmp/graft_roundtrip/txlog_orders_dvbitmap"
+    graft.core.Fs.rmTree(new java.io.File(path))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.repartitionByRange(4, col("id")), path)          // v0
+    TxLog.deleteWhereDV(s, path, col("cust") % 10 === 0, 0L)      // v1
+    TxLog.deleteWhereDV(s, path, col("o_orderpriority") === "5-LOW"
+      && col("cust") % 10 =!= 0, 1L)                              // v2
+    TxLog.deleteWhereDV(s, path, col("id") % 11 === 7
+      && col("cust") % 10 =!= 0
+      && col("o_orderpriority") =!= "5-LOW", 2L)                  // v3
+    val saved = TxLog.dvBitmapMinRows.get()
+    val (bitmapRows, planOk) =
+      try {
+        TxLog.dvBitmapMinRows.set(0L)
+        val df = TxLog.read(s, path)
+        val rows = df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        (rows, plan.contains("graft_dv_alive") && !plan.contains("Join") &&
+          !plan.contains("BroadcastExchange"))
+      } finally TxLog.dvBitmapMinRows.set(saved)
+    val broadcastRows =
+      try {
+        TxLog.dvBitmapMinRows.set(Long.MaxValue)
+        TxLog.read(s, path).collect()
+      } finally TxLog.dvBitmapMinRows.set(saved)
+    val pathsAgree =
+      bitmapRows.map(_.toSeq).sortBy(_.mkString("|")).toSeq ==
+        broadcastRows.map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    s.createDataFrame(
+      java.util.Arrays.asList(bitmapRows: _*),
+      TxLog.read(s, path).schema)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("total_cents"))
+      .withColumn("bitmap_plan_joinless", lit(planOk))
+      .withColumn("paths_agree", lit(pathsAgree))
+  }
+
+  /** The DSv2 GraftCatalog end-to-end (library: sqlfront.GraftCatalog —
+    * round-14 verdict item 5): a named V2 catalog
+    * (`spark.sql.catalog.<name>`) through which CTAS, row-level DML, and
+    * constraint DDL all resolve NATIVELY — no parser interception, no
+    * session-catalog registration. The gate drives CREATE TABLE AS
+    * SELECT, DELETE, UPDATE, ADD CONSTRAINT (+ an atomically-refused
+    * violating INSERT), and reads the final state back through the
+    * catalog; bound booleans pin time travel (VERSION AS OF the CTAS
+    * commit sees the pre-DML row count) and the native-plan expansion
+    * (the catalog SELECT runs the parquet scan, not the V1Scan RDD
+    * fallback).
+    */
+  private def qSqlTxlogCatalogV2(s: SparkSession, dir: String): DataFrame = {
+    val wh = "/tmp/graft_roundtrip/v2_warehouse"
+    graft.core.Fs.rmTree(new java.io.File(wh))
+    val child = s.newSession()
+    child.conf.set("spark.sql.catalog.graft_v2", "graft.sqlfront.GraftCatalog")
+    child.conf.set("spark.sql.catalog.graft_v2.warehouse", wh)
+    T(child, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("v2_src")
+    child.sql("CREATE NAMESPACE IF NOT EXISTS graft_v2.db")
+    child.sql("DROP TABLE IF EXISTS graft_v2.db.orders")
+    child.sql("CREATE TABLE graft_v2.db.orders AS SELECT * FROM v2_src")
+    val srcCount = child.sql("SELECT count(*) FROM v2_src").head().getLong(0)
+    child.sql("DELETE FROM graft_v2.db.orders WHERE id % 7 = 3")
+    child.sql("UPDATE graft_v2.db.orders SET cents = cents + 5 " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    child.sql("ALTER TABLE graft_v2.db.orders ADD CONSTRAINT cents_pos " +
+      "CHECK (cents >= 0)")
+    val violationRefused =
+      try { child.sql("INSERT INTO graft_v2.db.orders VALUES " +
+              "(-1, 0, 'X', -5)"); false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("cents_pos") }
+    // CTAS = create (v0) + the insert commit (v1): VERSION AS OF 1 is
+    // the full pre-DML table
+    val timeTravelOk = child.sql(
+      "SELECT count(*) FROM graft_v2.db.orders VERSION AS OF 1")
+      .head().getLong(0) == srcCount
+    val probe = child.sql("SELECT id, cents FROM graft_v2.db.orders")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val nativePlan = plan.contains("FileScan parquet") &&
+      !plan.contains("V1ScanWrapper")
+    child.sql("""SELECT o_orderpriority, count(*) AS cnt,
+                 sum(cents) AS total_cents
+                 FROM graft_v2.db.orders GROUP BY o_orderpriority""")
+      .withColumn("violation_refused", lit(violationRefused))
+      .withColumn("time_travel_ok", lit(timeTravelOk))
+      .withColumn("native_plan", lit(nativePlan))
+  }
+
   /** Mergeable fixed-edge histogram store + exact quantile bracketing
     * (library: gold.HistogramStore). The gate runs the FULL maintenance
     * algebra — a base build, an insert delta, and a delete delta merged
@@ -2308,6 +2509,10 @@ object ExtensionQueries {
     "q_sql_txlog_update" -> (qSqlTxlogUpdate _),
     "q_sql_txlog_merge" -> (qSqlTxlogMerge _),
     "q_sql_txlog_ddl" -> (qSqlTxlogDdl _),
+    "q_sql_txlog_merge_cond" -> (qSqlTxlogMergeCond _),
+    "q_sql_txlog_delete_in" -> (qSqlTxlogDeleteIn _),
+    "q_o_txlog_dv_bitmap" -> (qTxlogDvBitmap _),
+    "q_sql_txlog_catalog_v2" -> (qSqlTxlogCatalogV2 _),
     "q_x_histogram_quantile" -> (qHistogramQuantile _),
     "q_x_histogram_weighted" -> (qHistogramWeighted _),
     "q_x_fingerprint"     -> (qFingerprint _),
@@ -2878,6 +3083,66 @@ object ExtensionQueries {
           |  CAST(sum(cents) AS BIGINT) AS total_cents,
           |  TRUE AS cardinality_refused
           |FROM final WHERE cust % 10 <> 3
+          |GROUP BY o_orderpriority""".stripMargin,
+      // full-shape MERGE: matched (id%9∈{4,7}) — evens deleted, bc >=
+      // 2e7 bumped by cust%100, rest re-tagged; id%9=0 odds insert as
+      // ZZ-NEW; orphans — cust%10=3 deleted, cust%10=4 zeroed; mechanics
+      // booleans Spark-bound
+      "q_sql_txlog_merge_cond" ->
+        """WITH base AS (
+          |  SELECT o_orderkey AS id, o_custkey AS cust,
+          |    o_orderpriority AS pri,
+          |    CAST(round(o_totalprice * 100) AS BIGINT) AS bc
+          |  FROM orders),
+          |final AS (
+          |  SELECT CASE WHEN bc >= 20000000 THEN pri
+          |              ELSE 'ZZ-TOUCHED' END AS pri,
+          |    CASE WHEN bc >= 20000000 THEN bc + (cust % 100)
+          |         ELSE bc END AS cents
+          |  FROM base WHERE id % 9 IN (4, 7) AND id % 2 = 1
+          |  UNION ALL
+          |  SELECT 'ZZ-NEW' AS pri, CAST(cust % 100 AS BIGINT) AS cents
+          |  FROM base WHERE id % 9 = 0 AND id % 2 = 1
+          |  UNION ALL
+          |  SELECT pri, CASE WHEN cust % 10 = 4 THEN 0 ELSE bc END AS cents
+          |  FROM base
+          |  WHERE id % 3 <> 0 AND id % 9 NOT IN (4, 7) AND cust % 10 <> 3)
+          |SELECT pri AS o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(cents) AS BIGINT) AS total_cents,
+          |  TRUE AS soft_merge, TRUE AS one_version, TRUE AS trail_recorded
+          |FROM final GROUP BY pri""".stripMargin,
+      // IN-subquery DML: the delete kills (cust%5=0 AND non-urgent) rows
+      // per-row (residual conjunct), the update bumps survivors with
+      // cust%7=1 by 11; mechanics booleans Spark-bound
+      "q_sql_txlog_delete_in" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+          |    + CASE WHEN o_custkey % 7 = 1 THEN 11 ELSE 0 END)
+          |    AS BIGINT) AS total_cents,
+          |  TRUE AS soft_dml, TRUE AS trail_recorded
+          |FROM orders
+          |WHERE NOT (o_custkey % 5 = 0 AND o_orderpriority <> '1-URGENT')
+          |GROUP BY o_orderpriority""".stripMargin,
+      // per-file bitmap DV reads: three disjoint soft deletes; survivors
+      // fail all three predicates; plan/parity booleans Spark-bound
+      "q_o_txlog_dv_bitmap" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+          |  TRUE AS bitmap_plan_joinless, TRUE AS paths_agree
+          |FROM orders
+          |WHERE o_custkey % 10 <> 0 AND o_orderpriority <> '5-LOW'
+          |  AND o_orderkey % 11 <> 7
+          |GROUP BY o_orderpriority""".stripMargin,
+      // DSv2 catalog end-to-end: CTAS of all orders, DELETE id%7=3,
+      // urgent rows +5; mechanics booleans Spark-bound
+      "q_sql_txlog_catalog_v2" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
+          |    + CASE WHEN o_orderpriority = '1-URGENT' THEN 5 ELSE 0 END)
+          |    AS BIGINT) AS total_cents,
+          |  TRUE AS violation_refused, TRUE AS time_travel_ok,
+          |  TRUE AS native_plan
+          |FROM orders WHERE o_orderkey % 7 <> 3
           |GROUP BY o_orderpriority""".stripMargin,
       // native SQL DDL: pre-ALTER rows (id%3=0) read NULL flag, the SQL
       // INSERT materializes id%7 for id%3=1, the sentinel row lands in

@@ -861,6 +861,63 @@ object SparkEntry {
     * closed form: a stream that read other partitions' files, dropped a
     * version, or choked on the foreign delete all mismatch.
     */
+  /** STREAMING ACROSS A COLUMN-RENAME BOUNDARY (library: the pinned
+    * column mapping in streaming.TxLogVersionedSource — round-14 verdict
+    * item 2): a table renamed BEFORE the stream starts serves the old
+    * files' values under the NEW logical name (physical identity is
+    * stable, the pinned mapping physicalizes the read); the query stops,
+    * an append plus a SECOND rename land while it is down, and the
+    * RESTARTED query re-pins the newest mapping, resumes its offsets
+    * (committed batches serve empty), and serves exactly the missed rows
+    * under the newest name. Phase-tagged aggregates: 'pre' = the first
+    * run's rows under `amount`, 'post' = the restarted run's rows under
+    * `money` — a dropped batch, a double-read, or a mapping misread
+    * hash-mismatches its phase.
+    */
+  private def qStreamTxLogRename(s: SparkSession, dir: String): DataFrame = {
+    import graft.gold.TxLog
+    val table = "/tmp/graft_roundtrip/stream_txrename_table"
+    val work = "/tmp/graft_roundtrip/stream_txrename_work"
+    Seq(table, work).foreach(p => graft.core.Fs.rmTree(new java.io.File(p)))
+    val o = T(s, dir).orders.select(col("o_orderkey").as("id"),
+      col("o_custkey").as("cust"), col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    TxLog.init(o.filter(col("id") % 3 === 0)
+      .repartitionByRange(4, col("id")), table)                     // v0
+    TxLog.renameColumn(table, "cents", "amount", 0L)                // v1
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 8)
+    val sink = s"$work/sink"
+    TxLog.init(o.withColumnRenamed("cents", "amount").limit(0), sink)
+    def drain(): Unit = {
+      val q = child.readStream.format("graft-txlog").option("path", table)
+        .load()
+        .writeStream.format("graft-txlog").option("path", sink)
+        .option("appId", "rename_gate")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // serves v0 files under the renamed 'amount'
+    val preCols = TxLog.read(s, sink).columns.toSeq
+    // while the query is DOWN: new data + a SECOND rename
+    TxLog.append(o.filter(col("id") % 3 === 1)
+      .withColumnRenamed("cents", "amount"), table, 1L)             // v2
+    TxLog.renameColumn(table, "amount", "money", 2L)                // v3
+    drain() // restart re-pins 'money', serves exactly v2's rows
+    // the sink table absorbed the shape change as ordinary schema
+    // evolution: phase 'pre' rows carry `amount`, 'post' rows `money`
+    val out = TxLog.read(s, sink)
+    val renamedServed = preCols.contains("amount") &&
+      !preCols.contains("money") && out.columns.contains("money")
+    out.withColumn("phase",
+        when(col("money").isNotNull, lit("post")).otherwise(lit("pre")))
+      .groupBy("o_orderpriority", "phase")
+      .agg(count(lit(1)).as("cnt"),
+        sum(coalesce(col("money"), col("amount"))).as("total_cents"))
+      .withColumn("renamed_names_served", lit(renamedServed))
+  }
+
   private def qStreamTxLogPartition(s: SparkSession, dir: String): DataFrame = {
     import graft.gold.TxLog
     val table = "/tmp/graft_roundtrip/stream_txpart_table"
@@ -1740,6 +1797,7 @@ object SparkEntry {
     "q_o_stream_txlog_source" -> (qStreamTxLogSource _),
     "q_o_stream_txlog_incremental" -> (qStreamTxLogIncremental _),
     "q_o_stream_txlog_partition" -> (qStreamTxLogPartition _),
+    "q_o_stream_txlog_rename" -> (qStreamTxLogRename _),
     "q_o_stream_txlog_pipeline" -> (qStreamTxLogPipeline _),
     "q_o_stream_txlog_cdf" -> (qStreamTxLogCdf _),
     "q_o_stream_static_enrich" -> (qStreamStaticEnrich _),
@@ -2597,6 +2655,21 @@ object SparkEntry {
         |  CAST(sum(round(value * 100)) AS BIGINT) AS value_cents
         |FROM events WHERE event_id % 4 = 2
         |GROUP BY event_type""".stripMargin,
+    // stream across rename boundaries: phase 'pre' = id%3=0 rows served
+    // under the first rename's name, phase 'post' = the restarted run's
+    // id%3=1 rows under the second rename's name; names Spark-bound
+    "q_o_stream_txlog_rename" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+        |  'pre' AS phase, TRUE AS renamed_names_served
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_cents,
+        |  'post' AS phase, TRUE AS renamed_names_served
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |GROUP BY o_orderpriority""".stripMargin,
     // table-to-table pipeline: the silver TxLog table must hold exactly
     // the purchases projection after the stop/append/restart sequence
     "q_o_stream_txlog_pipeline" ->

@@ -1292,12 +1292,17 @@ object TxLog {
     * recorded constraint TEXT would silently stop (or wrongly keep)
     * gating writes. Conservative word-boundary match on the SQL text
     * (false positives refuse loudly with the fix in the message; false
-    * negatives are impossible for plain identifiers).
+    * negatives are impossible for plain identifiers). Backtick is a
+    * BOUNDARY, not an identifier character: a constraint that
+    * backtick-quotes the column (`` `cents` >= 0 ``) must still match —
+    * with ` in the negated classes it would silently slip through,
+    * leaving a dangling constraint that fails every later row-adding
+    * commit (the round-14 ADVICE finding).
     */
   private def refuseConstraintReference(base: Snapshot, name: String,
       op: String): Unit = {
-    val re = ("(?i)(?<![A-Za-z0-9_`])" +
-      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_`])").r
+    val re = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
     base.constraints.foreach { case (n, check) =>
       require(re.findFirstIn(check).isEmpty,
         s"TxLog.$op: column '$name' is referenced by CHECK constraint " +
@@ -1436,14 +1441,77 @@ object TxLog {
       columnMap, tombstones)
   }
 
+  /** Active-DV row-count ceiling for the broadcast-anti-join read path.
+    * At or below it, DVs apply as a broadcast LeftAnti on (file_name,
+    * row_index) — the original, oracle-twinned plan, ideal while the
+    * deleted set is small. ABOVE it, reads switch to PER-FILE bitmap
+    * application ([[graft.functions.DvRowAlive]]): only the metadata-scale
+    * `dataFile → sidecar` NAME map is broadcast, each executor loads the
+    * sidecars it touches once per JVM, and every row probes its own
+    * file's sorted index array inside whole-stage codegen — no join, no
+    * row-level broadcast, the shape that survives a 100-TB table whose
+    * pipeline soft-deletes forever (the Delta per-file-bitmap discipline).
+    * The count is a metadata-only upper bound from the sidecars' parquet
+    * FOOTERS (cached — sidecars are immutable); an AtomicLong so specs
+    * can force either path.
+    */
+  private[graft] val dvBitmapMinRows =
+    new java.util.concurrent.atomic.AtomicLong(1L << 20)
+
+  /** Driver-side cache of sidecar footer row counts (immutable files —
+    * cacheable forever). One footer read per sidecar lifetime, no job.
+    */
+  private val sidecarRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def sidecarRowCount(path: String, dvFile: String): Long =
+    sidecarRowsCache.computeIfAbsent(s"$path/$dvFile", { key =>
+      val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        new org.apache.hadoop.conf.Configuration(),
+        new org.apache.hadoop.fs.Path(key),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val blocks = md.getBlocks
+      var i = 0; var n = 0L
+      while (i < blocks.size()) { n += blocks.get(i).getRowCount; i += 1 }
+      java.lang.Long.valueOf(n)
+    }).longValue()
+
+  /** Upper bound on the active deleted-row count: the summed footer row
+    * counts of the DISTINCT active sidecars (a sidecar may also carry
+    * superseded entries — overcounting only flips to the bitmap path
+    * early, never late). Metadata-scale: O(#sidecars) cached footer reads,
+    * zero Spark jobs.
+    */
+  private def activeDvRowCount(path: String, active: Map[String, String]): Long =
+    active.values.toSet.iterator.map(sidecarRowCount(path, _)).sum
+
+  /** Apply `active` deletion vectors to a meta-tagged frame (the
+    * [[readFilesMeta]] shape — `__graft_file`/`__graft_ri` attached; both
+    * columns are KEPT for the caller to use or drop). Path choice by
+    * [[dvBitmapMinRows]]: broadcast LeftAnti below, per-file bitmap
+    * filter above — identical visible rows either way (spec-pinned), so
+    * the broadcast plan stays the bitmap path's oracle twin.
+    */
+  private[graft] def applyActiveDvs(spark: SparkSession, path: String,
+      metaDf: DataFrame, active: Map[String, String]): DataFrame =
+    if (active.isEmpty) metaDf
+    else if (activeDvRowCount(path, active) <= dvBitmapMinRows.get())
+      metaDf.join(broadcast(dvRowsDf(spark, path, active)),
+        col(MetaFileCol) === col(DvFileCol) &&
+          col(MetaRiCol) === col(DvRiCol), "left_anti")
+    else
+      metaDf.filter(graft.functions.DvRowAlive(col(MetaFileCol),
+        col(MetaRiCol), new graft.functions.DvLookup(path,
+          spark.sparkContext.broadcast(active))))
+
   /** DV-aware load of snapshot `files`: the plain distributed parquet
     * scan when none of them carries a deletion vector (the common case —
-    * zero overhead), otherwise an ANTI-JOIN on (file_name, row_index)
-    * against the broadcast deleted-row set. The DV side is
-    * deleted-rows-scale metadata by contract ([[deleteWhereDV]] is the
-    * soft-delete path; [[purgeDeletes]]/[[compact]] materialize before it
-    * grows to data scale), so the join is map-side — the table is never
-    * shuffled.
+    * zero overhead), otherwise [[applyActiveDvs]] (broadcast anti-join on
+    * (file_name, row_index) below the bitmap threshold, per-file bitmap
+    * filter above). The DV side is deleted-rows-scale metadata by
+    * contract ([[deleteWhereDV]] is the soft-delete path;
+    * [[purgeDeletes]]/[[compact]] materialize before it grows to data
+    * scale) — either way the table is never shuffled.
     */
   private def readFilesWithDvs(spark: SparkSession, path: String,
       files: Seq[String], dvs: Map[String, String],
@@ -1462,11 +1530,9 @@ object TxLog {
         reader.parquet(files.map(f => s"$path/$f"): _*),
         columnMap, tombstones)
     } else
-      readFilesMeta(spark, path, files, mergeSchema, columnMap, tombstones,
-        explicitSchema)
-        .join(broadcast(dvRowsDf(spark, path, active)),
-          col(MetaFileCol) === col(DvFileCol) &&
-            col(MetaRiCol) === col(DvRiCol), "left_anti")
+      applyActiveDvs(spark, path,
+        readFilesMeta(spark, path, files, mergeSchema, columnMap, tombstones,
+          explicitSchema), active)
         .drop(MetaFileCol, MetaRiCol)
   }
 
@@ -1561,12 +1627,9 @@ object TxLog {
         .withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(v))
     def liveRows(files: Seq[String], dvs: Map[String, String]): DataFrame = {
-      val active = dvs.filter { case (f, _) => files.contains(f) }
-      val base = loadMeta(files)
-      if (active.isEmpty) base
-      else base.join(broadcast(dvRowsDf(spark, path, active)),
-        col(MetaFileCol) === col(DvFileCol) &&
-          col(MetaRiCol) === col(DvRiCol), "left_anti")
+      val fileSet = files.toSet
+      val active = dvs.filter { case (f, _) => fileSet.contains(f) }
+      applyActiveDvs(spark, path, loadMeta(files), active)
     }
     val removedPart =
       if (rec.remove.isEmpty) Nil
@@ -2278,6 +2341,15 @@ object TxLog {
           .parquet(stage.toString)
         flattenStage(stage)
       }
+      // an EMPTY partitioned write stages NOTHING (partitionBy emits no
+      // dirs without partition values — unlike the unpartitioned write's
+      // single empty part file): commit zero files rather than read an
+      // empty stage (the V2 catalog's CREATE of an empty partitioned
+      // table hits exactly this)
+      if (stage.toFile.listFiles() == null || !stage.toFile.listFiles()
+          .exists(f => f.isFile &&
+            StagedDataFileRe.pattern.matcher(f.getName).matches()))
+        return (Nil, Map.empty)
       // stats-eligible columns — partition columns FIRST when the table
       // is partitioned, so the MaxStatsCols cap can never evict the
       // columns the partition-values invariant depends on
@@ -3110,14 +3182,10 @@ object TxLog {
       // two file sources, which the DV anti-join introduces.
       val present = candidates.toSet
       val active = dvs.filter { case (f, _) => present.contains(f) }
-      val base = readFilesMeta(spark, path, candidates, mergeSchema = false,
-        columnMap = columnMap, tombstones = tombstones,
-        explicitSchema = explicitSchema)
-      val live =
-        if (active.isEmpty) base
-        else base.join(broadcast(dvRowsDf(spark, path, active)),
-          col(MetaFileCol) === col(DvFileCol) &&
-            col(MetaRiCol) === col(DvRiCol), "left_anti")
+      val live = applyActiveDvs(spark, path,
+        readFilesMeta(spark, path, candidates, mergeSchema = false,
+          columnMap = columnMap, tombstones = tombstones,
+          explicitSchema = explicitSchema), active)
       probe(live).select(col(MetaFileCol)).distinct()
         .collect().map(_.getString(0)).toSet
     }
@@ -3389,15 +3457,13 @@ object TxLog {
     val hits =
       if (base.files.isEmpty) None
       else {
+        val present = base.files.toSet
         val active = base.dvs.filter { case (f, _) =>
-          base.files.contains(f) }
-        val live0 = readFilesMeta(spark, path, base.files,
-          columnMap = base.columnMap, tombstones = base.physTombstones)
-        val live =
-          if (active.isEmpty) live0
-          else live0.join(broadcast(dvRowsDf(spark, path, active)),
-            col(MetaFileCol) === col(DvFileCol) &&
-              col(MetaRiCol) === col(DvRiCol), "left_anti")
+          present.contains(f) }
+        val live = applyActiveDvs(spark, path,
+          readFilesMeta(spark, path, base.files,
+            columnMap = base.columnMap, tombstones = base.physTombstones),
+          active)
         Some(live.filter(coalesce(cond, lit(false)))
           .select(col(MetaFileCol).as("file"), col(MetaRiCol).as("row_idx"))
           .persist())
@@ -3453,37 +3519,39 @@ object TxLog {
   }
 
   /** Active-DV row-count threshold for the `txlog_dv_cardinality` alert
-    * (an AtomicLong so specs can lower it; production default 2^20 rows
-    * ≈ a 16 MB broadcast side — past Spark's own 10 MB auto-broadcast
-    * comfort zone). Every read of a vectored table broadcasts the FULL
-    * deleted-row set into its anti-join; that is sound while DVs are
-    * TRANSIENT by contract ([[purgeDeletes]]/[[compact]] shed them), but
-    * a pipeline that soft-deletes forever would grow the broadcast
-    * unboundedly — this alert is the structured purge nudge, fired by
-    * every DV-writing commit (when a sink is armed) with the measured
-    * total so operators see the growth BEFORE reads degrade.
+    * (an AtomicLong so specs can lower it; production default 2^20 rows —
+    * the same boundary past which reads switch to per-file bitmap
+    * application, [[dvBitmapMinRows]]). INFORMATIONAL since bitmaps
+    * landed: reads no longer degrade past the threshold (they change
+    * plan shape instead of broadcasting the row set), so the alert is a
+    * housekeeping nudge — vectors still cost a sidecar load per executor
+    * and upper-bound the per-file stats until [[purgeDeletes]]/
+    * [[compact]] sheds them.
     */
   private[graft] val dvCardinalityAlertRows =
     new java.util.concurrent.atomic.AtomicLong(1L << 20)
 
-  /** Fire `txlog_dv_cardinality` when the table's active deleted-row set
-    * exceeds the threshold — one metadata-scale count over the active
-    * sidecars, run only when a sink is armed (alert-path cost stays off
-    * un-instrumented commits).
+  /** Fire the informational `txlog_dv_cardinality` when the table's
+    * active deleted-row upper bound ([[activeDvRowCount]] — cached
+    * sidecar FOOTER counts, zero Spark jobs) exceeds the threshold. Runs
+    * only when a sink is armed, and costs O(#active sidecars) cached
+    * metadata reads either way — never a distributed count.
     */
   private def alertDvCardinality(spark: SparkSession, path: String,
       snap: Snapshot, alerts: Option[graft.runner.Alerts.Sink]): Unit =
     alerts.foreach { sink =>
-      val active = snap.dvs.filter { case (f, _) => snap.files.contains(f) }
+      val present = snap.files.toSet
+      val active = snap.dvs.filter { case (f, _) => present.contains(f) }
       if (active.nonEmpty) {
-        val n = dvRowsDf(spark, path, active).count()
+        val n = activeDvRowCount(path, active)
         val limit = dvCardinalityAlertRows.get()
         if (n > limit) sink.send(graft.runner.Alerts.Alert(
           "txlog_dv_cardinality", path, "commit",
-          s"active deletion vectors carry $n deleted rows (> $limit): " +
-            "every read broadcasts this set into its anti-join - run " +
-            "purgeDeletes() or compact() to materialize and shed the " +
-            "vectors"))
+          s"active deletion vectors carry up to $n deleted rows " +
+            s"(> $limit): reads now apply them as per-file bitmaps " +
+            "(no broadcast anti-join), but the vectors still load per " +
+            "executor and widen per-file stats - run purgeDeletes() or " +
+            "compact() to materialize and shed them"))
       }
     }
 
@@ -3582,13 +3650,11 @@ object TxLog {
     */
   private def liveRowsMeta(spark: SparkSession, path: String,
       base: Snapshot): DataFrame = {
-    val active = base.dvs.filter { case (f, _) => base.files.contains(f) }
-    val live0 = readFilesMeta(spark, path, base.files,
-      columnMap = base.columnMap, tombstones = base.physTombstones)
-    if (active.isEmpty) live0
-    else live0.join(broadcast(dvRowsDf(spark, path, active)),
-      col(MetaFileCol) === col(DvFileCol) &&
-        col(MetaRiCol) === col(DvRiCol), "left_anti")
+    val present = base.files.toSet
+    val active = base.dvs.filter { case (f, _) => present.contains(f) }
+    applyActiveDvs(spark, path,
+      readFilesMeta(spark, path, base.files,
+        columnMap = base.columnMap, tombstones = base.physTombstones), active)
   }
 
   /** UPDATE by deletion vector — row-level mutation WITHOUT file rewrites
@@ -3669,6 +3735,185 @@ object TxLog {
       commitDvMutation(spark, path, base, hits, newData,
         "MERGE_DV", Map("keys" -> nk.mkString(",")), alerts)
     } finally { matched.unpersist(); () }
+  }
+
+  /** Qualifiers the [[mergeDV]] clause expressions resolve under: the
+    * merged pair frame aliases the target `__graft_t` and the source
+    * `__graft_s` (matching the SQL seam's remapping), so a condition or
+    * assignment is written `col("__graft_t.x") > col("__graft_s.y")`.
+    * BY SOURCE frames carry the target alias only; NOT MATCHED frames
+    * the source alias only.
+    */
+  val MergeTargetAlias = "__graft_t"
+  val MergeSourceAlias = "__graft_s"
+
+  /** One `WHEN MATCHED [AND cond]` clause: `set = Some(assignments)` is
+    * UPDATE, `set = None` is DELETE. Clauses apply FIRST-MATCH-WINS per
+    * matched row; a row no clause accepts is untouched.
+    */
+  case class MergeMatched(cond: Option[Column], set: Option[Map[String, Column]])
+
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause (first-match-
+    * wins across clauses; a source row no clause accepts does not
+    * insert). Conditions and values may reference the source side only.
+    */
+  case class MergeNotMatched(cond: Option[Column], insert: Map[String, Column])
+
+  /** One `WHEN NOT MATCHED BY SOURCE [AND cond]` clause over target rows
+    * no source row matches: `set = Some(...)` is UPDATE, `None` is
+    * DELETE. Conditions and assignments may reference the target side
+    * only.
+    */
+  case class MergeBySource(cond: Option[Column], set: Option[Map[String, Column]])
+
+  /** Full-shape MERGE as ONE deletion-vector commit (the Delta MERGE
+    * semantics, row-level): conditional and multiple `WHEN MATCHED`
+    * clauses (first-match-wins), conditional multi-clause `WHEN NOT
+    * MATCHED ... INSERT`, and `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE.
+    * Every touched ORIGINAL row soft-deletes by (file, row_index) pair —
+    * exact per-row semantics, so two same-key target rows can take
+    * different clause branches (the key-level [[replaceWhereKeysDV]]
+    * upsert cannot express that); replacement images and inserts append,
+    * all in one committed version the CDF emits as deletes-then-inserts.
+    *
+    * Cost: one inner join (matched pairs), up to two anti-joins (insert
+    * side, by-source side — built only when clauses need them), images
+    * unioned per clause; O(matched + affected + new rows) writes, zero
+    * data-file churn. The Delta cardinality contract holds: duplicate
+    * source key tuples matching existing rows refuse when any matched
+    * clause exists (a row's replacement must be well-defined).
+    * NULL clause conditions are UNKNOWN = non-matching (SQL).
+    */
+  def mergeDV(spark: SparkSession, path: String, source: DataFrame,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[MergeMatched] = Nil,
+      notMatched: Seq[MergeNotMatched] = Nil,
+      bySource: Seq[MergeBySource] = Nil,
+      expectedVersion: Long = -1L,
+      alerts: Option[graft.runner.Alerts.Sink] = None): Snapshot = {
+    require(keyPairs.nonEmpty, "TxLog.mergeDV: key pairs must be non-empty")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "TxLog.mergeDV: no merge clauses")
+    val ev = if (expectedVersion >= 0L) expectedVersion
+      else currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog.mergeDV: no log at $path"))
+    val base = snapshot(path, Some(ev))
+    val T = MergeTargetAlias; val S = MergeSourceAlias
+    val tgtKeys = keyPairs.map(_._1)
+    val tgtSchema: StructType = base.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"TxLog.mergeDV: $path has no recorded schema (legacy log) - " +
+          "MERGE needs the schema authority the log provides"))
+    val tgtNames = tgtSchema.fieldNames.toSet
+    (matched.flatMap(_.set).flatMap(_.keys) ++
+      notMatched.flatMap(_.insert.keys) ++
+      bySource.flatMap(_.set).flatMap(_.keys)).foreach(c =>
+      require(tgtNames.contains(c),
+        s"TxLog.mergeDV: assignment targets column '$c' the table does " +
+          "not have (schema evolution through MERGE is not supported - " +
+          "ALTER TABLE ADD COLUMNS first)"))
+    // first-true clause index (-1 = no clause applies; NULL cond = false)
+    def actOf(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
+        when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i))
+          .otherwise(els)
+      }
+    // a clause's full-schema image over `frame`: assigned columns take
+    // the assignment, the rest the original target value (or typed NULL
+    // when the frame has no target side / the column is metadata-only)
+    def image(frame: DataFrame, assigns: Map[String, Column],
+        originalFrom: Option[String]): DataFrame =
+      frame.select(tgtSchema.fields.toSeq.map { f =>
+        assigns.get(f.name).map(_.as(f.name)).getOrElse(originalFrom match {
+          case Some(q) if frame.columns.contains(f.name) &&
+              scala.util.Try(frame(s"$q.${f.name}")).isSuccess =>
+            col(s"$q.${f.name}").as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        })
+      }: _*)
+    val emptyHits = source.limit(0)
+      .select(lit("").as("file"), lit(0L).as("row_idx")).filter(lit(false))
+    val emptyData = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], tgtSchema)
+
+    val live: Option[DataFrame] =
+      if (base.files.isEmpty) None
+      else Some(liveRowsMeta(spark, path, base))
+    val joinCond = keyPairs.map { case (t, s) =>
+      col(s"$T.$t") === col(s"$S.$s") }.reduce(_ && _)
+
+    // Delta cardinality: duplicate source key tuples that MATCH rows
+    // refuse whenever a matched clause could replace/delete them
+    if (matched.nonEmpty && live.isDefined) {
+      val dupKeys = source
+        .select(keyPairs.map { case (t, s) => col(s).as(t) }: _*)
+        .groupBy(tgtKeys.map(col): _*)
+        .agg(count(lit(1)).as("__graft_n")).filter(col("__graft_n") > 1L)
+        .drop("__graft_n")
+      val clash = live.get.join(broadcast(dupKeys), tgtKeys, "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "TxLog.mergeDV: source has duplicate key tuples matching " +
+          "existing rows - replacing one row with several is not an " +
+          "update (the Delta cardinality violation); de-duplicate the " +
+          "source")
+    }
+
+    val ActCol = "__graft_act"
+    // matched side: pairs frame with both aliases, first-true clause tag
+    val pairs: Option[DataFrame] =
+      if (matched.isEmpty || live.isEmpty) None
+      else Some(live.get.alias(T).join(source.alias(S), joinCond, "inner")
+        .withColumn(ActCol, actOf(matched.map(_.cond)))
+        .filter(col(ActCol) >= 0).persist())
+    // by-source side: target rows no source matches, first-true tag
+    val orphans: Option[DataFrame] =
+      if (bySource.isEmpty || live.isEmpty) None
+      else Some(live.get.alias(T).join(source.alias(S), joinCond, "left_anti")
+        .withColumn(ActCol, actOf(bySource.map(_.cond)))
+        .filter(col(ActCol) >= 0).persist())
+    try {
+      // every ACCEPTED matched/orphan row soft-deletes its original
+      // image; UPDATE clauses also append the replacement
+      val hits = (pairs.toSeq ++ orphans.toSeq)
+        .map(_.select(col(MetaFileCol).as("file"),
+          col(MetaRiCol).as("row_idx")))
+        .reduceOption(_.unionAll(_)).getOrElse(emptyHits)
+      val updateImages = pairs.toSeq.flatMap { p =>
+        matched.zipWithIndex.collect { case (MergeMatched(_, Some(set)), i) =>
+          image(p.filter(col(ActCol) === i), set, Some(T))
+        }
+      }
+      val bySourceImages = orphans.toSeq.flatMap { o =>
+        bySource.zipWithIndex.collect { case (MergeBySource(_, Some(set)), i) =>
+          image(o.filter(col(ActCol) === i), set, Some(T))
+        }
+      }
+      val insertImages =
+        if (notMatched.isEmpty) Nil
+        else {
+          val unmatchedSrc = live match {
+            case None => source.alias(S)
+            case Some(l) =>
+              source.alias(S).join(l.alias(T), joinCond, "left_anti")
+          }
+          val tagged = unmatchedSrc
+            .withColumn(ActCol, actOf(notMatched.map(_.cond)))
+            .filter(col(ActCol) >= 0)
+          notMatched.zipWithIndex.map { case (MergeNotMatched(_, ins), i) =>
+            image(tagged.filter(col(ActCol) === i), ins, None)
+          }
+        }
+      val newData = (updateImages ++ bySourceImages ++ insertImages)
+        .reduceOption(_.unionByName(_)).getOrElse(emptyData)
+      commitDvMutation(spark, path, base, hits, newData, "MERGE_DV",
+        Map("keys" -> tgtKeys.mkString(","),
+          "clauses" -> (s"matched=${matched.size},notMatched=" +
+            s"${notMatched.size},bySource=${bySource.size}")), alerts)
+    } finally {
+      pairs.foreach { p => p.unpersist(); () }
+      orphans.foreach { o => o.unpersist(); () }
+    }
   }
 
   // --- partitioned-table operations -----------------------------------------

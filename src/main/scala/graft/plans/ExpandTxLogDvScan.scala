@@ -71,12 +71,56 @@ object ExpandTxLogDvScan extends Rule[LogicalPlan] {
     Project(aliases, expanded)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // V2 constraint DDL validates existing data through a plan that MUST
+    // keep the DataSourceV2Relation visible — the native strategy pattern-
+    // matches it to recover the catalog + identifier for alterTable;
+    // expanding underneath leaves an unplannable AddCheckConstraint
+    // (planner assertion, caught by GraftCatalogSpec). The validation
+    // scan runs through the V1Scan fallback — DDL-time cost, acceptable.
+    case _: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+      plan
+    case _ => expand(plan)
+  }
+
+  private def expand(plan: LogicalPlan): LogicalPlan = plan.transform {
     case rel @ LogicalRelation(dv: TxLogDvRelation, _, _, _, _) =>
       val session = SparkSession.active
       splice(rel, TxLog.read(session, dv.path, asOf = Some(dv.version)))
     case rel @ LogicalRelation(cdf: graft.streaming.TxLogCdfRelation, _, _, _, _) =>
       val session = SparkSession.active
       splice(rel, TxLog.changes(session, cdf.path, cdf.fromExclusive, cdf.to))
+    // the DSv2 catalog's relations expand to the same native plan — the
+    // V1Scan fallback inside GraftTable only serves extension-less
+    // sessions (the splice discipline is identical: V2 relation output
+    // ids re-exposed over the analyzed TxLog.read plan)
+    case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if rel.table.isInstanceOf[graft.sqlfront.GraftTable] =>
+      val t = rel.table.asInstanceOf[graft.sqlfront.GraftTable]
+      val session = SparkSession.active
+      spliceV2(rel.output,
+        TxLog.read(session, t.dir, asOf = Some(t.servedVersion)))
+  }
+
+  /** The V2-relation splice twin: same by-name alias discipline, keyed
+    * on the relation's output attributes instead of a LogicalRelation.
+    */
+  private def spliceV2(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      native: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val expanded = org.apache.spark.sql.catalyst.optimizer
+      .EliminateResolvedHint(
+        org.apache.spark.sql.graftbridge.StreamingSourceBridge
+          .analyzedPlan(native))
+    val byName = expanded.output.map(a => a.name -> a).toMap
+    val aliases = out.map { o =>
+      val n = byName.getOrElse(o.name, throw new IllegalStateException(
+        s"ExpandTxLogDvScan: native plan lacks column '${o.name}' the " +
+          s"V2 relation declared (has: ${expanded.output.map(_.name).mkString(", ")})"))
+      val child: org.apache.spark.sql.catalyst.expressions.Expression =
+        if (n.dataType == o.dataType) n
+        else org.apache.spark.sql.catalyst.expressions.Cast(n, o.dataType)
+      Alias(child, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(aliases, expanded)
   }
 }

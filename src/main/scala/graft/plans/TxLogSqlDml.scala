@@ -65,36 +65,91 @@ import graft.streaming.{TxLogDvRelation, TxLogSource}
   * name(-qualified) attributes and carried as a [[Column]] (a Column
   * field is invisible to `QueryPlan.expressions`, so the command stays
   * `resolved` for checkAnalysis); re-resolution happens inside the
-  * committer's own plan. Conditions containing subqueries are refused
-  * with a named error (their captured plans cannot be re-bound this way —
-  * rewrite as a MERGE or a CALL procedure).
+  * committer's own plan.
+  *
+  * MERGE shapes (round 15): conditional and MULTIPLE `WHEN MATCHED`
+  * clauses (first-match-wins), conditional multi-clause `WHEN NOT
+  * MATCHED ... INSERT`, and `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE
+  * all compile onto the row-level `TxLog.mergeDV` commit
+  * ([[GraftTxLogMergeDvCommand]]); the original single-unconditional
+  * upsert keeps its proven key-level command. `DELETE`/`UPDATE` with a
+  * top-level uncorrelated `(cols) IN (SELECT ...)` conjunct rewrite
+  * internally onto the same keyed-MERGE path (source = the deduplicated
+  * subquery, residual conjuncts as the matched condition).
   *
   * Refused, loudly: time-traveled targets (a frozen view — INSERT
-  * parity), `WHEN ... AND <cond>` conditional merge actions, `WHEN NOT
-  * MATCHED BY SOURCE`, `WITH SCHEMA EVOLUTION`, and a MERGE whose source
-  * carries duplicate keys that match existing rows (the Delta cardinality
-  * error — replacing one row with two is not an update).
+  * parity), correlated/scalar/non-IN subqueries in DML conditions or
+  * values, `WITH SCHEMA EVOLUTION`, NOT MATCHED conditions referencing
+  * the target (and BY SOURCE referencing the source), and a MERGE whose
+  * source carries duplicate keys that match existing rows (the Delta
+  * cardinality error — replacing one row with two is not an update).
   */
 object TxLogSqlDml {
 
-  /** Unwrap alias nesting down to the V1 TxLog relation, or None when the
-    * DML target is anything else (leave the plan for Spark to refuse).
+  /** A DML target's (table dir, time-traveled?, output attributes) —
+    * unwraps alias nesting down to either the V1 TxLog relation
+    * (session-catalog tables) or the DSv2 [[graft.sqlfront.GraftTable]]
+    * relation (the graft catalog); None for anything else (leave the
+    * plan for Spark to refuse).
     */
   private[plans] def unwrapTarget(plan: LogicalPlan)
-      : Option[(TxLogDvRelation, Seq[Attribute])] = plan match {
+      : Option[(String, Boolean, Seq[Attribute])] = plan match {
     case SubqueryAlias(_, child) => unwrapTarget(child)
     case lr: LogicalRelation => lr.relation match {
-      case r: TxLogDvRelation => Some((r, lr.output))
+      case r: TxLogDvRelation => Some((r.path, r.timeTraveled, lr.output))
       case _ => None
     }
+    case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if rel.table.isInstanceOf[graft.sqlfront.GraftTable] =>
+      val t = rel.table.asInstanceOf[graft.sqlfront.GraftTable]
+      Some((t.dir, t.timeTraveled, rel.output))
     case _ => None
   }
 
   private[plans] def refuseSubqueries(e: Expression, stmt: String): Unit =
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
-      s"graft-txlog: $stmt with a subquery in its condition is not " +
-        "supported on TxLog tables - rewrite as MERGE INTO (with the " +
+      s"graft-txlog: $stmt supports a subquery only as a top-level " +
+        "conjunct of the form <target columns> IN (SELECT ...) " +
+        "(uncorrelated) - rewrite other shapes as MERGE INTO (with the " +
         "subquery as the source) or a CALL graft_sys.system procedure")
+
+  /** Recognize `... AND (cols) IN (SELECT ...) AND ...` in a DELETE/
+    * UPDATE condition: exactly ONE conjunct is an UNCORRELATED
+    * [[org.apache.spark.sql.catalyst.expressions.InSubquery]] whose
+    * values are plain target columns, every other conjunct
+    * subquery-free. Returns (target key names, the subquery plan
+    * projected onto fresh `__graft_k<i>` key names, residual conjuncts)
+    * — the raw material of the internal keyed-MERGE rewrite. None = no
+    * such shape (the caller falls back to the plain path / refusal).
+    */
+  private[plans] def splitInSubquery(cond: Expression,
+      tgtSet: AttributeSet): Option[(Seq[String], LogicalPlan,
+      Option[Expression])] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, InSubquery}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = conjuncts(cond)
+    val (subs, rest) = cs.partition(_.isInstanceOf[InSubquery])
+    subs match {
+      case Seq(in: InSubquery)
+          if in.query.outerAttrs.isEmpty &&
+            in.values.forall {
+              case a: AttributeReference => tgtSet.contains(a)
+              case _ => false
+            } &&
+            rest.forall(!_.exists(_.isInstanceOf[SubqueryExpression])) =>
+        val keys = in.values.map(_.asInstanceOf[AttributeReference].name)
+        val sub = in.query.plan
+        val aliases = sub.output.take(in.values.length).zipWithIndex.map {
+          case (a, i) => Alias(a, s"__graft_k$i")()
+        }
+        val projected: LogicalPlan = Project(aliases, sub)
+        Some((keys, projected, rest.reduceOption(And)))
+      case _ => None
+    }
+  }
 
   /** Remap resolved attributes to unresolved by-name attributes —
     * `tgt`/`src` give each side's attribute set and the qualifier to
@@ -139,25 +194,59 @@ case class RewriteTxLogDml(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
 
-    case DeleteFromTable(target, cond) if unwrapTarget(target).isDefined =>
-      val (rel, out) = unwrapTarget(target).get
-      refuseSubqueries(cond, "DELETE")
-      GraftTxLogDeleteCommand(rel.path, rel.timeTraveled,
-        toCol(remap(cond, (AttributeSet(out), None))))
+    // `.resolved` guards: an unresolvable condition/assignment (e.g. a
+    // mistyped column qualifier) must fall through to Spark's own
+    // UNRESOLVED_COLUMN error, not a confusing graft refusal
+    case DeleteFromTable(target, cond)
+        if cond.resolved && unwrapTarget(target).isDefined =>
+      val (path, timeTraveled, out) = unwrapTarget(target).get
+      val tgtSet = AttributeSet(out)
+      splitInSubquery(cond, tgtSet) match {
+        case Some((keys, subPlan, residual)) =>
+          // DELETE ... WHERE (k) IN (SELECT ...) [AND residual] compiles
+          // onto the keyed MERGE path: source = the (deduplicated)
+          // subquery, one conditional matched-DELETE clause — row-level,
+          // so the residual applies per row
+          GraftTxLogMergeDvCommand(path, timeTraveled, subPlan,
+            keys.zipWithIndex.map { case (k, i) => (k, s"__graft_k$i") },
+            matched = Seq(graft.gold.TxLog.MergeMatched(
+              residual.map(r => toCol(remap(r, (tgtSet, Some(TargetAlias))))),
+              None)),
+            notMatched = Nil, bySource = Nil, dedupeSource = true)
+        case None =>
+          refuseSubqueries(cond, "DELETE")
+          GraftTxLogDeleteCommand(path, timeTraveled,
+            toCol(remap(cond, (tgtSet, None))))
+      }
 
     case UpdateTable(target, assignments, cond)
-        if unwrapTarget(target).isDefined =>
-      val (rel, out) = unwrapTarget(target).get
+        if cond.forall(_.resolved) && assignments.forall(_.resolved) &&
+          unwrapTarget(target).isDefined =>
+      val (path, timeTraveled, out) = unwrapTarget(target).get
       val tgtSet = AttributeSet(out)
-      cond.foreach(refuseSubqueries(_, "UPDATE"))
       assignments.foreach(a => refuseSubqueries(a.value, "UPDATE"))
-      val set = assignments.map(a =>
-        assignName(a.key, tgtSet) -> toCol(remap(a.value, (tgtSet, None))))
-      GraftTxLogUpdateCommand(rel.path, rel.timeTraveled,
-        toCol(remap(cond.getOrElse(org.apache.spark.sql.catalyst.expressions
-          .Literal.TrueLiteral), (tgtSet, None))), set)
+      cond.flatMap(splitInSubquery(_, tgtSet)) match {
+        case Some((keys, subPlan, residual)) =>
+          val set = assignments.map(a =>
+            assignName(a.key, tgtSet) -> toCol(remap(a.value,
+              (tgtSet, Some(TargetAlias))))).toMap
+          GraftTxLogMergeDvCommand(path, timeTraveled, subPlan,
+            keys.zipWithIndex.map { case (k, i) => (k, s"__graft_k$i") },
+            matched = Seq(graft.gold.TxLog.MergeMatched(
+              residual.map(r => toCol(remap(r, (tgtSet, Some(TargetAlias))))),
+              Some(set))),
+            notMatched = Nil, bySource = Nil, dedupeSource = true)
+        case None =>
+          cond.foreach(refuseSubqueries(_, "UPDATE"))
+          val set = assignments.map(a =>
+            assignName(a.key, tgtSet) -> toCol(remap(a.value, (tgtSet, None))))
+          GraftTxLogUpdateCommand(path, timeTraveled,
+            toCol(remap(cond.getOrElse(org.apache.spark.sql.catalyst
+              .expressions.Literal.TrueLiteral), (tgtSet, None))), set)
+      }
 
-    case m: MergeIntoTable if unwrapTarget(m.targetTable).isDefined =>
+    case m: MergeIntoTable
+        if m.resolved && unwrapTarget(m.targetTable).isDefined =>
       rewriteMerge(m)
 
     case a: AlterTableAddColumnsCommand if isTxLogTable(a.table) =>
@@ -173,19 +262,16 @@ case class RewriteTxLogDml(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewriteMerge(m: MergeIntoTable): LogicalPlan = {
     import TxLogSqlDml._
-    val (rel, tgtOut) = unwrapTarget(m.targetTable).get
+    val (path, timeTraveled, tgtOut) = unwrapTarget(m.targetTable).get
     val tgtSet = AttributeSet(tgtOut)
     val srcSet = AttributeSet(m.sourceTable.output)
     def fail(what: String): Nothing = throw new IllegalArgumentException(
-      s"graft-txlog: MERGE INTO supports exactly one unconditional " +
-        "matched action (UPDATE SET ... | DELETE), at most one " +
-        "unconditional WHEN NOT MATCHED THEN INSERT, an equality-" +
-        "conjunction ON clause between target and source columns, and no " +
-        s"schema evolution - $what. Use CALL graft_sys.system.merge_into " +
-        "or the Scala API for other shapes")
+      s"graft-txlog: MERGE INTO supports UPDATE SET / DELETE / INSERT " +
+        "actions (conditional, multiple, and WHEN NOT MATCHED BY SOURCE " +
+        "included), an equality-conjunction ON clause between target and " +
+        s"source columns, and no schema evolution - $what. Use CALL " +
+        "graft_sys.system.merge_into or the Scala API for other shapes")
     if (m.withSchemaEvolution) fail("WITH SCHEMA EVOLUTION was requested")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is present")
     // ON clause: conjunction of target-col = source-col equalities
     def split(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -206,22 +292,76 @@ case class RewriteTxLogDml(session: SparkSession) extends Rule[LogicalPlan] {
         assignName(a.key, tgtSet) -> toCol(remap(a.value,
           (tgtSet, Some(TargetAlias)), (srcSet, Some(SourceAlias))))
       }
-    val matched: Option[Either[Seq[(String, Column)], Unit]] =
-      m.matchedActions match {
+    // the SIMPLE shapes (one unconditional matched action, at most one
+    // unconditional insert, no by-source) keep the original key-level
+    // command — the proven upsert path the gates pin; everything else
+    // routes to the general row-level mergeDV command
+    val simple = m.notMatchedBySourceActions.isEmpty &&
+      (m.matchedActions match {
+        case Nil | Seq(UpdateAction(None, _, _)) | Seq(DeleteAction(None)) =>
+          true
+        case _ => false
+      }) &&
+      (m.notMatchedActions match {
+        case Nil | Seq(InsertAction(None, _)) => true
+        case _ => false
+      })
+    if (simple) {
+      val matched: Option[Either[Seq[(String, Column)], Unit]] =
+        m.matchedActions match {
+          case Nil => None
+          case Seq(UpdateAction(None, assigns, _)) =>
+            Some(Left(remapAssigns(assigns)))
+          case Seq(DeleteAction(None)) => Some(Right(()))
+          case other => fail(s"unexpected matched actions $other")
+        }
+      val insert: Option[Seq[(String, Column)]] = m.notMatchedActions match {
         case Nil => None
-        case Seq(UpdateAction(None, assigns, _)) =>
-          Some(Left(remapAssigns(assigns)))
-        case Seq(DeleteAction(None)) => Some(Right(()))
-        case _ => fail("matched actions are conditional or multiple")
+        case Seq(InsertAction(None, assigns)) => Some(remapAssigns(assigns))
+        case other => fail(s"unexpected not-matched actions $other")
       }
-    val insert: Option[Seq[(String, Column)]] = m.notMatchedActions match {
-      case Nil => None
-      case Seq(InsertAction(None, assigns)) => Some(remapAssigns(assigns))
-      case _ => fail("not-matched actions are conditional or multiple")
+      if (matched.isEmpty && insert.isEmpty) fail("no actions")
+      GraftTxLogMergeCommand(path, timeTraveled, m.sourceTable,
+        keyPairs, matched, insert)
+    } else {
+      import graft.gold.TxLog.{MergeBySource, MergeMatched, MergeNotMatched}
+      def remapCond(c: Expression): Column = {
+        refuseSubqueries(c, "MERGE")
+        toCol(remap(c, (tgtSet, Some(TargetAlias)),
+          (srcSet, Some(SourceAlias))))
+      }
+      def refuseSide(e: Expression, side: AttributeSet, what: String): Unit =
+        require(e.references.intersect(side).isEmpty,
+          s"graft-txlog: MERGE $what may not reference the " +
+            (if (side eq tgtSet) "target" else "source") + s" side - '$e'")
+      val matched = m.matchedActions.map {
+        case UpdateAction(c, assigns, _) =>
+          MergeMatched(c.map(remapCond), Some(remapAssigns(assigns).toMap))
+        case DeleteAction(c) => MergeMatched(c.map(remapCond), None)
+        case other => fail(s"unsupported matched action $other")
+      }
+      val notMatched = m.notMatchedActions.map {
+        case InsertAction(c, assigns) =>
+          c.foreach(refuseSide(_, tgtSet, "NOT MATCHED condition"))
+          assigns.foreach(a =>
+            refuseSide(a.value, tgtSet, "INSERT value"))
+          MergeNotMatched(c.map(remapCond), remapAssigns(assigns).toMap)
+        case other => fail(s"unsupported not-matched action $other")
+      }
+      val bySource = m.notMatchedBySourceActions.map {
+        case UpdateAction(c, assigns, _) =>
+          c.foreach(refuseSide(_, srcSet, "NOT MATCHED BY SOURCE condition"))
+          assigns.foreach(a =>
+            refuseSide(a.value, srcSet, "NOT MATCHED BY SOURCE value"))
+          MergeBySource(c.map(remapCond), Some(remapAssigns(assigns).toMap))
+        case DeleteAction(c) =>
+          c.foreach(refuseSide(_, srcSet, "NOT MATCHED BY SOURCE condition"))
+          MergeBySource(c.map(remapCond), None)
+        case other => fail(s"unsupported by-source action $other")
+      }
+      GraftTxLogMergeDvCommand(path, timeTraveled, m.sourceTable,
+        keyPairs, matched, notMatched, bySource, dedupeSource = false)
     }
-    if (matched.isEmpty && insert.isEmpty) fail("no actions")
-    GraftTxLogMergeCommand(rel.path, rel.timeTraveled, m.sourceTable,
-      keyPairs, matched, insert)
   }
 }
 
@@ -338,6 +478,40 @@ case class GraftTxLogMergeCommand(path: String, timeTraveled: Boolean,
   }
 }
 
+/** The GENERAL row-level MERGE (and the internal compilation target of
+  * `DELETE/UPDATE ... WHERE (k) IN (SELECT ...)`): conditional/multiple
+  * WHEN MATCHED clauses, conditional inserts, and WHEN NOT MATCHED BY
+  * SOURCE, executed by `TxLog.mergeDV` as ONE deletion-vector commit.
+  * Clause conditions/assignments are remapped Columns under the
+  * `__graft_t`/`__graft_s` aliases (`TxLog.MergeTargetAlias`); Column
+  * fields are invisible to `QueryPlan.expressions`, so the command stays
+  * `resolved`. `dedupeSource` distincts the source key frame — set by the
+  * IN-subquery rewrite (IN semantics collapse duplicates; a raw MERGE
+  * source keeps them so the cardinality contract still fires).
+  */
+case class GraftTxLogMergeDvCommand(path: String, timeTraveled: Boolean,
+    source: LogicalPlan, keyPairs: Seq[(String, String)],
+    matched: Seq[graft.gold.TxLog.MergeMatched],
+    notMatched: Seq[graft.gold.TxLog.MergeNotMatched],
+    bySource: Seq[graft.gold.TxLog.MergeBySource],
+    dedupeSource: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxLogDmlExec.refuseTimeTravel(timeTraveled, path, "MERGE INTO")
+    val src0 = StreamingSourceBridge.ofRows(spark, source)
+    val src = if (dedupeSource) src0.distinct() else src0
+    val snap = TxLog.commitWithRetry(path) { v =>
+      TxLog.mergeDV(spark, path, src, keyPairs, matched, notMatched,
+        bySource, v)
+    }
+    TxLogDmlExec.refresh(spark, path)
+    Seq(Row(snap.version))
+  }
+}
+
 /** `ALTER TABLE <txlog table> ADD COLUMNS (...)` — metadata-only
   * `TxLog.addColumn` per column, then the CATALOG schema is re-pinned to
   * the evolved log schema so the next SELECT resolves it with no manual
@@ -382,15 +556,7 @@ case class GraftTxLogRenameColumnCommand(nameParts: Seq[String],
       "ALTER TABLE ... RENAME COLUMN")
     val snap = TxLog.commitWithRetry(path)(v =>
       TxLog.renameColumn(path, from, to, v))
-    val catalog = spark.sessionState.catalog
-    val meta = catalog.getTableMetadata(ident)
-    // alterTable, not alterTableDataSchema: the latter refuses renames
-    // and drops outright ("We don't support dropping columns yet")
-    catalog.alterTable(meta.copy(schema =
-      graft.streaming.TxLogRelation.asNullableSchema(StructType(
-        meta.schema.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f)))))
-    TxLogDmlExec.refresh(spark, path)
+    TxLogDmlExec.repinCatalogSchema(spark, ident, path)
     Seq(Row(snap.version))
   }
 }
@@ -407,7 +573,11 @@ case class GraftTxLogDropColumnsCommand(nameParts: Seq[String],
     val (ident, path) = TxLogDmlExec.resolveTxLogTable(spark, nameParts,
       "ALTER TABLE ... DROP COLUMN")
     var version = TxLog.currentVersion(path).get
-    cols.foreach { c =>
+    // re-pin the catalog in a finally: a LATER column's refusal
+    // (constraint-referenced, partition column) after earlier columns
+    // already committed must leave the catalog consistent with the LOG,
+    // or every subsequent SELECT hits the schema-drift refusal
+    try cols.foreach { c =>
       val present = TxLog.snapshot(path).schema
         .exists(_.fieldNames.contains(c))
       if (present)
@@ -415,13 +585,7 @@ case class GraftTxLogDropColumnsCommand(nameParts: Seq[String],
           TxLog.dropColumn(path, c, v)).version
       else if (!ifExists) throw new IllegalArgumentException(
         s"ALTER TABLE ... DROP COLUMN: no column '$c' on $path")
-    }
-    val catalog = spark.sessionState.catalog
-    val meta = catalog.getTableMetadata(ident)
-    catalog.alterTable(meta.copy(schema =
-      graft.streaming.TxLogRelation.asNullableSchema(StructType(
-        meta.schema.fields.filterNot(f => cols.contains(f.name))))))
-    TxLogDmlExec.refresh(spark, path)
+    } finally TxLogDmlExec.repinCatalogSchema(spark, ident, path)
     Seq(Row(version))
   }
 }
@@ -534,6 +698,24 @@ private[plans] object TxLogDmlExec {
     spark.catalog.refreshByPath(path)
     CatalogBridge.invalidateCachedRelations(spark)
   }
+
+  /** Re-pin the catalog table's schema to the LOG's actual current
+    * logical schema (the authority) and refresh — the one call that
+    * leaves the catalog consistent no matter how much of a multi-step
+    * DDL completed before a refusal. alterTable, not
+    * alterTableDataSchema: the latter refuses renames and drops outright
+    * ("We don't support dropping columns yet").
+    */
+  def repinCatalogSchema(spark: SparkSession, ident: TableIdentifier,
+      path: String): Unit = {
+    TxLog.snapshot(path).schema.foreach { sch =>
+      val catalog = spark.sessionState.catalog
+      val meta = catalog.getTableMetadata(ident)
+      catalog.alterTable(meta.copy(schema =
+        graft.streaming.TxLogRelation.asNullableSchema(sch)))
+    }
+    refresh(spark, path)
+  }
 }
 
 /** Delegating parser that intercepts the two constraint DDL statements
@@ -544,30 +726,57 @@ class GraftSqlParser(
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
   extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
+  /** Best-effort parse-time SCOPE check: intercept only names the
+    * SESSION catalog can already prove are graft-txlog tables —
+    * everything else (other catalogs, temp views, other providers,
+    * missing tables) falls through to the ORIGINAL node so Spark's own
+    * resolution/refusal runs. Without this the parser globally replaced
+    * native behavior for every table kind (a genuine DSv2 catalog table
+    * supporting RENAME COLUMN would have gotten graft's "not found" —
+    * the round-14 ADVICE finding). The commands re-verify at run time
+    * regardless; a parse-time miss only costs the native error message.
+    */
+  private def isGraftTable(parts: Seq[String]): Boolean = {
+    val identOpt = parts match {
+      case Seq(t) => Some(TableIdentifier(t))
+      case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        Some(TableIdentifier(t, Some(db)))
+      case _ => None
+    }
+    identOpt.exists { ident =>
+      org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+        try s.sessionState.catalog.getTableMetadata(ident)
+          .provider.exists(_.equalsIgnoreCase("graft-txlog"))
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
     delegate.parsePlan(sqlText) match {
       // RENAME/DROP COLUMN refuse during ANALYSIS for V1 tables (same
       // class as the constraint DDL — probed; no injectable rule runs
-      // first), so they ride the parser too
+      // first), so they ride the parser too — scoped to proven
+      // graft-txlog targets
       case r: RenameColumn =>
         r.table match {
-          case u: UnresolvedTable if r.column.name.length == 1 =>
-            GraftTxLogRenameColumnCommand(u.multipartIdentifier,
-              r.column.name.head, r.newName)
-          case _: UnresolvedTable =>
-            throw new IllegalArgumentException(
+          case u: UnresolvedTable if isGraftTable(u.multipartIdentifier) =>
+            if (r.column.name.length == 1)
+              GraftTxLogRenameColumnCommand(u.multipartIdentifier,
+                r.column.name.head, r.newName)
+            else throw new IllegalArgumentException(
               "graft-txlog: RENAME COLUMN on a nested field is not " +
                 "supported - only top-level columns map")
           case _ => r
         }
       case d: DropColumns =>
         d.table match {
-          case u: UnresolvedTable
-              if d.columnsToDrop.forall(_.name.length == 1) =>
-            GraftTxLogDropColumnsCommand(u.multipartIdentifier,
-              d.columnsToDrop.map(_.name.head), d.ifExists)
-          case _: UnresolvedTable =>
-            throw new IllegalArgumentException(
+          case u: UnresolvedTable if isGraftTable(u.multipartIdentifier) =>
+            if (d.columnsToDrop.forall(_.name.length == 1))
+              GraftTxLogDropColumnsCommand(u.multipartIdentifier,
+                d.columnsToDrop.map(_.name.head), d.ifExists)
+            else throw new IllegalArgumentException(
               "graft-txlog: DROP COLUMN on a nested field is not " +
                 "supported - only top-level columns map")
           case _ => d
@@ -576,11 +785,13 @@ class GraftSqlParser(
         val ident = a.child.collectFirst {
           case u: UnresolvedRelation => u.multipartIdentifier
         }.getOrElse(Seq(a.checkConstraint.tableName))
-        GraftTxLogAddConstraintCommand(ident, a.checkConstraint.name,
-          a.checkConstraint.condition)
+        if (isGraftTable(ident))
+          GraftTxLogAddConstraintCommand(ident, a.checkConstraint.name,
+            a.checkConstraint.condition)
+        else a
       case d: DropConstraint =>
         d.child match {
-          case u: UnresolvedTable =>
+          case u: UnresolvedTable if isGraftTable(u.multipartIdentifier) =>
             require(!d.cascade,
               "graft-txlog: DROP CONSTRAINT ... CASCADE is not supported " +
                 "(CHECK constraints have no dependents)")

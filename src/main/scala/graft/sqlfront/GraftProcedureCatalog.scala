@@ -285,8 +285,16 @@ object GraftProcedureCatalog {
         val recorded = TxLog.commitInfos(dst)
           .find(_.operation.contains("CLONE"))
           .flatMap(_.params.get("sourceVersion")).map(_.toLong)
-        row(recorded.getOrElse(asOf.getOrElse(-1L)),
-          snap.files.size.toLong) :: Nil
+        // never report a sentinel: the clone's own CLONE commitInfo is
+        // authoritative; when it cannot be found (and no asOf pins one)
+        // the clone still SUCCEEDED - fail the report loudly instead of
+        // emitting a nonsense version
+        val srcVersion = recorded.orElse(asOf).getOrElse(
+          throw new IllegalStateException(
+            s"graft clone: $dst records no CLONE commitInfo with a " +
+              "sourceVersion - the clone itself succeeded but its source " +
+              "version cannot be reported; inspect TxLog.history(dst)"))
+        row(srcVersion, snap.files.size.toLong) :: Nil
       }
     },
 

@@ -458,14 +458,24 @@ object TxLogSource {
   /** The table's schema at its current version: the log's recorded schema
     * (authoritative even for file-less versions), falling back to the
     * newest snapshot's parquet footers for pre-schema legacy logs.
+    * AS-NULLABLE (the file-source convention, same as catalog
+    * registration): a stream MUST declare nullable columns because
+    * batches legitimately null-fill — files predating an added/re-added
+    * column, tombstone projections under column mapping. Declaring the
+    * recorded nullability instead is a REAL silent-corruption hazard
+    * (caught by the round-15 column-mapping stream spec): an append can
+    * narrow a recorded column to non-nullable (mergeSchemas keeps the
+    * written field), and the engine's projection over a non-nullable
+    * attribute turns every null-filled value into 0 — no error, wrong
+    * data.
     */
   private[streaming] def tableSchema(spark: SparkSession, path: String): StructType = {
     val snap = TxLog.snapshot(path)
-    snap.schema.getOrElse {
+    TxLogRelation.asNullableSchema(snap.schema.getOrElse {
       require(snap.files.nonEmpty,
         s"graft-txlog source: $path has no recorded schema and no files")
       spark.read.parquet(snap.files.map(f => s"$path/$f"): _*).schema
-    }
+    })
   }
 }
 
@@ -497,18 +507,23 @@ abstract class TxLogVersionedSource(
     startingVersion: Long,
     maxBytesPerTrigger: Option[Long] = None) extends Source {
 
-  // CONSTRUCTION-TIME column-mapping refusal (the per-batch schema
-  // contract re-checks for mid-stream activation): streaming batches
-  // read data files directly with the pinned LOGICAL schema — an active
-  // mapping's physical names would silently null-fill renamed columns.
-  locally {
+  /** The COLUMN MAPPING pinned at query start (round-14 verdict item 3 —
+    * streaming over renamed/dropped tables): batch files are read under
+    * the PHYSICALIZED pinned schema and projected back to the pinned
+    * LOGICAL names, so a column-mapped table streams like any other.
+    * Physical names are stable for a logical column's lifetime (rename is
+    * metadata-only), which is what makes pin-at-start sound: a mid-stream
+    * RENAME keeps serving the query-start names (the row shape never
+    * silently changes — restart to pick up the new names), a mid-stream
+    * DROP null-fills the column in post-drop files (the values are gone —
+    * that IS the table's meaning), and only a genuinely NEW physical
+    * column (ADD COLUMN, or a drop + same-name re-add's resurrect-guarded
+    * fresh physical) trips the widen contract's named restart error.
+    */
+  protected val (pinnedColumnMap: Map[String, String],
+      pinnedTombstones: Set[String]) = {
     val head = TxLog.snapshot(tablePath)
-    require(head.physTombstones.isEmpty &&
-      !head.columnMap.exists { case (l, p) => l != p },
-      s"graft-txlog source: the table at $tablePath has an ACTIVE column " +
-        "mapping (renamed/dropped columns) - streaming sources read data " +
-        "files directly and cannot apply the logical→physical mapping; " +
-        "consume mapped tables through batch reads")
+    (head.columnMap, head.physTombstones)
   }
 
   /** Batch covering committed versions `(from, to]`, both bounds resolved. */
@@ -601,6 +616,32 @@ abstract class TxLogVersionedSource(
     */
   protected def pinnedSchema: StructType
 
+  /** The pinned schema under PHYSICAL column names — what batch files
+    * are actually read with (explicit-schema read: columns a file lacks
+    * null-fill, tombstoned physicals are simply never requested).
+    */
+  protected final lazy val physicalPinnedSchema: StructType =
+    StructType(pinnedSchema.fields.map(f =>
+      f.copy(name = pinnedColumnMap.getOrElse(f.name, f.name))))
+
+  private lazy val mappingIsIdentity: Boolean =
+    pinnedColumnMap.forall { case (l, p) => l == p }
+
+  /** Project a physical-name batch frame back to the pinned LOGICAL
+    * names (`extra` metadata tag columns pass through). Returns the
+    * frame UNTOUCHED on unmapped tables — no extra plan node, so
+    * plan-shape pins on mapping-free streams are unchanged.
+    */
+  protected final def logicalizeBatch(df: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
+    if (mappingIsIdentity) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(pinnedSchema.fields.toSeq.map(f =>
+        col(pinnedColumnMap.getOrElse(f.name, f.name)).as(f.name)) ++
+        extra.map(col): _*)
+    }
+
   /** SCHEMA-EVOLUTION CONTRACT (the Delta source's): a batch whose
     * covered versions WIDEN the table schema beyond the pinned one fails
     * with a named error — reading the new files through the pinned
@@ -615,26 +656,24 @@ abstract class TxLogVersionedSource(
     */
   protected final def checkSchemaPinned(toInclusive: Long): Unit = {
     val snap = TxLog.snapshot(tablePath, Some(toInclusive))
-    // COLUMN MAPPING refusal: the streaming sources read batch files
-    // directly with the pinned LOGICAL schema — under an active mapping
-    // (a rename/drop happened) the files' physical names diverge and the
-    // user-schema read would silently null-fill every renamed column.
-    // Same restart-shaped contract as the widen refusal, except batch
-    // consumption of mapped tables goes through TxLog.read/the batch
-    // format (which logicalize); streams require a mapping-free table.
-    val mappingActive = snap.physTombstones.nonEmpty ||
-      snap.columnMap.exists { case (l, p) => l != p }
-    if (mappingActive) throw new IllegalStateException(
-      s"graft-txlog source: the table at $tablePath has an ACTIVE column " +
-        s"mapping (renamed/dropped columns) at version $toInclusive - " +
-        "streaming sources read data files directly and cannot apply the " +
-        "logical→physical mapping; consume mapped tables through batch " +
-        "reads (TxLog.read / the graft-txlog batch format), or purge the " +
-        "mapping by rewriting into a fresh table (cloneTable + overwrite)")
     val logSchema = snap.schema
     logSchema.foreach { s =>
-      val pinned = pinnedSchema.fields.map(f => f.name -> f.dataType).toMap
-      val added = s.fields.filterNot(f => pinned.contains(f.name))
+      // the comparison is keyed on PHYSICAL names (column mapping): a
+      // renamed column keeps its physical identity, so it matches its
+      // pinned self and streams on under the pinned logical name; a
+      // fresh physical name is genuinely new data the pinned read would
+      // silently drop — the widen contract below refuses it by (logical)
+      // name. Identity mapping degenerates to the original logical-name
+      // comparison.
+      val pinned = pinnedSchema.fields.map(f =>
+        pinnedColumnMap.getOrElse(f.name, f.name) -> f.dataType).toMap
+      def physOf(n: String): String = snap.columnMap.getOrElse(n, n)
+      // a column whose physical is TOMBSTONED at pin time is DROPPED
+      // data, not new data: the pinned read correctly omits it (reading
+      // a pre-drop version of the table through the current schema — the
+      // same contract as the batch read's tombstone projection)
+      val added = s.fields.filterNot(f => pinned.contains(physOf(f.name))
+          || pinnedTombstones.contains(physOf(f.name)))
         .map(_.name)
       // a same-name TYPE widen (int→long re-declare, legal in the log)
       // is the same hazard: the pinned narrower read of the new files
@@ -657,7 +696,8 @@ abstract class TxLogVersionedSource(
         })
       }
       val widened = s.fields.filter(f =>
-        pinned.get(f.name).exists(p => !readsLosslessly(f.dataType, p)))
+        pinned.get(physOf(f.name)).exists(p =>
+          !readsLosslessly(f.dataType, p)))
         .map(_.name)
       val offending = added ++ widened
       if (offending.nonEmpty) throw new IllegalStateException(
@@ -825,8 +865,8 @@ class TxLogSource(
       servedAdds
     }
     if (files.isEmpty) StreamingSourceBridge.emptyStreamingBatch(spark, schema)
-    else StreamingSourceBridge.streamingFileBatch(spark, schema,
-      files.map(f => s"$tablePath/$f"))
+    else logicalizeBatch(StreamingSourceBridge.streamingFileBatch(spark,
+      physicalPinnedSchema, files.map(f => s"$tablePath/$f")))
   }
 }
 
@@ -956,10 +996,12 @@ class TxLogCdfSource(
     // narrower pre-evolution files null-fill, every part has IDENTICAL
     // shape, so the union below needs no name-based alignment.
     def loadMeta(files: Seq[String]): DataFrame =
-      StreamingSourceBridge.streamingFileBatch(spark, dataSchema,
-          files.map(f => s"$tablePath/$f"))
-        .withColumn(TxLog.MetaFileCol, col("_metadata.file_name"))
-        .withColumn(TxLog.MetaRiCol, col("_metadata.row_index"))
+      logicalizeBatch(
+        StreamingSourceBridge.streamingFileBatch(spark, physicalPinnedSchema,
+            files.map(f => s"$tablePath/$f"))
+          .withColumn(TxLog.MetaFileCol, col("_metadata.file_name"))
+          .withColumn(TxLog.MetaRiCol, col("_metadata.row_index")),
+        extra = Seq(TxLog.MetaFileCol, TxLog.MetaRiCol))
     var (files, dvs) =
       if (from < 0L) (Seq.empty[String], Map.empty[String, String])
       else {

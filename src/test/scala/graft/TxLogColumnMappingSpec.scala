@@ -155,19 +155,103 @@ class TxLogColumnMappingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       TxLog.renameColumn(path, "ghost", "g2", 1L)
     }.getMessage should include("no column")
-    // streaming sources refuse mapped tables, batch format works
+    // the batch format logicalizes mapped tables
     val path2 = freshPath()
     TxLog.init(rows(0 until 20), path2)
     TxLog.renameColumn(path2, "cents", "amount", 0L)
-    val ckpt = java.nio.file.Files.createTempDirectory("cmstream").toString
-    val q = spark.readStream.format("graft-txlog").option("path", path2)
-      .load().writeStream.format("noop")
-      .option("checkpointLocation", ckpt).start()
-    val e = intercept[Exception] { q.processAllAvailable() }
-    try e.getMessage should include("column mapping")
-    finally q.stop()
     spark.read.format("graft-txlog").option("path", path2).load()
       .columns should contain("amount")
+  }
+
+  test("streaming over a column-mapped table: pinned logical names over " +
+      "stable physicals; mid-stream rename streams on under the pinned " +
+      "names; resurrect (fresh physical) trips the restart contract; a " +
+      "fresh query re-pins and serves tombstone semantics") {
+    import org.apache.spark.sql.functions.col
+    val path = freshPath()
+    val work = java.nio.file.Files.createTempDirectory("cmstream").toString
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", 4)
+
+    // v0 data, v1 rename BEFORE the stream starts: a fresh query pins the
+    // NEW logical name and serves the old files' values under it
+    TxLog.init(rows(0 until 30), path)                       // v0
+    TxLog.renameColumn(path, "cents", "amount", 0L)          // v1
+    val q = child.readStream.format("graft-txlog").option("path", path)
+      .load().writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ck1")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.read.parquet(s"$work/out")
+      got1.columns.sorted shouldBe Array("amount", "id", "payload")
+      got1.select("id", "amount")
+        .as[(Long, Long)].collect().sortBy(_._1) shouldBe
+        (0 until 30).map(i => (i.toLong, (i % 5).toLong)).toArray
+
+      // MID-STREAM rename (amount -> money) + a new append on the
+      // RUNNING query: physical identity is stable, so the stream
+      // serves the new rows' values under the PINNED name (row shape
+      // never changes mid-stream)
+      TxLog.renameColumn(path, "amount", "money",
+        TxLog.currentVersion(path).get)
+      TxLog.append(rows(30 until 40).withColumnRenamed("cents", "money"),
+        path, TxLog.currentVersion(path).get)
+      q.processAllAvailable()
+      val got2 = spark.read.parquet(s"$work/out")
+      got2.count() shouldBe 40L
+      got2.filter(col("id") >= 30L).select("id", "amount")
+        .as[(Long, Long)].collect().sortBy(_._1) shouldBe
+        (30 until 40).map(i => (i.toLong, (i % 5).toLong)).toArray
+
+      // mid-stream DROP + same-name RE-ADD (resurrect guard = FRESH
+      // physical): the pinned read would silently null the re-added
+      // column's new values - the widen contract refuses, restart
+      // guidance
+      val v = TxLog.currentVersion(path).get
+      TxLog.dropColumn(path, "money", v)
+      TxLog.addColumn(spark, path, "money",
+        org.apache.spark.sql.types.LongType, v + 1)
+      TxLog.append(rows(40 until 45).withColumnRenamed("cents", "money"),
+        path, v + 2)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      e.getMessage should include("Restart the query")
+    } finally q.stop()
+
+    // a FRESH query re-pins the post-resurrect state and serves the
+    // TABLE's meaning end-to-end: pre-drop rows NULL money (tombstoned
+    // physical never resurrects), post-re-add rows real values
+    val q2 = child.readStream.format("graft-txlog").option("path", path)
+      .load().writeStream.format("parquet")
+      .option("path", s"$work/out2")
+      .option("checkpointLocation", s"$work/ck2")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got3 = spark.read.parquet(s"$work/out2")
+    got3.columns.sorted shouldBe Array("id", "money", "payload")
+    got3.count() shouldBe 45L
+    got3.filter(col("id") < 40L).filter(col("money").isNotNull)
+      .count() shouldBe 0L
+    got3.filter(col("id") >= 40L).select("id", "money")
+      .as[(Long, Long)].collect().sortBy(_._1) shouldBe
+      (40 until 45).map(i => (i.toLong, (i % 5).toLong)).toArray
+
+    // the STREAMING CDF source logicalizes too: a fresh feed over the
+    // final table emits insert rows under the current logical names
+    val cdfQ = child.readStream.format("graft-txlog-cdf")
+      .option("path", path).load()
+      .writeStream.format("parquet")
+      .option("path", s"$work/cdf_out")
+      .option("checkpointLocation", s"$work/cdf_ck")
+      .outputMode("append").start()
+    try cdfQ.processAllAvailable() finally cdfQ.stop()
+    val feed = spark.read.parquet(s"$work/cdf_out")
+    feed.columns should contain("money")
+    feed.filter(col("_change_type") === "insert")
+      .filter(col("id") >= 40L).select("money")
+      .as[Long].collect().sorted shouldBe
+      (40 until 45).map(i => (i % 5).toLong).sorted.toArray
   }
 
   test("column-mapping property fuzz: random rename/drop/re-add/append/" +

@@ -255,4 +255,117 @@ class TxLogDvSpec extends SparkSpecBase {
       Array("delete")
     ids(dvDeletes) shouldBe (0L until 5L).toArray
   }
+
+  /** Force the per-file bitmap path (threshold 0), run `body`, restore. */
+  private def withBitmapDvs[A](body: => A): A = {
+    val saved = TxLog.dvBitmapMinRows.get()
+    TxLog.dvBitmapMinRows.set(0L)
+    try body finally TxLog.dvBitmapMinRows.set(saved)
+  }
+
+  test("per-file bitmap DV path above the threshold: rows identical to " +
+      "the broadcast twin, NO join or broadcast in the plan, sidecars " +
+      "loaded once per JVM") {
+    val path = freshPath()
+    // 4 range files; three DISJOINT deletes → three ACTIVE sidecars
+    TxLog.init(rows(0 until 400).repartitionByRange(4, col("id")), path)
+    TxLog.deleteWhereDV(spark, path, col("id") < 50L, 0L)
+    TxLog.deleteWhereDV(spark, path, col("id") >= 350L, 1L)
+    TxLog.deleteWhereDV(spark, path, col("id") >= 150L && col("id") < 160L, 2L)
+    dvFiles(path) should have size 3
+    val expected = (0L until 400L)
+      .filterNot(i => i < 50 || i >= 350 || (i >= 150 && i < 160)).toArray
+
+    graft.functions.DvSidecars.clearCache()
+    val loads0 = graft.functions.DvSidecars.loads.get()
+    val (got, plan) = withBitmapDvs {
+      val df = TxLog.read(spark, path)
+      val g = ids(df)
+      (g, df.queryExecution.executedPlan.toString)
+    }
+    got shouldBe expected
+    // the broadcast twin (threshold forced sky-high) serves the same rows
+    val saved = TxLog.dvBitmapMinRows.get()
+    TxLog.dvBitmapMinRows.set(Long.MaxValue)
+    try ids(TxLog.read(spark, path)) shouldBe expected
+    finally TxLog.dvBitmapMinRows.set(saved)
+    // plan shape: the DV application is a codegen'd FILTER over the scan —
+    // no join of any kind, no broadcast exchange, no row-level DV relation
+    plan should include("graft_dv_alive")
+    (plan should not).include("Join")
+    (plan should not).include("BroadcastExchange")
+    // whole-stage codegen renders as the `*(n)` stage prefix in this
+    // format; the filter must sit INSIDE the codegen'd stage
+    plan should include("*(1) Filter graft_dv_alive")
+    // all three sidecars loaded exactly once; a second read hits the cache
+    (graft.functions.DvSidecars.loads.get() - loads0) shouldBe 3L
+    withBitmapDvs { ids(TxLog.read(spark, path)) shouldBe expected }
+    (graft.functions.DvSidecars.loads.get() - loads0) shouldBe 3L
+  }
+
+  test("bitmap DV path: merged vectors, time travel, CDF, writers, and " +
+      "column-mapped reads all serve the broadcast twin's rows") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 300).repartitionByRange(3, col("id")), path)
+    TxLog.deleteWhereDV(spark, path, col("id") % 3 === 0, 0L)       // v1
+    // second vector on the SAME files: per-file replacement merges
+    TxLog.deleteWhereDV(spark, path, col("id") % 7 === 1, 1L)       // v2
+    TxLog.updateWhereDV(spark, path, col("id") === 5L,
+      Map("payload" -> lit("upd")), 2L)                             // v3
+    TxLog.renameColumn(path, "payload", "body", 3L)                 // v4
+    def read(asOf: Option[Long]) = TxLog.read(spark, path, asOf)
+    val broadcastRows = (None +: (1L to 4L).map(Some(_))).map(v =>
+      read(v).collect().map(_.toSeq).sortBy(_.mkString("|")))
+    withBitmapDvs {
+      graft.functions.DvSidecars.clearCache()
+      (None +: (1L to 4L).map(Some(_))).zip(broadcastRows).foreach {
+        case (v, want) =>
+          read(v).collect().map(_.toSeq).sortBy(_.mkString("|")) shouldBe want
+      }
+      // CDF across the DV versions folds identically under bitmaps
+      val feed = TxLog.changes(spark, path, -1L, 3L)
+        .select(col("id"), col("_change_type"), col("_commit_version"))
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val twin = {
+        val s = TxLog.dvBitmapMinRows.get()
+        TxLog.dvBitmapMinRows.set(Long.MaxValue)
+        try TxLog.changes(spark, path, -1L, 3L)
+          .select(col("id"), col("_change_type"), col("_commit_version"))
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+        finally TxLog.dvBitmapMinRows.set(s)
+      }
+      feed shouldBe twin
+      // a CLASSIC rewriting delete on the bitmap-mode table (writer
+      // probe + survivor reads run through the same seam)
+      TxLog.deleteWhere(spark, path, col("id") >= 290L, 4L)         // v5
+      // and a purge materializes everything back to plain scans
+      TxLog.purgeDeletes(spark, path, 5L)                           // v6
+    }
+    val after = TxLog.read(spark, path)
+    after.queryExecution.optimizedPlan.toString should not include "graft_dv_alive"
+    ids(after) shouldBe (0L until 290L)
+      .filterNot(i => i % 3 == 0 || i % 7 == 1).toArray
+    after.filter(col("id") === 5L).select("body").collect()
+      .map(_.getString(0)) shouldBe Array("upd")
+  }
+
+  test("bitmap threshold boundary: at-or-below stays on the broadcast " +
+      "anti-join (the oracle twin is the default for small vectors)") {
+    val path = freshPath()
+    TxLog.init(rows(0 until 100).repartition(2), path)
+    TxLog.deleteWhereDV(spark, path, col("id") < 10L, 0L)
+    val saved = TxLog.dvBitmapMinRows.get()
+    try {
+      // the sidecar carries 10 rows: threshold 10 (== upper bound) keeps
+      // the broadcast plan; threshold 9 flips to bitmaps
+      TxLog.dvBitmapMinRows.set(10L)
+      val bc = TxLog.read(spark, path)
+      bc.collect().length shouldBe 90
+      bc.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+      TxLog.dvBitmapMinRows.set(9L)
+      val bm = TxLog.read(spark, path)
+      bm.collect().length shouldBe 90
+      bm.queryExecution.executedPlan.toString should include("graft_dv_alive")
+    } finally TxLog.dvBitmapMinRows.set(saved)
+  }
 }

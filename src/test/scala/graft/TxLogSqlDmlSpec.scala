@@ -155,7 +155,7 @@ class TxLogSqlDmlSpec extends SparkSpecBase {
     spark.sql(s"SELECT cents FROM $table WHERE id = 300").as[Long].head() shouldBe 42L
   }
 
-  test("refusals: time travel, subquery, merge shapes, cardinality") {
+  test("refusals: time travel, correlated/scalar subqueries, non-equality ON, cardinality") {
     val (path, table) = fresh()
     TxLog.init(baseRows, path)
     TxLog.append(baseRows.limit(1), path, 0L)
@@ -172,22 +172,16 @@ class TxLogSqlDmlSpec extends SparkSpecBase {
     }.getMessage should include("frozen view")
 
     baseRows.limit(5).createOrReplaceTempView("refusal_src")
+    // CORRELATED subqueries (and non-IN shapes) still refuse with the
+    // rewrite guidance; plain IN-subqueries now compile (own test below)
     intercept[Exception] {
-      spark.sql(s"DELETE FROM $table WHERE id IN " +
-        "(SELECT id FROM refusal_src)").collect()
+      spark.sql(s"DELETE FROM $table WHERE EXISTS " +
+        s"(SELECT 1 FROM refusal_src r WHERE r.id = $table.id)").collect()
     }.getMessage should include("subquery")
     intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO $table USING refusal_src ON $table.id = refusal_src.id
-           |WHEN MATCHED AND refusal_src.cents > 5 THEN UPDATE SET *""".stripMargin)
-        .collect()
-    }.getMessage should include("conditional")
-    intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO $table USING refusal_src ON $table.id = refusal_src.id
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect()
-    }.getMessage should include("NOT MATCHED BY SOURCE")
+      spark.sql(s"UPDATE $table SET cents = " +
+        "(SELECT max(cents) FROM refusal_src) WHERE id = 1").collect()
+    }.getMessage should include("subquery")
     intercept[Exception] {
       spark.sql(
         s"""MERGE INTO $table USING refusal_src
@@ -211,6 +205,73 @@ class TxLogSqlDmlSpec extends SparkSpecBase {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
     spark.sql(s"SELECT count(*) FROM $table WHERE id = 900")
       .as[Long].head() shouldBe 2L
+  }
+
+  test("conditional MERGE clauses via SQL: first-match-wins, conditional " +
+      "insert, NOT MATCHED BY SOURCE - one DV commit, model-checked") {
+    val (path, table) = fresh()
+    TxLog.init(baseRows, path)          // ids 0..199, cents = id*10
+    register(path, table)
+    ((150 until 250).map(i => (i.toLong, i.toLong)))
+      .toDF("sid", "bonus").createOrReplaceTempView("cond_src")
+    val v = spark.sql(
+      s"""MERGE INTO $table USING cond_src ON $table.id = cond_src.sid
+         |WHEN MATCHED AND cond_src.bonus % 2 = 0 THEN DELETE
+         |WHEN MATCHED AND $table.cents >= 1700 THEN
+         |  UPDATE SET cents = $table.cents + cond_src.bonus
+         |WHEN MATCHED THEN UPDATE SET grp = 'tail'
+         |WHEN NOT MATCHED AND cond_src.sid < 230 THEN
+         |  INSERT (id, grp, cents) VALUES (cond_src.sid, 'new', cond_src.bonus)
+         |WHEN NOT MATCHED BY SOURCE AND $table.id < 20 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND $table.grp = 'g3' THEN
+         |  UPDATE SET cents = 0""".stripMargin).as[Long].head()
+    v shouldBe 1L
+    val model = (0 until 200).flatMap { i =>
+      val id = i.toLong; val cents = id * 10
+      if (id >= 150) { // matched (source 150..249 ∩ target)
+        if (id % 2 == 0) None
+        else if (cents >= 1700) Some((id, s"g${i % 4}", cents + id))
+        else Some((id, "tail", cents))
+      } else if (id < 20) None
+      else if (i % 4 == 3) Some((id, s"g${i % 4}", 0L))
+      else Some((id, s"g${i % 4}", cents))
+    } ++ (200 until 230).collect { case i => (i.toLong, "new", i.toLong) }
+    spark.sql(s"SELECT id, grp, cents FROM $table")
+      .as[(Long, String, Long)].collect().sortBy(_._1) shouldBe
+      model.sortBy(_._1)
+    // one committed version, no data files removed (soft path)
+    TxLog.snapshot(path).files.size should be >=
+      TxLog.snapshot(path, Some(0L)).files.size
+  }
+
+  test("DELETE/UPDATE with IN-subquery compile onto the keyed MERGE " +
+      "path; residual conjuncts apply per row; duplicates in the " +
+      "subquery are IN-collapsed") {
+    val (path, table) = fresh()
+    TxLog.init(baseRows, path)
+    register(path, table)
+    // subquery WITH duplicates (union all of the same slice): IN
+    // semantics dedupe - no cardinality refusal
+    spark.sql(
+      s"""SELECT id FROM $table WHERE id < 30
+         |UNION ALL SELECT id FROM $table WHERE id < 30""".stripMargin)
+      .createOrReplaceTempView("del_keys")
+    spark.sql(s"DELETE FROM $table WHERE id IN (SELECT id FROM del_keys) " +
+      "AND grp = 'g1'").collect()
+    // residual per row: only g1 rows among ids 0..29 died (id%4==1)
+    spark.sql(s"SELECT count(*) FROM $table WHERE id < 30")
+      .as[Long].head() shouldBe (0 until 30).count(_ % 4 != 1).toLong
+    spark.sql(s"SELECT count(*) FROM $table").as[Long].head() shouldBe
+      (200 - (0 until 30).count(_ % 4 == 1)).toLong
+    // UPDATE ... IN (SELECT ...): assignments over the original row
+    spark.sql(s"UPDATE $table SET cents = cents + 1 WHERE id IN " +
+      s"(SELECT id FROM del_keys WHERE id >= 20)").collect()
+    spark.sql(s"SELECT sum(cents) FROM $table WHERE id >= 20 AND id < 30")
+      .as[Long].head() shouldBe
+      (20 until 30).filter(_ % 4 != 1).map(i => i * 10L + 1L).sum
+    // the untouched tail is untouched
+    spark.sql(s"SELECT sum(cents) FROM $table WHERE id >= 30")
+      .as[Long].head() shouldBe (30 until 200).map(_ * 10L).sum
   }
 
   test("ALTER TABLE ADD COLUMNS: metadata-only, catalog re-pinned, SQL sees it") {
@@ -262,6 +323,117 @@ class TxLogSqlDmlSpec extends SparkSpecBase {
       spark.sql("ALTER TABLE sqldml_plain ADD CONSTRAINT c CHECK (a > 0)")
         .collect()
     }.getMessage should include("not supported")
+  }
+
+  test("SQL DML property fuzz: randomly RENDERED DELETE/UPDATE/MERGE " +
+      "(conditional clauses, BY SOURCE, IN-subquery) through the catalog " +
+      "table stay model-exact; per-file-bitmap read lottery") {
+    def pairs(t: String): Array[(Long, Long)] =
+      spark.sql(s"SELECT id, cents FROM $t")
+        .as[(Long, Long)].collect().sortBy(_._1)
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 0x9E3779B97F4A7C15L + 31L)
+      val (path, table) = fresh()
+      val model = scala.collection.mutable.Map[Long, Long]()
+      (0L until 40L).foreach(i => model(i) = i * 10L)
+      TxLog.init(model.toSeq.toDF("id", "cents")
+        .repartitionByRange(4, col("id")), path)
+      register(path, table)
+      // bitmap lottery: odd seeds run EVERY read (SELECT, DML probes,
+      // survivor/live-row reads) through the per-file bitmap path
+      val saved = TxLog.dvBitmapMinRows.get()
+      if (seed % 2 == 1) TxLog.dvBitmapMinRows.set(0L)
+      try {
+        var step = 0
+        def check(): Unit = withClue(s"seed=$seed step=$step: ") {
+          pairs(table) shouldBe model.toArray.sortBy(_._1)
+        }
+        check()
+        (0 until 10).foreach { _ =>
+          step += 1
+          rnd.nextInt(6) match {
+            case 0 => // SQL INSERT of fresh ids
+              val base = 100L + rnd.nextLong(800L)
+              val fresh = (base until base + 1 + rnd.nextLong(6L))
+                .filterNot(model.contains).map(i => (i, i * 10L))
+              if (fresh.nonEmpty) {
+                spark.sql(s"INSERT INTO $table VALUES " +
+                  fresh.map { case (i, c) => s"($i, $c)" }.mkString(", "))
+                model ++= fresh
+              }
+            case 1 => // plain predicate DELETE
+              val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+              val cut = rnd.nextLong(9000L)
+              spark.sql(
+                s"DELETE FROM $table WHERE id % $m = $r AND cents < $cut")
+              model.filter { case (k, c) => k % m == r && c < cut }
+                .keys.toSeq.foreach(model.remove)
+            case 2 => // UPDATE over the original row
+              val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+              val d = 1L + rnd.nextLong(9L)
+              spark.sql(s"UPDATE $table SET cents = cents + $d " +
+                s"WHERE id % $m = $r")
+              model.keys.filter(_ % m == r).foreach(k => model(k) += d)
+            case 3 => // IN-subquery DELETE (self-referential) + residual
+              val k = 2 + rnd.nextInt(4); val j = rnd.nextInt(k)
+              val cut = rnd.nextLong(200L)
+              spark.sql(s"DELETE FROM $table WHERE id IN " +
+                s"(SELECT id FROM $table WHERE cents % $k = $j) " +
+                s"AND id >= $cut")
+              model.filter { case (key, c) => c % k == j && key >= cut }
+                .keys.toSeq.foreach(model.remove)
+            case 4 => // conditional multi-clause MERGE with BY SOURCE
+              val sampled = rnd.shuffle(model.keys.toSeq.sorted)
+                .take(rnd.nextInt(6))
+              val base = 2000L + rnd.nextLong(500L)
+              val freshIds = (base until base + 3L)
+                .filterNot(model.contains)
+              val src = (sampled ++ freshIds).distinct
+                .map(i => (i, i % 5 + 1))
+              if (src.nonEmpty) {
+                src.toDF("sid", "delta")
+                  .createOrReplaceTempView("fuzz_mrg_src")
+                val q = 2 + rnd.nextInt(4); val w = rnd.nextInt(q)
+                spark.sql(
+                  s"""MERGE INTO $table USING fuzz_mrg_src
+                     |ON $table.id = fuzz_mrg_src.sid
+                     |WHEN MATCHED AND fuzz_mrg_src.delta % 2 = 0
+                     |  THEN DELETE
+                     |WHEN MATCHED THEN
+                     |  UPDATE SET cents = $table.cents + fuzz_mrg_src.delta
+                     |WHEN NOT MATCHED AND fuzz_mrg_src.sid % 2 = 0 THEN
+                     |  INSERT (id, cents)
+                     |  VALUES (fuzz_mrg_src.sid, fuzz_mrg_src.delta)
+                     |WHEN NOT MATCHED BY SOURCE AND $table.id % $q = $w
+                     |  THEN UPDATE SET cents = 0""".stripMargin)
+                val srcMap = src.toMap
+                val matchedKeys = model.keys.toSet.intersect(srcMap.keySet)
+                val orphans = model.keys.toSet -- srcMap.keySet
+                matchedKeys.foreach { k =>
+                  val d = srcMap(k)
+                  if (d % 2 == 0) model.remove(k) else model(k) += d
+                }
+                srcMap.keySet.diff(matchedKeys).foreach { k =>
+                  if (k % 2 == 0) model(k) = srcMap(k)
+                }
+                orphans.filter(_ % q == w).foreach(k => model(k) = 0L)
+              }
+            case _ => // purge/compact housekeeping (visibility-neutral)
+              val v = TxLog.currentVersion(path).get
+              if (rnd.nextBoolean()) TxLog.purgeDeletes(spark, path, v)
+              else TxLog.compact(spark, path, v)
+              spark.catalog.refreshByPath(path)
+              org.apache.spark.sql.graftbridge.CatalogBridge
+                .invalidateCachedRelations(spark)
+          }
+          check()
+        }
+        // the feed still reconstructs the final table
+        TxLog.mirrorFromChanges(spark, path)
+          .select("id", "cents").as[(Long, Long)].collect()
+          .sortBy(_._1) shouldBe model.toArray.sortBy(_._1)
+      } finally TxLog.dvBitmapMinRows.set(saved)
+    }
   }
 
   test("regression: catalog SELECT over >= 2 DV sidecars (ResolvedHint splice)") {
