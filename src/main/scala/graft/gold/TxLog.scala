@@ -1453,10 +1453,13 @@ object TxLog {
     * pipeline soft-deletes forever (the Delta per-file-bitmap discipline).
     * The count is a metadata-only upper bound from the sidecars' parquet
     * FOOTERS (cached — sidecars are immutable); an AtomicLong so specs
-    * can force either path.
+    * can force either path. Default 2^17: the measured crossover
+    * (DvBitmapBench, SCALING.md §round-15) has bitmaps ahead well below
+    * it (3.6× at 200k deleted rows, 5.9× at 1M, flat vs the broadcast's
+    * growth), while smaller sets keep the longer-proven broadcast plan.
     */
   private[graft] val dvBitmapMinRows =
-    new java.util.concurrent.atomic.AtomicLong(1L << 20)
+    new java.util.concurrent.atomic.AtomicLong(1L << 17)
 
   /** Driver-side cache of sidecar footer row counts (immutable files —
     * cacheable forever). One footer read per sidecar lifetime, no job.

@@ -107,25 +107,23 @@ class GraftCatalog extends GraftProcedureCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (TxLog.currentVersion(dir).isEmpty)
+    val cur = TxLog.currentVersion(dir).getOrElse(
       throw new NoSuchTableException(
-        Seq(name()) ++ ident.namespace() :+ ident.name())
-    GraftTable(fullName(ident), dir, pinnedVersion = None,
-      timeTraveled = false)
+        Seq(name()) ++ ident.namespace() :+ ident.name()))
+    GraftTable(fullName(ident), dir, cur, timeTraveled = false)
   }
 
   /** `VERSION AS OF <v>` — the version string is a log version. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
-    GraftTable(fullName(ident), dir, Some(version.toLong),
-      timeTraveled = true)
+    GraftTable(fullName(ident), dir, version.toLong, timeTraveled = true)
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROS. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     GraftTable(fullName(ident), dir,
-      Some(TxLog.versionAtTimestamp(dir, timestamp / 1000L)),
+      TxLog.versionAtTimestamp(dir, timestamp / 1000L),
       timeTraveled = true)
   }
 
@@ -137,9 +135,16 @@ class GraftCatalog extends GraftProcedureCatalog
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         Seq(name()) ++ ident.namespace() :+ ident.name())
-    val dir = Option(properties.get(TableCatalog.PROP_LOCATION))
-      .map(raw => graft.streaming.TxLogSource.tablePath(Map("path" -> raw)))
-      .getOrElse(tableDir(ident))
+    // an explicit external LOCATION would create a table loadTable can
+    // never find again (this catalog has no metastore to persist the
+    // mapping — the TxLog dir IS the store): refuse loudly; external
+    // dirs are addressed directly via the path namespace
+    require(!properties.containsKey(TableCatalog.PROP_LOCATION),
+      s"graft catalog: explicit LOCATION is not supported for managed " +
+        s"tables (the warehouse layout is the catalog's only store) - " +
+        s"address an external TxLog dir as ${name()}.path.`/abs/dir`, " +
+        "or clone it under the warehouse")
+    val dir = tableDir(ident)
     val partCols = partitions.toSeq.map {
       case t if t.name() == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames().mkString(".")
@@ -155,7 +160,7 @@ class GraftCatalog extends GraftProcedureCatalog
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     TxLog.init(empty, dir, partitionBy = partCols)
-    GraftTable(fullName(ident), dir, None, timeTraveled = false)
+    GraftTable(fullName(ident), dir, 0L, timeTraveled = false)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -201,12 +206,21 @@ class GraftCatalog extends GraftProcedureCatalog
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    // path-namespace tables are EXTERNAL by definition: dropping the
+    // name must never delete the user's directory (Delta/Spark external
+    // tables keep their data on DROP; here there is no name to unregister
+    // either, so the statement is meaningless — refuse loudly)
+    require(!ident.namespace().sameElements(Array("path")),
+      s"graft catalog: DROP TABLE on the path namespace would delete " +
+        s"the external directory ${ident.name()} - remove it explicitly " +
+        "if that is intended")
     try {
       val dir = tableDir(ident)
       if (TxLog.currentVersion(dir).isEmpty) false
       else { graft.core.Fs.rmTree(new java.io.File(dir)); true }
     } catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   override def renameTable(old: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -277,17 +291,13 @@ class GraftCatalog extends GraftProcedureCatalog
   * on the ACID commit protocol.
   */
 case class GraftTable(tableName: String, dir: String,
-    pinnedVersion: Option[Long], timeTraveled: Boolean)
+    // the version this table object serves — ALWAYS resolved by the
+    // catalog at load time (pin-at-construction, the V1 relation's
+    // discipline) and a constructor FIELD so table equality is honest:
+    // two loads of the same dir at different versions must never
+    // compare equal
+    servedVersion: Long, timeTraveled: Boolean)
   extends Table with SupportsRead with SupportsWrite {
-
-  /** The version this table object serves (pinned for time travel,
-    * resolved-at-load otherwise — the same pin-at-relation-construction
-    * discipline as the V1 format).
-    */
-  val servedVersion: Long = pinnedVersion.getOrElse(
-    TxLog.currentVersion(dir).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft catalog: no TxLog table at $dir")))
 
   private val snap = TxLog.snapshot(dir, Some(servedVersion))
 

@@ -152,5 +152,15 @@ class GraftCatalogSpec extends SparkSpecBase {
     // the inherited procedure surface under the same catalog name
     child.sql(s"CALL g.system.history(path => '$dir')")
       .count() should be >= 2L
+    // DROP on the path namespace must never delete the external dir
+    intercept[Exception] {
+      child.sql(s"DROP TABLE g.path.`$dir`")
+    }.getMessage should include("external directory")
+    TxLog.currentVersion(dir).isDefined shouldBe true
+    // explicit LOCATION on a managed create refuses (no metastore to
+    // persist the mapping - the table would be unfindable)
+    intercept[Exception] {
+      child.sql("CREATE TABLE g.db.ext (id BIGINT) LOCATION '/tmp/ext_x'")
+    }.getMessage should include("LOCATION")
   }
 }
