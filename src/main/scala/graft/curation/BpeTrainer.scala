@@ -68,9 +68,16 @@ object BpeTrainer {
     aggregate(sym, zero, step, fin)
   }
 
-  /** One corpus scan → (word, n, sym) frequency table. */
+  /** One corpus scan → (word, n, sym) frequency table. The tokenizer is
+    * the NATIVE kernel (value-identical to `tokens`, spec-pinned): the
+    * composed split+filter carries a CodegenFallback lambda that ran the
+    * whole explode projection interpreted; the scan is spread first so a
+    * single-row-group corpus does not tokenize on one core (guide §2.5).
+    */
   def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("word"))
+    graft.core.Spread.smallScan(df)
+      .select(explode(
+        graft.functions.TextNativeExpressions.tokens_native(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("sym", wordSymbols(col("word")))
 
@@ -237,7 +244,9 @@ object BpeTrainer {
       merges: Seq[(String, String)],
       outCol: String = "bpe_symbols"
   ): DataFrame =
-    df.withColumn(outCol,
+    // spread first: the per-word encode kernel over a single-row-group
+    // corpus otherwise runs on one core (guide §2.5)
+    graft.core.Spread.smallScan(df).withColumn(outCol,
       graft.functions.BpeEncodeTokens(col(textCol), merges))
 
   /** Tokenizer vocabulary for a trained merge table over a given corpus:
@@ -273,7 +282,7 @@ object BpeTrainer {
       oovId: Int = -1,
       outCol: String = "bpe_ids"
   ): DataFrame =
-    df.withColumn(outCol,
+    graft.core.Spread.smallScan(df).withColumn(outCol,
       graft.functions.BpeEncodeIds(col(textCol), merges, vocab, oovId))
 
   /** Decode an id stream back to text: ids → vocabulary symbols,
@@ -309,7 +318,7 @@ object BpeTrainer {
   * Complexity ≈ O(total_symbols + Σ touched_word_lengths · log), versus
   * O(numMerges · total_symbols) for the naive rescan.
   */
-private[curation] object LocalBpe {
+private[graft] object LocalBpe {
 
   def train(
       words: Array[(String, Long)],
@@ -317,38 +326,57 @@ private[curation] object LocalBpe {
       minCount: Long
   ): Seq[(Int, String, String, String, Long)] = {
     import scala.collection.mutable
-    val syms = words.map { case (w, _) =>
-      val b = mutable.ArrayBuffer.empty[String]
+    // Symbols interned to dense Int ids and pairs packed into one Long —
+    // the merge loop then runs on primitive arrays and LongMaps instead of
+    // (String, String) tuple keys (every position probe was a full string
+    // compare, every map op a tuple hash; round-16 driver-bench profiling
+    // put the 1024-merge train loop at ~10 s single-threaded). The merge
+    // ORDER is unchanged: counts are identical and the tie-break still
+    // compares the SYMBOL STRINGS (ids are not lexicographic).
+    val symTable = mutable.ArrayBuffer.empty[String]
+    val symId = mutable.HashMap.empty[String, Int]
+    def intern(s: String): Int =
+      symId.getOrElseUpdate(s, { symTable += s; symTable.length - 1 })
+    val eow = intern(BpeTrainer.EndOfWord)
+
+    val syms: Array[Array[Int]] = words.map { case (w, _) =>
+      val b = mutable.ArrayBuffer.empty[Int]
       var i = 0
       while (i < w.length) {
         val c = Character.charCount(w.codePointAt(i))
-        b += w.substring(i, i + c)
+        b += intern(w.substring(i, i + c))
         i += c
       }
-      b += BpeTrainer.EndOfWord
-      b
+      b += eow
+      b.toArray
     }
     val n = words.map(_._2)
 
-    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    def pack(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    def left(p: Long): Int = (p >>> 32).toInt
+    def right(p: Long): Int = p.toInt
+
+    val pairCount = mutable.LongMap.empty[Long]
     // inverted index: pair -> word ids that MAY contain it (lazily stale —
     // a word is re-verified by scan before being touched)
-    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
-    // max-heap by (count, then lexicographically SMALLEST pair wins ties)
-    implicit val ord: Ordering[(Long, String, String)] =
-      new Ordering[(Long, String, String)] {
-        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+    val pairWords = mutable.LongMap.empty[mutable.BitSet]
+    // max-heap by (count, then lexicographically SMALLEST pair wins ties —
+    // compared on the SYMBOL STRINGS, exactly the pre-interning order)
+    implicit val ord: Ordering[(Long, Long)] =
+      new Ordering[(Long, Long)] {
+        def compare(x: (Long, Long), y: (Long, Long)): Int = {
           val c = java.lang.Long.compare(x._1, y._1)
           if (c != 0) c
           else {
-            val a = y._2.compareTo(x._2)
-            if (a != 0) a else y._3.compareTo(x._3)
+            val a = symTable(left(y._2)).compareTo(symTable(left(x._2)))
+            if (a != 0) a
+            else symTable(right(y._2)).compareTo(symTable(right(x._2)))
           }
         }
       }
-    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    val heap = mutable.PriorityQueue.empty[(Long, Long)]
 
-    def register(p: (String, String), delta: Long, wi: Int): Unit = {
+    def register(p: Long, delta: Long, wi: Int): Unit = {
       val c = pairCount.getOrElse(p, 0L) + delta
       if (c == 0L) pairCount.remove(p) else pairCount(p) = c
       if (delta > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
@@ -358,10 +386,10 @@ private[curation] object LocalBpe {
     while (wi < syms.length) {
       val s = syms(wi)
       var i = 0
-      while (i < s.length - 1) { register((s(i), s(i + 1)), n(wi), wi); i += 1 }
+      while (i < s.length - 1) { register(pack(s(i), s(i + 1)), n(wi), wi); i += 1 }
       wi += 1
     }
-    pairCount.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    pairCount.foreach { case (p, c) => heap.enqueue((c, p)) }
 
     val out = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 0
@@ -369,19 +397,21 @@ private[curation] object LocalBpe {
     while (rank < numMerges && !done) {
       // pop the live maximum: stale heap entries (count no longer current)
       // are discarded; every count change re-pushed a fresh entry
-      var top: (Long, String, String) = null
-      while (top == null && heap.nonEmpty) {
+      var topCnt = -1L
+      var topPair = -1L
+      while (topCnt < 0 && heap.nonEmpty) {
         val t = heap.dequeue()
-        if (pairCount.getOrElse((t._2, t._3), 0L) == t._1) top = t
+        if (pairCount.getOrElse(t._2, 0L) == t._1) { topCnt = t._1; topPair = t._2 }
       }
-      if (top == null || top._1 < minCount) done = true
+      if (topCnt < 0 || topCnt < minCount) done = true
       else {
-        val (pn, a, b) = (top._1, top._2, top._3)
-        out += ((rank, a, b, a + b, pn))
-        val ab = a + b
-        val changed = mutable.Set.empty[(String, String)]
+        val a = left(topPair); val b = right(topPair)
+        val abStr = symTable(a) + symTable(b)
+        out += ((rank, symTable(a), symTable(b), abStr, topCnt))
+        val ab = intern(abStr)
+        val changed = mutable.Set.empty[Long]
         // snapshot: register() mutates other pairs' bitsets while we walk
-        val members = pairWords.getOrElse((a, b), mutable.BitSet.empty).toArray
+        val members = pairWords.getOrElse(topPair, mutable.BitSet.empty).toArray
         members.foreach { w =>
           val s = syms(w)
           var has = false
@@ -390,31 +420,41 @@ private[curation] object LocalBpe {
             has = s(i) == a && s(i + 1) == b; i += 1
           }
           if (has) {
-            i = 0
-            while (i < s.length - 1) {
-              val p = (s(i), s(i + 1))
-              register(p, -n(w), w); changed += p
-              i += 1
-            }
-            val next = mutable.ArrayBuffer.empty[String]
+            // Incremental pair maintenance: only the pairs AROUND each
+            // merge occurrence change — (prev, a) → (prev, ab), the merged
+            // (a, b) itself, and (b, next) → (ab, next). The former
+            // remove-every-pair / re-add-every-pair pass cost O(|word|)
+            // map updates per touched word; this is O(occurrences).
+            // (`prev` is read from the NEW array, so back-to-back
+            // occurrences compose exactly like the full-rewrite did.)
+            val nw = n(w)
+            val next = new Array[Int](s.length)
+            var len = 0
             i = 0
             while (i < s.length) {
               if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
-                next += ab; i += 2
-              } else { next += s(i); i += 1 }
+                if (len > 0) {
+                  val prev = next(len - 1)
+                  val pOld = pack(prev, a); val pNew = pack(prev, ab)
+                  register(pOld, -nw, w); changed += pOld
+                  register(pNew, nw, w); changed += pNew
+                }
+                register(topPair, -nw, w); changed += topPair
+                if (i + 2 < s.length) {
+                  val nxt = s(i + 2)
+                  val pOld = pack(b, nxt); val pNew = pack(ab, nxt)
+                  register(pOld, -nw, w); changed += pOld
+                  register(pNew, nw, w); changed += pNew
+                }
+                next(len) = ab; len += 1; i += 2
+              } else { next(len) = s(i); len += 1; i += 1 }
             }
-            syms(w) = next
-            i = 0
-            while (i < next.length - 1) {
-              val p = (next(i), next(i + 1))
-              register(p, n(w), w); changed += p
-              i += 1
-            }
+            syms(w) = java.util.Arrays.copyOf(next, len)
           }
         }
-        pairWords.remove((a, b))
+        pairWords.remove(topPair)
         changed.foreach { p =>
-          pairCount.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+          pairCount.get(p).foreach(c => heap.enqueue((c, p)))
         }
         rank += 1
       }

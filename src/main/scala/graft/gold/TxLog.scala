@@ -1467,7 +1467,12 @@ object TxLog {
   private val sidecarRowsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def sidecarRowCount(path: String, dvFile: String): Long =
+  private def sidecarRowCount(path: String, dvFile: String): Long = {
+    // size-capped (ADVICE r15): a session soft-deleting forever would
+    // otherwise accumulate one entry per sidecar EVER seen, including
+    // ones purge/compact/vacuum already shed. 64k entries ≈ a few MB;
+    // a full reset only costs re-reading live footers once.
+    if (sidecarRowsCache.size() > 65536) sidecarRowsCache.clear()
     sidecarRowsCache.computeIfAbsent(s"$path/$dvFile", { key =>
       val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
         new org.apache.hadoop.conf.Configuration(),
@@ -1478,6 +1483,7 @@ object TxLog {
       while (i < blocks.size()) { n += blocks.get(i).getRowCount; i += 1 }
       java.lang.Long.valueOf(n)
     }).longValue()
+  }
 
   /** Upper bound on the active deleted-row count: the summed footer row
     * counts of the DISTINCT active sidecars (a sidecar may also carry
@@ -2186,11 +2192,170 @@ object TxLog {
     }
   }
 
+  /** Spec seam: force the distributed-agg stats path (equality proofs). */
+  private[graft] val statsFooterDisabled =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Commits whose stats computation fell back to the distributed agg. */
+  private[graft] val statsFooterFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** UTF-8-byte order compare (= code-point order — the order every stats
+    * consumer uses; java.lang.String.compareTo is UTF-16 and DISAGREES
+    * above the BMP).
+    */
+  private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Spark's CAST(timestamp_ntz AS STRING) rendering (fraction trimmed of
+    * trailing zeros) for the partition-value record. Years outside
+    * [1, 9999] refuse — the caller falls back to the agg, which renders
+    * through Spark itself.
+    */
+  private def ntzMicrosToSqlString(us: Long): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    require(ldt.getYear >= 1 && ldt.getYear <= 9999,
+      s"NTZ year ${ldt.getYear} outside plain-render range")
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    val frac = Math.floorMod(us, 1000000L)
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** Per-file column stats straight from the staged files' parquet
+    * FOOTERS — the zero-job twin of the distributed stats agg (round-16
+    * optimization, guide §1.2/§5: the agg re-read every staged byte in a
+    * SECOND Spark job per commit just to reduce to O(files) rows of
+    * min/max/null-counts the writer's own footers already carry;
+    * parquet-mr row-group statistics are untruncated by default —
+    * DEFAULT_STATISTICS_TRUNCATE_LENGTH = Int.MaxValue — so footer
+    * min/max are the exact value extremes).
+    *
+    * EXACT equivalence with the agg, not an approximation (spec-pinned):
+    *  - integral/DATE/TIMESTAMP_NTZ canonical longs ARE the stored
+    *    physical values (epoch days / micros);
+    *  - string stats: substring-to-k-code-points is monotone in UTF-8
+    *    order, so min/max commute with prefixing — takeCodePoints(footer
+    *    min, cap) equals the agg's min-of-prefixes, and strMaxBound over
+    *    the (cap+1)-cp prefix of the footer max equals the agg's bound;
+    *  - per-file partition values render through the same CAST-AS-STRING
+    *    shapes (all-rows-equal by the partitioned stage).
+    *
+    * Returns None — the caller falls back to the distributed agg — on
+    * ANYTHING unexpected (missing chunk, unset stats, foreign statistics
+    * type, out-of-range render): the fallback is the proven path.
+    */
+  private def statsFromFooters(
+      parts: Seq[java.io.File],
+      eligible: Seq[(String, String)],
+      partitionCols: Seq[String]): Option[Map[String, FileStats]] = {
+    if (statsFooterDisabled.get()) return None
+    import scala.jdk.CollectionConverters._
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      Some(parts.map { f =>
+        val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(conf,
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        val blocks = md.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val n = eligible.size
+        val nulls = new Array[Long](n)
+        val lmin = Array.fill(n)(Long.MaxValue)
+        val lmax = Array.fill(n)(Long.MinValue)
+        val bmin = new Array[Array[Byte]](n)
+        val bmax = new Array[Array[Byte]](n)
+        val any = new Array[Boolean](n)
+        blocks.foreach { b =>
+          val byName = b.getColumns.asScala.iterator
+            .filter(_.getPath.size == 1)
+            .map(c => c.getPath.toArray.apply(0) -> c).toMap
+          eligible.zipWithIndex.foreach { case ((name, tag), k) =>
+            val chunk = byName.getOrElse(name,
+              throw new IllegalStateException(s"no footer chunk for '$name'"))
+            val st = chunk.getStatistics
+            require(st != null && st.isNumNullsSet, s"footer stats unset for '$name'")
+            nulls(k) += st.getNumNulls
+            if (st.hasNonNullValue) {
+              any(k) = true
+              if (tag == "s") st match {
+                case bs: org.apache.parquet.column.statistics.BinaryStatistics =>
+                  val mn = bs.genericGetMin.getBytes
+                  val mx = bs.genericGetMax.getBytes
+                  if (bmin(k) == null || utf8Compare(mn, bmin(k)) < 0) bmin(k) = mn
+                  if (bmax(k) == null || utf8Compare(mx, bmax(k)) > 0) bmax(k) = mx
+                case other => throw new IllegalStateException(
+                  s"string column '$name' with ${other.getClass.getSimpleName}")
+              } else {
+                val (mn, mx) = st match {
+                  case is: org.apache.parquet.column.statistics.IntStatistics =>
+                    (is.getMin.toLong, is.getMax.toLong)
+                  case ls: org.apache.parquet.column.statistics.LongStatistics =>
+                    (ls.getMin, ls.getMax)
+                  case other => throw new IllegalStateException(
+                    s"long-domain column '$name' with ${other.getClass.getSimpleName}")
+                }
+                if (mn < lmin(k)) lmin(k) = mn
+                if (mx > lmax(k)) lmax(k) = mx
+              }
+            }
+          }
+        }
+        def str(k: Int, bytes: Array[Byte]): String =
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val cols = eligible.zipWithIndex.map { case ((name, tag), k) =>
+          if (tag == "s")
+            (name, ColStats(tag, nulls(k), None, None,
+              if (any(k)) Some(takeCodePoints(str(k, bmin(k)), MaxStringStatChars)) else None,
+              (if (any(k)) Some(takeCodePoints(str(k, bmax(k)), MaxStringStatChars + 1))
+               else None).flatMap(strMaxBound)))
+          else
+            (name, ColStats(tag, nulls(k),
+              if (any(k)) Some(lmin(k)) else None,
+              if (any(k)) Some(lmax(k)) else None))
+        }.toMap
+        // partition tuple: all rows of a staged file share one partition
+        // value (possibly NULL) — min IS the value; partition columns are
+        // always the FIRST eligible entries (cap ordering guarantees it)
+        val pvals = partitionCols.map { c =>
+          val k = eligible.indexWhere(_._1 == c)
+          require(k >= 0, s"partition column '$c' not stats-eligible")
+          if (!any(k)) None
+          else Some(eligible(k)._2 match {
+            case "s" => str(k, bmin(k))
+            case "d" =>
+              val day = java.time.LocalDate.ofEpochDay(lmin(k))
+              require(day.getYear >= 1 && day.getYear <= 9999,
+                s"date year ${day.getYear} outside plain-render range")
+              day.toString
+            case "t" => ntzMicrosToSqlString(lmin(k))
+            case _   => lmin(k).toString
+          })
+        }
+        f.getName -> FileStats(rows, cols, parts = pvals)
+      }.toMap)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** Write `df`'s rows as new immutable data files under `path`, WITHOUT
     * committing them — returns the new file names plus their per-file
-    * column stats (ONE distributed agg over the staged files, grouped on
-    * `input_file_name()` — metadata-scale output, O(new files) rows). A
-    * crash after this leaves invisible orphans only.
+    * column stats (read driver-side from the staged files' parquet
+    * FOOTERS — zero jobs, exact; falls back to ONE distributed agg over
+    * the staged files grouped on `input_file_name()` when a footer is
+    * missing stats — see [[statsFromFooters]]). A crash after this leaves
+    * invisible orphans only.
     */
   /** Fresh PHYSICAL name for logical column `logical` under an active
     * mapping: the logical name itself when no current physical or
@@ -2375,9 +2540,14 @@ object TxLog {
           }
         }
         .take(MaxStatsCols)
+      val parts = stage.toFile.listFiles().filter(f =>
+        f.isFile && StagedDataFileRe.pattern.matcher(f.getName).matches())
       val stats: Map[String, FileStats] =
         if (eligible.isEmpty) Map.empty
-        else {
+        else statsFromFooters(parts.toSeq,
+          eligible.map { case (nm, tg, _) => (nm, tg) }, partitionCols)
+          .getOrElse {
+          statsFooterFallbacks.incrementAndGet()
           val aggs = count(lit(1)).as("__graft_rows") +:
             (eligible.zipWithIndex.flatMap { case ((n, _, cc), i) =>
               Seq(min(cc).as(s"__graft_min_$i"), max(cc).as(s"__graft_max_$i"),
@@ -2420,8 +2590,6 @@ object TxLog {
                   parts = pvals))
             }.toMap
         }
-      val parts = stage.toFile.listFiles().filter(f =>
-        f.isFile && StagedDataFileRe.pattern.matcher(f.getName).matches())
       // capture physical sizes BEFORE the move (the stage is always a
       // local temp dir, so File.length is exact here) — recorded in the
       // version record (Delta's add-action `size`) so byte budgets and
@@ -3523,8 +3691,9 @@ object TxLog {
 
   /** Active-DV row-count threshold for the `txlog_dv_cardinality` alert
     * (an AtomicLong so specs can lower it; production default 2^20 rows —
-    * the same boundary past which reads switch to per-file bitmap
-    * application, [[dvBitmapMinRows]]). INFORMATIONAL since bitmaps
+    * deliberately 8× ABOVE the 2^17 [[dvBitmapMinRows]] plan-flip
+    * threshold: reads go bitmap well before the alert asks for a purge).
+    * INFORMATIONAL since bitmaps
     * landed: reads no longer degrade past the threshold (they change
     * plan shape instead of broadcasting the row set), so the alert is a
     * housekeeping nudge — vectors still cost a sidecar load per executor

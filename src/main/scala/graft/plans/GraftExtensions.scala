@@ -56,27 +56,43 @@ object IntersectCount {
     * companion emits a static forwarder on the class).
     */
   def merge(a: ArrayData, b: ArrayData, assumeSorted: Boolean): Int = {
-    val xa = a.toLongArray()
-    val xb = b.toLongArray()
-    // When the producer pre-sorts (NearDup sorts each shingle set ONCE),
-    // skip the per-pair sort: a document participating in k candidate
-    // pairs would otherwise be re-sorted k times.
-    if (!assumeSorted) {
+    // Sorted inputs (NearDup sorts each shingle set ONCE) merge straight
+    // off the ArrayData: no per-pair long[] copies — a document in k
+    // candidate pairs was otherwise COPIED k times (2 × 8·s bytes per
+    // pair, gigabytes of allocation churn at candidate scale; round-16
+    // profiling). Unsorted callers still pay one copy+sort per side.
+    if (assumeSorted) {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var n = 0
+      var last = 0L; var hasLast = false
+      while (i < na && j < nb) {
+        val va = a.getLong(i); val vb = b.getLong(j)
+        if (va < vb) i += 1
+        else if (va > vb) j += 1
+        else {
+          if (!hasLast || va != last) { n += 1; last = va; hasLast = true }
+          i += 1; j += 1
+        }
+      }
+      n
+    } else {
+      val xa = a.toLongArray()
+      val xb = b.toLongArray()
       java.util.Arrays.sort(xa)
       java.util.Arrays.sort(xb)
-    }
-    var i = 0; var j = 0; var n = 0
-    var last = 0L; var hasLast = false
-    while (i < xa.length && j < xb.length) {
-      val va = xa(i); val vb = xb(j)
-      if (va < vb) i += 1
-      else if (va > vb) j += 1
-      else {
-        if (!hasLast || va != last) { n += 1; last = va; hasLast = true }
-        i += 1; j += 1
+      var i = 0; var j = 0; var n = 0
+      var last = 0L; var hasLast = false
+      while (i < xa.length && j < xb.length) {
+        val va = xa(i); val vb = xb(j)
+        if (va < vb) i += 1
+        else if (va > vb) j += 1
+        else {
+          if (!hasLast || va != last) { n += 1; last = va; hasLast = true }
+          i += 1; j += 1
+        }
       }
+      n
     }
-    n
   }
 }
 

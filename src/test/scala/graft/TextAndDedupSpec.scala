@@ -351,6 +351,38 @@ class TextAndDedupSpec extends SparkSpecBase {
     cands shouldBe Array((1L, 2L))
   }
 
+  test("allPairs dense bitmap plan ≡ forced-sparse posting plan, row-identical, codegen compiled") {
+    // Random corpus over a SMALL vocabulary — the dense regime where
+    // allPairsJaccard picks the bitmap plan. The sparse posting plan is
+    // forced on a child session (denseVocabMax=0) and must produce the
+    // IDENTICAL rows: same pairs, same exact inter/uni ints, same jaccard.
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(421L)
+    val rows = (1L to 120L).map { id =>
+      val n = 8 + rnd.nextInt(12)
+      (id, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    def run(s: org.apache.spark.sql.SparkSession, forceSparse: Boolean) = {
+      if (forceSparse) s.conf.set("spark.graft.allpairs.denseVocabMax", "0")
+      val docs = s.createDataFrame(rows).toDF("doc_id", "text")
+      val out = NearDup.allPairsJaccard(docs, "doc_id", "text", minJaccard = 0.6)
+      (out.schema, out.select("doc_a", "doc_b", "inter", "uni", "jaccard")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+        .sortBy(p => (p._1, p._2)))
+    }
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val (denseSchema, dense) =
+      try run(spark, forceSparse = false)
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    val (sparseSchema, sparse) = run(spark.newSession(), forceSparse = true)
+    dense.nonEmpty shouldBe true // the corpus really produces pairs
+    dense shouldBe sparse
+    denseSchema.fields.map(f => (f.name, f.dataType)) shouldBe
+      sparseSchema.fields.map(f => (f.name, f.dataType))
+  }
+
   test("jaccard pairs: identical docs in same block have jaccard 1.0") {
     val df = Seq(
       (1L, "s", "abcdefgh"),
