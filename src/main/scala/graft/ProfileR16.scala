@@ -14,6 +14,12 @@ object ProfileR16 {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_RAWFS")) {
+      spark.sparkContext.hadoopConfiguration.set(
+        "fs.AbstractFileSystem.file.impl", "org.apache.hadoop.fs.local.RawLocalFs")
+      spark.sparkContext.hadoopConfiguration.set(
+        "fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("stream")) { profileStream(spark, dir); spark.stop(); return }
     if (args.headOption.contains("lsh")) { profileLsh(spark, dir); spark.stop(); return }
@@ -263,10 +269,6 @@ object ProfileR16 {
     * so we own the query handle, then dump each batch's durationMs.
     */
   private def profileStream(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    // experiment knob: checksum-free local AFS for checkpoint IO
-    if (sys.env.contains("SPARK_GRAFT_RAWFS"))
-      spark.sparkContext.hadoopConfiguration.set(
-        "fs.AbstractFileSystem.file.impl", "org.apache.hadoop.fs.RawLocalFs")
     val events = core.Tables(spark, dir).events
     val stagePath = "/tmp/graft_profile_stream"
     val staged = events.select(col("event_id"), col("ts"), col("event_type"), col("value"))

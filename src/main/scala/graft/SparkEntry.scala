@@ -1685,12 +1685,11 @@ object SparkEntry {
     // fails the driver compare. Bands: ±15% for approx_count_distinct
     // (default rsd 5% ⇒ 3σ; worst observed across SFs 6.4%), and the
     // approx median must land between the exact 45th/55th percentiles.
-    // Spread the single-row-group scan: the two-distinct Expand (3× rows)
-    // + exact percentile buffers otherwise run on ONE core (guide §2.5).
-    // Output values are unchanged: the exact aggs are partition-free, the
-    // HLL register merge is commutative, and only band BOOLEANS of the
-    // approx estimates are emitted.
-    core.Spread.smallScan(T(s, dir).lineitem).agg(
+    // NOTE (round-16): spreading this single-row-group scan was measured
+    // and REVERTED — the 3× Expand × (two exact-percentile buffers + two
+    // HLL sketches) multiplies total work ~10× under partitioning (cpu
+    // 7 → 90 s) for no wall win; the 1-partition agg is the cheaper plan.
+    T(s, dir).lineitem.agg(
       approx_count_distinct(col("l_partkey")).as("__apx_parts"),
       countDistinct(col("l_partkey")).as("n_parts"),
       approx_count_distinct(col("l_orderkey")).as("__apx_orders"),
